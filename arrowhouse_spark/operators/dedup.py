@@ -1,0 +1,316 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-scalable (BASELINE.json north star; not present in
+the reference, whose dedup surface is replace-merge §2.5 and DISTINCT §2.3):
+
+  exact          — hash-groupBy on a normalized fingerprint. One shuffle keyed
+                   by the fingerprint; at 100 TB the shuffle carries only
+                   (fp, doc_id), not the text.
+  minhash_lsh    — shingle → 64-hash minhash signature → band buckets →
+                   bucket-join for candidates → signature-similarity filter.
+                   Candidate generation never compares all pairs: the join is
+                   keyed on (band_id, band_hash), so cost ~ sum of bucket² —
+                   the standard MinHash/LSH scheme (Broder; Leskovec MMDS ch.3).
+  simhash        — 64-bit SimHash (Charikar) per doc via bit-majority over
+                   token hashes; near-dups = equal hash (or banded hamming).
+  ngram_jaccard  — exact Jaccard over word-n-gram sets via shingle-join
+                   (co-occurrence count / union) — the exact counterpart LSH
+                   approximates; quadratic only within shared shingles.
+  embedding near-dup — cosine > threshold pairs; see operators.similarity.
+
+All hot paths are built-in functions (xxhash64, explode, groupBy) — JVM-side,
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from arrowhouse_spark.operators.text import fingerprint, tokens
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized-content fingerprint: one surviving (minimum)
+    id per distinct content + the duplicate count.
+
+    Plan shape: project(fp) → hash-aggregate by fp (partial→final). The only
+    shuffle carries (fp, id) pairs — at 100 TB of text this is ~50 bytes/doc.
+    """
+    return (
+        fingerprint(df, text_col, "fp")
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-grams of a text column, as an array<string>.
+    Pure SQL: slice the token array at each start position."""
+    toks = tokens(text_col)
+    if n == 1:
+        return F.array_distinct(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, minhash[num_hashes]) — signature s.t. P[sig_i(A)=sig_i(B)] ≈
+    Jaccard(A,B). Shingles explode once; each hash-family member is
+    xxhash64(seed=i, shingle); 64 mins aggregate in ONE pass (single shuffle
+    keyed by id, map-side partial mins keep it bounded)."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("minhash")
+    )
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows of
+    ``num_hashes/bands``; docs sharing any band bucket become a candidate pair.
+    The pair-join is keyed on (band, band_hash) — no all-pairs comparison; AQE
+    handles hot buckets via skew-join splitting."""
+    rows_per_band = num_hashes // bands
+    banded = sig.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("minhash")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "minhash", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.minhash").alias("mh_a"),
+            F.col("r.minhash").alias("mh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end MinHash near-dup pairs: (id_a, id_b, est_jaccard ≥ threshold).
+    est_jaccard = fraction of equal signature positions."""
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    pairs = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda a, b: a == b),
+                lambda x: x,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    out: str = "simhash",
+) -> DataFrame:
+    """Charikar SimHash: per token hash h, each bit j votes +1/-1; the result
+    bit j is 1 iff the vote sum > 0. One explode + one groupBy with ``bits``
+    conditional-sum aggregates — all codegen'd; the shuffle carries one row
+    per (doc, token)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.xxhash64(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sim = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v_{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = bit * F.lit(1 << j).cast("long") if j < 63 else F.shiftleft(bit, 63)
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias(out))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup candidates by SimHash banding (docs sharing any 16-bit band of
+    the 64-bit hash), with exact hamming distance on candidates."""
+    sh = simhash(df, text_col, id_col)
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.key")
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.key") == F.col("r.key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    return pairs.withColumn("hamming", F.bit_count(xor)).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+
+    shingle-join scheme: |A∩B| from co-occurrence counts, |A∪B| = |A|+|B|−|A∩B|.
+    The join is keyed on the shingle (not all pairs); frequent shingles are the
+    skew risk — cap them upstream (stop-shingle removal) for web-scale corpora.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(
+            r,
+            on=[
+                F.col("l.shingle") == F.col("r.shingle"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    out = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def dedup_keep_first(
+    df: DataFrame,
+    pair_df: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resolve near-dup pairs into a keep-set: drop every id that appears as
+    the larger member of a pair (greedy min-id union-find approximation —
+    single connected components pass is overkill for pipeline dedup)."""
+    drop = pair_df.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, on=id_col, how="left_anti")

@@ -1,0 +1,119 @@
+"""Sorted merge and replace-merge (versioned upsert) ≡ MergingSortedInputStream
+(/root/reference/YdbModes/MergingSortedInputStream.cpp:104-307).
+
+The reference k-way-merges N pre-sorted streams with a binary heap of
+SortCursors; in *Replace* mode it skips rows whose ``replace_key`` equals the
+previously emitted key, keeping the FIRST row in sort order per key — a
+versioned upsert (ClickHouse ReplacingMergeTree semantics). Ties between equal
+sort keys break by SOURCE ORDER (SortCursor::GreaterAt falls back to the
+stream's ``order``, YdbModes/SortCursor.h:84-114).
+
+Spark-first design (SURVEY.md §4 item 2):
+- ``merge_sorted``  = unionAll + orderBy. Declaratively identical to a k-way
+  merge of sorted runs; physically Spark range-partitions and sorts — at
+  1000 executors this is the *distributed* version of the same merge, and the
+  pre-sortedness of inputs makes the per-partition sort nearly linear.
+- ``replace_merge`` = window ``row_number() == 1`` over
+  partitionBy(replace_key) orderBy(sort_keys, source_id, batch_position).
+  The explicit ``source_id`` column reproduces the reference's source-order
+  tie-break deterministically (SURVEY.md §7 "What's hard" #3) — NOT
+  ``dropDuplicates``, which has no order guarantee.
+
+Scale: replace_merge is one shuffle by replace_key; with AQE skew-join/
+coalescing on, a skewed key degrades to a hot partition — for known-hot keys
+pre-aggregate with ``max_by`` instead (same semantics when the sort key is a
+single version column; exposed as ``replace_merge_agg``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from arrowhouse_spark.operators.sort import SortKey, _cols
+
+
+def merge_sorted(
+    dfs: Sequence[DataFrame],
+    keys: Sequence[SortKey | str],
+) -> DataFrame:
+    """k-way merge of sorted relations ≡ MergingSortedInputStream (no replace).
+
+    ``max_batch_rows`` from the reference is output-batch sizing, an execution
+    detail Spark owns (spark.sql.files / arrow batch size), so it has no API
+    here.
+    """
+    if not dfs:
+        raise ValueError("merge_sorted needs at least one input")
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionAll(d)
+    return out.orderBy(*_cols(keys))
+
+
+def replace_merge(
+    dfs: Sequence[DataFrame],
+    replace_key: Sequence[str],
+    sort_keys: Sequence[SortKey | str],
+    reverse: bool = False,
+) -> DataFrame:
+    """Versioned upsert: keep the first row per ``replace_key`` in the order
+    given by ``sort_keys`` (then source order, then batch position).
+
+    ≡ Replace mode of MergingSortedInputStream (MergeImpl replace logic
+    :227-289); ``reverse`` ≡ the reference's reverse flag (emit descending).
+    """
+    if not dfs:
+        raise ValueError("replace_merge needs at least one input")
+    tagged = []
+    for i, d in enumerate(dfs):
+        # __src = source order (tie-break #2); __pos = position within source
+        # (tie-break #3, ≡ the cursor's row order inside one stream).
+        tagged.append(
+            d.withColumn("__src", F.lit(i)).withColumn(
+                "__pos", F.monotonically_increasing_id()
+            )
+        )
+    out = tagged[0]
+    for d in tagged[1:]:
+        out = out.unionAll(d)
+
+    order = _cols(sort_keys) + [F.col("__src").asc(), F.col("__pos").asc()]
+    w = Window.partitionBy(*[F.col(c) for c in replace_key]).orderBy(*order)
+    winner = (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src", "__pos")
+    )
+    if reverse:
+        final_order = [
+            SortKey(
+                sk.column, not sk.ascending, sk.nulls_first
+            ).to_column()
+            for sk in (k if isinstance(k, SortKey) else SortKey(k) for k in sort_keys)
+        ]
+    else:
+        final_order = _cols(sort_keys)
+    return winner.orderBy(*final_order)
+
+
+def replace_merge_agg(
+    dfs: Sequence[DataFrame],
+    replace_key: Sequence[str],
+    version_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Skew-robust replace for the common single-version-column case:
+    ``max_by(value, version)`` per key — partial aggregation combines map-side,
+    so a hot replace_key never concentrates all its rows on one reducer the
+    way a window would."""
+    if not dfs:
+        raise ValueError("replace_merge_agg needs at least one input")
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionAll(d)
+    aggs = [F.max_by(F.col(c), F.col(version_col)).alias(c) for c in value_cols]
+    aggs.append(F.max(F.col(version_col)).alias(version_col))
+    return out.groupBy(*replace_key).agg(*aggs)

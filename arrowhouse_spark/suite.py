@@ -1,0 +1,890 @@
+"""The engine's query suite — one entry per implemented capability from
+SURVEY.md §2 plus the data-pipeline extensions, each with a DuckDB oracle
+(ANSI SQL over the same parquet) where SQL-expressible.
+
+Conventions that keep the driver's hash-compare exact:
+  - every computed/aggregate column is aliased IDENTICALLY in Spark and SQL;
+  - double aggregates are rounded (2 decimals for big sums, 4-6 for ratios)
+    on BOTH sides, so float associativity differences can't flip the hash;
+  - timestamps are emitted as formatted strings (Spark truncates parquet ns
+    to µs; DuckDB keeps ns — strings at second granularity are stable);
+  - DuckDB HUGEINT results (sum of integers) are cast to BIGINT to match
+    Spark's LongType.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arrowhouse_spark.compile import apply_program
+from arrowhouse_spark.operators.dedup import (
+    dedup_exact,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from arrowhouse_spark.operators.merge import merge_sorted, replace_merge_agg
+from arrowhouse_spark.operators.similarity import (
+    ann_cosine_lsh,
+    cosine_topk_query,
+    embedding_neardup_pairs,
+)
+from arrowhouse_spark.operators.sort import SortKey, top_k
+from arrowhouse_spark.operators.text import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from arrowhouse_spark.program import (
+    AggOp,
+    AggregateAssign,
+    Assign,
+    GroupBy,
+    Op,
+    Program,
+    ProgramStep,
+    const,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 1. Flagship: TPC-H Q1 pricing summary, expressed as an SSA Program
+#    (scan → assign → filter → group-by → project; SURVEY.md §7 Phase 1)
+# ---------------------------------------------------------------------------
+
+Q1_PROGRAM = Program(
+    steps=(
+        ProgramStep(
+            assignes=(
+                const("one", 1.0),
+                const("qty_cap", 47.0),
+                Assign("disc_factor", Op.SUBTRACT, ("one", "l_discount")),
+                Assign("disc_price_raw", Op.MULTIPLY, ("l_extendedprice", "disc_factor")),
+                Assign("tax_factor_base", Op.ADD, ("one", "l_tax")),
+                Assign("charge_raw", Op.MULTIPLY, ("disc_price_raw", "tax_factor_base")),
+                Assign("in_scope", Op.LESS_EQUAL, ("l_quantity", "qty_cap")),
+            ),
+            filters=("in_scope",),
+            group_by=GroupBy(
+                keys=("l_returnflag", "l_linestatus"),
+                aggregates=(
+                    AggregateAssign("sum_qty", AggOp.SUM, "l_quantity"),
+                    AggregateAssign("sum_base_price", AggOp.SUM, "l_extendedprice"),
+                    AggregateAssign("sum_disc_price", AggOp.SUM, "disc_price_raw"),
+                    AggregateAssign("sum_charge", AggOp.SUM, "charge_raw"),
+                    AggregateAssign("avg_qty", AggOp.AVG, "l_quantity"),
+                    AggregateAssign("avg_price", AggOp.AVG, "l_extendedprice"),
+                    AggregateAssign("avg_disc", AggOp.AVG, "l_discount"),
+                    AggregateAssign("count_order", AggOp.COUNT),
+                ),
+            ),
+        ),
+    )
+)
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                          AS sum_qty,
+           round(sum(l_extendedprice), 2)                     AS sum_base_price,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                          AS avg_qty,
+           round(avg(l_extendedprice), 4)                     AS avg_price,
+           round(avg(l_discount), 4)                          AS avg_disc,
+           count(*)                                           AS count_order
+    FROM lineitem WHERE l_quantity <= 47.0
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = apply_program(_t(spark, sf_dir, "lineitem"), Q1_PROGRAM)
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_base_price", 2).alias("sum_base_price"),
+        F.round("sum_disc_price", 2).alias("sum_disc_price"),
+        F.round("sum_charge", 2).alias("sum_charge"),
+        F.round("avg_qty", 4).alias("avg_qty"),
+        F.round("avg_price", 4).alias("avg_price"),
+        F.round("avg_disc", 4).alias("avg_disc"),
+        "count_order",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. SSA scalar surface (assign/filter/project, casts, arithmetic, strings)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ssa_scan_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1.0 - l_discount) AS disc_price,
+           CAST(l_quantity AS INTEGER)          AS qty_int
+    FROM lineitem
+    WHERE l_discount > 0.05 AND l_quantity < 25.0
+    """,
+)
+def ssa_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prog = Program(
+        steps=(
+            ProgramStep(
+                assignes=(
+                    const("one", 1.0),
+                    const("disc_min", 0.05),
+                    const("qty_max", 25.0),
+                    Assign("disc_factor", Op.SUBTRACT, ("one", "l_discount")),
+                    # raw double, NOT rounded: the product is the same IEEE-754
+                    # op in both engines (bit-identical); rounding is what
+                    # diverges at .xx5 boundaries
+                    Assign("disc_price", Op.MULTIPLY, ("l_extendedprice", "disc_factor")),
+                    Assign("qty_int", Op.CAST_INT32, ("l_quantity",)),
+                    Assign("f1", Op.GREATER, ("l_discount", "disc_min")),
+                    Assign("f2", Op.LESS, ("l_quantity", "qty_max")),
+                ),
+                filters=("f1", "f2"),
+                projection=("l_orderkey", "l_linenumber", "disc_price", "qty_int"),
+            ),
+        )
+    )
+    return apply_program(_t(spark, sf_dir, "lineitem"), prog)
+
+
+@register(
+    "ssa_string_predicates",
+    """
+    SELECT p_partkey,
+           starts_with(p_name, 'a')             AS sw_a,
+           p_name LIKE '%er%'                   AS has_er,
+           contains(p_name, 'st')               AS has_st,
+           p_name LIKE '%o'                     AS ends_o,
+           CAST(strlen(p_name) AS INTEGER)      AS name_len
+    FROM part
+    """,
+)
+def ssa_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prog = Program(
+        steps=(
+            ProgramStep(
+                assignes=(
+                    Assign("sw_a", Op.STARTS_WITH, ("p_name",), options={"pattern": "a"}),
+                    Assign("has_er", Op.MATCH_LIKE, ("p_name",), options={"pattern": "%er%"}),
+                    Assign("has_st", Op.MATCH_SUBSTRING, ("p_name",), options={"pattern": "st"}),
+                    Assign("ends_o", Op.ENDS_WITH, ("p_name",), options={"pattern": "o"}),
+                    Assign("name_len", Op.BINARY_LENGTH, ("p_name",)),
+                ),
+                projection=("p_partkey", "sw_a", "has_er", "has_st", "ends_o", "name_len"),
+            ),
+        )
+    )
+    return apply_program(_t(spark, sf_dir, "part"), prog)
+
+
+@register(
+    "ssa_casts_arith",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS BIGINT)                           AS qty_i64,
+           abs(l_discount - l_tax)                              AS adiff,
+           -l_linenumber                                        AS neg_ln,
+           floor(l_extendedprice)                               AS price_floor,
+           ceil(l_extendedprice)                                AS price_ceil,
+           round(l_extendedprice, 1)                            AS price_round,
+           trunc(l_extendedprice)                               AS price_trunc,
+           l_linenumber % 3                                     AS ln_mod
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    """,
+)
+def ssa_casts_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prog = Program(
+        steps=(
+            ProgramStep(
+                assignes=(
+                    const("ten", 10),
+                    const("zero", 0),
+                    const("three", 3),
+                    Assign("okmod", Op.MODULO, ("l_orderkey", "ten")),
+                    Assign("keep", Op.EQUAL, ("okmod", "zero")),
+                    Assign("qty_i64", Op.CAST_INT64, ("l_quantity",)),
+                    Assign("diff", Op.SUBTRACT, ("l_discount", "l_tax")),
+                    Assign("adiff", Op.ABS, ("diff",)),
+                    Assign("neg_ln", Op.NEGATE, ("l_linenumber",)),
+                    Assign("price_floor", Op.FLOOR, ("l_extendedprice",)),
+                    Assign("price_ceil", Op.CEIL, ("l_extendedprice",)),
+                    Assign("price_round", Op.ROUND, ("l_extendedprice",), options={"ndigits": 1}),
+                    Assign("price_trunc", Op.TRUNC, ("l_extendedprice",)),
+                    Assign("ln_mod", Op.MODULO, ("l_linenumber", "three")),
+                ),
+                filters=("keep",),
+                projection=(
+                    "l_orderkey",
+                    "l_linenumber",
+                    "qty_i64",
+                    "adiff",
+                    "neg_ln",
+                    "price_floor",
+                    "price_ceil",
+                    "price_round",
+                    "price_trunc",
+                    "ln_mod",
+                ),
+            ),
+        )
+    )
+    return apply_program(_t(spark, sf_dir, "lineitem"), prog)
+
+
+# ---------------------------------------------------------------------------
+# 3. Aggregation parity (global / empty / distinct / nullable keys / multikey)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_global",
+    """
+    SELECT CAST(count(*) AS BIGINT)        AS n_rows,
+           CAST(count(l_quantity) AS BIGINT) AS n_qty,
+           round(sum(l_quantity), 2)       AS sum_qty,
+           round(avg(l_extendedprice), 4)  AS avg_price,
+           min(l_returnflag)               AS min_flag,
+           max(l_returnflag)               AS max_flag,
+           round(min(l_extendedprice), 2)  AS min_price,
+           round(max(l_extendedprice), 2)  AS max_price
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prog = Program(
+        steps=(
+            ProgramStep(
+                group_by=GroupBy(
+                    aggregates=(
+                        AggregateAssign("n_rows", AggOp.COUNT),
+                        AggregateAssign("n_qty", AggOp.COUNT, "l_quantity"),
+                        AggregateAssign("sum_qty", AggOp.SUM, "l_quantity"),
+                        AggregateAssign("avg_price", AggOp.AVG, "l_extendedprice"),
+                        AggregateAssign("min_flag", AggOp.MIN, "l_returnflag"),
+                        AggregateAssign("max_flag", AggOp.MAX, "l_returnflag"),
+                        AggregateAssign("min_price", AggOp.MIN, "l_extendedprice"),
+                        AggregateAssign("max_price", AggOp.MAX, "l_extendedprice"),
+                    )
+                )
+            ),
+        )
+    )
+    out = apply_program(_t(spark, sf_dir, "lineitem"), prog)
+    return out.select(
+        "n_rows",
+        "n_qty",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("avg_price", 4).alias("avg_price"),
+        "min_flag",
+        "max_flag",
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_empty_relation",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           min(l_returnflag)         AS min_flag
+    FROM lineitem WHERE l_quantity < 0
+    """,
+)
+def agg_empty_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # global agg over empty input ⇒ exactly one row (Aggregator.cpp:571-577)
+    prog = Program(
+        steps=(
+            ProgramStep(
+                assignes=(
+                    const("zero", 0.0),
+                    Assign("neg", Op.LESS, ("l_quantity", "zero")),
+                ),
+                filters=("neg",),
+                group_by=GroupBy(
+                    aggregates=(
+                        AggregateAssign("n_rows", AggOp.COUNT),
+                        AggregateAssign("sum_qty", AggOp.SUM, "l_quantity"),
+                        AggregateAssign("min_flag", AggOp.MIN, "l_returnflag"),
+                    )
+                ),
+            ),
+        )
+    )
+    out = apply_program(_t(spark, sf_dir, "lineitem"), prog)
+    return out.select("n_rows", F.round("sum_qty", 2).alias("sum_qty"), "min_flag")
+
+
+@register(
+    "distinct_keys",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prog = Program(
+        steps=(ProgramStep(group_by=GroupBy(keys=("l_returnflag", "l_linestatus"))),)
+    )
+    return apply_program(_t(spark, sf_dir, "lineitem"), prog)
+
+
+@register(
+    "groupby_nullable_key",
+    """
+    SELECT nullif(o_orderpriority, '1-URGENT') AS prio,
+           CAST(count(*) AS BIGINT)            AS n,
+           round(sum(o_totalprice), 2)         AS sum_price
+    FROM orders GROUP BY 1
+    """,
+)
+def groupby_nullable_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "orders").withColumn(
+        "prio", F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    )
+    prog = Program(
+        steps=(
+            ProgramStep(
+                group_by=GroupBy(
+                    keys=("prio",),
+                    aggregates=(
+                        AggregateAssign("n", AggOp.COUNT),
+                        AggregateAssign("sum_price", AggOp.SUM, "o_totalprice"),
+                    ),
+                )
+            ),
+        )
+    )
+    out = apply_program(df, prog)
+    return out.select("prio", "n", F.round("sum_price", 2).alias("sum_price"))
+
+
+@register(
+    "groupby_multikey",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(count(*) AS BIGINT)          AS n,
+           round(sum(l_quantity), 2)         AS sum_qty,
+           round(min(l_extendedprice), 2)    AS min_price,
+           round(max(l_extendedprice), 2)    AS max_price
+    FROM lineitem GROUP BY 1, 2, 3
+    """,
+)
+def groupby_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("int")
+    )
+    prog = Program(
+        steps=(
+            ProgramStep(
+                group_by=GroupBy(
+                    keys=("l_returnflag", "l_linestatus", "ship_year"),
+                    aggregates=(
+                        AggregateAssign("n", AggOp.COUNT),
+                        AggregateAssign("sum_qty", AggOp.SUM, "l_quantity"),
+                        AggregateAssign("min_price", AggOp.MIN, "l_extendedprice"),
+                        AggregateAssign("max_price", AggOp.MAX, "l_extendedprice"),
+                    ),
+                )
+            ),
+        )
+    )
+    out = apply_program(df, prog)
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "ship_year",
+        "n",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+@register(
+    "count_distinct",
+    """
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)       AS n_custs,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios
+    FROM orders
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").agg(
+        F.count_distinct("o_custkey").alias("n_custs"),
+        F.count_distinct("o_orderpriority").alias("n_prios"),
+    )
+
+
+@register("approx_count_distinct")  # no oracle: approximate by design
+def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").agg(
+        F.approx_count_distinct("o_custkey").alias("n_custs_approx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Sort / merge / replace family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_topk",
+    """
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 15
+    """,
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem")
+    out = top_k(
+        df,
+        [
+            SortKey("l_extendedprice", ascending=False),
+            SortKey("l_orderkey"),
+            SortKey("l_linenumber"),
+        ],
+        15,
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price")
+    )
+
+
+@register(
+    "merge_sorted_runs",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders WHERE o_orderkey % 3 = 2
+    """,
+)
+def merge_sorted_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total")
+    )
+    runs = [df.filter(F.col("o_orderkey") % 3 == i).orderBy("o_orderkey") for i in range(3)]
+    return merge_sorted(runs, [SortKey("o_orderkey")])
+
+
+@register(
+    "replace_merge_latest",
+    """
+    SELECT user_id, event_id, event_type, round(value, 4) AS value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def replace_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # versioned upsert: latest (max event_id) row per user — the reference's
+    # replace-merge with sort key {user_id ASC, event_id DESC}, replace key user_id
+    from arrowhouse_spark.operators.merge import replace_merge
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    out = replace_merge(
+        [ev],
+        replace_key=("user_id",),
+        sort_keys=[SortKey("user_id"), SortKey("event_id", ascending=False)],
+    )
+    return out.select(
+        "user_id", "event_id", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+@register(
+    "replace_merge_agg_latest",
+    """
+    SELECT user_id,
+           arg_max(event_type, event_id) AS event_type,
+           round(arg_max(value, event_id), 4) AS value,
+           CAST(max(event_id) AS BIGINT) AS event_id
+    FROM events GROUP BY user_id
+    """,
+)
+def replace_merge_agg_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    out = replace_merge_agg(
+        [ev], replace_key=("user_id",), version_col="event_id", value_cols=["event_type", "value"]
+    )
+    return out.select(
+        "user_id", "event_type", F.round("value", 4).alias("value"), "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Joins (capability superset — absent in the reference, SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast_revenue",
+    """
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_broadcast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # dims are small → broadcast both; the fact table never shuffles for the join
+    out = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    return out
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# 6. Window / rollup (capability superset, SURVEY.md §2.3 end)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running"),
+    )
+
+
+@register(
+    "rollup_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT)   AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "events_hourly",
+    """
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2)     AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.ts is TIMESTAMP(NANOS) parquet → read as long ns (see session.py);
+    # convert to a µs timestamp for calendar ops
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("ts_us", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts_us"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. Training-data pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+)
+def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(_t(spark, sf_dir, "documents")).select("doc_id", "n_tokens")
+
+
+@register(
+    "doc_quality",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS n_chars_q,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+             len(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS n_uniq
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           round(n_uniq / greatest(n_tokens, 1), 6) AS uniq_ratio,
+           round(least(n_tokens / 100.0, 1.0) * round(n_uniq / greatest(n_tokens, 1), 6), 6) AS quality
+    FROM t
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "uniq_ratio", "quality"
+    )
+
+
+@register(
+    "doc_lang_id",
+    # scores = |distinct tokens ∩ markers|; argmax, lexicographic tie-break
+    """
+    WITH t AS (
+      SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(list_intersect(toks, ['der','die','und','das','ist'])) AS score_de,
+             len(list_intersect(toks, ['the','and','of','to','a']))     AS score_en,
+             len(list_intersect(toks, ['el','la','de','que','y']))      AS score_es,
+             len(list_intersect(toks, ['le','la','et','les','des']))    AS score_fr
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'unknown'
+                WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fp")
+
+
+# ---------------------------------------------------------------------------
+# 8. Training-data pipeline: dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT)    AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_dups",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gs
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(gs) AS shingle FROM grams
+    ), sizes AS (
+      SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_common
+      FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.2
+    """,
+)
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=2, threshold=0.2
+    )
+
+
+@register("minhash_dups")  # no oracle: hash family is Spark's xxhash64
+def minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dedup(
+        _t(spark, sf_dir, "documents"), num_hashes=64, bands=16, shingle_n=2, threshold=0.35
+    )
+
+
+@register("simhash_docs")  # no oracle: hash values are Spark's xxhash64
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# 9. Training-data pipeline: similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 6) AS cos_sim
+    FROM embeddings e, q
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 20
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk_query(emb, qvec, k=20)
+
+
+@register(
+    "embedding_neardup",
+    """
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           round(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))), 6) AS cos_sim
+    FROM embeddings l JOIN embeddings r
+      ON l.label = r.label AND l.vec_id < r.vec_id
+    WHERE round(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))), 6) >= 0.3
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), group_col="label", threshold=0.3
+    )
+
+
+@register("ann_cosine_lsh_topk")  # no oracle: LSH probe set is engine-specific
+def ann_cosine_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann_cosine_lsh(emb, qvec, k=10, n_planes=8)

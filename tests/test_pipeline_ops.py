@@ -1,0 +1,184 @@
+"""Tests for the training-data pipeline operators (dedup / similarity / text)
+on the driver's documents+embeddings tables (sf0.001) and synthetic cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arrowhouse_spark.operators.dedup import (
+    dedup_exact,
+    dedup_keep_first,
+    minhash_dedup,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dedup,
+)
+from arrowhouse_spark.operators.similarity import (
+    ann_cosine_lsh,
+    cosine_topk_join,
+    cosine_topk_query,
+    embedding_neardup_pairs,
+)
+from arrowhouse_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    rolling_hash,
+    token_count,
+    tokens,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_token_count_matches_python(docs):
+    rows = token_count(docs).select("doc_id", "text", "n_tokens").limit(20).collect()
+    for r in rows:
+        assert r.n_tokens == len([t for t in r.text.split(" ") if t])
+
+
+def test_quality_score_bounds(docs):
+    rows = quality_score(docs).select("uniq_ratio", "quality").collect()
+    assert all(0 <= r.uniq_ratio <= 1 and 0 <= r.quality <= 1 for r in rows)
+
+
+def test_lang_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "el que la de y"), (3, "xyzzy plugh")],
+        "doc_id: long, text: string",
+    )
+    rows = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert rows == {1: "en", 2: "es", 3: "unknown"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "  HELLO   WORLD ")],
+        "doc_id: long, text: string",
+    )
+    fps = [r.fp for r in fingerprint(df).collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_rolling_hash_order_sensitive(spark):
+    df = spark.createDataFrame([(1, "ab"), (2, "ba")], "doc_id: long, text: string")
+    h = {r.doc_id: r.rhash for r in rolling_hash(df).collect()}
+    assert h[1] != h[2]
+    assert h[1] == 31 * ord("a") + ord("b")
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id: long, text: string",
+    )
+    rows = {r.keep_id: r.n_copies for r in dedup_exact(df).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_minhash_detects_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark engines and parquet files " * 6
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id: long, text: string"
+    )
+    pairs = minhash_dedup(df, threshold=0.3).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in ids
+    assert all(p in {(1, 2)} for p in ids)
+
+
+def test_minhash_signature_shape(docs):
+    sig = minhash_signature(docs.limit(10), num_hashes=16)
+    rows = sig.collect()
+    assert all(len(r.minhash) == 16 for r in rows)
+
+
+def test_simhash_near_for_near_texts(spark):
+    # many distinct tokens → stable bit majorities; one-token edit flips only
+    # bits with a ±1 vote margin (≈ 64/√n expected hamming)
+    base = " ".join(f"tok{i}" for i in range(300))
+    near = base.replace("tok7 ", "edited ")
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, " ".join(f"other{i}" for i in range(300)))],
+        "doc_id: long, text: string",
+    )
+    h = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    ham_near = bin(h[1] ^ h[2]).count("1")
+    ham_far = bin(h[1] ^ h[3]).count("1")
+    assert ham_near < 16 < ham_far
+
+
+def test_simhash_dedup_banding_finds_identical(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zeta")],
+        "doc_id: long, text: string",
+    )
+    rows = simhash_dedup(df).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(1, 2, 0)]
+
+
+def test_ngram_jaccard_exact_small(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        "doc_id: long, text: string",
+    )
+    # bigrams: doc1 {ab,bc,cd}, doc2 {ab,bc,ce} → J = 2/4 = 0.5
+    pairs = ngram_jaccard_pairs(df, shingle_n=2, threshold=0.4).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.id_a, p.id_b, p.jaccard) == (1, 2, 0.5)
+
+
+def test_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "t"), (2, "t"), (3, "u")], "doc_id: long, text: string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a: long, id_b: long")
+    kept = sorted(r.doc_id for r in dedup_keep_first(df, pairs).collect())
+    assert kept == [1, 3]
+
+
+def test_cosine_topk_query_self_first(emb):
+    q = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    top = cosine_topk_query(emb, q, k=5).collect()
+    assert top[0].vec_id == 0 and abs(top[0].cos_sim - 1.0) < 1e-5
+    sims = [r.cos_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_cosine_topk_join_per_query(emb, spark):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = cosine_topk_join(queries, emb, k=3)
+    counts = {r.qid: 0 for r in out.collect()}
+    for r in out.collect():
+        counts[r.qid] += 1
+    assert counts == {0: 3, 1: 3, 2: 3}
+
+
+def test_ann_lsh_contains_self(emb):
+    q = emb.filter(F.col("vec_id") == 7).collect()[0].embedding
+    top = ann_cosine_lsh(emb, q, k=5, n_planes=6)
+    ids = [r.vec_id for r in top.collect()]
+    assert 7 in ids
+
+
+def test_embedding_neardup_self_join_blocked(emb):
+    pairs = embedding_neardup_pairs(
+        emb.limit(100), group_col="label", threshold=0.99
+    )
+    for r in pairs.collect():
+        assert r.id_a < r.id_b and r.cos_sim >= 0.99

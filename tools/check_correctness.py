@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+For every query in __spark_entry__.queries():
+  - run the Spark DataFrame at the given sf dir;
+  - if an oracle exists, run it in DuckDB over the same parquet views;
+  - compare row count, column-name sets, and values (rows sorted by all
+    columns, floats compared with tolerance).
+
+Usage: python tools/check_correctness.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return v
+    if isinstance(v, bytes):
+        return v.hex()
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except ImportError:  # pragma: no cover
+        pass
+    return v
+
+
+def _rows_equal(a, b) -> bool:
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        x, y = _norm(x), _norm(y)
+        if x is None or y is None:
+            if x is not y:
+                return False
+        elif isinstance(x, float) or isinstance(y, float):
+            try:
+                fx, fy = float(x), float(y)
+            except (TypeError, ValueError):
+                return False
+            if math.isnan(fx) and math.isnan(fy):
+                continue
+            if abs(fx - fy) > 1e-6 * max(1.0, abs(fx), abs(fy)):
+                return False
+        elif x != y:
+            return False
+    return True
+
+
+def _sort_key(row):
+    return tuple(
+        (v is None, str(type(v).__name__), str(_norm(v))) for v in row
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01"))
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from arrowhouse_spark.session import get_spark
+
+    spark = get_spark(app_name="correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{args.sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = args.names or list(qs)
+    n_pass = n_fail = n_weak = 0
+    for name in names:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows={len(srows)} cols={scols} ({time.time()-t0:.1f}s) [no oracle]")
+            n_weak += 1
+            continue
+        try:
+            ddf = con.execute(oracles[name])
+            dcols = [d[0] for d in ddf.description]
+            drows = [tuple(r) for r in ddf.fetchall()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"schema spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if not problems:
+            # align column order by sorted name on both sides (driver semantics)
+            sidx = [scols.index(c) for c in sorted(scols)]
+            didx = [dcols.index(c) for c in sorted(dcols)]
+            sa = sorted(([r[i] for i in sidx] for r in srows), key=_sort_key)
+            da = sorted(([r[i] for i in didx] for r in drows), key=_sort_key)
+            bad = 0
+            for x, y in zip(sa, da):
+                if not _rows_equal(x, y):
+                    bad += 1
+                    if bad <= 3:
+                        problems.append(f"row diff: spark={x} duckdb={y}")
+            if bad > 3:
+                problems.append(f"... {bad} differing rows total")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"ok    {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_weak} weak (no oracle), {n_fail} FAIL")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
