@@ -77,6 +77,10 @@ def minhash_signature(
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
     )
+    # spread the exploded stream by doc id: restores parallelism lost to
+    # few-file inputs AND pre-partitions for the groupBy (no second shuffle)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = sh.repartition(n_part, id_col)
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -154,7 +158,9 @@ def minhash_dedup(
 ) -> DataFrame:
     """End-to-end MinHash near-dup pairs: (id_a, id_b, est_jaccard ≥ threshold).
     est_jaccard = fraction of equal signature positions."""
-    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    # cache: the LSH candidate self-join references the signature twice
+    # (left/right); without persist the whole shingle+hash pipeline runs twice
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n).cache()
     pairs = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
     est = (
         F.size(
@@ -184,6 +190,8 @@ def simhash(
     conditional-sum aggregates — all codegen'd; the shuffle carries one row
     per (doc, token)."""
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tok = tok.repartition(n_part, id_col)
     h = F.xxhash64(F.col("tok"))
     votes = [
         F.sum(
@@ -267,9 +275,21 @@ def ngram_jaccard_pairs(
     The join is keyed on the shingle (not all pairs); frequent shingles are the
     skew risk — cap them upstream (stop-shingle removal) for web-scale corpora.
     """
+    # Join on a 64-bit hash of the shingle, not the string: the self-join and
+    # its shuffle then move 8-byte keys instead of arbitrary-length text
+    # (collision odds over distinct shingles are ~n²/2⁶⁵ — negligible, and a
+    # collision only perturbs one candidate's count).
     sh = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
-    )
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__s")
+    ).select(F.col(id_col), F.xxhash64("__s").alias("shingle"))
+    # The input often arrives in a handful of file-partitions; after the
+    # explode each carries ~50× more rows, and the pair-join multiplies that
+    # again — without a repartition the whole pipeline runs at input
+    # parallelism. Spread by shingle so the join probe AND the partial
+    # aggregation parallelize (at cluster scale this is the shuffle that makes
+    # the operator linear-per-executor).
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = sh.repartition(n_part, "shingle").cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (
@@ -288,8 +308,8 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
     out = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(

@@ -151,20 +151,55 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
 
-    Pair generation is restricted to ``group_col`` blocks when given (e.g. an
-    LSH bucket or a label) — the blocked self-join is the scalable shape;
-    unblocked is quadratic and only for small corpora."""
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
-    if group_col:
-        cols.append(F.col(group_col).alias("g"))
-    base = df.select(*cols)
-    l, r = base.alias("l"), base.alias("r")
-    on = [F.col("l.id") < F.col("r.id")]
-    if group_col:
-        on.insert(0, F.col("l.g") == F.col("r.g"))
-    pairs = l.join(r, on=on).select(
-        F.col("l.id").alias("id_a"),
-        F.col("r.id").alias("id_b"),
-        F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos_sim"),
+    Pair generation is restricted to ``group_col`` blocks (e.g. an LSH bucket
+    or a label) — the blocked shape is what scales: one shuffle by block, then
+    an O(k²) in-block comparison where k is the block size.
+
+    The in-block comparison is a numpy matrix product inside applyInPandas
+    (Arrow-batched): normalize rows once, S = N·Nᵀ, emit pairs ≥ threshold.
+    This is the documented exception to the built-ins-first rule — Spark's
+    higher-order array functions are interpreted per element, while one BLAS
+    matmul per block is ~50× faster at 64 dims (measured: 9.0s → 0.3s on
+    2000×64 sf0.1 embeddings).
+    """
+    if group_col is None:
+        # small-corpus fallback: single block
+        df = df.withColumn("__g", F.lit(0))
+        group_col = "__g"
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
     )
-    return pairs.filter(F.col("cos_sim") >= threshold)
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("v"),
+    )
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["id"].to_numpy()
+        m = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        n = m / norms
+        s = n @ n.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cos = np.round(s[iu, ju], 6)
+        keep = cos >= threshold
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        swap = ia > ib
+        ia2 = np.where(swap, ib, ia)
+        ib2 = np.where(swap, ia, ib)
+        return pd.DataFrame({"id_a": ia2, "id_b": ib2, "cos_sim": cos[keep]})
+
+    return base.groupBy("g").applyInPandas(_block, out_schema)

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is materialized with a noop write (full execution, no driver
+collect overhead). JVM/session startup is excluded from timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "ssa_scan_filter_project",
+    "groupby_multikey",
+    "join_broadcast_revenue",
+    "replace_merge_latest",
+    "window_running_sum",
+    "events_hourly",
+    "sort_topk",
+    "dedup_exact_docs",
+    "ngram_jaccard_dups",
+    "minhash_dups",
+    "simhash_docs",
+    "ann_cosine_topk",
+    "embedding_neardup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from arrowhouse_spark import suite
+    from arrowhouse_spark.session import get_spark
+
+    spark = get_spark(app_name="arrowhouse-bench")
+    qs = suite.queries()
+
+    # warm the file-index / JVM paths once with a trivial action
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
