@@ -130,10 +130,6 @@ def build_scalar(op: Op, args: Sequence[Column], options: dict[str, Any]) -> Col
     if op in _CASTS:
         _need(op, args, 1)
         return args[0].cast(_CASTS[op])
-    if op in (Op.GCD, Op.LCM):
-        _need(op, args, 2)
-        fn = "gcd" if op is Op.GCD else "lcm"
-        return F.call_function(fn, args[0], args[1])
     if op in _STRING_PRED:
         _need(op, args, 1)
         pattern = options.get("pattern")

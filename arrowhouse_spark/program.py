@@ -109,8 +109,6 @@ class Op(enum.Enum):
     ACOS = "acos"
     ATAN = "atan"
     SIGN = "sign"
-    GCD = "gcd"
-    LCM = "lcm"
 
 
 class AggOp(enum.Enum):

@@ -1,0 +1,29 @@
+"""CSV / JSON-lines sources (capability superset — the reference reads only
+Parquet + in-memory batches, SURVEY.md §2.1; Spark's readers come free and
+keep the explicit-schema discipline)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """Schema is required (never inferred — inference reads the data twice and
+    can drift between runs; the reference's getHeader contract applies)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("delimiter", delimiter)
+        .csv(path)
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)

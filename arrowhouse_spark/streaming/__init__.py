@@ -1,0 +1,17 @@
+"""Structured-Streaming operators (capability superset — the reference has no
+streaming runtime, SURVEY.md §2.8; its replace/versioned-merge semantic is the
+one with a natural continuous analog)."""
+
+from arrowhouse_spark.streaming.replace import (
+    read_parquet_stream,
+    stream_dedup_exact,
+    stream_replace_latest,
+    stream_windowed_agg,
+)
+
+__all__ = [
+    "read_parquet_stream",
+    "stream_dedup_exact",
+    "stream_replace_latest",
+    "stream_windowed_agg",
+]

@@ -888,3 +888,63 @@ def ann_cosine_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return ann_cosine_lsh(emb, qvec, k=10, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# 10. Approximate GROUP BY (max_rows_to_group_by / OverflowMode::ANY) and the
+#     `any` aggregate — custom parity operators (SURVEY.md §4 item 1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "groupby_limited_top",
+    """
+    WITH g AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS s
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY n DESC, o_custkey ASC) AS rk FROM g
+    )
+    SELECT o_custkey, n, s, false AS is_overflow FROM ranked WHERE rk <= 10
+    UNION ALL
+    SELECT NULL AS o_custkey, CAST(sum(n) AS BIGINT) AS n, round(sum(s), 2) AS s,
+           true AS is_overflow
+    FROM ranked WHERE rk > 10
+    """,
+)
+def groupby_limited_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrowhouse_spark.operators.groupby_limit import group_by_limited
+
+    out = group_by_limited(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        {"n": F.count(F.lit(1)), "s": F.round(F.sum("o_totalprice"), 2)},
+        max_rows=10,
+        overflow_row=True,
+    )
+    return out.select(
+        "o_custkey",
+        "n",
+        F.round("s", 2).alias("s"),
+        F.col("__overflow").alias("is_overflow"),
+    )
+
+
+@register(
+    "agg_any_single_member",
+    # `any` is nondeterministic in general (MinMaxAny.h:527-535); over
+    # single-member groups it equals min — giving it an exact oracle
+    "SELECT c_custkey, min(c_name) AS any_name FROM customer GROUP BY c_custkey",
+)
+def agg_any_single_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prog = Program(
+        steps=(
+            ProgramStep(
+                group_by=GroupBy(
+                    keys=("c_custkey",),
+                    aggregates=(AggregateAssign("any_name", AggOp.ANY, "c_name"),),
+                )
+            ),
+        )
+    )
+    return apply_program(_t(spark, sf_dir, "customer"), prog)

@@ -1,0 +1,110 @@
+"""Structured-Streaming operator tests: file-source micro-batches through the
+streaming dedup / replace-latest / windowed-agg operators into memory sinks."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from arrowhouse_spark.streaming import (
+    read_parquet_stream,
+    stream_dedup_exact,
+    stream_replace_latest,
+    stream_windowed_agg,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def stream_dir(spark):
+    d = tempfile.mkdtemp(prefix="ah_stream_")
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows1 = [
+        (1, 10, "a", base, 1.0),
+        (1, 11, "b", base + dt.timedelta(minutes=5), 2.0),
+        (2, 12, "a", base + dt.timedelta(minutes=10), 3.0),
+        (1, 10, "a", base, 1.0),  # exact dup of event 10
+    ]
+    rows2 = [
+        (1, 13, "c", base + dt.timedelta(minutes=90), 4.0),
+        (2, 9, "z", base + dt.timedelta(minutes=1), 5.0),  # older version for user 2
+    ]
+    spark.createDataFrame(rows1, EVENT_SCHEMA).coalesce(1).write.parquet(f"{d}/b1")
+    spark.createDataFrame(rows2, EVENT_SCHEMA).coalesce(1).write.parquet(f"{d}/b2")
+    # single source dir with both files
+    src = f"{d}/src"
+    os.makedirs(src)
+    for sub in ("b1", "b2"):
+        for f_ in os.listdir(f"{d}/{sub}"):
+            if f_.endswith(".parquet"):
+                shutil.copy(f"{d}/{sub}/{f_}", f"{src}/{sub}_{f_}")
+    yield src
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_memory(sdf, name: str, mode: str):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_dedup_exact(spark, stream_dir):
+    sdf = read_parquet_stream(spark, stream_dir, EVENT_SCHEMA)
+    out = stream_dedup_exact(sdf, ["user_id", "event_id"], "ts")
+    _run_to_memory(out, "dedup_sink", "append")
+    rows = spark.sql("SELECT * FROM dedup_sink").collect()
+    # 6 input rows, one exact duplicate removed
+    assert len(rows) == 5
+    assert len({(r.user_id, r.event_id) for r in rows}) == 5
+
+
+def test_stream_replace_latest(spark, stream_dir):
+    sdf = read_parquet_stream(spark, stream_dir, EVENT_SCHEMA)
+    out = stream_replace_latest(
+        sdf, key_col="user_id", version_col="event_id", value_cols=["event_type"]
+    )
+    _run_to_memory(out, "replace_sink", "update")
+    rows = spark.sql(
+        "SELECT user_id, event_type, event_id FROM replace_sink"
+    ).collect()
+    # final state per user: user 1 -> event 13 'c'; user 2 -> event 12 'a'
+    # (event 9 must NOT replace 12 despite arriving later)
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.event_type, r.event_id)
+    assert final[1] == ("c", 13)
+    assert final[2] == ("a", 12)
+
+
+def test_stream_windowed_agg(spark, stream_dir):
+    sdf = read_parquet_stream(spark, stream_dir, EVENT_SCHEMA)
+    out = stream_windowed_agg(sdf, "ts", "1 hour", "2 hours")
+    _run_to_memory(out, "window_sink", "append" if False else "update")
+    rows = spark.sql("SELECT * FROM window_sink").collect()
+    got = {str(r.window_start): (r.n, r.sum_value) for r in rows}
+    # hour 0: events 10,11,12,9 + dup of 10 (dedup NOT applied here) = 5 rows
+    assert got["2024-01-01 00:00:00"] == (5, 12.0)
+    # hour 1: event 13
+    assert got["2024-01-01 01:00:00"] == (1, 4.0)

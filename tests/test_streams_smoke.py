@@ -1,0 +1,57 @@
+"""One test per trivial stream/source ≡ gtest_streams_smoke.cpp (:30-156):
+Null/One/BlocksList/Concat/FilterColumns/Reverse/Union paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from arrowhouse_spark.operators import concat, reverse_batches, union_parallel
+from arrowhouse_spark.sources import blocks_list, null_source, one_block
+from arrowhouse_spark.sources.parquet import read_parquet
+
+SCHEMA = T.StructType(
+    [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+)
+
+
+def test_null_source(spark):
+    df = null_source(spark, SCHEMA)
+    assert df.count() == 0 and df.schema == SCHEMA
+
+
+def test_one_block(spark):
+    df = one_block(spark, [(1, "x"), (2, "y")], SCHEMA)
+    assert df.count() == 2
+
+
+def test_blocks_list(spark):
+    df = blocks_list(spark, [[(1, "x")], [(2, "y")], [(3, "z")]], SCHEMA)
+    assert sorted(r.a for r in df.collect()) == [1, 2, 3]
+
+
+def test_blocks_list_empty(spark):
+    df = blocks_list(spark, [], SCHEMA)
+    assert df.count() == 0
+
+
+def test_concat_order_preserving(spark):
+    a = one_block(spark, [(1, "x")], SCHEMA)
+    b = one_block(spark, [(2, "y")], SCHEMA)
+    assert [r.a for r in concat([a, b]).coalesce(1).collect()] == [1, 2]
+
+
+def test_union_parallel(spark):
+    parts = [one_block(spark, [(i, "v")], SCHEMA) for i in range(5)]
+    assert union_parallel(parts).count() == 5
+
+
+def test_filter_columns(spark, sf_dir):
+    # FilterColumnsBlockInputStream ≡ column selection at the source
+    df = read_parquet(spark, f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    assert df.columns == ["l_orderkey", "l_quantity"]
+
+
+def test_reverse_batches(spark):
+    df = one_block(spark, [(i, "v") for i in range(10)], SCHEMA).coalesce(1)
+    out = reverse_batches(df).collect()
+    assert [r.a for r in out] == list(range(9, -1, -1))
