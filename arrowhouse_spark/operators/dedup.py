@@ -74,13 +74,13 @@ def minhash_signature(
     Jaccard(A,B). Shingles explode once; each hash-family member is
     xxhash64(seed=i, shingle); 64 mins aggregate in ONE pass (single shuffle
     keyed by id, map-side partial mins keep it bounded)."""
-    sh = df.select(
+    # repartition BEFORE the explode: shingling itself is the CPU-heavy part
+    # and must not run at (few-file) input parallelism; keying by doc id also
+    # pre-partitions for the groupBy (no second shuffle)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = df.repartition(n_part, id_col).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
     )
-    # spread the exploded stream by doc id: restores parallelism lost to
-    # few-file inputs AND pre-partitions for the groupBy (no second shuffle)
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    sh = sh.repartition(n_part, id_col)
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -189,9 +189,12 @@ def simhash(
     bit j is 1 iff the vote sum > 0. One explode + one groupBy with ``bits``
     conditional-sum aggregates — all codegen'd; the shuffle carries one row
     per (doc, token)."""
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    # repartition before the explode (tokenization runs at input parallelism
+    # otherwise) and key by doc id so the vote groupBy needs no second shuffle
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    tok = tok.repartition(n_part, id_col)
+    tok = df.repartition(n_part, id_col).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
     h = F.xxhash64(F.col("tok"))
     votes = [
         F.sum(
@@ -268,28 +271,135 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 2,
     threshold: float = 0.5,
+    dense_cells_cap: int = 1 << 27,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+    """EXACT n-gram Jaccard similarity for every pair sharing ≥1 shingle
+    (id_a < id_b, jaccard ≥ threshold), strategy chosen by measured shape:
 
-    shingle-join scheme: |A∩B| from co-occurrence counts, |A∪B| = |A|+|B|−|A∩B|.
-    The join is keyed on the shingle (not all pairs); frequent shingles are the
-    skew risk — cap them upstream (stop-shingle removal) for web-scale corpora.
+    dense regime (docs × distinct-shingles ≤ ``dense_cells_cap`` matrix cells):
+      a tiny vocabulary means almost every doc pair shares shingles, so an
+      inverted index can't prune — sum(df²) join rows degenerate toward
+      all-pairs (measured at sf0.1: 931 distinct bigrams over 5000 docs →
+      36M join rows for 25 surviving pairs). Instead build the binary
+      doc×vocab matrix and get ALL pairwise intersection counts from one
+      blocked BLAS matmul (|A∩B| = row dot product) — exact, and ~10× faster
+      here. Blocks of rows fan out over the cluster; the matrix ships once as
+      a broadcast (the cap bounds it ≤ ~0.5 GB).
+
+    sparse regime (everything else — the realistic web-corpus shape):
+      shingle-join scheme: |A∩B| from co-occurrence counts keyed on the
+      shingle (never all pairs), |A∪B| = |A|+|B|−|A∩B|. Frequent shingles are
+      the skew risk — cap them upstream (stop-shingle removal) at web scale.
     """
-    # Join on a 64-bit hash of the shingle, not the string: the self-join and
-    # its shuffle then move 8-byte keys instead of arbitrary-length text
-    # (collision odds over distinct shingles are ~n²/2⁶⁵ — negligible, and a
-    # collision only perturbs one candidate's count).
-    sh = df.select(
+    # Work on a 64-bit hash of the shingle, not the string: joins/matrices
+    # then handle 8-byte keys instead of arbitrary-length text (collision
+    # odds over distinct shingles are ~n²/2⁶⁵ — negligible, and a collision
+    # only perturbs one candidate's count).
+    #
+    # Repartition BEFORE the explode: the shingle expressions (sequence/slice/
+    # concat_ws per token window) are the CPU-heavy part and run at input
+    # parallelism — a few-file input would shingle on a few cores (measured
+    # 4.2s single-core vs 0.3s at sf0.1). Keying by id also pre-partitions
+    # the per-doc aggregation downstream.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = df.repartition(n_part, id_col).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__s")
     ).select(F.col(id_col), F.xxhash64("__s").alias("shingle"))
+    sh = sh.cache()
+    shape = sh.agg(
+        F.approx_count_distinct("shingle").alias("vocab"),
+        F.approx_count_distinct(id_col).alias("docs"),
+    ).first()
+    if shape["vocab"] * shape["docs"] <= dense_cells_cap:
+        return _jaccard_dense(sh, id_col, threshold)
+    return _jaccard_inverted(sh, id_col, threshold)
+
+
+def _jaccard_dense(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Dense-regime exact Jaccard: broadcast the binary doc×vocab matrix,
+    distribute row blocks, one float32 matmul per block (counts ≤ vocab size
+    are exact in float32). Row-block tiling over a broadcast matrix is the
+    same shape as similarity.embedding_neardup_pairs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = sh.sparkSession
+    rows = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("hs")).collect()
+    if not rows:
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, jaccard double"
+        )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    vocab: dict[int, int] = {}
+    doc_idxs = []
+    for r in rows:
+        doc_idxs.append(
+            np.array([vocab.setdefault(h, len(vocab)) for h in r[1]], dtype=np.int64)
+        )
+    n, v = len(ids), len(vocab)
+    mat = np.zeros((n, v), dtype=np.float32)
+    for i, idxs in enumerate(doc_idxs):
+        if idxs.size:
+            mat[i, idxs] = 1.0
+    sizes = mat.sum(axis=1)
+    bc = spark.sparkContext.broadcast((ids, mat, sizes))
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # small blocks even out the triangle, but each block is a Python task —
+    # keep ≥128 rows per block so worker startup doesn't dominate small inputs
+    n_blocks = max(1, min(4 * n_part, -(-n // 128)))
+    block_rows = -(-n // n_blocks)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+
+    def _blocks(batches):
+        ids_, mat_, sizes_ = bc.value
+        n_ = len(ids_)
+        for pdf in batches:
+            for b in pdf["b"]:
+                lo = int(b) * block_rows
+                hi = min(lo + block_rows, n_)
+                if lo >= n_:
+                    continue
+                inter = (mat_[lo:hi] @ mat_.T).astype(np.float64)  # exact counts
+                union = (sizes_[lo:hi, None] + sizes_[None, :]).astype(np.float64) - inter
+                union[union == 0] = 1.0
+                jac = np.round(inter / union, 6)  # float64 div: matches SQL round
+                # upper triangle by row index: each unordered pair once
+                mask = jac >= threshold
+                mask &= np.arange(n_)[None, :] > np.arange(lo, hi)[:, None]
+                ii, jj = np.nonzero(mask)
+                a, b_ = ids_[ii + lo], ids_[jj]
+                swap = a > b_
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.where(swap, b_, a),
+                        "id_b": np.where(swap, a, b_),
+                        "jaccard": jac[ii, jj].astype(np.float64),
+                    }
+                )
+
+    blocks = spark.range(0, n_blocks, 1, n_blocks).toDF("b")
+    return blocks.mapInPandas(_blocks, out_schema)
+
+
+def _jaccard_inverted(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Sparse-regime exact Jaccard via the shingle-keyed self-join."""
     # The input often arrives in a handful of file-partitions; after the
     # explode each carries ~50× more rows, and the pair-join multiplies that
     # again — without a repartition the whole pipeline runs at input
     # parallelism. Spread by shingle so the join probe AND the partial
     # aggregation parallelize (at cluster scale this is the shuffle that makes
     # the operator linear-per-executor).
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    sh = sh.repartition(n_part, "shingle").cache()
+    n_part = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = sh.repartition(n_part, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (

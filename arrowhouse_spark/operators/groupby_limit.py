@@ -19,18 +19,21 @@ arrival-dependent.
 
 Plan shape (2 passes over the pre-aggregated keys, not the input):
   1. full groupBy (partial→final; output is bounded by TRUE key cardinality);
-  2. rank keys, keep top max_rows, fold the tail into the overflow row.
+  2. top-k select the max_rows heaviest keys (TakeOrderedAndProject — per-
+     partition top-k then driver merge, never a global sort/window), and find
+     the dropped tail with a broadcast anti-join against the kept key set.
 Pass 1 is exactly the cost of the plain group-by; pass 2 operates on its
-(already reduced) output, so the limit adds one small shuffle — at 100 TB the
-dominant cost is unchanged and the output bound is enforced exactly.
+(already reduced) output with no extra shuffle — at 100 TB the dominant cost
+is unchanged and the output bound is enforced exactly.
 """
 
 from __future__ import annotations
 
 import enum
+from functools import reduce
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -73,16 +76,26 @@ def group_by_limited(
             )
         return full.drop("__group_weight")
 
-    # ANY: deterministic heaviest-keys selection
-    w = Window.orderBy(
+    # ANY: deterministic heaviest-keys selection. orderBy().limit() compiles
+    # to TakeOrderedAndProject (per-partition top-k, driver merge of k rows per
+    # partition) — no global sort, no single-partition window, holds at any
+    # group cardinality since only max_rows rows ever leave the partitions.
+    kept_full = full.orderBy(
         F.col("__group_weight").desc(), *[F.col(k).asc_nulls_last() for k in keys]
-    )
-    ranked = full.withColumn("__rk", F.row_number().over(w))
-    kept = ranked.filter(F.col("__rk") <= max_rows).drop("__rk", "__group_weight")
+    ).limit(max_rows)
+    kept = kept_full.drop("__group_weight")
     if not overflow_row:
         return kept
     kept = kept.withColumn("__overflow", F.lit(False))
-    dropped = ranked.filter(F.col("__rk") > max_rows)
+    # dropped tail = all groups minus the kept key set; kept is ≤ max_rows rows
+    # so the anti-join broadcasts. Null-safe equality keeps NULL-key groups
+    # matched (groupBy groups NULLs together, plain "=" would never match them).
+    kept_keys = kept_full.select(*[F.col(k).alias(f"__kept_{k}") for k in keys])
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(k).eqNullSafe(F.col(f"__kept_{k}")) for k in keys],
+    )
+    dropped = full.join(F.broadcast(kept_keys), cond, "left_anti")
     # re-aggregate the dropped groups' aggregates into one row. sum/count fold
     # by sum; min/max fold by min/max — the caller's agg exprs are re-applied
     # to the partial columns where that is sound (sum,count,min,max,any).

@@ -141,6 +141,19 @@ def test_ngram_jaccard_exact_small(spark):
     assert (p.id_a, p.id_b, p.jaccard) == (1, 2, 0.5)
 
 
+def test_ngram_jaccard_sparse_path_matches_dense(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        "doc_id: long, text: string",
+    )
+    # dense_cells_cap=0 forces the inverted-index (sparse-regime) plan; both
+    # strategies must produce identical exact results
+    pairs = ngram_jaccard_pairs(
+        df, shingle_n=2, threshold=0.4, dense_cells_cap=0
+    ).collect()
+    assert [(p.id_a, p.id_b, p.jaccard) for p in pairs] == [(1, 2, 0.5)]
+
+
 def test_dedup_keep_first(spark):
     df = spark.createDataFrame(
         [(1, "t"), (2, "t"), (3, "u")], "doc_id: long, text: string"
