@@ -71,16 +71,18 @@ def minhash_signature(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, minhash[num_hashes]) — signature s.t. P[sig_i(A)=sig_i(B)] ≈
-    Jaccard(A,B). Shingles explode once; each hash-family member is
-    xxhash64(seed=i, shingle); 64 mins aggregate in ONE pass (single shuffle
-    keyed by id, map-side partial mins keep it bounded)."""
+    Jaccard(A,B). Shingles explode once and hash ONCE to a 64-bit
+    fingerprint; each hash-family member is then xxhash64(seed=i, fingerprint)
+    over the fixed 8 bytes (not the string — 64× less hashing work); 64 mins
+    aggregate in ONE pass (single shuffle keyed by id, map-side partial mins
+    keep it bounded)."""
     # repartition BEFORE the explode: shingling itself is the CPU-heavy part
     # and must not run at (few-file) input parallelism; keying by doc id also
     # pre-partitions for the groupBy (no second shuffle)
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     sh = df.repartition(n_part, id_col).select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
-    )
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__s")
+    ).select(F.col(id_col), F.xxhash64("__s").alias("shingle"))
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -110,14 +112,13 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
+                        # hash the band's signature slots directly (multi-arg
+                        # xxhash64 over longs) — no string concat round-trip
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("minhash")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                            *[
+                                F.col("minhash")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -190,12 +191,14 @@ def simhash(
     conditional-sum aggregates — all codegen'd; the shuffle carries one row
     per (doc, token)."""
     # repartition before the explode (tokenization runs at input parallelism
-    # otherwise) and key by doc id so the vote groupBy needs no second shuffle
+    # otherwise) and key by doc id so the vote groupBy needs no second
+    # shuffle; materialize the token hash as a column so each row hashes the
+    # string ONCE — 64 bit-vote expressions then read the same long
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     tok = df.repartition(n_part, id_col).select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    )
-    h = F.xxhash64(F.col("tok"))
+        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    ).select(F.col(id_col), F.xxhash64("__t").alias("__h"))
+    h = F.col("__h")
     votes = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -87,13 +87,16 @@ def test_dedup_exact(spark):
 
 
 def test_minhash_detects_near_dups(spark):
+    # one changed word out of 54 → shingle Jaccard ≈ 0.7; with 32 bands of 2
+    # the candidate-miss probability is (1−J²)^32 ≈ 1e-10 — robust to the
+    # choice of hash family, unlike a borderline pair with wide bands
     base = "the quick brown fox jumps over the lazy dog " * 6
-    near = base.replace("lazy", "sleepy")
+    near = base.replace("lazy", "sleepy", 1)
     other = "completely different content about spark engines and parquet files " * 6
     df = spark.createDataFrame(
         [(1, base), (2, near), (3, other)], "doc_id: long, text: string"
     )
-    pairs = minhash_dedup(df, threshold=0.3).collect()
+    pairs = minhash_dedup(df, bands=32, threshold=0.3).collect()
     ids = {(r.id_a, r.id_b) for r in pairs}
     assert (1, 2) in ids
     assert all(p in {(1, 2)} for p in ids)
