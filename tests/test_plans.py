@@ -1,0 +1,83 @@
+"""Physical-plan shape assertions — the scale contract.
+
+The reference hand-builds its efficiency (late-materialized filters
+SsaProgram.cpp:615-678, column pruning ParquetBlockInputStream.cpp:24-38,
+two-phase aggregation Aggregator.cpp:745-773); here Catalyst supplies it, so
+each key query asserts the compiled plan kept the property: pushdown reached
+the scan, ReadSchema is pruned, small dims broadcast, top-k never globally
+sorts, and nothing funnels through a single-task window or cartesian product.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from arrowhouse_spark import suite
+from arrowhouse_spark.plans import PlanCheckError, check_plan, report
+from arrowhouse_spark.plans.inspect import plan_text
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return suite.queries()
+
+
+def test_scan_filter_project_pushdown_and_pruning(spark, sf_dir, qs):
+    df = qs["ssa_scan_filter_project"](spark, sf_dir)
+    r = check_plan(df, require_pushed_filters=True, max_read_columns=8)
+    assert r.codegen_stages >= 1
+
+
+def test_q1_two_phase_aggregation(spark, sf_dir, qs):
+    df = qs["q1_pricing_summary"](spark, sf_dir)
+    r = check_plan(df, require_pushed_filters=True, max_read_columns=8)
+    # partial -> shuffle -> final, exactly one shuffle keyed on the group keys
+    assert r.partial_final_agg
+    assert r.exchanges == 1
+
+
+def test_broadcast_join_for_small_dims(spark, sf_dir, qs):
+    df = qs["join_broadcast_revenue"](spark, sf_dir)
+    check_plan(df, require_broadcast_join=True, forbid_sortmerge_join=True)
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir, qs):
+    df = qs["sort_topk"](spark, sf_dir)
+    r = report(df)
+    assert r.has_take_ordered
+    # TakeOrderedAndProject replaces a full Sort+Exchange — no range shuffle
+    assert "rangepartitioning" not in plan_text(df)
+
+
+def test_groupby_limit_has_no_global_window(spark, sf_dir, qs):
+    df = qs["groupby_limited_top"](spark, sf_dir)
+    check_plan(df)  # forbids unpartitioned windows and cartesian products
+
+
+def test_replace_merge_window_is_partitioned(spark, sf_dir, qs):
+    df = qs["replace_merge_latest"](spark, sf_dir)
+    check_plan(df)
+
+
+def test_distinct_keys_is_hash_aggregate(spark, sf_dir, qs):
+    df = qs["distinct_keys"](spark, sf_dir)
+    r = report(df)
+    assert r.partial_final_agg  # DISTINCT compiles to partial+final hash agg
+
+
+def test_global_window_detector_fires(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(10)
+        .withColumn("rk", F.row_number().over(Window.orderBy("id")))
+    )
+    with pytest.raises(PlanCheckError, match="unpartitioned Window"):
+        check_plan(df)
+
+
+def test_pushed_filter_detector_fires(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    with pytest.raises(PlanCheckError, match="PushedFilters"):
+        check_plan(df.select("l_orderkey"), require_pushed_filters=True)
