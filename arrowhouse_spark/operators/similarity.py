@@ -142,6 +142,86 @@ def ann_cosine_lsh(
     return cosine_topk_query(cand, query, vec_col, id_col, k)
 
 
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+    seed: int = 42,
+    out: str = "centroid",
+) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest centroid.
+
+    Centroids are a deterministic hash-ordered sample of the corpus itself
+    (top-k by xxhash64(id, seed) — stable across runs and partitioning, no
+    k-means iterations; good-enough coarse cells for a first-pass index).
+    Assignment is one vectorized matmul per Arrow batch inside mapInPandas.
+
+    At 100 TB the assignment runs once at ingest and ``out`` becomes a
+    partition/cluster column, so a probe is partition pruning, not a scan.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cent_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    )
+    c = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    bc = df.sparkSession.sparkContext.broadcast(c)
+
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField(out, T.IntegerType())])
+
+    def _assign(batches):
+        import numpy as np  # noqa: PLC0415 — runs on executors
+
+        cm = bc.value
+        for pdf in batches:
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            pdf[out] = np.argmax((m / norms) @ cm.T, axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(_assign, out_schema)
+
+
+def ann_cosine_ivf(
+    df: DataFrame,
+    query: Sequence[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat approximate top-k: probe the ``nprobe`` centroid cells
+    nearest the query, exact cosine rank inside them. ``nprobe ==
+    n_centroids`` degrades gracefully to exact brute force (tested).
+    Complements ann_cosine_lsh: IVF cells adapt to the data distribution
+    where hyperplane buckets are data-oblivious."""
+    import numpy as np
+
+    cent_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    )
+    c = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(list(query), dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probes = [int(i) for i in np.argsort(-(c @ q))[:nprobe]]
+
+    assigned = ivf_assign(df, vec_col, id_col, n_centroids, seed)
+    cand = assigned.filter(F.col("centroid").isin(probes))
+    return cosine_topk_query(cand, query, vec_col, id_col, k)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

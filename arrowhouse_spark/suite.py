@@ -26,8 +26,12 @@ from arrowhouse_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from arrowhouse_spark.operators.asof import asof_join
 from arrowhouse_spark.operators.merge import merge_sorted, replace_merge_agg
+from arrowhouse_spark.operators.sessions import session_stats
+from arrowhouse_spark.operators.setops import except_all, intersect
 from arrowhouse_spark.operators.similarity import (
+    ann_cosine_ivf,
     ann_cosine_lsh,
     cosine_topk_query,
     embedding_neardup_pairs,
@@ -948,3 +952,157 @@ def agg_any_single_member(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return apply_program(_t(spark, sf_dir, "customer"), prog)
+
+
+# ---------------------------------------------------------------------------
+# 11. Join/window/setops superset: as-of join, sessionization, IVF ANN,
+#     intersect/except, cube, exact percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_clicks_views",
+    """
+    SELECT l.event_id, l.user_id, round(r.value, 2) AS asof_view_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_clicks_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click, the value of the latest at-or-before view per user —
+    ClickHouse-style ASOF JOIN via the one-shuffle union+window plan
+    (operators/asof.py); DuckDB's native ASOF JOIN is the oracle."""
+    # ns→µs so the comparison granularity matches DuckDB's µs TIMESTAMP
+    # (a click and view inside the same µs must tie in both engines)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    out = asof_join(
+        clicks.select("event_id", "user_id", "ts"),
+        views.select("user_id", "ts", "value"),
+        on="ts",
+        by=["user_id"],
+        value_cols=["value"],
+    )
+    return out.select(
+        "event_id", "user_id", F.round("asof_value", 2).alias("asof_view_value")
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 21600
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), t AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+      FROM s
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(epoch(max(ts)) - epoch(min(ts)), 3) AS duration_s
+    FROM t GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (6h gap) + per-session stats."""
+    # events.ts is TIMESTAMP(NANOS) parquet → long ns in Spark; µs timestamp
+    # matches DuckDB's µs-truncated TIMESTAMP exactly (same convention as
+    # events_hourly)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+    )
+    st = session_stats(ev, "ts", ["user_id"], gap_seconds=21600)
+    return st.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.round("duration_s", 3).alias("duration_s"),
+    )
+
+
+@register("ann_cosine_ivf_topk")  # approximate by design → rows-only check
+def ann_cosine_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann_cosine_ivf(emb, qvec, k=10, n_centroids=8, nprobe=2)
+
+
+@register(
+    "setops_intersect_except",
+    """
+    SELECT o_custkey, 'both' AS src FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT o_custkey, 'only_open' AS src FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def setops_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT (absent in the reference, SURVEY.md §2.6 — superset):
+    customers with both open and finished orders vs open-only."""
+    o = _t(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = intersect(open_keys, fin_keys).withColumn("src", F.lit("both"))
+    only_open = except_all(open_keys.distinct(), fin_keys, distinct=False).withColumn(
+        "src", F.lit("only_open")
+    )
+    return both.unionByName(only_open)
+
+
+@register(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS s
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims (reference has no grouping sets, SURVEY.md §2.3 —
+    Spark-native superset alongside the existing rollup query)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("s"),
+        )
+    )
+
+
+@register(
+    "percentile_retailprice",
+    """
+    SELECT p_brand,
+           round(quantile_cont(p_retailprice, 0.5), 4) AS p50,
+           round(quantile_cont(p_retailprice, 0.9), 4) AS p90
+    FROM part GROUP BY p_brand
+    """,
+)
+def percentile_retailprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (reference has no
+    quantiles — IDs commented out, IAggregateFunction.h:463-472; Spark
+    provides both exact percentile and approx_percentile)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.percentile("p_retailprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("p_retailprice", F.lit(0.9)), 4).alias("p90"),
+        )
+    )
