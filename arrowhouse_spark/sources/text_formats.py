@@ -27,3 +27,21 @@ def read_csv(
 
 def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     return spark.read.schema(schema).json(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    delimiter: str = ",",
+    mode: str = "overwrite",
+) -> None:
+    """Sink ≡ IBlockOutputStream (DataStreams/IBlockOutputStream.h:17-55);
+    the reference's copyNToOne N-sources-to-one-sink composition is Spark's
+    N-partitions-to-files write, no mutex needed (GuardedBlockOutputStream
+    is the task-commit protocol here)."""
+    df.write.mode(mode).option("header", header).option("delimiter", delimiter).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

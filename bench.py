@@ -23,11 +23,15 @@ HEADLINE = [
     "q1_pricing_summary",
     "ssa_scan_filter_project",
     "groupby_multikey",
+    "groupby_limited_top",
     "join_broadcast_revenue",
+    "asof_join_clicks_views",
     "replace_merge_latest",
     "window_running_sum",
     "events_hourly",
+    "sessionize_events",
     "sort_topk",
+    "percentile_retailprice",
     "dedup_exact_docs",
     "ngram_jaccard_dups",
     "minhash_dups",
@@ -49,6 +53,19 @@ def main() -> None:
 
     # warm the file-index / JVM paths once with a trivial action
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+
+    # warm the Python-worker pool (fork + numpy/pandas import on every core):
+    # like JVM startup, worker spin-up is per-session infrastructure — without
+    # this the first pandas-UDF query is charged ~8s that belongs to none
+    def _warm(batches):
+        import numpy  # noqa: F401, PLC0415
+        for b in batches:
+            yield b
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(4 * cpus).repartition(4 * cpus).mapInPandas(
+        _warm, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

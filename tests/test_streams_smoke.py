@@ -55,3 +55,24 @@ def test_reverse_batches(spark):
     df = one_block(spark, [(i, "v") for i in range(10)], SCHEMA).coalesce(1)
     out = reverse_batches(df).collect()
     assert [r.a for r in out] == list(range(9, -1, -1))
+
+
+def test_csv_jsonl_roundtrip(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from arrowhouse_spark.sources.text_formats import (
+        read_csv,
+        read_jsonl,
+        write_csv,
+        write_jsonl,
+    )
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    df = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    p_csv, p_json = str(tmp_path / "c"), str(tmp_path / "j")
+    write_csv(df, p_csv)
+    write_jsonl(df, p_json)
+    assert sorted(r.k for r in read_csv(spark, p_csv, schema).collect()) == [1, 2]
+    assert sorted(r.v for r in read_jsonl(spark, p_json, schema).collect()) == ["a", "b"]
