@@ -1,0 +1,161 @@
+"""Property-based differential tests (hypothesis) against independent
+oracles: DuckDB for the SSA program compiler's group-by/filter semantics,
+pandas.merge_asof for the as-of join, and a pure-python reference model for
+sessionization. These complement the fixed-shape tests the reference uses
+(SURVEY.md §5: closed-form expected results only — no property tests there;
+this is the stronger harness the driver's DuckDB gate suggests).
+
+Examples are kept small (tiny tables, ≤15 examples) because every example
+runs Spark jobs; the value is in the random *shapes* — null keys, empty
+groups, ties, unmatched keys — not volume.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from arrowhouse_spark.compile import apply_program
+from arrowhouse_spark.operators.asof import asof_join
+from arrowhouse_spark.operators.sessions import sessionize
+from arrowhouse_spark.program import AggOp, AggregateAssign, GroupBy, Program, ProgramStep
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+_ROWS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 4)),       # group key (nullable)
+        st.one_of(st.none(), st.integers(-100, 100)),  # value (nullable)
+    ),
+    min_size=0,
+    max_size=50,
+)
+
+
+@_SETTINGS
+@given(rows=_ROWS)
+def test_groupby_program_matches_duckdb(spark, rows):
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.IntegerType())]
+    )
+    df = spark.createDataFrame(rows, schema)
+    prog = Program(
+        steps=(
+            ProgramStep(
+                group_by=GroupBy(
+                    keys=("k",),
+                    aggregates=(
+                        AggregateAssign("s", AggOp.SUM, "v"),
+                        AggregateAssign("mn", AggOp.MIN, "v"),
+                        AggregateAssign("mx", AggOp.MAX, "v"),
+                        AggregateAssign("c", AggOp.COUNT, "v"),
+                        AggregateAssign("n", AggOp.COUNT),
+                    ),
+                )
+            ),
+        )
+    )
+    got = {
+        r["k"]: (r["s"], r["mn"], r["mx"], r["c"], r["n"])
+        for r in apply_program(df, prog).collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["k", "v"], dtype="object")
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = {
+        r[0]: (r[1], r[2], r[3], r[4], r[5])
+        for r in con.execute(
+            "SELECT k, CAST(sum(v) AS BIGINT), min(v), max(v), count(v), count(*) "
+            "FROM t GROUP BY k"
+        ).fetchall()
+    }
+    assert got == exp
+
+
+@_SETTINGS
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(-9, 9)),
+        min_size=0,
+        max_size=25,
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+    exact=st.booleans(),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction, exact):
+    # dedupe right on (key, ts): with duplicates the "latest" row is
+    # order-dependent in both engines and the comparison would be ambiguous
+    right = list({(k, t): (k, t, v) for k, t, v in right}.values())
+    if not left:
+        return
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "rid: long, k: int, ts: int"
+    )
+    rdf = spark.createDataFrame(right, "k: int, ts: int, v: int") if right else (
+        spark.createDataFrame([], "k: int, ts: int, v: int")
+    )
+    out = asof_join(
+        ldf, rdf, on="ts", by=["k"], value_cols=["v"],
+        direction=direction, allow_exact_matches=exact,
+    )
+    got = {r.rid: r.asof_v for r in out.collect()}
+
+    lp = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], columns=["rid", "k", "ts"]
+    ).sort_values("ts", kind="stable")
+    rp = (
+        pd.DataFrame(right, columns=["k", "ts", "v"])
+        .astype({"k": "int64", "ts": "int64", "v": "int64"})
+        .sort_values("ts", kind="stable")
+    )
+    exp_df = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction=direction, allow_exact_matches=exact
+    )
+    exp = {
+        int(r.rid): (None if pd.isna(r.v) else int(r.v))
+        for r in exp_df.itertuples()
+    }
+    assert got == exp
+
+
+@_SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=0, max_size=40
+    ),
+    gap=st.integers(1, 200),
+)
+def test_sessionize_matches_python_model(spark, events, gap):
+    # dedupe (key, ts): equal timestamps make session order ambiguous
+    events = list({(k, t) for k, t in events})
+    df = spark.createDataFrame(events, "k: int, ts: int") if events else (
+        spark.createDataFrame([], "k: int, ts: int")
+    )
+    out = sessionize(df, "ts", ["k"], gap_seconds=gap)
+    got = {(r.k, r.ts): r.session_id for r in out.collect()}
+
+    exp: dict[tuple[int, int], int] = {}
+    by_key: dict[int, list[int]] = {}
+    for k, t in sorted(events):
+        by_key.setdefault(k, []).append(t)
+    for k, ts_list in by_key.items():
+        sid = -1
+        prev = None
+        for t in sorted(ts_list):
+            if prev is None or t - prev > gap:
+                sid += 1
+            exp[(k, t)] = sid
+            prev = t
+    assert got == exp
