@@ -159,3 +159,53 @@ def test_sessionize_matches_python_model(spark, events, gap):
             exp[(k, t)] = sid
             prev = t
     assert got == exp
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-1000, 1000)),
+            st.one_of(st.none(), st.integers(-1000, 1000)),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    threshold=st.integers(-500, 500),
+)
+def test_scalar_program_matches_duckdb(spark, rows, threshold):
+    from arrowhouse_spark.program import Assign, Op, const
+
+    schema = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.IntegerType())]
+    )
+    df = spark.createDataFrame(rows, schema)
+    prog = Program(
+        steps=(
+            ProgramStep(
+                assignes=(
+                    const("thr", threshold),
+                    Assign("c", Op.ADD, ("a", "b")),
+                    Assign("d", Op.ABS, ("b",)),
+                    Assign("e", Op.NEGATE, ("a",)),
+                    Assign("keep", Op.LESS, ("a", "thr")),
+                ),
+                filters=("keep",),
+                projection=("a", "b", "c", "d", "e"),
+            ),
+        )
+    )
+    got = sorted(
+        (r["a"], r["b"], r["c"], r["d"], r["e"])
+        for r in apply_program(df, prog).collect()
+    )
+
+    pdf = pd.DataFrame(rows, columns=["a", "b"], dtype="object")
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = sorted(
+        con.execute(
+            f"SELECT a, b, a + b AS c, abs(b) AS d, -a AS e FROM t WHERE a < {threshold}"
+        ).fetchall()
+    )
+    assert got == exp
