@@ -1106,3 +1106,74 @@ def percentile_retailprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("p_retailprice", F.lit(0.9)), 4).alias("p90"),
         )
     )
+
+
+@register(
+    "ssa_multistep_program",
+    """
+    WITH s1 AS (
+      SELECT l_suppkey, l_extendedprice * (1.0 - l_discount) AS net
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ), s2 AS (
+      SELECT l_suppkey, round(sum(net), 2) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM s1 GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, revenue, n_items,
+           round(revenue / n_items, 4) AS avg_item_revenue
+    FROM s2 WHERE n_items > 2
+    """,
+)
+def ssa_multistep_program(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three chained ProgramSteps ≡ the reference's multi-step SSA design
+    (SsaProgram.h:225-240: non-decreasing column set per step, projection
+    last; step split lets the program author order filters by selectivity —
+    here Catalyst fuses all three steps into ONE plan, so the split costs
+    nothing at execution)."""
+    prog = Program(
+        steps=(
+            # step 1: scalar prep + selective filter
+            ProgramStep(
+                assignes=(
+                    const("one", 1.0),
+                    const("m_a", "A"),
+                    const("m_r", "R"),
+                    Assign("disc_f", Op.SUBTRACT, ("one", "l_discount")),
+                    Assign("net", Op.MULTIPLY, ("l_extendedprice", "disc_f")),
+                    Assign("is_a", Op.EQUAL, ("l_returnflag", "m_a")),
+                    Assign("is_r", Op.EQUAL, ("l_returnflag", "m_r")),
+                    Assign("in_mode", Op.OR, ("is_a", "is_r")),
+                ),
+                filters=("in_mode",),
+                projection=("l_suppkey", "net"),
+            ),
+            # step 2: keyed aggregation
+            ProgramStep(
+                group_by=GroupBy(
+                    keys=("l_suppkey",),
+                    aggregates=(
+                        AggregateAssign("revenue_raw", AggOp.SUM, "net"),
+                        AggregateAssign("n_items", AggOp.COUNT),
+                    ),
+                ),
+            ),
+            # step 3: post-aggregation scalars + filter on the aggregate
+            ProgramStep(
+                assignes=(
+                    const("min_items", 2),
+                    Assign("big", Op.GREATER, ("n_items", "min_items")),
+                ),
+                filters=("big",),
+                projection=("l_suppkey", "revenue_raw", "n_items"),
+            ),
+        )
+    )
+    out = apply_program(_t(spark, sf_dir, "lineitem"), prog)
+    return out.select(
+        "l_suppkey",
+        F.round("revenue_raw", 2).alias("revenue"),
+        "n_items",
+        F.round(F.round("revenue_raw", 2) / F.col("n_items"), 4).alias(
+            "avg_item_revenue"
+        ),
+    )
