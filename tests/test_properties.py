@@ -209,3 +209,47 @@ def test_scalar_program_matches_duckdb(spark, rows, threshold):
         ).fetchall()
     )
     assert got == exp
+
+
+@_SETTINGS
+@given(
+    src1=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3), st.integers(0, 99)),
+        min_size=0,
+        max_size=20,
+    ),
+    src2=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3), st.integers(100, 199)),
+        min_size=0,
+        max_size=20,
+    ),
+)
+def test_replace_merge_matches_python_model(spark, src1, src2):
+    """Replace-merge keeps the FIRST row per key in (sort_keys, source order,
+    in-source position) order ≡ MergingSortedInputStream Replace mode with
+    SortCursor source-order tie-break (SURVEY.md §7 'What's hard' #3).
+    Rows are (key, version, payload); sort by version DESC → keep the
+    highest version, ties broken by earlier source then earlier row."""
+    from arrowhouse_spark.operators.merge import replace_merge
+    from arrowhouse_spark.operators.sort import SortKey
+
+    if not src1 and not src2:
+        return
+    schema = "k: int, ver: int, payload: int"
+    dfs = []
+    if src1:
+        dfs.append(spark.createDataFrame(src1, schema).coalesce(1))
+    if src2:
+        dfs.append(spark.createDataFrame(src2, schema).coalesce(1))
+    out = replace_merge(dfs, ["k"], [SortKey("ver", ascending=False)])
+    got = {r.k: (r.ver, r.payload) for r in out.collect()}
+
+    exp: dict[int, tuple[int, int]] = {}
+    best: dict[int, tuple] = {}
+    for src_i, rows in enumerate([src1, src2]):
+        for pos, (k, ver, payload) in enumerate(rows):
+            cand = (-ver, src_i, pos)  # first in (ver DESC, src, pos) order
+            if k not in best or cand < best[k]:
+                best[k] = cand
+                exp[k] = (ver, payload)
+    assert got == exp
