@@ -6,6 +6,7 @@ from arrowhouse_spark.streaming.replace import (
     read_parquet_stream,
     stream_dedup_exact,
     stream_replace_latest,
+    stream_sessionize,
     stream_windowed_agg,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "read_parquet_stream",
     "stream_dedup_exact",
     "stream_replace_latest",
+    "stream_sessionize",
     "stream_windowed_agg",
 ]

@@ -115,3 +115,28 @@ def stream_windowed_agg(
             "sum_value",
         )
     )
+
+
+def stream_sessionize(
+    sdf: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Streaming sessionization: Spark's ``session_window`` merges events
+    within ``gap`` into one growing window per key — the continuous form of
+    operators.sessions.sessionize (state per open session, closed and
+    emitted once the watermark passes the gap)."""
+    return (
+        sdf.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(ts_col, gap), *key_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *key_cols,
+            "n_events",
+            "sum_value",
+        )
+    )

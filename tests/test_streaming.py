@@ -108,3 +108,24 @@ def test_stream_windowed_agg(spark, stream_dir):
     assert got["2024-01-01 00:00:00"] == (5, 12.0)
     # hour 1: event 13
     assert got["2024-01-01 01:00:00"] == (1, 4.0)
+
+
+def test_stream_sessionize(spark, stream_dir):
+    from arrowhouse_spark.streaming import stream_sessionize
+
+    sdf = read_parquet_stream(spark, stream_dir, EVENT_SCHEMA)
+    out = stream_sessionize(sdf, "ts", ["user_id"], gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sess_out").collect()
+    got = {(r.user_id, r.n_events) for r in rows}
+    # user 1: events at :00,:05 (one session incl. the dup row) then :90
+    # (own session); user 2: :01 and :10 merge into one session
+    assert (1, 3) in got and (1, 1) in got and (2, 2) in got
+    assert len(rows) == 3
