@@ -308,21 +308,29 @@ def ngram_jaccard_pairs(
     sh = df.repartition(n_part, id_col).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__s")
     ).select(F.col(id_col), F.xxhash64("__s").alias("shingle"))
-    sh = sh.cache()
-    shape = sh.agg(
-        F.approx_count_distinct("shingle").alias("vocab"),
-        F.approx_count_distinct(id_col).alias("docs"),
-    ).first()
-    if shape["vocab"] * shape["docs"] <= dense_cells_cap:
-        return _jaccard_dense(sh, id_col, threshold)
+    # Path choice: doc count comes from parquet metadata (near-free); the
+    # vocab half of the docs×vocab cap is enforced driver-side during the
+    # dense collect, falling back to the inverted plan if exceeded — this
+    # avoids a whole extra pass over the exploded shingles just to measure.
+    max_dense_docs = max(1, dense_cells_cap // 512)  # assumes vocab ≥ 512
+    if df.count() <= max_dense_docs:
+        dense = _jaccard_dense(sh, id_col, threshold, dense_cells_cap)
+        if dense is not None:
+            return dense
     return _jaccard_inverted(sh, id_col, threshold)
 
 
-def _jaccard_dense(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+def _jaccard_dense(
+    sh: DataFrame, id_col: str, threshold: float, dense_cells_cap: int
+) -> DataFrame | None:
     """Dense-regime exact Jaccard: broadcast the binary doc×vocab matrix,
     distribute row blocks, one float32 matmul per block (counts ≤ vocab size
     are exact in float32). Row-block tiling over a broadcast matrix is the
-    same shape as similarity.embedding_neardup_pairs."""
+    same shape as similarity.embedding_neardup_pairs.
+
+    Returns None when the measured docs×vocab exceeds ``dense_cells_cap``
+    (vocabulary too rich for a dense matrix) — caller falls back to the
+    inverted-index plan."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -341,6 +349,8 @@ def _jaccard_dense(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
             np.array([vocab.setdefault(h, len(vocab)) for h in r[1]], dtype=np.int64)
         )
     n, v = len(ids), len(vocab)
+    if n * v > dense_cells_cap:
+        return None
     mat = np.zeros((n, v), dtype=np.float32)
     for i, idxs in enumerate(doc_idxs):
         if idxs.size:
@@ -402,7 +412,8 @@ def _jaccard_inverted(sh: DataFrame, id_col: str, threshold: float) -> DataFrame
     # aggregation parallelize (at cluster scale this is the shuffle that makes
     # the operator linear-per-executor).
     n_part = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    sh = sh.repartition(n_part, "shingle")
+    # cache: consumed three times (sizes + both sides of the self-join)
+    sh = sh.repartition(n_part, "shingle").cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (
