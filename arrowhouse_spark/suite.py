@@ -1177,3 +1177,54 @@ def ssa_multistep_program(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_item_revenue"
         ),
     )
+
+
+@register(
+    "grouping_sets_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS s
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond cube/rollup): per-status, per-priority,
+    and grand-total rows in one pass (Spark plans a single Expand+aggregate)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS s
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "stats_moments",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)                AS sd_qty,
+           round(var_samp(l_extendedprice), 2)              AS var_price,
+           round(corr(l_quantity, l_extendedprice), 6)      AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation) — absent from the
+    reference's aggregate set (IAggregateFunction.h:454-473 enables only
+    count/sum/avg/min/max/any); Spark-native superset."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+        )
+    )
