@@ -1228,3 +1228,70 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "count_distinct_salted",
+    """
+    SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def count_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct via value-hash salting (operators/skew.py):
+    per-reducer state is bounded by distinct/salt even when one key holds
+    almost all values — the skew case plain COUNT(DISTINCT) can't shard."""
+    from arrowhouse_spark.operators.skew import salted_count_distinct
+
+    return salted_count_distinct(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_custkey", salt=16
+    )
+
+
+@register(
+    "pipeline_clean_corpus",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars,
+             length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+      FROM documents
+      WHERE length(text) >= 100
+    ), keep AS (
+      SELECT d.doc_id, d.lang, d.n_chars, d.n_tokens
+      FROM scored d
+      JOIN (
+        SELECT min(doc_id) AS keep_id
+        FROM documents GROUP BY md5(trim(lower(text)))
+      ) k ON d.doc_id = k.keep_id
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM keep GROUP BY lang
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning pipeline as ONE declarative plan:
+    length filter → exact dedup (keep min doc_id per content fingerprint) →
+    per-language corpus stats. Composes dedup_exact + token_count; Catalyst
+    fuses the stages so the text column is read once and never shuffles
+    (only fingerprints and counts move)."""
+    docs = _t(spark, sf_dir, "documents")
+    keep_ids = dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
+    scored = (
+        docs.filter(F.length("text") >= 100)
+        .join(keep_ids, "doc_id")
+        .select(
+            "lang",
+            F.length("text").alias("n_chars"),
+            (
+                F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+            ).alias("n_tokens"),
+        )
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )

@@ -253,3 +253,32 @@ def test_replace_merge_matches_python_model(spark, src1, src2):
                 best[k] = cand
                 exp[k] = (ver, payload)
     assert got == exp
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.one_of(st.none(), st.integers(0, 30)),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    salt=st.integers(1, 8),
+)
+def test_salted_count_distinct_is_exact(spark, rows, salt):
+    from arrowhouse_spark.operators.skew import salted_count_distinct
+
+    df = spark.createDataFrame(rows, "k: int, v: int") if rows else (
+        spark.createDataFrame([], "k: int, v: int")
+    )
+    got = {
+        r.k: r.n_distinct
+        for r in salted_count_distinct(df, ["k"], "v", salt=salt).collect()
+    }
+    exp: dict[int, set] = {}
+    for k, v in rows:
+        if v is not None:
+            exp.setdefault(k, set()).add(v)
+    assert got == {k: len(s) for k, s in exp.items()}
