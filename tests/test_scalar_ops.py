@@ -125,3 +125,61 @@ def test_math_superset(spark):
     assert abs(row.e - math.exp(4)) < 1e-9
     assert abs(row.l - math.log(4)) < 1e-12
     assert row.s == 1.0
+
+
+def test_every_op_compiles_and_executes(spark):
+    """Registry-drift guard: every declared Op must build through
+    build_scalar AND execute on a real row (catches ops that reference
+    functions missing from this Spark version)."""
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.functions.scalar import build_scalar
+    from arrowhouse_spark.program import Op
+
+    df = spark.createDataFrame(
+        [(3, 2, 0.75, "abc", True, False, "2024-01-01 00:00:00")],
+        "i: int, j: int, x: double, s: string, p: boolean, q: boolean, t: string",
+    )
+    num, num2, dbl = F.col("i"), F.col("j"), F.col("x")
+    string, b1, b2 = F.col("s"), F.col("p"), F.col("q")
+    pattern = {"pattern": "b"}
+
+    cases: dict[Op, tuple] = {}
+    for op in Op:
+        name = op.value
+        if op is Op.CAST_BINARY:
+            # ANSI: binary casts only from string/binary (arrow is the same)
+            cases[op] = ([string], {})
+        elif op is Op.CAST_TIMESTAMP:
+            cases[op] = ([F.col("t")], {})
+        elif name.startswith("cast_"):
+            cases[op] = ([num], {})
+        elif op in (Op.IS_VALID, Op.IS_NULL):
+            cases[op] = ([num], {})
+        elif op in (Op.EQUAL, Op.NOT_EQUAL, Op.LESS, Op.LESS_EQUAL, Op.GREATER, Op.GREATER_EQUAL):
+            cases[op] = ([num, num2], {})
+        elif op in (Op.AND, Op.OR, Op.XOR):
+            cases[op] = ([b1, b2], {})
+        elif op is Op.INVERT:
+            cases[op] = ([b1], {})
+        elif op in (Op.ADD, Op.SUBTRACT, Op.MULTIPLY, Op.DIVIDE, Op.MODULO,
+                    Op.ADD_NOT_NULL, Op.SUBTRACT_NOT_NULL, Op.MULTIPLY_NOT_NULL,
+                    Op.DIVIDE_NOT_NULL):
+            cases[op] = ([num, num2], {})
+        elif op in (Op.ABS, Op.NEGATE):
+            cases[op] = ([num], {})
+        elif op is Op.BINARY_LENGTH:
+            cases[op] = ([string], {})
+        elif op in (Op.MATCH_SUBSTRING, Op.MATCH_LIKE, Op.STARTS_WITH, Op.ENDS_WITH):
+            cases[op] = ([string], pattern)
+        elif op in (Op.FLOOR, Op.CEIL, Op.TRUNC, Op.ROUND):
+            cases[op] = ([dbl], {})
+        else:  # superset math
+            cases[op] = ([dbl], {})
+
+    missing = [op for op in Op if op not in cases]
+    assert not missing
+    cols = [build_scalar(op, list(args), opts).alias(f"c{i}")
+            for i, (op, (args, opts)) in enumerate(cases.items())]
+    row = df.select(*cols).collect()[0]
+    assert len(row) == len(list(Op))
