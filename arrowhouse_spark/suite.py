@@ -1295,3 +1295,32 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
     )
+
+
+@register(
+    "multimodal_decode_stats",
+    """
+    SELECT CAST(8 + doc_id % 5 AS INTEGER) AS width,
+           CAST(8 + doc_id % 7 AS INTEGER) AS height,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents WHERE doc_id < 200
+    GROUP BY 1, 2
+    """,
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column pipeline through the driver gate: build
+    deterministic fake payloads (operators/multimodal.py header format) with
+    width/height derived from doc_id, run the distributed Arrow-batched
+    decode, aggregate by decoded dimensions. The oracle recomputes the
+    dimension rule in SQL — so the payload encode → mapInPandas decode →
+    groupBy round trip is value-checked end-to-end."""
+    from arrowhouse_spark.operators.multimodal import decode_images, make_fake_payload
+
+    ids = [r[0] for r in _t(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 200).select("doc_id").collect()]
+    media = spark.createDataFrame(
+        [(i, make_fake_payload(8 + i % 5, 8 + i % 7, seed=i)) for i in ids],
+        "media_id: long, payload: binary",
+    ).repartition(8)
+    decoded = decode_images(media)
+    return decoded.groupBy("width", "height").agg(F.count(F.lit(1)).alias("n"))
