@@ -351,11 +351,14 @@ def _jaccard_dense(
     n, v = len(ids), len(vocab)
     if n * v > dense_cells_cap:
         return None
-    mat = np.zeros((n, v), dtype=np.float32)
+    # ship the binary matrix as uint8 (4× less broadcast IO than float32;
+    # every worker re-fetches the broadcast each run) and convert to float32
+    # once per worker at first use
+    mat = np.zeros((n, v), dtype=np.uint8)
     for i, idxs in enumerate(doc_idxs):
         if idxs.size:
-            mat[i, idxs] = 1.0
-    sizes = mat.sum(axis=1)
+            mat[i, idxs] = 1
+    sizes = mat.sum(axis=1, dtype=np.float64)
     bc = spark.sparkContext.broadcast((ids, mat, sizes))
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -373,7 +376,14 @@ def _jaccard_dense(
     )
 
     def _blocks(batches):
-        ids_, mat_, sizes_ = bc.value
+        ids_, mat_u8, sizes_ = bc.value
+        # float32 view cached on the broadcast tuple's worker-local copy:
+        # one conversion per worker, not one per block-task
+        cache = getattr(bc, "_f32_cache", None)
+        if cache is None or cache[0] is not mat_u8:
+            cache = (mat_u8, mat_u8.astype(np.float32))
+            bc._f32_cache = cache
+        mat_ = cache[1]
         n_ = len(ids_)
         for pdf in batches:
             for b in pdf["b"]:
@@ -381,15 +391,20 @@ def _jaccard_dense(
                 hi = min(lo + block_rows, n_)
                 if lo >= n_:
                     continue
-                inter = (mat_[lo:hi] @ mat_.T).astype(np.float64)  # exact counts
-                union = (sizes_[lo:hi, None] + sizes_[None, :]).astype(np.float64) - inter
+                # only columns ≥ lo can form an upper-triangle pair with this
+                # block — computing against mat_[lo:] instead of the full
+                # matrix halves total FLOPs across blocks
+                inter = (mat_[lo:hi] @ mat_[lo:].T).astype(np.float64)  # exact
+                union = (
+                    sizes_[lo:hi, None] + sizes_[None, lo:]
+                ).astype(np.float64) - inter
                 union[union == 0] = 1.0
                 jac = np.round(inter / union, 6)  # float64 div: matches SQL round
                 # upper triangle by row index: each unordered pair once
                 mask = jac >= threshold
-                mask &= np.arange(n_)[None, :] > np.arange(lo, hi)[:, None]
+                mask &= np.arange(lo, n_)[None, :] > np.arange(lo, hi)[:, None]
                 ii, jj = np.nonzero(mask)
-                a, b_ = ids_[ii + lo], ids_[jj]
+                a, b_ = ids_[ii + lo], ids_[jj + lo]
                 swap = a > b_
                 yield pd.DataFrame(
                     {
