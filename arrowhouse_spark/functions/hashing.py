@@ -28,6 +28,103 @@ def hash32(*cols: Column | str) -> Column:
     return F.hash(*[F.col(c) if isinstance(c, str) else c for c in cols])
 
 
+_MASK32 = (1 << 32) - 1
+_MASK16 = (1 << 16) - 1
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _wrap_add(a: Column, b: Column) -> Column:
+    """(a + b) mod 2^64 on longs without ANSI overflow errors: 32-bit
+    half-adds (each sum < 2^34) recombined with shifts, which never
+    overflow-check."""
+    lo = a.bitwiseAND(F.lit(_MASK32)) + b.bitwiseAND(F.lit(_MASK32))
+    hi = (
+        F.shiftrightunsigned(a, 32)
+        + F.shiftrightunsigned(b, 32)
+        + F.shiftrightunsigned(lo, 32)
+    )
+    return F.shiftleft(hi, 32).bitwiseOR(lo.bitwiseAND(F.lit(_MASK32)))
+
+
+def _mul32(x32: Column, c32: int) -> Column:
+    """(x * c) mod 2^32 for x in [0, 2^32) and constant c < 2^32, ANSI-safe:
+    16-bit split keeps every partial product below 2^48."""
+    lo = x32 * F.lit(c32 & _MASK16)
+    hi = F.shiftleft(x32 * F.lit(c32 >> 16), 16)
+    return _wrap_add(lo, hi).bitwiseAND(F.lit(_MASK32))
+
+
+def _wrap_mul_const(a: Column, c: int) -> Column:
+    """(a * c) mod 2^64 for a constant c, ANSI-safe schoolbook 32×32 split:
+    a*c = a_lo*c_lo + ((a_lo*c_hi + a_hi*c_lo) << 32)  (a_hi*c_hi ≥ 2^64 drops).
+    Partial products are built from 16-bit legs so nothing exceeds 2^48."""
+    c &= (1 << 64) - 1
+    c_lo, c_hi = c & _MASK32, c >> 32
+    a_lo = a.bitwiseAND(F.lit(_MASK32))
+    a_hi = F.shiftrightunsigned(a, 32)
+    # full 64 bits of a_lo * c_lo
+    ll = _wrap_add(
+        a_lo * F.lit(c_lo & _MASK16),
+        F.shiftleft(a_lo * F.lit(c_lo >> 16), 16),
+    )
+    # cross terms: only their low 32 bits survive the <<32
+    cross = _mul32(a_lo, c_hi) + _mul32(a_hi, c_lo)  # each < 2^32, sum < 2^33
+    return _wrap_add(ll, F.shiftleft(cross, 32))
+
+
+def _rot_or(col: Column, right: int, left: int) -> Column:
+    """(x >> right) | (x << left) with logical (unsigned) shifts — the
+    reference's rotate idiom."""
+    return F.shiftrightunsigned(col, right).bitwiseOR(F.shiftleft(col, left))
+
+
+def _mix(col: Column, *stages) -> Column:
+    """Chain mix stages with true let-binding. Every stage reuses its input
+    several times; naively composed Columns duplicate the whole subtree per
+    reuse, growing the expression multiplicatively (an 8-stage mix exceeds
+    10^4 nodes and OOMs codegen). ``transform(array(x), f)[0]`` binds x as a
+    lambda variable, so the tree grows additively instead."""
+    out = col
+    for stage in stages:
+        out = F.transform(F.array(out), stage)[0]
+    return out
+
+
+def int_hash64(col: Column | str) -> Column:
+    """Bit-exact intHash64 ≡ FunctionsHashing.h IntHash64Impl (:26-30):
+    x ^= 0x4CF2D2BAAE6DA887; then the 64-bit finalizer mix of
+    Common/HashTable/Hash.h:31-40 (x ^= x>>33; x *= 0xff51afd7ed558ccd;
+    x ^= x>>33; x *= 0xc4ceb9fe1a85ec53; x ^= x>>33). Result is the uint64
+    bit pattern in a Spark long."""
+    return _mix(
+        _c(col).cast("long").bitwiseXOR(F.lit(0x4CF2D2BAAE6DA887)),
+        lambda x: x.bitwiseXOR(F.shiftrightunsigned(x, 33)),
+        lambda x: _wrap_mul_const(x, 0xFF51AFD7ED558CCD),
+        lambda x: x.bitwiseXOR(F.shiftrightunsigned(x, 33)),
+        lambda x: _wrap_mul_const(x, 0xC4CEB9FE1A85EC53),
+        lambda x: x.bitwiseXOR(F.shiftrightunsigned(x, 33)),
+    )
+
+
+def int_hash32(col: Column | str) -> Column:
+    """Bit-exact intHash32 ≡ FunctionsHashing.h IntHash32Impl (:15-24) with
+    its fixed salt 0x75D9543DE018BF45, mixing per
+    Common/HashTable/Hash.h:371-384; returns the uint32 result as a long."""
+    return _mix(
+        _c(col).cast("long").bitwiseXOR(F.lit(0x75D9543DE018BF45)),
+        lambda k: _wrap_add(F.bitwise_not(k), F.shiftleft(k, 18)),
+        lambda k: k.bitwiseXOR(_rot_or(k, 31, 33)),
+        lambda k: _wrap_mul_const(k, 21),
+        lambda k: k.bitwiseXOR(_rot_or(k, 11, 53)),
+        lambda k: _wrap_add(k, F.shiftleft(k, 6)),
+        lambda k: k.bitwiseXOR(_rot_or(k, 22, 42)),
+        lambda k: k.bitwiseAND(F.lit(_MASK32)),
+    )
+
+
 def md5_hex(col: Column | str) -> Column:
     """Content fingerprint usable cross-engine (DuckDB md5 matches bit-for-bit;
     used by dedup_exact so the correctness oracle can reproduce it)."""

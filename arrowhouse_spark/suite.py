@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from arrowhouse_spark.compile import apply_program
+from arrowhouse_spark.functions import hashing
 from arrowhouse_spark.operators.dedup import (
     dedup_exact,
     minhash_dedup,
@@ -779,6 +780,70 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fp")
+
+
+def _dd_mul64(x: str, c: int) -> str:
+    """DuckDB SQL for (x * c) mod 2^64 on UBIGINT x: 32-bit split keeps every
+    HUGEINT intermediate below 2^97 (INT128 would overflow at full 64×64)."""
+    return (
+        f"((({x} & 4294967295)::HUGEINT * {c} + "
+        f"((({x} >> 32)::HUGEINT * {c}) % 4294967296) * 4294967296) "
+        f"% 18446744073709551616)::UBIGINT"
+    )
+
+
+def _dd_shl64(x: str, n: int) -> str:
+    return _dd_mul64(x, 1 << n)
+
+
+_INT_HASH_ORACLE = f"""
+    WITH src AS (
+      SELECT o_orderkey, o_orderkey::UBIGINT AS v FROM orders
+      WHERE o_orderkey % 97 = 0
+    ),
+    s0 AS (SELECT o_orderkey, xor(v, {0x4CF2D2BAAE6DA887}::UBIGINT) AS x0,
+                  xor(v, {0x75D9543DE018BF45}::UBIGINT) AS k0 FROM src),
+    s1 AS (SELECT *, xor(x0, x0 >> 33) AS x1,
+                  ((xor(k0, 18446744073709551615::UBIGINT))::HUGEINT
+                   + {_dd_shl64("k0", 18)}::HUGEINT)
+                  % 18446744073709551616 AS k1h FROM s0),
+    s1b AS (SELECT *, k1h::UBIGINT AS k1 FROM s1),
+    s2 AS (SELECT *, {_dd_mul64("x1", 0xFF51AFD7ED558CCD)} AS x2,
+                  xor(k1, (k1 >> 31) | {_dd_shl64("k1", 33)}) AS k2 FROM s1b),
+    s3 AS (SELECT *, xor(x2, x2 >> 33) AS x3,
+                  {_dd_mul64("k2", 21)} AS k3 FROM s2),
+    s4 AS (SELECT *, {_dd_mul64("x3", 0xC4CEB9FE1A85EC53)} AS x4,
+                  xor(k3, (k3 >> 11) | {_dd_shl64("k3", 53)}) AS k4 FROM s3),
+    s5 AS (SELECT *, xor(x4, x4 >> 33) AS h64,
+                  (k4::HUGEINT + {_dd_shl64("k4", 6)}::HUGEINT)
+                  % 18446744073709551616 AS k5h FROM s4),
+    s5b AS (SELECT *, k5h::UBIGINT AS k5 FROM s5),
+    s6 AS (SELECT *, xor(k5, (k5 >> 22) | {_dd_shl64("k5", 42)}) AS k6 FROM s5b)
+    SELECT o_orderkey,
+           (h64 >> 32)::BIGINT         AS h64_hi,
+           (h64 & 4294967295)::BIGINT  AS h64_lo,
+           (k6 & 4294967295)::BIGINT   AS h32
+    FROM s6
+"""
+
+
+@register("int_hash_parity", _INT_HASH_ORACLE)
+def int_hash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-exact IntHash32/IntHash64 parity (FunctionsHashing.h:15-30) on a
+    deterministic orderkey sample, cross-checked against a DuckDB HUGEINT
+    re-implementation. The 64-bit hash is emitted as two 32-bit halves so the
+    compare never rides on uint64→float precision."""
+    h64 = hashing.int_hash64("o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.shiftrightunsigned(h64, 32).alias("h64_hi"),
+            h64.bitwiseAND(F.lit((1 << 32) - 1)).alias("h64_lo"),
+            hashing.int_hash32("o_orderkey").alias("h32"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

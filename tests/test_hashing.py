@@ -1,0 +1,87 @@
+"""Bit-exact parity tests for the IntHash32/IntHash64 column expressions
+(reference: /root/reference/Functions/FunctionsHashing.h:15-30,
+/root/reference/Common/HashTable/Hash.h:31-40,371-384) against an exact
+Python model of the same mixes."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from arrowhouse_spark.functions import hashing
+
+M64 = (1 << 64) - 1
+
+
+def model_int_hash64(v: int) -> int:
+    x = (v & M64) ^ 0x4CF2D2BAAE6DA887
+    x ^= x >> 33
+    x = (x * 0xFF51AFD7ED558CCD) & M64
+    x ^= x >> 33
+    x = (x * 0xC4CEB9FE1A85EC53) & M64
+    x ^= x >> 33
+    return x
+
+
+def model_int_hash32(v: int) -> int:
+    key = (v & M64) ^ 0x75D9543DE018BF45
+    key = ((~key & M64) + ((key << 18) & M64)) & M64
+    key ^= (key >> 31) | ((key << 33) & M64)
+    key = (key * 21) & M64
+    key ^= (key >> 11) | ((key << 53) & M64)
+    key = (key + ((key << 6) & M64)) & M64
+    key ^= (key >> 22) | ((key << 42) & M64)
+    return key & 0xFFFFFFFF
+
+
+def _signed(u: int) -> int:
+    return u - (1 << 64) if u >= 1 << 63 else u
+
+
+def test_int_hash_bit_exact(spark):
+    rng = random.Random(7)
+    vals = [0, 1, -1, 2**63 - 1, -(2**63), 42, 0xDEADBEEF] + [
+        rng.randint(-(2**63), 2**63 - 1) for _ in range(200)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    rows = df.select(
+        "x",
+        hashing.int_hash64("x").alias("h64"),
+        hashing.int_hash32("x").alias("h32"),
+    ).collect()
+    assert len(rows) == len(vals)
+    for r in rows:
+        assert r.h64 == _signed(model_int_hash64(r.x & M64)), r.x
+        assert r.h32 == model_int_hash32(r.x & M64), r.x
+
+
+def test_int_hash_null_propagates(spark):
+    df = spark.createDataFrame([(None,), (5,)], "x long")
+    rows = {
+        r.x: (r.h64, r.h32)
+        for r in df.select(
+            "x",
+            hashing.int_hash64("x").alias("h64"),
+            hashing.int_hash32("x").alias("h32"),
+        ).collect()
+    }
+    assert rows[None] == (None, None)
+    assert rows[5] == (
+        _signed(model_int_hash64(5)),
+        model_int_hash32(5),
+    )
+
+
+def test_wrap_helpers_match_python(spark):
+    rng = random.Random(11)
+    pairs = [(rng.randint(-(2**63), 2**63 - 1), rng.randint(0, M64)) for _ in range(50)]
+    df = spark.createDataFrame([(a,) for a, _ in pairs], "a long")
+    for i, (a, c) in enumerate(pairs[:5]):
+        got = (
+            spark.createDataFrame([(a,)], "a long")
+            .select(hashing._wrap_mul_const(F.col("a"), c).alias("m"))
+            .collect()[0]
+            .m
+        )
+        assert got == _signed(((a & M64) * c) & M64), (a, c, i)
