@@ -782,6 +782,152 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fp")
 
 
+@register(
+    "hash_split_stats",
+    """
+    SELECT (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+            % 10)::BIGINT AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash bucketing (operators/sampling.py): per-bucket doc
+    counts prove the md5-prefix assignment is engine-independent — the
+    basis of stable train/test splits at 100 TB (map-side, no shuffle)."""
+    from arrowhouse_spark.operators.sampling import hash_bucket
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(hash_bucket("doc_id", 10, salt="split").alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@register(
+    "stratified_sample_docs",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strata' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ) WHERE rn <= ceil(0.2 * n)
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly ceil(0.2·n) docs per language, hash-deterministic
+    (operators/sampling.py:stratified_sample_exact)."""
+    from arrowhouse_spark.operators.sampling import stratified_sample_exact
+
+    return stratified_sample_exact(
+        _t(spark, sf_dir, "documents"), ["lang"], 0.2, "doc_id"
+    ).select("doc_id", "lang")
+
+
+@register(
+    "range_join_purchase_windows",
+    """
+    SELECT s.event_id AS signup_id,
+           CAST(count(p.event_id) AS BIGINT) AS n_purchases,
+           round(coalesce(sum(p.value), 0.0), 2) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = s.user_id
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 6 HOUR
+    GROUP BY s.event_id
+    """,
+)
+def range_join_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases inside each signup's 6-hour window, via the bucketed range
+    join (operators/rangejoin.py) — equi-join on (user, time-bucket) then
+    exact containment, never a cartesian/nested-loop plan."""
+    from arrowhouse_spark.operators.rangejoin import range_join
+
+    six_h_us = 6 * 3600 * 1_000_000
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )  # ns→µs ≡ DuckDB TIMESTAMP precision
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            F.col("ts_us").alias("lo"),
+            (F.col("ts_us") + six_h_us).alias("hi"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts_us").alias("p_ts"), "value"
+    )
+    joined = range_join(
+        purchases,
+        signups,
+        point_col="p_ts",
+        lo_col="lo",
+        hi_col="hi",
+        by=["user_id"],
+        bucket_width=six_h_us,
+    )
+    return joined.groupBy("signup_id").agg(
+        F.count("event_id").alias("n_purchases"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("purchase_value"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey, o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1997-06-30'
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-table join with a selective dimension filter.
+    customer (filtered, small) broadcasts; orders⋈lineitem shuffles on the
+    order key; top-10 runs as TakeOrderedAndProject — the 100 TB plan."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-30").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
 def _dd_mul64(x: str, c: int) -> str:
     """DuckDB SQL for (x * c) mod 2^64 on UBIGINT x: 32-bit split keeps every
     HUGEINT intermediate below 2^97 (INT128 would overflow at full 64×64)."""

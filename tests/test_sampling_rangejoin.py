@@ -1,0 +1,105 @@
+"""Tests for deterministic sampling (operators/sampling.py) and the bucketed
+range join (operators/rangejoin.py) — both capability-superset operators for
+training-data pipelines (no reference counterpart; SURVEY.md §2.4 notes the
+reference has no joins at all)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from arrowhouse_spark.operators.rangejoin import range_join
+from arrowhouse_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample_exact,
+    train_test_split,
+)
+
+
+def test_split_is_stable_and_disjoint(spark):
+    df = spark.range(0, 2000).toDF("k")
+    train, test = train_test_split(df, "k", test_frac=0.2)
+    train_ids = {r.k for r in train.collect()}
+    test_ids = {r.k for r in test.collect()}
+    assert train_ids.isdisjoint(test_ids)
+    assert len(train_ids) + len(test_ids) == 2000
+    # fraction lands near 20% (hash uniformity)
+    assert 0.15 < len(test_ids) / 2000 < 0.25
+    # assignment is a pure function of the key: a differently-partitioned,
+    # differently-sized frame assigns identically
+    df2 = spark.range(0, 500).toDF("k").repartition(7)
+    _, test2 = train_test_split(df2, "k", test_frac=0.2)
+    assert {r.k for r in test2.collect()} == {k for k in test_ids if k < 500}
+
+
+def test_hash_sample_deterministic(spark):
+    df = spark.range(0, 1000).toDF("k")
+    a = {r.k for r in hash_sample(df, "k", 0.3).collect()}
+    b = {r.k for r in hash_sample(df.repartition(13), "k", 0.3).collect()}
+    assert a == b
+    assert 0.25 < len(a) / 1000 < 0.35
+
+
+def test_stratified_exact_counts(spark):
+    rows = [(i, "ab"[i % 2] * (1 + i % 3)) for i in range(333)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = stratified_sample_exact(df, ["s"], 0.1, "k")
+    got = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    want = {
+        r["s"]: math.ceil(0.1 * r["n"])
+        for r in df.groupBy("s").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+    # deterministic: second run picks the same rows
+    again = stratified_sample_exact(df, ["s"], 0.1, "k")
+    assert {r.k for r in out.collect()} == {r.k for r in again.collect()}
+
+
+def test_range_join_matches_naive(spark):
+    rng = random.Random(3)
+    points = [(i, rng.randint(-50, 1050)) for i in range(300)]
+    intervals = [
+        (j, lo := rng.randint(-60, 1000), lo + rng.randint(0, 250))
+        for j in range(60)
+    ]
+    pdf = spark.createDataFrame(points, "pid long, p long")
+    idf = spark.createDataFrame(intervals, "iid long, lo long, hi long")
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(
+            pdf, idf, point_col="p", lo_col="lo", hi_col="hi", bucket_width=100
+        ).collect()
+    }
+    want = {
+        (pid, iid)
+        for pid, p in points
+        for iid, lo, hi in intervals
+        if lo <= p <= hi
+    }
+    assert got == want
+
+
+def test_range_join_by_keys_and_boundaries(spark):
+    pdf = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 200), (3, "v", 100), (4, "u", 201)],
+        "pid long, u string, p long",
+    )
+    idf = spark.createDataFrame(
+        [(10, "u", 100, 200), (20, "v", 150, 300)], "iid long, u string, lo long, hi long"
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(
+            pdf,
+            idf,
+            point_col="p",
+            lo_col="lo",
+            hi_col="hi",
+            by=["u"],
+            bucket_width=64,
+        ).collect()
+    }
+    # both endpoints inclusive; by-key separates users; 201 is outside
+    assert got == {(1, 10), (2, 10)}
