@@ -1,0 +1,90 @@
+"""Connected components over a near-duplicate pair list — the transitive
+closure step of corpus dedup (A~B and B~C put A,B,C in one cluster even when
+A≁C). Complements operators/dedup.py:dedup_keep_first, which resolves pairs
+greedily without closure.
+
+Algorithm: iterative min-label propagation (each vertex repeatedly takes the
+minimum label among itself and its neighbors), the standard distributed CC
+scheme; converges in O(graph diameter) rounds. Each round is two shuffles
+(edge⋈label join + per-vertex min). Near-dup graphs have tiny diameters
+(clusters are quasi-cliques), so rounds stay in single digits; for
+adversarially long chains the alternating large-star/small-star variant
+(Kiveris et al., "Connected Components in MapReduce and Beyond") reduces
+rounds to O(log² n) — same join/groupBy building blocks, documented here as
+the escalation path rather than implemented.
+
+Scale notes: labels are localCheckpoint()ed every round — iterative Spark
+jobs otherwise accumulate lineage until planning itself dominates. The
+convergence probe is a LIMIT 1 anti-equality join, not a full count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, component) for every vertex appearing in ``edges``; ``component``
+    is the minimum vertex id reachable from the vertex. Raises if not
+    converged within ``max_iterations`` (diameter larger than expected —
+    switch to large-star/small-star before raising the cap)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select("src").distinct().withColumn("comp", F.col("src"))
+    labels = labels.localCheckpoint()
+
+    for _ in range(max_iterations):
+        nbr = (
+            sym.join(labels, on="src")
+            .select(F.col("dst").alias("src"), "comp")
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, on="src", how="left")
+            .select(
+                "src",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="src")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("src").alias("id"), F.col("comp").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def dedup_components(
+    df: DataFrame,
+    pair_df: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resolve near-dup pairs transitively: keep one doc (the minimum id =
+    the component label) per duplicate cluster, pass through docs that appear
+    in no pair."""
+    comps = connected_components(pair_df, src="id_a", dst="id_b")
+    drop = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")

@@ -783,6 +783,54 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gs
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(gs) AS shingle FROM grams
+    ), sizes AS (
+      SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_common
+      FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.2
+    ), sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk AS (
+      SELECT src AS id, src AS comp FROM sym
+      UNION
+      SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.id
+    )
+    SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id
+    """,
+)
+def dedup_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: exact Jaccard pairs (≥0.2) as edges,
+    min-label-propagation connected components (operators/components.py);
+    the oracle recomputes components with a DuckDB recursive CTE."""
+    from arrowhouse_spark.operators.components import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=2, threshold=0.2
+    )
+    return connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+@register(
     "hash_split_stats",
     """
     SELECT (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT

@@ -1,0 +1,59 @@
+"""connected_components (operators/components.py) vs a union-find model."""
+
+from __future__ import annotations
+
+import random
+
+
+from arrowhouse_spark.operators.components import (
+    connected_components,
+    dedup_components,
+)
+
+
+def _model(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id per component
+    comp = {}
+    for v in list(parent):
+        comp[v] = find(v)
+    return comp
+
+
+def test_components_random_graph(spark):
+    rng = random.Random(5)
+    edges = [(rng.randint(0, 120), rng.randint(0, 120)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == _model(edges)
+
+
+def test_components_chain(spark):
+    # a pure path graph has maximal diameter — worst case for propagation
+    edges = [(i, i + 1) for i in range(20)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(21)}
+
+
+def test_dedup_components_keeps_one_per_cluster(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(r.doc_id for r in dedup_components(docs, pairs).collect())
+    # clusters {0,1,2} -> keep 0; {4,5} -> keep 4; isolated 3,6,7 pass through
+    assert kept == [0, 3, 4, 6, 7]
