@@ -140,3 +140,47 @@ def stream_sessionize(
             "sum_value",
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with a bounded event-time interval:
+    right rows match a left row with the same keys and
+    ``left_ts - lookback <= right_ts <= left_ts``.
+
+    Both sides carry a watermark AND the join carries the time-range
+    condition — together they let Spark expire join state once the watermark
+    passes a row's reach, so state is O(rows in lookback+delay horizon),
+    independent of stream length. Without the range condition Spark would
+    buffer both streams forever — that is the 100 TB/day failure mode this
+    wrapper makes unrepresentable (the batch analog is
+    operators/rangejoin.py:range_join).
+
+    ``left_ts`` and ``right_ts`` must be distinct column names; non-key
+    columns of the two sides must not collide.
+    """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError("stream_interval_join supports inner / leftOuter")
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct names")
+    lw = left.withWatermark(left_ts, watermark_delay)
+    rw = right.withWatermark(right_ts, watermark_delay)
+    key_cond = " AND ".join(f"l.{k} = r.{k}" for k in keys)
+    cond = F.expr(
+        f"{key_cond} AND r.{right_ts} <= l.{left_ts} "
+        f"AND r.{right_ts} >= l.{left_ts} - INTERVAL {lookback}"
+    )
+    joined = lw.alias("l").join(rw.alias("r"), on=cond, how=how)
+    # project away the duplicated key columns (keep the left copy)
+    keep = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}") for c in right.columns if c not in keys
+    ]
+    return joined.select(*keep)

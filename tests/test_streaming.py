@@ -129,3 +129,36 @@ def test_stream_sessionize(spark, stream_dir):
     # (own session); user 2: :01 and :10 merge into one session
     assert (1, 3) in got and (1, 1) in got and (2, 2) in got
     assert len(rows) == 3
+
+
+def test_stream_interval_join(spark, stream_dir):
+    from arrowhouse_spark.streaming import stream_interval_join
+
+    # left = "a" events, right = everything else, matched per user within 1h
+    # before the left event
+    sdf = read_parquet_stream(spark, stream_dir, EVENT_SCHEMA)
+    left = (
+        sdf.filter(F.col("event_type") == "a")
+        .select("user_id", F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts"))
+    )
+    right = (
+        sdf.filter(F.col("event_type") != "a")
+        .select("user_id", F.col("event_id").alias("o_id"), F.col("ts").alias("o_ts"))
+    )
+    out = stream_interval_join(
+        left, right, keys=["user_id"], left_ts="a_ts", right_ts="o_ts",
+        lookback="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sj_out").collect()
+    got = {(r.user_id, r.a_id, r.o_id) for r in rows}
+    # user 2: "a" at :10 (id 12) sees "z" at :01 (id 9); the duplicated "a"
+    # row (id 10, user 1) precedes every non-"a" user-1 event, so no match.
+    assert got == {(2, 12, 9)}
