@@ -632,6 +632,67 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value per customer: one shuffle keyed by the group,
+    rank inside each partition (deterministic tie-break on the key). Hot
+    groups split via AQE; for extreme skew pre-filter with an approximate
+    per-group threshold before the window."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT)   AS high,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+           round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS urgent_value
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot = groupBy + conditional aggregates, all map-side partial +
+    one shuffle on the group key (explicit pivot values keep the output
+    schema static — required for a deterministic plan at scale)."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(urgent, 1)).alias("urgent"),
+        F.count(F.when(F.col("o_orderpriority") == "2-HIGH", 1)).alias("high"),
+        F.count(F.when(F.col("o_orderpriority") == "3-MEDIUM", 1)).alias("medium"),
+        F.round(F.sum(F.when(urgent, F.col("o_totalprice"))), 2).alias(
+            "urgent_value"
+        ),
+    )
+
+
+@register(
     "window_running_sum",
     """
     SELECT o_orderkey, o_custkey,

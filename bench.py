@@ -25,7 +25,9 @@ HEADLINE = [
     "groupby_multikey",
     "groupby_limited_top",
     "join_broadcast_revenue",
+    "q3_shipping_priority",
     "asof_join_clicks_views",
+    "range_join_purchase_windows",
     "replace_merge_latest",
     "window_running_sum",
     "events_hourly",
