@@ -844,6 +844,70 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_signup_click_purchase",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           CASE WHEN s3.t3 IS NOT NULL THEN 3
+                WHEN s2.t2 IS NOT NULL THEN 2
+                ELSE 1 END AS max_step
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → click → purchase funnel progress per user
+    (operators/funnel.py): cascaded conditional aggregation, shuffles one
+    row per user per step — never sorts or buffers raw events per user."""
+    from arrowhouse_spark.operators.funnel import funnel_steps
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )  # ns→µs ≡ DuckDB TIMESTAMP precision
+    out = funnel_steps(
+        ev, ["signup", "click", "purchase"], ts_col="ts_us"
+    )
+    return out.select("user_id", F.col("max_step").cast("int").alias("max_step"))
+
+
+@register(
+    "histogram_totalprice",
+    """
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as a plain hash aggregate — map-side partials
+    mean the shuffle carries one row per bucket per task."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("bucket", F.floor(F.col("o_totalprice") / 25000))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
     "dedup_components",
     """
     WITH RECURSIVE toks AS (
