@@ -12,7 +12,7 @@ ANSI SQL, so each has a DuckDB oracle in __spark_entry__.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language marker-word sets for the n-gram/stopword heuristic.
@@ -110,4 +110,57 @@ def rolling_hash(df: DataFrame, text_col: str = "text", out: str = "rhash") -> D
             F.lit(0).cast("long"),
             lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(1_000_000_007),
         ),
+    )
+
+
+def inverted_index_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, doc_freq, total_tf) — the posting-list statistics of an
+    inverted index. Two keyed aggregations: (term, doc) for tf, then term.
+    Repartition precedes the explode so tokenization runs at cluster
+    parallelism, and the (term, doc) grouping pre-shards hot terms before
+    the per-term rollup (same two-phase shape as a salted count-distinct)."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tok = (
+        df.repartition(n_part, id_col)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    )
+    tf = tok.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("total_tf"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k terms per document by tf·idf (idf = ln(N/df)), deterministic
+    tie-break (score desc, term asc). N arrives via a broadcast 1-row
+    aggregate, not a driver-side count — the whole computation is one plan."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tok = (
+        df.repartition(n_part, id_col)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "score", "rank")
     )

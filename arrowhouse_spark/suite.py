@@ -844,6 +844,64 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "inverted_index_stats",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+           CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM tf GROUP BY term
+    """,
+)
+def inverted_index_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list statistics of an inverted index over the corpus
+    (operators/text.py:inverted_index_stats)."""
+    from arrowhouse_spark.operators.text import inverted_index_stats
+
+    return inverted_index_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs / df.df), 6) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 3 AND doc_id % 59 = 0
+    """,
+)
+def tfidf_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf·idf terms per doc on a deterministic doc sample
+    (operators/text.py:tfidf_top_terms)."""
+    from arrowhouse_spark.operators.text import tfidf_top_terms
+
+    return (
+        tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+        .filter(F.col("doc_id") % 59 == 0)
+        .select("doc_id", "term", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@register(
     "funnel_signup_click_purchase",
     """
     WITH s1 AS (
