@@ -844,6 +844,48 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_orders",
+    """
+    WITH base AS (SELECT count(*) AS n_rows FROM orders)
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS "column", n_rows,
+             (SELECT CAST(count(*) - count(o_orderkey) AS BIGINT) FROM orders) AS n_null,
+             (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS n_distinct,
+             (SELECT round(min(o_orderkey)::DOUBLE, 4) FROM orders) AS min_num,
+             (SELECT round(max(o_orderkey)::DOUBLE, 4) FROM orders) AS max_num,
+             CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      FROM base
+      UNION ALL
+      SELECT 'o_totalprice', n_rows,
+             (SELECT CAST(count(*) - count(o_totalprice) AS BIGINT) FROM orders),
+             (SELECT CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders),
+             (SELECT round(min(o_totalprice), 4) FROM orders),
+             (SELECT round(max(o_totalprice), 4) FROM orders),
+             NULL, NULL
+      FROM base
+      UNION ALL
+      SELECT 'o_orderstatus', n_rows,
+             (SELECT CAST(count(*) - count(o_orderstatus) AS BIGINT) FROM orders),
+             (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders),
+             NULL, NULL,
+             (SELECT min(o_orderstatus) FROM orders),
+             (SELECT max(o_orderstatus) FROM orders)
+      FROM base
+    )
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (operators/profile.py) over three orders
+    columns — one scan, one wide aggregate, unpivoted to long format."""
+    from arrowhouse_spark.operators.profile import profile
+
+    return profile(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_totalprice", "o_orderstatus"],
+    )
+
+
+@register(
     "inverted_index_stats",
     """
     WITH tok AS (
