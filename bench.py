@@ -34,6 +34,8 @@ HEADLINE = [
     "sessionize_events",
     "sort_topk",
     "percentile_retailprice",
+    "funnel_signup_click_purchase",
+    "tfidf_top_terms",
     "dedup_exact_docs",
     "ngram_jaccard_dups",
     "minhash_dups",
