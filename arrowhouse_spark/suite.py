@@ -844,6 +844,57 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ssa_checked_arith",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN floor(l_quantity) - 24 = 0 THEN NULL
+                ELSE round(l_extendedprice / (floor(l_quantity) - 24), 4)
+           END AS safe_ratio,
+           CASE WHEN floor(l_quantity) - 24 = 0 THEN 1 ELSE 0 END AS div_zero
+    FROM lineitem WHERE l_orderkey % 31 = 0
+    """,
+)
+def ssa_checked_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checked arithmetic ≡ the reference's *NotNull ops (add_checked family,
+    SsaProgram.cpp:122-129). Arrow's checked kernels RAISE on div-by-zero;
+    Spark ANSI mode is that flavor, and ``try_divide`` is the declarative
+    NULL flavor the engine exposes (Op.DIVIDE_NOT_NULL) — exercised here on
+    a denominator that hits zero for qty=24 rows."""
+    prog = Program(
+        steps=(
+            ProgramStep(
+                assignes=(
+                    const("c31", 31),
+                    const("zero", 0),
+                    const("c24", 24.0),
+                    Assign("okmod", Op.MODULO, ("l_orderkey", "c31")),
+                    Assign("keep", Op.EQUAL, ("okmod", "zero")),
+                    Assign("qf", Op.FLOOR, ("l_quantity",)),
+                    Assign("den", Op.SUBTRACT, ("qf", "c24")),
+                    Assign("ratio", Op.DIVIDE_NOT_NULL, ("l_extendedprice", "den")),
+                    Assign("safe_ratio", Op.ROUND, ("ratio",), options={"ndigits": 4}),
+                    Assign("is_dz", Op.IS_NULL, ("safe_ratio",)),
+                ),
+                filters=("keep",),
+                projection=(
+                    "l_orderkey",
+                    "l_linenumber",
+                    "safe_ratio",
+                    "is_dz",
+                ),
+            ),
+        )
+    )
+    out = apply_program(_t(spark, sf_dir, "lineitem"), prog)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "safe_ratio",
+        F.col("is_dz").cast("int").alias("div_zero"),
+    )
+
+
+@register(
     "profile_orders",
     """
     WITH base AS (SELECT count(*) AS n_rows FROM orders)

@@ -111,3 +111,37 @@ def test_grouped_min_max_per_group(agg_block):
     for k, (mn, mx, cnt) in rows.items():
         vals = [i % 7 for i in range(1000) if i % 9 == k]
         assert (mn, mx, cnt) == (min(vals), max(vals), len(vals))
+
+
+def test_duration_sum_avg_keep_interval_type(spark):
+    """sum(duration)→duration, avg(duration)→duration (ClickHouse widening,
+    AggregateFunctionSum.h:311-312 maps arrow duration[us] to
+    DayTimeIntervalType per types.py)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    rows = [
+        (1, dt.timedelta(seconds=90)),
+        (1, dt.timedelta(seconds=30)),
+        (2, None),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("d", T.DayTimeIntervalType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = df.groupBy("k").agg(
+        F.sum("d").alias("sum_d"), F.avg("d").alias("avg_d")
+    )
+    types = dict((f.name, f.dataType) for f in out.schema.fields)
+    assert isinstance(types["sum_d"], T.DayTimeIntervalType)
+    assert isinstance(types["avg_d"], T.DayTimeIntervalType)
+    got = {r.k: (r.sum_d, r.avg_d) for r in out.collect()}
+    assert got[1] == (dt.timedelta(seconds=120), dt.timedelta(seconds=60))
+    # all-NULL group: sum/avg return NULL (has()-flag semantics,
+    # AggregateFunctionSum.h:258-264)
+    assert got[2] == (None, None)
