@@ -844,6 +844,65 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cohort_retention",
+    """
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, c.cohort_week,
+             CAST((epoch(date_trunc('week', e.ts)) - epoch(c.cohort_week))
+                  / 604800 AS BIGINT) AS week_offset
+      FROM events e JOIN cohort c USING (user_id)
+      WHERE e.ts >= c.cohort_week
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by signup week, counted
+    once per (cohort, week-offset) they were active in. Two aggregations
+    keyed by user then (cohort, offset) — the distinct collapses map-side
+    before the count shuffle."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "t", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("t")).alias("cohort_week"))
+    )
+    activity = (
+        ev.join(cohort, "user_id")
+        .filter(F.col("t") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                (
+                    F.unix_timestamp(F.date_trunc("week", F.col("t")))
+                    - F.unix_timestamp(F.col("cohort_week"))
+                )
+                / 604800
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_users",
+    )
+
+
+@register(
     "json_props_stats",
     """
     SELECT event_type,
