@@ -57,3 +57,25 @@ def test_dedup_components_keeps_one_per_cluster(spark):
     kept = sorted(r.doc_id for r in dedup_components(docs, pairs).collect())
     # clusters {0,1,2} -> keep 0; {4,5} -> keep 4; isolated 3,6,7 pass through
     assert kept == [0, 3, 4, 6, 7]
+
+
+def test_star_components_random_graph(spark):
+    from arrowhouse_spark.operators.components import connected_components_star
+
+    rng = random.Random(13)
+    edges = [(rng.randint(0, 150), rng.randint(0, 150)) for _ in range(100)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.component for r in connected_components_star(df).collect()}
+    assert got == _model(edges)
+
+
+def test_star_components_long_chain(spark):
+    # 150-vertex path: diameter far beyond the propagation round cap —
+    # the star contraction must converge in O(log^2 n) rounds
+    from arrowhouse_spark.operators.components import connected_components_star
+
+    edges = [(i, i + 1) for i in range(150)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.component for r in connected_components_star(df).collect()}
+    assert got == {i: 0 for i in range(151)}
