@@ -198,3 +198,29 @@ def test_embedding_neardup_self_join_blocked(emb):
     )
     for r in pairs.collect():
         assert r.id_a < r.id_b and r.cos_sim >= 0.99
+
+
+def test_ann_lsh_recall_improves_with_probe_radius(emb):
+    """The probe_hamming dial buys recall monotonically, and hamming<=2
+    recovers a usable fraction of the exact top-k even on these weakly
+    clustered synthetic vectors (measured 0.23/0.33/0.57 at h=0/1/2)."""
+    from arrowhouse_spark.operators.similarity import cosine_topk_query
+
+    qrows = emb.filter(F.col("vec_id") % 37 == 0).collect()[:6]
+    recall = {}
+    for h in (0, 1, 2):
+        hits = total = 0
+        for qr in qrows:
+            q = qr.embedding
+            exact = {r.vec_id for r in cosine_topk_query(emb, q, k=5).collect()}
+            approx = {
+                r.vec_id
+                for r in ann_cosine_lsh(
+                    emb, q, k=5, n_planes=6, probe_hamming=h
+                ).collect()
+            }
+            hits += len(exact & approx)
+            total += len(exact)
+        recall[h] = hits / total
+    assert recall[0] <= recall[1] <= recall[2]
+    assert recall[2] >= 0.4, f"LSH recall@5 at hamming<=2 too low: {recall}"
