@@ -877,6 +877,77 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentile_by_group",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (continuous interpolation ≡ DuckDB
+    quantile_cont). One shuffle by group; at scale swap F.percentile for
+    percentile_approx — same plan, sketch-sized state."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_extendedprice", F.lit(p)), 4).alias(name)
+            for p, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+        ]
+    )
+
+
+@register(
+    "array_agg_sorted",
+    """
+    SELECT o_custkey,
+           CAST(len(list(o_orderkey)) AS BIGINT) AS n_orders,
+           list(o_orderkey ORDER BY o_orderkey) AS orderkeys
+    FROM orders
+    WHERE o_custkey % 101 = 0
+    GROUP BY o_custkey
+    """,
+)
+def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with deterministic order: collect_list is
+    order-nondeterministic under parallel merge, so sort_array fixes the
+    result — the only safe way to hash-compare array values across
+    engines/partitionings."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 101 == 0)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+        )
+    )
+
+
+@register(
+    "regexp_extract_docs",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers
+    FROM documents WHERE doc_id % 53 = 0
+    """,
+)
+def regexp_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp extraction stays JVM-side (codegen'd java.util.regex) — the
+    pattern class shared with DuckDB's RE2 here is restricted to constructs
+    both engines treat identically."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 53 == 0)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"))).alias("n_numbers"),
+    )
+
+
+@register(
     "cohort_retention",
     """
     WITH cohort AS (
