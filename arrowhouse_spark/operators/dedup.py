@@ -49,10 +49,9 @@ def dedup_exact(
     )
 
 
-def word_shingles(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-grams of a text column, as an array<string>.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from a token-array column.
     Pure SQL: slice the token array at each start position."""
-    toks = tokens(text_col)
     if n == 1:
         return F.array_distinct(toks)
     return F.array_distinct(
@@ -63,26 +62,71 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-grams of a text column, as an array<string>."""
+    return shingles_from_tokens(tokens(text_col), n)
+
+
+def shingle_relation(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The shared (id, shingle_hash) relation: tokenize → n-gram shingles →
+    explode → 64-bit hash. This is the CPU-heavy common prefix of minhash and
+    exact-Jaccard; callers that run both should build it once, ``persist()``
+    it, and pass it to each operator (one text scan + one shingling instead
+    of one per operator).
+
+    Repartition BEFORE the explode: shingling (sequence/slice/concat_ws per
+    token window) is the heavy part and must not run at (few-file) input
+    parallelism; keying by doc id also pre-partitions the per-doc
+    aggregations downstream (no second shuffle)."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        df.repartition(n_part, id_col)
+        .select(
+            F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__s")
+        )
+        .select(F.col(id_col), F.xxhash64("__s").alias("shingle"))
+    )
+
+
+def token_hash_relation(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, token_hash) with one row per token OCCURRENCE (not distinct —
+    SimHash votes are occurrence-weighted). Hash materialized once per row so
+    downstream bit-vote expressions read the same long."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        df.repartition(n_part, id_col)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+        .select(F.col(id_col), F.xxhash64("__t").alias("__h"))
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, minhash[num_hashes]) — signature s.t. P[sig_i(A)=sig_i(B)] ≈
     Jaccard(A,B). Shingles explode once and hash ONCE to a 64-bit
     fingerprint; each hash-family member is then xxhash64(seed=i, fingerprint)
     over the fixed 8 bytes (not the string — 64× less hashing work); 64 mins
     aggregate in ONE pass (single shuffle keyed by id, map-side partial mins
-    keep it bounded)."""
-    # repartition BEFORE the explode: shingling itself is the CPU-heavy part
-    # and must not run at (few-file) input parallelism; keying by doc id also
-    # pre-partitions for the groupBy (no second shuffle)
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    sh = df.repartition(n_part, id_col).select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__s")
-    ).select(F.col(id_col), F.xxhash64("__s").alias("shingle"))
+    keep it bounded).
+
+    ``shingles`` — optional precomputed (id, shingle_hash) relation (see
+    shingle_relation) so the scan/shingling is shared with other dedup ops."""
+    sh = shingles if shingles is not None else shingle_relation(
+        df, text_col, id_col, shingle_n
+    )
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -156,12 +200,15 @@ def minhash_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end MinHash near-dup pairs: (id_a, id_b, est_jaccard ≥ threshold).
     est_jaccard = fraction of equal signature positions."""
     # cache: the LSH candidate self-join references the signature twice
     # (left/right); without persist the whole shingle+hash pipeline runs twice
-    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n).cache()
+    sig = minhash_signature(
+        df, text_col, id_col, num_hashes, shingle_n, shingles=shingles
+    ).cache()
     pairs = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
     est = (
         F.size(
@@ -185,19 +232,20 @@ def simhash(
     id_col: str = "doc_id",
     bits: int = 64,
     out: str = "simhash",
+    token_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Charikar SimHash: per token hash h, each bit j votes +1/-1; the result
     bit j is 1 iff the vote sum > 0. One explode + one groupBy with ``bits``
     conditional-sum aggregates — all codegen'd; the shuffle carries one row
-    per (doc, token)."""
-    # repartition before the explode (tokenization runs at input parallelism
-    # otherwise) and key by doc id so the vote groupBy needs no second
-    # shuffle; materialize the token hash as a column so each row hashes the
-    # string ONCE — 64 bit-vote expressions then read the same long
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    tok = df.repartition(n_part, id_col).select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
-    ).select(F.col(id_col), F.xxhash64("__t").alias("__h"))
+    per (doc, token).
+
+    ``token_hashes`` — optional precomputed (id, __h) relation (see
+    token_hash_relation) to share the text scan/tokenization."""
+    tok = (
+        token_hashes
+        if token_hashes is not None
+        else token_hash_relation(df, text_col, id_col)
+    )
     h = F.col("__h")
     votes = [
         F.sum(
@@ -275,6 +323,8 @@ def ngram_jaccard_pairs(
     shingle_n: int = 2,
     threshold: float = 0.5,
     dense_cells_cap: int = 1 << 27,
+    shingles: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity for every pair sharing ≥1 shingle
     (id_a < id_b, jaccard ≥ threshold), strategy chosen by measured shape:
@@ -298,22 +348,18 @@ def ngram_jaccard_pairs(
     # then handle 8-byte keys instead of arbitrary-length text (collision
     # odds over distinct shingles are ~n²/2⁶⁵ — negligible, and a collision
     # only perturbs one candidate's count).
-    #
-    # Repartition BEFORE the explode: the shingle expressions (sequence/slice/
-    # concat_ws per token window) are the CPU-heavy part and run at input
-    # parallelism — a few-file input would shingle on a few cores (measured
-    # 4.2s single-core vs 0.3s at sf0.1). Keying by id also pre-partitions
-    # the per-doc aggregation downstream.
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    sh = df.repartition(n_part, id_col).select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__s")
-    ).select(F.col(id_col), F.xxhash64("__s").alias("shingle"))
-    # Path choice: doc count comes from parquet metadata (near-free); the
-    # vocab half of the docs×vocab cap is enforced driver-side during the
-    # dense collect, falling back to the inverted plan if exceeded — this
-    # avoids a whole extra pass over the exploded shingles just to measure.
+    sh = shingles if shingles is not None else shingle_relation(
+        df, text_col, id_col, shingle_n
+    )
+    # Path choice: pass ``n_docs`` from parquet footer metadata when known
+    # (zero Spark jobs); the vocab half of the docs×vocab cap is enforced
+    # driver-side during the dense collect, falling back to the inverted plan
+    # if exceeded — this avoids a whole extra pass over the exploded shingles
+    # just to measure.
     max_dense_docs = max(1, dense_cells_cap // 512)  # assumes vocab ≥ 512
-    if df.count() <= max_dense_docs:
+    if n_docs is None:
+        n_docs = df.count()  # fallback: one column-less scan (footer counts)
+    if n_docs <= max_dense_docs:
         dense = _jaccard_dense(sh, id_col, threshold, dense_cells_cap)
         if dense is not None:
             return dense

@@ -58,6 +58,40 @@ def make_fake_payload(width: int, height: int, seed: int = 0) -> bytes:
     return _MAGIC + struct.pack("<HH", width, height) + body
 
 
+def make_fake_payloads(
+    df: DataFrame, id_col: str = "media_id", width_mod: int = 5, height_mod: int = 7
+) -> DataFrame:
+    """Distributed fixture builder: (id) → (media_id, payload) with
+    width=8+id%width_mod, height=8+id%height_mod, seed=id. Runs as an
+    Arrow-batched mapInPandas so fixture generation scales with the input
+    (no driver-side collect — the production ingest shape)."""
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        make_fake_payload(8 + i % width_mod, 8 + i % height_mod, seed=i)
+                        for i in ids
+                    ],
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        _run, out_schema
+    )
+
+
 def _decode_image_real(payload: bytes):  # pragma: no cover
     """Real decoder hook (PIL/libvips/ffmpeg). Not available in this
     container — plug in here when the codec libs exist."""

@@ -195,9 +195,15 @@ def test_scalar_program_matches_duckdb(spark, rows, threshold):
             ),
         )
     )
+    # None-safe sort key: tuples may mix ints and NULLs, and Python can't
+    # order int vs None directly.
+    none_safe = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
     got = sorted(
-        (r["a"], r["b"], r["c"], r["d"], r["e"])
-        for r in apply_program(df, prog).collect()
+        (
+            (r["a"], r["b"], r["c"], r["d"], r["e"])
+            for r in apply_program(df, prog).collect()
+        ),
+        key=none_safe,
     )
 
     pdf = pd.DataFrame(rows, columns=["a", "b"], dtype="object")
@@ -206,7 +212,8 @@ def test_scalar_program_matches_duckdb(spark, rows, threshold):
     exp = sorted(
         con.execute(
             f"SELECT a, b, a + b AS c, abs(b) AS d, -a AS e FROM t WHERE a < {threshold}"
-        ).fetchall()
+        ).fetchall(),
+        key=none_safe,
     )
     assert got == exp
 

@@ -79,9 +79,19 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as entry_mod
-    from arrowhouse_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark(app_name="correctness-check")
+    # Deliberately a PLAIN session (not session.get_spark): the driver's
+    # harness builds its own SparkSession without the engine's confs, so the
+    # local gate must reproduce that environment or it hides conf-dependent
+    # bugs (e.g. the r01 nanos-timestamp read failure).
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
+        .appName("correctness-check")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         p = f"{args.sf}/{t}.parquet"
