@@ -125,6 +125,38 @@ def int_hash32(col: Column | str) -> Column:
     )
 
 
+_K_MUL = 0x9DDFEA08EB382D69  # Hash128to64's murmur-inspired multiplier
+
+
+def hash128to64(lo: Column, hi: Column) -> Column:
+    """Bit-exact Hash128to64 (cityhash102 city.h:104-113) — the reference's
+    combineHashes for cityHash64/xxHash64 multi-column hashing
+    (FunctionsHashing.h:48,86). Pure JVM-side codegen via the ANSI-safe
+    wrap-multiply."""
+    a = _mix(
+        lo.bitwiseXOR(hi),
+        lambda x: _wrap_mul_const(x, _K_MUL),
+        lambda x: x.bitwiseXOR(F.shiftrightunsigned(x, 47)),
+    )
+    return _mix(
+        hi.bitwiseXOR(a),
+        lambda x: _wrap_mul_const(x, _K_MUL),
+        lambda x: x.bitwiseXOR(F.shiftrightunsigned(x, 47)),
+        lambda x: _wrap_mul_const(x, _K_MUL),
+    )
+
+
+def city_hash64(*cols: Column | str) -> Column:
+    """cityHash64 over integer columns ≡ the reference exactly: PODs hash with
+    intHash64 (``use_int_hash_for_pods = true``, FunctionsHashing.h:42-51) and
+    columns combine left-to-right with Hash128to64(acc, next). Strings go
+    through functions/cityhash.city_hash64_str (the real byte algorithm)."""
+    h = int_hash64(_c(cols[0]))
+    for c in cols[1:]:
+        h = hash128to64(h, int_hash64(_c(c)))
+    return h
+
+
 def md5_hex(col: Column | str) -> Column:
     """Content fingerprint usable cross-engine (DuckDB md5 matches bit-for-bit;
     used by dedup_exact so the correctness oracle can reproduce it)."""

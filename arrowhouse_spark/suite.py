@@ -1611,6 +1611,388 @@ def int_hash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_add64(a: str, b: str) -> str:
+    """DuckDB SQL: (a + b) mod 2^64 via HUGEINT."""
+    return (
+        f"((({a})::HUGEINT + ({b})::HUGEINT) % 18446744073709551616)::UBIGINT"
+    )
+
+
+def _dd_sub64(a: str, b: str) -> str:
+    """DuckDB SQL: (a - b) mod 2^64 via HUGEINT (kept non-negative)."""
+    return (
+        f"(((({a})::HUGEINT - ({b})::HUGEINT) % 18446744073709551616 "
+        f"+ 18446744073709551616) % 18446744073709551616)::UBIGINT"
+    )
+
+
+def _dd_rot64(x: str, r: int) -> str:
+    """DuckDB SQL: 64-bit right-rotate by constant r (1..63)."""
+    return f"((({x}) >> {r}) | {_dd_shl64(x, 64 - r)})"
+
+
+def _dd_fetch(s: str, i: int, nbytes: int) -> str:
+    """DuckDB SQL: little-endian unsigned load of ``nbytes`` from 1-based
+    position ``i`` of ASCII string expr ``s`` (ord == byte for ASCII)."""
+    terms = " + ".join(
+        f"ord(substr({s}, {i + k}, 1))::UBIGINT * {1 << (8 * k)}"
+        for k in range(nbytes)
+    )
+    return "(" + terms + ")"
+
+
+_CH_K0 = 0xC3A5C85C97CB3127
+_CH_K1 = 0xB492B66FBE98F273
+_CH_K2 = 0x9AE16A3B2F90404F
+_CH_K3 = 0xC949D7C7509E6557
+_CH_KMUL = 0x9DDFEA08EB382D69
+
+
+def _dd_int_hash64_stages(v: str, out: str) -> list[tuple[str, str]]:
+    """CTE stages modeling intHash64 (salt-xor + 64-bit murmur finalizer)."""
+    p = f"__{out}"
+    return [
+        (f"{p}0", f"xor({v}, {0x4CF2D2BAAE6DA887}::UBIGINT)"),
+        (f"{p}1", f"xor({p}0, {p}0 >> 33)"),
+        (f"{p}2", _dd_mul64(f"{p}1", 0xFF51AFD7ED558CCD)),
+        (f"{p}3", f"xor({p}2, {p}2 >> 33)"),
+        (f"{p}4", _dd_mul64(f"{p}3", 0xC4CEB9FE1A85EC53)),
+        (out, f"xor({p}4, {p}4 >> 33)"),
+    ]
+
+
+def _dd_h128_stages(lo: str, hi: str, out: str) -> list[tuple[str, str]]:
+    """CTE stages modeling Hash128to64 (cityhash102 city.h:104-113)."""
+    p = f"__{out}"
+    return [
+        (f"{p}t", f"xor({lo}, {hi})"),
+        (f"{p}a1", _dd_mul64(f"{p}t", _CH_KMUL)),
+        (f"{p}a2", f"xor({p}a1, {p}a1 >> 47)"),
+        (f"{p}b0", f"xor({hi}, {p}a2)"),
+        (f"{p}b1", _dd_mul64(f"{p}b0", _CH_KMUL)),
+        (f"{p}b2", f"xor({p}b1, {p}b1 >> 47)"),
+        (out, _dd_mul64(f"{p}b2", _CH_KMUL)),
+    ]
+
+
+def _dd_chain(base_sql: str, stages: list[tuple[str, str]], final_select: str) -> str:
+    """Assemble a DuckDB query: base CTE + one CTE per (col, expr) stage."""
+    parts = [f"src AS ({base_sql})"]
+    prev = "src"
+    for i, (col, expr) in enumerate(stages):
+        name = f"c{i}"
+        parts.append(f"{name} AS (SELECT *, {expr} AS {col} FROM {prev})")
+        prev = name
+    return "WITH " + ",\n".join(parts) + f"\nSELECT {final_select} FROM {prev}"
+
+
+def _city_int_oracle() -> str:
+    stages = (
+        _dd_int_hash64_stages("v1", "h1")
+        + _dd_int_hash64_stages("v2", "h2")
+        + _dd_h128_stages("h1", "h2", "city2")
+    )
+    return _dd_chain(
+        "SELECT o_orderkey, o_orderkey::UBIGINT AS v1, o_custkey::UBIGINT AS v2 "
+        "FROM orders WHERE o_orderkey % 97 = 0",
+        stages,
+        "o_orderkey, (city2 >> 32)::BIGINT AS city_hi, "
+        "(city2 & 4294967295)::BIGINT AS city_lo",
+    )
+
+
+def _city_str_oracle() -> str:
+    """DuckDB arithmetic model of CityHash64 for the four fixed-length
+    (non-loop) classes, each on a deterministic prefix of repeat(p_name, 6):
+    len 3 (1-3 byte path), 6 (4-8), 11 (9-16), 20 (17-32), 40 (33-64)."""
+    st: list[tuple[str, str]] = [("s", "repeat(p_name, 6)")]
+
+    # --- len 3: y = b0 + b1<<8; z = 3 + b2<<2; ShiftMix(y*k2 ^ z*k3) * k2
+    st += [
+        ("y3", f"({_dd_fetch('s', 1, 1)} + {_dd_fetch('s', 2, 1)} * 256)"),
+        ("z3", f"(3 + {_dd_fetch('s', 3, 1)} * 4)"),
+        ("t3", f"xor({_dd_mul64('y3', _CH_K2)}, {_dd_mul64('z3', _CH_K3)})"),
+        ("u3", "xor(t3, t3 >> 47)"),
+        ("h3", _dd_mul64("u3", _CH_K2)),
+    ]
+    # --- len 6 (4-8): HashLen16(6 + (Fetch32(s)<<3), Fetch32(s+2))
+    st += [
+        ("a6", f"{_dd_fetch('s', 1, 4)}"),
+        ("b6", f"{_dd_fetch('s', 3, 4)}"),
+        ("u6", "(6 + a6 * 8)::UBIGINT"),
+    ]
+    st += _dd_h128_stages("u6", "b6", "h6")
+    # --- len 11 (9-16): HashLen16(a, RotateByAtLeast1(b+11, 11)) ^ b
+    st += [
+        ("a11", f"{_dd_fetch('s', 1, 8)}"),
+        ("b11", f"{_dd_fetch('s', 4, 8)}"),
+        ("r11", _dd_rot64(_dd_add64("b11", "11"), 11)),
+    ]
+    st += _dd_h128_stages("a11", "r11", "h11x")
+    st += [("h11", "xor(h11x, b11)")]
+    # --- len 20 (17-32): HashLen16(Rot43(a-b) + Rot30(c) + d,
+    #                                a + Rot20(b^k3) - c + len)
+    st += [
+        ("ma", _dd_mul64(_dd_fetch("s", 1, 8), _CH_K1)),
+        ("mb", f"{_dd_fetch('s', 9, 8)}"),
+        ("mc", _dd_mul64(_dd_fetch("s", 13, 8), _CH_K2)),
+        ("md", _dd_mul64(_dd_fetch("s", 5, 8), _CH_K0)),
+        (
+            "u20",
+            _dd_add64(
+                _dd_add64(_dd_rot64(_dd_sub64("ma", "mb"), 43), _dd_rot64("mc", 30)),
+                "md",
+            ),
+        ),
+        (
+            "v20",
+            _dd_add64(
+                _dd_sub64(
+                    _dd_add64("ma", _dd_rot64(f"xor(mb, {_CH_K3}::UBIGINT)", 20)),
+                    "mc",
+                ),
+                "20",
+            ),
+        ),
+    ]
+    st += _dd_h128_stages("u20", "v20", "h20")
+    # --- len 40 (33-64): HashLen33to64
+    f1, f9, f17, f25, f33 = (
+        _dd_fetch("s", 1, 8),
+        _dd_fetch("s", 9, 8),
+        _dd_fetch("s", 17, 8),
+        _dd_fetch("s", 25, 8),
+        _dd_fetch("s", 33, 8),
+    )
+    st += [
+        ("z40", f"{f25}"),
+        ("a40", _dd_add64(f1, _dd_mul64(_dd_add64("40", f25), _CH_K0))),
+        ("b40", _dd_rot64(_dd_add64("a40", "z40"), 52)),
+        ("c40", _dd_rot64("a40", 37)),
+        ("a41", _dd_add64("a40", f9)),
+        ("c41", _dd_add64("c40", _dd_rot64("a41", 7))),
+        ("a42", _dd_add64("a41", f17)),
+        ("vf", _dd_add64("a42", "z40")),
+        ("vs", _dd_add64(_dd_add64("b40", _dd_rot64("a42", 31)), "c41")),
+        ("a43", _dd_add64(f17, f9)),
+        ("z41", f"{f33}"),
+        ("b41", _dd_rot64(_dd_add64("a43", "z41"), 52)),
+        ("c42", _dd_rot64("a43", 37)),
+        ("a44", _dd_add64("a43", f17)),
+        ("c43", _dd_add64("c42", _dd_rot64("a44", 7))),
+        ("a45", _dd_add64("a44", f25)),
+        ("wf", _dd_add64("a45", "z41")),
+        ("ws", _dd_add64(_dd_add64("b41", _dd_rot64("a45", 31)), "c43")),
+        (
+            "r40",
+            _dd_add64(
+                _dd_mul64(_dd_add64("vf", "ws"), _CH_K2),
+                _dd_mul64(_dd_add64("wf", "vs"), _CH_K0),
+            ),
+        ),
+        ("r41", "xor(r40, r40 >> 47)"),
+        ("r42", _dd_add64(_dd_mul64("r41", _CH_K0), "vs")),
+        ("r43", "xor(r42, r42 >> 47)"),
+        ("h40", _dd_mul64("r43", _CH_K2)),
+    ]
+    halves = ", ".join(
+        f"(h{n} >> 32)::BIGINT AS h{n}_hi, (h{n} & 4294967295)::BIGINT AS h{n}_lo"
+        for n in (3, 6, 11, 20, 40)
+    )
+    return _dd_chain(
+        "SELECT p_partkey, p_name FROM part "
+        "WHERE p_partkey % 13 = 0 AND strlen(repeat(p_name, 6)) >= 40",
+        st,
+        f"p_partkey, {halves}",
+    )
+
+
+def _dd_weak32_stages(
+    fw: str, fx: str, fy: str, fz: str, a: str, b: str, pfx: str
+) -> list[tuple[str, str]]:
+    """CTE stages modeling WeakHashLen32WithSeeds (city.cc:160-180):
+    outputs {pfx}f / {pfx}s (the pair)."""
+    return [
+        (f"{pfx}a1", _dd_add64(a, fw)),
+        (f"{pfx}b1", _dd_rot64(_dd_add64(_dd_add64(b, f"{pfx}a1"), fz), 21)),
+        (f"{pfx}a2", _dd_add64(_dd_add64(f"{pfx}a1", fx), fy)),
+        (f"{pfx}b2", _dd_add64(f"{pfx}b1", _dd_rot64(f"{pfx}a2", 44))),
+        (f"{pfx}f", _dd_add64(f"{pfx}a2", fz)),
+        (f"{pfx}s", _dd_add64(f"{pfx}b2", f"{pfx}a1")),  # c == a1
+    ]
+
+
+def _dd_city_long_stages(s: str, n: int, out: str) -> list[tuple[str, str]]:
+    """CTE stages modeling the >64-byte CityHash64 path (city.cc:206-243) for
+    a FIXED length n — fixed length ⇒ fixed block count ⇒ straight-line SQL."""
+    p = f"__{out}"
+
+    def f(i: int) -> str:  # Fetch64 at 0-based offset i
+        return _dd_fetch(s, i + 1, 8)
+
+    st: list[tuple[str, str]] = [
+        (f"{p}x", f(0)),
+        (f"{p}y", f"xor({f(n - 16)}, {_CH_K1}::UBIGINT)"),
+        (f"{p}z", f"xor({f(n - 56)}, {_CH_K0}::UBIGINT)"),
+    ]
+    st += _dd_weak32_stages(
+        f(n - 64), f(n - 56), f(n - 48), f(n - 40), str(n), f"{p}y", f"{p}v"
+    )
+    st += _dd_weak32_stages(
+        f(n - 32),
+        f(n - 24),
+        f(n - 16),
+        f(n - 8),
+        str((n * _CH_K1) & ((1 << 64) - 1)),
+        f"{_CH_K0}::UBIGINT",
+        f"{p}w",
+    )
+    st += [
+        (f"{p}z1", _dd_add64(f"{p}z", _dd_mul64(f"xor({p}vs, {p}vs >> 47)", _CH_K1))),
+        (f"{p}x1", _dd_mul64(_dd_rot64(_dd_add64(f"{p}z1", f"{p}x"), 39), _CH_K1)),
+        (f"{p}y1", _dd_mul64(_dd_rot64(f"{p}y", 33), _CH_K1)),
+    ]
+    x, y, z = f"{p}x1", f"{p}y1", f"{p}z1"
+    vf, vs, wf, ws = f"{p}vf", f"{p}vs", f"{p}wf", f"{p}ws"
+    n_blocks = ((n - 1) & ~63) // 64
+    for it in range(n_blocks):
+        q = f"{p}i{it}"
+        pos = it * 64
+        st += [
+            (
+                f"{q}xa",
+                _dd_mul64(
+                    _dd_rot64(
+                        _dd_add64(_dd_add64(_dd_add64(x, y), vf), f(pos + 16)), 37
+                    ),
+                    _CH_K1,
+                ),
+            ),
+            (
+                f"{q}ya",
+                _dd_mul64(
+                    _dd_rot64(_dd_add64(_dd_add64(y, vs), f(pos + 48)), 42), _CH_K1
+                ),
+            ),
+            (f"{q}xb", f"xor({q}xa, {ws})"),
+            (f"{q}yb", f"xor({q}ya, {vf})"),
+            (f"{q}zb", _dd_rot64(f"xor({z}, {wf})", 33)),
+        ]
+        st += _dd_weak32_stages(
+            f(pos),
+            f(pos + 8),
+            f(pos + 16),
+            f(pos + 24),
+            _dd_mul64(vs, _CH_K1),
+            _dd_add64(f"{q}xb", wf),
+            f"{q}v",
+        )
+        st += _dd_weak32_stages(
+            f(pos + 32),
+            f(pos + 40),
+            f(pos + 48),
+            f(pos + 56),
+            _dd_add64(f"{q}zb", ws),
+            f"{q}yb",
+            f"{q}w",
+        )
+        # std::swap(z, x)
+        x, z = f"{q}zb", f"{q}xb"
+        y = f"{q}yb"
+        vf, vs, wf, ws = f"{q}vf", f"{q}vs", f"{q}wf", f"{q}ws"
+    st += _dd_h128_stages(vf, wf, f"{p}hv")
+    st += _dd_h128_stages(vs, ws, f"{p}hw")
+    st += [
+        (
+            f"{p}fu",
+            _dd_add64(
+                _dd_add64(f"{p}hv", _dd_mul64(f"xor({y}, {y} >> 47)", _CH_K1)), z
+            ),
+        ),
+        (f"{p}fv", _dd_add64(f"{p}hw", x)),
+    ]
+    st += _dd_h128_stages(f"{p}fu", f"{p}fv", out)
+    return st
+
+
+def _city_long_oracle() -> str:
+    st: list[tuple[str, str]] = [("sl", "repeat(p_name, 24)")]
+    st += _dd_city_long_stages("substr(sl, 1, 100)", 100, "h100")
+    st += _dd_city_long_stages("substr(sl, 1, 160)", 160, "h160")
+    halves = ", ".join(
+        f"(h{n} >> 32)::BIGINT AS h{n}_hi, (h{n} & 4294967295)::BIGINT AS h{n}_lo"
+        for n in (100, 160)
+    )
+    return _dd_chain(
+        "SELECT p_partkey, p_name FROM part "
+        "WHERE p_partkey % 29 = 0 AND strlen(repeat(p_name, 24)) >= 160",
+        st,
+        f"p_partkey, {halves}",
+    )
+
+
+@register("city_hash_long_parity", _city_long_oracle())
+def city_hash_long_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-exact CityHash64 >64-byte block-loop path (city.cc:206-243) at
+    fixed lengths 100 (one 64-byte iteration) and 160 (two — proves loop
+    continuation), against the straight-line DuckDB model."""
+    from arrowhouse_spark.functions.cityhash import city_hash64_str
+
+    base = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 29 == 0)
+        .select("p_partkey", F.repeat("p_name", 24).alias("sl"))
+        .filter(F.length("sl") >= 160)
+    )
+    cols = [F.col("p_partkey")]
+    for n in (100, 160):
+        h = city_hash64_str(F.substring("sl", 1, n))
+        cols.append(F.shiftrightunsigned(h, 32).alias(f"h{n}_hi"))
+        cols.append(h.bitwiseAND(F.lit((1 << 32) - 1)).alias(f"h{n}_lo"))
+    return base.select(*cols)
+
+
+@register("city_hash_int_parity", _city_int_oracle())
+def city_hash_int_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-exact cityHash64 over integer columns ≡ the reference
+    (FunctionsHashing.h:42-51: PODs hash with intHash64, multi-column
+    combines with Hash128to64), cross-checked against a DuckDB HUGEINT
+    arithmetic model. Halves emitted so compare never rides uint64→float."""
+    h = hashing.city_hash64("o_orderkey", "o_custkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.shiftrightunsigned(h, 32).alias("city_hi"),
+            h.bitwiseAND(F.lit((1 << 32) - 1)).alias("city_lo"),
+        )
+    )
+
+
+@register("city_hash_str_parity", _city_str_oracle())
+def city_hash_str_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-exact string CityHash64 (cityhash102 city.cc:121-204) for every
+    fixed-length class — 1-3, 4-8, 9-16, 17-32, 33-64 bytes — via
+    deterministic prefixes of repeat(p_name, 6), against a DuckDB byte-level
+    arithmetic model. The >64-byte block-loop path is covered by the
+    dual-implementation property tests (tests/test_hashing.py)."""
+    from arrowhouse_spark.functions.cityhash import city_hash64_str
+
+    base = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_partkey") % 13 == 0))
+        .select("p_partkey", F.repeat("p_name", 6).alias("s"))
+        .filter(F.length("s") >= 40)
+    )
+    cols = [F.col("p_partkey")]
+    for n in (3, 6, 11, 20, 40):
+        h = city_hash64_str(F.substring("s", 1, n))
+        cols.append(F.shiftrightunsigned(h, 32).alias(f"h{n}_hi"))
+        cols.append(h.bitwiseAND(F.lit((1 << 32) - 1)).alias(f"h{n}_lo"))
+    return base.select(*cols)
+
+
 # ---------------------------------------------------------------------------
 # 8. Training-data pipeline: dedup
 # ---------------------------------------------------------------------------

@@ -85,3 +85,77 @@ def test_wrap_helpers_match_python(spark):
             .m
         )
         assert got == _signed(((a & M64) * c) & M64), (a, c, i)
+
+
+# --- CityHash64 (cityhash102) -------------------------------------------------
+
+def model_hash128to64(lo: int, hi: int) -> int:
+    """Independent re-derivation of Hash128to64 for cross-checking the
+    column expression and the scalar port."""
+    k_mul = 0x9DDFEA08EB382D69
+    a = ((lo ^ hi) * k_mul) & M64
+    a ^= a >> 47
+    b = ((hi ^ a) * k_mul) & M64
+    b ^= b >> 47
+    return (b * k_mul) & M64
+
+
+def test_hash128to64_column_matches_model(spark):
+    from arrowhouse_spark.functions.cityhash import hash128to64_py
+
+    rng = random.Random(7)
+    pairs = [(rng.randint(0, M64), rng.randint(0, M64)) for _ in range(40)]
+    df = spark.createDataFrame([(_signed(a), _signed(b)) for a, b in pairs], "a long, b long")
+    rows = df.select(
+        "a", "b", hashing.hash128to64(F.col("a"), F.col("b")).alias("h")
+    ).collect()
+    for r in rows:
+        lo, hi = r.a & M64, r.b & M64
+        expect = model_hash128to64(lo, hi)
+        assert r.h == _signed(expect)
+        assert hash128to64_py(lo, hi) == expect
+
+
+def test_city_hash64_int_combines_with_int_hash(spark):
+    """cityHash64 over PODs == intHash64 per column + Hash128to64 fold
+    (FunctionsHashing.h:42-51, use_int_hash_for_pods)."""
+    df = spark.createDataFrame([(3, 17), (-5, 0), (2**40, 7)], "a long, b long")
+    rows = df.select(
+        "a", "b", hashing.city_hash64("a", "b").alias("h")
+    ).collect()
+    for r in rows:
+        expect = model_hash128to64(
+            model_int_hash64(r.a & M64), model_int_hash64(r.b & M64)
+        )
+        assert r.h == _signed(expect)
+
+
+def test_city_hash64_str_boundary_lengths(spark):
+    """UDF vs the scalar port at every length-class boundary, incl. the
+    block-loop entry (65) and multi-block (129, 200); empty string == k2."""
+    from arrowhouse_spark.functions.cityhash import (
+        K2,
+        city_hash64_py,
+        city_hash64_str,
+    )
+
+    assert city_hash64_py(b"") == K2
+    rng = random.Random(3)
+    lens = [0, 1, 2, 3, 4, 7, 8, 9, 15, 16, 17, 31, 32, 33, 63, 64, 65, 100, 128, 129, 160, 200]
+    vals = [
+        "".join(chr(rng.randint(32, 126)) for _ in range(n)) for n in lens
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = df.select("s", city_hash64_str("s").alias("h")).collect()
+    for r in rows:
+        assert r.h == _signed(city_hash64_py(r.s.encode())), len(r.s)
+
+
+def test_city_hash64_str_null_and_unicode(spark):
+    from arrowhouse_spark.functions.cityhash import city_hash64_py, city_hash64_str
+
+    df = spark.createDataFrame([(None,), ("héllo wörld ünïcode",)], "s string")
+    rows = {r.s: r.h for r in df.select("s", city_hash64_str("s").alias("h")).collect()}
+    assert rows[None] is None
+    s = "héllo wörld ünïcode"
+    assert rows[s] == _signed(city_hash64_py(s.encode("utf-8")))
