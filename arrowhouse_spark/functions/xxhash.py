@@ -1,0 +1,180 @@
+"""xxHash32 / xxHash64 — bit-exact ports of the reference's xxHash surface
+(/root/reference/Functions/FunctionsHashing.h:53-90: XXH32(s, len, 0) and
+XXH64(s, len, 0)) from the public xxHash specification.
+
+ClickHouse hashes strings with seed 0; Spark's built-in ``F.xxhash64`` is the
+same XXH64 algorithm but pinned to seed 42, so it cannot reproduce ClickHouse
+values — hence this port. Correctness evidence is triangulated:
+  - xxh64_py(seed=42) must equal Spark's JVM ``F.xxhash64`` on the same
+    strings (independent implementation, tests/test_hashing.py);
+  - the suite's ``xx_hash_parity`` query checks seed-0 xxh32/xxh64 against a
+    DuckDB byte-level arithmetic model at fixed lengths covering every branch
+    (tail-only and striped paths).
+
+Like CityHash64, the byte algorithm is irreducibly imperative → Arrow-batched
+pandas UDF (compat surface, not the engine's hot hashing path).
+
+XXH3 and wyHash64 remain absent by design: the reference vendors them as
+(uncheckedout) submodules, their multi-version secret constants are not
+recoverable here, and in ClickHouse they only back internal hash tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_M32 = (1 << 32) - 1
+_M64 = (1 << 64) - 1
+
+P32_1 = 2654435761
+P32_2 = 2246822519
+P32_3 = 3266489917
+P32_4 = 668265263
+P32_5 = 374761393
+
+P64_1 = 0x9E3779B185EBCA87
+P64_2 = 0xC2B2AE3D27D4EB4F
+P64_3 = 0x165667B19E3779F9
+P64_4 = 0x85EBCA77C2B2AE63
+P64_5 = 0x27D4EB2F165667C5
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh32_py(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + P32_1 + P32_2) & _M32
+        v2 = (seed + P32_2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - P32_1) & _M32
+        while i <= n - 16:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 4 * j : i + 4 * j + 4], "little")
+                v = (v + lane * P32_2) & _M32
+                v = (_rotl32(v, 13) * P32_1) & _M32
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 16
+        h = (_rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12) + _rotl32(v4, 18)) & _M32
+    else:
+        h = (seed + P32_5) & _M32
+    h = (h + n) & _M32
+    while i <= n - 4:
+        lane = int.from_bytes(data[i : i + 4], "little")
+        h = (h + lane * P32_3) & _M32
+        h = (_rotl32(h, 17) * P32_4) & _M32
+        i += 4
+    while i < n:
+        h = (h + data[i] * P32_5) & _M32
+        h = (_rotl32(h, 11) * P32_1) & _M32
+        i += 1
+    h ^= h >> 15
+    h = (h * P32_2) & _M32
+    h ^= h >> 13
+    h = (h * P32_3) & _M32
+    h ^= h >> 16
+    return h
+
+
+def _xxh64_round(acc: int, lane: int) -> int:
+    acc = (acc + lane * P64_2) & _M64
+    return (_rotl64(acc, 31) * P64_1) & _M64
+
+
+def _xxh64_merge(h: int, acc: int) -> int:
+    h ^= _xxh64_round(0, acc)
+    return (h * P64_1 + P64_4) & _M64
+
+
+def xxh64_py(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + P64_1 + P64_2) & _M64
+        v2 = (seed + P64_2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - P64_1) & _M64
+        while i <= n - 32:
+            v1 = _xxh64_round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _xxh64_round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _xxh64_round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _xxh64_round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h = _xxh64_merge(h, v)
+    else:
+        h = (seed + P64_5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        k1 = _xxh64_round(0, int.from_bytes(data[i : i + 8], "little"))
+        h ^= k1
+        h = (_rotl64(h, 27) * P64_1 + P64_4) & _M64
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * P64_1) & _M64
+        h = (_rotl64(h, 23) * P64_2 + P64_3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * P64_5) & _M64
+        h = (_rotl64(h, 11) * P64_1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * P64_2) & _M64
+    h ^= h >> 29
+    h = (h * P64_3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _str_udf(fn, seed: int, signed64: bool):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _hash(vals):
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+                continue
+            b = v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
+            h = fn(bytes(b), seed)
+            if signed64 and h >= (1 << 63):
+                h -= 1 << 64
+            out.append(h)
+        return pd.Series(out, dtype="Int64")
+
+    _hash.__annotations__ = {"vals": pd.Series, "return": pd.Series}
+    return pandas_udf(_hash, "long")
+
+
+def xx_hash32_str(col: Column | str, seed: int = 0) -> Column:
+    """xxHash32 over a string/binary column (ClickHouse xxHash32 ≡ seed 0).
+    Returns the uint32 result as a Spark long."""
+    udf = _str_udf(xxh32_py, seed, signed64=False)
+    return udf(F.col(col) if isinstance(col, str) else col)
+
+
+def xx_hash64_str(col: Column | str, seed: int = 0) -> Column:
+    """xxHash64 over a string/binary column (ClickHouse xxHash64 ≡ seed 0;
+    Spark's built-in F.xxhash64 is the same algorithm at seed 42). Returns
+    the uint64 bit pattern as a Spark long."""
+    udf = _str_udf(xxh64_py, seed, signed64=True)
+    return udf(F.col(col) if isinstance(col, str) else col)

@@ -1952,6 +1952,264 @@ def city_hash_long_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(*cols)
 
 
+def _dd_rotl64(x: str, r: int) -> str:
+    return f"({_dd_shl64(x, r)} | (({x}) >> {64 - r}))"
+
+
+def _dd_mul32(x: str, c: int) -> str:
+    """(x * c) mod 2^32 for x < 2^32: the UBIGINT product fits 64 bits."""
+    return f"((({x}) * {c}::UBIGINT) & 4294967295)"
+
+
+def _dd_rotl32(x: str, r: int) -> str:
+    return f"((((({x}) << {r}) | (({x}) >> {32 - r})) & 4294967295))"
+
+
+def _dd_add32(*xs: str) -> str:
+    return "((" + " + ".join(f"({x})" for x in xs) + ") & 4294967295)"
+
+
+_XP32 = (2654435761, 2246822519, 3266489917, 668265263, 374761393)
+_XP64 = (
+    0x9E3779B185EBCA87,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63,
+    0x27D4EB2F165667C5,
+)
+
+
+def _dd_xxh32_stages(s: str, n: int, out: str) -> list[tuple[str, str]]:
+    """Straight-line xxHash32(seed=0) for fixed length n (public xxHash spec:
+    16-byte stripes → rotl13*P1 lanes → merge, then 4-byte and 1-byte tails,
+    then the avalanche)."""
+    p1, p2, p3, p4, p5 = _XP32
+    p = f"__{out}"
+    st: list[tuple[str, str]] = []
+    i = 0
+    if n >= 16:
+        v = [(p1 + p2) & _M32X, p2 & _M32X, 0, (-p1) & _M32X]
+        names = []
+        stripe = 0
+        while i <= n - 16:
+            for j in range(4):
+                lane = _dd_fetch(s, i + 4 * j + 1, 4)
+                cur = v[j] if stripe == 0 else names[(stripe - 1) * 4 + j]
+                base = (
+                    _dd_add32(str(cur), _dd_mul32(lane, p2))
+                    if stripe == 0
+                    else _dd_add32(cur, _dd_mul32(lane, p2))
+                )
+                nm = f"{p}v{stripe}_{j}"
+                st.append((nm, _dd_mul32(_dd_rotl32(base, 13), p1)))
+                names.append(nm)
+            i += 16
+            stripe += 1
+        last = names[-4:]
+        st.append(
+            (
+                f"{p}h0",
+                _dd_add32(
+                    _dd_rotl32(last[0], 1),
+                    _dd_rotl32(last[1], 7),
+                    _dd_rotl32(last[2], 12),
+                    _dd_rotl32(last[3], 18),
+                    str(n),
+                ),
+            )
+        )
+    else:
+        st.append((f"{p}h0", f"{(p5 + n) & _M32X}::UBIGINT"))
+    h = f"{p}h0"
+    k = 0
+    while i <= n - 4:
+        nm = f"{p}t{k}"
+        st.append(
+            (
+                nm,
+                _dd_mul32(
+                    _dd_rotl32(_dd_add32(h, _dd_mul32(_dd_fetch(s, i + 1, 4), p3)), 17),
+                    p4,
+                ),
+            )
+        )
+        h, i, k = nm, i + 4, k + 1
+    while i < n:
+        nm = f"{p}t{k}"
+        st.append(
+            (
+                nm,
+                _dd_mul32(
+                    _dd_rotl32(_dd_add32(h, _dd_mul32(_dd_fetch(s, i + 1, 1), p5)), 11),
+                    p1,
+                ),
+            )
+        )
+        h, i, k = nm, i + 1, k + 1
+    st += [
+        (f"{p}a0", _dd_mul32(f"xor({h}, {h} >> 15)", p2)),
+        (f"{p}a1", _dd_mul32(f"xor({p}a0, {p}a0 >> 13)", p3)),
+        (out, f"xor({p}a1, {p}a1 >> 16)"),
+    ]
+    return st
+
+
+def _dd_xxh64_stages(s: str, n: int, out: str) -> list[tuple[str, str]]:
+    """Straight-line xxHash64(seed=0) for fixed length n (public xxHash spec:
+    32-byte stripes → rotl31*P1 lanes → merge rounds, then 8/4/1-byte tails,
+    then the avalanche)."""
+    p1, p2, p3, p4, p5 = _XP64
+    p = f"__{out}"
+    st: list[tuple[str, str]] = []
+    M = (1 << 64) - 1
+
+    def rnd(acc: str, lane: str) -> str:
+        return _dd_mul64(_dd_rotl64(_dd_add64(acc, _dd_mul64(lane, p2)), 31), p1)
+
+    i = 0
+    if n >= 32:
+        v = [(p1 + p2) & M, p2, 0, (-p1) & M]
+        names = [str(x) + "::UBIGINT" for x in v]
+        stripe = 0
+        while i <= n - 32:
+            nxt = []
+            for j in range(4):
+                nm = f"{p}v{stripe}_{j}"
+                st.append((nm, rnd(names[j], _dd_fetch(s, i + 8 * j + 1, 8))))
+                nxt.append(nm)
+            names = nxt
+            i += 32
+            stripe += 1
+        st.append(
+            (
+                f"{p}m0",
+                _dd_add64(
+                    _dd_add64(
+                        _dd_add64(_dd_rotl64(names[0], 1), _dd_rotl64(names[1], 7)),
+                        _dd_rotl64(names[2], 12),
+                    ),
+                    _dd_rotl64(names[3], 18),
+                ),
+            )
+        )
+        h = f"{p}m0"
+        for j in range(4):
+            nm = f"{p}m{j + 1}"
+            st.append(
+                (
+                    nm,
+                    _dd_add64(
+                        _dd_mul64(
+                            f"xor({h}, {_dd_mul64(_dd_rotl64(_dd_mul64(names[j], p2), 31), p1)})",
+                            p1,
+                        ),
+                        str(p4),
+                    ),
+                )
+            )
+            h = nm
+        st.append((f"{p}h0", _dd_add64(h, str(n))))
+    else:
+        st.append((f"{p}h0", f"{(p5 + n) & M}::UBIGINT"))
+    h = f"{p}h0"
+    k = 0
+    while i <= n - 8:
+        nm = f"{p}t{k}"
+        k1 = _dd_mul64(_dd_rotl64(_dd_mul64(_dd_fetch(s, i + 1, 8), p2), 31), p1)
+        st.append(
+            (nm, _dd_add64(_dd_mul64(_dd_rotl64(f"xor({h}, {k1})", 27), p1), str(p4)))
+        )
+        h, i, k = nm, i + 8, k + 1
+    if i <= n - 4:
+        nm = f"{p}t{k}"
+        st.append(
+            (
+                nm,
+                _dd_add64(
+                    _dd_mul64(
+                        _dd_rotl64(
+                            f"xor({h}, {_dd_mul64(_dd_fetch(s, i + 1, 4), p1)})", 23
+                        ),
+                        p2,
+                    ),
+                    str(p3),
+                ),
+            )
+        )
+        h, i, k = nm, i + 4, k + 1
+    while i < n:
+        nm = f"{p}t{k}"
+        st.append(
+            (
+                nm,
+                _dd_mul64(
+                    _dd_rotl64(f"xor({h}, {_dd_mul64(_dd_fetch(s, i + 1, 1), p5)})", 11),
+                    p1,
+                ),
+            )
+        )
+        h, i, k = nm, i + 1, k + 1
+    st += [
+        (f"{p}a0", _dd_mul64(f"xor({h}, {h} >> 33)", p2)),
+        (f"{p}a1", _dd_mul64(f"xor({p}a0, {p}a0 >> 29)", p3)),
+        (out, f"xor({p}a1, {p}a1 >> 32)"),
+    ]
+    return st
+
+
+_M32X = (1 << 32) - 1
+
+
+def _xx_hash_oracle() -> str:
+    st: list[tuple[str, str]] = [("sx", "repeat(p_name, 7)")]
+    st += _dd_xxh32_stages("substr(sx, 1, 7)", 7, "x32a")
+    st += _dd_xxh32_stages("substr(sx, 1, 23)", 23, "x32b")
+    st += _dd_xxh32_stages("substr(sx, 1, 40)", 40, "x32c")
+    st += _dd_xxh64_stages("substr(sx, 1, 13)", 13, "x64a")
+    st += _dd_xxh64_stages("substr(sx, 1, 45)", 45, "x64b")
+    sel = (
+        "p_partkey, x32a::BIGINT AS h32_tail, x32b::BIGINT AS h32_stripe, "
+        "x32c::BIGINT AS h32_two_stripes, "
+        "(x64a >> 32)::BIGINT AS h64_tail_hi, (x64a & 4294967295)::BIGINT AS h64_tail_lo, "
+        "(x64b >> 32)::BIGINT AS h64_stripe_hi, (x64b & 4294967295)::BIGINT AS h64_stripe_lo"
+    )
+    return _dd_chain(
+        "SELECT p_partkey, p_name FROM part "
+        "WHERE p_partkey % 31 = 0 AND strlen(repeat(p_name, 7)) >= 45",
+        st,
+        sel,
+    )
+
+
+@register("xx_hash_parity", _xx_hash_oracle())
+def xx_hash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-exact ClickHouse-compatible xxHash32/xxHash64 (seed 0,
+    FunctionsHashing.h:53-90) on tail-only, single-stripe, and multi-stripe
+    fixed lengths, against a DuckDB byte-level model. The seed-42 flavor of
+    the same port is independently pinned to Spark's JVM xxhash64 in
+    tests/test_hashing.py."""
+    from arrowhouse_spark.functions.xxhash import xx_hash32_str, xx_hash64_str
+
+    base = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 31 == 0)
+        .select("p_partkey", F.repeat("p_name", 7).alias("sx"))
+        .filter(F.length("sx") >= 45)
+    )
+    h64a = xx_hash64_str(F.substring("sx", 1, 13))
+    h64b = xx_hash64_str(F.substring("sx", 1, 45))
+    return base.select(
+        "p_partkey",
+        xx_hash32_str(F.substring("sx", 1, 7)).alias("h32_tail"),
+        xx_hash32_str(F.substring("sx", 1, 23)).alias("h32_stripe"),
+        xx_hash32_str(F.substring("sx", 1, 40)).alias("h32_two_stripes"),
+        F.shiftrightunsigned(h64a, 32).alias("h64_tail_hi"),
+        h64a.bitwiseAND(F.lit((1 << 32) - 1)).alias("h64_tail_lo"),
+        F.shiftrightunsigned(h64b, 32).alias("h64_stripe_hi"),
+        h64b.bitwiseAND(F.lit((1 << 32) - 1)).alias("h64_stripe_lo"),
+    )
+
+
 @register("city_hash_int_parity", _city_int_oracle())
 def city_hash_int_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bit-exact cityHash64 over integer columns ≡ the reference

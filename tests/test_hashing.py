@@ -159,3 +159,52 @@ def test_city_hash64_str_null_and_unicode(spark):
     assert rows[None] is None
     s = "héllo wörld ünïcode"
     assert rows[s] == _signed(city_hash64_py(s.encode("utf-8")))
+
+
+# --- xxHash32 / xxHash64 ------------------------------------------------------
+
+def test_xxh64_seed42_matches_spark_jvm(spark):
+    """Independent ground truth: the Python port at seed 42 must reproduce
+    Spark's JVM XxHash64 on UTF-8 bytes across all length classes."""
+    from arrowhouse_spark.functions.xxhash import xxh64_py
+
+    rng = random.Random(5)
+    strs = ["", "a", "abc", "x" * 31, "y" * 32, "z" * 33, "w" * 100] + [
+        "".join(chr(rng.randint(32, 126)) for _ in range(rng.randint(0, 200)))
+        for _ in range(20)
+    ]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    for r in df.select("s", F.xxhash64("s").alias("h")).collect():
+        assert r.h == _signed(xxh64_py(r.s.encode(), seed=42)), len(r.s)
+
+
+def test_xx_hash_str_udfs_match_python(spark):
+    from arrowhouse_spark.functions.xxhash import (
+        xx_hash32_str,
+        xx_hash64_str,
+        xxh32_py,
+        xxh64_py,
+    )
+
+    rng = random.Random(9)
+    lens = [0, 1, 3, 4, 7, 8, 15, 16, 17, 31, 32, 33, 45, 64, 100]
+    vals = ["".join(chr(rng.randint(32, 126)) for _ in range(n)) for n in lens]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = df.select(
+        "s", xx_hash32_str("s").alias("h32"), xx_hash64_str("s").alias("h64")
+    ).collect()
+    for r in rows:
+        b = r.s.encode()
+        assert r.h32 == xxh32_py(b, 0), len(r.s)
+        assert r.h64 == _signed(xxh64_py(b, 0)), len(r.s)
+
+
+def test_xx_hash_null_propagates(spark):
+    from arrowhouse_spark.functions.xxhash import xx_hash32_str, xx_hash64_str
+
+    df = spark.createDataFrame([(None,), ("q",)], "s string")
+    rows = {r.s: (r.a, r.b) for r in df.select(
+        "s", xx_hash32_str("s").alias("a"), xx_hash64_str("s").alias("b")
+    ).collect()}
+    assert rows[None] == (None, None)
+    assert rows["q"][0] is not None and rows["q"][1] is not None
