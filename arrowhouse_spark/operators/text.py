@@ -164,3 +164,131 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "score", "rank")
     )
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition + shape quality signals per document
+    (Rae et al. 2021 §A1.1; Raffel et al. 2020 §2.2) — the filter battery a
+    training-data pipeline runs before dedup. Superset of the reference
+    (whose surface stops at scalar kernels).
+
+    Signals:
+      n_words, mean_word_len           — length shape
+      alpha_word_ratio                 — fraction of words containing [a-z]
+      symbol_ratio                     — non-alphanumeric-non-space chars/chars
+      top_bigram_frac                  — occurrences of the most frequent
+                                         bigram / total bigrams (repetition)
+      dup_word_frac                    — 1 - distinct words / words
+      gopher_pass                      — the conjunctive keep decision
+
+    Plan shape: the scalar signals are pure per-row expressions (codegen, no
+    shuffle). top_bigram_frac needs one explode + one (id, bigram) count +
+    one per-id max/sum rollup — the count pre-shards hot bigrams, and the
+    only shuffled payload is (id, hash, count). At 100 TB nothing touches
+    the driver and the text column never shuffles."""
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    scalar = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(
+            (F.length(text_col) - (n_words - F.lit(1)))
+            / F.greatest(n_words, F.lit(1)),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+            / F.greatest(n_words, F.lit(1)),
+            6,
+        ).alias("alpha_word_ratio"),
+        F.round(
+            F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9 ]", ""))
+            / F.greatest(F.length(text_col), F.lit(1)),
+            6,
+        ).alias("symbol_ratio"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)) / F.greatest(n_words, F.lit(1)),
+            6,
+        ).alias("dup_word_frac"),
+    )
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    bigram_counts = (
+        df.repartition(n_part, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(tokens(text_col)) - 2, F.lit(-1))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(tokens(text_col), i + 1, 2)),
+                )
+            ).alias("bg"),
+        )
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+        )
+    )
+    out = scalar.join(bigram_counts, id_col, "left").withColumn(
+        "top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0))
+    )
+    # Gopher-flavored keep rule (thresholds from Rae et al. Table A1, adapted
+    # to word-level bigrams): 50 ≤ words ≤ 100k, 3 ≤ mean len ≤ 10,
+    # ≥80% alphabetic words, ≤10% symbols, top bigram ≤ 18% of bigrams.
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("alpha_word_ratio") >= 0.8)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("top_bigram_frac") <= 0.18),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any ``ngram_n``-gram
+    with an evaluation set (the GPT-3/PaLM 13-gram rule; Brown et al. 2020
+    §C). Returns (id, n_contaminated_grams, is_contaminated).
+
+    100 TB plan shape: eval sets are small (thousands of docs), so their
+    distinct gram hashes build ONE broadcast relation; the corpus side
+    streams its grams map-side against the broadcast hash — no shuffle of
+    corpus text, no shuffle of corpus grams, just the per-doc count rollup
+    keyed by id (which the pre-explode repartition already co-locates)."""
+    from arrowhouse_spark.operators.dedup import shingle_relation
+
+    corpus_grams = shingle_relation(corpus, text_col, id_col, ngram_n)
+    eval_grams = (
+        shingle_relation(eval_df, text_col, id_col, ngram_n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(eval_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    ids = corpus.select(id_col)
+    return (
+        ids.join(hits, id_col, "left")
+        .withColumn(
+            "n_contaminated_grams", F.coalesce("n_contaminated_grams", F.lit(0))
+        )
+        .withColumn(
+            "is_contaminated", F.col("n_contaminated_grams") >= F.lit(min_hits)
+        )
+    )

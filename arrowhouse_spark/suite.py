@@ -2325,6 +2325,85 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_gopher_quality",
+    """
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ), scal AS (
+      SELECT doc_id,
+             CAST(len(w) AS INTEGER) AS n_words,
+             round((length(text) - (len(w) - 1)) / greatest(len(w), 1), 6) AS mean_word_len,
+             round(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                   / greatest(len(w), 1), 6) AS alpha_word_ratio,
+             round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                   / greatest(length(text), 1), 6) AS symbol_ratio,
+             round(1.0 - len(list_distinct(w)) / greatest(len(w), 1), 6) AS dup_word_frac
+      FROM toks
+    ), bg AS (
+      SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+      FROM toks
+    ), cnt AS (
+      SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+    ), top AS (
+      SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+      FROM cnt GROUP BY 1
+    )
+    SELECT s.doc_id, s.n_words, s.mean_word_len, s.alpha_word_ratio,
+           s.symbol_ratio, s.dup_word_frac,
+           coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac,
+           (s.n_words >= 50 AND s.n_words <= 100000
+            AND s.mean_word_len >= 3 AND s.mean_word_len <= 10
+            AND s.alpha_word_ratio >= 0.8 AND s.symbol_ratio <= 0.1
+            AND coalesce(t.top_bigram_frac, 0.0) <= 0.18) AS gopher_pass
+    FROM scal s LEFT JOIN top t ON s.doc_id = t.doc_id
+    """,
+)
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality filter battery (repetition, symbol, word-shape
+    signals + conjunctive keep rule) — see operators/text.py:gopher_quality."""
+    from arrowhouse_spark.operators.text import gopher_quality
+
+    return gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+12], ' ')
+                                   FOR i IN range(1, len(w) - 11)])) AS g
+      FROM toks
+    ), ev AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+      FROM grams c JOIN ev ON c.g = ev.g
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_contaminated_grams, 0) AS n_contaminated_grams,
+           coalesce(h.n_contaminated_grams, 0) >= 1 AS is_contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (13-gram overlap vs an eval set — the
+    GPT-3 rule) with the eval side as a broadcast hash; eval set here is the
+    deterministic doc_id%97 sample standing in for a benchmark table."""
+    from arrowhouse_spark.operators.text import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, ev, ngram_n=13)
+
+
 # ---------------------------------------------------------------------------
 # 9. Training-data pipeline: similarity search
 # ---------------------------------------------------------------------------

@@ -224,3 +224,49 @@ def test_ann_lsh_recall_improves_with_probe_radius(emb):
         recall[h] = hits / total
     assert recall[0] <= recall[1] <= recall[2]
     assert recall[2] >= 0.4, f"LSH recall@5 at hamming<=2 too low: {recall}"
+
+
+def test_gopher_quality_signals(spark):
+    """Hand-checkable signals: repeated bigram text vs clean text."""
+    from arrowhouse_spark.operators.text import gopher_quality
+
+    clean = " ".join(f"word{i} token{i}" for i in range(40))  # 80 distinct words
+    spam = "buy now " * 50  # one bigram dominates
+    df = spark.createDataFrame([(1, clean), (2, spam)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in gopher_quality(df).collect()}
+    assert rows[1].n_words == 80 and rows[1].dup_word_frac == 0.0
+    assert rows[2].dup_word_frac > 0.9
+    # "now buy" and "buy now" alternate: top bigram 50/99
+    assert abs(rows[2].top_bigram_frac - 50 / 99) < 1e-6
+    assert not rows[2].gopher_pass
+    # symbol-heavy text fails the symbol ratio gate
+    sym = gopher_quality(
+        spark.createDataFrame([(3, "a#b$c%d^e&f*g!h " * 20)], "doc_id long, text string")
+    ).collect()[0]
+    assert sym.symbol_ratio > 0.1 and not sym.gopher_pass
+
+
+def test_decontaminate_flags_overlap(spark):
+    from arrowhouse_spark.operators.text import decontaminate
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"alt{i}" for i in range(30))
+    short = "too short to have any thirteen grams"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other), (3, short), (4, base + " tail words here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in decontaminate(corpus, ev, ngram_n=13).collect()}
+    assert rows[1].is_contaminated  # identical to eval doc
+    assert rows[4].is_contaminated  # shares a 13-gram prefix
+    assert not rows[2].is_contaminated
+    assert not rows[3].is_contaminated and rows[3].n_contaminated_grams == 0
+
+
+def test_shingles_shorter_than_n_yield_empty(spark):
+    from arrowhouse_spark.operators.dedup import shingle_relation
+
+    df = spark.createDataFrame([(1, "only four words here"), (2, "a b")], "doc_id long, text string")
+    out = shingle_relation(df, shingle_n=4).collect()
+    assert {r.doc_id for r in out} == {1}  # doc 2 (<4 tokens) contributes none
