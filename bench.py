@@ -42,6 +42,9 @@ HEADLINE = [
     "simhash_docs",
     "ann_cosine_topk",
     "embedding_neardup",
+    "doc_gopher_quality",
+    "doc_decontaminate",
+    "city_hash_int_parity",
 ]
 
 
