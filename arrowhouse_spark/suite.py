@@ -88,6 +88,7 @@ def _coverage_priority() -> dict[str, tuple]:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last_seen: dict[str, int] = {}
     last_green: dict[str, int] = {}
+    rows_only_green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
@@ -97,11 +98,14 @@ def _coverage_priority() -> dict[str, tuple]:
             continue
         for name, rec in data.items():
             last_seen[name] = max(last_seen.get(name, 0), rnd)
-            ok = isinstance(rec, dict) and (
-                rec.get("hash_match") is True
-                or (rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None)
-            )
-            if ok:
+            if not isinstance(rec, dict):
+                continue
+            if rec.get("hash_match") is True:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+                rows_only_green.discard(name)
+            elif rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None:
+                if name not in last_green:
+                    rows_only_green.add(name)
                 last_green[name] = max(last_green.get(name, 0), rnd)
     reg_pos = {name: i for i, name in enumerate(_QUERIES)}
 
@@ -110,6 +114,10 @@ def _coverage_priority() -> dict[str, tuple]:
             return (0, reg_pos[name])  # never checked → front
         if name not in last_green:
             return (1, reg_pos[name])  # checked, not green → next
+        if name in rows_only_green and name in _ORACLES:
+            # previously green only as a rows-only check but an oracle exists
+            # now → its value check has never run; treat as unchecked
+            return (0, reg_pos[name])
         return (2, last_green[name], reg_pos[name])  # green: oldest proof first
 
     return {name: key(name) for name in _QUERIES}
@@ -2305,7 +2313,171 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_dups")  # no oracle: hash family is Spark's xxhash64
+def _dd_spark_xxh64_str_stages(tcol: str, out: str) -> list[tuple[str, str]]:
+    """CTE stages modeling Spark's JVM xxhash64 (XXH64, seed 42) over the
+    UTF-8 bytes of short ASCII strings (n ≤ 31 → tail-only path; the port in
+    functions/xxhash.py is pinned to the JVM output in tests). Rounds apply
+    conditionally on the actual length, so one straight-line chain covers
+    every n ≤ 31; the string is padded so out-of-range fetches are valid but
+    unused."""
+    p1, p2, p3, p4, p5 = _XP64
+    p = f"__{out}"
+    st: list[tuple[str, str]] = [
+        (f"{p}n", f"length({tcol})::UBIGINT"),
+        (f"{p}tp", f"rpad({tcol}, 35, 'x')"),
+        (f"{p}h0", _dd_add64(str((42 + p5) & ((1 << 64) - 1)), f"{p}n")),
+    ]
+    h = f"{p}h0"
+    for k in range(3):  # 8-byte rounds, applied iff n >= 8*(k+1)
+        lane = _dd_fetch(f"{p}tp", 8 * k + 1, 8)
+        st += [
+            (f"{p}r{k}a", _dd_mul64(lane, p2)),
+            (f"{p}r{k}b", _dd_rotl64(f"{p}r{k}a", 31)),
+            (f"{p}r{k}c", _dd_mul64(f"{p}r{k}b", p1)),
+            (f"{p}r{k}d", f"xor({h}, {p}r{k}c)"),
+            (f"{p}r{k}e", _dd_rotl64(f"{p}r{k}d", 27)),
+            (f"{p}r{k}f", _dd_add64(_dd_mul64(f"{p}r{k}e", p1), str(p4))),
+            (
+                f"{p}h{k + 1}",
+                f"CASE WHEN {p}n >= {8 * (k + 1)} THEN {p}r{k}f ELSE {h} END",
+            ),
+        ]
+        h = f"{p}h{k + 1}"
+    byte_at = (
+        lambda off: f"ord(substr({p}tp, ({off})::INTEGER, 1))::UBIGINT"  # noqa: E731
+    )
+    st += [
+        (f"{p}i0", f"({p}n - ({p}n % 8))"),
+        (f"{p}rr", f"({p}n % 8)"),
+        (
+            f"{p}f4",
+            "("
+            + " + ".join(
+                f"{byte_at(f'{p}i0 + {k + 1}')} * {1 << (8 * k)}" for k in range(4)
+            )
+            + ")",
+        ),
+        (f"{p}qa", f"xor({h}, {_dd_mul64(f'{p}f4', p1)})"),
+        (f"{p}qb", _dd_add64(_dd_mul64(_dd_rotl64(f"{p}qa", 23), p2), str(p3))),
+        (f"{p}h4", f"CASE WHEN {p}rr >= 4 THEN {p}qb ELSE {h} END"),
+        (f"{p}bo", f"({p}i0 + CASE WHEN {p}rr >= 4 THEN 4 ELSE 0 END)"),
+        (f"{p}rb", f"({p}rr - CASE WHEN {p}rr >= 4 THEN 4 ELSE 0 END)"),
+    ]
+    h = f"{p}h4"
+    for j in range(3):  # 1-byte rounds, applied iff rb > j
+        st += [
+            (f"{p}s{j}a", f"xor({h}, {_dd_mul64(byte_at(f'{p}bo + {j + 1}'), p5)})"),
+            (f"{p}s{j}b", _dd_mul64(_dd_rotl64(f"{p}s{j}a", 11), p1)),
+            (f"{p}h{5 + j}", f"CASE WHEN {p}rb > {j} THEN {p}s{j}b ELSE {h} END"),
+        ]
+        h = f"{p}h{5 + j}"
+    st += [
+        (f"{p}av0", _dd_mul64(f"xor({h}, {h} >> 33)", p2)),
+        (f"{p}av1", _dd_mul64(f"xor({p}av0, {p}av0 >> 29)", p3)),
+        (out, f"xor({p}av1, {p}av1 >> 32)"),
+    ]
+    return st
+
+
+_DOC_TOKS_SQL = (
+    "SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w "
+    "FROM documents"
+)
+
+
+def _simhash_oracle() -> str:
+    inner = _dd_chain(
+        f"SELECT doc_id, unnest(w) AS t FROM ({_DOC_TOKS_SQL})",
+        _dd_spark_xxh64_str_stages("t", "H"),
+        "doc_id, H",
+    )
+    votes = ", ".join(
+        f"sum(CASE WHEN (H >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN 1 ELSE 0 END)::UBIGINT * {1 << j}::UBIGINT"
+        for j in range(64)
+    )
+    return f"""
+    WITH hashed AS ({inner}),
+    votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+    sims AS (SELECT doc_id, ({sim}) AS sim FROM votes)
+    SELECT doc_id, (sim >> 32)::BIGINT AS simhash_hi,
+           (sim & 4294967295)::BIGINT AS simhash_lo
+    FROM sims
+    """
+
+
+def _minhash_sig_oracle(num_hashes: int = 64) -> str:
+    """Signature oracle: per-doc 64 minima of the seeded family
+    xxhash64(lit(i), shingle_hash) — seeds precomputed with the pinned port
+    (Spark hashes the int literal first: seed_i = XXH64(int4(i), 42))."""
+    from arrowhouse_spark.functions.xxhash import xxh64_py
+
+    p1, p2, p3, p4, p5 = _XP64
+    M = (1 << 64) - 1
+    st = _dd_spark_xxh64_str_stages("t", "H")
+    # shared first half of hashLong(H, seed_i): k1 = rotl31(H * P2) * P1
+    st += [
+        ("k1a", _dd_mul64("H", p2)),
+        ("k1b", _dd_rotl64("k1a", 31)),
+        ("k1c", _dd_mul64("k1b", p1)),
+    ]
+    for i in range(num_hashes):
+        seed_i = xxh64_py(i.to_bytes(4, "little"), 42)
+        h0_i = (seed_i + p5 + 8) & M
+        q = f"m{i}"
+        st += [
+            (f"{q}a", f"xor({h0_i}::UBIGINT, k1c)"),
+            (f"{q}b", _dd_add64(_dd_mul64(_dd_rotl64(f"{q}a", 27), p1), str(p4))),
+            (f"{q}c", _dd_mul64(f"xor({q}b, {q}b >> 33)", p2)),
+            (f"{q}d", _dd_mul64(f"xor({q}c, {q}c >> 29)", p3)),
+            (
+                q,
+                f"CASE WHEN xor({q}d, {q}d >> 32) >= 9223372036854775808::UBIGINT "
+                f"THEN (xor({q}d, {q}d >> 32)::HUGEINT - 18446744073709551616)::BIGINT "
+                f"ELSE xor({q}d, {q}d >> 32)::BIGINT END",
+            ),
+        ]
+    inner = _dd_chain(
+        f"SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] "
+        f"FOR i IN range(1, len(w))])) AS t FROM ({_DOC_TOKS_SQL})",
+        st,
+        "doc_id, " + ", ".join(f"m{i}" for i in range(num_hashes)),
+    )
+    mins = ", ".join(f"min(m{i}) AS mh{i}" for i in range(num_hashes))
+    sig = ", ".join(f"mh{i}::VARCHAR" for i in range(num_hashes))
+    return f"""
+    WITH members AS ({inner}),
+    mins AS (SELECT doc_id, {mins} FROM members GROUP BY doc_id)
+    SELECT doc_id, concat_ws(',', {sig}) AS sig FROM mins
+    """
+
+
+@register("minhash_signature_parity", _minhash_sig_oracle())
+def minhash_signature_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-exact minhash signature parity: the 64-member seeded xxhash64
+    family and per-doc minima reproduced in DuckDB from the pinned XXH64
+    model — upgrading the minhash pipeline's core from rows-only to
+    value-verified (banding/pair selection on top is plain arithmetic)."""
+    from arrowhouse_spark.operators.dedup import minhash_signature
+
+    sig = minhash_signature(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=64,
+        shingle_n=2,
+        shingles=_doc_shingles(spark, sf_dir, 2),
+    )
+    return sig.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("minhash", lambda x: x.cast("string"))
+        ).alias("sig"),
+    )
+
+
+@register("minhash_dups")  # no oracle: banding probe set only; signature core is oracle-verified in minhash_signature_parity
 def minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(
         _t(spark, sf_dir, "documents"),
@@ -2317,11 +2489,20 @@ def minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_docs")  # no oracle: hash values are Spark's xxhash64
+@register("simhash_docs", _simhash_oracle())
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(
+    """64-bit SimHash per doc, oracle-verified bit-for-bit: the DuckDB model
+    reproduces Spark's seed-42 xxhash64 token hashes (via the pinned port in
+    functions/xxhash.py) and the 64 bit-majority votes; emitted as 32-bit
+    halves so compare never rides uint64→float."""
+    sh = simhash(
         _t(spark, sf_dir, "documents"),
         token_hashes=_doc_token_hashes(spark, sf_dir),
+    )
+    return sh.select(
+        "doc_id",
+        F.shiftrightunsigned("simhash", 32).alias("simhash_hi"),
+        F.col("simhash").bitwiseAND(F.lit((1 << 32) - 1)).alias("simhash_lo"),
     )
 
 
