@@ -1683,14 +1683,51 @@ def _dd_h128_stages(lo: str, hi: str, out: str) -> list[tuple[str, str]]:
     ]
 
 
-def _dd_chain(base_sql: str, stages: list[tuple[str, str]], final_select: str) -> str:
-    """Assemble a DuckDB query: base CTE + one CTE per (col, expr) stage."""
+def _dd_chain(
+    base_sql: str,
+    stages: list[tuple[str, str]],
+    final_select: str,
+    base_cols: list[str] | None = None,
+) -> str:
+    """Assemble a DuckDB query: base CTE + one CTE per (col, expr) stage.
+
+    When ``base_cols`` is given, each stage projects ONLY the columns still
+    live (needed by a later stage or the final select) instead of `SELECT *`.
+    This matters for the big generated oracles: carrying every intermediate
+    through a 450-stage chain makes the projection pipeline O(depth × width)
+    and exhausts DuckDB's memory (observed OOM on the minhash pair model);
+    liveness-pruned, each stage carries ~10 columns. (Batching stages into
+    fewer SELECTs via lateral aliases is NOT an alternative: DuckDB binds
+    those by macro-inlining, which re-evaluates every referenced alias —
+    measured ~13× slower — and trips its 128-deep binder recursion.)"""
+    import re
+
     parts = [f"src AS ({base_sql})"]
     prev = "src"
+    if base_cols is None:
+        for i, (col, expr) in enumerate(stages):
+            name = f"c{i}"
+            parts.append(f"{name} AS (SELECT *, {expr} AS {col} FROM {prev})")
+            prev = name
+        return "WITH " + ",\n".join(parts) + f"\nSELECT {final_select} FROM {prev}"
+
+    known = set(base_cols) | {col for col, _ in stages}
+    idents = lambda s: set(re.findall(r"[A-Za-z_][A-Za-z_0-9]*", s)) & known  # noqa: E731
+    # live_after[i]: columns a stage later than i (or the final select) reads
+    live = idents(final_select)
+    live_after: list[set] = [set()] * len(stages)
+    for i in range(len(stages) - 1, -1, -1):
+        live_after[i] = set(live)
+        col, expr = stages[i]
+        live = (live - {col}) | idents(expr)
+    avail = set(base_cols)
     for i, (col, expr) in enumerate(stages):
         name = f"c{i}"
-        parts.append(f"{name} AS (SELECT *, {expr} AS {col} FROM {prev})")
+        carry = sorted((live_after[i] - {col}) & avail)
+        cols = ", ".join([*carry, f"{expr} AS {col}"])
+        parts.append(f"{name} AS (SELECT {cols} FROM {prev})")
         prev = name
+        avail = set(carry) | {col}
     return "WITH " + ",\n".join(parts) + f"\nSELECT {final_select} FROM {prev}"
 
 
@@ -1706,6 +1743,7 @@ def _city_int_oracle() -> str:
         stages,
         "o_orderkey, (city2 >> 32)::BIGINT AS city_hi, "
         "(city2 & 4294967295)::BIGINT AS city_lo",
+        base_cols=["o_orderkey", "v1", "v2"],
     )
 
 
@@ -1812,6 +1850,7 @@ def _city_str_oracle() -> str:
         "WHERE p_partkey % 13 = 0 AND strlen(repeat(p_name, 6)) >= 40",
         st,
         f"p_partkey, {halves}",
+        base_cols=["p_partkey", "p_name"],
     )
 
 
@@ -1936,6 +1975,7 @@ def _city_long_oracle() -> str:
         "WHERE p_partkey % 29 = 0 AND strlen(repeat(p_name, 24)) >= 160",
         st,
         f"p_partkey, {halves}",
+        base_cols=["p_partkey", "p_name"],
     )
 
 
@@ -2186,6 +2226,7 @@ def _xx_hash_oracle() -> str:
         "WHERE p_partkey % 31 = 0 AND strlen(repeat(p_name, 7)) >= 45",
         st,
         sel,
+        base_cols=["p_partkey", "p_name"],
     )
 
 
@@ -2390,6 +2431,7 @@ def _simhash_oracle() -> str:
         f"SELECT doc_id, unnest(w) AS t FROM ({_DOC_TOKS_SQL})",
         _dd_spark_xxh64_str_stages("t", "H"),
         "doc_id, H",
+        base_cols=["doc_id", "t"],
     )
     votes = ", ".join(
         f"sum(CASE WHEN (H >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
@@ -2409,10 +2451,11 @@ def _simhash_oracle() -> str:
     """
 
 
-def _minhash_sig_oracle(num_hashes: int = 64) -> str:
-    """Signature oracle: per-doc 64 minima of the seeded family
-    xxhash64(lit(i), shingle_hash) — seeds precomputed with the pinned port
-    (Spark hashes the int literal first: seed_i = XXH64(int4(i), 42))."""
+def _minhash_members_sql(num_hashes: int = 64) -> str:
+    """Members relation: per (doc, distinct 2-gram shingle), all 64 seeded
+    family hashes xxhash64(lit(i), shingle_hash) as SIGNED BIGINTs — seeds
+    precomputed with the pinned port (Spark hashes the int literal first:
+    seed_i = XXH64(int4(i), 42))."""
     from arrowhouse_spark.functions.xxhash import xxh64_py
 
     p1, p2, p3, p4, p5 = _XP64
@@ -2440,45 +2483,102 @@ def _minhash_sig_oracle(num_hashes: int = 64) -> str:
                 f"ELSE xor({q}d, {q}d >> 32)::BIGINT END",
             ),
         ]
-    inner = _dd_chain(
+    return _dd_chain(
         f"SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] "
         f"FOR i IN range(1, len(w))])) AS t FROM ({_DOC_TOKS_SQL})",
         st,
         "doc_id, " + ", ".join(f"m{i}" for i in range(num_hashes)),
+        base_cols=["doc_id", "t"],
     )
+
+
+def _minhash_pairs_oracle(
+    num_hashes: int = 64, bands: int = 16, threshold: float = 0.35
+) -> str:
+    """Full end-to-end minhash LSH oracle: signatures (as in the signature
+    parity) → 16 band buckets, each bucket = Spark's multi-arg xxhash64 over
+    the band's 4 signature slots (a seed-chained hashLong per slot, verified
+    chain semantics) → bucket-join candidates → est_jaccard filter."""
+    p1, p2, p3, p4, p5 = _XP64
+    rows_per_band = num_hashes // bands
     mins = ", ".join(f"min(m{i}) AS mh{i}" for i in range(num_hashes))
-    sig = ", ".join(f"mh{i}::VARCHAR" for i in range(num_hashes))
+    # bucket stages over the mins relation
+    st: list[tuple[str, str]] = []
+    # unsigned views of the signed minima
+    for i in range(num_hashes):
+        st.append(
+            (
+                f"u{i}",
+                f"CASE WHEN mh{i} < 0 THEN (mh{i}::HUGEINT + 18446744073709551616)::UBIGINT "
+                f"ELSE mh{i}::UBIGINT END",
+            )
+        )
+    for b in range(bands):
+        seed: str | None = None  # None → initial literal 42
+        for r in range(rows_per_band):
+            q = f"b{b}s{r}"
+            x = f"u{b * rows_per_band + r}"
+            h0 = (
+                str((42 + p5 + 8) & ((1 << 64) - 1))
+                if seed is None
+                else _dd_add64(seed, str((p5 + 8) & ((1 << 64) - 1)))
+            )
+            st += [
+                (f"{q}h0", h0),
+                (f"{q}k1", _dd_mul64(_dd_rotl64(_dd_mul64(x, p2), 31), p1)),
+                (
+                    f"{q}m",
+                    _dd_add64(
+                        _dd_mul64(_dd_rotl64(f"xor({q}h0, {q}k1)", 27), p1), str(p4)
+                    ),
+                ),
+                (f"{q}a0", _dd_mul64(f"xor({q}m, {q}m >> 33)", p2)),
+                (f"{q}a1", _dd_mul64(f"xor({q}a0, {q}a0 >> 29)", p3)),
+                (f"{q}", f"xor({q}a1, {q}a1 >> 32)"),
+            ]
+            seed = f"{q}"
+        st.append((f"bucket{b}", seed))
+    buckets_sql = _dd_chain(
+        f"SELECT doc_id, {mins} FROM members GROUP BY doc_id",
+        st,
+        "doc_id, "
+        + ", ".join(f"mh{i}" for i in range(num_hashes))
+        + ", "
+        + ", ".join(f"bucket{b}" for b in range(bands)),
+        base_cols=["doc_id"] + [f"mh{i}" for i in range(num_hashes)],
+    )
+    banded_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, bucket{b} AS bucket, "
+        + ", ".join(f"mh{i}" for i in range(num_hashes))
+        + " FROM sigs"
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(f"(l.mh{i} = r.mh{i})::INT" for i in range(num_hashes))
+    # MATERIALIZED: banded is referenced twice by the self-join; DuckDB
+    # inlines plain CTEs per reference, which re-expands the ~850-stage hash
+    # chain on both sides and blows up planning memory.
     return f"""
-    WITH members AS ({inner}),
-    mins AS (SELECT doc_id, {mins} FROM members GROUP BY doc_id)
-    SELECT doc_id, concat_ws(',', {sig}) AS sig FROM mins
+    WITH members AS MATERIALIZED ({_minhash_members_sql(num_hashes)}),
+    sigs AS MATERIALIZED ({buckets_sql}),
+    banded AS MATERIALIZED ({banded_union}),
+    pairs AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+             round(({eq_sum}) / {num_hashes}.0, 6) AS est_jaccard
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+      GROUP BY ALL
+    )
+    SELECT DISTINCT id_a, id_b, est_jaccard
+    FROM pairs WHERE est_jaccard >= {threshold}
     """
 
 
-@register("minhash_signature_parity", _minhash_sig_oracle())
-def minhash_signature_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bit-exact minhash signature parity: the 64-member seeded xxhash64
-    family and per-doc minima reproduced in DuckDB from the pinned XXH64
-    model — upgrading the minhash pipeline's core from rows-only to
-    value-verified (banding/pair selection on top is plain arithmetic)."""
-    from arrowhouse_spark.operators.dedup import minhash_signature
-
-    sig = minhash_signature(
-        _t(spark, sf_dir, "documents"),
-        num_hashes=64,
-        shingle_n=2,
-        shingles=_doc_shingles(spark, sf_dir, 2),
-    )
-    return sig.select(
-        "doc_id",
-        F.concat_ws(
-            ",", F.transform("minhash", lambda x: x.cast("string"))
-        ).alias("sig"),
-    )
-
-
-@register("minhash_dups")  # no oracle: banding probe set only; signature core is oracle-verified in minhash_signature_parity
+@register("minhash_dups", _minhash_pairs_oracle())
 def minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash LSH dedup, fully oracle-verified: DuckDB reproduces
+    the seeded signature family, the chained-xxhash64 band buckets, the
+    bucket-join candidate generation, and the est_jaccard filter bit-for-bit
+    (see _minhash_pairs_oracle)."""
     return minhash_dedup(
         _t(spark, sf_dir, "documents"),
         num_hashes=64,
