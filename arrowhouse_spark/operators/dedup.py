@@ -49,22 +49,25 @@ def dedup_exact(
     )
 
 
-def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-grams from a token-array column.
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Word n-gram OCCURRENCES (non-distinct) from a token-array column.
     Pure SQL: slice the token array at each start position. Documents with
     fewer than n tokens yield an empty array (the guard matters: Spark's
     ``sequence(0, negative)`` counts DOWN, which would feed slice a
     zero/negative start)."""
     if n == 1:
-        return F.array_distinct(toks)
+        return toks
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            )
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from a token-array column."""
+    return F.array_distinct(ngrams_from_tokens(toks, n))
 
 
 def word_shingles(text_col: str, n: int = 3) -> Column:

@@ -213,19 +213,14 @@ def gopher_quality(
             6,
         ).alias("dup_word_frac"),
     )
+    from arrowhouse_spark.operators.dedup import ngrams_from_tokens
+
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     bigram_counts = (
         df.repartition(n_part, id_col)
         .select(
             F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0), F.greatest(F.size(tokens(text_col)) - 2, F.lit(-1))
-                    ),
-                    lambda i: F.concat_ws(" ", F.slice(tokens(text_col), i + 1, 2)),
-                )
-            ).alias("bg"),
+            F.explode(ngrams_from_tokens(tokens(text_col), 2)).alias("bg"),
         )
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -289,3 +289,96 @@ def test_salted_count_distinct_is_exact(spark, rows, salt):
         if v is not None:
             exp.setdefault(k, set()).add(v)
     assert got == {k: len(s) for k, s in exp.items()}
+
+
+# --- exact n-gram Jaccard: dense vs sparse vs pure-python reference ----------
+
+_CORPUS = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=10),
+    min_size=0,
+    max_size=8,
+)
+
+
+def _py_jaccard_pairs(docs: list[list[str]], n: int, threshold: float):
+    """Independent reference: brute-force all-pairs exact Jaccard over
+    distinct word n-grams."""
+    import itertools
+
+    shingles = {
+        i: {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
+        for i, w in enumerate(docs)
+    }
+    out = set()
+    for a, b in itertools.combinations(sorted(shingles), 2):
+        sa, sb = shingles[a], shingles[b]
+        if not sa and not sb:
+            continue
+        inter = len(sa & sb)
+        if inter == 0:
+            continue  # operator only emits pairs sharing >=1 shingle
+        j = round(inter / (len(sa) + len(sb) - inter), 6)
+        if j >= threshold:
+            out.add((a, b, j))
+    return out
+
+
+@_SETTINGS
+@given(corpus=_CORPUS)
+@pytest.mark.parametrize("dense_cap", [1 << 27, 1])  # force dense and sparse paths
+def test_ngram_jaccard_matches_bruteforce(spark, corpus, dense_cap):
+    from arrowhouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = [(i, " ".join(w)) for i, w in enumerate(corpus)]
+    if not docs:
+        return
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            df, shingle_n=2, threshold=0.3, dense_cells_cap=dense_cap
+        ).collect()
+    }
+    assert got == _py_jaccard_pairs(corpus, 2, 0.3)
+
+
+# --- Gopher quality signals vs pure-python reference -------------------------
+
+_TEXTS = st.lists(
+    st.text(
+        alphabet=" abcdefgh#!.123",
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@_SETTINGS
+@given(texts=_TEXTS)
+def test_gopher_signals_match_python(spark, texts):
+    from arrowhouse_spark.operators.text import gopher_quality
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in gopher_quality(df).collect()}
+    for i, t in enumerate(texts):
+        w = [x for x in t.split(" ") if x != ""]
+        n = len(w)
+        r = rows[i]
+        assert r.n_words == n
+        assert r.mean_word_len == round((len(t) - (n - 1)) / max(n, 1), 6)
+        assert r.alpha_word_ratio == round(
+            sum(1 for x in w if any(c.isalpha() for c in x)) / max(n, 1), 6
+        )
+        assert r.symbol_ratio == round(
+            sum(1 for c in t if not (c.isalnum() or c == " ")) / max(len(t), 1), 6
+        )
+        assert r.dup_word_frac == round(1.0 - len(set(w)) / max(n, 1), 6)
+        bgs = [" ".join(w[j : j + 2]) for j in range(n - 1)]
+        expect_top = (
+            round(max(bgs.count(g) for g in set(bgs)) / len(bgs), 6) if bgs else 0.0
+        )
+        assert r.top_bigram_frac == expect_top

@@ -92,11 +92,16 @@ def main() -> int:
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{args.sf}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    def fresh_con():
+        # one connection per query: the driver isolates each query in its own
+        # process; a single long-lived connection accumulates buffer/thread
+        # state across 70+ queries and eventually dies with bad_alloc
+        c = duckdb.connect()
+        for t in TABLES:
+            p = f"{args.sf}/{t}.parquet"
+            if os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
@@ -118,9 +123,11 @@ def main() -> int:
             n_weak += 1
             continue
         try:
+            con = fresh_con()
             ddf = con.execute(oracles[name])
             dcols = [d[0] for d in ddf.description]
             drows = [tuple(r) for r in ddf.fetchall()]
+            con.close()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
