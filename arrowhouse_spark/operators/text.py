@@ -183,19 +183,32 @@ def gopher_quality(
       dup_word_frac                    — 1 - distinct words / words
       gopher_pass                      — the conjunctive keep decision
 
-    Plan shape: the scalar signals are pure per-row expressions (codegen, no
-    shuffle). top_bigram_frac needs one explode + one (id, bigram) count +
-    one per-id max/sum rollup — the count pre-shards hot bigrams, and the
-    only shuffled payload is (id, hash, count). At 100 TB nothing touches
-    the driver and the text column never shuffles."""
-    toks = tokens(text_col)
+    Plan shape: both branches grow from ONE repartition(id) of a projection
+    that materializes the token array once — identical subplans, so Spark's
+    ReuseExchange scans and shuffles the text a single time; the scalar
+    signals then read the materialized array (tokenization is the dominant
+    per-row cost and would otherwise re-run per signal). top_bigram_frac
+    needs one explode + one (id, bigram) count + one per-id max/sum rollup —
+    the count pre-shards hot bigrams. The id-partitioned branches also meet
+    the final join without further shuffles."""
+    from arrowhouse_spark.operators.dedup import ngrams_from_tokens
+
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = df.repartition(n_part, id_col).select(
+        F.col(id_col),
+        F.length(text_col).alias("__len"),
+        tokens(text_col).alias("__w"),
+        F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9 ]", "")).alias(
+            "__n_sym"
+        ),
+    )
+    toks = F.col("__w")
     n_words = F.size(toks)
-    scalar = df.select(
+    scalar = base.select(
         F.col(id_col),
         n_words.alias("n_words"),
         F.round(
-            (F.length(text_col) - (n_words - F.lit(1)))
-            / F.greatest(n_words, F.lit(1)),
+            (F.col("__len") - (n_words - F.lit(1))) / F.greatest(n_words, F.lit(1)),
             6,
         ).alias("mean_word_len"),
         F.round(
@@ -204,23 +217,17 @@ def gopher_quality(
             6,
         ).alias("alpha_word_ratio"),
         F.round(
-            F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9 ]", ""))
-            / F.greatest(F.length(text_col), F.lit(1)),
-            6,
+            F.col("__n_sym") / F.greatest(F.col("__len"), F.lit(1)), 6
         ).alias("symbol_ratio"),
         F.round(
             F.lit(1.0) - F.size(F.array_distinct(toks)) / F.greatest(n_words, F.lit(1)),
             6,
         ).alias("dup_word_frac"),
     )
-    from arrowhouse_spark.operators.dedup import ngrams_from_tokens
-
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     bigram_counts = (
-        df.repartition(n_part, id_col)
-        .select(
+        base.select(
             F.col(id_col),
-            F.explode(ngrams_from_tokens(tokens(text_col), 2)).alias("bg"),
+            F.explode(ngrams_from_tokens(toks, 2)).alias("bg"),
         )
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("c"))
