@@ -294,3 +294,20 @@ def decontaminate(
             "is_contaminated", F.col("n_contaminated_grams") >= F.lit(min_hits)
         )
     )
+
+
+#: BPE-ish pre-tokenization classes: letter runs, digit runs, single other
+#: non-space symbols — the GPT-2-style split shape, minus byte fallback.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(
+    df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens"
+) -> DataFrame:
+    """Token count under a BPE-ish pre-tokenizer regex (letter runs, digit
+    runs, isolated symbols). Stays JVM-side via regexp_extract_all — the
+    whitespace counter underestimates code/punctuation-heavy text, which is
+    exactly the text a quality filter needs to see."""
+    return df.withColumn(
+        out, F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0)))
+    )

@@ -2607,6 +2607,34 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_token_count_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
+             AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text || ' v2.0, #tag!', '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
+             AS n_bpe_tokens_sym
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letter runs / digit runs / isolated
+    symbols — the GPT-2 pre-tokenizer shape) alongside the whitespace
+    counter; the second column appends a symbol-heavy suffix so the regex
+    paths beyond plain words are value-checked too."""
+    from arrowhouse_spark.operators.text import token_count_bpe
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    out = token_count_bpe(docs)
+    out = token_count_bpe(
+        out.withColumn("__aug", F.concat(F.col("text"), F.lit(" v2.0, #tag!"))),
+        text_col="__aug",
+        out="n_bpe_tokens_sym",
+    )
+    return out.select("doc_id", "n_bpe_tokens", "n_bpe_tokens_sym")
+
+
+@register(
     "doc_gopher_quality",
     """
     WITH toks AS (

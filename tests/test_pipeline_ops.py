@@ -270,3 +270,15 @@ def test_shingles_shorter_than_n_yield_empty(spark):
     df = spark.createDataFrame([(1, "only four words here"), (2, "a b")], "doc_id long, text string")
     out = shingle_relation(df, shingle_n=4).collect()
     assert {r.doc_id for r in out} == {1}  # doc 2 (<4 tokens) contributes none
+
+
+def test_token_count_bpe(spark):
+    from arrowhouse_spark.operators.text import token_count_bpe
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "v2.0, #tag! x"), (3, ""), (4, "a1b2")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.n_bpe_tokens for r in token_count_bpe(df).collect()}
+    # "v2.0, #tag! x" → v,2,.,0,comma,#,tag,!,x = 9
+    assert rows == {1: 2, 2: 9, 3: 0, 4: 4}
