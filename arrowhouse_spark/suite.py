@@ -3119,6 +3119,24 @@ def count_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "heavy_hitters_status",
+    """
+    SELECT o_orderstatus AS value, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY 1
+    HAVING count(*) * 10 > (SELECT count(*) FROM orders)
+    """,
+)
+def heavy_hitters_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent items (count > N/10) via the two-pass distributed
+    Misra-Gries scheme (operators/skew.py:heavy_hitters) — bounded memory
+    per partition, exact deterministic output; the oracle is the plain
+    HAVING-threshold aggregation the operator must reproduce."""
+    from arrowhouse_spark.operators.skew import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "orders"), "o_orderstatus", k=10)
+
+
+@register(
     "pipeline_clean_corpus",
     """
     WITH scored AS (

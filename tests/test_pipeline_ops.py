@@ -282,3 +282,31 @@ def test_token_count_bpe(spark):
     rows = {r.doc_id: r.n_bpe_tokens for r in token_count_bpe(df).collect()}
     # "v2.0, #tag! x" → v,2,.,0,comma,#,tag,!,x = 9
     assert rows == {1: 2, 2: 9, 3: 0, 4: 4}
+
+
+def test_heavy_hitters_exact_and_bounded(spark):
+    """Exact vs a python counter, including with a tiny summary size that
+    forces Misra-Gries evictions (candidates stay a superset; the verify
+    pass keeps the output exact)."""
+    import collections
+    import random
+
+    from arrowhouse_spark.operators.skew import heavy_hitters
+
+    rng = random.Random(17)
+    vals = (
+        ["hot"] * 400 + ["warm"] * 150 + [f"cold{i}" for i in range(300)]
+        + [f"x{rng.randint(0, 99)}" for _ in range(150)]
+    )
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v string").repartition(8)
+    n, k = len(vals), 10
+    exact = {
+        v: c for v, c in collections.Counter(vals).items() if c * k > n
+    }
+    for summary in (None, 4):  # default and eviction-heavy
+        got = {
+            r.value: r.cnt
+            for r in heavy_hitters(df, "v", k=k, summary_size=summary).collect()
+        }
+        assert got == exact, summary
