@@ -9,6 +9,8 @@ dedup/LSH operators, where a *seeded* 64-bit hash family is required.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -93,14 +95,28 @@ def _mix(col: Column, *stages) -> Column:
     return out
 
 
-def int_hash64(col: Column | str) -> Column:
+def _u64_bits(col: Column | str, input_width: int | None) -> Column:
+    """Reference POD semantics: a narrow value is memcpy'd into a
+    zero-initialized UInt64 (zero-extension of the bit pattern), whereas
+    Spark's cast to long SIGN-extends. ``input_width`` (8/16/32) masks the
+    widened long back to the narrow unsigned bit pattern so negative narrow
+    ints hash like the reference; None means the input is already 64-bit
+    (or the caller wants Spark's sign-extended semantics, the default)."""
+    x = _c(col).cast("long")
+    if input_width is not None and input_width < 64:
+        x = x.bitwiseAND(F.lit((1 << input_width) - 1))
+    return x
+
+
+def int_hash64(col: Column | str, input_width: int | None = None) -> Column:
     """Bit-exact intHash64 ≡ FunctionsHashing.h IntHash64Impl (:26-30):
     x ^= 0x4CF2D2BAAE6DA887; then the 64-bit finalizer mix of
     Common/HashTable/Hash.h:31-40 (x ^= x>>33; x *= 0xff51afd7ed558ccd;
     x ^= x>>33; x *= 0xc4ceb9fe1a85ec53; x ^= x>>33). Result is the uint64
-    bit pattern in a Spark long."""
+    bit pattern in a Spark long. Pass ``input_width`` for narrower-than-64-bit
+    reference columns (see _u64_bits: the POD path zero-extends)."""
     return _mix(
-        _c(col).cast("long").bitwiseXOR(F.lit(0x4CF2D2BAAE6DA887)),
+        _u64_bits(col, input_width).bitwiseXOR(F.lit(0x4CF2D2BAAE6DA887)),
         lambda x: x.bitwiseXOR(F.shiftrightunsigned(x, 33)),
         lambda x: _wrap_mul_const(x, 0xFF51AFD7ED558CCD),
         lambda x: x.bitwiseXOR(F.shiftrightunsigned(x, 33)),
@@ -109,12 +125,13 @@ def int_hash64(col: Column | str) -> Column:
     )
 
 
-def int_hash32(col: Column | str) -> Column:
+def int_hash32(col: Column | str, input_width: int | None = None) -> Column:
     """Bit-exact intHash32 ≡ FunctionsHashing.h IntHash32Impl (:15-24) with
     its fixed salt 0x75D9543DE018BF45, mixing per
-    Common/HashTable/Hash.h:371-384; returns the uint32 result as a long."""
+    Common/HashTable/Hash.h:371-384; returns the uint32 result as a long.
+    ``input_width`` as in int_hash64."""
     return _mix(
-        _c(col).cast("long").bitwiseXOR(F.lit(0x75D9543DE018BF45)),
+        _u64_bits(col, input_width).bitwiseXOR(F.lit(0x75D9543DE018BF45)),
         lambda k: _wrap_add(F.bitwise_not(k), F.shiftleft(k, 18)),
         lambda k: k.bitwiseXOR(_rot_or(k, 31, 33)),
         lambda k: _wrap_mul_const(k, 21),
@@ -146,14 +163,22 @@ def hash128to64(lo: Column, hi: Column) -> Column:
     )
 
 
-def city_hash64(*cols: Column | str) -> Column:
+def city_hash64(
+    *cols: Column | str, input_widths: Sequence[int | None] | None = None
+) -> Column:
     """cityHash64 over integer columns ≡ the reference exactly: PODs hash with
     intHash64 (``use_int_hash_for_pods = true``, FunctionsHashing.h:42-51) and
     columns combine left-to-right with Hash128to64(acc, next). Strings go
-    through functions/cityhash.city_hash64_str (the real byte algorithm)."""
-    h = int_hash64(_c(cols[0]))
-    for c in cols[1:]:
-        h = hash128to64(h, int_hash64(_c(c)))
+    through functions/cityhash.city_hash64_str (the real byte algorithm).
+
+    ``input_widths`` — per-column bit widths for narrower-than-long reference
+    columns: the POD path bit_casts into a zero-initialized UInt64 (zero
+    extension), while Spark sign-extends on cast, so e.g. a negative int32
+    column needs ``input_widths=[32]`` to hash identically."""
+    widths = list(input_widths) if input_widths is not None else [None] * len(cols)
+    h = int_hash64(_c(cols[0]), widths[0])
+    for c, w in zip(cols[1:], widths[1:]):
+        h = hash128to64(h, int_hash64(_c(c), w))
     return h
 
 

@@ -24,6 +24,8 @@ no Python UDFs.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -80,6 +82,7 @@ def shingle_relation(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    shingle_filter: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """The shared (id, shingle_hash) relation: tokenize → n-gram shingles →
     explode → 64-bit hash. This is the CPU-heavy common prefix of minhash and
@@ -90,29 +93,37 @@ def shingle_relation(
     Repartition BEFORE the explode: shingling (sequence/slice/concat_ws per
     token window) is the heavy part and must not run at (few-file) input
     parallelism; keying by doc id also pre-partitions the per-doc
-    aggregations downstream (no second shuffle)."""
+    aggregations downstream (no second shuffle).
+
+    ``shingle_filter`` — optional Column predicate over the shingle STRING,
+    applied before hashing (e.g. stop-shingle removal at web scale, or the
+    oracle-model domain guard in the parity suite)."""
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return (
-        df.repartition(n_part, id_col)
-        .select(
-            F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__s")
-        )
-        .select(F.col(id_col), F.xxhash64("__s").alias("shingle"))
+    ex = df.repartition(n_part, id_col).select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__s")
     )
+    if shingle_filter is not None:
+        ex = ex.filter(shingle_filter(F.col("__s")))
+    return ex.select(F.col(id_col), F.xxhash64("__s").alias("shingle"))
 
 
 def token_hash_relation(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_filter: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """(id, token_hash) with one row per token OCCURRENCE (not distinct —
     SimHash votes are occurrence-weighted). Hash materialized once per row so
-    downstream bit-vote expressions read the same long."""
+    downstream bit-vote expressions read the same long. ``token_filter`` as
+    in shingle_relation (a predicate over the token string, pre-hash)."""
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return (
-        df.repartition(n_part, id_col)
-        .select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
-        .select(F.col(id_col), F.xxhash64("__t").alias("__h"))
+    ex = df.repartition(n_part, id_col).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
     )
+    if token_filter is not None:
+        ex = ex.filter(token_filter(F.col("__t")))
+    return ex.select(F.col(id_col), F.xxhash64("__t").alias("__h"))
 
 
 def minhash_signature(
@@ -360,17 +371,22 @@ def ngram_jaccard_pairs(
         df, text_col, id_col, shingle_n
     )
     # Path choice: pass ``n_docs`` from parquet footer metadata when known
-    # (zero Spark jobs); the vocab half of the docs×vocab cap is enforced
-    # driver-side during the dense collect, falling back to the inverted plan
-    # if exceeded — this avoids a whole extra pass over the exploded shingles
-    # just to measure.
+    # (zero Spark jobs). The doc-count half of the cap gates cheaply; the
+    # vocab half is pre-flighted with approx_count_distinct BEFORE any driver
+    # materialization — a small corpus with a rich vocabulary must take the
+    # inverted path without ever collecting per-doc shingle lists.
     max_dense_docs = max(1, dense_cells_cap // 512)  # assumes vocab ≥ 512
     if n_docs is None:
         n_docs = df.count()  # fallback: one column-less scan (footer counts)
     if n_docs <= max_dense_docs:
-        dense = _jaccard_dense(sh, id_col, threshold, dense_cells_cap)
-        if dense is not None:
-            return dense
+        # One map-side-partial aggregation over the shingle relation (which
+        # the inverted path would scan anyway); 10% headroom covers the HLL
+        # sketch error so a borderline-over corpus still lands inverted.
+        est_vocab = sh.agg(F.approx_count_distinct("shingle").alias("v")).first()["v"]
+        if n_docs * est_vocab * 1.1 <= dense_cells_cap:
+            dense = _jaccard_dense(sh, id_col, threshold, dense_cells_cap)
+            if dense is not None:
+                return dense
     return _jaccard_inverted(sh, id_col, threshold)
 
 

@@ -157,6 +157,160 @@ def ann_cosine_lsh(
     return cosine_topk_query(cand, query, vec_col, id_col, k)
 
 
+def ann_cosine_lsh_multi(
+    df: DataFrame,
+    query: Sequence[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """Multi-table LSH approximate top-k: ``n_tables`` independent hyperplane
+    sets (seeds seed..seed+n_tables-1); a vector is a candidate if ANY table
+    puts it within ``probe_hamming`` bit flips of the query's code. Exact
+    cosine rank inside the candidate union.
+
+    The union is computed in ONE scan — the per-table membership tests OR
+    together into a single codegen'd filter — so there is no per-table
+    union/dedup shuffle. At 100 TB the per-table bucket codes are precomputed
+    partition keys and the probe is partition pruning across tables.
+
+    Recall (synthetic 64-d embeddings, query vec_id=0, k=10): 1.0 at sf0.01 /
+    0.9 at sf0.1 with the defaults (8 tables × 8 planes, radius 2) — this
+    fixture is weakly clustered (10th-neighbor cos ≈ 0.3), so honest 0.9
+    recall costs a wide probe (~70% of this small corpus; probe fraction
+    shrinks as corpus density rises). The single-table ann_cosine_lsh is the
+    cheap/low-recall end of the same dial."""
+    if not 0 <= probe_hamming <= 2:
+        raise ValueError("probe_hamming must be 0, 1, or 2")
+    cond: Column | None = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        qb = 0
+        for i, p in enumerate(planes):
+            if sum(float(a) * float(b) for a, b in zip(query, p)) > 0:
+                qb |= 1 << i
+        probe = {qb}
+        if probe_hamming >= 1:
+            probe |= {qb ^ (1 << i) for i in range(n_planes)}
+        if probe_hamming >= 2:
+            probe |= {
+                qb ^ (1 << i) ^ (1 << j)
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            }
+        bucket: Column = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            h = F.array(*[F.lit(float(x)) for x in p])
+            bit = F.when(
+                dot(F.col(vec_col), h) > 0, F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            bucket = bucket + bit * F.lit(1 << i).cast("long")
+        c = bucket.isin(sorted(probe))
+        cond = c if cond is None else (cond | c)
+    cand = df.filter(cond)
+    return cosine_topk_query(cand, query, vec_col, id_col, k)
+
+
+def ivf_centroids_kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+    iters: int = 3,
+    seed: int = 42,
+):
+    """Spherical k-means centroids: deterministic hash-ordered sample init
+    (same rule as ivf_assign) + ``iters`` distributed Lloyd iterations.
+
+    Each iteration is one Spark job: assignment happens inside mapInPandas
+    (one matmul per Arrow batch against the broadcast centroids) and the new
+    centroids come from a groupBy(centroid).avg over the 64 components —
+    only the c×dim centroid matrix ever reaches the driver. Returns the
+    L2-normalized centroid ndarray."""
+    import numpy as np
+
+    cent_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    )
+    c = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    dim = c.shape[1]
+    for _ in range(iters):
+        assigned = _assign_to_centroids(df, c, vec_col, out="__c")
+        means = (
+            assigned.groupBy("__c")
+            .agg(*[F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        for r in means:
+            v = np.array([r[f"m{i}"] for i in range(dim)], dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 1e-12:
+                c[r["__c"]] = v / n
+    return c
+
+
+def _assign_to_centroids(
+    df: DataFrame, centroids, vec_col: str, out: str = "centroid"
+) -> DataFrame:
+    """Nearest-centroid (cosine) assignment: one vectorized matmul per Arrow
+    batch against the broadcast centroid matrix."""
+    from pyspark.sql import types as T
+
+    bc = df.sparkSession.sparkContext.broadcast(centroids)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out, T.IntegerType())]
+    )
+
+    def _assign(batches):
+        import numpy as np  # noqa: PLC0415 — runs on executors
+
+        cm = bc.value
+        for pdf in batches:
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            pdf[out] = np.argmax((m / norms) @ cm.T, axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(_assign, out_schema)
+
+
+def ann_cosine_ivf_kmeans(
+    df: DataFrame,
+    query: Sequence[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    iters: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat top-k over k-means-refined centroids (vs ann_cosine_ivf's
+    raw sampled centroids): probe the ``nprobe`` nearest cells, exact cosine
+    rank inside. Lloyd refinement adapts cells to the data distribution —
+    measured recall@10 on the synthetic embeddings rises from 0.5→0.8 at
+    sf0.1 (c=8, nprobe=4). At 100 TB: centroids train once on a sample, the
+    cell id becomes a partition column, probes become partition pruning."""
+    import numpy as np
+
+    c = ivf_centroids_kmeans(df, vec_col, id_col, n_centroids, iters, seed)
+    q = np.asarray(list(query), dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probes = [int(i) for i in np.argsort(-(c @ q))[:nprobe]]
+    assigned = _assign_to_centroids(df, c, vec_col, out="centroid")
+    cand = assigned.filter(F.col("centroid").isin(probes))
+    return cosine_topk_query(cand, query, vec_col, id_col, k)
+
+
 def ivf_assign(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -176,7 +330,6 @@ def ivf_assign(
     partition/cluster column, so a probe is partition pruning, not a scan.
     """
     import numpy as np
-    from pyspark.sql import types as T
 
     cent_rows = (
         df.select(id_col, vec_col)
@@ -186,21 +339,7 @@ def ivf_assign(
     )
     c = np.array([r[1] for r in cent_rows], dtype=np.float64)
     c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
-    bc = df.sparkSession.sparkContext.broadcast(c)
-
-    out_schema = T.StructType(list(df.schema.fields) + [T.StructField(out, T.IntegerType())])
-
-    def _assign(batches):
-        import numpy as np  # noqa: PLC0415 — runs on executors
-
-        cm = bc.value
-        for pdf in batches:
-            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            pdf[out] = np.argmax((m / norms) @ cm.T, axis=1).astype("int32")
-            yield pdf
-
-    return df.mapInPandas(_assign, out_schema)
+    return _assign_to_centroids(df, c, vec_col, out=out)
 
 
 def ann_cosine_ivf(
@@ -243,12 +382,24 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     group_col: str | None = None,
     threshold: float = 0.95,
+    dim: int = 64,
+    auto_planes: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
 
     Pair generation is restricted to ``group_col`` blocks (e.g. an LSH bucket
     or a label) — the blocked shape is what scales: one shuffle by block, then
     an O(k²) in-block comparison where k is the block size.
+
+    ``group_col=None`` auto-blocks by random-hyperplane LSH with multi-probe
+    replication (each vector lands in its ``auto_planes``-bit bucket AND every
+    hamming-1 neighbor), so a pair is compared whenever their codes differ by
+    ≤2 bits — recall ≈ P[hamming ≤ 2] ≈ 0.96 for cos ≥ 0.95 at 8 planes, at
+    the cost of (auto_planes+1)× row replication. There is deliberately NO
+    single-block fallback: an all-pairs O(n²) matmul on one task is a
+    scale-killer, so exact all-pairs requires the caller to block explicitly
+    (e.g. ``withColumn("g", F.lit(0))``) as an informed choice.
 
     The in-block comparison is a numpy matrix product inside applyInPandas
     (Arrow-batched): normalize rows once, S = N·Nᵀ, emit pairs ≥ threshold.
@@ -257,10 +408,19 @@ def embedding_neardup_pairs(
     matmul per block is ~50× faster at 64 dims (measured: 9.0s → 0.3s on
     2000×64 sf0.1 embeddings).
     """
+    dedupe = False
     if group_col is None:
-        # small-corpus fallback: single block
-        df = df.withColumn("__g", F.lit(0))
+        bucketed = lsh_bucket(df, vec_col, dim, auto_planes, seed, out="__b")
+        neighbors = F.array(
+            F.col("__b"),
+            *[
+                F.col("__b").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(auto_planes)
+            ],
+        )
+        df = bucketed.withColumn("__g", F.explode(neighbors))
         group_col = "__g"
+        dedupe = True  # replicated rows → the same pair can appear in 2 blocks
 
     import pandas as pd
     from pyspark.sql import types as T
@@ -297,4 +457,7 @@ def embedding_neardup_pairs(
         ib2 = np.where(swap, ia, ib)
         return pd.DataFrame({"id_a": ia2, "id_b": ib2, "cos_sim": cos[keep]})
 
-    return base.groupBy("g").applyInPandas(_block, out_schema)
+    out = base.groupBy("g").applyInPandas(_block, out_schema)
+    # multi-probe replication can surface the same pair from two neighbor
+    # buckets; every copy carries the identical deterministic cos_sim
+    return out.dropDuplicates(["id_a", "id_b"]) if dedupe else out

@@ -75,14 +75,17 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    # Two full passes over the suite, per-query minimum: single-shot timings
+    first_run: dict[str, float] = {}
+    # Three full passes over the suite, per-query minimum: single-shot timings
     # on a shared machine carry multi-second scheduler/JIT noise (observed
     # 1.7s vs 11.8s for the same unchanged query back-to-back); the min of
-    # two passes measures the steady-state plan cost. Pass 2 also exercises
-    # the shared-scan caches (dedup's persisted shingle relation) the way a
-    # resident service would.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    for _ in range(n_runs):
+    # three passes measures the steady-state plan cost. Later passes also
+    # exercise the shared-scan caches (dedup's persisted shingle relation) the
+    # way a resident service would — so the min for dedup queries assumes a
+    # warm shared shingle cache; ``queries_first_run`` records the cold pass
+    # (incl. the shared-scan build) for each query.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    for run in range(n_runs):
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.time()
@@ -92,10 +95,31 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 t = -1.0
                 print(f"bench error in {name}: {e}", file=sys.stderr)
+            if run == 0:
+                first_run[name] = t
             prev = timings.get(name)
             timings[name] = t if prev is None or prev < 0 else (
                 min(prev, t) if t >= 0 else prev
             )
+
+    # per-query delta vs the most recent recorded round, so ±noise regressions
+    # are machine-adjudicable from the JSON alone
+    delta: dict[str, float] = {}
+    prior_file = None
+    try:
+        import glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        if benches:
+            prior_file = os.path.basename(benches[-1])
+            with open(benches[-1]) as f:
+                prior = json.load(f).get("queries", {})
+            for name, t in timings.items():
+                if t >= 0 and isinstance(prior.get(name), (int, float)) and prior[name] >= 0:
+                    delta[name] = round(t - prior[name], 3)
+    except Exception:  # noqa: BLE001 — delta is advisory, never fail the bench
+        pass
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
@@ -108,6 +132,13 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": n_runs,
                 "agg": "min",
+                "queries_first_run": first_run,
+                "cache_note": (
+                    "min-of-N timings for dedup queries assume a warm shared "
+                    "shingle/token cache; queries_first_run is the cold pass"
+                ),
+                "delta_vs": prior_file,
+                "delta_vs_prior": delta,
             }
         )
     )

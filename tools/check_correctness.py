@@ -123,11 +123,15 @@ def main() -> int:
             n_weak += 1
             continue
         try:
+            # close on the error path too — a leaked connection re-accumulates
+            # the buffer/thread state the per-query isolation exists to avoid
             con = fresh_con()
-            ddf = con.execute(oracles[name])
-            dcols = [d[0] for d in ddf.description]
-            drows = [tuple(r) for r in ddf.fetchall()]
-            con.close()
+            try:
+                ddf = con.execute(oracles[name])
+                dcols = [d[0] for d in ddf.description]
+                drows = [tuple(r) for r in ddf.fetchall()]
+            finally:
+                con.close()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
