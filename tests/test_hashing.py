@@ -56,6 +56,26 @@ def test_int_hash_bit_exact(spark):
         assert r.h32 == model_int_hash32(r.x & M64), r.x
 
 
+def test_int_hash_narrow_zero_extension(spark):
+    """Reference POD semantics: a negative int32 is bit_cast into a
+    zero-initialized UInt64 (zero extension), not sign-extended. With
+    input_width=32 the hash of int32 -5 must equal the hash of the long
+    0xFFFFFFFB, and must differ from the sign-extended default."""
+    df = spark.createDataFrame([(-5,)], "x int")
+    r = df.select(
+        hashing.int_hash64("x", 32).alias("hz"),
+        hashing.int_hash64("x").alias("hs"),
+        hashing.int_hash64(F.lit((1 << 32) - 5).cast("long")).alias("href"),
+        hashing.city_hash64("x", "x", input_widths=[32, 32]).alias("cz"),
+        hashing.city_hash64(
+            F.lit((1 << 32) - 5).cast("long"), F.lit((1 << 32) - 5).cast("long")
+        ).alias("cref"),
+    ).collect()[0]
+    assert r.hz == r.href
+    assert r.hz != r.hs
+    assert r.cz == r.cref
+
+
 def test_int_hash_null_propagates(spark):
     df = spark.createDataFrame([(None,), (5,)], "x long")
     rows = {

@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 
 from arrowhouse_spark.operators.multimodal import (
+    DECODE_SCHEMA,
     MEDIA_SCHEMA,
     decode_images,
     frame_sample,
@@ -34,8 +35,13 @@ def test_decode_images(media):
 
 
 def test_decode_real_codec_stubbed(media):
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
-        decode_images(media, use_real_codec=True).collect()
+    """Contract test for the real-codec seam so it can't silently rot: the
+    plan (schema) is identical to the fake-codec path, and execution fails
+    with the pinned NotImplementedError message."""
+    out = decode_images(media, use_real_codec=True)
+    assert out.schema == DECODE_SCHEMA
+    with pytest.raises(Exception, match="image codec libraries not installed"):
+        out.collect()
 
 
 def test_resize_images(media):

@@ -16,7 +16,9 @@ from arrowhouse_spark.operators.dedup import (
     simhash_dedup,
 )
 from arrowhouse_spark.operators.similarity import (
+    ann_cosine_ivf_kmeans,
     ann_cosine_lsh,
+    ann_cosine_lsh_multi,
     cosine_topk_join,
     cosine_topk_query,
     embedding_neardup_pairs,
@@ -224,6 +226,82 @@ def test_ann_lsh_recall_improves_with_probe_radius(emb):
         recall[h] = hits / total
     assert recall[0] <= recall[1] <= recall[2]
     assert recall[2] >= 0.4, f"LSH recall@5 at hamming<=2 too low: {recall}"
+
+
+def test_ngram_jaccard_vocab_preflight_picks_inverted(spark):
+    """A small corpus with a RICH vocabulary must take the inverted path
+    chosen by the approx_count_distinct pre-flight — never collecting per-doc
+    shingle lists onto the driver. 6 docs pass the doc-count gate
+    (cap//512 = 8) but 6 × ~654 vocab × 1.1 > 4096 cells, so the dense plan
+    (a MapInPandas over row blocks) must not appear."""
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(110))) for i in range(6)],
+        "doc_id: long, text: string",
+    )
+    out = ngram_jaccard_pairs(
+        df, shingle_n=2, threshold=0.1, dense_cells_cap=4096, n_docs=6
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert out.count() == 0  # disjoint vocabularies → no pairs
+
+
+def test_embedding_neardup_autoblocks_without_group_col(spark):
+    """group_col=None must NOT fall back to a single O(n²) block: it
+    auto-blocks by multi-probe LSH. Exact duplicates share every bucket in
+    every probe, so all planted dup pairs are guaranteed found, and the
+    corpus must actually spread over >1 auto-bucket."""
+    import numpy as np
+
+    from arrowhouse_spark.operators.similarity import lsh_bucket
+
+    rs = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        v = rs.randn(64)
+        v = (v / np.linalg.norm(v)).tolist()
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, v))  # planted exact duplicate
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(df, group_col=None, threshold=0.999).collect()
+    }
+    assert {(2 * i, 2 * i + 1) for i in range(40)} <= got
+    n_buckets = (
+        lsh_bucket(df, "embedding", 64, 8, 42, out="b").select("b").distinct().count()
+    )
+    assert n_buckets > 1
+
+
+def test_ann_lsh_multi_recall_contract(emb):
+    """The registered contract config (8 tables × 8 planes, radius 2) must
+    find ≥9 of the true top-10 on the test fixture."""
+    q = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    exact = {r.vec_id for r in cosine_topk_query(emb, q, k=10).collect()}
+    approx = {r.vec_id for r in ann_cosine_lsh_multi(emb, q, k=10).collect()}
+    assert len(exact & approx) >= 9
+
+
+def test_ann_ivf_kmeans_recall_contract(emb):
+    """The registered contract config (16 k-means centroids, nprobe=8) must
+    find ≥8 of the true top-10; nprobe=n_centroids degrades to brute force."""
+    q = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    exact = {r.vec_id for r in cosine_topk_query(emb, q, k=10).collect()}
+    approx = {
+        r.vec_id
+        for r in ann_cosine_ivf_kmeans(
+            emb, q, k=10, n_centroids=16, nprobe=8, iters=3
+        ).collect()
+    }
+    assert len(exact & approx) >= 8
+    full = {
+        r.vec_id
+        for r in ann_cosine_ivf_kmeans(
+            emb, q, k=10, n_centroids=4, nprobe=4, iters=1
+        ).collect()
+    }
+    assert full == exact
 
 
 def test_gopher_quality_signals(spark):
