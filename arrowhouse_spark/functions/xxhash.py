@@ -14,9 +14,11 @@ values — hence this port. Correctness evidence is triangulated:
 Like CityHash64, the byte algorithm is irreducibly imperative → Arrow-batched
 pandas UDF (compat surface, not the engine's hot hashing path).
 
-XXH3 and wyHash64 remain absent by design: the reference vendors them as
-(uncheckedout) submodules, their multi-version secret constants are not
-recoverable here, and in ClickHouse they only back internal hash tables.
+XXH3-64 lives in functions/xxh3.py (ported from the public spec, verified
+against vectors generated from the independent public C implementation).
+wyHash64 remains absent by design: its vendored submodule is empty AND
+wyhash changed algorithms incompatibly across public versions, so without
+the pinned submodule commit a bit-exact claim is unverifiable.
 """
 
 from __future__ import annotations

@@ -2324,6 +2324,53 @@ def xx_hash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# XXH3-64 parity: ground truth generated in-container by compiling a C probe
+# against the PUBLIC xxhash.h vendored by PyArrow (frozen v0.8 algorithm) —
+# an independent implementation, so the oracle can't inherit a port bug.
+# Inputs: printable-ASCII strings buf[i] = chr(33 + (i*31+7) % 94) truncated
+# at every length-class boundary (empty / 1-3 / 4-8 / 9-16 / 17-128 /
+# 129-240 / >240 partial-stripe / exact-block / multi-block).
+_XXH3_LENS_HASHES = [
+    (0, 3244421341483603138), (1, -6675284198519149788),
+    (2, -4331076788977733996), (3, 910531306036622726),
+    (4, -1042341649879783243), (5, -2892844194836548648),
+    (7, -2487566770609476285), (8, -6274678996878480399),
+    (9, -1614594825662547852), (11, 1107197222007354457),
+    (15, 3156145023039268677), (16, 8273374296139845141),
+    (17, 5974763008073241601), (31, 541540854915422415),
+    (32, -1745762514238249709), (63, 1182278171039119826),
+    (64, -2169173247733239675), (96, 1088199675861480207),
+    (128, 8566348868834300049), (129, 3217914615411268143),
+    (130, -3741801803705579728), (160, -3693552605626820903),
+    (192, -3078902568973840495), (240, 2488203157881702570),
+    (241, -5673122611096779283), (256, -7574017052315448071),
+    (384, 8467749565002290807), (512, -6324757194713042026),
+    (1023, 3788963614774261590), (1024, 6171675800411824629),
+    (1536, -6514365354827123736), (2048, -6890442189235092086),
+]
+
+
+@register(
+    "xxh3_parity",
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"({n}, {h}::BIGINT)" for n, h in _XXH3_LENS_HASHES)
+    + ") t(n, h) ORDER BY n",
+)
+def xxh3_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-exact XXH3-64 ≡ the reference's xxh3 (FunctionsHashing.h:89-104,
+    seed 0, default secret), verified against vectors generated from the
+    independent public C implementation (see _XXH3_LENS_HASHES provenance
+    comment). The Spark side recomputes each hash with functions/xxh3.py's
+    pandas-UDF kernel over the same deterministic strings."""
+    from arrowhouse_spark.functions.xxh3 import xxh3_64_str
+
+    buf = "".join(chr(33 + ((i * 31 + 7) % 94)) for i in range(2048))
+    df = spark.createDataFrame(
+        [(n, buf[:n]) for n, _ in _XXH3_LENS_HASHES], "n int, s string"
+    )
+    return df.select("n", xxh3_64_str("s").alias("h")).orderBy("n")
+
+
 @register("city_hash_int_parity", _city_int_oracle())
 def city_hash_int_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bit-exact cityHash64 over integer columns ≡ the reference
