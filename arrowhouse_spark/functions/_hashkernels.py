@@ -1,0 +1,304 @@
+"""Numpy-vectorized batch kernels for the byte-level compatibility hashes
+(CityHash64, xxHash32/64 seed-0).
+
+The scalar ports in cityhash.py / xxhash.py are the reference kernels; these
+vectorized twins exist because per-row Python inside a pandas UDF is the one
+remaining interpreter loop on that surface. The trick: every branch in these
+algorithms depends ONLY on the byte length, so strings of equal length follow
+an identical instruction path — group a batch by length, pack each group into
+a (rows, n) uint8 matrix, and the whole group hashes with ~n/8 numpy ops
+regardless of row count. Rare lengths (small groups) fall back to the scalar
+kernel; both paths are cross-checked against each other in
+tests/test_hashing.py.
+
+All arithmetic is native modular uint64/uint32 (numpy wraps silently on
+array ops), mirroring the C semantics the scalar ports emulate with masks.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+
+U64 = np.uint64
+U32 = np.uint32
+
+
+def _rot64(x: np.ndarray, s: int) -> np.ndarray:
+    if s == 0:
+        return x
+    return (x >> U64(s)) | (x << U64(64 - s))
+
+
+def _rotl64(x: np.ndarray, s: int) -> np.ndarray:
+    if s == 0:
+        return x
+    return (x << U64(s)) | (x >> U64(64 - s))
+
+
+def _rotl32(x: np.ndarray, s: int) -> np.ndarray:
+    if s == 0:
+        return x
+    return (x << U32(s)) | (x >> U32(32 - s))
+
+
+def _f64(mat: np.ndarray, i: int) -> np.ndarray:
+    return np.ascontiguousarray(mat[:, i : i + 8]).view("<u8")[:, 0]
+
+
+def _f32(mat: np.ndarray, i: int) -> np.ndarray:
+    return np.ascontiguousarray(mat[:, i : i + 4]).view("<u4")[:, 0]
+
+
+def _f32_64(mat: np.ndarray, i: int) -> np.ndarray:
+    return _f32(mat, i).astype(np.uint64)
+
+
+# --------------------------------------------------------------------------
+# CityHash64 (v1.0.2) — vectorized mirror of cityhash.city_hash64_py
+# --------------------------------------------------------------------------
+
+_K0 = U64(0xC3A5C85C97CB3127)
+_K1 = U64(0xB492B66FBE98F273)
+_K2 = U64(0x9AE16A3B2F90404F)
+_K3 = U64(0xC949D7C7509E6557)
+_K_MUL = U64(0x9DDFEA08EB382D69)
+
+
+def _shift_mix(v: np.ndarray) -> np.ndarray:
+    return v ^ (v >> U64(47))
+
+
+def _hash_len16_np(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    a = (u ^ v) * _K_MUL
+    a ^= a >> U64(47)
+    b = (v ^ a) * _K_MUL
+    b ^= b >> U64(47)
+    return b * _K_MUL
+
+
+def _weak32_np(mat, i, a, b):
+    w, x, y, z = _f64(mat, i), _f64(mat, i + 8), _f64(mat, i + 16), _f64(mat, i + 24)
+    a = a + w
+    b = _rot64(b + a + z, 21)
+    c = a
+    a = a + x + y
+    b = b + _rot64(a, 44)
+    return a + z, b + c
+
+
+def city_hash64_np(mat: np.ndarray) -> np.ndarray:
+    """(rows, n) uint8 → uint64 CityHash64 per row; n is the group length."""
+    rows, n = mat.shape
+    if n == 0:
+        return np.full(rows, _K2, dtype=np.uint64)
+    if n <= 16:
+        if n > 8:
+            a = _f64(mat, 0)
+            b = _f64(mat, n - 8)
+            # RotateByAtLeast1(b + n, n) — n in [9,16] so the shift is valid
+            bn = b + U64(n)
+            rot = (bn >> U64(n)) | (bn << U64(64 - n))
+            return _hash_len16_np(a, rot) ^ b
+        if n >= 4:
+            a = _f32_64(mat, 0)
+            return _hash_len16_np(U64(n) + (a << U64(3)), _f32_64(mat, n - 4))
+        a = mat[:, 0].astype(np.uint32)
+        b = mat[:, n >> 1].astype(np.uint32)
+        c = mat[:, n - 1].astype(np.uint32)
+        y = (a + (b << U32(8))).astype(np.uint64)
+        z = (U32(n) + (c << U32(2))).astype(np.uint64)
+        return _shift_mix((y * _K2) ^ (z * _K3)) * _K2
+    if n <= 32:
+        a = _f64(mat, 0) * _K1
+        b = _f64(mat, 8)
+        c = _f64(mat, n - 8) * _K2
+        d = _f64(mat, n - 16) * _K0
+        return _hash_len16_np(
+            _rot64(a - b, 43) + _rot64(c, 30) + d,
+            a + _rot64(b ^ _K3, 20) - c + U64(n),
+        )
+    if n <= 64:
+        z = _f64(mat, 24)
+        a = _f64(mat, 0) + (U64(n) + _f64(mat, n - 16)) * _K0
+        b = _rot64(a + z, 52)
+        c = _rot64(a, 37)
+        a = a + _f64(mat, 8)
+        c = c + _rot64(a, 7)
+        a = a + _f64(mat, 16)
+        vf = a + z
+        vs = b + _rot64(a, 31) + c
+        a = _f64(mat, 16) + _f64(mat, n - 32)
+        z = _f64(mat, n - 8)
+        b = _rot64(a + z, 52)
+        c = _rot64(a, 37)
+        a = a + _f64(mat, n - 24)
+        c = c + _rot64(a, 7)
+        a = a + _f64(mat, n - 16)
+        wf = a + z
+        ws = b + _rot64(a, 31) + c
+        r = _shift_mix((vf + ws) * _K2 + (wf + vs) * _K0)
+        return _shift_mix(r * _K0 + vs) * _K2
+
+    x = _f64(mat, 0)
+    y = _f64(mat, n - 16) ^ _K1
+    z = _f64(mat, n - 56) ^ _K0
+    # scalar init arithmetic in python ints (numpy SCALAR ops warn on wrap)
+    n_k1 = (n * int(_K1)) & 0xFFFFFFFFFFFFFFFF
+    v0, v1 = _weak32_np(mat, n - 64, np.full(rows, U64(n)), y)
+    w0, w1 = _weak32_np(mat, n - 32, np.full(rows, n_k1, dtype=np.uint64), np.full(rows, _K0))
+    z = z + _shift_mix(v1) * _K1
+    x = _rot64(z + x, 39) * _K1
+    y = _rot64(y, 33) * _K1
+
+    pos = 0
+    rem = (n - 1) & ~63
+    while True:
+        x = _rot64(x + y + v0 + _f64(mat, pos + 16), 37) * _K1
+        y = _rot64(y + v1 + _f64(mat, pos + 48), 42) * _K1
+        x ^= w1
+        y ^= v0
+        z = _rot64(z ^ w0, 33)
+        v0, v1 = _weak32_np(mat, pos, v1 * _K1, x + w0)
+        w0, w1 = _weak32_np(mat, pos + 32, z + w1, y)
+        z, x = x, z
+        pos += 64
+        rem -= 64
+        if rem == 0:
+            break
+    return _hash_len16_np(
+        _hash_len16_np(v0, w0) + _shift_mix(y) * _K1 + z,
+        _hash_len16_np(v1, w1) + x,
+    )
+
+
+# --------------------------------------------------------------------------
+# xxHash64 / xxHash32 — vectorized mirrors of xxhash.xxh64_py / xxh32_py
+# --------------------------------------------------------------------------
+
+_P64_1 = U64(0x9E3779B185EBCA87)
+_P64_2 = U64(0xC2B2AE3D27D4EB4F)
+_P64_3 = U64(0x165667B19E3779F9)
+_P64_4 = U64(0x85EBCA77C2B2AE63)
+_P64_5 = U64(0x27D4EB2F165667C5)
+
+_P32_1 = U32(2654435761)
+_P32_2 = U32(2246822519)
+_P32_3 = U32(3266489917)
+_P32_4 = U32(668265263)
+_P32_5 = U32(374761393)
+
+
+def _xxh64_round_np(acc: np.ndarray, lane: np.ndarray) -> np.ndarray:
+    return _rotl64(acc + lane * _P64_2, 31) * _P64_1
+
+
+def xxh64_np(mat: np.ndarray, seed: int = 0) -> np.ndarray:
+    rows, n = mat.shape
+    m64 = 0xFFFFFFFFFFFFFFFF
+    i = 0
+    if n >= 32:
+        v1 = np.full(rows, (seed + int(_P64_1) + int(_P64_2)) & m64, dtype=np.uint64)
+        v2 = np.full(rows, (seed + int(_P64_2)) & m64, dtype=np.uint64)
+        v3 = np.full(rows, seed & m64, dtype=np.uint64)
+        v4 = np.full(rows, (seed - int(_P64_1)) & m64, dtype=np.uint64)
+        while i <= n - 32:
+            v1 = _xxh64_round_np(v1, _f64(mat, i))
+            v2 = _xxh64_round_np(v2, _f64(mat, i + 8))
+            v3 = _xxh64_round_np(v3, _f64(mat, i + 16))
+            v4 = _xxh64_round_np(v4, _f64(mat, i + 24))
+            i += 32
+        h = _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        for v in (v1, v2, v3, v4):
+            h = (h ^ _xxh64_round_np(np.zeros(rows, np.uint64), v)) * _P64_1 + _P64_4
+    else:
+        h = np.full(rows, (seed + int(_P64_5)) & m64, dtype=np.uint64)
+    h = h + U64(n)
+    while i <= n - 8:
+        h ^= _xxh64_round_np(np.zeros(rows, np.uint64), _f64(mat, i))
+        h = _rotl64(h, 27) * _P64_1 + _P64_4
+        i += 8
+    if i <= n - 4:
+        h ^= _f32_64(mat, i) * _P64_1
+        h = _rotl64(h, 23) * _P64_2 + _P64_3
+        i += 4
+    while i < n:
+        h ^= mat[:, i].astype(np.uint64) * _P64_5
+        h = _rotl64(h, 11) * _P64_1
+        i += 1
+    h ^= h >> U64(33)
+    h = h * _P64_2
+    h ^= h >> U64(29)
+    h = h * _P64_3
+    h ^= h >> U64(32)
+    return h
+
+
+def xxh32_np(mat: np.ndarray, seed: int = 0) -> np.ndarray:
+    rows, n = mat.shape
+    m32 = 0xFFFFFFFF
+    i = 0
+    if n >= 16:
+        v1 = np.full(rows, (seed + int(_P32_1) + int(_P32_2)) & m32, dtype=np.uint32)
+        v2 = np.full(rows, (seed + int(_P32_2)) & m32, dtype=np.uint32)
+        v3 = np.full(rows, seed & m32, dtype=np.uint32)
+        v4 = np.full(rows, (seed - int(_P32_1)) & m32, dtype=np.uint32)
+        while i <= n - 16:
+            v1 = _rotl32(v1 + _f32(mat, i) * _P32_2, 13) * _P32_1
+            v2 = _rotl32(v2 + _f32(mat, i + 4) * _P32_2, 13) * _P32_1
+            v3 = _rotl32(v3 + _f32(mat, i + 8) * _P32_2, 13) * _P32_1
+            v4 = _rotl32(v4 + _f32(mat, i + 12) * _P32_2, 13) * _P32_1
+            i += 16
+        h = _rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12) + _rotl32(v4, 18)
+    else:
+        h = np.full(rows, (seed + int(_P32_5)) & m32, dtype=np.uint32)
+    h = h + U32(n)
+    while i <= n - 4:
+        h = _rotl32(h + _f32(mat, i) * _P32_3, 17) * _P32_4
+        i += 4
+    while i < n:
+        h = _rotl32(h + mat[:, i].astype(np.uint32) * _P32_5, 11) * _P32_1
+        i += 1
+    h ^= h >> U32(15)
+    h = h * _P32_2
+    h ^= h >> U32(13)
+    h = h * _P32_3
+    h ^= h >> U32(16)
+    return h
+
+
+# --------------------------------------------------------------------------
+# Batch driver: group by length, vectorize big groups, scalar the tail
+# --------------------------------------------------------------------------
+
+
+def hash_batch(
+    vals: Sequence[bytes | None],
+    fixed_fn: Callable[[np.ndarray], np.ndarray],
+    scalar_fn: Callable[[bytes], int],
+    min_group: int = 4,
+) -> list[int | None]:
+    """Hash a batch of optional byte strings. Equal-length values vectorize
+    through ``fixed_fn`` (one (rows, n) matrix per length); groups smaller
+    than ``min_group`` use ``scalar_fn`` (matrix-packing overhead dominates
+    below that)."""
+    out: list[int | None] = [None] * len(vals)
+    groups: dict[int, list[int]] = {}
+    for idx, b in enumerate(vals):
+        if b is not None:
+            groups.setdefault(len(b), []).append(idx)
+    for n, idxs in groups.items():
+        if len(idxs) < min_group:
+            for i in idxs:
+                out[i] = scalar_fn(vals[i])
+            continue
+        if n == 0:
+            mat = np.zeros((len(idxs), 0), dtype=np.uint8)
+        else:
+            mat = np.frombuffer(
+                b"".join(vals[i] for i in idxs), dtype=np.uint8
+            ).reshape(len(idxs), n)
+        for i, h in zip(idxs, fixed_fn(mat).tolist()):
+            out[i] = h
+    return out

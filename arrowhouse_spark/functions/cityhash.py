@@ -183,19 +183,29 @@ def city_hash64_py(s: bytes) -> int:
 
 def city_hash64_str(col: Column | str) -> Column:
     """cityHash64 over a string/binary column (Arrow-batched pandas UDF).
-    Returns the uint64 bit pattern as a Spark long; NULL in → NULL out."""
+    Returns the uint64 bit pattern as a Spark long; NULL in → NULL out.
+
+    Inside each Arrow batch, equal-length values hash through the
+    numpy-vectorized kernel (_hashkernels.city_hash64_np — branch structure
+    depends only on length, so a length-group is pure array math); rare
+    lengths fall back to the scalar reference port above. Both kernels are
+    cross-checked in tests/test_hashing.py."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from arrowhouse_spark.functions._hashkernels import city_hash64_np, hash_batch
+
     def _city(vals):
-        out = []
-        for v in vals:
-            if v is None:
-                out.append(None)
-                continue
-            b = v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
-            h = city_hash64_py(bytes(b))
-            out.append(h - (1 << 64) if h >= (1 << 63) else h)  # long bit pattern
+        bs = [
+            None
+            if v is None
+            else (bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8"))
+            for v in vals
+        ]
+        out = [
+            None if h is None else (h - (1 << 64) if h >= (1 << 63) else h)
+            for h in hash_batch(bs, city_hash64_np, city_hash64_py)
+        ]
         return pd.Series(out, dtype="Int64")
 
     _city.__annotations__ = {"vals": pd.Series, "return": pd.Series}

@@ -147,20 +147,31 @@ def xxh64_py(data: bytes, seed: int = 0) -> int:
 
 
 def _str_udf(fn, seed: int, signed64: bool):
+    """Arrow-batched UDF: equal-length values inside each batch hash through
+    the numpy-vectorized kernels (_hashkernels — the branch structure depends
+    only on length), rare lengths through the scalar reference port ``fn``.
+    Cross-checked in tests/test_hashing.py."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from arrowhouse_spark.functions._hashkernels import hash_batch, xxh32_np, xxh64_np
+
+    np_fn = xxh64_np if fn is xxh64_py else xxh32_np
+
     def _hash(vals):
-        out = []
-        for v in vals:
-            if v is None:
-                out.append(None)
-                continue
-            b = v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
-            h = fn(bytes(b), seed)
-            if signed64 and h >= (1 << 63):
-                h -= 1 << 64
-            out.append(h)
+        bs = [
+            None
+            if v is None
+            else (bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8"))
+            for v in vals
+        ]
+        hs = hash_batch(bs, lambda mat: np_fn(mat, seed), lambda b: fn(b, seed))
+        out = [
+            None
+            if h is None
+            else (h - (1 << 64) if signed64 and h >= (1 << 63) else h)
+            for h in hs
+        ]
         return pd.Series(out, dtype="Int64")
 
     _hash.__annotations__ = {"vals": pd.Series, "return": pd.Series}

@@ -56,6 +56,42 @@ def test_int_hash_bit_exact(spark):
         assert r.h32 == model_int_hash32(r.x & M64), r.x
 
 
+def test_vectorized_kernels_match_scalar_ports():
+    """The numpy length-group kernels behind the string-hash UDFs must be
+    bit-identical to the scalar reference ports at every length-class
+    boundary (incl. empty, tails, single/multi stripe, 64-byte blocks)."""
+    import numpy as np
+
+    from arrowhouse_spark.functions._hashkernels import (
+        city_hash64_np,
+        hash_batch,
+        xxh32_np,
+        xxh64_np,
+    )
+    from arrowhouse_spark.functions.cityhash import city_hash64_py
+    from arrowhouse_spark.functions.xxhash import xxh32_py, xxh64_py
+
+    rng = random.Random(13)
+    lens = [0, 1, 3, 4, 7, 8, 9, 15, 16, 17, 31, 32, 33, 63, 64, 65, 127, 128, 129, 256, 300]
+    for n in lens:
+        data = [bytes(rng.randrange(256) for _ in range(n)) for _ in range(4)]
+        mat = (
+            np.frombuffer(b"".join(data), dtype=np.uint8).reshape(4, n)
+            if n
+            else np.zeros((4, 0), dtype=np.uint8)
+        )
+        for k in range(4):
+            assert int(city_hash64_np(mat)[k]) == city_hash64_py(data[k]), n
+            assert int(xxh64_np(mat)[k]) == xxh64_py(data[k]), n
+            assert int(xxh64_np(mat, 42)[k]) == xxh64_py(data[k], 42), n
+            assert int(xxh32_np(mat)[k]) == xxh32_py(data[k]), n
+    # mixed batch: None propagation + rare-length scalar fallback
+    vals = [None, b"", b"abc", b"abc", b"abc", b"abc", bytes(range(77))]
+    out = hash_batch(vals, city_hash64_np, city_hash64_py)
+    assert out[0] is None
+    assert all(out[i] == city_hash64_py(vals[i]) for i in range(1, 7))
+
+
 def test_int_hash_narrow_zero_extension(spark):
     """Reference POD semantics: a negative int32 is bit_cast into a
     zero-initialized UInt64 (zero extension), not sign-extended. With
