@@ -8,6 +8,12 @@ For every query in __spark_entry__.queries():
     columns, floats compared with tolerance).
 
 Usage: python tools/check_correctness.py [--sf /root/testdata/sf0.01] [names...]
+
+``--tail N`` restricts to the queries BEYOND the first N of queries()'s
+priority order — the rotation tail the driver's capped window will not check
+this round — and ``--json PATH`` writes driver-format records, so committing
+``CORRECTNESS_local_r{N}.json`` gives every registered query a current-round
+proof (driver window ∪ local tail).
 """
 
 from __future__ import annotations
@@ -73,6 +79,10 @@ def _sort_key(row):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01"))
+    ap.add_argument("--tail", type=int, default=None, metavar="N",
+                    help="only check queries beyond the first N of the priority order")
+    ap.add_argument("--json", default=None, metavar="PATH",
+                    help="write driver-format result records to PATH")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -106,20 +116,30 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = args.names or list(qs)
+    if args.tail is not None:
+        names = [n for n in qs if n not in set(list(qs)[: args.tail])]
     n_pass = n_fail = n_weak = 0
+    records: dict[str, dict] = {}
     for name in names:
         fn = qs[name]
+        rec = records[name] = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
         t0 = time.time()
         try:
             sdf = fn(spark, args.sf)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            rec["err"] = f"spark: {e}"[:200]
             n_fail += 1
             continue
         if name not in oracles:
             print(f"weak  {name}: rows={len(srows)} cols={scols} ({time.time()-t0:.1f}s) [no oracle]")
+            rec["err"] = "no_oracle"
             n_weak += 1
             continue
         try:
@@ -134,8 +154,12 @@ def main() -> int:
                 con.close()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            rec["err"] = f"duckdb: {e}"[:200]
             n_fail += 1
             continue
+        rec["oracle_rows"] = len(drows)
+        rec["rows_match"] = len(srows) == len(drows)
+        rec["schema_match"] = sorted(scols) == sorted(dcols)
         problems = []
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
@@ -157,11 +181,19 @@ def main() -> int:
                 problems.append(f"... {bad} differing rows total")
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
+            rec["hash_match"] = False
             n_fail += 1
         else:
             print(f"ok    {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            rec["hash_match"] = True
             n_pass += 1
     print(f"\n{n_pass} ok, {n_weak} weak (no oracle), {n_fail} FAIL")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {args.json} ({len(records)} records)")
     return 1 if n_fail else 0
 
 
