@@ -269,6 +269,173 @@ def xxh32_np(mat: np.ndarray, seed: int = 0) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# XXH3-64 (seed 0, default secret) — vectorized mirror of xxh3.xxh3_64_py.
+# Same length-only branch structure as the kernels above: every if/loop in
+# XXH3 depends on len(input) alone, so an equal-length group is pure array
+# math. Secret words are compile-time constants at seed 0.
+# --------------------------------------------------------------------------
+
+_X3_AVMUL = U64(0x165667919E3779F9)
+_X3_RRM = U64(0x9FB21C651E98DF25)
+_X3_M32 = U64(0xFFFFFFFF)
+
+
+def _x3_secret() -> bytes:
+    # deferred: xxh3.py imports this module inside its UDF builders only,
+    # so a lazy import here cannot form a cycle
+    from arrowhouse_spark.functions.xxh3 import K_SECRET
+
+    return K_SECRET
+
+
+def _x3_s64(i: int) -> np.uint64:
+    return U64(int.from_bytes(_x3_secret()[i : i + 8], "little"))
+
+
+def _x3_s32(i: int) -> int:
+    return int.from_bytes(_x3_secret()[i : i + 4], "little")
+
+
+def _mul128_fold64_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-row (a*b) lo64 ^ hi64 via 32-bit limb decomposition (numpy has no
+    128-bit ints). No limb sum overflows uint64: cross < 2^64 - 1."""
+    lo = a * b
+    a_lo, a_hi = a & _X3_M32, a >> U64(32)
+    b_lo, b_hi = b & _X3_M32, b >> U64(32)
+    ll = a_lo * b_lo
+    cross = (ll >> U64(32)) + ((a_hi * b_lo) & _X3_M32) + a_lo * b_hi
+    hi = a_hi * b_hi + ((a_hi * b_lo) >> U64(32)) + (cross >> U64(32))
+    return lo ^ hi
+
+
+def _x3_avalanche_np(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> U64(37))
+    h = h * _X3_AVMUL
+    return h ^ (h >> U64(32))
+
+
+def _x3_xxh64_avalanche_np(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> U64(33))
+    h = h * _P64_2
+    h ^= h >> U64(29)
+    h = h * _P64_3
+    return h ^ (h >> U64(32))
+
+
+def _x3_rrmxmx_np(h: np.ndarray, n: int) -> np.ndarray:
+    h = h ^ (_rotl64(h, 49) ^ _rotl64(h, 24))
+    h = h * _X3_RRM
+    h ^= (h >> U64(35)) + U64(n)
+    h = h * _X3_RRM
+    return h ^ (h >> U64(28))
+
+
+def _x3_mix16_np(mat: np.ndarray, di: int, si: int) -> np.ndarray:
+    lo = _f64(mat, di) ^ _x3_s64(si)
+    hi = _f64(mat, di + 8) ^ _x3_s64(si + 8)
+    return _mul128_fold64_np(lo, hi)
+
+
+def _x3_0to16_np(mat: np.ndarray, rows: int, n: int) -> np.ndarray:
+    if n > 8:
+        lo = _f64(mat, 0) ^ (_x3_s64(24) ^ _x3_s64(32))
+        hi = _f64(mat, n - 8) ^ (_x3_s64(40) ^ _x3_s64(48))
+        acc = U64(n) + lo.byteswap() + hi + _mul128_fold64_np(lo, hi)
+        return _x3_avalanche_np(acc)
+    if n >= 4:
+        input64 = _f32_64(mat, n - 4) + (_f32_64(mat, 0) << U64(32))
+        bitflip = _x3_s64(8) ^ _x3_s64(16)
+        return _x3_rrmxmx_np(input64 ^ bitflip, n)
+    if n > 0:
+        c1 = mat[:, 0].astype(np.uint64)
+        c2 = mat[:, n >> 1].astype(np.uint64)
+        c3 = mat[:, n - 1].astype(np.uint64)
+        combined = (c1 << U64(16)) | (c2 << U64(24)) | c3 | U64(n << 8)
+        bitflip = U64((_x3_s32(0) ^ _x3_s32(4)) & 0xFFFFFFFFFFFFFFFF)
+        return _x3_xxh64_avalanche_np(combined ^ bitflip)
+    const = np.full(rows, _x3_s64(56) ^ _x3_s64(64), dtype=np.uint64)
+    return _x3_xxh64_avalanche_np(const)
+
+
+def _x3_17to128_np(mat: np.ndarray, rows: int, n: int) -> np.ndarray:
+    acc = np.full(rows, (n * int(_P64_1)) & 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+    if n > 32:
+        if n > 64:
+            if n > 96:
+                acc = acc + _x3_mix16_np(mat, 48, 96)
+                acc = acc + _x3_mix16_np(mat, n - 64, 112)
+            acc = acc + _x3_mix16_np(mat, 32, 64)
+            acc = acc + _x3_mix16_np(mat, n - 48, 80)
+        acc = acc + _x3_mix16_np(mat, 16, 32)
+        acc = acc + _x3_mix16_np(mat, n - 32, 48)
+    acc = acc + _x3_mix16_np(mat, 0, 0)
+    acc = acc + _x3_mix16_np(mat, n - 16, 16)
+    return _x3_avalanche_np(acc)
+
+
+def _x3_129to240_np(mat: np.ndarray, rows: int, n: int) -> np.ndarray:
+    acc = np.full(rows, (n * int(_P64_1)) & 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+    for i in range(8):
+        acc = acc + _x3_mix16_np(mat, 16 * i, 16 * i)
+    acc = _x3_avalanche_np(acc)
+    for i in range(8, n // 16):
+        acc = acc + _x3_mix16_np(mat, 16 * i, 16 * (i - 8) + 3)
+    acc = acc + _x3_mix16_np(mat, n - 16, 136 - 17)
+    return _x3_avalanche_np(acc)
+
+
+def _x3_accumulate_512_np(acc: list[np.ndarray], mat: np.ndarray, di: int, si: int):
+    for i in range(8):
+        dv = _f64(mat, di + 8 * i)
+        dk = dv ^ _x3_s64(si + 8 * i)
+        acc[i ^ 1] = acc[i ^ 1] + dv
+        acc[i] = acc[i] + (dk & _X3_M32) * (dk >> U64(32))
+
+
+def _x3_long_np(mat: np.ndarray, rows: int, n: int) -> np.ndarray:
+    init = [
+        0xC2B2AE3D, int(_P64_1), int(_P64_2), int(_P64_3),
+        int(_P64_4), 0x85EBCA77, int(_P64_5), 0x9E3779B1,
+    ]
+    acc = [np.full(rows, v, dtype=np.uint64) for v in init]
+    secret_size = len(_x3_secret())
+    stripes_per_block = (secret_size - 64) // 8
+    block_len = 64 * stripes_per_block
+    nb_blocks = (n - 1) // block_len
+    for b in range(nb_blocks):
+        for s in range(stripes_per_block):
+            _x3_accumulate_512_np(acc, mat, b * block_len + s * 64, 8 * s)
+        for i in range(8):  # scramble
+            a = acc[i]
+            a = a ^ (a >> U64(47))
+            a = a ^ _x3_s64(secret_size - 64 + 8 * i)
+            acc[i] = a * U64(0x9E3779B1)
+    nb_stripes = ((n - 1) - block_len * nb_blocks) // 64
+    for s in range(nb_stripes):
+        _x3_accumulate_512_np(acc, mat, nb_blocks * block_len + s * 64, 8 * s)
+    _x3_accumulate_512_np(acc, mat, n - 64, secret_size - 64 - 7)
+    result = np.full(rows, (n * int(_P64_1)) & 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+    for i in range(4):
+        result = result + _mul128_fold64_np(
+            acc[2 * i] ^ _x3_s64(11 + 16 * i),
+            acc[2 * i + 1] ^ _x3_s64(11 + 16 * i + 8),
+        )
+    return _x3_avalanche_np(result)
+
+
+def xxh3_64_np(mat: np.ndarray) -> np.ndarray:
+    """(rows, n) uint8 → uint64 XXH3-64 (seed 0) per row."""
+    rows, n = mat.shape
+    if n <= 16:
+        return _x3_0to16_np(mat, rows, n)
+    if n <= 128:
+        return _x3_17to128_np(mat, rows, n)
+    if n <= 240:
+        return _x3_129to240_np(mat, rows, n)
+    return _x3_long_np(mat, rows, n)
+
+
+# --------------------------------------------------------------------------
 # Batch driver: group by length, vectorize big groups, scalar the tail
 # --------------------------------------------------------------------------
 

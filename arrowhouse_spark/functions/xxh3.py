@@ -221,19 +221,28 @@ def xxh3_64_py(data: bytes, seed: int = 0) -> int:
 def xxh3_64_str(col: Column | str) -> Column:
     """XXH3-64 over a string/binary column ≡ the reference's ``xxh3``
     function (FunctionsHashing.h:89-104). Returns the uint64 bit pattern as
-    a Spark long. Arrow-batched pandas UDF — compatibility surface only."""
+    a Spark long. Arrow-batched pandas UDF — compatibility surface only.
+
+    Inside each batch, equal-length values hash through the numpy kernel
+    (_hashkernels.xxh3_64_np — XXH3's branch structure depends only on
+    length); rare lengths fall back to the scalar port above. Cross-checked
+    in tests/test_xxh3.py."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from arrowhouse_spark.functions._hashkernels import hash_batch, xxh3_64_np
+
     def _hash(vals):
-        out = []
-        for v in vals:
-            if v is None:
-                out.append(None)
-                continue
-            b = v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
-            h = xxh3_64_py(bytes(b))
-            out.append(h - (1 << 64) if h >= (1 << 63) else h)
+        bs = [
+            None
+            if v is None
+            else (bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8"))
+            for v in vals
+        ]
+        out = [
+            None if h is None else (h - (1 << 64) if h >= (1 << 63) else h)
+            for h in hash_batch(bs, xxh3_64_np, xxh3_64_py)
+        ]
         return pd.Series(out, dtype="Int64")
 
     _hash.__annotations__ = {"vals": pd.Series, "return": pd.Series}

@@ -76,6 +76,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     # Three full passes over the suite, per-query minimum: single-shot timings
     # on a shared machine carry multi-second scheduler/JIT noise (observed
     # 1.7s vs 11.8s for the same unchanged query back-to-back); the min of
@@ -97,6 +98,7 @@ def main() -> None:
                 print(f"bench error in {name}: {e}", file=sys.stderr)
             if run == 0:
                 first_run[name] = t
+            all_runs.setdefault(name, []).append(t)
             prev = timings.get(name)
             timings[name] = t if prev is None or prev < 0 else (
                 min(prev, t) if t >= 0 else prev
@@ -114,7 +116,10 @@ def main() -> None:
         if benches:
             prior_file = os.path.basename(benches[-1])
             with open(benches[-1]) as f:
-                prior = json.load(f).get("queries", {})
+                prior = json.load(f)
+            # driver-recorded BENCH_r*.json wraps our JSON line under "parsed";
+            # a raw bench.py output has "queries" at top level — accept both
+            prior = prior.get("parsed", prior).get("queries", {})
             for name, t in timings.items():
                 if t >= 0 and isinstance(prior.get(name), (int, float)) and prior[name] >= 0:
                     delta[name] = round(t - prior[name], 3)
@@ -133,6 +138,7 @@ def main() -> None:
                 "runs_per_query": n_runs,
                 "agg": "min",
                 "queries_first_run": first_run,
+                "queries_all_runs": all_runs,
                 "cache_note": (
                     "min-of-N timings for dedup queries assume a warm shared "
                     "shingle/token cache; queries_first_run is the cold pass"

@@ -99,3 +99,34 @@ def test_xxh3_combine_is_hash128to64(spark):
     from tests.test_hashing import model_hash128to64
 
     assert out.c & ((1 << 64) - 1) == model_hash128to64(1, 2)
+
+
+def test_xxh3_numpy_kernel_matches_scalar():
+    """The length-grouped numpy kernel and the scalar reference port must
+    agree on every branch class (0 / 1-3 / 4-8 / 9-16 / 17-128 / 129-240 /
+    long incl. multi-block) — same contract as the CityHash/xxHash twins."""
+    import random
+
+    import numpy as np
+
+    from arrowhouse_spark.functions._hashkernels import hash_batch, xxh3_64_np
+
+    rng = random.Random(7)
+    lengths = list(range(0, 20)) + [31, 32, 33, 64, 100, 128, 129, 200, 240,
+                                    241, 256, 512, 1025, 4096]
+    for n in lengths:
+        vals = [bytes(rng.randrange(256) for _ in range(n)) for _ in range(4)]
+        mat = (
+            np.frombuffer(b"".join(vals), dtype=np.uint8).reshape(4, n)
+            if n
+            else np.zeros((4, 0), dtype=np.uint8)
+        )
+        assert xxh3_64_np(mat).tolist() == [xxh3_64_py(v) for v in vals], n
+    # mixed-length batch with nulls through the shared driver
+    vals = [None] + [
+        bytes(rng.randrange(256) for _ in range(rng.choice(lengths)))
+        for _ in range(100)
+    ]
+    got = hash_batch(vals, xxh3_64_np, xxh3_64_py)
+    assert got[0] is None
+    assert all(h == xxh3_64_py(v) for h, v in zip(got[1:], vals[1:]))
