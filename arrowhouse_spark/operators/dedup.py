@@ -335,6 +335,50 @@ def simhash_dedup(
     )
 
 
+def _footer_num_rows(df: DataFrame) -> int | None:
+    """Exact row count straight from parquet footer metadata — ZERO Spark
+    jobs — when ``df`` is a bare (possibly column-pruned) local parquet scan.
+
+    Safe because Project is row-preserving: the optimized plan must contain
+    only Project/Relation nodes (any Filter/Join/Aggregate/Generate/Limit
+    changes the count → return None and let the caller pay a real count).
+    Non-local or non-parquet sources also return None."""
+    import re
+    from urllib.parse import urlparse
+
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        saw_relation = False
+        for line in plan.splitlines():
+            body = re.sub(r"^[\s+:\-]*", "", line)
+            if not body:
+                continue
+            if body.startswith("Project"):
+                continue
+            if body.startswith("Relation"):
+                if "parquet" not in body:
+                    return None
+                saw_relation = True
+                continue
+            return None
+        if not saw_relation:
+            return None
+        files = df.inputFiles()
+        if not files:
+            return None
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("", "file"):
+                return None
+            total += pq.ParquetFile(u.path or f).metadata.num_rows
+        return total
+    except Exception:  # noqa: BLE001 — strictly an optimization
+        return None
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -376,6 +420,8 @@ def ngram_jaccard_pairs(
     # materialization — a small corpus with a rich vocabulary must take the
     # inverted path without ever collecting per-doc shingle lists.
     max_dense_docs = max(1, dense_cells_cap // 512)  # assumes vocab ≥ 512
+    if n_docs is None:
+        n_docs = _footer_num_rows(df)  # bare parquet scan → footer metadata
     if n_docs is None:
         n_docs = df.count()  # fallback: one column-less scan (footer counts)
     if n_docs <= max_dense_docs:
