@@ -58,12 +58,25 @@ def replace_merge(
     replace_key: Sequence[str],
     sort_keys: Sequence[SortKey | str],
     reverse: bool = False,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Versioned upsert: keep the first row per ``replace_key`` in the order
     given by ``sort_keys`` (then source order, then batch position).
 
     ≡ Replace mode of MergingSortedInputStream (MergeImpl replace logic
     :227-289); ``reverse`` ≡ the reference's reverse flag (emit descending).
+
+    Tie-break #3 ("position within source") needs a row order, which a
+    distributed relation does not inherently have. When the caller HAS one —
+    an ingestion sequence number, a file offset, a kafka offset — pass it as
+    ``order_col`` and the result is stable under any partition layout.
+    Without it, position falls back to ``monotonically_increasing_id()``:
+    deterministic for a fixed partition layout (and exactly the reference's
+    cursor order when each input is a single in-order batch, as in the
+    single-partition case), but NOT stable under repartitioning — rows equal
+    in (replace_key, sort_keys, source) may then resolve differently across
+    layouts. The reference has the same property: its tie-break is physical
+    arrival order, which a shuffled re-run would also change.
     """
     if not dfs:
         raise ValueError("replace_merge needs at least one input")
@@ -71,11 +84,8 @@ def replace_merge(
     for i, d in enumerate(dfs):
         # __src = source order (tie-break #2); __pos = position within source
         # (tie-break #3, ≡ the cursor's row order inside one stream).
-        tagged.append(
-            d.withColumn("__src", F.lit(i)).withColumn(
-                "__pos", F.monotonically_increasing_id()
-            )
-        )
+        pos = F.col(order_col) if order_col else F.monotonically_increasing_id()
+        tagged.append(d.withColumn("__src", F.lit(i)).withColumn("__pos", pos))
     out = tagged[0]
     for d in tagged[1:]:
         out = out.unionAll(d)

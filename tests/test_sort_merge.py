@@ -162,3 +162,46 @@ def test_concat_and_setops(spark):
     assert concat([a, b]).count() == 5
     assert sorted(r.x for r in intersect(a, b).collect()) == [2]
     assert sorted(r.x for r in except_all(a, b).collect()) == [1, 2]
+
+
+def test_replace_merge_order_col_stable_under_repartition(spark):
+    """With an explicit order_col, the winner per key is identical across
+    arbitrary partition layouts — tie-break #3 no longer depends on
+    monotonically_increasing_id's physical layout."""
+    rows = [(k, 1, seq, f"v{k}-{seq}") for k in range(20) for seq in range(5)]
+    base = spark.createDataFrame(rows, "k: long, ver: long, seq: long, val: string")
+    # all rows tie on (replace_key, sort_keys, source): only seq disambiguates
+    expected = {r.k: r.val for r in base.filter("seq = 0").collect()}
+    for n in (1, 3, 7, 32):
+        out = replace_merge(
+            [base.repartition(n)],
+            replace_key=("k",),
+            sort_keys=[SortKey("ver")],
+            order_col="seq",
+        )
+        got = {r.k: r.val for r in out.collect()}
+        assert got == expected, f"layout repartition({n}) changed winners"
+
+
+def test_replace_merge_stable_when_keys_disambiguate(spark):
+    """Whenever sort_keys + source fully disambiguate (no intra-source ties),
+    the result must be layout-independent even WITHOUT order_col."""
+    rows = [(k, ver, f"v{k}-{ver}") for k in range(20) for ver in range(5)]
+    a = spark.createDataFrame(rows[: len(rows) // 2], "k: long, ver: long, val: string")
+    b = spark.createDataFrame(rows[len(rows) // 2 :], "k: long, ver: long, val: string")
+    ref = {
+        (r.k): (r.ver, r.val)
+        for r in replace_merge(
+            [a, b], replace_key=("k",), sort_keys=[SortKey("ver", ascending=False)]
+        ).collect()
+    }
+    for n in (1, 5, 32):
+        got = {
+            (r.k): (r.ver, r.val)
+            for r in replace_merge(
+                [a.repartition(n), b.repartition(n)],
+                replace_key=("k",),
+                sort_keys=[SortKey("ver", ascending=False)],
+            ).collect()
+        }
+        assert got == ref, f"layout repartition({n}) changed a disambiguated winner"
