@@ -157,6 +157,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events relation with ``ts`` normalized to a µs TIMESTAMP whatever
+    the fixture's physical type: older fixtures stored TIMESTAMP(NANOS)
+    (read as long ns via nanosAsLong → convert), current ones store
+    timestamp[us] (read as TIMESTAMP_NTZ → cast). Session timezone is forced
+    to UTC first so naive↔instant conversions are exact and DST-free —
+    DuckDB treats the same naive values as-is, so both engines agree on
+    every epoch/diff/format derived from ``ts``."""
+    from pyspark.sql import types as T
+
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # noqa: BLE001 — conf may be pinned; fixtures are UTC
+        pass
+    df = _t(spark, sf_dir, "events")
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _parquet_num_rows(sf_dir: str, name: str) -> int | None:
     """Row count straight from parquet footer metadata — zero Spark jobs."""
     import glob
@@ -954,14 +977,11 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.ts is TIMESTAMP(NANOS) parquet → read as long ns (see session.py);
-    # convert to a µs timestamp for calendar ops
     return (
-        _t(spark, sf_dir, "events")
-        .withColumn("ts_us", F.timestamp_micros(F.expr("ts div 1000")))
+        _events(spark, sf_dir)
         .groupBy(
             "event_type",
-            F.date_format(F.date_trunc("hour", "ts_us"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1145,9 +1165,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per (cohort, week-offset) they were active in. Two aggregations
     keyed by user then (cohort, offset) — the distinct collapses map-side
     before the count shuffle."""
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "t", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = _events(spark, sf_dir).withColumn("t", F.col("ts"))
     cohort = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -1392,9 +1410,9 @@ def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per user per step — never sorts or buffers raw events per user."""
     from arrowhouse_spark.operators.funnel import funnel_steps
 
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )  # ns→µs ≡ DuckDB TIMESTAMP precision
+    ev = _events(spark, sf_dir).withColumn(
+        "ts_us", F.unix_micros("ts")
+    )  # µs long ≡ DuckDB TIMESTAMP precision
     out = funnel_steps(
         ev, ["signup", "click", "purchase"], ts_col="ts_us"
     )
@@ -1545,9 +1563,9 @@ def range_join_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrowhouse_spark.operators.rangejoin import range_join
 
     six_h_us = 6 * 3600 * 1_000_000
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )  # ns→µs ≡ DuckDB TIMESTAMP precision
+    ev = _events(spark, sf_dir).withColumn(
+        "ts_us", F.unix_micros("ts")
+    )  # µs long ≡ DuckDB TIMESTAMP precision
     signups = (
         ev.filter(F.col("event_type") == "signup")
         .select(
@@ -3032,11 +3050,9 @@ def asof_join_clicks_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each click, the value of the latest at-or-before view per user —
     ClickHouse-style ASOF JOIN via the one-shuffle union+window plan
     (operators/asof.py); DuckDB's native ASOF JOIN is the oracle."""
-    # ns→µs so the comparison granularity matches DuckDB's µs TIMESTAMP
-    # (a click and view inside the same µs must tie in both engines)
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    # µs granularity on both sides: a click and view inside the same µs must
+    # tie in both engines
+    ev = _events(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click")
     views = ev.filter(F.col("event_type") == "view")
     out = asof_join(
@@ -3074,12 +3090,7 @@ def asof_join_clicks_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inactivity-gap sessionization (6h gap) + per-session stats."""
-    # events.ts is TIMESTAMP(NANOS) parquet → long ns in Spark; µs timestamp
-    # matches DuckDB's µs-truncated TIMESTAMP exactly (same convention as
-    # events_hourly)
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
-    )
+    ev = _events(spark, sf_dir).select("user_id", "ts")
     st = session_stats(ev, "ts", ["user_id"], gap_seconds=21600)
     return st.select(
         "user_id",

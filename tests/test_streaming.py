@@ -15,6 +15,7 @@ from arrowhouse_spark.streaming import (
     read_parquet_stream,
     stream_dedup_exact,
     stream_replace_latest,
+    stream_sessionize,
     stream_windowed_agg,
 )
 
@@ -162,3 +163,114 @@ def test_stream_interval_join(spark, stream_dir):
     # user 2: "a" at :10 (id 12) sees "z" at :01 (id 9); the duplicated "a"
     # row (id 10, user 1) precedes every non-"a" user-1 event, so no match.
     assert got == {(2, 12, 9)}
+
+
+# ---------------------------------------------------------------------------
+# Per-batch golden tests: fixed input files, one file per micro-batch (file
+# mtimes force the order), every batch's exact output pinned — the streaming
+# semantics are asserted as tightly as the batch operators' oracles.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def ordered_stream_dir(spark):
+    """Two parquet files with explicit mtimes so the file source reads b1
+    then b2, one per micro-batch under maxFilesPerTrigger=1."""
+    import datetime as dt
+    import time
+
+    d = tempfile.mkdtemp(prefix="ah_golden_")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows1 = [
+        (1, 10, "a", base, 1.0),
+        (1, 11, "b", base + dt.timedelta(minutes=5), 2.0),
+        (2, 12, "a", base + dt.timedelta(minutes=10), 3.0),
+        (1, 10, "a", base, 1.0),  # exact dup of event 10
+    ]
+    rows2 = [
+        (1, 13, "c", base + dt.timedelta(minutes=90), 4.0),
+        (2, 9, "z", base + dt.timedelta(minutes=1), 5.0),  # stale for user 2
+    ]
+    src = f"{d}/src"
+    os.makedirs(src)
+    now = time.time()
+    for i, rows in enumerate([rows1, rows2], start=1):
+        tmp = f"{d}/b{i}"
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(tmp)
+        [pf] = [f_ for f_ in os.listdir(tmp) if f_.endswith(".parquet")]
+        dst = f"{src}/b{i}.parquet"
+        shutil.copy(f"{tmp}/{pf}", dst)
+        os.utime(dst, (now - 3600 + i * 60, now - 3600 + i * 60))
+    yield src
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _collect_batches(spark, sdf, mode: str):
+    """Run one file per micro-batch; return {batch_id: sorted row tuples}
+    for non-empty batches (no-data watermark-commit batches are dropped)."""
+    batches: dict[int, list[tuple]] = {}
+
+    def sink(bdf, bid):
+        rows = [tuple(r) for r in bdf.collect()]
+        if rows:
+            batches[int(bid)] = sorted(rows, key=repr)
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .outputMode(mode)
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return batches
+
+
+def test_stream_replace_latest_per_batch_golden(spark, ordered_stream_dir):
+    """Batch 1: per-key winners of file b1. Batch 2: user 1 upgraded by
+    event 13; user 2 re-emits its UNCHANGED winner (stale event 9 must not
+    replace 12) — the exact update-mode contract, pinned per batch."""
+    sdf = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ordered_stream_dir)
+    )
+    out = stream_replace_latest(
+        sdf, key_col="user_id", version_col="event_id", value_cols=["event_type"]
+    )
+    batches = _collect_batches(spark, out, "update")
+    assert len(batches) == 2, f"expected 2 data batches, got {sorted(batches)}"
+    b0, b1 = (batches[k] for k in sorted(batches))
+    assert sorted(b0) == [(1, "b", 11), (2, "a", 12)]
+    assert sorted(b1) == [(1, "c", 13), (2, "a", 12)]
+
+
+def test_stream_sessionize_per_batch_golden(spark, ordered_stream_dir):
+    """Session-window aggregation only supports append/complete output;
+    complete mode re-emits the full session table per batch, so the golden
+    pins the exact growth: batch 1 = the two b1 sessions (session end =
+    last event + gap; the dup row counts — dedup is a separate operator).
+    Batch 2 pins BOTH cross-batch behaviors: user 1 opens a new disjoint
+    session, while user 2's late :01 event merges BACKWARD into its open
+    session (start moves earlier, aggregates absorb the late row)."""
+    sdf = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ordered_stream_dir)
+    )
+    out = stream_sessionize(sdf, "ts", ["user_id"], gap="30 minutes")
+    batches = _collect_batches(spark, out, "complete")
+    assert len(batches) == 2, f"expected 2 data batches, got {sorted(batches)}"
+    b0, b1 = (batches[k] for k in sorted(batches))
+
+    def fmt(rows):
+        return sorted(
+            (r[2], str(r[0]), str(r[1]), r[3], r[4]) for r in rows
+        )  # (user, start, end, n, sum)
+
+    s1 = (1, "2024-01-01 00:00:00", "2024-01-01 00:35:00", 3, 4.0)
+    s2_open = (2, "2024-01-01 00:10:00", "2024-01-01 00:40:00", 1, 3.0)
+    s2_merged = (2, "2024-01-01 00:01:00", "2024-01-01 00:40:00", 2, 8.0)
+    s3 = (1, "2024-01-01 01:30:00", "2024-01-01 02:00:00", 1, 4.0)
+    assert fmt(b0) == [s1, s2_open]
+    assert fmt(b1) == [s1, s3, s2_merged]
