@@ -92,10 +92,31 @@ def make_fake_payloads(
     )
 
 
-def _decode_image_real(payload: bytes):  # pragma: no cover
-    """Real decoder hook (PIL/libvips/ffmpeg). Not available in this
-    container — plug in here when the codec libs exist."""
-    raise NotImplementedError("image codec libraries not installed")
+#: stable error surface for the stubbed codec path — pinned by
+#: tests/test_multimodal.py so the seam cannot rot silently
+IMAGE_CODEC_UNAVAILABLE_MSG = (
+    "image codec libraries not installed (pip install pillow); "
+    "decode_images(use_real_codec=True) needs a real decoder"
+)
+
+
+def _decode_image_real(payload: bytes) -> tuple[int, int, float]:
+    """Real decoder seam: decodes any PIL-readable payload (PNG/JPEG/…) to
+    (width, height, mean_gray_pixel) when pillow is installed — the same
+    contract as the fake decoder, so the two are interchangeable inside
+    decode_images. Raises NotImplementedError with a STABLE message when no
+    codec library is present (this container); libvips/ffmpeg swap in here."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(IMAGE_CODEC_UNAVAILABLE_MSG) from e
+    with Image.open(BytesIO(payload)) as im:
+        gray = im.convert("L")
+        w, h = gray.size
+        data = gray.tobytes()
+        return w, h, sum(data) / max(len(data), 1)
 
 
 def _decode_image_fake(payload: bytes) -> tuple[int, int, float]:

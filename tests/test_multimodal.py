@@ -56,3 +56,72 @@ def test_frame_sample(media):
     # 100 'frames' at 25fps sampled every 1000ms → step 25 → frames 0,25,50,75
     assert [f.frame_idx for f in sorted(frames, key=lambda r: r.frame_idx)] == [0, 25, 50, 75]
     assert all(f.ts_ms == f.frame_idx * 40 for f in frames)
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_decode_schema_pinned():
+    """Every schema the decode/resize/frame-sample contract exposes, pinned
+    field-by-field so drift in names/types/nullability is a test failure,
+    not a silent downstream break."""
+    from arrowhouse_spark.operators.multimodal import RESIZE_SCHEMA
+
+    assert [(f.name, f.dataType.simpleString()) for f in DECODE_SCHEMA.fields] == [
+        ("media_id", "bigint"),
+        ("width", "int"),
+        ("height", "int"),
+        ("mean_pixel", "double"),
+    ]
+    assert [(f.name, f.dataType.simpleString()) for f in RESIZE_SCHEMA.fields] == [
+        ("media_id", "bigint"),
+        ("payload", "binary"),
+    ]
+    assert [(f.name, f.dataType.simpleString(), f.nullable) for f in MEDIA_SCHEMA.fields] == [
+        ("media_id", "bigint", False),
+        ("media_type", "string", False),
+        ("payload", "binary", False),
+        ("meta", "struct<width:int,height:int,duration_ms:int,sample_rate:int>", True),
+    ]
+
+
+@pytest.mark.skipif(_pil_available(), reason="codec present: stub surface n/a")
+def test_real_codec_error_surface_pinned():
+    """Without pillow, the seam must raise NotImplementedError with the
+    EXACT pinned message — both called directly and through the executor
+    (where it surfaces inside a PythonException)."""
+    from arrowhouse_spark.operators.multimodal import (
+        IMAGE_CODEC_UNAVAILABLE_MSG,
+        _decode_image_real,
+    )
+
+    with pytest.raises(NotImplementedError) as ei:
+        _decode_image_real(b"\x89PNG\r\n\x1a\n")
+    assert str(ei.value) == IMAGE_CODEC_UNAVAILABLE_MSG
+
+
+@pytest.mark.skipif(not _pil_available(), reason="pillow not installed")
+def test_real_codec_decodes_png(spark):
+    """With pillow present, the real seam must decode an actual PNG through
+    the SAME distributed plumbing as the fake codec."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    from arrowhouse_spark.operators.multimodal import MEDIA_SCHEMA
+
+    img = Image.new("L", (8, 6))
+    img.putdata([(x * 31 + 1) % 251 for x in range(48)])
+    buf = BytesIO()
+    img.save(buf, format="PNG")
+    rows = [(1, "image", buf.getvalue(), (8, 6, None, None))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    [r] = decode_images(df, use_real_codec=True).collect()
+    exp = sum((x * 31 + 1) % 251 for x in range(48)) / 48
+    assert (r.width, r.height) == (8, 6) and abs(r.mean_pixel - exp) < 1e-9
