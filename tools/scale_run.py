@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Empirical scale evidence for the dedup/ANN family (round-4 verdict item 2).
+
+Synthesizes a web-corpus-SHAPED dataset at 1x (5k docs / 2k vectors — the
+sf0.1 size) and 10x (50k docs / 20k vectors — sf1-equivalent), then times the
+four operators whose 100 TB story SCALE.md argues from plan shapes:
+
+  minhash_dedup            — shingle→signature→banded LSH self-join
+  ngram_jaccard_pairs      — MUST pick the inverted path at 10x (the vocab
+                             pre-flight cap logic; asserted via plan: the
+                             dense path contains a python matmul stage, the
+                             inverted path is pure JVM join/agg)
+  embedding_neardup_pairs  — group_col=None → auto multi-probe LSH blocking
+  ann_cosine_lsh_multi     — multi-table LSH probe (filter, not shuffle)
+
+Corpus shape matters: naively replicating the tiny-vocab sf0.1 fixture 10x
+would multiply every shingle's document frequency by 10 and quadratically
+blow up the co-occurrence join — that measures fixture degeneracy, not
+operator scaling. Instead each doc mixes ~30 tokens from a 200-token common
+pool (zipf-ish shared vocabulary) with ~20 doc-unique tokens (the long tail
+that dominates real web text), 10% exact duplicates and 10% near-duplicates
+of in-decade anchors. Everything is hash-derived → deterministic, built
+JVM-side (no driver loop), and the SAME generator produces both scales.
+
+Usage: python tools/scale_run.py [--scales 1,10] [--out /tmp/ah_scale]
+Prints one JSON line per (scale, operator) and a final summary block to
+paste into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+DIM = 64
+
+
+def gen_documents(spark: SparkSession, n_docs: int) -> DataFrame:
+    """doc_id, text: ~30 common-pool tokens + ~20 doc-unique tokens; 10%
+    exact dups and 10% near-dups of the decade anchor (doc_id - doc_id%10).
+    All content is a pure function of content_id → replicas are bit-exact."""
+    d = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    dup_kind = F.pmod(F.xxhash64(F.lit("dup"), "doc_id"), F.lit(10))
+    anchor = F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(10))
+    content_id = (
+        F.when(dup_kind < 2, anchor).otherwise(F.col("doc_id")).alias("content_id")
+    )
+    d = d.select("doc_id", content_id, dup_kind.alias("dup_kind"))
+    common = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda i: F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(F.col("content_id"), i), F.lit(200))
+        ),
+    )
+    unique = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda i: F.concat(F.lit("u"), F.col("content_id"), F.lit("_"), i),
+    )
+    extra = F.when(
+        F.col("dup_kind") == 1,  # near-dup: anchor content + 3 own tokens
+        F.transform(
+            F.sequence(F.lit(0), F.lit(2)),
+            lambda i: F.concat(F.lit("x"), F.col("doc_id"), F.lit("_"), i),
+        ),
+    ).otherwise(F.array())
+    text = F.array_join(F.concat(common, unique, extra), " ")
+    return d.select("doc_id", text.alias("text"))
+
+
+def gen_embeddings(spark: SparkSession, n_vecs: int) -> DataFrame:
+    """vec_id, embedding array<float>[DIM]: hash-derived uniform components;
+    10% of vectors are exact copies of their decade anchor and 10% are the
+    anchor plus a small deterministic perturbation (cosine ≥ ~0.99)."""
+    d = spark.range(n_vecs).withColumnRenamed("id", "vec_id")
+    dup_kind = F.pmod(F.xxhash64(F.lit("edup"), "vec_id"), F.lit(10))
+    anchor = F.col("vec_id") - F.pmod(F.col("vec_id"), F.lit(10))
+    content_id = F.when(dup_kind < 2, anchor).otherwise(F.col("vec_id"))
+    d = d.select("vec_id", content_id.alias("content_id"), dup_kind.alias("dup_kind"))
+    base = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.col("content_id"), j), F.lit(2001)) - F.lit(1000)
+        ).cast("float")
+        / F.lit(1000.0),
+    )
+    noise = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda j: F.when(
+            F.col("dup_kind") == 1,
+            (F.pmod(F.xxhash64(F.lit("n"), F.col("vec_id"), j), F.lit(21)) - F.lit(10))
+            .cast("float")
+            / F.lit(500.0),
+        ).otherwise(F.lit(0.0).cast("float")),
+    )
+    emb = F.zip_with(base, noise, lambda a, b: (a + b).cast("float"))
+    return d.select("vec_id", emb.alias("embedding"))
+
+
+def timed(fn):
+    t0 = time.time()
+    n = fn()
+    return round(time.time() - t0, 2), n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,10")
+    ap.add_argument("--out", default="/tmp/ah_scale")
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    from arrowhouse_spark.operators.dedup import minhash_dedup, ngram_jaccard_pairs
+    from arrowhouse_spark.operators.similarity import (
+        ann_cosine_lsh_multi,
+        embedding_neardup_pairs,
+    )
+    from arrowhouse_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-run")
+    results: dict[str, dict] = {}
+
+    for scale in scales:
+        n_docs, n_vecs = 5000 * scale, 2000 * scale
+        droot = f"{args.out}/s{scale}"
+        shutil.rmtree(droot, ignore_errors=True)
+        gen_documents(spark, n_docs).repartition(32).write.parquet(f"{droot}/docs")
+        gen_embeddings(spark, n_vecs).repartition(32).write.parquet(f"{droot}/emb")
+        docs = spark.read.parquet(f"{droot}/docs")
+        emb = spark.read.parquet(f"{droot}/emb")
+        rec = results[f"{scale}x"] = {"n_docs": n_docs, "n_vecs": n_vecs}
+
+        t, n = timed(lambda: minhash_dedup(docs, threshold=0.8).count())
+        rec["minhash_dedup"] = {"sec": t, "pairs": n}
+
+        pairs = ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.5)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        python_stage = any(
+            m in plan for m in ("ArrowEvalPython", "FlatMapsInPandas", "MapInPandas", "BatchEvalPython")
+        )
+        strategy = "dense(matmul)" if python_stage else "inverted(shingle-join)"
+        t, n = timed(pairs.count)
+        rec["ngram_jaccard_pairs"] = {"sec": t, "pairs": n, "strategy": strategy}
+
+        t, n = timed(
+            lambda: embedding_neardup_pairs(emb, threshold=0.99, dim=DIM).count()
+        )
+        rec["embedding_neardup_pairs"] = {"sec": t, "pairs": n, "blocking": "auto-LSH"}
+
+        q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        t, n = timed(
+            lambda: ann_cosine_lsh_multi(emb, query=list(q), k=10, dim=DIM).count()
+        )
+        rec["ann_cosine_lsh_multi"] = {"sec": t, "rows": n}
+
+        print(json.dumps({f"scale_{scale}x": rec}), flush=True)
+
+    # the inverted path MUST be chosen at the largest scale (cap logic)
+    big = results[f"{max(scales)}x"]
+    assert big["ngram_jaccard_pairs"]["strategy"].startswith("inverted"), (
+        "vocab pre-flight failed to pick the inverted path at scale: "
+        + json.dumps(big)
+    )
+    print(json.dumps({"summary": results}))
+
+
+if __name__ == "__main__":
+    main()
