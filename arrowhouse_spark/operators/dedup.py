@@ -335,6 +335,103 @@ def simhash_dedup(
     )
 
 
+def dedup_incremental(
+    new_df: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seen_fp_col: str = "fp",
+) -> DataFrame:
+    """Cross-batch exact dedup — the daily-ingest shape of ``dedup_exact``:
+    survivors of the NEW batch are the first (minimum-id) doc per content
+    fingerprint within the batch whose fingerprint is absent from the
+    historical store ``seen`` (typically yesterday's accumulated output of
+    this same operator). Returns (id_col, fp); union the fp column back into
+    the store to advance it.
+
+    Scale: both the within-batch groupBy and the anti-join shuffle carry
+    (fp, id) only — never text. The store side is the big relation at
+    100 TB; write it bucketed by fp so repeated daily runs shuffle only the
+    day's batch, and the anti-join co-locates against the bucketed layout
+    without moving history."""
+    fps = fingerprint(new_df, text_col)
+    winners = fps.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    fresh = winners.join(
+        seen.select(F.col(seen_fp_col).alias("fp")), "fp", "left_anti"
+    )
+    return fresh.select(id_col, "fp")
+
+
+def line_dedup_lines(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    line_col: str = "line",
+    max_df: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document line-level dedup (the C4/CCNet boilerplate-removal
+    step): drop every line that occurs in more than ``max_df`` distinct
+    documents (navbars, cookie banners, boilerplate), then reassemble each
+    document's surviving lines in original order. Documents whose every
+    line was boilerplate disappear from the output (matching the batch
+    pipeline contract: a later length filter would drop them anyway).
+
+    Input is a lines relation (id, pos, line) — at 100 TB you keep the
+    corpus exploded once and feed every line-level op from that single
+    relation (same shared-scan discipline as shingle_relation).
+
+    Scale: the document-frequency aggregation and the anti-join are keyed on
+    an 8-byte xxhash64 of the line, never the string; reassembly is one
+    shuffle by doc id with array_sort on (pos, line) structs — no
+    unpartitioned window anywhere."""
+    lh = F.xxhash64(F.col(line_col)).alias("__lh")
+    hot = (
+        lines.select(lh, F.col(id_col))
+        .groupBy("__lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("__lh")
+    )
+    kept = lines.withColumn("__lh", F.xxhash64(F.col(line_col))).join(
+        hot, "__lh", "left_anti"
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(pos_col), F.col(line_col)))
+                    ),
+                    lambda s: s[line_col],
+                ),
+                sep,
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_df: int = 1,
+) -> DataFrame:
+    """Convenience form of :func:`line_dedup_lines` for documents stored as
+    one text blob: split on ``sep``, dedup lines across the corpus,
+    reassemble. See line_dedup_lines for semantics and the scale story."""
+    import re
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("pos", "line"),
+    )
+    return line_dedup_lines(lines, id_col, "pos", "line", max_df, sep)
+
+
 def _footer_num_rows(df: DataFrame) -> int | None:
     """Exact row count straight from parquet footer metadata — ZERO Spark
     jobs — when ``df`` is a bare (possibly column-pruned) local parquet scan.

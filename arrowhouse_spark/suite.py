@@ -3418,3 +3418,115 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = make_fake_payloads(docs, id_col="doc_id").repartition(8)
     decoded = decode_images(media)
     return decoded.groupBy("width", "height").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Round 4 additions: incremental dedup, cross-doc line dedup (C4-style
+# boilerplate removal), token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_docs",
+    r"""
+    WITH fps AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             doc_id % 3 AS part
+      FROM documents
+    ), winners AS (
+      SELECT fp, min(doc_id) AS doc_id FROM fps WHERE part != 0 GROUP BY fp
+    )
+    SELECT doc_id, fp FROM winners
+    WHERE fp NOT IN (SELECT DISTINCT fp FROM fps WHERE part = 0)
+    """,
+)
+def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest exact dedup (operators/dedup.py:dedup_incremental):
+    docs with doc_id % 3 == 0 act as the historical fingerprint store, the
+    rest as the new batch; survivors are first-in-batch per fingerprint AND
+    unseen in the store. Anti-join + groupBy both shuffle (fp, id) only."""
+    from arrowhouse_spark.operators.dedup import dedup_incremental
+    from arrowhouse_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    seen = fingerprint(docs.filter(F.col("doc_id") % 3 == 0)).select("fp")
+    return dedup_incremental(new, seen)
+
+
+@register(
+    "line_dedup_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), lns AS (
+      SELECT doc_id,
+             [{'pos': i, 'line': array_to_string(w[i*10+1 : i*10+10], ' ')}
+              FOR i IN range(0, CAST(ceil(len(w)/10.0) AS BIGINT))] AS ls
+      FROM lns_src
+    ), lines AS (
+      SELECT doc_id, unnest(ls, recursive := true) FROM lns
+    ), dfc AS (
+      SELECT line, count(DISTINCT doc_id) AS c FROM lines GROUP BY line
+    ), kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l JOIN dfc ON l.line = dfc.line WHERE dfc.c <= 5
+    )
+    SELECT doc_id,
+           string_agg(line, ' ' ORDER BY pos) AS text,
+           CAST(count(*) AS BIGINT) AS n_lines_kept
+    FROM kept GROUP BY doc_id
+    """.replace("lns_src", "toks"),
+)
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup (operators/dedup.py:line_dedup_lines — the
+    C4/CCNet boilerplate-removal step): documents are chunked into 10-token
+    'lines', any line occurring in more than 5 distinct docs is dropped
+    everywhere, and docs are reassembled from their surviving lines in
+    order. Line df-counting and the anti-join ride an 8-byte line hash."""
+    from arrowhouse_spark.operators.dedup import line_dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(w) / F.lit(10.0)).cast("int")
+    ls = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(w, i * F.lit(10) + 1, 10), " "),
+    )
+    lines = docs.select("doc_id", F.posexplode(ls).alias("pos", "line"))
+    return line_dedup_lines(lines, max_df=5, sep=" ")
+
+
+@register(
+    "pack_sequences_docs",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS INT)
+               AS n_tokens,
+             (('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 32)::BIGINT AS bucket
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens, bucket,
+             sum(n_tokens) OVER (PARTITION BY bucket
+                                 ORDER BY n_tokens DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS strt
+      FROM d
+    )
+    SELECT doc_id, n_tokens, bucket,
+           CAST(strt // 200 AS BIGINT) AS pack_id,
+           CAST(strt % 200 AS BIGINT) AS pack_off
+    FROM c
+    """,
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/packing.py): docs scatter
+    into 32 md5 buckets, first-fit-decreasing order within each bucket, and
+    packs cut at 200-token boundaries from the running sum — one shuffle +
+    one PARTITIONED window, identical deterministic rule in both engines."""
+    from arrowhouse_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=200)

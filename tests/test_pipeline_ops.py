@@ -421,3 +421,65 @@ def test_ngram_jaccard_file_backed_skips_count(spark, sf_dir):
     out = ngram_jaccard_pairs(df, shingle_n=2, threshold=0.99)
     assert out.columns == ["id_a", "id_b", "jaccard"]
     out.limit(1).collect()
+
+
+def test_dedup_incremental(spark):
+    """Survivors = first-in-batch per fingerprint AND unseen in the store."""
+    from arrowhouse_spark.operators.dedup import dedup_incremental
+    from arrowhouse_spark.operators.text import fingerprint
+
+    new = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb"), (4, "seen text")],
+        "doc_id: long, text: string",
+    )
+    seen = fingerprint(
+        spark.createDataFrame([(100, "seen text")], "doc_id: long, text: string")
+    ).select("fp")
+    out = sorted(r.doc_id for r in dedup_incremental(new, seen).collect())
+    # 1 beats 2 (same content), 3 is fresh, 4 is in the store
+    assert out == [1, 3]
+
+
+def test_dedup_incremental_normalizes(spark):
+    """Fingerprint normalization (case/whitespace) applies across batches."""
+    from arrowhouse_spark.operators.dedup import dedup_incremental
+    from arrowhouse_spark.operators.text import fingerprint
+
+    new = spark.createDataFrame([(1, "Hello   World")], "doc_id: long, text: string")
+    seen = fingerprint(
+        spark.createDataFrame([(9, "hello world")], "doc_id: long, text: string")
+    ).select("fp")
+    assert dedup_incremental(new, seen).count() == 0
+
+
+def test_line_dedup_removes_boilerplate(spark):
+    """A line in > max_df docs disappears everywhere; docs keep their other
+    lines in order; an all-boilerplate doc vanishes."""
+    from arrowhouse_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nreal content one\nfooter"),
+            (2, "cookie banner\nreal content two\nfooter"),
+            (3, "cookie banner\nunique stuff\nfooter"),
+            (4, "cookie banner\nfooter"),  # all boilerplate → vanishes
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: (r.text, r.n_lines_kept) for r in line_dedup(docs, max_df=2).collect()}
+    assert out == {
+        1: ("real content one", 1),
+        2: ("real content two", 1),
+        3: ("unique stuff", 1),
+    }
+
+
+def test_line_dedup_keeps_order_and_escapes_sep(spark):
+    from arrowhouse_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "b.a.c"), (2, "z.q")], "doc_id: long, text: string"
+    )
+    # '.' must be treated literally, not as regex any-char
+    out = {r.doc_id: r.text for r in line_dedup(docs, sep=".", max_df=1).collect()}
+    assert out == {1: "b.a.c", 2: "z.q"}
