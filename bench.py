@@ -45,6 +45,10 @@ HEADLINE = [
     "doc_gopher_quality",
     "doc_decontaminate",
     "city_hash_int_parity",
+    # round 4 additions (no prior-round delta basis)
+    "dedup_incremental_docs",
+    "line_dedup_docs",
+    "pack_sequences_docs",
 ]
 
 

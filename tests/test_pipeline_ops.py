@@ -483,3 +483,26 @@ def test_line_dedup_keeps_order_and_escapes_sep(spark):
     # '.' must be treated literally, not as regex any-char
     out = {r.doc_id: r.text for r in line_dedup(docs, sep=".", max_df=1).collect()}
     assert out == {1: "b.a.c", 2: "z.q"}
+
+
+def test_dedup_incremental_two_day_advance(spark):
+    """The documented store-advancement loop: day-2 must exclude day-1
+    survivors once their fingerprints are unioned into the store."""
+    from arrowhouse_spark.operators.dedup import dedup_incremental
+    from arrowhouse_spark.operators.text import fingerprint
+
+    store = fingerprint(
+        spark.createDataFrame([(0, "ancient")], "doc_id: long, text: string")
+    ).select("fp")
+    day1 = spark.createDataFrame(
+        [(10, "fresh one"), (11, "fresh two")], "doc_id: long, text: string"
+    )
+    surv1 = dedup_incremental(day1, store)
+    assert sorted(r.doc_id for r in surv1.collect()) == [10, 11]
+    store = store.unionAll(surv1.select("fp"))
+    day2 = spark.createDataFrame(
+        [(20, "fresh one"), (21, "brand new"), (22, "ancient")],
+        "doc_id: long, text: string",
+    )
+    surv2 = sorted(r.doc_id for r in dedup_incremental(day2, store).collect())
+    assert surv2 == [21]

@@ -81,3 +81,25 @@ def test_pushed_filter_detector_fires(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     with pytest.raises(PlanCheckError, match="PushedFilters"):
         check_plan(df.select("l_orderkey"), require_pushed_filters=True)
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir, qs):
+    """The packing cumsum must ride a bucket-partitioned window — an
+    unpartitioned window here would serialize the whole corpus."""
+    df = qs["pack_sequences_docs"](spark, sf_dir)
+    r = check_plan(df)
+    assert r.exchanges <= 2
+
+
+def test_line_dedup_no_cartesian_and_hash_keyed(spark, sf_dir, qs):
+    """Line df-count + anti-join + reassembly: no cartesian product, and the
+    joins/aggregations key on the 8-byte line hash, not the line string."""
+    df = qs["line_dedup_docs"](spark, sf_dir)
+    check_plan(df)
+    assert "xxhash64" in plan_text(df).lower()
+
+
+def test_dedup_incremental_antijoin_shape(spark, sf_dir, qs):
+    df = qs["dedup_incremental_docs"](spark, sf_dir)
+    check_plan(df)
+    assert "leftanti" in plan_text(df).lower().replace(" ", "")
