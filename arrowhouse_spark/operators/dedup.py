@@ -485,6 +485,7 @@ def ngram_jaccard_pairs(
     dense_cells_cap: int = 1 << 27,
     shingles: DataFrame | None = None,
     n_docs: int | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity for every pair sharing ≥1 shingle
     (id_a < id_b, jaccard ≥ threshold), strategy chosen by measured shape:
@@ -502,7 +503,18 @@ def ngram_jaccard_pairs(
     sparse regime (everything else — the realistic web-corpus shape):
       shingle-join scheme: |A∩B| from co-occurrence counts keyed on the
       shingle (never all pairs), |A∪B| = |A|+|B|−|A∩B|. Frequent shingles are
-      the skew risk — cap them upstream (stop-shingle removal) at web scale.
+      the skew risk — cap them with ``max_shingle_df`` at web scale.
+
+    ``max_shingle_df`` (opt-in) is the documented stop-shingle mitigation:
+    shingles occurring in more than that many documents (boilerplate,
+    stop-word bigrams) are dropped BEFORE any join, bounding every shingle's
+    contribution to the co-occurrence join at max_shingle_df² rows — the
+    skew cap that keeps the sparse path linear-per-executor on web corpora.
+    Jaccard then measures the FILTERED shingle sets: both |A∩B| and |A∪B|
+    are computed post-filter, so results stay internally consistent and
+    deterministic, but they are an explicit approximation of the raw-set
+    Jaccard (a pair sharing only boilerplate reports no similarity — which
+    is the point). Docs whose every shingle was dropped leave the relation.
     """
     # Work on a 64-bit hash of the shingle, not the string: joins/matrices
     # then handle 8-byte keys instead of arbitrary-length text (collision
@@ -511,6 +523,14 @@ def ngram_jaccard_pairs(
     sh = shingles if shingles is not None else shingle_relation(
         df, text_col, id_col, shingle_n
     )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     # Path choice: pass ``n_docs`` from parquet footer metadata when known
     # (zero Spark jobs). The doc-count half of the cap gates cheaply; the
     # vocab half is pre-flighted with approx_count_distinct BEFORE any driver

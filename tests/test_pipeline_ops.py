@@ -506,3 +506,40 @@ def test_dedup_incremental_two_day_advance(spark):
     )
     surv2 = sorted(r.doc_id for r in dedup_incremental(day2, store).collect())
     assert surv2 == [21]
+
+
+def test_ngram_jaccard_stop_shingle_filter(spark):
+    """max_shingle_df: a permissive cap changes nothing; a tight cap drops
+    boilerplate shingles so pairs sharing only boilerplate disappear."""
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat here today"),   # shares 'the cat'+'cat sat' w/ 2
+            (2, "the cat sat over there"),
+            (3, "the cat ran away fast"),    # shares only 'the cat' boilerplate
+        ],
+        "doc_id: long, text: string",
+    )
+    base = sorted(
+        (p.id_a, p.id_b)
+        for p in ngram_jaccard_pairs(df, shingle_n=2, threshold=0.2).collect()
+    )
+    loose = sorted(
+        (p.id_a, p.id_b)
+        for p in ngram_jaccard_pairs(
+            df, shingle_n=2, threshold=0.2, max_shingle_df=100
+        ).collect()
+    )
+    assert loose == base and (1, 2) in base
+    # 'the cat' occurs in all 3 docs → dropped at max_df=2; docs 1-3 and 2-3
+    # shared only that shingle, so only the real near-dup pair remains, and
+    # its jaccard is now over the filtered sets
+    tight = {
+        (p.id_a, p.id_b): p.jaccard
+        for p in ngram_jaccard_pairs(
+            df, shingle_n=2, threshold=0.2, max_shingle_df=2
+        ).collect()
+    }
+    assert set(tight) == {(1, 2)}
+    # filtered sets: doc1 {cat sat, sat here, here today}, doc2 {cat sat,
+    # sat over, over there} → J = 1/5
+    assert abs(tight[(1, 2)] - 0.2) < 1e-9

@@ -161,6 +161,27 @@ def main() -> None:
         )
         rec["ann_cosine_lsh_multi"] = {"sec": t, "rows": n}
 
+        from arrowhouse_spark.operators.dedup import dedup_incremental, line_dedup
+        from arrowhouse_spark.operators.packing import pack_sequences
+        from arrowhouse_spark.operators.text import fingerprint
+
+        seen = fingerprint(docs.filter(F.col("doc_id") % 2 == 0)).select("fp")
+        t, n = timed(
+            lambda: dedup_incremental(
+                docs.filter(F.col("doc_id") % 2 != 0), seen
+            ).count()
+        )
+        rec["dedup_incremental"] = {"sec": t, "survivors": n}
+
+        # token-granularity worst case: every token is a "line"; max_df=20
+        # strips the 200-token shared pool (df ≈ n_docs*30/200 ≫ 20) and
+        # keeps the doc-unique long tail — the boilerplate-removal shape
+        t, n = timed(lambda: line_dedup(docs, sep=" ", max_df=20).count())
+        rec["line_dedup"] = {"sec": t, "docs": n}
+
+        t, n = timed(lambda: pack_sequences(docs, budget=200).count())
+        rec["pack_sequences"] = {"sec": t, "rows": n}
+
         print(json.dumps({f"scale_{scale}x": rec}), flush=True)
 
     # the inverted path MUST be chosen at the largest scale (cap logic)
