@@ -274,3 +274,31 @@ def test_stream_sessionize_per_batch_golden(spark, ordered_stream_dir):
     s3 = (1, "2024-01-01 01:30:00", "2024-01-01 02:00:00", 1, 4.0)
     assert fmt(b0) == [s1, s2_open]
     assert fmt(b1) == [s1, s3, s2_merged]
+
+
+def test_stream_interval_join_per_batch_golden(spark, ordered_stream_dir):
+    """Stream-stream interval join, one file per micro-batch: batch 1 has no
+    qualifying (right.ts <= left.ts) pair — its output must be EMPTY, not
+    deferred; batch 2 delivers exactly the one in-window pair when the
+    stale-but-in-lookback right row arrives."""
+    from arrowhouse_spark.streaming import stream_interval_join
+
+    sdf = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ordered_stream_dir)
+    )
+    left = sdf.filter(F.col("event_type") == "a").select(
+        "user_id", F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts")
+    )
+    right = sdf.filter(F.col("event_type") != "a").select(
+        "user_id", F.col("event_id").alias("o_id"), F.col("ts").alias("o_ts")
+    )
+    out = stream_interval_join(
+        left, right, keys=["user_id"], left_ts="a_ts", right_ts="o_ts",
+        lookback="1 hour",
+    )
+    batches = _collect_batches(spark, out, "append")
+    # batch 0 emitted nothing (dropped as empty); batch 1 carries the pair
+    assert list(batches) == [1], f"got batches {sorted(batches)}"
+    assert [(r[0], r[1], r[3]) for r in batches[1]] == [(2, 12, 9)]
