@@ -90,3 +90,65 @@ def stratified_sample_exact(
         .filter(F.col("__rn") <= F.ceil(F.lit(frac) * F.col("__n")))
         .drop("__rn", "__n")
     )
+
+
+def source_mixing_plan(
+    df: DataFrame, weights: dict[str, int], source_col: str = "source"
+) -> DataFrame:
+    """The largest deterministic downsample matching a target source mix
+    WITHOUT upsampling — the corpus-mixing step of a training-data pipeline
+    (e.g. weights {'web': 5, 'books': 3, 'code': 2} for a 50/30/20 mix).
+
+    Targets are INTEGER weights so the arithmetic is engine-exact: with
+    m = min_s floor(n_s / w_s), every source takes take_n = w_s · m rows —
+    the unique maximal mix-respecting sample sizes. Returns one row per
+    weighted source: (source, n_avail, take_n). Sources outside ``weights``
+    contribute nothing.
+
+    Scale: one aggregation over the corpus (map-side partial on the source
+    key) + a broadcast of a |weights|-row relation; the corpus itself is
+    not moved."""
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers per source")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, int(w)) for s, w in weights.items()], f"{source_col} string, w long"
+    )
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_avail"))
+        .join(F.broadcast(wdf), source_col)
+    )
+    m = counts.agg(
+        F.min(F.floor(F.col("n_avail") / F.col("w"))).alias("m")
+    )
+    return (
+        counts.crossJoin(F.broadcast(m))
+        .select(
+            source_col,
+            "n_avail",
+            (F.col("w") * F.col("m")).alias("take_n"),
+        )
+    )
+
+
+def source_mixed_sample(
+    df: DataFrame,
+    weights: dict[str, int],
+    key: str,
+    source_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize :func:`source_mixing_plan`: inside each weighted source,
+    rows rank by (md5(salt‖key), key) — the deterministic, engine-
+    independent order used across this module — and the top ``take_n``
+    survive. One shuffle keyed by source."""
+    plan = source_mixing_plan(df, weights, source_col)
+    h = F.md5(F.concat(F.lit(salt), _c(key).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(h, F.col(key))
+    return (
+        df.join(F.broadcast(plan), source_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("take_n"))
+        .drop("__rn", "n_avail", "take_n")
+    )

@@ -3579,3 +3579,48 @@ def ngram_jaccard_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_shingle_df=30,
         n_docs=_parquet_num_rows(sf_dir, "documents"),
     )
+
+
+@register(
+    "source_mixed_sample",
+    """
+    WITH w(source, w) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),
+    counts AS (
+      SELECT d.source, count(*) AS n_avail, any_value(w.w) AS w
+      FROM documents d JOIN w ON d.source = w.source GROUP BY d.source
+    ), m AS (
+      SELECT min(n_avail // w) AS m FROM counts
+    ), plan AS (
+      SELECT source, w * m.m AS take_n FROM counts, m
+    ), ranked AS (
+      SELECT d.doc_id, d.source, p.take_n,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('mix' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d JOIN plan p ON d.source = p.source
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM ranked WHERE rn <= take_n GROUP BY source
+    """,
+)
+def source_mixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing (operators/sampling.py): the largest
+    sample matching a 5/3/2 weight mix over three sources without
+    upsampling, rows chosen by the engine-independent md5 rank. The oracle
+    recomputes plan and sample in SQL; sum/min of sampled ids pin the exact
+    row selection, not just the counts."""
+    from arrowhouse_spark.operators.sampling import source_mixed_sample as sms
+
+    out = sms(
+        _t(spark, sf_dir, "documents"),
+        weights={"src0": 5, "src1": 3, "src2": 2},
+        key="doc_id",
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("doc_id").alias("sum_ids"),
+    )

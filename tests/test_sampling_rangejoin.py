@@ -103,3 +103,47 @@ def test_range_join_by_keys_and_boundaries(spark):
     }
     # both endpoints inclusive; by-key separates users; 201 is outside
     assert got == {(1, 10), (2, 10)}
+
+
+def test_source_mixing_plan_exact(spark):
+    from arrowhouse_spark.operators.sampling import source_mixing_plan
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else ("b" if i < 80 else "c")) for i in range(100)],
+        "doc_id: long, source: string",
+    )
+    # n = {a:50, b:30, c:20}; weights 5/3/1 → m = min(10, 10, 20) = 10
+    plan = {
+        r.source: (r.n_avail, r.take_n)
+        for r in source_mixing_plan(df, {"a": 5, "b": 3, "c": 1}).collect()
+    }
+    assert plan == {"a": (50, 50), "b": (30, 30), "c": (20, 10)}
+
+
+def test_source_mixed_sample_deterministic_and_mix(spark):
+    from arrowhouse_spark.operators.sampling import source_mixed_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)],
+        "doc_id: long, source: string",
+    )
+    # n = {a:50, b:50}; weights 3/1 → m = 16 → take a:48, b:16
+    out1 = source_mixed_sample(df, {"a": 3, "b": 1}, key="doc_id")
+    got1 = sorted((r.source, r.doc_id) for r in out1.collect())
+    counts = {}
+    for s, _ in got1:
+        counts[s] = counts.get(s, 0) + 1
+    assert counts == {"a": 48, "b": 16}
+    # deterministic under repartitioning
+    out2 = source_mixed_sample(df.repartition(7), {"a": 3, "b": 1}, key="doc_id")
+    assert sorted((r.source, r.doc_id) for r in out2.collect()) == got1
+
+
+def test_source_mixing_rejects_bad_weights(spark):
+    import pytest
+
+    from arrowhouse_spark.operators.sampling import source_mixing_plan
+
+    df = spark.createDataFrame([(1, "a")], "doc_id: long, source: string")
+    with pytest.raises(ValueError):
+        source_mixing_plan(df, {"a": 0})
