@@ -107,6 +107,14 @@ def main() -> int:
         # process; a single long-lived connection accumulates buffer/thread
         # state across 70+ queries and eventually dies with bad_alloc
         c = duckdb.connect()
+        # explicit cap + spill dir: DuckDB otherwise sizes its limit from
+        # memory FREE at connect time, so a concurrent JVM makes the oracle
+        # die with bad_alloc on queries that would happily spill
+        try:
+            c.execute("SET memory_limit='6GB'")
+            c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        except Exception:  # noqa: BLE001 — older duckdb: keep defaults
+            pass
         for t in TABLES:
             p = f"{args.sf}/{t}.parquet"
             if os.path.exists(p):
