@@ -382,3 +382,74 @@ def test_gopher_signals_match_python(spark, texts):
             round(max(bgs.count(g) for g in set(bgs)) / len(bgs), 6) if bgs else 0.0
         )
         assert r.top_bigram_frac == expect_top
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operators vs pure-python reference models
+# ---------------------------------------------------------------------------
+
+_DOC_SIZES = st.lists(st.integers(1, 40), min_size=1, max_size=30)
+
+
+@_SETTINGS
+@given(sizes=_DOC_SIZES, budget=st.integers(5, 60))
+def test_pack_sequences_matches_python_model(spark, sizes, budget):
+    """pack_id/pack_off must equal the sequential FFD-order model inside
+    each bucket, and the pack partition must cover every doc exactly once."""
+    from arrowhouse_spark.operators.packing import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        r.doc_id: (r.bucket, r.pack_id, r.pack_off, r.n_tokens)
+        for r in pack_sequences(df, budget=budget, n_buckets=4).collect()
+    }
+    assert len(got) == len(sizes)
+    # python model: same bucket rule (md5 prefix), same order, same cuts
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(f"pack{i}".encode()).hexdigest()[:8], 16) % 4
+
+    by_bucket: dict[int, list[tuple[int, int]]] = {}
+    for i, n in enumerate(sizes):
+        by_bucket.setdefault(bucket(i), []).append((n, i))
+    for b, docs in by_bucket.items():
+        cum = 0
+        for n, i in sorted(docs, key=lambda t: (-t[0], t[1])):
+            assert got[i] == (b, cum // budget, cum % budget, n), (i, n, b)
+            cum += n
+
+
+@_SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 6), min_size=1, max_size=8),  # token ids
+        min_size=1,
+        max_size=12,
+    ),
+    max_df=st.integers(1, 4),
+)
+def test_line_dedup_matches_python_model(spark, docs, max_df):
+    """Token-granularity line_dedup vs a direct python model: survivors,
+    per-doc order, and counts all agree."""
+    from arrowhouse_spark.operators.dedup import line_dedup
+
+    rows = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        r.doc_id: (r.text, r.n_lines_kept)
+        for r in line_dedup(df, sep=" ", max_df=max_df).collect()
+    }
+    from collections import Counter
+
+    dfc = Counter()
+    for toks in docs:
+        for t in set(toks):
+            dfc[t] += 1
+    for i, toks in enumerate(docs):
+        kept = [t for t in toks if dfc[t] <= max_df]
+        if kept:
+            assert got[i] == (" ".join(f"t{t}" for t in kept), len(kept)), i
+        else:
+            assert i not in got
