@@ -138,17 +138,34 @@ def source_mixed_sample(
     key: str,
     source_col: str = "source",
     salt: str = "mix",
+    exact: bool = True,
 ) -> DataFrame:
     """Materialize :func:`source_mixing_plan`: inside each weighted source,
     rows rank by (md5(salt‖key), key) — the deterministic, engine-
     independent order used across this module — and the top ``take_n``
-    survive. One shuffle keyed by source."""
+    survive. One shuffle keyed by source.
+
+    ``exact=True`` gives exact per-source counts but windows each source in
+    one task — fine up to ~10⁷ rows per source, a hot-spot beyond. At
+    100 TB use ``exact=False``: each row keeps iff its md5 hash falls under
+    the per-source rate take_n/n_avail — a pure map-side filter (broadcast
+    plan join, NO shuffle, no hot task) whose counts are binomial around
+    take_n (±~sqrt(take_n)) — the same determinism (a row's fate depends
+    only on its key), traded for exact counts."""
     plan = source_mixing_plan(df, weights, source_col)
     h = F.md5(F.concat(F.lit(salt), _c(key).cast("string")))
+    joined = df.join(F.broadcast(plan), source_col)
+    if not exact:
+        # first 15 hex chars = 60 uniform bits, exact in a double
+        u = F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(
+            float(1 << 60)
+        )
+        return joined.filter(
+            u < F.col("take_n") / F.col("n_avail")
+        ).drop("n_avail", "take_n")
     w = Window.partitionBy(source_col).orderBy(h, F.col(key))
     return (
-        df.join(F.broadcast(plan), source_col)
-        .withColumn("__rn", F.row_number().over(w))
+        joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("take_n"))
         .drop("__rn", "n_avail", "take_n")
     )

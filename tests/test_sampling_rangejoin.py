@@ -147,3 +147,29 @@ def test_source_mixing_rejects_bad_weights(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id: long, source: string")
     with pytest.raises(ValueError):
         source_mixing_plan(df, {"a": 0})
+
+
+def test_source_mixed_sample_approx_mode(spark):
+    """exact=False: map-side rate filter — no window in the plan, counts
+    binomial around take_n, and still deterministic per row."""
+    from arrowhouse_spark.operators.sampling import source_mixed_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "doc_id: long, source: string",
+    )
+    # n = {a:1000, b:1000}; weights 3/1 → m=333 → take a:999, b:333
+    out = source_mixed_sample(df, {"a": 3, "b": 1}, key="doc_id", exact=False)
+    assert "Window" not in out._jdf.queryExecution().executedPlan().toString()
+    got = sorted((r.source, r.doc_id) for r in out.collect())
+    counts = {}
+    for s, _ in got:
+        counts[s] = counts.get(s, 0) + 1
+    # binomial tolerance: ±5 sigma ≈ ±5*sqrt(take*(1-take/n))
+    assert abs(counts["a"] - 999) < 5 * (999 * (1 - 0.999)) ** 0.5 + 5
+    assert abs(counts["b"] - 333) < 5 * (333 * (1 - 0.333)) ** 0.5 + 5
+    # per-row determinism: same result under a different layout
+    out2 = source_mixed_sample(
+        df.repartition(11), {"a": 3, "b": 1}, key="doc_id", exact=False
+    )
+    assert sorted((r.source, r.doc_id) for r in out2.collect()) == got
