@@ -49,6 +49,8 @@ HEADLINE = [
     "dedup_incremental_docs",
     "line_dedup_docs",
     "pack_sequences_docs",
+    "ngram_jaccard_stopfiltered",
+    "source_mixed_sample",
 ]
 
 
