@@ -311,3 +311,32 @@ def token_count_bpe(
     return df.withColumn(
         out, F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0)))
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-corpus unigram log-probability score — the order-0 case of the
+    CCNet/Wikipedia-LM perplexity filter used to rank web text: documents
+    full of corpus-typical tokens score low, rare-token-heavy documents
+    (OCR noise, gibberish, boilerplate soup) score high.
+
+    Returns (id_col, n_tokens_lm, mean_neg_logprob) with
+    mean_neg_logprob = avg over token INSTANCES of −ln(tf(token)/total).
+
+    Scale: one explode feeds BOTH the frequency table (groupBy token, map-
+    side partial) and the scoring join (shuffle keyed on the token — never
+    broadcast-assumed, vocab can be huge); the corpus total arrives as a
+    1-row broadcast, never a driver collect. Real pipelines swap the
+    self-corpus table for a reference-LM table — same join shape.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").alias("total"))
+    scored = toks.join(tf, "tok").crossJoin(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens_lm"),
+        F.round(
+            F.avg(-F.log(F.col("tf") / F.col("total"))), 3
+        ).alias("mean_neg_logprob"),
+    )

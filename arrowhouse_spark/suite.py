@@ -3624,3 +3624,31 @@ def source_mixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.sum("doc_id").alias("sum_ids"),
     )
+
+
+@register(
+    "doc_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT sum(tf) AS total FROM tf
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens_lm,
+           round(avg(-ln(tf.tf / tot.total)), 3) AS mean_neg_logprob
+    FROM toks t JOIN tf USING (tok), tot
+    GROUP BY t.doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy (operators/text.py:unigram_logprob_score)
+    — per-doc mean −ln p(token) under the self-corpus unigram model. The
+    3-decimal rounding absorbs cross-engine libm/summation-order ulp noise
+    in the double sums; both engines compute the identical rational p."""
+    from arrowhouse_spark.operators.text import unigram_logprob_score
+
+    return unigram_logprob_score(_t(spark, sf_dir, "documents"))

@@ -543,3 +543,21 @@ def test_ngram_jaccard_stop_shingle_filter(spark):
     # filtered sets: doc1 {cat sat, sat here, here today}, doc2 {cat sat,
     # sat over, over there} → J = 1/5
     assert abs(tight[(1, 2)] - 0.2) < 1e-9
+
+
+def test_unigram_logprob_score(spark):
+    """Hand-checkable: in corpus [a a a b], p(a)=3/4, p(b)=1/4; doc1 'a a'
+    scores -ln(3/4); doc2 'a b' scores (-ln(3/4)-ln(1/4))/2; the rare-token
+    doc scores strictly higher."""
+    import math
+
+    from arrowhouse_spark.operators.text import unigram_logprob_score
+
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "a b")], "doc_id: long, text: string"
+    )
+    out = {r.doc_id: (r.n_tokens_lm, r.mean_neg_logprob)
+           for r in unigram_logprob_score(df).collect()}
+    assert out[1] == (2, round(-math.log(3 / 4), 3))
+    assert out[2] == (2, round((-math.log(3 / 4) - math.log(1 / 4)) / 2, 3))
+    assert out[2][1] > out[1][1]
