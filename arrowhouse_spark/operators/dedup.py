@@ -354,7 +354,12 @@ def dedup_incremental(
     100 TB; write it bucketed by fp so repeated daily runs shuffle only the
     day's batch, and the anti-join co-locates against the bucketed layout
     without moving history."""
-    fps = fingerprint(new_df, text_col)
+    # NULL-text rows get a NULL fingerprint; a NULL key never matches in the
+    # anti-join, so without this filter one NULL-fp "winner" would survive
+    # every batch forever and NULL fps would accumulate uselessly in the
+    # store. Dropping them also matches SQL NOT-IN semantics (a NULL member
+    # is never NOT IN anything).
+    fps = fingerprint(new_df, text_col).filter(F.col("fp").isNotNull())
     winners = fps.groupBy("fp").agg(F.min(id_col).alias(id_col))
     fresh = winners.join(
         seen.select(F.col(seen_fp_col).alias("fp")), "fp", "left_anti"
@@ -524,13 +529,7 @@ def ngram_jaccard_pairs(
         df, text_col, id_col, shingle_n
     )
     if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(hot, "shingle", "left_anti")
+        sh = stop_shingle_filter(sh, max_shingle_df, id_col)
     # Path choice: pass ``n_docs`` from parquet footer metadata when known
     # (zero Spark jobs). The doc-count half of the cap gates cheaply; the
     # vocab half is pre-flighted with approx_count_distinct BEFORE any driver
@@ -551,6 +550,32 @@ def ngram_jaccard_pairs(
             if dense is not None:
                 return dense
     return _jaccard_inverted(sh, id_col, threshold)
+
+
+def stop_shingle_filter(
+    sh: DataFrame, max_shingle_df: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop shingles whose DOCUMENT frequency exceeds ``max_shingle_df``
+    (boilerplate, stop-word n-grams) from a (id, shingle) relation — the
+    skew cap that bounds any shingle's contribution to a downstream
+    co-occurrence join at max_shingle_df² rows.
+
+    Document frequency is ``count_distinct(id_col)``, so a caller-supplied
+    relation with duplicate (id, shingle) rows is counted correctly
+    (``shingle_relation`` output is per-doc distinct, where plain count
+    would coincide — but the contract shouldn't hinge on that).
+
+    Scale: one keyed aggregation over the shingle relation + a left-anti
+    join on the 8-byte shingle key; callers that reuse the filtered relation
+    across queries should persist the RESULT (see suite's shared-relation
+    cache) so the aggregation is paid once, not per consumer."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") > max_shingle_df)
+        .select("shingle")
+    )
+    return sh.join(hot, "shingle", "left_anti")
 
 
 def _jaccard_dense(
@@ -659,9 +684,18 @@ def _jaccard_inverted(sh: DataFrame, id_col: str, threshold: float) -> DataFrame
     # parallelism. Spread by shingle so the join probe AND the partial
     # aggregation parallelize (at cluster scale this is the shuffle that makes
     # the operator linear-per-executor).
-    n_part = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # cache: consumed three times (sizes + both sides of the self-join)
-    sh = sh.repartition(n_part, "shingle").cache()
+    #
+    # Already-persisted input (the suite's shared-relation cache) is trusted
+    # as-is: caching AGAIN here would register a fresh never-unpersisted RDD
+    # on every invocation (bench runs each query 3×), accumulating dead
+    # cache entries and rising pass-to-pass times. Without the local cache
+    # the join's own exchange requirement restores parallelism, and Spark's
+    # ReuseExchange folds the two identical self-join sides into one.
+    lvl = sh.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        n_part = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # cache: consumed three times (sizes + both sides of the self-join)
+        sh = sh.repartition(n_part, "shingle").cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (

@@ -59,8 +59,14 @@ def pack_sequences(
         # so packs are reproducible outside Spark too
         hash_bucket(id_col, n_buckets, salt="pack"),
     )
-    w = Window.partitionBy("bucket").orderBy(
-        F.col("n_tokens").desc(), F.col(id_col).asc()
+    # explicit ROWS frame: the default RANGE frame makes peer rows (ties on
+    # the full ordering) share one cumsum, so correctness would silently
+    # hinge on id_col being unique — ROWS matches the oracle's ROWS clause
+    # and is tie-safe for any id_col
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("n_tokens").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
     d = d.withColumn("__start", cum - F.col("n_tokens"))

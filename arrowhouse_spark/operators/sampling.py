@@ -156,9 +156,10 @@ def source_mixed_sample(
     h = F.md5(F.concat(F.lit(salt), _c(key).cast("string")))
     joined = df.join(F.broadcast(plan), source_col)
     if not exact:
-        # first 15 hex chars = 60 uniform bits, exact in a double
-        u = F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(
-            float(1 << 60)
+        # first 13 hex chars = 52 uniform bits — within the 53-bit double
+        # mantissa, so the uniform variate is genuinely exact (no rounding)
+        u = F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(
+            float(1 << 52)
         )
         return joined.filter(
             u < F.col("take_n") / F.col("n_avail")

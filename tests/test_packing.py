@@ -56,3 +56,21 @@ def test_pack_rejects_bad_budget(spark):
 
     with pytest.raises(ValueError):
         pack_sequences(_docs(spark, [3]), budget=0)
+
+
+def test_pack_duplicate_ids_get_per_row_cumsum(spark):
+    """Non-unique id_col makes full-ordering ties: the window must use a
+    ROWS frame so each row still gets its own running sum. Under the default
+    RANGE frame all four peer rows would share cum=40 → start=30 → one pack
+    of 4 docs."""
+    rows = [(7, " ".join(["w"] * 10))] * 4  # same id, same n_tokens
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    packed = pack_sequences(df, budget=20, n_buckets=1)
+    st = {
+        r.pack_id: (r.n_docs, r.pack_tokens)
+        for r in pack_stats(packed, 20).collect()
+    }
+    assert st == {0: (2, 20), 1: (2, 20)}
+    # per-row starts are 0,10,20,30 → offsets 0,10,0,10
+    offs = sorted(r.pack_off for r in packed.collect())
+    assert offs == [0, 0, 10, 10]

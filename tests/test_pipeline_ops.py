@@ -545,6 +545,43 @@ def test_ngram_jaccard_stop_shingle_filter(spark):
     assert abs(tight[(1, 2)] - 0.2) < 1e-9
 
 
+def test_dedup_incremental_drops_null_text(spark):
+    """NULL text → NULL fingerprint, which a left-anti join would keep
+    FOREVER (NULL never matches): such rows must not survive or pollute the
+    store (matches SQL NOT-IN semantics on the oracle side)."""
+    from arrowhouse_spark.operators.dedup import dedup_incremental
+    from arrowhouse_spark.operators.text import fingerprint
+
+    new = spark.createDataFrame(
+        [(1, "real"), (2, None), (3, None)], "doc_id: long, text: string"
+    )
+    seen = fingerprint(
+        spark.createDataFrame([(9, "other")], "doc_id: long, text: string")
+    ).select("fp")
+    out = dedup_incremental(new, seen).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert all(r.fp is not None for r in out)
+
+
+def test_stop_shingle_filter_counts_distinct_docs(spark):
+    """Document frequency must be count_distinct(id): a relation with
+    duplicate (id, shingle) rows must not overcount one doc's repeats into
+    the cap."""
+    from arrowhouse_spark.operators.dedup import stop_shingle_filter
+
+    sh = spark.createDataFrame(
+        # 'x' appears 3× in doc 1 but in only 2 distinct docs;
+        # 'y' appears once each in 3 distinct docs
+        [(1, 100), (1, 100), (1, 100), (2, 100), (1, 200), (2, 200), (3, 200)],
+        "doc_id: long, shingle: long",
+    )
+    kept = stop_shingle_filter(sh, max_shingle_df=2).collect()
+    # df('x'=100)=2 ≤ cap → kept (all 4 rows); df('y'=200)=3 > cap → dropped
+    assert sorted((r.doc_id, r.shingle) for r in kept) == [
+        (1, 100), (1, 100), (1, 100), (2, 100)
+    ]
+
+
 def test_unigram_logprob_score(spark):
     """Hand-checkable: in corpus [a a a b], p(a)=3/4, p(b)=1/4; doc1 'a a'
     scores -ln(3/4); doc2 'a b' scores (-ln(3/4)-ln(1/4))/2; the rare-token
