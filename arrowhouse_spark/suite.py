@@ -1712,16 +1712,15 @@ def int_hash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic orderkey sample, cross-checked against a DuckDB HUGEINT
     re-implementation. The 64-bit hash is emitted as two 32-bit halves so the
     compare never rides on uint64→float precision."""
-    h64 = hashing.int_hash64("o_orderkey")
-    return (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 97 == 0)
-        .select(
-            "o_orderkey",
-            F.shiftrightunsigned(h64, 32).alias("h64_hi"),
-            h64.bitwiseAND(F.lit((1 << 32) - 1)).alias("h64_lo"),
-            hashing.int_hash32("o_orderkey").alias("h32"),
-        )
+    base = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    df = hashing.with_int_hash64(base, "__h64", "o_orderkey")
+    df = hashing.with_int_hash32(df, "__h32", "o_orderkey")
+    h64 = F.col("__h64")
+    return df.select(
+        "o_orderkey",
+        F.shiftrightunsigned(h64, 32).alias("h64_hi"),
+        h64.bitwiseAND(F.lit((1 << 32) - 1)).alias("h64_lo"),
+        F.col("__h32").alias("h32"),
     )
 
 
@@ -2418,15 +2417,16 @@ def city_hash_int_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (FunctionsHashing.h:42-51: PODs hash with intHash64, multi-column
     combines with Hash128to64), cross-checked against a DuckDB HUGEINT
     arithmetic model. Halves emitted so compare never rides uint64→float."""
-    h = hashing.city_hash64("o_orderkey", "o_custkey")
-    return (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 97 == 0)
-        .select(
-            "o_orderkey",
-            F.shiftrightunsigned(h, 32).alias("city_hi"),
-            h.bitwiseAND(F.lit((1 << 32) - 1)).alias("city_lo"),
-        )
+    base = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    # staged projection form: pure whole-stage codegen (the Column form's
+    # transform() let-binding is CodegenFallback — measured ~7× slower here)
+    h = F.col("__h")
+    return hashing.with_city_hash64(
+        base, "__h", "o_orderkey", "o_custkey"
+    ).select(
+        "o_orderkey",
+        F.shiftrightunsigned(h, 32).alias("city_hi"),
+        h.bitwiseAND(F.lit((1 << 32) - 1)).alias("city_lo"),
     )
 
 

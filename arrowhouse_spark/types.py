@@ -106,6 +106,14 @@ def spark_type_for(arrow_name: str) -> T.DataType:
         "duration[us]": T.DayTimeIntervalType(),
         "date32": T.DateType(),
         "date64": T.DateType(),
+        # Spark has no time-of-day type; the reference uses time32/time64 for
+        # compare/sort only (YdbModes/switch_type.h:58-69), so an
+        # order-preserving integral count-since-midnight (in the arrow type's
+        # own unit — values are non-negative and bounded by one day, so
+        # ordering is exactly the time ordering) carries full parity for
+        # every operation the reference performs on them.
+        "time32": T.IntegerType(),
+        "time64": T.LongType(),
         "month_interval": T.YearMonthIntervalType(),
         "decimal128": T.DecimalType(38, 10),
         **UNSIGNED_TO_SPARK,

@@ -103,3 +103,18 @@ def test_dedup_incremental_antijoin_shape(spark, sf_dir, qs):
     df = qs["dedup_incremental_docs"](spark, sf_dir)
     check_plan(df)
     assert "leftanti" in plan_text(df).lower().replace(" ", "")
+
+
+def test_hash_parity_queries_are_pure_codegen(spark, sf_dir, qs):
+    """The staged-projection hash forms must compile to plain long
+    arithmetic: NO ArrayTransform anywhere in the plan (a higher-order
+    function is CodegenFallback — interpreted per row with an array
+    allocation per mix stage, measured ~7× slower), and at least one
+    whole-stage codegen span covering the project."""
+    from arrowhouse_spark.plans.inspect import codegen_stage_count
+
+    for name in ("city_hash_int_parity", "int_hash_parity"):
+        df = qs[name](spark, sf_dir)
+        text = plan_text(df)
+        assert "transform(" not in text, f"{name}: HOF let-binding in plan"
+        assert codegen_stage_count(df) >= 1, f"{name}: no codegen span"

@@ -220,3 +220,17 @@ def test_casts_and_unsigned_policy(spark):
     assert types["as_u64"] == "decimal(20,0)"
     row = out.collect()[0]
     assert row.tr == -1.0 and row.fl == -2.0
+
+
+def test_every_supported_arrow_type_maps_to_spark():
+    """SUPPORTED_ARROW_TYPES and spark_type_for must agree: every type the
+    reference's switch dispatches on (and we claim support for) has a Spark
+    mapping — the set and the function can't silently drift apart again."""
+    from arrowhouse_spark.types import SUPPORTED_ARROW_TYPES, spark_type_for
+
+    for name in sorted(SUPPORTED_ARROW_TYPES):
+        dt = spark_type_for(name)
+        assert isinstance(dt, T.DataType), name
+    # time-of-day parity is order-preserving integrals (no Spark time type)
+    assert spark_type_for("time32") == T.IntegerType()
+    assert spark_type_for("time64") == T.LongType()
