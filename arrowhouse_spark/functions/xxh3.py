@@ -16,9 +16,12 @@ imperative → numpy-free pure-Python kernel behind an Arrow-batched pandas
 UDF. This is the ClickHouse-compatibility surface, NOT the engine's hot
 hashing path (dedup/LSH run on JVM F.xxhash64).
 
-wyHash64 remains absent by design: its vendored submodule is also empty AND
-wyhash changed algorithms incompatibly across public versions (v1-v4 final),
-so without the pinned submodule commit a "bit-exact" claim is unverifiable.
+wyHash64: its vendored submodule is also empty AND wyhash changed
+algorithms incompatibly across public versions (v1-v4 final), so without
+the pinned submodule commit a "bit-exact" claim is unverifiable. It is
+covered as an explicitly LABELED SUPERSET (the public wyhash_final
+construction, self-pinned vectors, no upstream-parity claim) in
+functions/wyhash.py.
 """
 
 from __future__ import annotations

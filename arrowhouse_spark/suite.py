@@ -2411,6 +2411,49 @@ def xxh3_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("n", xxh3_64_str("s").alias("h")).orderBy("n")
 
 
+# wyhash_final construction, seed 0, final-v4 default secret — SELF-pinned
+# vectors (generated from functions/wyhash.py's scalar kernel, independently
+# reproduced by its numpy kernel). NOT an upstream-parity claim: the
+# reference's wyhash submodule is empty and wyhash changed incompatibly
+# across public versions (see functions/wyhash.py docstring). Lengths cover
+# every branch: empty / _wyr3 / 4-16 dual-read / 16-tail loop / 48-byte
+# three-lane loop incl. continuation and odd remainders.
+_WYHASH_LENS_HASHES = [
+    (0, -7844555533835123294), (1, -6330279526711025100), (2, -7793780517266652006),
+    (3, 1877329093074822212), (4, 6178500565477687121), (5, -4888225049559429717),
+    (8, 4682200116656093916), (9, -2713741882612361117), (12, -5337889489148152634),
+    (16, -3134627583186257580), (17, -8345510101816737047), (24, 5597973671878381550),
+    (32, -2458542712722278196), (48, 5794261940850599830), (49, -558142106336798433),
+    (64, -4219623307964451680), (96, 5660753973301996983), (97, 3902806798129076681),
+    (112, -2488072992780781625), (160, 8990615111955923299), (240, -8021757321481017156),
+    (241, 1300880103931272933), (512, -1485498805467926374), (1024, -4917248289670885164),
+    (2048, 4176047626775457090),
+]
+
+
+@register(
+    "wyhash_parity",
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"({n}, {h}::BIGINT)" for n, h in _WYHASH_LENS_HASHES)
+    + ") t(n, h) ORDER BY n",
+)
+def wyhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wyHash64 surface (FunctionsHashing.h:107-116) as a LABELED SUPERSET:
+    the public wyhash_final construction at seed 0 with the final-v4 default
+    secret, pinned by self-generated vectors (see _WYHASH_LENS_HASHES
+    provenance note — the reference's submodule is empty, so no
+    implementation can claim bit-parity with it). The Spark side recomputes
+    each hash with functions/wyhash.py's length-grouped numpy kernel over
+    the same deterministic strings."""
+    from arrowhouse_spark.functions.wyhash import wy_hash64_str
+
+    buf = "".join(chr(33 + ((i * 31 + 7) % 94)) for i in range(2048))
+    df = spark.createDataFrame(
+        [(n, buf[:n]) for n, _ in _WYHASH_LENS_HASHES], "n int, s string"
+    )
+    return df.select("n", wy_hash64_str("s").alias("h")).orderBy("n")
+
+
 @register("city_hash_int_parity", _city_int_oracle())
 def city_hash_int_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bit-exact cityHash64 over integer columns ≡ the reference
