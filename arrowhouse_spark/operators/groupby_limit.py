@@ -5,26 +5,45 @@ find-only path executeImplBatch Aggregator.cpp:361-369).
 
 Reference semantics: once the hash table reaches max_rows,
   THROW — abort the query;
-  BREAK — stop consuming input (not reproducible in a declarative plan);
+  BREAK — stop consuming input, return the partial aggregates accumulated
+          so far (arrival-order dependent!);
   ANY   — keep aggregating rows whose key is already present, ignore new keys
           (arrival-order dependent!), optionally folding the rest into one
           ``overflow_row``.
 
 Distributed design (SURVEY.md §4 item 1): arrival order is not meaningful
-across shuffles, so ANY here picks a DETERMINISTIC key subset — the
-``max_rows`` heaviest keys (count, tie-break by key) — and aggregates the
-remainder into the overflow row when requested. This is the documented
-deviation: same bounded-output guarantee, deterministic instead of
-arrival-dependent.
+across shuffles, so the order-dependent modes get DETERMINISTIC analogues:
 
-Plan shape (2 passes over the pre-aggregated keys, not the input):
+ANY picks the ``max_rows`` heaviest keys (count, tie-break by key) and
+aggregates the remainder into the overflow row when requested. Same
+bounded-output guarantee, deterministic instead of arrival-dependent.
+
+BREAK replays "stop at the cap" against an EXPLICIT deterministic order
+(``order_col``, caller-supplied — same contract as replace_merge's order
+column): the consumed prefix is every row strictly before the first
+occurrence of the (max_rows+1)-th distinct key in that order, i.e. the
+exact moment the reference's hash table would overflow. Keys in the output
+are the first max_rows keys SEEN (not the heaviest), and kept keys' rows
+after the stop point are NOT aggregated — "return what is", made
+deterministic.
+
+Plan shapes:
+  THROW/ANY (2 passes over the pre-aggregated keys, not the input):
   1. full groupBy (partial→final; output is bounded by TRUE key cardinality);
   2. top-k select the max_rows heaviest keys (TakeOrderedAndProject — per-
      partition top-k then driver merge, never a global sort/window), and find
      the dropped tail with a broadcast anti-join against the kept key set.
-Pass 1 is exactly the cost of the plain group-by; pass 2 operates on its
-(already reduced) output with no extra shuffle — at 100 TB the dominant cost
-is unchanged and the output bound is enforced exactly.
+  Pass 1 is exactly the cost of the plain group-by; pass 2 operates on its
+  (already reduced) output with no extra shuffle — at 100 TB the dominant
+  cost is unchanged and the output bound is enforced exactly.
+
+  BREAK (2 passes over the input):
+  1. per-key min(order_col) (partial→final, shuffles (key, ord) only) →
+     TakeOrderedAndProject of the max_rows+1 smallest first-occurrences →
+     one-row stop threshold, broadcast;
+  2. prefix filter (ord < threshold) → plain groupBy. The threshold join is
+     a 1-row broadcast nested loop; both heavy passes are ordinary keyed
+     aggregations, so the shape holds at any scale.
 """
 
 from __future__ import annotations
@@ -39,6 +58,7 @@ from pyspark.sql import functions as F
 
 class OverflowMode(enum.Enum):
     THROW = "throw"
+    BREAK = "break"
     ANY = "any"
 
 
@@ -53,6 +73,7 @@ def group_by_limited(
     max_rows: int,
     mode: OverflowMode = OverflowMode.ANY,
     overflow_row: bool = False,
+    order_col: str | None = None,
 ) -> DataFrame:
     """GROUP BY with at most ``max_rows`` output groups.
 
@@ -62,7 +83,20 @@ def group_by_limited(
     aggregate of all dropped groups (≡ the reference's params.overflow_row;
     note NULL keys are distinguishable from real NULL-key groups only by the
     ``__overflow`` marker column kept in the output).
+
+    ``mode=BREAK`` requires ``order_col`` — a non-null column defining the
+    deterministic consumption order the stop point is measured against (see
+    module docstring); only rows strictly before the first occurrence of
+    the (max_rows+1)-th distinct key are aggregated.
     """
+    if mode is OverflowMode.BREAK:
+        if order_col is None:
+            raise ValueError(
+                "OverflowMode.BREAK needs an explicit order_col: a "
+                "deterministic 'stop consuming' point is undefined without "
+                "a row order"
+            )
+        return _group_by_break(df, keys, aggs, max_rows, order_col)
     agg_cols = [c.alias(n) for n, c in aggs.items()]
     full = df.groupBy(*keys).agg(
         *agg_cols, F.count(F.lit(1)).alias("__group_weight")
@@ -106,6 +140,37 @@ def group_by_limited(
         merged = merged.withColumn(k, F.lit(None).cast(dict(df.dtypes)[k] if k in dict(df.dtypes) else "string"))
     merged = merged.withColumn("__overflow", F.lit(True))
     return kept.unionByName(merged.select(*kept.columns))
+
+
+def _group_by_break(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+    max_rows: int,
+    order_col: str,
+) -> DataFrame:
+    """Deterministic BREAK (see module docstring): aggregate the prefix of
+    ``order_col``-ordered rows that ends where the (max_rows+1)-th distinct
+    key first appears. With ≤ max_rows distinct keys the whole input
+    aggregates (no stop point — the reference never hits the limit)."""
+    ord_ = F.col(order_col)
+    first_pos = df.groupBy(*keys).agg(F.min(ord_).alias("__fp"))
+    # the (max_rows+1) smallest first-occurrences: TakeOrderedAndProject,
+    # never a global sort. If max_rows+1 groups exist, the largest of them
+    # IS the stop position; with fewer groups there is no stop.
+    cut = (
+        first_pos.orderBy(F.col("__fp").asc())
+        .limit(max_rows + 1)
+        .agg(
+            F.when(
+                F.count(F.lit(1)) == max_rows + 1, F.max("__fp")
+            ).alias("__cut")
+        )
+    )
+    prefix = df.join(F.broadcast(cut)).filter(
+        F.col("__cut").isNull() | (ord_ < F.col("__cut"))
+    )
+    return prefix.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
 
 
 def _refold(name: str, original: Column) -> Column:

@@ -3078,6 +3078,53 @@ def groupby_limited_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "groupby_limited_break",
+    """
+    WITH d AS (
+      SELECT event_id, user_id % 50 AS k, value FROM events
+    ), fp AS (
+      SELECT k, min(event_id) AS fp FROM d GROUP BY k
+    ), cut AS (
+      SELECT CASE WHEN count(*) = 21 THEN max(fp) END AS cut
+      FROM (SELECT fp FROM fp ORDER BY fp LIMIT 21)
+    )
+    SELECT k, CAST(count(*) AS BIGINT) AS n, round(sum(value), 3) AS sv,
+           CAST(min(event_id) AS BIGINT) AS first_id
+    FROM d, cut WHERE cut.cut IS NULL OR d.event_id < cut.cut
+    GROUP BY k
+    """,
+)
+def groupby_limited_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OverflowMode::BREAK (arrow_clickhouse_types.h:24-34), deterministic
+    analogue: consuming events in event_id order, stop the moment the 21st
+    distinct key (user_id % 50) would enter the hash table; aggregate only
+    rows strictly before that point — partial aggregates, "return what
+    is". The oracle replays the same stop rule in SQL; first-seen keys and
+    their PARTIAL sums/counts pin the semantics apart from ANY (which
+    would keep the heaviest keys, fully aggregated)."""
+    from arrowhouse_spark.operators.groupby_limit import (
+        OverflowMode,
+        group_by_limited,
+    )
+
+    d = _events(spark, sf_dir).select(
+        "event_id", (F.col("user_id") % 50).alias("k"), "value"
+    )
+    return group_by_limited(
+        d,
+        ["k"],
+        {
+            "n": F.count(F.lit(1)),
+            "sv": F.round(F.sum("value"), 3),
+            "first_id": F.min("event_id"),
+        },
+        max_rows=20,
+        mode=OverflowMode.BREAK,
+        order_col="event_id",
+    )
+
+
+@register(
     "agg_any_single_member",
     # `any` is nondeterministic in general (MinMaxAny.h:527-535); over
     # single-member groups it equals min — giving it an exact oracle

@@ -68,3 +68,59 @@ def test_any_deterministic_tiebreak(spark):
     df = spark.createDataFrame([(k, 1.0) for k in range(6)], "k: long, v: double")
     out = group_by_limited(df, ["k"], {"n": F.count(F.lit(1))}, max_rows=3)
     assert sorted(r.k for r in out.collect()) == [0, 1, 2]
+
+
+def test_break_stops_at_cap_and_differs_from_any(spark):
+    """BREAK = first-seen keys with PARTIAL aggregates (stop consuming),
+    vs ANY = heaviest keys fully aggregated. Crafted so both the key set
+    and the kept keys' aggregates differ."""
+    from arrowhouse_spark.operators.groupby_limit import OverflowMode
+
+    rows = [
+        (1, "A", 1.0), (2, "B", 1.0), (3, "C", 1.0), (4, "A", 1.0),
+        (5, "D", 1.0), (6, "D", 1.0), (7, "D", 1.0), (8, "D", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "ord: long, k: string, v: double")
+    brk = group_by_limited(
+        df, ["k"], {"n": F.count(F.lit(1))}, max_rows=3,
+        mode=OverflowMode.BREAK, order_col="ord",
+    )
+    got = {r.k: r.n for r in brk.collect()}
+    # 4th distinct key D first appears at ord=5 → prefix is ord < 5:
+    # A twice, B once, C once — and D (the heaviest key!) absent entirely
+    assert got == {"A": 2, "B": 1, "C": 1}
+    any_got = {
+        r.k: r.n
+        for r in group_by_limited(
+            df, ["k"], {"n": F.count(F.lit(1))}, max_rows=3
+        ).collect()
+    }
+    # ANY keeps the heaviest keys (D) and aggregates them fully
+    assert any_got == {"D": 4, "A": 2, "B": 1}
+    assert set(any_got) != set(got)
+
+
+def test_break_no_stop_when_under_limit(spark):
+    from arrowhouse_spark.operators.groupby_limit import OverflowMode
+
+    df = spark.createDataFrame(
+        [(1, "A", 1.0), (2, "B", 2.0), (3, "A", 3.0)], "ord: long, k: string, v: double"
+    )
+    out = group_by_limited(
+        df, ["k"], {"s": F.sum("v")}, max_rows=2,
+        mode=OverflowMode.BREAK, order_col="ord",
+    )
+    # only 2 distinct keys ≤ max_rows: the whole input aggregates
+    assert {r.k: r.s for r in out.collect()} == {"A": 4.0, "B": 2.0}
+
+
+def test_break_requires_order_col(spark):
+    import pytest
+
+    from arrowhouse_spark.operators.groupby_limit import OverflowMode
+
+    df = spark.createDataFrame([(1, "A", 1.0)], "ord: long, k: string, v: double")
+    with pytest.raises(ValueError, match="order_col"):
+        group_by_limited(
+            df, ["k"], {"s": F.sum("v")}, max_rows=1, mode=OverflowMode.BREAK
+        )
