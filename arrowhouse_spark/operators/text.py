@@ -340,3 +340,57 @@ def unigram_logprob_score(
             F.avg(-F.log(F.col("tf") / F.col("total"))), 3
         ).alias("mean_neg_logprob"),
     )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): no backreferences, no lookaround, ASCII classes only.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    # international-ish phone: +CC (area) number with -/./space separators;
+    # anchored on \b so bare long digit runs (ids, years) don't match
+    "phone": r"\+\d{1,3}[-. ]\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]?\d{3,4}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+    out: str = "text_clean",
+) -> DataFrame:
+    """PII redaction — the scrub pass a training-data pipeline runs before
+    anything else (C4 keeps only clean lines; RefinedWeb/FineWeb redact
+    emails/IPs/phones in place). Superset of the reference (no text surface
+    there).
+
+    Each pattern family is replaced by its ``<NAME>`` placeholder and
+    counted per document, so the pipeline can audit redaction density or
+    drop PII-heavy documents. Returns (id_col, out, n_<name>... , n_pii).
+
+    Scale: a per-row regexp_replace/regexp_count chain — pure JVM codegen,
+    NO shuffle, no UDF; at 100 TB this is a map-only pass that fuses into
+    whatever scan feeds it. Patterns are written to the RE2-compatible
+    subset (no lookaround/backrefs) so the DuckDB oracle runs the very same
+    regexes.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    cleaned = F.col(text_col)
+    counts = []
+    total = F.lit(0)
+    for name, pat in pats.items():
+        n = F.coalesce(
+            F.regexp_count(F.col(text_col), F.lit(pat)), F.lit(0)
+        ).alias(f"n_{name}")
+        counts.append(n)
+        total = total + F.coalesce(
+            F.regexp_count(F.col(text_col), F.lit(pat)), F.lit(0)
+        )
+        cleaned = F.regexp_replace(cleaned, pat, f"<{name.upper()}>")
+    return df.select(
+        F.col(id_col),
+        cleaned.alias(out),
+        *counts,
+        total.alias("n_pii"),
+    )

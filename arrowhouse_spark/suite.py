@@ -2869,6 +2869,91 @@ def doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_pii_scrub",
+    r"""
+    WITH injected AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 7 = 0
+             THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+             THEN ' ip 10.0.' || (doc_id % 256) || '.17 seen' ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+             THEN ' call +1-555-' || (100 + doc_id % 900) || '-'
+                  || (1000 + doc_id % 9000) || ' today' ELSE '' END
+        AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+        '\+\d{1,3}[-. ]\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]?\d{3,4}\b',
+        '<PHONE>', 'g') AS text_clean,
+      CAST(len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+      CAST(len(regexp_extract_all(text,
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+      CAST(len(regexp_extract_all(text,
+        '\+\d{1,3}[-. ]\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]?\d{3,4}\b')) AS INTEGER) AS n_phone,
+      CAST(len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(text,
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        + len(regexp_extract_all(text,
+        '\+\d{1,3}[-. ]\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]?\d{3,4}\b'))
+        AS INTEGER) AS n_pii
+    FROM injected
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text.py:pii_scrub): emails / IPv4s / phones
+    replaced by typed placeholders with per-doc counts — the
+    RefinedWeb-style scrub pass, pure map-side codegen (no shuffle, no
+    UDF). Deterministic PII is INJECTED from doc_id on both sides so the
+    oracle pins real redactions (every 7th/11th/13th doc), not a no-op:
+    value-hash covers the scrubbed text itself plus all counts."""
+    from arrowhouse_spark.operators.text import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" ip 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".17 seen"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+                    F.lit("-"),
+                    (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+                    F.lit(" today"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(injected)
+
+
+@register(
     "doc_gopher_quality",
     """
     WITH toks AS (

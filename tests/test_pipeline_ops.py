@@ -598,3 +598,28 @@ def test_unigram_logprob_score(spark):
     assert out[1] == (2, round(-math.log(3 / 4), 3))
     assert out[2] == (2, round((-math.log(3 / 4) - math.log(1 / 4)) / 2, 3))
     assert out[2][1] > out[1][1]
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    """Hand-checkable redaction: each family replaced by its placeholder,
+    counts per family + total, clean docs untouched."""
+    from arrowhouse_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "write to a.b%x@mail.co or c@d.org thanks"),
+            (2, "server 192.168.0.1 and 10.0.3.17 up"),
+            (3, "call +1-555-867-5309 today"),
+            (4, "nothing sensitive here v2.0 #tag"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert out[1].text_clean == "write to <EMAIL> or <EMAIL> thanks"
+    assert (out[1].n_email, out[1].n_pii) == (2, 2)
+    assert out[2].text_clean == "server <IPV4> and <IPV4> up"
+    assert (out[2].n_ipv4, out[2].n_pii) == (2, 2)
+    assert out[3].text_clean == "call <PHONE> today"
+    assert (out[3].n_phone, out[3].n_pii) == (1, 1)
+    assert out[4].text_clean == docs.filter(F.col("doc_id") == 4).first().text
+    assert out[4].n_pii == 0

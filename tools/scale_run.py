@@ -182,6 +182,33 @@ def main() -> None:
         t, n = timed(lambda: pack_sequences(docs, budget=200).count())
         rec["pack_sequences"] = {"sec": t, "rows": n}
 
+        # text-quality family (round-4 verdict item 8: measured slopes, not
+        # plan-shape arguments). gopher_quality is map-side except the
+        # top-bigram rollup; decontaminate streams corpus grams against a
+        # broadcast eval set (a deterministic 200-doc slice plays the eval
+        # benchmark); unigram_logprob is the token-keyed scoring join.
+        from arrowhouse_spark.operators.text import (
+            decontaminate,
+            gopher_quality,
+            unigram_logprob_score,
+        )
+
+        t, n = timed(lambda: gopher_quality(docs).count())
+        rec["gopher_quality"] = {"sec": t, "docs": n}
+
+        eval_df = docs.filter(F.col("doc_id") % 500 == 7).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+        t, n = timed(
+            lambda: decontaminate(docs, eval_df, ngram_n=13)
+            .filter(F.col("is_contaminated"))
+            .count()
+        )
+        rec["decontaminate"] = {"sec": t, "flagged": n}
+
+        t, n = timed(lambda: unigram_logprob_score(docs).count())
+        rec["unigram_logprob"] = {"sec": t, "docs": n}
+
         print(json.dumps({f"scale_{scale}x": rec}), flush=True)
 
     # the inverted path MUST be chosen at the largest scale (cap logic)
