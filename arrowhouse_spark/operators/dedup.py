@@ -730,6 +730,76 @@ def _jaccard_inverted(sh: DataFrame, id_col: str, threshold: float) -> DataFrame
     return out
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    threshold: float = 0.8,
+    shingles: DataFrame | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment for every pair sharing ≥1 shingle:
+    C(A⊂B) = |A∩B| / |A|. Catches the subset-duplicate shape Jaccard
+    misses — a short document wholly quoted inside a long one has
+    J = |A|/|B| (small) but containment 1.0; news-wire republication and
+    boilerplate-wrapped bodies dedup on exactly this signal.
+
+    Emits (id_a, id_b, cont_a_in_b, cont_b_in_a, jaccard) for id_a < id_b
+    where max(cont_a_in_b, cont_b_in_a) ≥ threshold — both directions in
+    one row, plus the symmetric Jaccard for calibration.
+
+    Scale: identical shape to the sparse exact-Jaccard plan (shingle-keyed
+    co-occurrence join, never all-pairs; same ``max_shingle_df`` skew cap,
+    same shared-relation discipline — pass the session's persisted
+    ``shingles``); only the final per-pair arithmetic differs, so
+    everything SCALE.md proves for `_jaccard_inverted` carries over."""
+    sh = shingles if shingles is not None else shingle_relation(
+        df, text_col, id_col, shingle_n
+    )
+    if max_shingle_df is not None:
+        sh = stop_shingle_filter(sh, max_shingle_df, id_col)
+    lvl = sh.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        n_part = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        sh = sh.repartition(n_part, "shingle").cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(
+            r,
+            on=[
+                F.col("l.shingle") == F.col("r.shingle"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    c_ab = F.round(F.col("n_common") / F.col("size_a"), 6)
+    c_ba = F.round(F.col("n_common") / F.col("size_b"), 6)
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("cont_a_in_b", c_ab)
+        .withColumn("cont_b_in_a", c_ba)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= threshold)
+        .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a", "jaccard")
+    )
+
+
 def dedup_keep_first(
     df: DataFrame,
     pair_df: DataFrame,

@@ -3787,6 +3787,64 @@ def ngram_jaccard_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_containment_dups",
+    """
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             array_to_string(
+               list_filter(string_split(text, ' '), x -> x != '')[1:12], ' '
+             ) AS text
+      FROM documents WHERE doc_id % 17 = 0
+    ), toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM base
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gs
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(gs) AS shingle FROM grams
+    ), sizes AS (
+      SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_common
+      FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / sa.set_size, 6) AS cont_a_in_b,
+           round(n_common / sb.set_size, 6) AS cont_b_in_a,
+           round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE greatest(round(n_common / sa.set_size, 6),
+                   round(n_common / sb.set_size, 6)) >= 0.9
+    """,
+)
+def ngram_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.py:
+    ngram_containment_pairs): C(A⊂B) = |A∩B|/|A| — the subset-duplicate
+    signal Jaccard misses. Excerpt documents (first 12 tokens of every
+    17th doc, id+100000) are synthesized identically on both sides, so
+    the oracle pins true asymmetric pairs: excerpt⊂original rows carry
+    cont≈1.0 with low jaccard, while the fixture's exact duplicates show
+    containment 1.0 in BOTH directions."""
+    from arrowhouse_spark.operators.dedup import ngram_containment_pairs
+    from arrowhouse_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    excerpts = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(tokens("text"), 1, 12)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(excerpts)
+    return ngram_containment_pairs(corpus, shingle_n=2, threshold=0.9)
+
+
+@register(
     "source_mixed_sample",
     """
     WITH w(source, w) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),

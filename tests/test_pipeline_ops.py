@@ -623,3 +623,23 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert (out[3].n_phone, out[3].n_pii) == (1, 1)
     assert out[4].text_clean == docs.filter(F.col("doc_id") == 4).first().text
     assert out[4].n_pii == 0
+
+
+def test_ngram_containment_asymmetric(spark):
+    """A short doc wholly inside a long one: containment 1.0 one way, low
+    jaccard — the pair Jaccard-threshold dedup would miss."""
+    from arrowhouse_spark.operators.dedup import ngram_containment_pairs
+
+    long = " ".join(f"w{i}" for i in range(40))
+    short = " ".join(f"w{i}" for i in range(10, 16))  # 6 tokens ⊂ long
+    other = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, long), (2, short), (3, other)], "doc_id: long, text: string"
+    )
+    rows = {(r.id_a, r.id_b): r for r in ngram_containment_pairs(df, threshold=0.9).collect()}
+    assert set(rows) == {(1, 2)}
+    p = rows[(1, 2)]
+    # short has 5 bigrams, all in long's 39 → cont_b_in_a = 1.0
+    assert p.cont_b_in_a == 1.0
+    assert abs(p.cont_a_in_b - 5 / 39) < 1e-6
+    assert abs(p.jaccard - 5 / 39) < 1e-6
