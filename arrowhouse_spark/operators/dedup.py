@@ -579,12 +579,21 @@ def stop_shingle_filter(
 
 
 def _jaccard_dense(
-    sh: DataFrame, id_col: str, threshold: float, dense_cells_cap: int
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+    dense_cells_cap: int,
+    metric: str = "jaccard",
 ) -> DataFrame | None:
-    """Dense-regime exact Jaccard: broadcast the binary doc×vocab matrix,
-    distribute row blocks, one float32 matmul per block (counts ≤ vocab size
-    are exact in float32). Row-block tiling over a broadcast matrix is the
-    same shape as similarity.embedding_neardup_pairs.
+    """Dense-regime exact set similarity: broadcast the binary doc×vocab
+    matrix, distribute row blocks, one float32 matmul per block (counts ≤
+    vocab size are exact in float32). Row-block tiling over a broadcast
+    matrix is the same shape as similarity.embedding_neardup_pairs.
+
+    ``metric="jaccard"`` emits (id_a, id_b, jaccard) thresholded on
+    jaccard; ``metric="containment"`` emits (id_a, id_b, cont_a_in_b,
+    cont_b_in_a, jaccard) thresholded on max(containment) — same matmul,
+    different per-pair arithmetic on the identical intersection counts.
 
     Returns None when the measured docs×vocab exceeds ``dense_cells_cap``
     (vocabulary too rich for a dense matrix) — caller falls back to the
@@ -595,10 +604,13 @@ def _jaccard_dense(
 
     spark = sh.sparkSession
     rows = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("hs")).collect()
+    empty_schema = (
+        "id_a long, id_b long, jaccard double"
+        if metric == "jaccard"
+        else "id_a long, id_b long, cont_a_in_b double, cont_b_in_a double, jaccard double"
+    )
     if not rows:
-        return spark.createDataFrame(
-            [], "id_a long, id_b long, jaccard double"
-        )
+        return spark.createDataFrame([], empty_schema)
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     vocab: dict[int, int] = {}
     doc_idxs = []
@@ -625,13 +637,17 @@ def _jaccard_dense(
     n_blocks = max(1, min(4 * n_part, -(-n // 128)))
     block_rows = -(-n // n_blocks)
 
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
-            T.StructField("jaccard", T.DoubleType()),
+    out_fields = [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+    ]
+    if metric == "containment":
+        out_fields += [
+            T.StructField("cont_a_in_b", T.DoubleType()),
+            T.StructField("cont_b_in_a", T.DoubleType()),
         ]
-    )
+    out_fields.append(T.StructField("jaccard", T.DoubleType()))
+    out_schema = T.StructType(out_fields)
 
     def _blocks(batches):
         ids_, mat_u8, sizes_ = bc.value
@@ -658,19 +674,34 @@ def _jaccard_dense(
                 ).astype(np.float64) - inter
                 union[union == 0] = 1.0
                 jac = np.round(inter / union, 6)  # float64 div: matches SQL round
+                if metric == "containment":
+                    # containment of the ROW doc in the COL doc and vice versa
+                    srow = sizes_[lo:hi, None].astype(np.float64)
+                    scol = sizes_[None, lo:].astype(np.float64)
+                    srow[srow == 0] = 1.0
+                    scol = np.where(scol == 0, 1.0, scol)
+                    c_row = np.round(inter / srow, 6)
+                    c_col = np.round(inter / scol, 6)
+                    mask = np.maximum(c_row, c_col) >= threshold
+                else:
+                    mask = jac >= threshold
                 # upper triangle by row index: each unordered pair once
-                mask = jac >= threshold
                 mask &= np.arange(lo, n_)[None, :] > np.arange(lo, hi)[:, None]
                 ii, jj = np.nonzero(mask)
                 a, b_ = ids_[ii + lo], ids_[jj + lo]
                 swap = a > b_
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.where(swap, b_, a),
-                        "id_b": np.where(swap, a, b_),
-                        "jaccard": jac[ii, jj].astype(np.float64),
-                    }
-                )
+                out = {
+                    "id_a": np.where(swap, b_, a),
+                    "id_b": np.where(swap, a, b_),
+                }
+                if metric == "containment":
+                    cr, cc = c_row[ii, jj], c_col[ii, jj]
+                    # cont_a_in_b = containment of the SMALLER-id doc in the
+                    # larger-id doc — swap alongside the ids
+                    out["cont_a_in_b"] = np.where(swap, cc, cr)
+                    out["cont_b_in_a"] = np.where(swap, cr, cc)
+                out["jaccard"] = jac[ii, jj].astype(np.float64)
+                yield pd.DataFrame(out)
 
     blocks = spark.range(0, n_blocks, 1, n_blocks).toDF("b")
     return blocks.mapInPandas(_blocks, out_schema)
@@ -738,6 +769,7 @@ def ngram_containment_pairs(
     threshold: float = 0.8,
     shingles: DataFrame | None = None,
     max_shingle_df: int | None = None,
+    dense_cells_cap: int = 1 << 27,
 ) -> DataFrame:
     """ASYMMETRIC n-gram containment for every pair sharing ≥1 shingle:
     C(A⊂B) = |A∩B| / |A|. Catches the subset-duplicate shape Jaccard
@@ -749,16 +781,32 @@ def ngram_containment_pairs(
     where max(cont_a_in_b, cont_b_in_a) ≥ threshold — both directions in
     one row, plus the symmetric Jaccard for calibration.
 
-    Scale: identical shape to the sparse exact-Jaccard plan (shingle-keyed
-    co-occurrence join, never all-pairs; same ``max_shingle_df`` skew cap,
-    same shared-relation discipline — pass the session's persisted
-    ``shingles``); only the final per-pair arithmetic differs, so
-    everything SCALE.md proves for `_jaccard_inverted` carries over."""
+    Scale: identical strategy choice and shapes as exact Jaccard — the
+    dense regime (tiny vocab, sum-df² degenerate) takes the blocked-matmul
+    path with containment arithmetic on the same intersection counts; the
+    sparse regime is the shingle-keyed co-occurrence join (never all-pairs,
+    same ``max_shingle_df`` skew cap, same shared-relation discipline —
+    pass the session's persisted ``shingles``). Everything SCALE.md proves
+    for the Jaccard paths carries over."""
     sh = shingles if shingles is not None else shingle_relation(
         df, text_col, id_col, shingle_n
     )
     if max_shingle_df is not None:
         sh = stop_shingle_filter(sh, max_shingle_df, id_col)
+    # same dense-regime pre-flight as ngram_jaccard_pairs, but doc count is
+    # estimated from the shingle relation itself (the caller may pass a
+    # composed relation with no single backing scan) — one map-side
+    # aggregation, no driver materialization
+    est = sh.agg(
+        F.approx_count_distinct(id_col).alias("n"),
+        F.approx_count_distinct("shingle").alias("v"),
+    ).first()
+    if est["n"] * est["v"] * 1.1 <= dense_cells_cap:
+        dense = _jaccard_dense(
+            sh, id_col, threshold, dense_cells_cap, metric="containment"
+        )
+        if dense is not None:
+            return dense
     lvl = sh.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
         n_part = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))

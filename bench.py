@@ -52,6 +52,10 @@ HEADLINE = [
     "ngram_jaccard_stopfiltered",
     "source_mixed_sample",
     "doc_unigram_logprob",
+    # round 5 additions (no prior-round delta basis)
+    "groupby_limited_break",
+    "doc_pii_scrub",
+    "ngram_containment_dups",
 ]
 
 

@@ -643,3 +643,25 @@ def test_ngram_containment_asymmetric(spark):
     assert p.cont_b_in_a == 1.0
     assert abs(p.cont_a_in_b - 5 / 39) < 1e-6
     assert abs(p.jaccard - 5 / 39) < 1e-6
+
+
+def test_ngram_containment_sparse_path_matches_dense(spark):
+    """dense_cells_cap=0 forces the inverted plan; both strategies must
+    produce identical containment rows."""
+    from arrowhouse_spark.operators.dedup import ngram_containment_pairs
+
+    long = " ".join(f"w{i}" for i in range(40))
+    short = " ".join(f"w{i}" for i in range(10, 16))
+    df = spark.createDataFrame(
+        [(1, long), (2, short), (3, "q r s t u v")], "doc_id: long, text: string"
+    )
+    dense = sorted(
+        tuple(r) for r in ngram_containment_pairs(df, threshold=0.9).collect()
+    )
+    sparse = sorted(
+        tuple(r)
+        for r in ngram_containment_pairs(
+            df, threshold=0.9, dense_cells_cap=0
+        ).collect()
+    )
+    assert dense == sparse and len(dense) == 1
