@@ -150,6 +150,15 @@ def main() -> None:
         t, n = timed(pairs.count)
         rec["ngram_jaccard_pairs"] = {"sec": t, "pairs": n, "strategy": strategy}
 
+        from arrowhouse_spark.operators.dedup import ngram_containment_pairs
+
+        t, n = timed(
+            lambda: ngram_containment_pairs(
+                docs, shingle_n=2, threshold=0.8
+            ).count()
+        )
+        rec["ngram_containment_pairs"] = {"sec": t, "pairs": n}
+
         t, n = timed(
             lambda: embedding_neardup_pairs(emb, threshold=0.99, dim=DIM).count()
         )
