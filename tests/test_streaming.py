@@ -302,3 +302,35 @@ def test_stream_interval_join_per_batch_golden(spark, ordered_stream_dir):
     # batch 0 emitted nothing (dropped as empty); batch 1 carries the pair
     assert list(batches) == [1], f"got batches {sorted(batches)}"
     assert [(r[0], r[1], r[3]) for r in batches[1]] == [(2, 12, 9)]
+
+
+def test_stream_pii_scrub_stateless_map(spark):
+    """pii_scrub is a pure map-side projection, so it must compose with
+    Structured Streaming unchanged (no state, no watermark) — the shape a
+    streaming ingest pipeline uses to redact before landing."""
+    import shutil
+    import tempfile
+
+    from arrowhouse_spark.operators.text import pii_scrub
+
+    d = tempfile.mkdtemp(prefix="ah_pii_stream_")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    try:
+        spark.createDataFrame(
+            [(1, "mail a@b.io now"), (2, "host 10.0.0.1 ok"), (3, "clean")],
+            schema,
+        ).coalesce(1).write.parquet(f"{d}/src")
+        sdf = spark.readStream.schema(schema).parquet(f"{d}/src")
+        out = pii_scrub(sdf)
+        _run_to_memory(out, "pii_sink", "append")
+        rows = {r.doc_id: r for r in spark.sql("SELECT * FROM pii_sink").collect()}
+        assert rows[1].text_clean == "mail <EMAIL> now" and rows[1].n_email == 1
+        assert rows[2].text_clean == "host <IPV4> ok" and rows[2].n_ipv4 == 1
+        assert rows[3].n_pii == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
