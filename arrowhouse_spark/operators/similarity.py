@@ -259,10 +259,16 @@ def ivf_centroids_kmeans(
 
 
 def _assign_to_centroids(
-    df: DataFrame, centroids, vec_col: str, out: str = "centroid"
+    df: DataFrame, centroids, vec_col: str, out: str = "centroid", round_dp=None
 ) -> DataFrame:
     """Nearest-centroid (cosine) assignment: one vectorized matmul per Arrow
-    batch against the broadcast centroid matrix."""
+    batch against the broadcast centroid matrix.
+
+    ``round_dp`` rounds the similarity matrix before the argmax (ties then
+    break toward the LOWEST centroid index — numpy argmax keeps the first
+    maximum). Oracle-facing callers use this so a cross-engine ulp wiggle in
+    the cosine can't flip an assignment; index-style callers (IVF) leave it
+    None and keep the raw argmax."""
     from pyspark.sql import types as T
 
     bc = df.sparkSession.sparkContext.broadcast(centroids)
@@ -277,10 +283,127 @@ def _assign_to_centroids(
         for pdf in batches:
             m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            pdf[out] = np.argmax((m / norms) @ cm.T, axis=1).astype("int32")
+            s = (m / norms) @ cm.T
+            if round_dp is not None:
+                s = np.round(s, round_dp)
+            pdf[out] = np.argmax(s, axis=1).astype("int32")
             yield pdf
 
     return df.mapInPandas(_assign, out_schema)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    iters: int = 0,
+    seed: int = 42,
+    threshold: float = 0.95,
+    init: str = "min_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embeddings, then inside each cluster drop every item whose cosine to a
+    LOWER-ID member of the same cluster reaches ``threshold`` — the paper's
+    within-cluster pruning with a deterministic keep rule (lowest id
+    survives) instead of its arbitrary representative choice.
+
+    Returns one row per input: (id, cluster, max_dup_cos, is_kept) where
+    max_dup_cos is the largest cosine to any lower-id cluster-mate (NULL for
+    each cluster's lowest id) rounded to 6 dp, and is_kept = max_dup_cos <
+    threshold (NULL-safe true).
+
+    ``init="min_id"`` takes the ``n_clusters`` lowest ids as seed centroids —
+    engine-independent, so the whole pipeline is SQL-oracle-reproducible at
+    ``iters=0``; ``init="hash"`` uses the xxhash64-ordered corpus sample the
+    IVF family uses. ``iters`` runs distributed Lloyd refinements
+    (groupBy-avg per component; only the k×dim matrix reaches the driver).
+
+    Scale shape (the paper's own recipe): choose n_clusters ~ sqrt(n) so
+    cluster blocks stay bounded; clustering is one mapInPandas matmul per
+    Arrow batch + one groupBy per Lloyd iteration, and the dedup is ONE
+    shuffle by cluster followed by an in-block O(n_c²) BLAS matmul inside
+    applyInPandas — identical cost law to embedding_neardup_pairs, but with
+    data-adaptive blocks and guaranteed full recall within a cluster. Only
+    (id, vec) rows ever shuffle. The reference has no semantic surface at
+    all (its nearest analogue is plain hash dedup,
+    Interpreters/RequiredSourceColumns in spirit only) — this is part of the
+    training-data superset."""
+    import numpy as np
+
+    if init == "min_id":
+        cent_rows = (
+            df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(n_clusters).collect()
+        )
+    elif init == "hash":
+        cent_rows = (
+            df.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+            .limit(n_clusters)
+            .collect()
+        )
+    else:
+        raise ValueError(f"init must be 'min_id' or 'hash', got {init!r}")
+    c = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    dim = c.shape[1]
+    for _ in range(iters):
+        assigned = _assign_to_centroids(df, c, vec_col, out="__c", round_dp=6)
+        means = (
+            assigned.groupBy("__c")
+            .agg(*[F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        for r in means:
+            v = np.array([r[f"m{i}"] for i in range(dim)], dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 1e-12:
+                c[r["__c"]] = v / n
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    assigned = _assign_to_centroids(
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")),
+        c,
+        "v",
+        out="cluster",
+        round_dp=6,
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("max_dup_cos", T.DoubleType()),
+            T.StructField("is_kept", T.BooleanType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np  # noqa: PLC0415 — runs on executors
+
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        m = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        nm = m / norms
+        s = np.round(nm @ nm.T, 6)
+        # row j's candidates are strictly-lower-id rows i < j; -inf padding
+        # (NOT tril's zeros) so all-negative cosine rows keep their true max
+        n_rows = len(pdf)
+        mask = np.tril(np.ones((n_rows, n_rows), dtype=bool), k=-1)
+        best = np.max(np.where(mask, s, -np.inf), axis=1)
+        best = np.where(np.isneginf(best), np.nan, best)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "cluster": pdf["cluster"].astype("int32"),
+                "max_dup_cos": best,
+                "is_kept": np.where(np.isnan(best), True, best < thr),
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(_prune, out_schema)
 
 
 def ann_cosine_ivf_kmeans(

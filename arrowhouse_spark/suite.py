@@ -3934,3 +3934,72 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrowhouse_spark.operators.text import unigram_logprob_score
 
     return unigram_logprob_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "semantic_dedup_embeddings",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 25 = 0
+    ), init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+             embedding::DOUBLE[] AS cv
+      FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8)
+    ), scored AS (
+      SELECT e.vec_id, i.c,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], i.cv), 6) AS cos
+      FROM base e CROSS JOIN init i
+    ), assign AS (
+      SELECT vec_id, c AS cluster FROM (
+        SELECT vec_id, c,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cos DESC, c ASC
+               ) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    ), lower_cos AS (
+      SELECT a.vec_id,
+             max(round(list_cosine_similarity(
+               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)) AS max_dup_cos
+      FROM assign a
+      JOIN assign b ON b.cluster = a.cluster AND b.vec_id < a.vec_id
+      JOIN base ea ON ea.vec_id = a.vec_id
+      JOIN base eb ON eb.vec_id = b.vec_id
+      GROUP BY a.vec_id
+    )
+    SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
+           p.max_dup_cos,
+           coalesce(p.max_dup_cos < 0.95, TRUE) AS is_kept
+    FROM assign a LEFT JOIN lower_cos p ON p.vec_id = a.vec_id
+    """,
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py:semantic_dedup; Abbas et al. 2023):
+    k-means cells over the embedding corpus, then within-cluster cosine
+    pruning — drop any vector whose cosine to a lower-id cluster-mate is
+    ≥ 0.95. The fixture's organic pairs top out near cos 0.6, so exact
+    copies of every 25th vector (vec_id+100000) are synthesized identically
+    on both sides: each copy must land in its source's cluster with
+    max_dup_cos 1.0 and is_kept=false, pinning the drop path, while all
+    organic rows stay kept. The oracle replays the ENTIRE pipeline in SQL:
+    iters=0 + min_id init make the centroids engine-independent, assignment
+    is the rank-1 row of the rounded cosine cross join (ties toward the
+    lowest centroid index, matching numpy argmax), and the keep rule is a
+    lower-id self-join max. DOUBLE[] casts keep DuckDB in float64 so the
+    6-dp rounding lands identically on both engines."""
+    from arrowhouse_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    base = emb.select("vec_id", "embedding").unionByName(copies)
+    out = semantic_dedup(
+        base, n_clusters=8, iters=0, threshold=0.95, init="min_id"
+    )
+    return out.select(
+        F.col("id").alias("vec_id"), "cluster", "max_dup_cos", "is_kept"
+    )

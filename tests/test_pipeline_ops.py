@@ -665,3 +665,100 @@ def test_ngram_containment_sparse_path_matches_dense(spark):
         ).collect()
     )
     assert dense == sparse and len(dense) == 1
+
+
+def _semdedup_model(ids, vecs, n_clusters, iters, threshold):
+    """Pure-numpy replica of operators/similarity.py:semantic_dedup
+    (min_id init): the test oracle for the iterated-Lloyd path the SQL
+    oracle can't cover."""
+    import numpy as np
+
+    ids = np.asarray(ids)
+    vecs = np.asarray(vecs, dtype=np.float64)
+    order = np.argsort(ids)
+    c = vecs[order[:n_clusters]].copy()
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    nv = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        a = np.argmax(np.round(nv @ c.T, 6), axis=1)
+        for j in range(n_clusters):
+            members = vecs[a == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    c[j] = m / n
+    a = np.argmax(np.round(nv @ c.T, 6), axis=1)
+    out = {}
+    for j in range(n_clusters):
+        sel = np.where(a == j)[0]
+        sel = sel[np.argsort(ids[sel])]
+        sub = nv[sel]
+        s = np.round(sub @ sub.T, 6)
+        for r, gi in enumerate(sel):
+            best = s[r, :r].max() if r else None
+            kept = True if best is None else bool(best < threshold)
+            out[int(ids[gi])] = (int(j), best, kept)
+    return out
+
+
+def test_semantic_dedup_matches_numpy_model_with_lloyd_iters(spark):
+    """iters=2 Lloyd path (beyond the SQL oracle's iters=0): the distributed
+    pipeline must agree with the numpy replica row for row."""
+    import numpy as np
+
+    rs = np.random.RandomState(7)
+    base = rs.randn(40, 8).astype(np.float32)
+    # plant near-duplicates: rows 40..44 are jittered copies of rows 0..4
+    dups = base[:5] + rs.randn(5, 8).astype(np.float32) * 1e-3
+    vecs = np.vstack([base, dups])
+    ids = list(range(45))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in ids],
+        "vec_id: long, embedding: array<float>",
+    )
+    from arrowhouse_spark.operators.similarity import semantic_dedup
+
+    got = {
+        r.id: (r.cluster, r.max_dup_cos, r.is_kept)
+        for r in semantic_dedup(
+            df, n_clusters=4, iters=2, threshold=0.95, init="min_id"
+        ).collect()
+    }
+    # model consumes the same float32-quantized values Spark read
+    want = _semdedup_model(ids, vecs.astype(np.float64), 4, 2, 0.95)
+    assert set(got) == set(want)
+    for i in ids:
+        wc, wbest, wkept = want[i]
+        gc, gbest, gkept = got[i]
+        assert gc == wc, f"cluster mismatch for {i}: {gc} != {wc}"
+        assert gkept == wkept, f"keep mismatch for {i}"
+        if wbest is None:
+            assert gbest is None
+        else:
+            assert gbest is not None and abs(gbest - wbest) < 1e-9
+    # every planted duplicate (ids 40..44) must be dropped, its source kept
+    for i in range(40, 45):
+        assert got[i][2] is False
+    for i in range(5):
+        assert got[i][2] is True
+
+
+def test_semantic_dedup_output_partitions_input(emb):
+    """One output row per input vector; each cluster's lowest id is kept
+    (NULL max_dup_cos); every dropped row carries cos >= threshold."""
+    from arrowhouse_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(emb, n_clusters=8, iters=1, threshold=0.95).collect()
+    n_in = emb.count()
+    assert len(out) == n_in
+    assert len({r.id for r in out}) == n_in
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for rows in by_cluster.values():
+        lowest = min(rows, key=lambda r: r.id)
+        assert lowest.max_dup_cos is None and lowest.is_kept
+        for r in rows:
+            if not r.is_kept:
+                assert r.max_dup_cos >= 0.95
