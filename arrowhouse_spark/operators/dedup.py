@@ -858,3 +858,82 @@ def dedup_keep_first(
     single connected components pass is overkill for pipeline dedup)."""
     drop = pair_df.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Duplicated-span flagging: ExactSubstr dedup (Lee et al. 2022,
+    arXiv:2107.06499 §4.1) approximated at ``window``-token sliding-span
+    granularity — the distributed stand-in for their suffix array, which is
+    inherently single-machine. A span is duplicated when its exact
+    ``window``-token sequence occurs ≥ ``min_count`` times ANYWHERE in the
+    corpus (other documents or elsewhere in the same one, matching the
+    suffix-array semantics, unlike the per-doc-distinct shingle relation).
+
+    Returns one row per document: (id, n_tokens, n_windows, n_dup_windows,
+    dup_token_frac) where dup_token_frac is the fraction of tokens covered
+    by the UNION of duplicated spans — overlapping spans merged by an
+    interval fold, not double-counted.
+
+    Scale shape: windows hash to 8 bytes (xxhash64) in the same projection
+    that slices them, so the occurrence-count groupBy and the count≥2 join
+    shuffle (hash, id, pos) only — window text never leaves its scan task.
+    The per-doc coverage is collect_list of ints bounded by the document's
+    own token count (same boundedness as the doc text) folded by a codegen'd
+    F.aggregate interval merge — no position explosion (the naive
+    distinct-covered-position count would move window× more rows), no
+    unpartitioned window function. Reference parity: none — the reference
+    stops at whole-value dedup (CH SELECT DISTINCT semantics); this is part
+    of the training-data superset."""
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__w")).select(
+        F.col(id_col),
+        F.size("__w").alias("__n"),
+        F.col("__w"),
+    )
+    wins = base.select(
+        F.col(id_col),
+        F.posexplode(ngrams_from_tokens(F.col("__w"), window)).alias("pos", "__win"),
+    ).select(F.col(id_col), "pos", F.xxhash64("__win").alias("__h"))
+    hot = (
+        wins.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__h")
+    )
+    dup = wins.join(hot, "__h").select(F.col(id_col), "pos")
+    w_lit = F.lit(window).cast("long")
+    acc0 = F.struct(
+        F.lit(-(1 << 40)).cast("long").alias("pe"), F.lit(0).cast("long").alias("tot")
+    )
+    merged = dup.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.col("pos").cast("long"))),
+            acc0,
+            lambda a, s: F.struct(
+                (s + w_lit).alias("pe"),
+                (a["tot"] + F.least(w_lit, s + w_lit - a["pe"])).alias("tot"),
+            ),
+        )["tot"].alias("__covered"),
+    )
+    stats = base.select(F.col(id_col), F.col("__n"))
+    return (
+        stats.join(merged, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__n").alias("n_tokens"),
+            F.greatest(F.col("__n") - window + 1, F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce(F.col("__covered"), F.lit(0))
+                / F.greatest(F.col("__n"), F.lit(1)),
+                6,
+            ).alias("dup_token_frac"),
+        )
+    )

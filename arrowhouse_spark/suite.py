@@ -3937,6 +3937,55 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_dup_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS win
+      FROM toks, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+    ), wc AS (
+      SELECT win, count(*) AS c FROM wins GROUP BY win
+    ), dup AS (
+      SELECT doc_id, pos FROM wins JOIN wc USING (win) WHERE wc.c >= 2
+    ), nd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+      FROM dup GROUP BY doc_id
+    ), cov AS (
+      SELECT doc_id, count(DISTINCT tp) AS covered
+      FROM dup, unnest(generate_series(pos, pos + 7)) AS u(tp)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS INTEGER) AS n_tokens,
+           CAST(greatest(len(t.w) - 7, 0) AS INTEGER) AS n_windows,
+           coalesce(nd.n_dup_windows, 0) AS n_dup_windows,
+           round(coalesce(cov.covered, 0) / greatest(len(t.w), 1), 6)
+             AS dup_token_frac
+    FROM toks t
+    LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)
+    """,
+)
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span flagging (operators/dedup.py:
+    dup_spans; Lee et al. 2022): 8-token sliding windows, a span is
+    duplicated when its exact token sequence occurs ≥2 times anywhere in
+    the corpus; per-doc output counts dup windows and the token fraction
+    covered by the merged span union. The engine merges overlapping spans
+    with a codegen'd interval fold over sorted starts; the oracle
+    recomputes coverage by brute-force position union — two independent
+    algorithms for the same quantity. Engine keys the corpus count on
+    xxhash64(window); the oracle groups the window strings themselves, so
+    a hash collision would surface as a mismatch."""
+    from arrowhouse_spark.operators.dedup import dup_spans
+
+    return dup_spans(
+        _t(spark, sf_dir, "documents"), window=8, min_count=2
+    )
+
+
+@register(
     "semantic_dedup_embeddings",
     """
     WITH base AS (

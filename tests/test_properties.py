@@ -453,3 +453,48 @@ def test_line_dedup_matches_python_model(spark, docs, max_df):
             assert got[i] == (" ".join(f"t{t}" for t in kept), len(kept)), i
         else:
             assert i not in got
+
+
+# --- dup_spans (ExactSubstr-approx) vs pure-python reference -----------------
+
+
+def _py_dup_spans(docs: list[list[str]], w: int, min_count: int):
+    """Independent reference: exact window counts + brute-force position-set
+    coverage (the operator merges intervals with an F.aggregate fold)."""
+    from collections import Counter
+
+    wins = {
+        i: [" ".join(t[j : j + w]) for j in range(len(t) - w + 1)]
+        for i, t in enumerate(docs)
+    }
+    cnt = Counter(x for ws in wins.values() for x in ws)
+    out = {}
+    for i, t in enumerate(docs):
+        dup_pos = [p for p, win in enumerate(wins[i]) if cnt[win] >= min_count]
+        covered = set()
+        for p in dup_pos:
+            covered.update(range(p, p + w))
+        n = len(t)
+        out[i] = (
+            n,
+            max(n - w + 1, 0),
+            len(dup_pos),
+            round(len(covered) / max(n, 1), 6),
+        )
+    return out
+
+
+@_SETTINGS
+@given(corpus=_CORPUS)
+def test_dup_spans_matches_python_model(spark, corpus):
+    from arrowhouse_spark.operators.dedup import dup_spans
+
+    docs = [(i, " ".join(t)) for i, t in enumerate(corpus)]
+    if not docs:
+        return
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_windows, r.n_dup_windows, r.dup_token_frac)
+        for r in dup_spans(df, window=3, min_count=2).collect()
+    }
+    assert got == _py_dup_spans(corpus, 3, 2)
