@@ -56,6 +56,8 @@ HEADLINE = [
     "groupby_limited_break",
     "doc_pii_scrub",
     "ngram_containment_dups",
+    "semantic_dedup_embeddings",
+    "doc_dup_spans",
 ]
 
 
