@@ -342,6 +342,71 @@ def unigram_logprob_score(
     )
 
 
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Self-corpus interpolated bigram log-probability — one order up from
+    :func:`unigram_logprob_score`, the distributed stand-in for the CCNet
+    KenLM perplexity filter (Wenzek et al. 2020 §3.3; their 5-gram model is
+    a single-machine artifact — the JOIN SHAPE here is what carries to any
+    order, each order adding one more gram-keyed frequency table).
+
+    Per token instance at position i ≥ 1:
+      p = lam·p_bi(tokᵢ|tokᵢ₋₁) + (1−lam)·p_uni(tokᵢ)
+    with p_bi = tf(prev,tok)/tf(prev) and p_uni = tf(tok)/total — counts
+    from the corpus itself, so the score is a well-defined mixture even for
+    bigrams never seen (the unigram floor keeps p > 0; 1-token documents
+    have no scored positions and drop out, matching the n≥2 contract).
+
+    Returns (id_col, n_bigrams_lm, mean_neg_logprob2) with the mean of
+    −ln p over scored positions, rounded to 3 dp.
+
+    Scale: bigrams come from one array transform (no per-doc window/lag
+    shuffle); the three frequency joins are all gram-keyed shuffles —
+    unigram tf joined twice (once on prev for the denominator, once on tok
+    for the floor) and bigram tf once — never broadcast-assumed since web
+    vocab and bigram tables are huge; the corpus total is a 1-row
+    broadcast. Swapping the self-corpus tables for reference-LM tables is
+    the production configuration, same plan."""
+    toks = tokens(text_col)
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) < 2, F.array().cast("array<struct<prev:string,tok:string>>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("prev"),
+                        F.element_at(toks, i + 1).alias("tok"),
+                    ),
+                )
+            )
+        ).alias("g"),
+    ).select(F.col(id_col), F.col("g.prev").alias("prev"), F.col("g.tok").alias("tok"))
+    utoks = df.select(F.explode(toks).alias("tok"))
+    uni = utoks.groupBy("tok").agg(F.count(F.lit(1)).alias("utf"))
+    total = uni.agg(F.sum("utf").alias("total"))
+    bi = grams.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("btf"))
+    scored = (
+        grams.join(bi, ["prev", "tok"])
+        .join(uni.select(F.col("tok").alias("prev"), F.col("utf").alias("ptf")), "prev")
+        .join(uni, "tok")
+        .crossJoin(F.broadcast(total))
+    )
+    p = F.lit(lam) * (F.col("btf") / F.col("ptf")) + F.lit(1.0 - lam) * (
+        F.col("utf") / F.col("total")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams_lm"),
+        F.round(F.avg(-F.log(p)), 3).alias("mean_neg_logprob2"),
+    )
+
+
 # PII patterns chosen to behave identically under Java regex (Spark) and
 # RE2 (DuckDB): no backreferences, no lookaround, ASCII classes only.
 PII_PATTERNS: dict[str, str] = {

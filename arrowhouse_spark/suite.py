@@ -3937,6 +3937,46 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_bigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ), uni AS (
+      SELECT tok, count(*) AS utf
+      FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY tok
+    ), tot AS (
+      SELECT sum(utf) AS total FROM uni
+    ), grams AS (
+      SELECT doc_id, w[i] AS prev, w[i+1] AS tok
+      FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    ), bi AS (
+      SELECT prev, tok, count(*) AS btf FROM grams GROUP BY prev, tok
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams_lm,
+           round(avg(-ln(0.7 * (bi.btf / up.utf)
+                         + 0.3 * (ut.utf / tot.total))), 3) AS mean_neg_logprob2
+    FROM grams g
+    JOIN bi USING (prev, tok)
+    JOIN uni up ON up.tok = g.prev
+    JOIN uni ut ON ut.tok = g.tok, tot
+    GROUP BY g.doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality score (operators/text.py:
+    bigram_logprob_score) — the order-1 step toward the CCNet KenLM
+    perplexity filter, λ=0.7 bigram + 0.3 unigram floor from the corpus
+    itself. The oracle replays the identical mixture in SQL; 3-dp rounding
+    absorbs libm/summation-order ulp noise exactly as in
+    doc_unigram_logprob."""
+    from arrowhouse_spark.operators.text import bigram_logprob_score
+
+    return bigram_logprob_score(_t(spark, sf_dir, "documents"), lam=0.7)
+
+
+@register(
     "doc_dup_spans",
     """
     WITH toks AS (

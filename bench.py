@@ -58,6 +58,7 @@ HEADLINE = [
     "ngram_containment_dups",
     "semantic_dedup_embeddings",
     "doc_dup_spans",
+    "doc_bigram_logprob",
 ]
 
 

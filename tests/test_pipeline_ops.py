@@ -762,3 +762,28 @@ def test_semantic_dedup_output_partitions_input(emb):
         for r in rows:
             if not r.is_kept:
                 assert r.max_dup_cos >= 0.95
+
+
+def test_bigram_logprob_score(spark):
+    """Hand-checkable mixture: corpus docs 'a b', 'a b a'. Unigrams: a=3,
+    b=2, total=5. Bigrams: (a,b)=2, (b,a)=1. Position (a->b):
+    p = .7*(2/3) + .3*(2/5); position (b->a): p = .7*(1/2) + .3*(3/5).
+    One-token docs have no scored positions and drop out."""
+    import math
+
+    from arrowhouse_spark.operators.text import bigram_logprob_score
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b a"), (3, "z")], "doc_id: long, text: string"
+    )
+    out = {
+        r.doc_id: (r.n_bigrams_lm, r.mean_neg_logprob2)
+        for r in bigram_logprob_score(df, lam=0.7).collect()
+    }
+    # note: unigram counts include the 'z' doc's token in total=6, a=3, b=2
+    total = 6
+    p_ab = 0.7 * (2 / 3) + 0.3 * (2 / total)
+    p_ba = 0.7 * (1 / 2) + 0.3 * (3 / total)
+    assert out[1] == (1, round(-math.log(p_ab), 3))
+    assert out[2] == (2, round((-math.log(p_ab) - math.log(p_ba)) / 2, 3))
+    assert 3 not in out

@@ -218,6 +218,32 @@ def main() -> None:
         t, n = timed(lambda: unigram_logprob_score(docs).count())
         rec["unigram_logprob"] = {"sec": t, "docs": n}
 
+        # round-5 additions: span-level dedup and semantic dedup.
+        # dup_spans: windows hash before the shuffle; the corpus count is the
+        # only global aggregation. semantic_dedup follows the SemDeDup paper
+        # recipe n_clusters ~ sqrt(n) so per-cluster O(n_c²) stays bounded as
+        # the corpus grows — the measurement checks that law, not just the
+        # wall clock.
+        from arrowhouse_spark.operators.dedup import dup_spans
+        from arrowhouse_spark.operators.similarity import semantic_dedup
+
+        t, n = timed(
+            lambda: dup_spans(docs, window=8)
+            .filter(F.col("n_dup_windows") > 0)
+            .count()
+        )
+        rec["dup_spans"] = {"sec": t, "docs_flagged": n}
+
+        k = max(8, int(n_vecs**0.5))
+        t, n = timed(
+            lambda: semantic_dedup(
+                emb, n_clusters=k, iters=1, threshold=0.99, init="hash"
+            )
+            .filter(~F.col("is_kept"))
+            .count()
+        )
+        rec["semantic_dedup"] = {"sec": t, "dropped": n, "n_clusters": k}
+
         print(json.dumps({f"scale_{scale}x": rec}), flush=True)
 
     # the inverted path MUST be chosen at the largest scale (cap logic)
