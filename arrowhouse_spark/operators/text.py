@@ -407,6 +407,110 @@ def bigram_logprob_score(
     )
 
 
+def vocab_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    unk_id: int = 0,
+) -> DataFrame:
+    """Corpus-derived vocabulary encoding — the tokenize-to-ids step a
+    training pipeline runs between text cleaning and sequence packing.
+    Builds the top-``vocab_size`` vocabulary by (count desc, token asc),
+    assigns ids 1..V in that rank order (``unk_id`` for everything else),
+    and encodes each document as its id sequence in token order.
+
+    Returns (id_col, n_tokens, n_unk, ids array<int>) — feed ``ids`` /
+    ``n_tokens`` straight into operators/packing.py:pack_sequences.
+
+    Scale: the vocab build is one token groupBy + a global top-V
+    (TakeOrdered); rank assignment is a broadcast self-join over the V-row
+    relation (V² comparisons of a CONSTANT-sized set — deliberately NOT a
+    row_number window, whose empty partition spec is the single-task shape
+    the plan audit forbids, boundedness argument or not). The encode join
+    is token-keyed (vocab is NOT broadcast-assumed — at V ≤ ~1e6 Spark's
+    AQE will broadcast it anyway, but the plan stays correct if a caller
+    passes a 1e9-entry vocab); reassembly is one shuffle by doc id with
+    array_sort over (pos, id) structs — the line_dedup_lines reassembly
+    shape, no unpartitioned window."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+    )
+    # tid = 1 + number of strictly-higher-ranked vocab entries; (tf, tok) is
+    # unique per entry so the rank is total and deterministic
+    other = F.broadcast(
+        top.select(F.col("tok").alias("tok2"), F.col("tf").alias("tf2"))
+    )
+    higher = (F.col("tf2") > F.col("tf")) | (
+        (F.col("tf2") == F.col("tf")) & (F.col("tok2") < F.col("tok"))
+    )
+    vocab = (
+        top.join(other, higher, "left")
+        .groupBy("tok")
+        .agg((F.count(F.col("tok2")) + 1).cast("int").alias("tid"))
+    )
+    enc = toks.join(vocab, "tok", "left").select(
+        F.col(id_col),
+        "pos",
+        F.coalesce(F.col("tid"), F.lit(unk_id).cast("int")).alias("tid"),
+    )
+    return enc.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("tid") == unk_id, 1).otherwise(0))
+        .cast("int")
+        .alias("n_unk"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s["tid"]
+        ).alias("ids"),
+    )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source token-distribution divergence KL(p_source ‖ p_corpus) —
+    the mixing diagnostic a pipeline reads before setting source weights
+    (a source with near-zero KL adds little diversity; an extreme one needs
+    quality review). KL is well-defined without smoothing because every
+    source token is corpus-supported (q(t) > 0 wherever p(t) > 0).
+
+    Returns (group_col, n_tokens, kl_nats) with KL = Σ_t p ln(p/q),
+    rounded to 3 dp.
+
+    Scale: one (source, token)-keyed count feeds both the per-source total
+    (source-keyed rollup) and the divergence sum; the corpus marginal is a
+    token-keyed join off the same relation; totals are tiny broadcast
+    rollups. Text shuffles once as (source, token, count)."""
+    st = (
+        df.select(F.col(group_col).alias("src"), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("src", "tok")
+        .agg(F.count(F.lit(1)).alias("stf"))
+    )
+    corpus = st.groupBy("tok").agg(F.sum("stf").alias("ctf"))
+    s_tot = st.groupBy("src").agg(F.sum("stf").alias("s_n"))
+    c_tot = corpus.agg(F.sum("ctf").alias("c_n"))
+    joined = (
+        st.join(corpus, "tok")
+        .join(s_tot, "src")
+        .crossJoin(F.broadcast(c_tot))
+    )
+    p = F.col("stf") / F.col("s_n")
+    q = F.col("ctf") / F.col("c_n")
+    return joined.groupBy(F.col("src").alias(group_col)).agg(
+        F.max("s_n").alias("n_tokens"),
+        F.round(F.sum(p * F.log(p / q)), 3).alias("kl_nats"),
+    )
+
+
 # PII patterns chosen to behave identically under Java regex (Spark) and
 # RE2 (DuckDB): no backreferences, no lookaround, ASCII classes only.
 PII_PATTERNS: dict[str, str] = {

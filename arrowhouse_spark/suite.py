@@ -3937,6 +3937,92 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_encode_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ), pe AS (
+      SELECT doc_id, i - 1 AS pos, w[i] AS tok
+      FROM toks, unnest(generate_series(1, len(w))) AS t(i)
+    ), tf AS (
+      SELECT tok, count(*) AS tf FROM pe GROUP BY tok
+    ), top AS (
+      SELECT tok, CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) AS INTEGER) AS tid
+      FROM tf ORDER BY tf DESC, tok ASC LIMIT 500
+    ), enc AS (
+      SELECT pe.doc_id, pe.pos, coalesce(top.tid, 0) AS tid
+      FROM pe LEFT JOIN top USING (tok)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_unk,
+           CAST(sum((pos + 1) * tid) AS BIGINT) AS ids_checksum
+    FROM enc GROUP BY doc_id
+    """,
+)
+def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vocabulary encoding (operators/text.py:vocab_encode): top-500
+    vocab by (count desc, token asc), ids 1..500, UNK=0, each doc encoded
+    as its id sequence. The position-weighted checksum Σ(pos+1)·id pins the
+    full sequence CONTENT AND ORDER through the hash compare without
+    shipping arrays across the oracle boundary; n_unk pins the vocab
+    membership set."""
+    from arrowhouse_spark.operators.text import vocab_encode
+
+    out = vocab_encode(_t(spark, sf_dir, "documents"), vocab_size=500)
+    checksum = F.when(F.size("ids") == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.zip_with(
+                "ids",
+                F.sequence(F.lit(1), F.size("ids")),
+                lambda x, i: x.cast("long") * i.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+    )
+    return out.select(
+        "doc_id", "n_tokens", "n_unk", checksum.alias("ids_checksum")
+    )
+
+
+@register(
+    "source_kl_divergence",
+    """
+    WITH st AS (
+      SELECT src, tok, count(*) AS stf FROM (
+        SELECT source AS src,
+               unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+        FROM documents
+      ) GROUP BY src, tok
+    ), corpus AS (
+      SELECT tok, sum(stf) AS ctf FROM st GROUP BY tok
+    ), s_tot AS (
+      SELECT src, sum(stf) AS s_n FROM st GROUP BY src
+    ), c_tot AS (
+      SELECT sum(ctf) AS c_n FROM corpus
+    )
+    SELECT st.src AS source,
+           CAST(max(s_tot.s_n) AS BIGINT) AS n_tokens,
+           round(sum((st.stf / s_tot.s_n)
+                     * ln((st.stf / s_tot.s_n) / (corpus.ctf / c_tot.c_n))), 3)
+             AS kl_nats
+    FROM st JOIN corpus USING (tok) JOIN s_tot USING (src), c_tot
+    GROUP BY st.src
+    """,
+)
+def source_kl_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix divergence diagnostic (operators/text.py:
+    source_kl_divergence): KL(p_source ‖ p_corpus) over token
+    distributions, per source — the measurement a pipeline reads before
+    setting mixture weights. Identical rational p/q on both engines;
+    3-dp rounding absorbs summation-order noise in the Σ p·ln(p/q)."""
+    from arrowhouse_spark.operators.text import source_kl_divergence
+
+    return source_kl_divergence(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "doc_bigram_logprob",
     """
     WITH toks AS (

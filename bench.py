@@ -59,6 +59,8 @@ HEADLINE = [
     "semantic_dedup_embeddings",
     "doc_dup_spans",
     "doc_bigram_logprob",
+    "vocab_encode_docs",
+    "source_kl_divergence",
 ]
 
 

@@ -787,3 +787,58 @@ def test_bigram_logprob_score(spark):
     assert out[1] == (1, round(-math.log(p_ab), 3))
     assert out[2] == (2, round((-math.log(p_ab) - math.log(p_ba)) / 2, 3))
     assert 3 not in out
+
+
+def test_vocab_encode_hand_checked(spark):
+    """Corpus 'b b a', 'a c b': tf a=2 b=3 c=1 -> vocab b=1, a=2, c=3 at
+    V=2 -> c is UNK(0). Sequences: doc1=[1,1,2], doc2=[2,0,1]."""
+    from arrowhouse_spark.operators.text import vocab_encode
+
+    df = spark.createDataFrame(
+        [(1, "b b a"), (2, "a c b")], "doc_id: long, text: string"
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_unk, r.ids)
+        for r in vocab_encode(df, vocab_size=2).collect()
+    }
+    assert out[1] == (3, 0, [1, 1, 2])
+    assert out[2] == (3, 1, [2, 0, 1])
+
+
+def test_vocab_encode_rank_ties_by_token(spark):
+    """Equal counts rank lexicographically: 'z y' twice -> tf z=2 y=2;
+    vocab y=1, z=2."""
+    from arrowhouse_spark.operators.text import vocab_encode
+
+    df = spark.createDataFrame(
+        [(1, "z y"), (2, "y z")], "doc_id: long, text: string"
+    )
+    out = {r.doc_id: r.ids for r in vocab_encode(df, vocab_size=5).collect()}
+    assert out[1] == [2, 1] and out[2] == [1, 2]
+
+
+def test_source_kl_divergence_hand_checked(spark):
+    """Sources s1='a a', s2='b b', corpus {a:2,b:2}. p_s1(a)=1, q(a)=1/2
+    -> KL(s1)=ln 2; symmetric for s2. A source matching the corpus exactly
+    scores 0."""
+    import math
+
+    from arrowhouse_spark.operators.text import source_kl_divergence
+
+    df = spark.createDataFrame(
+        [(1, "a a", "s1"), (2, "b b", "s2")],
+        "doc_id: long, text: string, source: string",
+    )
+    out = {
+        r.source: (r.n_tokens, r.kl_nats)
+        for r in source_kl_divergence(df).collect()
+    }
+    assert out["s1"] == (2, round(math.log(2), 3))
+    assert out["s2"] == (2, round(math.log(2), 3))
+
+    df2 = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "a b", "s2")],
+        "doc_id: long, text: string, source: string",
+    )
+    out2 = {r.source: r.kl_nats for r in source_kl_divergence(df2).collect()}
+    assert out2 == {"s1": 0.0, "s2": 0.0}
