@@ -115,8 +115,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
     ap.add_argument("--out", default="/tmp/ah_scale")
+    ap.add_argument(
+        "--ops",
+        default="",
+        help="comma list restricting which operators run (default: all) — "
+        "targeted big-scale runs skip the rest of the battery",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    only = {s for s in args.ops.split(",") if s}
+
+    def want(name: str) -> bool:
+        return not only or name in only
 
     from arrowhouse_spark.operators.dedup import minhash_dedup, ngram_jaccard_pairs
     from arrowhouse_spark.operators.similarity import (
@@ -138,58 +148,66 @@ def main() -> None:
         emb = spark.read.parquet(f"{droot}/emb")
         rec = results[f"{scale}x"] = {"n_docs": n_docs, "n_vecs": n_vecs}
 
-        t, n = timed(lambda: minhash_dedup(docs, threshold=0.8).count())
-        rec["minhash_dedup"] = {"sec": t, "pairs": n}
+        if want("minhash_dedup"):
+            t, n = timed(lambda: minhash_dedup(docs, threshold=0.8).count())
+            rec["minhash_dedup"] = {"sec": t, "pairs": n}
 
-        pairs = ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.5)
-        plan = pairs._jdf.queryExecution().executedPlan().toString()
-        python_stage = any(
-            m in plan for m in ("ArrowEvalPython", "FlatMapsInPandas", "MapInPandas", "BatchEvalPython")
-        )
-        strategy = "dense(matmul)" if python_stage else "inverted(shingle-join)"
-        t, n = timed(pairs.count)
-        rec["ngram_jaccard_pairs"] = {"sec": t, "pairs": n, "strategy": strategy}
+        if want("ngram_jaccard_pairs"):
+            pairs = ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.5)
+            plan = pairs._jdf.queryExecution().executedPlan().toString()
+            python_stage = any(
+                m in plan for m in ("ArrowEvalPython", "FlatMapsInPandas", "MapInPandas", "BatchEvalPython")
+            )
+            strategy = "dense(matmul)" if python_stage else "inverted(shingle-join)"
+            t, n = timed(pairs.count)
+            rec["ngram_jaccard_pairs"] = {"sec": t, "pairs": n, "strategy": strategy}
 
         from arrowhouse_spark.operators.dedup import ngram_containment_pairs
 
-        t, n = timed(
-            lambda: ngram_containment_pairs(
-                docs, shingle_n=2, threshold=0.8
-            ).count()
-        )
-        rec["ngram_containment_pairs"] = {"sec": t, "pairs": n}
+        if want("ngram_containment_pairs"):
+            t, n = timed(
+                lambda: ngram_containment_pairs(
+                    docs, shingle_n=2, threshold=0.8
+                ).count()
+            )
+            rec["ngram_containment_pairs"] = {"sec": t, "pairs": n}
 
-        t, n = timed(
-            lambda: embedding_neardup_pairs(emb, threshold=0.99, dim=DIM).count()
-        )
-        rec["embedding_neardup_pairs"] = {"sec": t, "pairs": n, "blocking": "auto-LSH"}
+        if want("embedding_neardup_pairs"):
+            t, n = timed(
+                lambda: embedding_neardup_pairs(emb, threshold=0.99, dim=DIM).count()
+            )
+            rec["embedding_neardup_pairs"] = {"sec": t, "pairs": n, "blocking": "auto-LSH"}
 
-        q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-        t, n = timed(
-            lambda: ann_cosine_lsh_multi(emb, query=list(q), k=10, dim=DIM).count()
-        )
-        rec["ann_cosine_lsh_multi"] = {"sec": t, "rows": n}
+        if want("ann_cosine_lsh_multi"):
+            q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+            t, n = timed(
+                lambda: ann_cosine_lsh_multi(emb, query=list(q), k=10, dim=DIM).count()
+            )
+            rec["ann_cosine_lsh_multi"] = {"sec": t, "rows": n}
 
         from arrowhouse_spark.operators.dedup import dedup_incremental, line_dedup
         from arrowhouse_spark.operators.packing import pack_sequences
         from arrowhouse_spark.operators.text import fingerprint
 
-        seen = fingerprint(docs.filter(F.col("doc_id") % 2 == 0)).select("fp")
-        t, n = timed(
-            lambda: dedup_incremental(
-                docs.filter(F.col("doc_id") % 2 != 0), seen
-            ).count()
-        )
-        rec["dedup_incremental"] = {"sec": t, "survivors": n}
+        if want("dedup_incremental"):
+            seen = fingerprint(docs.filter(F.col("doc_id") % 2 == 0)).select("fp")
+            t, n = timed(
+                lambda: dedup_incremental(
+                    docs.filter(F.col("doc_id") % 2 != 0), seen
+                ).count()
+            )
+            rec["dedup_incremental"] = {"sec": t, "survivors": n}
 
         # token-granularity worst case: every token is a "line"; max_df=20
         # strips the 200-token shared pool (df ≈ n_docs*30/200 ≫ 20) and
         # keeps the doc-unique long tail — the boilerplate-removal shape
-        t, n = timed(lambda: line_dedup(docs, sep=" ", max_df=20).count())
-        rec["line_dedup"] = {"sec": t, "docs": n}
+        if want("line_dedup"):
+            t, n = timed(lambda: line_dedup(docs, sep=" ", max_df=20).count())
+            rec["line_dedup"] = {"sec": t, "docs": n}
 
-        t, n = timed(lambda: pack_sequences(docs, budget=200).count())
-        rec["pack_sequences"] = {"sec": t, "rows": n}
+        if want("pack_sequences"):
+            t, n = timed(lambda: pack_sequences(docs, budget=200).count())
+            rec["pack_sequences"] = {"sec": t, "rows": n}
 
         # text-quality family (round-4 verdict item 8: measured slopes, not
         # plan-shape arguments). gopher_quality is map-side except the
@@ -202,21 +220,24 @@ def main() -> None:
             unigram_logprob_score,
         )
 
-        t, n = timed(lambda: gopher_quality(docs).count())
-        rec["gopher_quality"] = {"sec": t, "docs": n}
+        if want("gopher_quality"):
+            t, n = timed(lambda: gopher_quality(docs).count())
+            rec["gopher_quality"] = {"sec": t, "docs": n}
 
-        eval_df = docs.filter(F.col("doc_id") % 500 == 7).select(
-            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
-        )
-        t, n = timed(
-            lambda: decontaminate(docs, eval_df, ngram_n=13)
-            .filter(F.col("is_contaminated"))
-            .count()
-        )
-        rec["decontaminate"] = {"sec": t, "flagged": n}
+        if want("decontaminate"):
+            eval_df = docs.filter(F.col("doc_id") % 500 == 7).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+            )
+            t, n = timed(
+                lambda: decontaminate(docs, eval_df, ngram_n=13)
+                .filter(F.col("is_contaminated"))
+                .count()
+            )
+            rec["decontaminate"] = {"sec": t, "flagged": n}
 
-        t, n = timed(lambda: unigram_logprob_score(docs).count())
-        rec["unigram_logprob"] = {"sec": t, "docs": n}
+        if want("unigram_logprob"):
+            t, n = timed(lambda: unigram_logprob_score(docs).count())
+            rec["unigram_logprob"] = {"sec": t, "docs": n}
 
         # round-5 additions: span-level dedup and semantic dedup.
         # dup_spans: windows hash before the shuffle; the corpus count is the
@@ -227,28 +248,30 @@ def main() -> None:
         from arrowhouse_spark.operators.dedup import dup_spans
         from arrowhouse_spark.operators.similarity import semantic_dedup
 
-        t, n = timed(
-            lambda: dup_spans(docs, window=8)
-            .filter(F.col("n_dup_windows") > 0)
-            .count()
-        )
-        rec["dup_spans"] = {"sec": t, "docs_flagged": n}
-
-        k = max(8, int(n_vecs**0.5))
-        t, n = timed(
-            lambda: semantic_dedup(
-                emb, n_clusters=k, iters=1, threshold=0.99, init="hash"
+        if want("dup_spans"):
+            t, n = timed(
+                lambda: dup_spans(docs, window=8)
+                .filter(F.col("n_dup_windows") > 0)
+                .count()
             )
-            .filter(~F.col("is_kept"))
-            .count()
-        )
-        rec["semantic_dedup"] = {"sec": t, "dropped": n, "n_clusters": k}
+            rec["dup_spans"] = {"sec": t, "docs_flagged": n}
+
+        if want("semantic_dedup"):
+            k = max(8, int(n_vecs**0.5))
+            t, n = timed(
+                lambda: semantic_dedup(
+                    emb, n_clusters=k, iters=1, threshold=0.99, init="hash"
+                )
+                .filter(~F.col("is_kept"))
+                .count()
+            )
+            rec["semantic_dedup"] = {"sec": t, "dropped": n, "n_clusters": k}
 
         print(json.dumps({f"scale_{scale}x": rec}), flush=True)
 
     # the inverted path MUST be chosen at the largest scale (cap logic)
     big = results[f"{max(scales)}x"]
-    assert big["ngram_jaccard_pairs"]["strategy"].startswith("inverted"), (
+    assert "ngram_jaccard_pairs" not in big or big["ngram_jaccard_pairs"]["strategy"].startswith("inverted"), (
         "vocab pre-flight failed to pick the inverted path at scale: "
         + json.dumps(big)
     )
