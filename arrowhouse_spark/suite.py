@@ -3937,6 +3937,143 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_pretrain_corpus",
+    """
+    WITH toks0 AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ), scal AS (
+      SELECT doc_id,
+             CAST(len(w) AS INTEGER) AS n_words,
+             round((length(text) - (len(w) - 1)) / greatest(len(w), 1), 6) AS mwl,
+             round(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                   / greatest(len(w), 1), 6) AS awr,
+             round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                   / greatest(length(text), 1), 6) AS symr
+      FROM toks0
+    ), bgc AS (
+      SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+        FROM toks0
+      ) GROUP BY 1, 2
+    ), tbf AS (
+      SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+      FROM bgc GROUP BY 1
+    ), gpass AS (
+      SELECT s.doc_id FROM scal s LEFT JOIN tbf t ON s.doc_id = t.doc_id
+      WHERE s.n_words >= 50 AND s.n_words <= 100000
+        AND s.mwl >= 3 AND s.mwl <= 10 AND s.awr >= 0.8 AND s.symr <= 0.1
+        AND coalesce(t.top_bigram_frac, 0.0) <= 0.18
+    ), surv1 AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN gpass USING (doc_id)
+    ), keep AS (
+      SELECT min(doc_id) AS doc_id FROM surv1 GROUP BY md5(trim(lower(text)))
+    ), surv2 AS (
+      SELECT s.doc_id, s.text FROM surv1 s JOIN keep USING (doc_id)
+    ), t2 AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM surv2
+    ), wins AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS win
+      FROM t2, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+    ), wc AS (
+      SELECT win, count(*) AS c FROM wins GROUP BY win
+    ), dup AS (
+      SELECT doc_id, pos FROM wins JOIN wc USING (win) WHERE wc.c >= 2
+    ), cov AS (
+      SELECT doc_id, count(DISTINCT tp) AS covered
+      FROM dup, unnest(generate_series(pos, pos + 7)) AS u(tp) GROUP BY doc_id
+    ), surv3 AS (
+      SELECT t2.doc_id, t2.w FROM t2 LEFT JOIN cov USING (doc_id)
+      WHERE round(coalesce(cov.covered, 0) / greatest(len(t2.w), 1), 6) <= 0.2
+    ), pe AS (
+      SELECT doc_id, i - 1 AS pos, w[i] AS tok
+      FROM surv3, unnest(generate_series(1, len(w))) AS t(i)
+    ), tf AS (
+      SELECT tok, count(*) AS tf FROM pe GROUP BY tok
+    ), vocab AS (
+      SELECT tok, CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) AS INTEGER) AS tid
+      FROM tf ORDER BY tf DESC, tok ASC LIMIT 500
+    ), enc AS (
+      SELECT pe.doc_id, pe.pos, coalesce(vocab.tid, 0) AS tid
+      FROM pe LEFT JOIN vocab USING (tok)
+    ), encagg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_unk,
+             CAST(sum((pos + 1) * tid) AS BIGINT) AS ids_checksum
+      FROM enc GROUP BY doc_id
+    ), pk0 AS (
+      SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+             (('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 32)::BIGINT AS bucket
+      FROM surv3
+    ), pk AS (
+      SELECT doc_id, bucket,
+             sum(n_tokens) OVER (PARTITION BY bucket
+                                 ORDER BY n_tokens DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS strt
+      FROM pk0
+    )
+    SELECT e.doc_id, e.n_tokens, e.n_unk, e.ids_checksum, p.bucket,
+           CAST(p.strt // 200 AS BIGINT) AS pack_id,
+           CAST(p.strt % 200 AS BIGINT) AS pack_off
+    FROM encagg e JOIN pk p USING (doc_id)
+    """,
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-data build as ONE composed plan, every stage a
+    round-proven operator: Gopher quality filter → exact dedup (min-id per
+    fingerprint) → duplicated-span filter (≤20% covered tokens) → corpus
+    vocab encoding (V=500, UNK=0) → token-budget sequence packing (b=200).
+    Output is one row per surviving document carrying its encoded-sequence
+    checksum AND its pack placement — the oracle replays all five stages in
+    SQL, so the hash compare certifies the END-TO-END composition: a wrong
+    survivor set, a shifted id sequence, or a different pack layout all
+    flip it. Catalyst sees a single DAG: the text column is scanned per
+    stage-family but never collected, every shuffle is keyed (fingerprint,
+    window hash, token, doc, bucket), and each stage's 100 TB story is the
+    operator's own (see SCALE.md)."""
+    from arrowhouse_spark.operators.dedup import dedup_exact, dup_spans
+    from arrowhouse_spark.operators.packing import pack_sequences
+    from arrowhouse_spark.operators.text import gopher_quality, vocab_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    gpass = (
+        gopher_quality(docs).filter(F.col("gopher_pass")).select("doc_id")
+    )
+    surv1 = docs.join(gpass, "doc_id").select("doc_id", "text")
+    keep = dedup_exact(surv1).select(F.col("keep_id").alias("doc_id"))
+    surv2 = surv1.join(keep, "doc_id")
+    spanok = (
+        dup_spans(surv2, window=8)
+        .filter(F.col("dup_token_frac") <= 0.2)
+        .select("doc_id")
+    )
+    surv3 = surv2.join(spanok, "doc_id")
+    enc = vocab_encode(surv3, vocab_size=500)
+    checksum = F.when(F.size("ids") == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.zip_with(
+                "ids",
+                F.sequence(F.lit(1), F.size("ids")),
+                lambda x, i: x.cast("long") * i.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+    )
+    packed = pack_sequences(surv3, budget=200).select(
+        "doc_id", "bucket", "pack_id", "pack_off"
+    )
+    return (
+        enc.select("doc_id", "n_tokens", "n_unk", checksum.alias("ids_checksum"))
+        .join(packed, "doc_id")
+    )
+
+
+@register(
     "vocab_encode_docs",
     """
     WITH toks AS (

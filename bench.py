@@ -61,6 +61,7 @@ HEADLINE = [
     "doc_bigram_logprob",
     "vocab_encode_docs",
     "source_kl_divergence",
+    "pipeline_pretrain_corpus",
 ]
 
 
