@@ -156,18 +156,19 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_band_index(
     sig: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 64,
     bands: int = 16,
 ) -> DataFrame:
-    """LSH banding: split the signature into ``bands`` rows of
-    ``num_hashes/bands``; docs sharing any band bucket become a candidate pair.
-    The pair-join is keyed on (band, band_hash) — no all-pairs comparison; AQE
-    handles hot buckets via skew-join splitting."""
+    """(id, minhash, band, bucket) LSH index rows for a signature relation —
+    ``bands`` rows per doc, bucket = multi-arg xxhash64 over the band's
+    signature slots (no string concat round-trip). This is also the STORE
+    format for incremental near-dup: persist it bucketed by (band, bucket)
+    and daily batches join against it without moving history."""
     rows_per_band = num_hashes // bands
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         F.col("minhash"),
         F.explode(
@@ -175,8 +176,6 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        # hash the band's signature slots directly (multi-arg
-                        # xxhash64 over longs) — no string concat round-trip
                         F.xxhash64(
                             *[
                                 F.col("minhash")[b * rows_per_band + r]
@@ -189,6 +188,19 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "minhash", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows of
+    ``num_hashes/bands``; docs sharing any band bucket become a candidate pair.
+    The pair-join is keyed on (band, band_hash) — no all-pairs comparison; AQE
+    handles hot buckets via skew-join splitting."""
+    banded = minhash_band_index(sig, id_col, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -242,6 +254,73 @@ def minhash_dedup(
         pairs.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_incremental(
+    new_df: DataFrame,
+    store_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup: the daily-ingest companion to
+    :func:`dedup_incremental` (which is exact-only). A new doc is dropped
+    when its est_jaccard reaches ``threshold`` against (a) any HISTORICAL
+    doc sharing an LSH band bucket in ``store_index`` (a
+    :func:`minhash_band_index` relation, same hash family/config), or (b)
+    any LOWER-ID doc of the same batch sharing a bucket (the greedy
+    keep-first rule of :func:`dedup_keep_first`). Returns surviving
+    (id, minhash, band, bucket) index rows — exactly what the caller
+    appends to the store to advance it.
+
+    Scale: signatures build once (cached — consumed by the within-batch
+    self-join AND the store probe); the store join is keyed on
+    (band, bucket), so with the store written bucketed by those keys the
+    day's batch co-locates against years of history without moving it —
+    only matched buckets' (minhash, id) rows are read. Candidate volume is
+    Σ per-bucket batch×store products, never batch×store. Within-batch
+    candidates are the standard Σ bucket² self-join. Greedy note: a batch
+    doc is dropped for matching a lower-id batch doc even if THAT doc was
+    itself dropped by the store — matching the oracle and C4-style batch
+    pipelines; transitive-canonical resolution is dedup_components'
+    job when needed."""
+    sig = minhash_signature(
+        new_df, text_col, id_col, num_hashes, shingle_n, shingles=shingles
+    ).cache()
+    idx = minhash_band_index(sig, id_col, num_hashes, bands)
+    est_vs = lambda a, b: (  # noqa: E731 — local expression helper
+        F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda x: x))
+        / F.lit(num_hashes)
+    )
+    cross_losers = (
+        idx.alias("l")
+        .join(
+            store_index.select(
+                F.col("band").alias("band"),
+                F.col("bucket").alias("bucket"),
+                F.col("minhash").alias("__mh_s"),
+            ),
+            ["band", "bucket"],
+        )
+        .filter(F.round(est_vs(F.col("minhash"), F.col("__mh_s")), 6) >= threshold)
+        .select(F.col(id_col))
+        .distinct()
+    )
+    within_losers = (
+        minhash_lsh_candidates(sig, id_col, num_hashes, bands)
+        .withColumn("est", F.round(est_vs(F.col("mh_a"), F.col("mh_b")), 6))
+        .filter(F.col("est") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        idx.join(cross_losers, id_col, "left_anti")
+        .join(within_losers, id_col, "left_anti")
     )
 
 

