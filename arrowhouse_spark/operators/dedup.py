@@ -223,6 +223,17 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def _est_jaccard(a: Column, b: Column, num_hashes: int) -> Column:
+    """Signature-similarity estimate: fraction of equal positions, rounded
+    to 6 dp — the ONE definition both the batch pair filter and the
+    incremental store/within rules (and their oracles) share."""
+    return F.round(
+        F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda x: x))
+        / F.lit(num_hashes),
+        6,
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -241,17 +252,10 @@ def minhash_dedup(
         df, text_col, id_col, num_hashes, shingle_n, shingles=shingles
     ).cache()
     pairs = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda a, b: a == b),
-                lambda x: x,
-            )
-        )
-        / F.lit(num_hashes)
-    )
     return (
-        pairs.withColumn("est_jaccard", F.round(est, 6))
+        pairs.withColumn(
+            "est_jaccard", _est_jaccard(F.col("mh_a"), F.col("mh_b"), num_hashes)
+        )
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -293,10 +297,6 @@ def minhash_incremental(
         new_df, text_col, id_col, num_hashes, shingle_n, shingles=shingles
     ).cache()
     idx = minhash_band_index(sig, id_col, num_hashes, bands)
-    est_vs = lambda a, b: (  # noqa: E731 — local expression helper
-        F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda x: x))
-        / F.lit(num_hashes)
-    )
     cross_losers = (
         idx.alias("l")
         .join(
@@ -307,14 +307,15 @@ def minhash_incremental(
             ),
             ["band", "bucket"],
         )
-        .filter(F.round(est_vs(F.col("minhash"), F.col("__mh_s")), 6) >= threshold)
+        .filter(
+            _est_jaccard(F.col("minhash"), F.col("__mh_s"), num_hashes) >= threshold
+        )
         .select(F.col(id_col))
         .distinct()
     )
     within_losers = (
         minhash_lsh_candidates(sig, id_col, num_hashes, bands)
-        .withColumn("est", F.round(est_vs(F.col("mh_a"), F.col("mh_b")), 6))
-        .filter(F.col("est") >= threshold)
+        .filter(_est_jaccard(F.col("mh_a"), F.col("mh_b"), num_hashes) >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

@@ -344,6 +344,12 @@ def semantic_dedup(
         )
     else:
         raise ValueError(f"init must be 'min_id' or 'hash', got {init!r}")
+    if not cent_rows:
+        # empty batch (daily-ingest pipelines hit this): empty result with
+        # the contract schema, not an IndexError from a 0-row init matrix
+        return df.sparkSession.createDataFrame(
+            [], "id long, cluster int, max_dup_cos double, is_kept boolean"
+        )
     c = np.array([r[1] for r in cent_rows], dtype=np.float64)
     c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
     dim = c.shape[1]

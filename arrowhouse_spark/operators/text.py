@@ -440,6 +440,11 @@ def vocab_encode(
     passes a 1e9-entry vocab); reassembly is one shuffle by doc id with
     array_sort over (pos, id) structs — the line_dedup_lines reassembly
     shape, no unpartitioned window."""
+    if 1 <= unk_id <= vocab_size:
+        raise ValueError(
+            f"unk_id={unk_id} collides with the assigned id range "
+            f"1..{vocab_size}; OOV would be indistinguishable from a vocab token"
+        )
     toks = df.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
     )

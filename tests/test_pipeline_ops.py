@@ -765,9 +765,9 @@ def test_semantic_dedup_output_partitions_input(emb):
 
 
 def test_bigram_logprob_score(spark):
-    """Hand-checkable mixture: corpus docs 'a b', 'a b a'. Unigrams: a=3,
-    b=2, total=5. Bigrams: (a,b)=2, (b,a)=1. Position (a->b):
-    p = .7*(2/3) + .3*(2/5); position (b->a): p = .7*(1/2) + .3*(3/5).
+    """Hand-checkable mixture over corpus 'a b', 'a b a', 'z': unigrams
+    a=3, b=2, z=1, total=6. Bigrams: (a,b)=2, (b,a)=1. Position (a->b):
+    p = .7*(2/3) + .3*(2/6); position (b->a): p = .7*(1/2) + .3*(3/6).
     One-token docs have no scored positions and drop out."""
     import math
 

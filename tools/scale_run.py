@@ -123,7 +123,18 @@ def main() -> None:
     )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    known_ops = {
+        "minhash_dedup", "ngram_jaccard_pairs", "ngram_containment_pairs",
+        "embedding_neardup_pairs", "ann_cosine_lsh_multi", "dedup_incremental",
+        "line_dedup", "pack_sequences", "gopher_quality", "decontaminate",
+        "unigram_logprob", "dup_spans", "semantic_dedup",
+    }
     only = {s for s in args.ops.split(",") if s}
+    unknown = only - known_ops
+    if unknown:
+        # fail fast: a typo would otherwise burn a multi-minute data-gen run
+        # measuring nothing and exit 0
+        ap.error(f"unknown --ops {sorted(unknown)}; known: {sorted(known_ops)}")
 
     def want(name: str) -> bool:
         return not only or name in only
