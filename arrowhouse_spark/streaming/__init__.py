@@ -5,6 +5,7 @@ one with a natural continuous analog)."""
 from arrowhouse_spark.streaming.replace import (
     read_parquet_stream,
     stream_dedup_exact,
+    stream_dedup_first_seen,
     stream_interval_join,
     stream_replace_latest,
     stream_sessionize,
@@ -14,6 +15,7 @@ from arrowhouse_spark.streaming.replace import (
 __all__ = [
     "read_parquet_stream",
     "stream_dedup_exact",
+    "stream_dedup_first_seen",
     "stream_interval_join",
     "stream_replace_latest",
     "stream_sessionize",

@@ -184,3 +184,61 @@ def stream_interval_join(
         F.col(f"r.{c}") for c in right.columns if c not in keys
     ]
     return joined.select(*keep)
+
+
+def stream_dedup_first_seen(
+    sdf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming incremental exact dedup: emit each content fingerprint's
+    FIRST arrival only, over an UNBOUNDED horizon — the continuous form of
+    operators/dedup.py:dedup_incremental (whose store is a batch-side
+    table), and the unbounded cousin of :func:`stream_dedup_exact` (whose
+    state evicts at the watermark). Within one micro-batch the lowest id
+    wins, matching the batch operator's min-id rule; later occurrences of
+    a seen fingerprint emit nothing.
+
+    State: ONE boolean marker per distinct fingerprint, keyed and shuffled
+    by fp — O(distinct content) regardless of stream length, the property
+    a 100 TB/day ingest needs; production deployments back it with the
+    RocksDB state store and this exact plan."""
+    import pandas as pd  # noqa: PLC0415 — optional at module import
+
+    from arrowhouse_spark.operators.text import fingerprint
+
+    with_fp = fingerprint(sdf, text_col, "fp")
+    out_schema = T.StructType(
+        [
+            T.StructField("fp", T.StringType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField(text_col, T.StringType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        if state.exists:
+            return  # fingerprint already emitted in an earlier batch
+        first = None
+        for pdf in pdfs:
+            cand = pdf.loc[pdf[id_col].idxmin()]
+            if first is None or cand[id_col] < first[id_col]:
+                first = cand
+        if first is not None:
+            state.update((True,))
+            yield pd.DataFrame(
+                {
+                    "fp": [key[0]],
+                    id_col: [int(first[id_col])],
+                    text_col: [first[text_col]],
+                }
+            )
+
+    return with_fp.groupBy("fp").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

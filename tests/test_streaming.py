@@ -334,3 +334,49 @@ def test_stream_pii_scrub_stateless_map(spark):
         assert rows[3].n_pii == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedup_first_seen_per_batch_golden(spark, tmp_path):
+    """Unbounded-horizon first-winner dedup: batch 1 emits one row per new
+    fingerprint (min id wins within the batch: doc 3's 'x' loses to doc 1);
+    batch 2 drops the cross-batch duplicate (doc 4 = 'x') and emits only
+    the genuinely new content — the dedup_incremental contract, streaming."""
+    from arrowhouse_spark.streaming import stream_dedup_first_seen
+
+    d = str(tmp_path / "docs_stream")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y")], schema
+    ).coalesce(1).write.parquet(d + "/b1")
+    spark.createDataFrame(
+        [(4, "x"), (5, "z")], schema
+    ).coalesce(1).write.parquet(d + "/b2")
+    import shutil, glob, os
+    # one file per micro-batch, deterministic order: rename part files
+    files = sorted(glob.glob(d + "/b*/part-*.parquet"))
+    os.makedirs(d + "/in")
+    for i, f in enumerate(files):
+        shutil.copy(f, d + f"/in/{i:03d}.parquet")
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/in")
+    )
+    out = stream_dedup_first_seen(sdf)
+    batches = _collect_batches(spark, out, "update")
+    assert len(batches) == 2, f"expected 2 data batches, got {sorted(batches)}"
+    b0, b1 = (batches[k] for k in sorted(batches))
+    assert sorted((r[1], r[2]) for r in b0) == [(1, "x"), (2, "y")]
+    assert sorted((r[1], r[2]) for r in b1) == [(5, "z")]
+    # fingerprints match the batch operator's normalization
+    from arrowhouse_spark.operators.text import fingerprint
+
+    fps = {
+        r.text: r.fp
+        for r in fingerprint(
+            spark.createDataFrame([(1, "x"), (2, "y"), (5, "z")], schema)
+        ).collect()
+    }
+    for r in list(b0) + list(b1):
+        assert r[0] == fps[r[2]]
