@@ -523,6 +523,50 @@ def source_kl_divergence(
     )
 
 
+def encoding_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_non_ascii_ratio: float = 0.25,
+) -> DataFrame:
+    """Encoding-noise QC — the filter that catches mojibake and binary
+    spill before tokenization ever runs (wrong-charset decodes litter text
+    with U+FFFD; PDF/binary extraction leaks control bytes). Signals per
+    doc: n_replacement (U+FFFD tombstones), ctrl_ratio (C0 controls except
+    tab/newline/CR, plus DEL), non_ascii_ratio, and the conjunctive
+    encoding_clean (no tombstones, no controls, non-ASCII under
+    ``max_non_ascii_ratio`` — non-ASCII alone is NOT noise, it's most of
+    the world's languages; only an extreme ratio combined with the other
+    signals indicates decode failure).
+
+    All four signals are strip-and-length-diff over codepoint-counting
+    regexes chosen to behave identically under Java regex (Spark) and RE2
+    (DuckDB) — same discipline as PII_PATTERNS. Pure map-side codegen: no
+    shuffle, no UDF."""
+    n = F.length(F.col(text_col))
+    repl = n - F.length(F.regexp_replace(F.col(text_col), "�", ""))
+    ctrl = n - F.length(
+        F.regexp_replace(
+            F.col(text_col), "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""
+        )
+    )
+    nonascii = n - F.length(
+        F.regexp_replace(F.col(text_col), "[^\\x00-\\x7f]", "")
+    )
+    na_ratio = F.round(nonascii / F.greatest(n, F.lit(1)), 6)
+    return df.select(
+        F.col(id_col),
+        repl.cast("int").alias("n_replacement"),
+        F.round(ctrl / F.greatest(n, F.lit(1)), 6).alias("ctrl_ratio"),
+        na_ratio.alias("non_ascii_ratio"),
+        (
+            (repl == 0)
+            & (ctrl == 0)
+            & (na_ratio <= F.lit(max_non_ascii_ratio))
+        ).alias("encoding_clean"),
+    )
+
+
 # PII patterns chosen to behave identically under Java regex (Spark) and
 # RE2 (DuckDB): no backreferences, no lookaround, ASCII classes only.
 PII_PATTERNS: dict[str, str] = {

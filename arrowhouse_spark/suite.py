@@ -4237,6 +4237,56 @@ def source_kl_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_encoding_quality",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 31 = 0
+                  THEN text || ' café �� ba' || chr(7) || 'd'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) - length(regexp_replace(text, '�', '', 'g'))
+             AS INTEGER) AS n_replacement,
+           round((length(text) - length(regexp_replace(text,
+                 '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')))
+                 / greatest(length(text), 1), 6) AS ctrl_ratio,
+           round((length(text) - length(regexp_replace(text,
+                 '[^\\x00-\\x7f]', '', 'g')))
+                 / greatest(length(text), 1), 6) AS non_ascii_ratio,
+           (length(text) = length(regexp_replace(text, '�', '', 'g'))
+            AND length(text) = length(regexp_replace(text,
+                 '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'))
+            AND round((length(text) - length(regexp_replace(text,
+                 '[^\\x00-\\x7f]', '', 'g')))
+                 / greatest(length(text), 1), 6) <= 0.25) AS encoding_clean
+    FROM base
+    """,
+)
+def doc_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding/mojibake QC (operators/text.py:encoding_quality). The
+    fixture is pure ASCII, so every 31st doc gets identical synthesized
+    noise on both sides — an é (legit non-ASCII), two U+FFFD tombstones,
+    and a BEL control — pinning all four signals' non-trivial paths; the
+    clean docs pin the all-zero path. Codepoint counting (not bytes) on
+    both engines; regex classes from the PII cross-engine discipline."""
+    from arrowhouse_spark.operators.text import encoding_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    noisy = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 31 == 0,
+            F.concat(F.col("text"), F.lit(" café �� ba\x07d")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return encoding_quality(noisy)
+
+
+@register(
     "doc_bigram_logprob",
     """
     WITH toks AS (

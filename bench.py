@@ -63,6 +63,7 @@ HEADLINE = [
     "source_kl_divergence",
     "pipeline_pretrain_corpus",
     "minhash_incremental_docs",
+    "doc_encoding_quality",
 ]
 
 

@@ -877,3 +877,22 @@ def test_minhash_incremental_store_and_within_rules(spark):
     rows = out.collect()
     assert len(rows) == 2 * 8
     assert set(out.columns) == set(store.columns)
+
+
+def test_encoding_quality_hand_checked(spark):
+    """'ab\\x07c' -> 1 control in 4 chars; 'café' -> 1 non-ASCII in 4;
+    '��' -> 2 tombstones (never clean); plain ASCII is clean."""
+    from arrowhouse_spark.operators.text import encoding_quality
+
+    df = spark.createDataFrame(
+        [(1, "ab\x07c"), (2, "café"), (3, "��"), (4, "ok")],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r.doc_id: (r.n_replacement, r.ctrl_ratio, r.non_ascii_ratio, r.encoding_clean)
+        for r in encoding_quality(df).collect()
+    }
+    assert out[1] == (0, 0.25, 0.0, False)
+    assert out[2] == (0, 0.0, 0.25, True)
+    assert out[3] == (2, 0.0, 1.0, False)
+    assert out[4] == (0, 0.0, 0.0, True)
