@@ -45,3 +45,15 @@ def write_csv(
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """ORC source (columnar sibling of the parquet path — same pushdown and
+    pruning guarantees via Spark's native vectorized ORC reader; schema
+    explicit per the getHeader discipline)."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink, task-commit protocol as with the parquet writer."""
+    df.write.mode(mode).orc(path)

@@ -76,3 +76,24 @@ def test_csv_jsonl_roundtrip(spark, tmp_path):
     write_jsonl(df, p_json)
     assert sorted(r.k for r in read_csv(spark, p_csv, schema).collect()) == [1, 2]
     assert sorted(r.v for r in read_jsonl(spark, p_json, schema).collect()) == ["a", "b"]
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC round trip preserves values; a filtered re-read pushes the
+    predicate to the ORC scan (PushedFilters non-empty)."""
+    from arrowhouse_spark.sources.text_formats import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0), (3, "c", 0.25)],
+        "id: long, s: string, v: double",
+    )
+    p = str(tmp_path / "t.orc")
+    write_orc(df, p)
+    back = read_orc(spark, p, df.schema)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    plan = (
+        back.filter("v > 0")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "IsNotNull(v)" in plan
