@@ -351,12 +351,20 @@ def test_stream_dedup_first_seen_per_batch_golden(spark, tmp_path):
     spark.createDataFrame(
         [(4, "x"), (5, "z")], schema
     ).coalesce(1).write.parquet(d + "/b2")
-    import shutil, glob, os
-    # one file per micro-batch, deterministic order: rename part files
+    import glob
+    import os
+    import shutil
+    import time
+
+    # one file per micro-batch: the file source orders by MODIFICATION TIME,
+    # not name, so pin explicit mtimes (same trick as ordered_stream_dir)
     files = sorted(glob.glob(d + "/b*/part-*.parquet"))
     os.makedirs(d + "/in")
+    now = time.time()
     for i, f in enumerate(files):
-        shutil.copy(f, d + f"/in/{i:03d}.parquet")
+        dst = d + f"/in/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (now - 3600 + i * 60, now - 3600 + i * 60))
 
     sdf = (
         spark.readStream.schema(schema)
