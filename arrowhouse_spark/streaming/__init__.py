@@ -9,6 +9,7 @@ from arrowhouse_spark.streaming.replace import (
     stream_interval_join,
     stream_replace_latest,
     stream_sessionize,
+    stream_trending_terms,
     stream_windowed_agg,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "stream_interval_join",
     "stream_replace_latest",
     "stream_sessionize",
+    "stream_trending_terms",
     "stream_windowed_agg",
 ]

@@ -242,3 +242,33 @@ def stream_dedup_first_seen(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_trending_terms(
+    sdf: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Windowed term-frequency stream — the continuous input to a trending
+    top-k: tokenize (same whitespace rule as the batch operators), explode,
+    event-time tumbling-window counts with late-data handling. Emitted in
+    update mode as (window_start, token, n); consumers take per-window
+    top-k in the sink (`foreachBatch` rank, or a materialized table the
+    serving layer reads with ORDER BY n LIMIT k) — ranking inside the
+    stream would force complete mode, whose state grows with the full
+    token vocabulary instead of the watermark horizon.
+
+    State: one counter per (window, token) inside the horizon — the same
+    O(keys-in-horizon) bound as stream_windowed_agg; the token explode
+    multiplies rows before the shuffle but adds no state of its own."""
+    from arrowhouse_spark.operators.text import tokens
+
+    return (
+        sdf.withWatermark(ts_col, watermark_delay)
+        .select(F.col(ts_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy(F.window(ts_col, window_duration), "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "token", "n")
+    )

@@ -388,3 +388,48 @@ def test_stream_dedup_first_seen_per_batch_golden(spark, tmp_path):
     }
     for r in list(b0) + list(b1):
         assert r[0] == fps[r[2]]
+
+
+def test_stream_trending_terms_per_batch_golden(spark, tmp_path):
+    """Windowed term counts, one file per micro-batch: batch 1 counts its
+    window's tokens; batch 2 (same event-time window) re-emits the updated
+    counts for exactly the touched tokens — update-mode contract."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time
+
+    from arrowhouse_spark.streaming import stream_trending_terms
+
+    d = str(tmp_path / "terms_stream")
+    schema = "doc_id long, text string, ts timestamp"
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    spark.createDataFrame(
+        [(1, "spark spark duck", base), (2, "spark row", base)], schema
+    ).coalesce(1).write.parquet(d + "/b1")
+    spark.createDataFrame(
+        [(3, "duck duck goose", base + dt.timedelta(minutes=5))], schema
+    ).coalesce(1).write.parquet(d + "/b2")
+    files = sorted(glob.glob(d + "/b*/part-*.parquet"))
+    os.makedirs(d + "/in")
+    now = time.time()
+    for i, f in enumerate(files):
+        dst = d + f"/in/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (now - 3600 + i * 60, now - 3600 + i * 60))
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/in")
+    )
+    out = stream_trending_terms(sdf, window_duration="1 hour")
+    batches = _collect_batches(spark, out, "update")
+    assert len(batches) == 2, f"expected 2 data batches, got {sorted(batches)}"
+    b0, b1 = (batches[k] for k in sorted(batches))
+    assert sorted((r[1], r[2]) for r in b0) == [
+        ("duck", 1), ("row", 1), ("spark", 3)
+    ]
+    # same window updated: only touched tokens re-emit, with merged counts
+    assert sorted((r[1], r[2]) for r in b1) == [("duck", 3), ("goose", 1)]
