@@ -83,8 +83,43 @@ def main() -> int:
                     help="only check queries beyond the first N of the priority order")
     ap.add_argument("--json", default=None, metavar="PATH",
                     help="write driver-format result records to PATH")
+    ap.add_argument("--chunk-size", type=int, default=None, metavar="N",
+                    help="run the registry in fresh subprocesses of N queries "
+                    "each and merge (the driver isolates every query per "
+                    "process; one long-lived process accumulates JVM caches + "
+                    "DuckDB pools until tiny allocations bad_alloc — observed "
+                    "on the 94-query registry)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+
+    if args.chunk_size:
+        import json as _json
+        import subprocess
+        import sys as _sys
+
+        import __spark_entry__ as entry_mod
+
+        names = args.names or list(entry_mod.queries())
+        merged: dict[str, dict] = {}
+        rc = 0
+        for i in range(0, len(names), args.chunk_size):
+            chunk = names[i : i + args.chunk_size]
+            tmp = f"/tmp/ah_check_chunk_{i}.json"
+            cmd = [_sys.executable, os.path.abspath(__file__), "--sf", args.sf,
+                   "--json", tmp, *chunk]
+            r = subprocess.run(cmd, check=False)
+            rc = rc or r.returncode
+            try:
+                with open(tmp) as f:
+                    merged.update(_json.load(f))
+            except Exception as e:  # noqa: BLE001
+                print(f"chunk {i}: no records ({e})", file=_sys.stderr)
+                rc = rc or 1
+        if args.json:
+            with open(args.json, "w") as f:
+                _json.dump(merged, f, indent=1)
+            print(f"wrote {args.json} ({len(merged)} records, chunked)")
+        return rc
 
     import duckdb
 
