@@ -817,6 +817,18 @@ def test_vocab_encode_rank_ties_by_token(spark):
     assert out[1] == [2, 1] and out[2] == [1, 2]
 
 
+def test_vocab_encode_rejects_unbounded_vocab(spark):
+    """The rank table is built driver-side from the collected top-V, so
+    vocab_size must stay within the documented driver-memory bound."""
+    import pytest
+
+    from arrowhouse_spark.operators.text import _VOCAB_RANK_MAX, vocab_encode
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="driver-memory-bounded"):
+        vocab_encode(df, vocab_size=_VOCAB_RANK_MAX + 1)
+
+
 def test_source_kl_divergence_hand_checked(spark):
     """Sources s1='a a', s2='b b', corpus {a:2,b:2}. p_s1(a)=1, q(a)=1/2
     -> KL(s1)=ln 2; symmetric for s2. A source matching the corpus exactly

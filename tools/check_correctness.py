@@ -96,25 +96,36 @@ def main() -> int:
         import json as _json
         import subprocess
         import sys as _sys
+        import tempfile
 
         import __spark_entry__ as entry_mod
 
         names = args.names or list(entry_mod.queries())
+        # --tail applies BEFORE chunking (same registry-order semantics as
+        # the non-chunk path) so the flags compose instead of the tail
+        # filter being silently dropped by the subprocesses
+        if args.tail is not None:
+            names = list(entry_mod.queries())[args.tail:]
         merged: dict[str, dict] = {}
         rc = 0
-        for i in range(0, len(names), args.chunk_size):
-            chunk = names[i : i + args.chunk_size]
-            tmp = f"/tmp/ah_check_chunk_{i}.json"
-            cmd = [_sys.executable, os.path.abspath(__file__), "--sf", args.sf,
-                   "--json", tmp, *chunk]
-            r = subprocess.run(cmd, check=False)
-            rc = rc or r.returncode
-            try:
-                with open(tmp) as f:
-                    merged.update(_json.load(f))
-            except Exception as e:  # noqa: BLE001
-                print(f"chunk {i}: no records ({e})", file=_sys.stderr)
-                rc = rc or 1
+        # per-invocation scratch dir: a crashed chunk must surface as a
+        # missing file (hard failure), never as silently-merged stale
+        # records from a previous run, and concurrent runs must not
+        # clobber each other's chunk files
+        with tempfile.TemporaryDirectory(prefix="ah_check_") as tmpdir:
+            for i in range(0, len(names), args.chunk_size):
+                chunk = names[i : i + args.chunk_size]
+                tmp = os.path.join(tmpdir, f"chunk_{i}.json")
+                cmd = [_sys.executable, os.path.abspath(__file__), "--sf",
+                       args.sf, "--json", tmp, *chunk]
+                r = subprocess.run(cmd, check=False)
+                rc = rc or r.returncode
+                try:
+                    with open(tmp) as f:
+                        merged.update(_json.load(f))
+                except Exception as e:  # noqa: BLE001
+                    print(f"chunk {i}: no records ({e})", file=_sys.stderr)
+                    rc = rc or 1
         if args.json:
             with open(args.json, "w") as f:
                 _json.dump(merged, f, indent=1)

@@ -111,6 +111,213 @@ def timed(fn):
     return round(time.time() - t0, 2), n
 
 
+# ---------------------------------------------------------------------------
+# Battery registry. ONE list drives both --ops validation and the measurement
+# loop (round-5 advice: the hand-maintained known_ops set and the if-chain
+# below it could drift — an op added to one but not the other either rejects
+# a valid --ops name or leaves a dead name selecting nothing).
+# Each runner(ctx) returns the record stored under its name; ctx carries
+# (spark, docs, emb, scale, n_docs, n_vecs).
+# ---------------------------------------------------------------------------
+BATTERY: list[tuple[str, "object"]] = []
+
+
+def op(name: str):
+    def deco(fn):
+        BATTERY.append((name, fn))
+        return fn
+
+    return deco
+
+
+class Ctx:
+    def __init__(self, spark, docs, emb, scale, n_docs, n_vecs):
+        self.spark, self.docs, self.emb = spark, docs, emb
+        self.scale, self.n_docs, self.n_vecs = scale, n_docs, n_vecs
+
+
+@op("minhash_dedup")
+def _minhash_dedup(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.dedup import minhash_dedup
+
+    t, n = timed(lambda: minhash_dedup(c.docs, threshold=0.8).count())
+    return {"sec": t, "pairs": n}
+
+
+@op("ngram_jaccard_pairs")
+def _ngram_jaccard(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(c.docs, shingle_n=2, threshold=0.5)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    python_stage = any(
+        m in plan
+        for m in ("ArrowEvalPython", "FlatMapsInPandas", "MapInPandas", "BatchEvalPython")
+    )
+    strategy = "dense(matmul)" if python_stage else "inverted(shingle-join)"
+    t, n = timed(pairs.count)
+    return {"sec": t, "pairs": n, "strategy": strategy}
+
+
+@op("ngram_containment_pairs")
+def _ngram_containment(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.dedup import ngram_containment_pairs
+
+    t, n = timed(
+        lambda: ngram_containment_pairs(c.docs, shingle_n=2, threshold=0.8).count()
+    )
+    return {"sec": t, "pairs": n}
+
+
+@op("embedding_neardup_pairs")
+def _embedding_neardup(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.similarity import embedding_neardup_pairs
+
+    t, n = timed(
+        lambda: embedding_neardup_pairs(c.emb, threshold=0.99, dim=DIM).count()
+    )
+    return {"sec": t, "pairs": n, "blocking": "auto-LSH"}
+
+
+@op("ann_cosine_lsh_multi")
+def _ann_lsh(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.similarity import ann_cosine_lsh_multi
+
+    q = c.emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    t, n = timed(
+        lambda: ann_cosine_lsh_multi(c.emb, query=list(q), k=10, dim=DIM).count()
+    )
+    return {"sec": t, "rows": n}
+
+
+@op("dedup_incremental")
+def _dedup_incremental(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.dedup import dedup_incremental
+    from arrowhouse_spark.operators.text import fingerprint
+
+    seen = fingerprint(c.docs.filter(F.col("doc_id") % 2 == 0)).select("fp")
+    t, n = timed(
+        lambda: dedup_incremental(c.docs.filter(F.col("doc_id") % 2 != 0), seen).count()
+    )
+    return {"sec": t, "survivors": n}
+
+
+@op("line_dedup")
+def _line_dedup(c: Ctx) -> dict:
+    # token-granularity worst case: every token is a "line"; max_df=20
+    # strips the 200-token shared pool (df ≈ n_docs*30/200 ≫ 20) and
+    # keeps the doc-unique long tail — the boilerplate-removal shape
+    from arrowhouse_spark.operators.dedup import line_dedup
+
+    t, n = timed(lambda: line_dedup(c.docs, sep=" ", max_df=20).count())
+    return {"sec": t, "docs": n}
+
+
+@op("pack_sequences")
+def _pack_sequences(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.packing import pack_sequences
+
+    t, n = timed(lambda: pack_sequences(c.docs, budget=200).count())
+    return {"sec": t, "rows": n}
+
+
+# text-quality family (round-4 verdict item 8: measured slopes, not plan-shape
+# arguments). gopher_quality is map-side except the top-bigram rollup;
+# decontaminate streams corpus grams against a broadcast eval set (a
+# deterministic 200-doc slice plays the eval benchmark); unigram_logprob is
+# the token-keyed scoring join.
+@op("gopher_quality")
+def _gopher(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.text import gopher_quality
+
+    t, n = timed(lambda: gopher_quality(c.docs).count())
+    return {"sec": t, "docs": n}
+
+
+@op("decontaminate")
+def _decontaminate(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.text import decontaminate
+
+    eval_df = c.docs.filter(F.col("doc_id") % 500 == 7).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    t, n = timed(
+        lambda: decontaminate(c.docs, eval_df, ngram_n=13)
+        .filter(F.col("is_contaminated"))
+        .count()
+    )
+    return {"sec": t, "flagged": n}
+
+
+@op("unigram_logprob")
+def _unigram(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.text import unigram_logprob_score
+
+    t, n = timed(lambda: unigram_logprob_score(c.docs).count())
+    return {"sec": t, "docs": n}
+
+
+# round-5 additions: span-level dedup and semantic dedup.
+# dup_spans: windows hash before the shuffle; the corpus count is the only
+# global aggregation. semantic_dedup follows the SemDeDup paper recipe
+# n_clusters ~ sqrt(n) so per-cluster O(n_c²) stays bounded as the corpus
+# grows — the measurement checks that law, not just the wall clock.
+@op("dup_spans")
+def _dup_spans(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.dedup import dup_spans
+
+    t, n = timed(
+        lambda: dup_spans(c.docs, window=8).filter(F.col("n_dup_windows") > 0).count()
+    )
+    return {"sec": t, "docs_flagged": n}
+
+
+@op("semantic_dedup")
+def _semantic_dedup(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.similarity import semantic_dedup
+
+    k = max(8, int(c.n_vecs**0.5))
+    t, n = timed(
+        lambda: semantic_dedup(c.emb, n_clusters=k, iters=1, threshold=0.99, init="hash")
+        .filter(~F.col("is_kept"))
+        .count()
+    )
+    return {"sec": t, "dropped": n, "n_clusters": k}
+
+
+# round-6 additions (round-5 verdict item 5): the join-bearing round-5 text
+# newcomers. vocab_encode = token groupBy + top-V broadcast rank join + encode
+# join; bigram_logprob = two gram-keyed scoring joins; source_kl = one
+# (source,token) count feeding keyed marginals. The map-only pii/encoding ops
+# are trivially flat and not measured.
+@op("vocab_encode")
+def _vocab_encode(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.text import vocab_encode
+
+    t, n = timed(lambda: vocab_encode(c.docs, vocab_size=500).count())
+    return {"sec": t, "docs": n}
+
+
+@op("bigram_logprob")
+def _bigram_logprob(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.text import bigram_logprob_score
+
+    t, n = timed(lambda: bigram_logprob_score(c.docs).count())
+    return {"sec": t, "docs": n}
+
+
+@op("source_kl")
+def _source_kl(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.text import source_kl_divergence
+
+    # the generator has no source column; derive a deterministic 4-way split
+    srcd = c.docs.withColumn(
+        "source", F.concat(F.lit("s"), F.pmod(F.xxhash64(F.lit("src"), "doc_id"), F.lit(4)))
+    )
+    t, n = timed(lambda: source_kl_divergence(srcd).count())
+    return {"sec": t, "sources": n}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
@@ -123,12 +330,7 @@ def main() -> None:
     )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
-    known_ops = {
-        "minhash_dedup", "ngram_jaccard_pairs", "ngram_containment_pairs",
-        "embedding_neardup_pairs", "ann_cosine_lsh_multi", "dedup_incremental",
-        "line_dedup", "pack_sequences", "gopher_quality", "decontaminate",
-        "unigram_logprob", "dup_spans", "semantic_dedup",
-    }
+    known_ops = {name for name, _ in BATTERY}
     only = {s for s in args.ops.split(",") if s}
     unknown = only - known_ops
     if unknown:
@@ -136,14 +338,6 @@ def main() -> None:
         # measuring nothing and exit 0
         ap.error(f"unknown --ops {sorted(unknown)}; known: {sorted(known_ops)}")
 
-    def want(name: str) -> bool:
-        return not only or name in only
-
-    from arrowhouse_spark.operators.dedup import minhash_dedup, ngram_jaccard_pairs
-    from arrowhouse_spark.operators.similarity import (
-        ann_cosine_lsh_multi,
-        embedding_neardup_pairs,
-    )
     from arrowhouse_spark.session import get_spark
 
     spark = get_spark(app_name="scale-run")
@@ -158,125 +352,12 @@ def main() -> None:
         docs = spark.read.parquet(f"{droot}/docs")
         emb = spark.read.parquet(f"{droot}/emb")
         rec = results[f"{scale}x"] = {"n_docs": n_docs, "n_vecs": n_vecs}
+        ctx = Ctx(spark, docs, emb, scale, n_docs, n_vecs)
 
-        if want("minhash_dedup"):
-            t, n = timed(lambda: minhash_dedup(docs, threshold=0.8).count())
-            rec["minhash_dedup"] = {"sec": t, "pairs": n}
-
-        if want("ngram_jaccard_pairs"):
-            pairs = ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.5)
-            plan = pairs._jdf.queryExecution().executedPlan().toString()
-            python_stage = any(
-                m in plan for m in ("ArrowEvalPython", "FlatMapsInPandas", "MapInPandas", "BatchEvalPython")
-            )
-            strategy = "dense(matmul)" if python_stage else "inverted(shingle-join)"
-            t, n = timed(pairs.count)
-            rec["ngram_jaccard_pairs"] = {"sec": t, "pairs": n, "strategy": strategy}
-
-        from arrowhouse_spark.operators.dedup import ngram_containment_pairs
-
-        if want("ngram_containment_pairs"):
-            t, n = timed(
-                lambda: ngram_containment_pairs(
-                    docs, shingle_n=2, threshold=0.8
-                ).count()
-            )
-            rec["ngram_containment_pairs"] = {"sec": t, "pairs": n}
-
-        if want("embedding_neardup_pairs"):
-            t, n = timed(
-                lambda: embedding_neardup_pairs(emb, threshold=0.99, dim=DIM).count()
-            )
-            rec["embedding_neardup_pairs"] = {"sec": t, "pairs": n, "blocking": "auto-LSH"}
-
-        if want("ann_cosine_lsh_multi"):
-            q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-            t, n = timed(
-                lambda: ann_cosine_lsh_multi(emb, query=list(q), k=10, dim=DIM).count()
-            )
-            rec["ann_cosine_lsh_multi"] = {"sec": t, "rows": n}
-
-        from arrowhouse_spark.operators.dedup import dedup_incremental, line_dedup
-        from arrowhouse_spark.operators.packing import pack_sequences
-        from arrowhouse_spark.operators.text import fingerprint
-
-        if want("dedup_incremental"):
-            seen = fingerprint(docs.filter(F.col("doc_id") % 2 == 0)).select("fp")
-            t, n = timed(
-                lambda: dedup_incremental(
-                    docs.filter(F.col("doc_id") % 2 != 0), seen
-                ).count()
-            )
-            rec["dedup_incremental"] = {"sec": t, "survivors": n}
-
-        # token-granularity worst case: every token is a "line"; max_df=20
-        # strips the 200-token shared pool (df ≈ n_docs*30/200 ≫ 20) and
-        # keeps the doc-unique long tail — the boilerplate-removal shape
-        if want("line_dedup"):
-            t, n = timed(lambda: line_dedup(docs, sep=" ", max_df=20).count())
-            rec["line_dedup"] = {"sec": t, "docs": n}
-
-        if want("pack_sequences"):
-            t, n = timed(lambda: pack_sequences(docs, budget=200).count())
-            rec["pack_sequences"] = {"sec": t, "rows": n}
-
-        # text-quality family (round-4 verdict item 8: measured slopes, not
-        # plan-shape arguments). gopher_quality is map-side except the
-        # top-bigram rollup; decontaminate streams corpus grams against a
-        # broadcast eval set (a deterministic 200-doc slice plays the eval
-        # benchmark); unigram_logprob is the token-keyed scoring join.
-        from arrowhouse_spark.operators.text import (
-            decontaminate,
-            gopher_quality,
-            unigram_logprob_score,
-        )
-
-        if want("gopher_quality"):
-            t, n = timed(lambda: gopher_quality(docs).count())
-            rec["gopher_quality"] = {"sec": t, "docs": n}
-
-        if want("decontaminate"):
-            eval_df = docs.filter(F.col("doc_id") % 500 == 7).select(
-                (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
-            )
-            t, n = timed(
-                lambda: decontaminate(docs, eval_df, ngram_n=13)
-                .filter(F.col("is_contaminated"))
-                .count()
-            )
-            rec["decontaminate"] = {"sec": t, "flagged": n}
-
-        if want("unigram_logprob"):
-            t, n = timed(lambda: unigram_logprob_score(docs).count())
-            rec["unigram_logprob"] = {"sec": t, "docs": n}
-
-        # round-5 additions: span-level dedup and semantic dedup.
-        # dup_spans: windows hash before the shuffle; the corpus count is the
-        # only global aggregation. semantic_dedup follows the SemDeDup paper
-        # recipe n_clusters ~ sqrt(n) so per-cluster O(n_c²) stays bounded as
-        # the corpus grows — the measurement checks that law, not just the
-        # wall clock.
-        from arrowhouse_spark.operators.dedup import dup_spans
-        from arrowhouse_spark.operators.similarity import semantic_dedup
-
-        if want("dup_spans"):
-            t, n = timed(
-                lambda: dup_spans(docs, window=8)
-                .filter(F.col("n_dup_windows") > 0)
-                .count()
-            )
-            rec["dup_spans"] = {"sec": t, "docs_flagged": n}
-
-        if want("semantic_dedup"):
-            k = max(8, int(n_vecs**0.5))
-            t, n = timed(
-                lambda: semantic_dedup(
-                    emb, n_clusters=k, iters=1, threshold=0.99, init="hash"
-                )
-                .filter(~F.col("is_kept"))
-                .count()
-            )
-            rec["semantic_dedup"] = {"sec": t, "dropped": n, "n_clusters": k}
+        for name, runner in BATTERY:
+            if only and name not in only:
+                continue
+            rec[name] = runner(ctx)
 
         print(json.dumps({f"scale_{scale}x": rec}), flush=True)
 
