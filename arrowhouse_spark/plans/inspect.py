@@ -149,6 +149,23 @@ def report(df: DataFrame) -> PlanReport:
     )
 
 
+def runtime_exchange_reuse(df: DataFrame) -> int:
+    """Execute the plan and count ReusedExchange / reused-query-stage nodes
+    in the FINAL adaptive plan. Exchange reuse is AQE-dynamic: a composed
+    pipeline whose stages all grow from one shared repartition subtree shows
+    N identical scan legs in the STATIC explain, but at runtime Spark
+    materializes that exchange's shuffle files once and every other consumer
+    becomes a ReusedExchange reader — this is the scan-sharing evidence the
+    static ReadSchema count cannot show."""
+    df.count()
+    text = df._jdf.queryExecution().executedPlan().toString()
+    return (
+        text.count("ReusedExchange")
+        + text.count("ReusedQueryStage")
+        + text.count("TableCacheQueryStage")
+    )
+
+
 def check_plan(
     df: DataFrame,
     require_pushed_filters: bool = False,

@@ -908,3 +908,43 @@ def test_encoding_quality_hand_checked(spark):
     assert out[2] == (0, 0.0, 0.25, True)
     assert out[3] == (2, 0.0, 1.0, False)
     assert out[4] == (0, 0.0, 0.0, True)
+
+
+def test_operator_cache_registry_bounded(spark):
+    """Round-5 advice: operator-internal persists (dup_spans windows, the
+    inverted shingle relation, minhash signatures) used bare .cache() and
+    pinned a FRESH never-released copy per call. The registry keys them by
+    (application, tag, input semantic hash): repeated calls over the same
+    logical input must NOT grow the persisted-RDD list, and
+    release_caches() must empty it."""
+    from arrowhouse_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(6))) for i in range(40)]
+        + [(100 + i, "dup dup dup dup dup dup") for i in range(4)],
+        "doc_id: long, text: string",
+    )
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+
+    dedup.release_caches()
+    base_entries = len(dedup._CACHE_REGISTRY)
+    out1 = dedup.dup_spans(df, window=3)
+    out1.count()
+    assert len(dedup._CACHE_REGISTRY) == base_entries + 1
+    assert not cm.isEmpty()  # the windows relation did persist
+    # the plan actually consumes the cached relation (not a dead persist)
+    plan = out1._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    # a second structurally-identical call must REUSE the entry, not stack
+    # a fresh one (the round-5 leak)
+    dedup.dup_spans(df, window=3).count()
+    assert len(dedup._CACHE_REGISTRY) == base_entries + 1
+    # a different input gets its own entry
+    dedup.dup_spans(df.limit(10), window=3).count()
+    assert len(dedup._CACHE_REGISTRY) == base_entries + 2
+    # teardown releases every registered entry (cm emptiness is not
+    # asserted — OTHER session-level caches, e.g. the suite's shared
+    # relations, may legitimately coexist)
+    assert dedup.release_caches() >= 2
+    assert len(dedup._CACHE_REGISTRY) == 0

@@ -118,3 +118,21 @@ def test_hash_parity_queries_are_pure_codegen(spark, sf_dir, qs):
         text = plan_text(df)
         assert "transform(" not in text, f"{name}: HOF let-binding in plan"
         assert codegen_stage_count(df) >= 1, f"{name}: no codegen span"
+
+
+def test_pipeline_pretrain_corpus_plan_shape(spark, sf_dir, qs):
+    """The composed five-stage pipeline (flagship demo) must keep the
+    single-task-free contract AND the round-6 scan-sharing property: no
+    cartesian, no unpartitioned window, and at runtime the shared
+    (doc_id, text, __toks) repartition subtree is materialized ONCE with
+    every other stage family reading it as a ReusedExchange (statically
+    the plan prints ~27 identical scan legs; reuse is AQE-dynamic, so the
+    gate executes the plan)."""
+    from arrowhouse_spark.plans.inspect import runtime_exchange_reuse
+
+    df = qs["pipeline_pretrain_corpus"](spark, sf_dir)
+    check_plan(df)  # forbids cartesian + global window
+    assert runtime_exchange_reuse(df) > 0, (
+        "composed pipeline shows no runtime exchange reuse — the shared "
+        "token subtree is being re-executed per stage family"
+    )
