@@ -7,6 +7,7 @@ from arrowhouse_spark.streaming.replace import (
     stream_dedup_exact,
     stream_dedup_first_seen,
     stream_interval_join,
+    stream_minhash_neardup,
     stream_replace_latest,
     stream_sessionize,
     stream_trending_terms,
@@ -18,6 +19,7 @@ __all__ = [
     "stream_dedup_exact",
     "stream_dedup_first_seen",
     "stream_interval_join",
+    "stream_minhash_neardup",
     "stream_replace_latest",
     "stream_sessionize",
     "stream_trending_terms",

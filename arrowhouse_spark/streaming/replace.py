@@ -272,3 +272,93 @@ def stream_trending_terms(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").alias("window_start"), "token", "n")
     )
+
+
+def stream_minhash_neardup(
+    sdf: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+):
+    """Continuous MinHash NEAR-dup dedup — the streaming twin of
+    operators/dedup.py:minhash_incremental, as stream_dedup_first_seen is
+    to dedup_incremental. Each micro-batch is probed against the
+    accumulated LSH band-index store; surviving documents are written to
+    ``out_path`` and their index rows appended to ``store_path``, which
+    becomes the store the NEXT batch probes — so a near-duplicate of any
+    previously surviving document is dropped, forever, across batches.
+
+    Shape: this is deliberately ``foreachBatch`` + the batch operator, NOT
+    applyInPandasWithState. The near-dup verdict is a cross-key
+    multi-phase decision — a doc's ``bands`` index rows probe ``bands``
+    different (band, bucket) state partitions, the verdict aggregates
+    over ALL of them, and only then do the survivor's rows enter ALL its
+    buckets — which per-key state transitions cannot express (a per-bucket
+    operator would admit a doc to bucket B's store even when bucket A
+    killed it, silently diverging from the batch semantics). foreachBatch
+    against a persistent store is Spark's idiomatic form for exactly this
+    class (streaming MERGE/SCD upserts), and it buys BATCH PARITY BY
+    CONSTRUCTION: the very same operator runs per batch, so per-batch
+    outputs equal sequential minhash_incremental calls by definition
+    (pinned in tests/test_streaming.py).
+
+    State scale: the store is the minhash_band_index relation — bands rows
+    of (id, minhash, band, bucket) per surviving doc. Written bucketed by
+    (band, bucket) in production, the daily batch joins against years of
+    history without moving it (only matched buckets' rows are read); the
+    probe is the same Σ bucket-product join as the batch operator.
+
+    Returns the StreamingQuery (caller awaits/stops it)."""
+    from pyspark.sql.types import StructType
+
+    from arrowhouse_spark.operators.dedup import minhash_incremental
+
+    store_schema = (
+        StructType()
+        .add(id_col, T.LongType())
+        .add("minhash", T.ArrayType(T.LongType()))
+        .add("band", T.IntegerType())
+        .add("bucket", T.LongType())
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            store = spark.read.schema(store_schema).parquet(store_path)
+            store.head(1)  # surface an empty/missing dir as the except path
+        except Exception:  # noqa: BLE001 — first batch: no store yet
+            store = spark.createDataFrame([], store_schema)
+        # persisted locally: consumed by BOTH the doc emit and the store
+        # append, and released before the batch returns (no registry entry
+        # — each batch's relation is unique and dies with the batch)
+        surv_idx = minhash_incremental(
+            batch_df,
+            store,
+            text_col,
+            id_col,
+            num_hashes,
+            bands,
+            shingle_n,
+            threshold,
+        ).persist()
+        try:
+            surv_ids = surv_idx.select(id_col).distinct()
+            batch_df.join(surv_ids, id_col).withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(out_path)
+            surv_idx.write.mode("append").parquet(store_path)
+        finally:
+            surv_idx.unpersist()
+
+    return (
+        sdf.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

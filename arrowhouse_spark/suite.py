@@ -4195,6 +4195,299 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_pretrain_full",
+    r"""
+    WITH inj AS (
+      SELECT doc_id, source,
+        text
+        || CASE WHEN doc_id % 7 = 0
+             THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+             THEN ' ip 10.0.' || (doc_id % 256) || '.17 seen' ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+             THEN ' call +1-555-' || (100 + doc_id % 900) || '-'
+                  || (1000 + doc_id % 9000) || ' today' ELSE '' END
+        || CASE WHEN doc_id % 31 = 0
+             THEN ' café �� ba' || chr(7) || 'd' ELSE '' END
+        AS text
+      FROM documents
+    ), scrubbed AS (
+      SELECT doc_id, source,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+          '\+\d{1,3}[-. ]\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]?\d{3,4}\b',
+          '<PHONE>', 'g') AS text
+      FROM inj
+    ), qc AS (
+      SELECT doc_id, source, text FROM scrubbed
+      WHERE length(text) = length(regexp_replace(text, '�', '', 'g'))
+        AND length(text) = length(regexp_replace(text,
+              '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'))
+        AND round((length(text) - length(regexp_replace(text,
+              '[^\x00-\x7f]', '', 'g'))) / greatest(length(text), 1), 6)
+              <= 0.25
+    ), toks0 AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM qc
+    ), scal AS (
+      SELECT doc_id,
+             CAST(len(w) AS INTEGER) AS n_words,
+             round((length(text) - (len(w) - 1)) / greatest(len(w), 1), 6) AS mwl,
+             round(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                   / greatest(len(w), 1), 6) AS awr,
+             round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                   / greatest(length(text), 1), 6) AS symr
+      FROM toks0
+    ), bgc AS (
+      SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+        FROM toks0
+      ) GROUP BY 1, 2
+    ), tbf AS (
+      SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+      FROM bgc GROUP BY 1
+    ), gpass AS (
+      SELECT s.doc_id FROM scal s LEFT JOIN tbf t ON s.doc_id = t.doc_id
+      WHERE s.n_words >= 50 AND s.n_words <= 100000
+        AND s.mwl >= 3 AND s.mwl <= 10 AND s.awr >= 0.8 AND s.symr <= 0.1
+        AND coalesce(t.top_bigram_frac, 0.0) <= 0.18
+    ), surv1 AS (
+      SELECT q.doc_id, q.source, q.text, q.w
+      FROM toks0 q JOIN gpass USING (doc_id)
+    ), keep AS (
+      SELECT min(doc_id) AS doc_id FROM surv1
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    ), surv2 AS (
+      SELECT s.doc_id, s.source, s.text, s.w FROM surv1 s JOIN keep USING (doc_id)
+    ), wins AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS win
+      FROM surv2, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+    ), wc AS (
+      SELECT win, count(*) AS c FROM wins GROUP BY win
+    ), dup AS (
+      SELECT doc_id, pos FROM wins JOIN wc USING (win) WHERE wc.c >= 2
+    ), cov AS (
+      SELECT doc_id, count(DISTINCT tp) AS covered
+      FROM dup, unnest(generate_series(pos, pos + 7)) AS u(tp) GROUP BY doc_id
+    ), surv3 AS (
+      SELECT s.doc_id, s.source, s.text, s.w FROM surv2 s LEFT JOIN cov USING (doc_id)
+      WHERE round(coalesce(cov.covered, 0) / greatest(len(s.w), 1), 6) <= 0.2
+    ), evtoks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents WHERE doc_id % 97 = 0
+    ), ev AS (
+      SELECT DISTINCT unnest([array_to_string(w[i:i+12], ' ')
+                              FOR i IN range(1, len(w) - 11)]) AS g
+      FROM evtoks
+    ), cgrams AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+12], ' ')
+                                   FOR i IN range(1, len(w) - 11)])) AS g
+      FROM surv3
+    ), contaminated AS (
+      SELECT DISTINCT c.doc_id FROM cgrams c JOIN ev ON c.g = ev.g
+    ), surv4 AS (
+      SELECT s.doc_id, s.source, s.w FROM surv3 s
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), wts(source, wt) AS (
+      VALUES ('src0', 3), ('src1', 2), ('src2', 1)
+    ), counts AS (
+      SELECT s.source, count(*) AS n_avail, any_value(wts.wt) AS wt
+      FROM surv4 s JOIN wts ON s.source = wts.source GROUP BY s.source
+    ), m AS (
+      SELECT min(n_avail // wt) AS m FROM counts
+    ), plan AS (
+      SELECT source, wt * m.m AS take_n FROM counts, m
+    ), ranked AS (
+      SELECT s.doc_id, s.source, s.w, p.take_n,
+             row_number() OVER (
+               PARTITION BY s.source
+               ORDER BY md5('mix' || CAST(s.doc_id AS VARCHAR)), s.doc_id
+             ) AS rn
+      FROM surv4 s JOIN plan p ON s.source = p.source
+    ), mixed AS (
+      SELECT doc_id, source, w FROM ranked WHERE rn <= take_n
+    ), pe AS (
+      SELECT doc_id, i - 1 AS pos, w[i] AS tok
+      FROM mixed, unnest(generate_series(1, len(w))) AS t(i)
+    ), tf AS (
+      SELECT tok, count(*) AS tf FROM pe GROUP BY tok
+    ), vocab AS (
+      SELECT tok, CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) AS INTEGER) AS tid
+      FROM tf ORDER BY tf DESC, tok ASC LIMIT 500
+    ), enc AS (
+      SELECT pe.doc_id, pe.pos, coalesce(vocab.tid, 0) AS tid
+      FROM pe LEFT JOIN vocab USING (tok)
+    ), encagg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_unk,
+             CAST(sum((pos + 1) * tid) AS BIGINT) AS ids_checksum
+      FROM enc GROUP BY doc_id
+    ), pk0 AS (
+      SELECT doc_id, source, CAST(len(w) AS INT) AS n_tokens,
+             (('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 32)::BIGINT AS bucket
+      FROM mixed
+    ), pk AS (
+      SELECT doc_id, source, bucket,
+             sum(n_tokens) OVER (PARTITION BY bucket
+                                 ORDER BY n_tokens DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS strt
+      FROM pk0
+    )
+    SELECT e.doc_id, p.source, e.n_tokens, e.n_unk, e.ids_checksum, p.bucket,
+           CAST(p.strt // 200 AS BIGINT) AS pack_id,
+           CAST(p.strt % 200 AS BIGINT) AS pack_off
+    FROM encagg e JOIN pk p USING (doc_id)
+    """,
+)
+def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pretraining-data build as one composed plan — round-6
+    verdict item 2, extending pipeline_pretrain_corpus with the remaining
+    proven stages on both ends: PII scrub → encoding QC → Gopher quality →
+    exact dedup → duplicated-span filter → 13-gram benchmark
+    decontamination → deterministic source mixing (3/2/1 over
+    src0/src1/src2) → corpus vocab encoding (V=500) → sequence packing
+    (b=200). Deterministic PII (every 7th/11th/13th doc) and mojibake
+    noise (every 31st) are INJECTED from doc_id on both sides so scrub
+    and QC make real decisions; the eval set is the doc_id%97 sample of
+    the RAW corpus, so surviving eval twins are really dropped. One row
+    per mixed-sample document: source + encoded-sequence checksum + pack
+    placement — the oracle replays all nine stages in SQL, so the hash
+    compare certifies the full composition (wrong survivor set at ANY
+    stage, wrong mix counts, shifted id sequence, or different pack
+    layout all flip it).
+
+    Scale: each stage keeps its operator's proven plan (scrub/QC are
+    map-side codegen; dedup/spans/vocab/pack shuffles are keyed; the
+    decontamination eval side is a broadcast; the exact-mix window is
+    per-source — the documented boundedness trade of
+    operators/sampling.py:source_mixed_sample). Scan sharing: scrub → QC
+    feed one repartitioned injected subtree, and every tokenizing stage
+    downstream reads the one (doc_id, source, text, __toks) relation
+    through its ``tokens_col`` seam."""
+    from arrowhouse_spark.operators.dedup import dedup_exact, dup_spans
+    from arrowhouse_spark.operators.packing import pack_sequences
+    from arrowhouse_spark.operators.sampling import source_mixed_sample as sms
+    from arrowhouse_spark.operators.text import (
+        decontaminate,
+        encoding_quality,
+        gopher_quality,
+        pii_scrub,
+        tokens,
+        vocab_encode,
+    )
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.repartition(n_part, "doc_id").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" ip 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".17 seen"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+                    F.lit("-"),
+                    (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+                    F.lit(" today"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 31 == 0, F.lit(" café �� ba\x07d")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scr = pii_scrub(injected).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    qc_ok = (
+        encoding_quality(scr).filter(F.col("encoding_clean")).select("doc_id")
+    )
+    sbase = (
+        injected.select("doc_id", "source")
+        .join(scr, "doc_id")
+        .join(qc_ok, "doc_id")
+        .select("doc_id", "source", "text", tokens("text").alias("__toks"))
+    )
+    gpass = (
+        gopher_quality(sbase, tokens_col="__toks")
+        .filter(F.col("gopher_pass"))
+        .select("doc_id")
+    )
+    surv1 = sbase.join(gpass, "doc_id")
+    keep = dedup_exact(surv1).select(F.col("keep_id").alias("doc_id"))
+    # Lineage CUTS at the stage seams (lazy localCheckpoint): each stage
+    # family references its survivor input ~2× (the filter build and the
+    # join probe), so across nine stages the uncut logical plan duplicates
+    # the scrub/QC expression subtree ~2^9 times — the explain string
+    # alone OOMs a 1g driver, and execution piles hundreds of duplicate
+    # operator instances into fused tasks (measured
+    # UNABLE_TO_ACQUIRE_MEMORY under the 8g/16-thread gate session even
+    # with repartition barriers). A lazy checkpoint materializes the
+    # survivor relation ONCE at first execution and every downstream
+    # reference reads those blocks as a leaf — plan size back to linear,
+    # each mega-stage's memory released before the next begins. At 100 TB
+    # this materialization is exactly the persisted intermediate a real
+    # multi-day pipeline would write between stages anyway.
+    surv2 = surv1.join(keep, "doc_id").localCheckpoint(eager=False)
+    spanok = (
+        dup_spans(surv2, window=8, tokens_col="__toks")
+        .filter(F.col("dup_token_frac") <= 0.2)
+        .select("doc_id")
+    )
+    surv3 = surv2.join(spanok, "doc_id")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    decon_ok = (
+        decontaminate(surv3, ev, ngram_n=13)
+        .filter(~F.col("is_contaminated"))
+        .select("doc_id")
+    )
+    surv4 = surv3.join(decon_ok, "doc_id").localCheckpoint(eager=False)
+    mixed = sms(
+        surv4, weights={"src0": 3, "src1": 2, "src2": 1}, key="doc_id"
+    )
+    enc = vocab_encode(mixed, vocab_size=500, tokens_col="__toks")
+    checksum = _ids_checksum()
+    packed = pack_sequences(mixed, budget=200, tokens_col="__toks").select(
+        "doc_id", "bucket", "pack_id", "pack_off"
+    )
+    return (
+        mixed.select("doc_id", "source")
+        .join(
+            enc.select(
+                "doc_id", "n_tokens", "n_unk", checksum.alias("ids_checksum")
+            ),
+            "doc_id",
+        )
+        .join(packed, "doc_id")
+    )
+
+
+@register(
     "vocab_encode_docs",
     """
     WITH toks AS (

@@ -64,6 +64,8 @@ HEADLINE = [
     "pipeline_pretrain_corpus",
     "minhash_incremental_docs",
     "doc_encoding_quality",
+    # round 6 additions (no prior-round delta basis)
+    "pipeline_pretrain_full",
 ]
 
 

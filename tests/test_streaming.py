@@ -433,3 +433,93 @@ def test_stream_trending_terms_per_batch_golden(spark, tmp_path):
     ]
     # same window updated: only touched tokens re-emit, with merged counts
     assert sorted((r[1], r[2]) for r in b1) == [("duck", 3), ("goose", 1)]
+
+
+def test_stream_minhash_neardup_batches_and_parity(spark, tmp_path):
+    """Streaming MinHash near-dup (the continuous minhash_incremental):
+    batch 2's near-dup of a batch-1 SURVIVOR is dropped by the store probe,
+    batch 3's exact copy of a batch-2 survivor likewise, while genuinely
+    new content always survives — and every batch's survivor set equals a
+    sequential replay of the BATCH operator against the accumulating
+    store (parity by construction; this pins the store wiring)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from arrowhouse_spark.operators.dedup import minhash_incremental
+    from arrowhouse_spark.streaming import stream_minhash_neardup
+
+    base_a = " ".join(f"alpha{i}" for i in range(50))
+    near_a = base_a.replace("alpha7", "edited", 1)
+    text_b = " ".join(f"beta{i}" for i in range(50))
+    near_b = text_b.replace("beta3", "changed", 1)
+    text_c = " ".join(f"gamma{i}" for i in range(50))
+    text_d = " ".join(f"delta{i}" for i in range(50))
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, base_a), (2, text_b)],
+        [(3, near_a), (4, text_c)],
+        [(5, text_c), (6, near_b), (7, text_d)],
+    ]
+
+    d = str(tmp_path / "mh_stream")
+    os.makedirs(d + "/in")
+    now = time.time()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            d + f"/b{i}"
+        )
+        f = glob.glob(d + f"/b{i}/part-*.parquet")[0]
+        dst = d + f"/in/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (now - 3600 + i * 60, now - 3600 + i * 60))
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/in")
+    )
+    q = stream_minhash_neardup(
+        sdf,
+        store_path=d + "/store",
+        out_path=d + "/out",
+        checkpoint_path=d + "/ckpt",
+        threshold=0.5,
+    )
+    q.awaitTermination(180)
+
+    out = spark.read.parquet(d + "/out")
+    got = {
+        r.batch_id: set()
+        for r in out.select("batch_id").distinct().collect()
+    }
+    for r in out.collect():
+        got[r.batch_id].add(r.doc_id)
+    assert got == {0: {1, 2}, 1: {4}, 2: {7}}
+
+    # sequential replay of the batch operator over the same batches
+    store = None
+    for i, rows in enumerate(batches):
+        bdf = spark.createDataFrame(rows, schema)
+        if store is None:
+            surv = minhash_incremental(
+                bdf,
+                spark.createDataFrame(
+                    [],
+                    "doc_id long, minhash array<bigint>, band int, bucket long",
+                ),
+                threshold=0.5,
+            )
+        else:
+            surv = minhash_incremental(bdf, store, threshold=0.5)
+        ids = {r.doc_id for r in surv.select("doc_id").distinct().collect()}
+        assert ids == got[i], f"batch {i}: stream {got[i]} != batch {ids}"
+        store = surv if store is None else store.unionByName(surv)
+
+    # the persisted store is exactly the survivors' band-index rows
+    store_ids = {
+        r.doc_id
+        for r in spark.read.parquet(d + "/store").select("doc_id").distinct().collect()
+    }
+    assert store_ids == {1, 2, 4, 7}
