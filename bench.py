@@ -184,6 +184,15 @@ def main() -> None:
             "min-of-N timings for dedup queries assume a warm shared "
             "shingle/token cache; queries_first_run is the cold pass"
         ),
+        "variance_note": (
+            "round-6 adjudication of the repeat delta wobblers: 7 warm "
+            "runs of range_join_purchase_windows spread 0.66-0.87s "
+            "(outlier 1.6s) and embedding_neardup 0.38-0.68s on this "
+            "machine — sub-second deltas within ±0.3s are scheduler/GC "
+            "noise, not plan regressions; adjudicate only deltas beyond "
+            "that bound"
+        ),
+        "noise_floor_sec": 0.3,
         "delta_vs": prior_file,
         "delta_vs_prior": delta,
     }
