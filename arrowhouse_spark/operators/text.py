@@ -12,6 +12,8 @@ ANSI SQL, so each has a DuckDB oracle in __spark_entry__.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -678,4 +680,97 @@ def pii_scrub(
         cleaned.alias(out),
         *counts,
         total.alias("n_pii"),
+    )
+
+
+def url_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    blocked_domains: DataFrame | Sequence[str] = (),
+    blocked_keywords: Sequence[str] = (),
+) -> DataFrame:
+    """URL/domain filtering — the pre-download triage a web-corpus pipeline
+    runs before fetching or keeping a page (C4 §2.2 badwords list;
+    RefinedWeb §3.1.1 blocklist of 4.6M domains + URL keyword scoring;
+    FineWeb's adult/violent URL filter). Superset of the reference (no
+    URL surface there).
+
+    Signals per row: ``domain`` (the host extracted from the URL),
+    ``blocked_domain`` (exact host match against ``blocked_domains``),
+    ``blocked_keyword`` (any of ``blocked_keywords`` is a substring of the
+    lowercased URL), and the conjunctive ``url_pass``.
+
+    Scale: the host extraction is one map-side regexp; the domain check is
+    an equi-join against the blocklist RELATION — real blocklists are
+    millions of rows, which is exactly the broadcast-hash-join shape
+    (hinted here; Spark would shuffle-join a blocklist too big to
+    broadcast and the semantics hold unchanged). ``blocked_domains`` may
+    be a ready DataFrame with a ``domain`` column (the production path —
+    read the blocklist table once, reuse across calls) or an inline
+    sequence (tests/small lists). Keyword checks compile to a map-side
+    boolean chain — bounded by the keyword list length, no join."""
+    spark = df.sparkSession
+    if isinstance(blocked_domains, DataFrame):
+        bdf = blocked_domains.select(F.col("domain"))
+    else:
+        bdf = spark.createDataFrame(
+            [(d.lower(),) for d in blocked_domains], "domain string"
+        )
+    host = F.lower(F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/:?#]+)", 1))
+    out = df.withColumn("domain", host)
+    hit = (
+        bdf.select(F.col("domain"), F.lit(True).alias("__blocked"))
+        .distinct()
+    )
+    out = out.join(F.broadcast(hit), "domain", "left").withColumn(
+        "blocked_domain", F.coalesce(F.col("__blocked"), F.lit(False))
+    ).drop("__blocked")
+    kw = F.lit(False)
+    low_url = F.lower(F.col(url_col))
+    for k in blocked_keywords:
+        kw = kw | low_url.contains(k.lower())
+    return out.withColumn("blocked_keyword", kw).withColumn(
+        "url_pass", ~F.col("blocked_domain") & ~F.col("blocked_keyword")
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 13,
+) -> DataFrame:
+    """The REVERSE view of :func:`decontaminate`: per EVALUATION document,
+    how compromised is it by the training corpus — the report an eval-suite
+    owner reads before trusting a benchmark number (GPT-3 §C publishes
+    exactly this table). Returns one row per eval doc:
+    (eval_id, n_hit_grams, n_corpus_docs, is_compromised) where
+    n_hit_grams counts the eval doc's distinct ``ngram_n``-grams found
+    anywhere in the corpus and n_corpus_docs the distinct corpus documents
+    containing at least one of them.
+
+    Scale: same plan family as decontaminate with the broadcast flipped —
+    the eval gram relation (small) broadcasts, the corpus grams stream
+    map-side against it, and the only shuffle is the per-eval-id rollup of
+    (eval_id, corpus_id, gram-hash) HIT rows — bounded by actual overlap,
+    not corpus size."""
+    from arrowhouse_spark.operators.dedup import shingle_relation
+
+    corpus_grams = shingle_relation(corpus, text_col, id_col, ngram_n)
+    eval_grams = shingle_relation(eval_df, text_col, id_col, ngram_n).select(
+        F.col(id_col).alias("eval_id"), "shingle"
+    )
+    hits = corpus_grams.join(F.broadcast(eval_grams), "shingle")
+    per_eval = hits.groupBy("eval_id").agg(
+        F.count_distinct("shingle").alias("n_hit_grams"),
+        F.count_distinct(F.col(id_col)).alias("n_corpus_docs"),
+    )
+    ids = eval_df.select(F.col(id_col).alias("eval_id"))
+    return (
+        ids.join(per_eval, "eval_id", "left")
+        .withColumn("n_hit_grams", F.coalesce("n_hit_grams", F.lit(0)))
+        .withColumn("n_corpus_docs", F.coalesce("n_corpus_docs", F.lit(0)))
+        .withColumn("is_compromised", F.col("n_hit_grams") >= 1)
     )

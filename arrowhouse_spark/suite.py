@@ -4488,6 +4488,124 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_url_filter",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || CASE doc_id % 5
+                WHEN 0 THEN 'spam.example.com'
+                WHEN 1 THEN 'ads.example.net'
+                WHEN 2 THEN 'blog.example.org'
+                WHEN 3 THEN 'news.example.com'
+                ELSE 'docs.example.io' END
+             || '/p/' || doc_id
+             || CASE WHEN doc_id % 17 = 0 THEN '?ref=casino-bonus' ELSE '' END
+             AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)) AS domain,
+           lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1))
+             IN ('spam.example.com', 'ads.example.net') AS blocked_domain,
+           contains(lower(url), 'casino') AS blocked_keyword,
+           (NOT lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1))
+             IN ('spam.example.com', 'ads.example.net'))
+           AND NOT contains(lower(url), 'casino') AS url_pass
+    FROM u
+    """,
+)
+def doc_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain triage (operators/text.py:url_filter): host extraction +
+    broadcast blocklist join + keyword scan — the C4/RefinedWeb/FineWeb
+    pre-download filter. The fixture has no URL column, so one is
+    SYNTHESIZED deterministically from doc_id on both sides (the PII
+    injection discipline): five rotating domains, two of them blocklisted,
+    plus a 'casino' spam keyword on every 17th URL — so all four signals'
+    true and false paths are pinned by the hash."""
+    from arrowhouse_spark.operators.text import url_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    with_url = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.element_at(
+                F.array(
+                    F.lit("spam.example.com"),
+                    F.lit("ads.example.net"),
+                    F.lit("blog.example.org"),
+                    F.lit("news.example.com"),
+                    F.lit("docs.example.io"),
+                ),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 17 == 0, F.lit("?ref=casino-bonus")
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    out = url_filter(
+        with_url,
+        blocked_domains=["spam.example.com", "ads.example.net"],
+        blocked_keywords=["casino"],
+    )
+    return out.select(
+        "doc_id", "url", "domain", "blocked_domain", "blocked_keyword", "url_pass"
+    )
+
+
+@register(
+    "eval_contamination_report",
+    """
+    WITH ctoks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents WHERE doc_id % 97 != 0
+    ), cgrams AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+12], ' ')
+                                   FOR i IN range(1, len(w) - 11)])) AS g
+      FROM ctoks
+    ), etoks AS (
+      SELECT doc_id AS eval_id,
+             list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents WHERE doc_id % 97 = 0
+    ), egrams AS (
+      SELECT eval_id,
+             unnest(list_distinct([array_to_string(w[i:i+12], ' ')
+                                   FOR i IN range(1, len(w) - 11)])) AS g
+      FROM etoks
+    ), hits AS (
+      SELECT e.eval_id,
+             CAST(count(DISTINCT e.g) AS BIGINT) AS n_hit_grams,
+             CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_corpus_docs
+      FROM egrams e JOIN cgrams c ON e.g = c.g
+      GROUP BY e.eval_id
+    )
+    SELECT t.eval_id,
+           coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+           coalesce(h.n_corpus_docs, 0) AS n_corpus_docs,
+           coalesce(h.n_hit_grams, 0) >= 1 AS is_compromised
+    FROM etoks t LEFT JOIN hits h USING (eval_id)
+    """,
+)
+def eval_contamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse decontamination (operators/text.py:contamination_report):
+    per EVAL document, its distinct 13-grams found in the training corpus
+    and the distinct corpus docs containing them — the report a benchmark
+    owner publishes (GPT-3 §C). The doc_id%97 slice plays the eval set
+    against the complementary corpus; exact duplicates in the fixture
+    guarantee non-trivial hits, and evals with no twin pin the zero row."""
+    from arrowhouse_spark.operators.text import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_report(corpus, ev, ngram_n=13)
+
+
+@register(
     "vocab_encode_docs",
     """
     WITH toks AS (

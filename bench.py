@@ -66,6 +66,8 @@ HEADLINE = [
     "doc_encoding_quality",
     # round 6 additions (no prior-round delta basis)
     "pipeline_pretrain_full",
+    "doc_url_filter",
+    "eval_contamination_report",
 ]
 
 

@@ -948,3 +948,63 @@ def test_operator_cache_registry_bounded(spark):
     # relations, may legitimately coexist)
     assert dedup.release_caches() >= 2
     assert len(dedup._CACHE_REGISTRY) == 0
+
+
+def test_url_filter_hand_checked(spark):
+    from arrowhouse_spark.operators.text import url_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.example.com/a"),
+            (2, "http://ok.example.org/x?ref=CASINO-bonus"),
+            (3, "https://ok.example.org/clean"),
+            (4, "https://SPAM.example.com:8080/b"),
+        ],
+        "doc_id: long, url: string",
+    )
+    out = {
+        r.doc_id: (r.domain, r.blocked_domain, r.blocked_keyword, r.url_pass)
+        for r in url_filter(
+            df,
+            blocked_domains=["spam.example.com"],
+            blocked_keywords=["casino"],
+        ).collect()
+    }
+    assert out[1] == ("spam.example.com", True, False, False)
+    assert out[2] == ("ok.example.org", False, True, False)  # case-folded kw
+    assert out[3] == ("ok.example.org", False, False, True)
+    # port stripped by the host charclass, case-folded domain
+    assert out[4] == ("spam.example.com", True, False, False)
+
+
+def test_url_filter_accepts_blocklist_relation(spark):
+    """The production path: blocklist as a ready DataFrame relation."""
+    from arrowhouse_spark.operators.text import url_filter
+
+    df = spark.createDataFrame(
+        [(1, "https://bad.net/x"), (2, "https://good.net/y")],
+        "doc_id: long, url: string",
+    )
+    bl = spark.createDataFrame([("bad.net",)], "domain string")
+    out = {r.doc_id: r.url_pass for r in url_filter(df, blocked_domains=bl).collect()}
+    assert out == {1: False, 2: True}
+
+
+def test_contamination_report_hand_checked(spark):
+    """Eval doc 100 shares its one distinct 2-gram with corpus docs 1 and 2
+    (two corpus docs, one gram); eval doc 101 is clean."""
+    from arrowhouse_spark.operators.text import contamination_report
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c"), (2, "z a b"), (3, "q r s")],
+        "doc_id: long, text: string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "a b"), (101, "x y")], "doc_id: long, text: string"
+    )
+    out = {
+        r.eval_id: (r.n_hit_grams, r.n_corpus_docs, r.is_compromised)
+        for r in contamination_report(corpus, ev, ngram_n=2).collect()
+    }
+    assert out[100] == (1, 2, True)
+    assert out[101] == (0, 0, False)
