@@ -1,0 +1,77 @@
+"""Raw-file ingestion source: directories of media/blob files as DataFrames.
+
+The reference reads only structured formats (Parquet block streams,
+DataStreams/ParquetBlockInputStream.cpp:24-38); a training-data pipeline also
+ingests directories of raw images/audio/documents. Spark's built-in
+``binaryFile`` format maps each file to one row (path, modificationTime,
+length, content) with the content read lazily per task — files are NOT
+shipped through the driver, and partition planning respects
+``spark.sql.files.maxPartitionBytes``, so a 100 TB media lake parallelizes
+like any other scan.
+
+``read_binary_dir`` wraps that format with the engine's media-table contract
+(operators/multimodal.py:MEDIA_SCHEMA): a deterministic ``media_id`` derived
+from the file path (xxhash64 — stable across re-reads and engines), the
+media_type inferred from the extension, and the payload as the opaque binary
+column the decode/resize/frame-sample operators consume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: extension → media_type for the common training-data modalities
+EXT_MEDIA_TYPE: dict[str, str] = {
+    "jpg": "image", "jpeg": "image", "png": "image", "webp": "image",
+    "gif": "image", "bmp": "image",
+    "wav": "audio", "mp3": "audio", "flac": "audio", "ogg": "audio",
+    "mp4": "video", "webm": "video", "mkv": "video", "avi": "video",
+}
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw rows from Spark's binaryFile source: (path, modificationTime,
+    length, content). ``glob`` filters file names (e.g. ``*.png``);
+    ``max_bytes`` drops oversized files BEFORE content is materialized
+    (the length filter is answered from file status, so a 10 GB stray
+    video never enters an Arrow batch)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """A media-table view of a raw file directory: (media_id, media_type,
+    payload, path, length) — ``media_id`` is xxhash64 of the path (stable,
+    engine-independent), ``media_type`` from EXT_MEDIA_TYPE ('binary' for
+    unknown extensions). Feed straight into the multimodal operators."""
+    raw = read_binary_files(spark, path, glob, max_bytes)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    mtype = F.lit("binary")
+    # build the CASE chain from the literal map (deterministic order)
+    mapping = F.create_map(
+        *[F.lit(x) for kv in sorted(EXT_MEDIA_TYPE.items()) for x in kv]
+    )
+    mtype = F.coalesce(mapping[ext], F.lit("binary"))
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        mtype.alias("media_type"),
+        F.col("content").alias("payload"),
+        "path",
+        "length",
+    )

@@ -125,3 +125,36 @@ def test_real_codec_decodes_png(spark):
     [r] = decode_images(df, use_real_codec=True).collect()
     exp = sum((x * 31 + 1) % 251 for x in range(48)) / 48
     assert (r.width, r.height) == (8, 6) and abs(r.mean_pixel - exp) < 1e-9
+
+
+def test_binaryfile_source_to_media_table(spark, tmp_path):
+    """Directory-of-raw-files ingestion: binaryFile rows become the media
+    table the multimodal operators consume — stable path-hash ids, extension
+    media types, length filter answered from file status, glob filter."""
+    from arrowhouse_spark.operators.multimodal import decode_images, make_fake_payload
+    from arrowhouse_spark.sources import read_binary_dir, read_binary_files
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.png").write_bytes(make_fake_payload(8, 6, seed=1))
+    (d / "b.jpg").write_bytes(make_fake_payload(4, 4, seed=2))
+    (d / "c.wav").write_bytes(b"\x00" * 64)
+    (d / "d.xyz").write_bytes(b"?" * 2000)
+
+    media = read_binary_dir(spark, str(d))
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert rows["a.png"].media_type == "image"
+    assert rows["b.jpg"].media_type == "image"
+    assert rows["c.wav"].media_type == "audio"
+    assert rows["d.xyz"].media_type == "binary"
+    assert len({r.media_id for r in rows.values()}) == 4  # distinct stable ids
+    assert rows["c.wav"].length == 64
+
+    # the media table feeds the decode operator directly
+    imgs = media.filter(media.media_type == "image").select("media_id", "payload")
+    decoded = {r.media_id: (r.width, r.height) for r in decode_images(imgs).collect()}
+    assert sorted(decoded.values()) == [(4, 4), (8, 6)]
+
+    # max_bytes: status-level filter, glob: name filter
+    assert read_binary_files(spark, str(d), max_bytes=100).count() == 3
+    assert read_binary_files(spark, str(d), glob="*.png").count() == 1
