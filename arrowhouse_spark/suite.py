@@ -4488,6 +4488,49 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_stats",
+    r"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(string_split(text, ' '), x -> x != '')))
+             AS BIGINT) AS n_tokens,
+           round(avg(len(list_filter(string_split(text, ' '), x -> x != ''))), 3)
+             AS avg_tokens,
+           CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)),
+             '\s+', ' ', 'g'))) AS BIGINT) AS n_distinct_contents,
+           round(1.0 - count(DISTINCT md5(regexp_replace(lower(trim(text)),
+             '\s+', ' ', 'g'))) / count(*), 6) AS dup_frac,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    """,
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card summary a training-data pipeline publishes with a
+    corpus snapshot: document/token counts, mean length, exact-duplicate
+    rate (via the dedup fingerprint), language and source cardinalities —
+    one aggregation pass over the corpus. Spark computes the three
+    count-distincts in one plan (EXPAND + two-phase aggregate — partial
+    maps combine map-side, so no key concentrates a reducer); at 100 TB
+    the distinct-content count is the only wide part and carries 16-byte
+    fingerprints, not text."""
+    from arrowhouse_spark.operators.text import fingerprint, tokens
+
+    docs = fingerprint(_t(spark, sf_dir, "documents"))
+    n_tok = F.size(tokens("text"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+        F.round(F.avg(n_tok), 3).alias("avg_tokens"),
+        F.count_distinct(F.col("fp")).alias("n_distinct_contents"),
+        F.round(
+            F.lit(1.0) - F.count_distinct(F.col("fp")) / F.count(F.lit(1)), 6
+        ).alias("dup_frac"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+    )
+
+
+@register(
     "doc_url_filter",
     """
     WITH u AS (

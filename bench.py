@@ -68,6 +68,7 @@ HEADLINE = [
     "pipeline_pretrain_full",
     "doc_url_filter",
     "eval_contamination_report",
+    "corpus_stats",
 ]
 
 
