@@ -4062,7 +4062,7 @@ def _ids_checksum() -> "F.Column":
 @register(
     "pipeline_pretrain_corpus",
     """
-    WITH toks0 AS (
+    WITH toks0 AS MATERIALIZED (
       SELECT doc_id, text,
              list_filter(string_split(text, ' '), x -> x != '') AS w
       FROM documents
@@ -4088,17 +4088,17 @@ def _ids_checksum() -> "F.Column":
       WHERE s.n_words >= 50 AND s.n_words <= 100000
         AND s.mwl >= 3 AND s.mwl <= 10 AND s.awr >= 0.8 AND s.symr <= 0.1
         AND coalesce(t.top_bigram_frac, 0.0) <= 0.18
-    ), surv1 AS (
+    ), surv1 AS MATERIALIZED (
       SELECT d.doc_id, d.text FROM documents d JOIN gpass USING (doc_id)
     ), keep AS (
       SELECT min(doc_id) AS doc_id FROM surv1
       GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-    ), surv2 AS (
+    ), surv2 AS MATERIALIZED (
       SELECT s.doc_id, s.text FROM surv1 s JOIN keep USING (doc_id)
-    ), t2 AS (
+    ), t2 AS MATERIALIZED (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
       FROM surv2
-    ), wins AS (
+    ), wins AS MATERIALIZED (
       SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS win
       FROM t2, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
     ), wc AS (
@@ -4108,10 +4108,10 @@ def _ids_checksum() -> "F.Column":
     ), cov AS (
       SELECT doc_id, count(DISTINCT tp) AS covered
       FROM dup, unnest(generate_series(pos, pos + 7)) AS u(tp) GROUP BY doc_id
-    ), surv3 AS (
+    ), surv3 AS MATERIALIZED (
       SELECT t2.doc_id, t2.w FROM t2 LEFT JOIN cov USING (doc_id)
       WHERE round(coalesce(cov.covered, 0) / greatest(len(t2.w), 1), 6) <= 0.2
-    ), pe AS (
+    ), pe AS MATERIALIZED (
       SELECT doc_id, i - 1 AS pos, w[i] AS tok
       FROM surv3, unnest(generate_series(1, len(w))) AS t(i)
     ), tf AS (
@@ -4211,7 +4211,7 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
              THEN ' café �� ba' || chr(7) || 'd' ELSE '' END
         AS text
       FROM documents
-    ), scrubbed AS (
+    ), scrubbed AS MATERIALIZED (
       SELECT doc_id, source,
         regexp_replace(
           regexp_replace(
@@ -4221,7 +4221,7 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
           '\+\d{1,3}[-. ]\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]?\d{3,4}\b',
           '<PHONE>', 'g') AS text
       FROM inj
-    ), qc AS (
+    ), qc AS MATERIALIZED (
       SELECT doc_id, source, text FROM scrubbed
       WHERE length(text) = length(regexp_replace(text, '�', '', 'g'))
         AND length(text) = length(regexp_replace(text,
@@ -4229,7 +4229,7 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND round((length(text) - length(regexp_replace(text,
               '[^\x00-\x7f]', '', 'g'))) / greatest(length(text), 1), 6)
               <= 0.25
-    ), toks0 AS (
+    ), toks0 AS MATERIALIZED (
       SELECT doc_id, source, text,
              list_filter(string_split(text, ' '), x -> x != '') AS w
       FROM qc
@@ -4255,15 +4255,15 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE s.n_words >= 50 AND s.n_words <= 100000
         AND s.mwl >= 3 AND s.mwl <= 10 AND s.awr >= 0.8 AND s.symr <= 0.1
         AND coalesce(t.top_bigram_frac, 0.0) <= 0.18
-    ), surv1 AS (
+    ), surv1 AS MATERIALIZED (
       SELECT q.doc_id, q.source, q.text, q.w
       FROM toks0 q JOIN gpass USING (doc_id)
     ), keep AS (
       SELECT min(doc_id) AS doc_id FROM surv1
       GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-    ), surv2 AS (
+    ), surv2 AS MATERIALIZED (
       SELECT s.doc_id, s.source, s.text, s.w FROM surv1 s JOIN keep USING (doc_id)
-    ), wins AS (
+    ), wins AS MATERIALIZED (
       SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS win
       FROM surv2, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
     ), wc AS (
@@ -4273,7 +4273,7 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cov AS (
       SELECT doc_id, count(DISTINCT tp) AS covered
       FROM dup, unnest(generate_series(pos, pos + 7)) AS u(tp) GROUP BY doc_id
-    ), surv3 AS (
+    ), surv3 AS MATERIALIZED (
       SELECT s.doc_id, s.source, s.text, s.w FROM surv2 s LEFT JOIN cov USING (doc_id)
       WHERE round(coalesce(cov.covered, 0) / greatest(len(s.w), 1), 6) <= 0.2
     ), evtoks AS (
@@ -4283,14 +4283,14 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT unnest([array_to_string(w[i:i+12], ' ')
                               FOR i IN range(1, len(w) - 11)]) AS g
       FROM evtoks
-    ), cgrams AS (
+    ), cgrams AS MATERIALIZED (
       SELECT doc_id,
              unnest(list_distinct([array_to_string(w[i:i+12], ' ')
                                    FOR i IN range(1, len(w) - 11)])) AS g
       FROM surv3
     ), contaminated AS (
       SELECT DISTINCT c.doc_id FROM cgrams c JOIN ev ON c.g = ev.g
-    ), surv4 AS (
+    ), surv4 AS MATERIALIZED (
       SELECT s.doc_id, s.source, s.w FROM surv3 s
       WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)
     ), wts(source, wt) AS (
@@ -4309,9 +4309,9 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY md5('mix' || CAST(s.doc_id AS VARCHAR)), s.doc_id
              ) AS rn
       FROM surv4 s JOIN plan p ON s.source = p.source
-    ), mixed AS (
+    ), mixed AS MATERIALIZED (
       SELECT doc_id, source, w FROM ranked WHERE rn <= take_n
-    ), pe AS (
+    ), pe AS MATERIALIZED (
       SELECT doc_id, i - 1 AS pos, w[i] AS tok
       FROM mixed, unnest(generate_series(1, len(w))) AS t(i)
     ), tf AS (
