@@ -774,3 +774,42 @@ def contamination_report(
         .withColumn("n_corpus_docs", F.coalesce("n_corpus_docs", F.lit(0)))
         .withColumn("is_compromised", F.col("n_hit_grams") >= 1)
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    out: str = "text_norm",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) — the canonicalization a
+    text pipeline runs before fingerprinting or tokenizing multilingual
+    corpora (combining sequences, compatibility ligatures, and fullwidth
+    forms otherwise make byte-identical-looking texts hash differently).
+    Spark has no built-in normalizer, so this is the documented
+    Pandas-UDF seam: an Arrow-batched vectorized UDF over Python's
+    ``unicodedata`` (stdlib — no extra dependency), NEVER a row-at-a-time
+    Python UDF. Map-side only: no shuffle, fuses into the consuming scan;
+    at 100 TB the cost is one Arrow round-trip of the text column, and
+    the op composes with the scrub/QC stages in the same batch pass."""
+    import pandas as pd  # noqa: PLC0415 — optional at module import
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unsupported normalization form {form!r}")
+
+    def _norm_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    # real type objects, not strings: this module uses
+    # `from __future__ import annotations`, which would stringify inline
+    # hints into 'pd.Series' that pyspark's get_type_hints cannot resolve
+    # (pd is function-local here)
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm = pandas_udf(_norm_fn, "string")
+
+    return df.withColumn(out, _norm(F.col(text_col)))

@@ -4531,6 +4531,50 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_normalize_nfc",
+    """
+    WITH inj AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 5 = 0
+                          THEN ' cafe' || chr(769) ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           nfc_normalize(text) AS text_norm,
+           CAST(length(text) - length(nfc_normalize(text)) AS INTEGER)
+             AS n_composed
+    FROM inj
+    """,
+)
+def doc_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (operators/text.py:normalize_text,
+    Arrow-batched unicodedata). Every 5th doc gets a combining acute
+    appended ('cafe' + U+0301 → NFC 'café', one codepoint shorter), so the
+    hash pins real composition on both sides; the untouched docs pin the
+    no-op path. n_composed counts the codepoints removed by composition."""
+    from arrowhouse_spark.operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    inj = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" cafe\u0301")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = normalize_text(inj)
+    return out.select(
+        "doc_id",
+        "text_norm",
+        (F.length("text") - F.length("text_norm")).cast("int").alias(
+            "n_composed"
+        ),
+    )
+
+
+@register(
     "doc_url_filter",
     """
     WITH u AS (

@@ -69,6 +69,7 @@ HEADLINE = [
     "doc_url_filter",
     "eval_contamination_report",
     "corpus_stats",
+    "doc_normalize_nfc",
 ]
 
 

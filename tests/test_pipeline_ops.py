@@ -1008,3 +1008,28 @@ def test_contamination_report_hand_checked(spark):
     }
     assert out[100] == (1, 2, True)
     assert out[101] == (0, 0, False)
+
+
+def test_normalize_text_forms_and_nulls(spark):
+    """NFC composes a combining sequence; NFKC additionally folds
+    compatibility forms (fullwidth 'Ａ' → 'A'); NULLs pass through; an
+    unknown form raises."""
+    import pytest
+
+    from arrowhouse_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "ＡBC"), (3, None)],
+        "doc_id: long, text: string",
+    )
+    nfc = {r.doc_id: r.text_norm for r in normalize_text(df).collect()}
+    assert nfc[1] == "café"
+    assert nfc[2] == "ＡBC"  # NFC leaves compatibility forms alone
+    assert nfc[3] is None
+    nfkc = {
+        r.doc_id: r.text_norm
+        for r in normalize_text(df, form="NFKC").collect()
+    }
+    assert nfkc[1] == "café" and nfkc[2] == "ABC"
+    with pytest.raises(ValueError, match="unsupported normalization form"):
+        normalize_text(df, form="NFX")
