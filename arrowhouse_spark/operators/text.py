@@ -665,22 +665,23 @@ def pii_scrub(
     pats = PII_PATTERNS if patterns is None else patterns
     cleaned = F.col(text_col)
     counts = []
-    total = F.lit(0)
     for name, pat in pats.items():
-        n = F.coalesce(
-            F.regexp_count(F.col(text_col), F.lit(pat)), F.lit(0)
-        ).alias(f"n_{name}")
-        counts.append(n)
-        total = total + F.coalesce(
-            F.regexp_count(F.col(text_col), F.lit(pat)), F.lit(0)
+        counts.append(
+            F.coalesce(
+                F.regexp_count(F.col(text_col), F.lit(pat)), F.lit(0)
+            ).alias(f"n_{name}")
         )
         cleaned = F.regexp_replace(cleaned, pat, f"<{name.upper()}>")
-    return df.select(
-        F.col(id_col),
-        cleaned.alias(out),
-        *counts,
-        total.alias("n_pii"),
-    )
+    # two-step projection so n_pii SUMS THE ALIASED COLUMNS: each pattern's
+    # regexp_count appears exactly once in the plan by construction
+    # (round-5 advice — previously the total re-built every count and only
+    # Catalyst CSE deduplicated them)
+    base = df.select(F.col(id_col), cleaned.alias(out), *counts)
+    total = None
+    for name in pats:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return base.withColumn("n_pii", total)
 
 
 def url_filter(
