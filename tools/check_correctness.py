@@ -126,6 +126,46 @@ def main() -> int:
                 except Exception as e:  # noqa: BLE001
                     print(f"chunk {i}: no records ({e})", file=_sys.stderr)
                     rc = rc or 1
+            # OOM poisoning retry: a heavy oracle (e.g. the bit-exact
+            # minhash pipeline SQL) can exhaust the chunk PROCESS's memory
+            # so every later query in that chunk fails on tiny duckdb
+            # allocations — and the chunk may die before writing its file.
+            # Both shapes (an OOM-failed record, a name with no record at
+            # all) are re-proven one query per fresh process; a genuine
+            # failure reproduces solo, a poisoned one goes green.
+            retry = [
+                n for n in names
+                if n not in merged
+                or "Out of Memory" in (merged[n].get("err") or "")
+            ]
+            if retry:
+                print(f"retrying {len(retry)} queries solo "
+                      f"(chunk OOM poisoning): {retry}", file=_sys.stderr)
+                for n in retry:
+                    tmp = os.path.join(tmpdir, f"retry_{n}.json")
+                    cmd = [_sys.executable, os.path.abspath(__file__),
+                           "--sf", args.sf, "--json", tmp, n]
+                    subprocess.run(cmd, check=False)
+                    try:
+                        with open(tmp) as f:
+                            merged.update(_json.load(f))
+                    except Exception as e:  # noqa: BLE001
+                        print(f"retry {n}: no record ({e})", file=_sys.stderr)
+                # the final verdict comes from the merged records (solo
+                # re-proofs supersede the poisoned chunk results); missing
+                # records stay failures via the completeness check below
+                def _rec_failed(rec: dict) -> bool:
+                    if (rec.get("err") or None) not in (None, "no_oracle"):
+                        return True
+                    return any(
+                        rec.get(k) is False
+                        for k in ("rows_match", "schema_match", "hash_match")
+                    )
+
+                rc = int(
+                    any(n not in merged for n in names)
+                    or any(_rec_failed(merged[n]) for n in names if n in merged)
+                )
         if args.json:
             with open(args.json, "w") as f:
                 _json.dump(merged, f, indent=1)
