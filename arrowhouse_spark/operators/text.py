@@ -454,6 +454,7 @@ def vocab_encode(
     vocab_size: int = 1000,
     unk_id: int = 0,
     tokens_col: str | None = None,
+    with_ids: bool = True,
 ) -> DataFrame:
     """Corpus-derived vocabulary encoding — the tokenize-to-ids step a
     training pipeline runs between text cleaning and sequence packing.
@@ -481,7 +482,10 @@ def vocab_encode(
     array_sort over (pos, id) structs — the line_dedup_lines reassembly
     shape, no unpartitioned window. ``tokens_col`` names an
     already-tokenized array column on ``df`` (skips the split — the
-    pipeline scan-sharing seam)."""
+    pipeline scan-sharing seam). ``with_ids=False`` replaces the ``ids``
+    array with the position-weighted ``ids_checksum`` Σ(pos+1)·id computed
+    INSIDE the hash aggregate — no collect_list / per-doc array sort /
+    array materialization for consumers that only audit the sequence."""
     if 1 <= unk_id <= vocab_size:
         raise ValueError(
             f"unk_id={unk_id} collides with the assigned id range "
@@ -534,14 +538,29 @@ def vocab_encode(
         "pos",
         F.coalesce(F.col("tid"), F.lit(unk_id).cast("int")).alias("tid"),
     )
-    return enc.groupBy(id_col).agg(
+    base_aggs = [
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.when(F.col("tid") == unk_id, 1).otherwise(0))
         .cast("int")
         .alias("n_unk"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s["tid"]
-        ).alias("ids"),
+    ]
+    if with_ids:
+        return enc.groupBy(id_col).agg(
+            *base_aggs,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"],
+            ).alias("ids"),
+        )
+    # checksum-only path: Σ(pos+1)·tid is order-independent, so it folds
+    # straight into the hash aggregate — no collect_list, no per-doc array
+    # sort, no array materialization. Consumers that only pin/audit the
+    # sequence (the oracle suite, the composed pipelines) should use this.
+    return enc.groupBy(id_col).agg(
+        *base_aggs,
+        F.sum((F.col("pos") + 1).cast("long") * F.col("tid").cast("long"))
+        .cast("long")
+        .alias("ids_checksum"),
     )
 
 

@@ -4042,21 +4042,10 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_score(_t(spark, sf_dir, "documents"))
 
 
-def _ids_checksum() -> "F.Column":
-    """Position-weighted sequence checksum Σ(pos+1)·id over an ``ids``
-    array<int> column — the ONE definition both vocab_encode_docs and
-    pipeline_pretrain_corpus pin their oracles' `sum((pos+1)*tid)` against."""
-    return F.when(F.size("ids") == 0, F.lit(0).cast("long")).otherwise(
-        F.aggregate(
-            F.zip_with(
-                "ids",
-                F.sequence(F.lit(1), F.size("ids")),
-                lambda x, i: x.cast("long") * i.cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        )
-    )
+# (the Σ(pos+1)·id sequence checksum both vocab_encode_docs and the
+# composed pipelines pin is now computed inside operators/text.py:
+# vocab_encode(with_ids=False) — folded into the hash aggregate instead of
+# being re-derived from a materialized ids array)
 
 
 @register(
@@ -4182,14 +4171,23 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dup_token_frac") <= 0.2)
         .select("doc_id")
     )
-    surv3 = surv2.join(spanok, "doc_id")
-    enc = vocab_encode(surv3, vocab_size=500, tokens_col="__toks")
-    checksum = _ids_checksum()
+    # Lineage cut at the last seam (lazy localCheckpoint): enc and packed
+    # BOTH consume surv3, and vocab_encode's token relation feeds two
+    # branches again — uncut, those consumers re-executed the whole
+    # gopher→dedup→spans chain per reference (measured 4.3-5.8 s noop at
+    # sf0.1; with the cut the survivors materialize once and the total is
+    # ~1 s). Same doctrine as pipeline_pretrain_full's seams.
+    surv3 = surv2.join(spanok, "doc_id").localCheckpoint(eager=False)
+    # with_ids=False: the pipeline only audits the sequence, so the
+    # checksum folds into the hash aggregate — no per-doc ids array build
+    enc = vocab_encode(
+        surv3, vocab_size=500, tokens_col="__toks", with_ids=False
+    )
     packed = pack_sequences(surv3, budget=200, tokens_col="__toks").select(
         "doc_id", "bucket", "pack_id", "pack_off"
     )
     return (
-        enc.select("doc_id", "n_tokens", "n_unk", checksum.alias("ids_checksum"))
+        enc.select("doc_id", "n_tokens", "n_unk", "ids_checksum")
         .join(packed, "doc_id")
     )
 
@@ -4470,19 +4468,15 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed = sms(
         surv4, weights={"src0": 3, "src1": 2, "src2": 1}, key="doc_id"
     )
-    enc = vocab_encode(mixed, vocab_size=500, tokens_col="__toks")
-    checksum = _ids_checksum()
+    enc = vocab_encode(
+        mixed, vocab_size=500, tokens_col="__toks", with_ids=False
+    )
     packed = pack_sequences(mixed, budget=200, tokens_col="__toks").select(
         "doc_id", "bucket", "pack_id", "pack_off"
     )
     return (
         mixed.select("doc_id", "source")
-        .join(
-            enc.select(
-                "doc_id", "n_tokens", "n_unk", checksum.alias("ids_checksum")
-            ),
-            "doc_id",
-        )
+        .join(enc.select("doc_id", "n_tokens", "n_unk", "ids_checksum"), "doc_id")
         .join(packed, "doc_id")
     )
 
@@ -4725,11 +4719,10 @@ def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership set."""
     from arrowhouse_spark.operators.text import vocab_encode
 
-    out = vocab_encode(_t(spark, sf_dir, "documents"), vocab_size=500)
-    checksum = _ids_checksum()
-    return out.select(
-        "doc_id", "n_tokens", "n_unk", checksum.alias("ids_checksum")
+    out = vocab_encode(
+        _t(spark, sf_dir, "documents"), vocab_size=500, with_ids=False
     )
+    return out.select("doc_id", "n_tokens", "n_unk", "ids_checksum")
 
 
 @register(

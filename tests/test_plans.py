@@ -122,17 +122,26 @@ def test_hash_parity_queries_are_pure_codegen(spark, sf_dir, qs):
 
 def test_pipeline_pretrain_corpus_plan_shape(spark, sf_dir, qs):
     """The composed five-stage pipeline (flagship demo) must keep the
-    single-task-free contract AND the round-6 scan-sharing property: no
-    cartesian, no unpartitioned window, and at runtime the shared
-    (doc_id, text, __toks) repartition subtree is materialized ONCE with
-    every other stage family reading it as a ReusedExchange (statically
-    the plan prints ~27 identical scan legs; reuse is AQE-dynamic, so the
-    gate executes the plan)."""
+    single-task-free contract AND a scan-sharing mechanism: no cartesian,
+    no unpartitioned window, and the stage families must NOT re-execute
+    the upstream chain per reference — either via AQE runtime exchange
+    reuse of the shared token subtree, or (the current shape) via the
+    surv3 lineage cut, whose checkpoint leaf every downstream consumer
+    reads (the final plan then contains the materialized-RDD scan instead
+    of ReusedExchange nodes)."""
     from arrowhouse_spark.plans.inspect import runtime_exchange_reuse
 
     df = qs["pipeline_pretrain_corpus"](spark, sf_dir)
     check_plan(df)  # forbids cartesian + global window
-    assert runtime_exchange_reuse(df) > 0, (
-        "composed pipeline shows no runtime exchange reuse — the shared "
-        "token subtree is being re-executed per stage family"
+    df.count()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    shared = (
+        runtime_exchange_reuse(df) > 0
+        or "ExistingRDD" in final
+        or "Scan ExistingRDD" in final
+    )
+    assert shared, (
+        "composed pipeline shows neither runtime exchange reuse nor a "
+        "lineage-cut leaf — the shared token subtree is being re-executed "
+        "per stage family"
     )
