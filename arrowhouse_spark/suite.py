@@ -4425,11 +4425,18 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     qc_ok = (
         encoding_quality(scr).filter(F.col("encoding_clean")).select("doc_id")
     )
+    # first lineage cut HERE, not only at surv2: sbase is referenced by
+    # gopher + surv1 and its own scrub/QC subtree references injected 3× —
+    # uncut, the surv2 checkpoint's plan still duplicated the regex-heavy
+    # scrub chain into ~36 scan legs (~100 CPU-s of repeated scrubbing at
+    # sf0.1, and every AQE plan-description render walks the exponential
+    # tree). With the cut no segment exceeds two reference levels.
     sbase = (
         injected.select("doc_id", "source")
         .join(scr, "doc_id")
         .join(qc_ok, "doc_id")
         .select("doc_id", "source", "text", tokens("text").alias("__toks"))
+        .localCheckpoint(eager=False)
     )
     gpass = (
         gopher_quality(sbase, tokens_col="__toks")
