@@ -47,6 +47,14 @@ from arrowhouse_spark.operators.text import fingerprint, tokens
 # ---------------------------------------------------------------------------
 _CACHE_REGISTRY: dict[tuple, DataFrame] = {}
 
+# Hard cap on live registry entries: inputs whose plans contain per-call
+# checkpoint leaves (LogicalRDD) get a UNIQUE semantic hash per invocation,
+# so a long session composing pipelines would otherwise grow one persisted
+# entry per call. At the cap the OLDEST entry is unpersisted FIFO — the
+# within-call sharing (the reason these persists exist) is unaffected, and
+# steady-state storage is bounded.
+_CACHE_REGISTRY_MAX = 64
+
 
 def _shared_persist(df: DataFrame, tag: str) -> DataFrame:
     key = (
@@ -57,6 +65,13 @@ def _shared_persist(df: DataFrame, tag: str) -> DataFrame:
     hit = _CACHE_REGISTRY.get(key)
     if hit is not None:
         return hit
+    while len(_CACHE_REGISTRY) >= _CACHE_REGISTRY_MAX:
+        _, oldest = next(iter(_CACHE_REGISTRY.items()))
+        _CACHE_REGISTRY.pop(next(iter(_CACHE_REGISTRY)))
+        try:
+            oldest.unpersist()
+        except Exception:  # noqa: BLE001 — source context already stopped
+            pass
     _CACHE_REGISTRY[key] = df.persist()
     return _CACHE_REGISTRY[key]
 

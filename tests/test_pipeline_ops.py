@@ -1033,3 +1033,28 @@ def test_normalize_text_forms_and_nulls(spark):
     assert nfkc[1] == "café" and nfkc[2] == "ABC"
     with pytest.raises(ValueError, match="unsupported normalization form"):
         normalize_text(df, form="NFX")
+
+
+def test_operator_cache_registry_capped(spark):
+    """Entries beyond _CACHE_REGISTRY_MAX evict FIFO (checkpoint-keyed
+    pipeline inputs would otherwise grow one persisted entry per call)."""
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators import dedup
+
+    dedup.release_caches()
+    orig = dedup._CACHE_REGISTRY_MAX
+    dedup._CACHE_REGISTRY_MAX = 3
+    try:
+        df = spark.createDataFrame(
+            [(i, "a b c d") for i in range(8)], "doc_id: long, text: string"
+        )
+        for k in range(5):
+            # distinct plans → distinct semantic hashes → distinct entries
+            dedup._shared_persist(df.filter(F.col("doc_id") >= k), f"t{k}")
+        assert len(dedup._CACHE_REGISTRY) == 3
+        tags = [k[1] for k in dedup._CACHE_REGISTRY]
+        assert tags == ["t2", "t3", "t4"]  # FIFO: oldest two evicted
+    finally:
+        dedup._CACHE_REGISTRY_MAX = orig
+        dedup.release_caches()
