@@ -318,6 +318,48 @@ def _source_kl(c: Ctx) -> dict:
     return {"sec": t, "sources": n}
 
 
+@op("pipeline_compose")
+def _pipeline_compose(c: Ctx) -> dict:
+    """The corpus-pipeline composition (gopher -> exact dedup -> dup-span
+    filter -> vocab encode -> pack) over the generated corpus — measures
+    the COMPOSED slope, not just each stage's (the suite query is
+    sf_dir-bound, so the battery rebuilds the same operator chain)."""
+    from arrowhouse_spark.operators.dedup import dedup_exact, dup_spans
+    from arrowhouse_spark.operators.packing import pack_sequences
+    from arrowhouse_spark.operators.text import gopher_quality, tokens, vocab_encode
+
+    def build():
+        base = c.docs.repartition(32, "doc_id").select(
+            "doc_id", "text", tokens("text").alias("__toks")
+        )
+        gpass = (
+            gopher_quality(base, tokens_col="__toks")
+            .filter(F.col("gopher_pass"))
+            .select("doc_id")
+        )
+        surv1 = base.join(gpass, "doc_id")
+        keep = dedup_exact(surv1).selectExpr("keep_id as doc_id")
+        surv2 = surv1.join(keep, "doc_id")
+        spanok = (
+            dup_spans(surv2, window=8, tokens_col="__toks")
+            .filter(F.col("dup_token_frac") <= 0.2)
+            .select("doc_id")
+        )
+        surv3 = surv2.join(spanok, "doc_id").localCheckpoint(eager=False)
+        enc = vocab_encode(
+            surv3, vocab_size=500, tokens_col="__toks", with_ids=False
+        )
+        packed = pack_sequences(surv3, budget=200, tokens_col="__toks").select(
+            "doc_id", "bucket", "pack_id", "pack_off"
+        )
+        return enc.select(
+            "doc_id", "n_tokens", "n_unk", "ids_checksum"
+        ).join(packed, "doc_id")
+
+    t, n = timed(lambda: build().count())
+    return {"sec": t, "survivors": n}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
