@@ -1107,3 +1107,76 @@ def dup_spans(
             ).alias("dup_token_frac"),
         )
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_count: int = 2,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """The REMOVAL form of :func:`dup_spans` — ExactSubstr dedup as Lee et
+    al. 2022 (arXiv:2107.06499 §4.1) actually apply it: every duplicated
+    ``window``-token span keeps its FIRST corpus occurrence (lexicographic
+    (doc_id, pos) owner) and is cut from every other occurrence, then each
+    document's surviving tokens are re-joined. Within-document repeats are
+    covered by the same rule (the earliest position owns the span).
+
+    Returns (id_col, text_clean, n_tokens, n_removed) — n_removed counts
+    the tokens cut (the union of removal spans, overlaps not
+    double-counted).
+
+    Scale shape: identical to dup_spans up to the occurrence rollup —
+    windows hash to 8 bytes in the slicing projection, so the shuffle
+    carries (hash, id, pos); the owner is one min(struct(id,pos)) in the
+    same aggregate as the count. The removal positions come back to each
+    doc as ONE sorted start-array (bounded by the doc's own window count),
+    and the token filter is a per-row codegen'd exists over that array —
+    no position explosion, no unpartitioned window. Registry-persisted
+    windows relation shared with repeated calls (same discipline as
+    dup_spans)."""
+    toks = F.col(tokens_col) if tokens_col else tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__w"))
+    wins = base.select(
+        F.col(id_col),
+        F.posexplode(ngrams_from_tokens(F.col("__w"), window)).alias(
+            "pos", "__win"
+        ),
+    ).select(F.col(id_col), "pos", F.xxhash64("__win").alias("__h"))
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    wins = _shared_persist(wins.repartition(n_part, "__h"), "rm_spans_wins")
+    own = wins.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__own"),
+    )
+    rm = (
+        wins.join(own.filter(F.col("__c") >= min_count), "__h")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"__own.{id_col}"))
+                & (F.col("pos") == F.col("__own.pos"))
+            )
+        )
+        .select(F.col(id_col), "pos")
+    )
+    starts = rm.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("__starts")
+    )
+    w_hi = F.lit(window - 1)
+    joined = base.join(starts, id_col, "left")
+    kept = F.when(F.col("__starts").isNull(), F.col("__w")).otherwise(
+        F.filter(
+            F.col("__w"),
+            lambda x, i: ~F.exists(
+                F.col("__starts"), lambda s: (s <= i) & (i <= s + w_hi)
+            ),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size("__w").alias("n_tokens"),
+        (F.size("__w") - F.size(kept)).cast("int").alias("n_removed"),
+    )

@@ -4576,6 +4576,59 @@ def doc_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_remove_dup_spans",
+    """
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ), wins AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS win
+      FROM t, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS u(i)
+    ), own AS (
+      SELECT win, count(*) AS c, min(doc_id) AS odoc FROM wins GROUP BY win
+    ), own2 AS (
+      SELECT o.win, o.c, o.odoc, min(w.pos) AS opos
+      FROM own o JOIN wins w ON w.win = o.win AND w.doc_id = o.odoc
+      WHERE o.c >= 2
+      GROUP BY o.win, o.c, o.odoc
+    ), rm AS (
+      SELECT w.doc_id, w.pos
+      FROM wins w JOIN own2 ON w.win = own2.win
+      WHERE NOT (w.doc_id = own2.odoc AND w.pos = own2.opos)
+    ), covlist AS (
+      SELECT doc_id, list(DISTINCT tp) AS cov FROM (
+        SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tp FROM rm
+      ) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(array_to_string(
+             [t.w[i] FOR i IN range(1, len(t.w) + 1)
+              IF NOT list_contains(coalesce(c.cov, []), i - 1)], ' '), '')
+             AS text_clean,
+           CAST(len(t.w) AS INTEGER) AS n_tokens,
+           CAST(len(coalesce(c.cov, [])) AS INTEGER) AS n_removed
+    FROM t LEFT JOIN covlist c USING (doc_id)
+    """,
+)
+def doc_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (operators/dedup.py:remove_dup_spans): every
+    duplicated 8-token span keeps its first corpus occurrence
+    (lexicographic (doc_id, pos) owner) and is cut everywhere else; the
+    hash compare pins the REWRITTEN text of every document, so a wrong
+    owner, an off-by-one span boundary, or a miscounted overlap all flip
+    it. The flagging twin is doc_dup_spans."""
+    from arrowhouse_spark.operators.dedup import remove_dup_spans
+
+    out = remove_dup_spans(_t(spark, sf_dir, "documents"), window=8)
+    return out.select(
+        "doc_id",
+        "text_clean",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "n_removed",
+    )
+
+
+@register(
     "doc_url_filter",
     """
     WITH u AS (

@@ -70,6 +70,7 @@ HEADLINE = [
     "eval_contamination_report",
     "corpus_stats",
     "doc_normalize_nfc",
+    "doc_remove_dup_spans",
 ]
 
 

@@ -1058,3 +1058,61 @@ def test_operator_cache_registry_capped(spark):
     finally:
         dedup._CACHE_REGISTRY_MAX = orig
         dedup.release_caches()
+
+
+def test_vocab_encode_checksum_path_consistent(spark):
+    """with_ids=False must produce exactly the checksum of the ids the
+    default path materializes — Σ(pos+1)·id — plus identical n_tokens and
+    n_unk, for every document."""
+    from arrowhouse_spark.operators.text import vocab_encode
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 9}" for j in range(5 + i % 4)))
+         for i in range(30)],
+        "doc_id: long, text: string",
+    )
+    with_arrays = {
+        r.doc_id: (r.n_tokens, r.n_unk, r.ids)
+        for r in vocab_encode(df, vocab_size=5).collect()
+    }
+    direct = {
+        r.doc_id: (r.n_tokens, r.n_unk, r.ids_checksum)
+        for r in vocab_encode(df, vocab_size=5, with_ids=False).collect()
+    }
+    assert set(with_arrays) == set(direct)
+    for k, (nt, nu, ids) in with_arrays.items():
+        expect = sum((i + 1) * x for i, x in enumerate(ids))
+        assert direct[k] == (nt, nu, expect), k
+
+
+def test_remove_dup_spans_hand_checked(spark):
+    """Corpus with a repeated 3-token span: doc 1 'a b c x' owns 'a b c'
+    (first occurrence); doc 2 'y a b c' loses positions 1-3; doc 3 repeats
+    the span INSIDE itself ('a b c a b c') and keeps only the first
+    occurrence; doc 4 is untouched. A doc that is entirely one duplicated
+    span of another ends up empty."""
+    from arrowhouse_spark.operators.dedup import remove_dup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x"),
+            (2, "y a b c"),
+            (3, "a b c a b c"),
+            (4, "p q r s"),
+            (5, "a b c"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+        for r in remove_dup_spans(df, window=3).collect()
+    }
+    assert out[1] == ("a b c x", 4, 0)  # owner keeps its span
+    assert out[2] == ("y", 4, 3)
+    # doc 3: windows at pos 0..3; 'a b c' at pos 0 and 3 — pos 0 loses to
+    # doc 1's ownership, pos 3 also loses; 'b c a'/'c a b' occur once
+    # (only in doc 3) so they're not duplicated — but their positions are
+    # covered by the removed [0,2] and [3,5] spans
+    assert out[3] == ("", 6, 6)
+    assert out[4] == ("p q r s", 4, 0)
+    assert out[5] == ("", 3, 3)
