@@ -833,3 +833,54 @@ def normalize_text(
     _norm = pandas_udf(_norm_fn, "string")
 
     return df.withColumn(out, _norm(F.col(text_col)))
+
+
+def chunk_split(
+    df: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Context-window chunking — split each document's token sequence into
+    fixed-size training chunks with ``overlap`` tokens of left context
+    (stride = chunk_size - overlap), the step every pretraining pipeline
+    runs between cleaning and packing so documents longer than the model
+    context still contribute whole windows. Output: one row per chunk with
+    ``chunk_idx`` (0-based), ``chunk_start`` (token offset), the chunk
+    token count, and a 16-hex content signature (md5 of the
+    space-rejoined chunk) that pins both the slice boundaries and the
+    token content.
+
+    Scale: pure map-side — one ``sequence``/``explode`` per document and a
+    ``slice`` per chunk, no shuffle anywhere; output rows ≈ corpus_tokens
+    / stride, each carrying the signature rather than the text, so at
+    100 TB this fuses into the consuming scan exactly like token_count.
+    Pass ``tokens_col`` to reuse a shared tokenization (the
+    pipeline-composition seam used by the corpus builds)."""
+    if overlap < 0 or overlap >= chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    stride = chunk_size - overlap
+    toks = F.col(tokens_col) if tokens_col else tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__ct")).filter(
+        F.size("__ct") > 0
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("__ct") - 1, F.lit(stride)
+    )
+    chunk = F.slice("__ct", F.col("chunk_start") + 1, chunk_size)
+    return (
+        base.select(
+            id_col, "__ct", F.explode(starts).alias("chunk_start")
+        )
+        .select(
+            id_col,
+            (F.col("chunk_start") / stride).cast("int").alias("chunk_idx"),
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.size(chunk).cast("int").alias("n_chunk_tokens"),
+            F.substring(F.md5(F.concat_ws(" ", chunk)), 1, 16).alias(
+                "chunk_sig"
+            ),
+        )
+    )

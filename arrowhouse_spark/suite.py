@@ -5049,3 +5049,40 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("vec_id"), "cluster", "max_dup_cos", "is_kept"
     )
+
+
+@register(
+    "doc_chunk_split",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+    ), st AS (
+      SELECT doc_id, t, unnest(range(0, n, 48)) AS cs FROM base
+    )
+    SELECT doc_id,
+           CAST(cs // 48 AS INTEGER) AS chunk_idx,
+           CAST(cs AS INTEGER) AS chunk_start,
+           CAST(len(list_slice(t, cs + 1, cs + 64)) AS INTEGER)
+             AS n_chunk_tokens,
+           substr(md5(array_to_string(list_slice(t, cs + 1, cs + 64), ' ')),
+                  1, 16) AS chunk_sig
+    FROM st
+    """,
+)
+def doc_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/text.py:chunk_split): every
+    document split into 64-token chunks with 16 tokens of overlap
+    (stride 48), one output row per chunk carrying its offset, length,
+    and a 16-hex md5 signature of the space-rejoined chunk tokens — the
+    signature pins both the slice boundaries and the content, so an
+    off-by-one in either engine's slicing flips the hash. Map-side only
+    (sequence + explode + slice), no shuffle; the oracle replays the
+    same stride arithmetic with DuckDB's range/list_slice."""
+    from arrowhouse_spark.operators.text import chunk_split
+
+    return chunk_split(
+        _t(spark, sf_dir, "documents"), chunk_size=64, overlap=16
+    )

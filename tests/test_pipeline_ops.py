@@ -1116,3 +1116,35 @@ def test_remove_dup_spans_hand_checked(spark):
     assert out[3] == ("", 6, 6)
     assert out[4] == ("p q r s", 4, 0)
     assert out[5] == ("", 3, 3)
+
+
+def test_chunk_split_hand_checked(spark):
+    from arrowhouse_spark.operators.text import chunk_split
+
+    # 10 tokens, chunk 4, overlap 1 -> stride 3 -> starts 0,3,6,9
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.doc_id, r.chunk_idx): r
+        for r in chunk_split(df, chunk_size=4, overlap=1).collect()
+    }
+    # empty doc contributes nothing; 1-token doc exactly one chunk
+    assert sorted(k[0] for k in rows) == [1, 1, 1, 1, 2]
+    assert rows[(1, 0)].chunk_start == 0 and rows[(1, 0)].n_chunk_tokens == 4
+    assert rows[(1, 3)].chunk_start == 9 and rows[(1, 3)].n_chunk_tokens == 1
+    assert rows[(2, 0)].n_chunk_tokens == 1
+    # overlap: chunk 1 starts at 3 -> token 'd' shared with chunk 0's tail
+    import hashlib
+
+    sig = hashlib.md5(b"d e f g").hexdigest()[:16]
+    assert rows[(1, 1)].chunk_sig == sig
+
+
+def test_chunk_split_rejects_bad_overlap(spark):
+    from arrowhouse_spark.operators.text import chunk_split
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_split(df, chunk_size=4, overlap=4)
