@@ -5086,3 +5086,63 @@ def doc_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_split(
         _t(spark, sf_dir, "documents"), chunk_size=64, overlap=16
     )
+
+
+@register(
+    "corpus_snapshot_diff",
+    r"""
+    WITH newsnap AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+      FROM documents WHERE doc_id % 19 = 0
+    ), ofp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fpo
+      FROM documents
+    ), nfp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fpn
+      FROM newsnap
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN fpo IS NOT DISTINCT FROM fpn THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM ofp o FULL OUTER JOIN nfp n ON n.doc_id = o.doc_id
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day corpus diff (operators/snapshot.py:snapshot_diff): the
+    'new' snapshot is derived deterministically from the documents table on
+    both sides — every 17th doc removed, every surviving 13th re-crawled
+    with changed content, every 19th spawning a new doc_id — and the diff
+    reports one status row per id in either snapshot. Exercises the
+    full-outer fingerprint join: one keyed shuffle of (id, md5) pairs, no
+    text movement; at 100 TB both snapshots come bucketed by doc_id so the
+    join is a co-located sort-merge."""
+    from arrowhouse_spark.operators.snapshot import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    new_snap = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat("text", F.lit(" rev2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat("text", F.lit(" new")).alias("text"),
+            )
+        )
+    )
+    return snapshot_diff(docs, new_snap)

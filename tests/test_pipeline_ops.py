@@ -1148,3 +1148,24 @@ def test_chunk_split_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         chunk_split(df, chunk_size=4, overlap=4)
+
+
+def test_snapshot_diff_statuses_and_null_text(spark):
+    from arrowhouse_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same doc"), (2, "will change"), (3, "will vanish"), (5, None)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "Same   DOC"), (2, "changed now"), (4, "brand new"), (5, None)],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",  # fingerprint normalizes case + whitespace
+        2: "changed",
+        3: "removed",
+        4: "added",
+        5: "unchanged",  # NULL text present in both: not 'added'/'changed'
+    }
