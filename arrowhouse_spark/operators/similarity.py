@@ -590,3 +590,51 @@ def embedding_neardup_pairs(
     # multi-probe replication can surface the same pair from two neighbor
     # buckets; every copy carries the identical deterministic cos_sim
     return out.dropDuplicates(["id_a", "id_b"]) if dedupe else out
+
+
+def label_centroid_cosine(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group embedding centroids + pairwise cosine between them — the
+    corpus-curation diagnostic that answers "how semantically close are my
+    sources/clusters to each other?" before setting mixing weights (two
+    near-identical centroids suggest merging their sampling buckets).
+
+    Plan: posexplode the vectors to (label, dim, value), ONE keyed
+    aggregation to per-(label, dim) means — the only wide stage, and its
+    key count is n_labels × dim regardless of corpus size — then a
+    broadcast self-join on dim over the tiny centroid relation and a
+    final n_labels² aggregation. At 100 TB the explode feeds a map-side
+    partial aggregate, so the shuffle carries one (label, dim, sum,
+    count) record per map task per key, not per vector. Centroid means
+    are rounded to 9 dp before the cosine so the cross-engine compare is
+    independent of float summation order."""
+    ex = df.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
+    cent = ex.groupBy(label_col, "pos").agg(
+        F.round(F.avg("v"), 9).alias("m")
+    )
+    a = cent.select(
+        F.col(label_col).alias("label_a"), "pos", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col(label_col).alias("label_b"), "pos", F.col("m").alias("mb")
+    )
+    j = a.join(F.broadcast(b), "pos").filter(
+        F.col("label_a") < F.col("label_b")
+    )
+    return (
+        j.groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sum(F.col("ma") * F.col("mb"))
+                / (
+                    F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                    * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+                ),
+                round_digits,
+            ).alias("centroid_cos")
+        )
+    )

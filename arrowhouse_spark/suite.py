@@ -5146,3 +5146,34 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(docs, new_snap)
+
+
+@register(
+    "label_centroid_sim",
+    r"""
+    WITH ex AS (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, round(avg(v), 9) AS m FROM ex GROUP BY label, pos
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(sum(a.m * b.m) /
+                 (sqrt(sum(a.m * a.m)) * sqrt(sum(b.m * b.m))), 6)
+             AS centroid_cos
+    FROM cent a JOIN cent b ON b.pos = a.pos AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids
+    (operators/similarity.py:label_centroid_cosine) — the source-affinity
+    matrix a curation pipeline consults before setting mixing weights.
+    One keyed mean aggregation (n_labels x dim keys however big the
+    corpus), then a broadcast self-join on the dimension index; centroid
+    means round to 9 dp on both sides so the hash compare is independent
+    of float summation order."""
+    from arrowhouse_spark.operators.similarity import label_centroid_cosine
+
+    return label_centroid_cosine(_t(spark, sf_dir, "embeddings"))

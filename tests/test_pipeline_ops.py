@@ -1169,3 +1169,23 @@ def test_snapshot_diff_statuses_and_null_text(spark):
         4: "added",
         5: "unchanged",  # NULL text present in both: not 'added'/'changed'
     }
+
+
+def test_label_centroid_cosine_identical_and_orthogonal(spark):
+    from arrowhouse_spark.operators.similarity import label_centroid_cosine
+
+    # labels 0 and 1 share the same centroid direction; label 2 orthogonal
+    rows = [
+        (0, [2.0, 0.0]),
+        (0, [4.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [0.0, 3.0]),
+    ]
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    got = {
+        (r.label_a, r.label_b): r.centroid_cos
+        for r in label_centroid_cosine(df).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == 0.0
+    assert got[(1, 2)] == 0.0
