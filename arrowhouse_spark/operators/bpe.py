@@ -1,0 +1,119 @@
+"""Distributed BPE merge training — the corpus-scale core of tokenizer
+construction (Sennrich et al. 2016): repeatedly count adjacent token-pair
+frequencies over the whole corpus, pick the most frequent pair, and merge
+its occurrences greedily left-to-right, treating each merged pair as an
+atomic token for subsequent rounds.
+
+Not in the reference (its surface stops at scalar kernels + aggregation);
+this is the tokenizer-training extension a pretraining pipeline needs. The
+trick that keeps BOTH the Spark plan and the DuckDB oracle fully declarative
+(no driver-side merge loop, no Python in the hot path) is the boundary-safe
+string encoding of the working corpus:
+
+    tokens [a, b, c]  →  "␟a␟␟b␟␟c␟"     (␟ = US, 0x1f)
+
+Each token is individually wrapped, so the pair (x, y) occurs iff the
+literal substring "␟x␟␟y␟" occurs, and applying the merge is one literal
+``replace`` with "␟x+y␟" — ``replace`` consumes matches left-to-right
+without overlap, which is exactly the tokenizer's greedy merge-application
+order ("a a a a" → "(a+a) (a+a)", not three overlapping merges), and the
+individual wrapping means consecutive merges never fight over a shared
+boundary separator.
+
+Scale: each merge round is one map-side pair explode → keyed count (partial
+maps combine map-side; key count = live pair vocabulary, not corpus size) →
+TakeOrdered(1) → a 1-row broadcast applying the merge map-side. The working
+corpus is lineage-cut per round (lazy localCheckpoint) — the same persisted
+intermediate a production trainer keeps between merge steps. Production BPE
+batches thousands of merges per count pass; this is the textbook
+1-merge-per-pass form, with n_merges bounding the rounds.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arrowhouse_spark.operators.text import tokens
+
+SEP = "\x1f"
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    join_str: str = "+",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus's
+    whitespace tokens. Returns one row per merge round: (it, left_tok,
+    right_tok, pair_count), where round it's winner was the most frequent
+    adjacent pair AFTER applying rounds 1..it-1, ties broken by pair
+    byte order (deterministic on both engines). Merged tokens display as
+    left||'+'||right; they stay atomic because the working separator
+    (0x1f) never appears inside a token."""
+    if n_merges < 1:
+        raise ValueError(f"need n_merges >= 1, got {n_merges}")
+    toks = tokens(text_col)
+    cur = (
+        df.select(toks.alias("__t"))
+        .filter(F.size("__t") > 0)
+        .select(
+            F.concat(
+                F.lit(SEP), F.array_join("__t", SEP + SEP), F.lit(SEP)
+            ).alias("s")
+        )
+        .localCheckpoint(eager=False)
+    )
+    results: list[DataFrame] = []
+    for it in range(1, n_merges + 1):
+        a = F.split(F.substring(F.col("s"), 2, F.length("s") - 2), SEP + SEP)
+        base = cur.select(a.alias("a")).filter(F.size("a") >= 2)
+        pairs = base.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("a") - 1),
+                    lambda j: F.concat(
+                        F.element_at(F.col("a"), j),
+                        F.lit(SEP),
+                        F.element_at(F.col("a"), j + 1),
+                    ),
+                )
+            ).alias("pair")
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("pair"))
+            .limit(1)
+            .select(F.lit(it).alias("it"), "pair", "pair_count")
+            # 1-row relation referenced twice (output union + next round's
+            # apply) — cut so the count subtree runs once
+            .localCheckpoint(eager=False)
+        )
+        results.append(top)
+        if it < n_merges:
+            pattern = F.concat(
+                F.lit(SEP),
+                F.replace(F.col("pair"), F.lit(SEP), F.lit(SEP + SEP)),
+                F.lit(SEP),
+            )
+            merged = F.concat(
+                F.lit(SEP),
+                F.replace(F.col("pair"), F.lit(SEP), F.lit(join_str)),
+                F.lit(SEP),
+            )
+            cur = (
+                cur.crossJoin(F.broadcast(top.select("pair")))
+                .select(F.replace(F.col("s"), pattern, merged).alias("s"))
+                .localCheckpoint(eager=False)
+            )
+    out = reduce(DataFrame.unionByName, results)
+    return out.select(
+        "it",
+        F.split_part(F.col("pair"), F.lit(SEP), F.lit(1)).alias("left_tok"),
+        F.split_part(F.col("pair"), F.lit(SEP), F.lit(2)).alias("right_tok"),
+        "pair_count",
+    )

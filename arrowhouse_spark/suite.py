@@ -5177,3 +5177,68 @@ def label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrowhouse_spark.operators.similarity import label_centroid_cosine
 
     return label_centroid_cosine(_t(spark, sf_dir, "embeddings"))
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """Unrolled K-round BPE oracle: round i counts adjacent pairs of the
+    round-(i-1) corpus, takes the (count DESC, pair) top-1, and applies the
+    merge with the same boundary-wrapped literal replace as the engine
+    (operators/bpe.py module docstring explains the encoding)."""
+    s = "chr(31)"
+    parts = [
+        f"""WITH d0 AS (
+      SELECT {s} || array_to_string(
+               list_filter(string_split(text, ' '), x -> x != ''),
+               {s}||{s}) || {s} AS s
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x != '')) > 0
+    )"""
+    ]
+    for i in range(1, k + 1):
+        prev = f"d{i - 1}"
+        parts.append(
+            f""", p{i} AS (
+      SELECT unnest(range(1, len(a))) AS ix, a FROM (
+        SELECT string_split(substr(s, 2, length(s) - 2), {s}||{s}) AS a
+        FROM {prev}
+      )
+    ), t{i} AS (
+      SELECT pair, cnt FROM (
+        SELECT pair, count(*) AS cnt FROM (
+          SELECT a[ix] || {s} || a[ix + 1] AS pair FROM p{i}
+        ) GROUP BY pair
+      ) ORDER BY cnt DESC, pair LIMIT 1
+    )"""
+        )
+        if i < k:
+            parts.append(
+                f""", d{i} AS (
+      SELECT replace(s,
+               {s} || replace(t{i}.pair, {s}, {s}||{s}) || {s},
+               {s} || replace(t{i}.pair, {s}, '+') || {s}) AS s
+      FROM {prev}, t{i}
+    )"""
+            )
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS it, split_part(pair, {s}, 1) AS left_tok,"
+        f" split_part(pair, {s}, 2) AS right_tok,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM t{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n    " + sel
+
+
+@register("bpe_train_merges", _bpe_oracle_sql(5))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): the first 5
+    merge rounds learned over the documents corpus — each round one
+    map-side pair explode, one keyed count, a TakeOrdered(1), and a 1-row
+    broadcast merge application, with the working corpus lineage-cut
+    between rounds. The oracle replays all 5 rounds as unrolled SQL CTEs
+    with the identical boundary-wrapped greedy replace, so the hash
+    compare certifies the full iterative computation: a wrong count, a
+    different tie-break, or a single mis-applied merge in ANY round
+    cascades into different winners downstream and flips the hash."""
+    from arrowhouse_spark.operators.bpe import bpe_train_merges as bpe
+
+    return bpe(_t(spark, sf_dir, "documents"), n_merges=5)

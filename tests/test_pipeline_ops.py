@@ -1189,3 +1189,32 @@ def test_label_centroid_cosine_identical_and_orthogonal(spark):
     assert got[(0, 1)] == 1.0
     assert got[(0, 2)] == 0.0
     assert got[(1, 2)] == 0.0
+
+
+def test_bpe_train_merges_hand_checked(spark):
+    from arrowhouse_spark.operators.bpe import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a b"), (3, "b a a")], ["doc_id", "text"]
+    )
+    rows = {
+        r.it: (r.left_tok, r.right_tok, r.pair_count)
+        for r in bpe_train_merges(df, n_merges=3).collect()
+    }
+    # round 1: (a,a) occurs 3+1+1 = 5 times (greedy L-to-R pair counting
+    # counts overlaps: "a a a a" has 3 adjacent pairs)
+    assert rows[1] == ("a", "a", 5)
+    # greedy application: "a a a a" -> (a+a)(a+a); "a a b" -> (a+a) b;
+    # "b a a" -> b (a+a). Round 2 pairs all count 1; byte-order tie-break
+    # picks (a+a, a+a).
+    assert rows[2] == ("a+a", "a+a", 1)
+    # round 3: remaining pairs (a+a,b) and (b,a+a), tie -> (a+a, b)
+    assert rows[3] == ("a+a", "b", 1)
+
+
+def test_bpe_train_merges_rejects_zero_rounds(spark):
+    from arrowhouse_spark.operators.bpe import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        bpe_train_merges(df, n_merges=0)
