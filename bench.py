@@ -71,6 +71,10 @@ HEADLINE = [
     "corpus_stats",
     "doc_normalize_nfc",
     "doc_remove_dup_spans",
+    "doc_chunk_split",
+    "corpus_snapshot_diff",
+    "label_centroid_sim",
+    "bpe_train_merges",
 ]
 
 
