@@ -884,3 +884,37 @@ def chunk_split(
             ),
         )
     )
+
+
+def quality_quantile_filter(
+    df: DataFrame,
+    frac: float = 0.8,
+    group_col: str = "source",
+    text_col: str = "text",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group quality-quantile selection — keep each source's top
+    (1-frac) quality slice, the relative-threshold form of quality
+    filtering (an absolute cutoff over-prunes clean sources and
+    under-prunes noisy ones; CCNet and FineWeb both threshold per
+    bucket). Adds ``q_thr`` (the group's frac-quantile of the composite
+    quality score, rounded 6 dp) and ``kept``.
+
+    Scale: ONE keyed aggregation to per-group thresholds + a broadcast
+    join back (group count is small by construction). ``exact=True``
+    uses Spark's exact interpolated percentile, whose per-group state is
+    the full value list — fine up to ~10M docs/group; at 100 TB pass
+    ``exact=False`` for the t-digest ``approx_percentile`` (bounded
+    state, same plan shape). The oracle pins the exact form: both
+    engines interpolate at p*(n-1) over identical 6-dp-rounded scores,
+    so the rounded thresholds agree."""
+    q = quality_score(df, text_col=text_col)
+    pct = (
+        F.percentile("quality", F.lit(frac))
+        if exact
+        else F.approx_percentile("quality", F.lit(frac), F.lit(10000))
+    )
+    thr = q.groupBy(group_col).agg(F.round(pct, 6).alias("q_thr"))
+    return q.join(F.broadcast(thr), group_col).withColumn(
+        "kept", F.col("quality") >= F.col("q_thr")
+    )

@@ -5242,3 +5242,40 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrowhouse_spark.operators.bpe import bpe_train_merges as bpe
 
     return bpe(_t(spark, sf_dir, "documents"), n_merges=5)
+
+
+@register(
+    "quality_quantile_filter",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), x -> x != ''))
+               AS n_tokens,
+             len(list_distinct(list_filter(string_split(text, ' '),
+               x -> x != ''))) AS n_uniq
+      FROM documents
+    ), q AS (
+      SELECT doc_id, source,
+             round(least(n_tokens / 100.0, 1.0) *
+                   round(n_uniq / greatest(n_tokens, 1), 6), 6) AS quality
+      FROM t
+    ), thr AS (
+      SELECT source, round(quantile_cont(quality, 0.8), 6) AS q_thr
+      FROM q GROUP BY source
+    )
+    SELECT q.doc_id, q.source, q.quality, thr.q_thr,
+           q.quality >= thr.q_thr AS kept
+    FROM q JOIN thr USING (source)
+    """,
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-quantile selection
+    (operators/text.py:quality_quantile_filter): each source keeps its
+    top-20% quality slice. One keyed exact-percentile aggregation (the
+    documented exact/approx trade) + broadcast threshold join; the hash
+    pins per-source interpolated thresholds and every keep decision."""
+    from arrowhouse_spark.operators.text import quality_quantile_filter as qqf
+
+    return qqf(_t(spark, sf_dir, "documents"), frac=0.8).select(
+        "doc_id", "source", "quality", "q_thr", "kept"
+    )

@@ -75,6 +75,7 @@ HEADLINE = [
     "corpus_snapshot_diff",
     "label_centroid_sim",
     "bpe_train_merges",
+    "quality_quantile_filter",
 ]
 
 

@@ -1218,3 +1218,29 @@ def test_bpe_train_merges_rejects_zero_rounds(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         bpe_train_merges(df, n_merges=0)
+
+
+def test_quality_quantile_filter_per_group_threshold(spark):
+    from arrowhouse_spark.operators.text import quality_quantile_filter
+
+    # srcA: qualities spread; srcB: uniform -> everything kept (>= thr)
+    rows = [
+        (1, "srcA", "a a a a a a a a"),          # low uniq_ratio
+        (2, "srcA", "b c d e f g h i"),          # high uniq_ratio
+        (3, "srcA", "j k l m n n n n"),          # mid
+        (4, "srcB", "same same"),
+        (5, "srcB", "same same"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {
+        r.doc_id: r
+        for r in quality_quantile_filter(df, frac=0.5).collect()
+    }
+    # srcA median is doc 3's quality; docs 2 and 3 kept, doc 1 not
+    assert out[1].kept is False
+    assert out[2].kept is True and out[3].kept is True
+    assert out[3].quality == out[3].q_thr
+    # srcB: identical qualities -> thr equals them, both kept
+    assert out[4].kept is True and out[5].kept is True
+    # thresholds differ per group
+    assert out[1].q_thr != out[4].q_thr
