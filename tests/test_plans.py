@@ -145,3 +145,40 @@ def test_pipeline_pretrain_corpus_plan_shape(spark, sf_dir, qs):
         "lineage-cut leaf — the shared token subtree is being re-executed "
         "per stage family"
     )
+
+
+def test_chunk_split_is_shuffle_free_map_side(spark, sf_dir, qs):
+    df = qs["doc_chunk_split"](spark, sf_dir)
+    r = check_plan(df, max_read_columns=2)
+    # pure explode/slice: no exchange, no join, anywhere
+    assert r.exchanges == 0
+    assert r.broadcast_joins == 0 and r.sortmerge_joins == 0
+
+
+def test_snapshot_diff_single_keyed_join_no_text_shuffle(spark, sf_dir, qs):
+    df = qs["corpus_snapshot_diff"](spark, sf_dir)
+    r = check_plan(df, max_read_columns=2)
+    # one full-outer SMJ = exactly two keyed exchanges; fingerprints are
+    # computed below them so no text column crosses the shuffle
+    assert r.sortmerge_joins == 1
+    assert r.exchanges == 2
+    txt = plan_text(df)
+    exchange_args = [
+        ln for ln in txt.splitlines() if "Arguments: hashpartitioning" in ln
+    ]
+    assert exchange_args and all("text" not in ln for ln in exchange_args)
+
+
+def test_label_centroid_partial_final_agg_and_broadcast(spark, sf_dir, qs):
+    df = qs["label_centroid_sim"](spark, sf_dir)
+    r = check_plan(df)
+    assert r.partial_final_agg
+    assert r.broadcast_joins == 1
+    assert r.sortmerge_joins == 0
+
+
+def test_quality_quantile_broadcast_threshold_join(spark, sf_dir, qs):
+    df = qs["quality_quantile_filter"](spark, sf_dir)
+    r = check_plan(df)
+    assert r.broadcast_joins == 1
+    assert r.sortmerge_joins == 0

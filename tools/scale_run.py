@@ -360,6 +360,66 @@ def _pipeline_compose(c: Ctx) -> dict:
     return {"sec": t, "survivors": n}
 
 
+@op("bpe_train_merges")
+def _bpe_train(c: Ctx) -> dict:
+    """K=3 merge rounds: each is a full-corpus pair count (keyed, key
+    count = live pair vocabulary) + a 1-row broadcast apply over the
+    lineage-cut working corpus — the slope measures the per-round corpus
+    pass, which is the quantity that holds or breaks at 100 TB."""
+    from arrowhouse_spark.operators.bpe import bpe_train_merges
+
+    t, n = timed(lambda: bpe_train_merges(c.docs, n_merges=3).count())
+    return {"sec": t, "merges": n}
+
+
+@op("snapshot_diff")
+def _snapshot_diff(c: Ctx) -> dict:
+    """Day-over-day diff: the 'new' snapshot drops every 17th doc, edits
+    every 13th, adds every 19th under a shifted id — one full-outer keyed
+    join of (id, md5) pairs."""
+    from arrowhouse_spark.operators.snapshot import snapshot_diff
+
+    new_snap = (
+        c.docs.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 13 == 0, F.concat("text", F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            c.docs.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 100_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    t, n = timed(
+        lambda: snapshot_diff(c.docs, new_snap)
+        .filter(F.col("status") != "unchanged")
+        .count()
+    )
+    return {"sec": t, "changed_rows": n}
+
+
+@op("quality_quantile")
+def _quality_quantile(c: Ctx) -> dict:
+    """Exact per-group percentile: per-group state is the full value list,
+    so the measurement tracks the documented exact-mode bound (8 groups
+    here -> n_docs/8 values per group)."""
+    from arrowhouse_spark.operators.text import quality_quantile_filter
+
+    srcd = c.docs.withColumn(
+        "source",
+        F.concat(F.lit("s"), F.pmod(F.xxhash64(F.lit("qs"), "doc_id"), F.lit(8))),
+    )
+    t, n = timed(
+        lambda: quality_quantile_filter(srcd, frac=0.8)
+        .filter(F.col("kept"))
+        .count()
+    )
+    return {"sec": t, "kept": n}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
