@@ -46,6 +46,8 @@ def bpe_train_merges(
     n_merges: int = 5,
     text_col: str = "text",
     join_str: str = "+",
+    id_col: str = "doc_id",
+    return_encoded: bool = False,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges over the corpus's
     whitespace tokens. Returns one row per merge round: (it, left_tok,
@@ -53,17 +55,26 @@ def bpe_train_merges(
     adjacent pair AFTER applying rounds 1..it-1, ties broken by pair
     byte order (deterministic on both engines). Merged tokens display as
     left||'+'||right; they stay atomic because the working separator
-    (0x1f) never appears inside a token."""
+    (0x1f) never appears inside a token.
+
+    With ``return_encoded=True`` returns (merges_df, encoded_df) where
+    encoded_df is the corpus with ALL n_merges merges applied — one row
+    per non-empty document: (id_col, bpe_tokens array<string>). This is
+    the train→encode composition a tokenizer build runs: the final
+    corpus state the training loop already maintains, re-keyed by the
+    document id (zero extra passes beyond the last merge application)."""
     if n_merges < 1:
         raise ValueError(f"need n_merges >= 1, got {n_merges}")
     toks = tokens(text_col)
+    id_cols = [F.col(id_col)] if return_encoded else []
     cur = (
-        df.select(toks.alias("__t"))
+        df.select(*id_cols, toks.alias("__t"))
         .filter(F.size("__t") > 0)
         .select(
+            *id_cols,
             F.concat(
                 F.lit(SEP), F.array_join("__t", SEP + SEP), F.lit(SEP)
-            ).alias("s")
+            ).alias("s"),
         )
         .localCheckpoint(eager=False)
     )
@@ -94,7 +105,7 @@ def bpe_train_merges(
             .localCheckpoint(eager=False)
         )
         results.append(top)
-        if it < n_merges:
+        if it < n_merges or return_encoded:
             pattern = F.concat(
                 F.lit(SEP),
                 F.replace(F.col("pair"), F.lit(SEP), F.lit(SEP + SEP)),
@@ -107,13 +118,25 @@ def bpe_train_merges(
             )
             cur = (
                 cur.crossJoin(F.broadcast(top.select("pair")))
-                .select(F.replace(F.col("s"), pattern, merged).alias("s"))
+                .select(
+                    *id_cols,
+                    F.replace(F.col("s"), pattern, merged).alias("s"),
+                )
                 .localCheckpoint(eager=False)
             )
     out = reduce(DataFrame.unionByName, results)
-    return out.select(
+    merges = out.select(
         "it",
         F.split_part(F.col("pair"), F.lit(SEP), F.lit(1)).alias("left_tok"),
         F.split_part(F.col("pair"), F.lit(SEP), F.lit(2)).alias("right_tok"),
         "pair_count",
     )
+    if not return_encoded:
+        return merges
+    encoded = cur.select(
+        *id_cols,
+        F.split(
+            F.substring(F.col("s"), 2, F.length("s") - 2), SEP + SEP
+        ).alias("bpe_tokens"),
+    )
+    return merges, encoded

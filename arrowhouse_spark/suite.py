@@ -5179,15 +5179,19 @@ def label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_cosine(_t(spark, sf_dir, "embeddings"))
 
 
-def _bpe_oracle_sql(k: int) -> str:
+def _bpe_oracle_sql(k: int, encode: bool = False) -> str:
     """Unrolled K-round BPE oracle: round i counts adjacent pairs of the
     round-(i-1) corpus, takes the (count DESC, pair) top-1, and applies the
     merge with the same boundary-wrapped literal replace as the engine
-    (operators/bpe.py module docstring explains the encoding)."""
+    (operators/bpe.py module docstring explains the encoding). With
+    ``encode=True`` the corpus CTEs carry doc_id, all K merges are applied,
+    and the output is the per-document encoded token stats instead of the
+    merge table."""
     s = "chr(31)"
+    idc = "doc_id, " if encode else ""
     parts = [
         f"""WITH d0 AS (
-      SELECT {s} || array_to_string(
+      SELECT {idc}{s} || array_to_string(
                list_filter(string_split(text, ' '), x -> x != ''),
                {s}||{s}) || {s} AS s
       FROM documents
@@ -5210,21 +5214,31 @@ def _bpe_oracle_sql(k: int) -> str:
       ) ORDER BY cnt DESC, pair LIMIT 1
     )"""
         )
-        if i < k:
+        if i < k or encode:
             parts.append(
                 f""", d{i} AS (
-      SELECT replace(s,
+      SELECT {idc}replace(s,
                {s} || replace(t{i}.pair, {s}, {s}||{s}) || {s},
                {s} || replace(t{i}.pair, {s}, '+') || {s}) AS s
       FROM {prev}, t{i}
     )"""
             )
-    sel = "\n    UNION ALL\n    ".join(
-        f"SELECT {i} AS it, split_part(pair, {s}, 1) AS left_tok,"
-        f" split_part(pair, {s}, 2) AS right_tok,"
-        f" CAST(cnt AS BIGINT) AS pair_count FROM t{i}"
-        for i in range(1, k + 1)
-    )
+    if encode:
+        sel = (
+            f"SELECT doc_id,\n"
+            f"      CAST(len(string_split(substr(s, 2, length(s) - 2),"
+            f" {s}||{s})) AS INTEGER) AS n_bpe_tokens,\n"
+            f"      substr(md5(array_to_string(string_split("
+            f"substr(s, 2, length(s) - 2), {s}||{s}), ' ')), 1, 16)"
+            f" AS bpe_checksum\n    FROM d{k}"
+        )
+    else:
+        sel = "\n    UNION ALL\n    ".join(
+            f"SELECT {i} AS it, split_part(pair, {s}, 1) AS left_tok,"
+            f" split_part(pair, {s}, 2) AS right_tok,"
+            f" CAST(cnt AS BIGINT) AS pair_count FROM t{i}"
+            for i in range(1, k + 1)
+        )
     return "".join(parts) + "\n    " + sel
 
 
@@ -5278,4 +5292,29 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return qqf(_t(spark, sf_dir, "documents"), frac=0.8).select(
         "doc_id", "source", "quality", "q_thr", "kept"
+    )
+
+
+@register("bpe_encode_docs", _bpe_oracle_sql(3, encode=True))
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train→encode half of the tokenizer build
+    (operators/bpe.py:bpe_train_merges with return_encoded=True): learn 3
+    merges over the corpus, apply ALL of them, and emit per-document
+    encoded stats (token count after merging + a 16-hex checksum of the
+    space-joined BPE tokens). The checksum pins every document's full
+    post-merge token sequence, so a single mis-applied or mis-ordered
+    merge anywhere in the corpus flips the hash. Same plan per round as
+    bpe_train_merges; the encode output is the training loop's final
+    corpus state re-keyed by doc_id (no extra pass)."""
+    from arrowhouse_spark.operators.bpe import bpe_train_merges as bpe
+
+    _merges, encoded = bpe(
+        _t(spark, sf_dir, "documents"), n_merges=3, return_encoded=True
+    )
+    return encoded.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("int").alias("n_bpe_tokens"),
+        F.substring(F.md5(F.concat_ws(" ", "bpe_tokens")), 1, 16).alias(
+            "bpe_checksum"
+        ),
     )

@@ -76,6 +76,7 @@ HEADLINE = [
     "label_centroid_sim",
     "bpe_train_merges",
     "quality_quantile_filter",
+    "bpe_encode_docs",
 ]
 
 

@@ -1244,3 +1244,18 @@ def test_quality_quantile_filter_per_group_threshold(spark):
     assert out[4].kept is True and out[5].kept is True
     # thresholds differ per group
     assert out[1].q_thr != out[4].q_thr
+
+
+def test_bpe_encoded_corpus_applies_all_merges(spark):
+    from arrowhouse_spark.operators.bpe import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a b"), (3, "b a a")], ["doc_id", "text"]
+    )
+    merges, encoded = bpe_train_merges(df, n_merges=2, return_encoded=True)
+    got = {r.doc_id: r.bpe_tokens for r in encoded.collect()}
+    # round 1 merges (a,a); round 2 merges (a+a,a+a) — doc 1 collapses
+    # to one token, docs 2/3 keep their round-1 state
+    assert got[1] == ["a+a+a+a"]
+    assert got[2] == ["a+a", "b"]
+    assert got[3] == ["b", "a+a"]
