@@ -170,3 +170,46 @@ def source_mixed_sample(
         .filter(F.col("__rn") <= F.col("take_n"))
         .drop("__rn", "n_avail", "take_n")
     )
+
+
+def split_leakage_check(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    test_frac: float = 0.1,
+    salt: str = "split",
+    n_buckets: int = 1_000,
+) -> DataFrame:
+    """Cross-split content-leakage audit — the QA step that motivates
+    dedup-BEFORE-split: a train/test split keyed by id is stable per key,
+    but two ids carrying identical content can land on opposite sides,
+    leaking test content into training. Returns one row per normalized
+    content fingerprint present in BOTH splits: (fp, n_train,
+    min_train_id, n_test, min_test_id) — empty means the split is clean.
+
+    Scale: fingerprint + bucket are map-side; each split side reduces to
+    (fp, count, min_id) via a keyed aggregation before the inner join on
+    fp, so the shuffles carry 16-byte fingerprints and two longs — never
+    text — and the join output is bounded by the duplicate-content set."""
+    from arrowhouse_spark.operators.text import fingerprint
+
+    train, test = train_test_split(
+        df, key, test_frac=test_frac, salt=salt, n_buckets=n_buckets
+    )
+    tr = (
+        fingerprint(train, text_col=text_col)
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.min(key).alias("min_train_id"),
+        )
+    )
+    te = (
+        fingerprint(test, text_col=text_col)
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.min(key).alias("min_test_id"),
+        )
+    )
+    return tr.join(te, "fp")

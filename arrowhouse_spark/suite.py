@@ -5318,3 +5318,50 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bpe_checksum"
         ),
     )
+
+
+@register(
+    "split_leakage_check",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, text
+      FROM documents WHERE doc_id % 10 = 0
+    ), fps AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::UBIGINT % 1000)::BIGINT AS bucket
+      FROM base
+    ), tr AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS n_train,
+             min(doc_id) AS min_train_id
+      FROM fps WHERE bucket >= 200 GROUP BY fp
+    ), te AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS n_test,
+             min(doc_id) AS min_test_id
+      FROM fps WHERE bucket < 200 GROUP BY fp
+    )
+    SELECT tr.fp, n_train, min_train_id, n_test, min_test_id
+    FROM tr JOIN te USING (fp)
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split content-leakage audit
+    (operators/sampling.py:split_leakage_check): an id-keyed 80/20 split
+    is content-leaky when duplicate text lands on both sides — injected
+    copies of every 10th doc (doc_id+500000, identical text) guarantee
+    cross-split duplicates on both engines, and the output pins every
+    leaked fingerprint with its per-side counts and min ids. Composes the
+    md5-prefix split with the dedup fingerprint; all shuffles carry
+    (fp, long, long) rows only."""
+    from arrowhouse_spark.operators.sampling import split_leakage_check as slc
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text"
+        )
+    )
+    return slc(base, test_frac=0.2)

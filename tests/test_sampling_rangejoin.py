@@ -173,3 +173,30 @@ def test_source_mixed_sample_approx_mode(spark):
         df.repartition(11), {"a": 3, "b": 1}, key="doc_id", exact=False
     )
     assert sorted((r.source, r.doc_id) for r in out2.collect()) == got
+
+
+def test_split_leakage_check_finds_cross_split_dups(spark):
+    from arrowhouse_spark.operators.sampling import (
+        split_leakage_check,
+        train_test_split,
+        hash_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    # find two ids that land on opposite sides of the 50/50 split, give
+    # them identical text, and assert exactly that fingerprint is flagged
+    ids = spark.range(100).select(F.col("id").alias("doc_id"))
+    b = {
+        r.doc_id: r.bucket
+        for r in ids.select(
+            "doc_id", hash_bucket("doc_id", 1000, "split").alias("bucket")
+        ).collect()
+    }
+    lo = next(i for i in sorted(b) if b[i] < 500)
+    hi = next(i for i in sorted(b) if b[i] >= 500)
+    rows = [(lo, "dup text"), (hi, "dup text"), (99999, "unique text")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = split_leakage_check(df, test_frac=0.5).collect()
+    assert len(out) == 1
+    assert out[0].n_train == 1 and out[0].n_test == 1
+    assert {out[0].min_train_id, out[0].min_test_id} == {lo, hi}
