@@ -116,11 +116,18 @@ def bpe_train_merges(
                 F.replace(F.col("pair"), F.lit(SEP), F.lit(join_str)),
                 F.lit(SEP),
             )
+            # LEFT join on TRUE (not crossJoin): when the corpus has no
+            # adjacent pairs left (n_merges exceeds the learnable merges),
+            # `top` is EMPTY — a cross join would silently empty the working
+            # corpus; the left join keeps every row with pair=NULL and the
+            # coalesce leaves the text unchanged (round-6 advice).
             cur = (
-                cur.crossJoin(F.broadcast(top.select("pair")))
+                cur.join(F.broadcast(top.select("pair")), F.lit(True), "left")
                 .select(
                     *id_cols,
-                    F.replace(F.col("s"), pattern, merged).alias("s"),
+                    F.coalesce(
+                        F.replace(F.col("s"), pattern, merged), F.col("s")
+                    ).alias("s"),
                 )
                 .localCheckpoint(eager=False)
             )

@@ -45,7 +45,7 @@ from arrowhouse_spark.operators.text import fingerprint, tokens
 # is Spark's own canonical plan identity (stable across Python objects that
 # describe the same computation).
 # ---------------------------------------------------------------------------
-_CACHE_REGISTRY: dict[tuple, DataFrame] = {}
+_CACHE_REGISTRY: dict[tuple, list[DataFrame]] = {}
 
 # Hard cap on live registry entries: inputs whose plans contain per-call
 # checkpoint leaves (LogicalRDD) get a UNIQUE semantic hash per invocation,
@@ -55,25 +55,51 @@ _CACHE_REGISTRY: dict[tuple, DataFrame] = {}
 # steady-state storage is bounded.
 _CACHE_REGISTRY_MAX = 64
 
+# Staleness caveat (documented, round-6 advice): a registry hit returns the
+# PERSISTED relation — if the underlying files were rewritten in-place within
+# the same session, the hit serves the old snapshot (exactly like Spark's own
+# dataset cache). Sessions that rewrite inputs should call release_caches()
+# (or spark.catalog.refreshByPath) between the rewrite and the next operator
+# call; per-call opt-out below.
+CACHE_ENABLED = True
+
+
+def _same_plan(a: DataFrame, b: DataFrame) -> bool:
+    """True iff the two DataFrames have semantically equal analyzed plans.
+    semanticHash() is a 32-bit digest, not an identity — Spark's CacheManager
+    confirms `sameResult` after a hash match for the same reason (round-6
+    advice). On Spark Connect (no JVM handle) fall back to comparing
+    schemas — a collision that ALSO matches the schema is then accepted,
+    the best check available there."""
+    try:
+        qa = a._jdf.queryExecution().analyzed()  # noqa: SLF001
+        qb = b._jdf.queryExecution().analyzed()  # noqa: SLF001
+        return bool(qa.sameResult(qb))
+    except Exception:  # noqa: BLE001 — Connect / stopped context
+        return a.schema == b.schema
+
 
 def _shared_persist(df: DataFrame, tag: str) -> DataFrame:
+    if not CACHE_ENABLED:
+        return df.persist()
     key = (
         df.sparkSession.sparkContext.applicationId,
         tag,
         df.semanticHash(),
     )
-    hit = _CACHE_REGISTRY.get(key)
-    if hit is not None:
-        return hit
+    for cached in _CACHE_REGISTRY.get(key, ()):
+        if _same_plan(cached, df):
+            return cached
     while len(_CACHE_REGISTRY) >= _CACHE_REGISTRY_MAX:
-        _, oldest = next(iter(_CACHE_REGISTRY.items()))
-        _CACHE_REGISTRY.pop(next(iter(_CACHE_REGISTRY)))
-        try:
-            oldest.unpersist()
-        except Exception:  # noqa: BLE001 — source context already stopped
-            pass
-    _CACHE_REGISTRY[key] = df.persist()
-    return _CACHE_REGISTRY[key]
+        oldest_key = next(iter(_CACHE_REGISTRY))
+        for old in _CACHE_REGISTRY.pop(oldest_key):
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — source context stopped
+                pass
+    persisted = df.persist()
+    _CACHE_REGISTRY.setdefault(key, []).append(persisted)
+    return persisted
 
 
 def release_caches() -> int:
@@ -81,12 +107,13 @@ def release_caches() -> int:
     were released. Safe to call with a stopped SparkContext (entries from a
     dead application are simply dropped)."""
     n = 0
-    for df in _CACHE_REGISTRY.values():
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:  # noqa: BLE001 — context already stopped
-            pass
+    for dfs in _CACHE_REGISTRY.values():
+        for df in dfs:
+            try:
+                df.unpersist()
+                n += 1
+            except Exception:  # noqa: BLE001 — context already stopped
+                pass
     _CACHE_REGISTRY.clear()
     return n
 

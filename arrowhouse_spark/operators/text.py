@@ -696,10 +696,11 @@ def pii_scrub(
     # (round-5 advice — previously the total re-built every count and only
     # Catalyst CSE deduplicated them)
     base = df.select(F.col(id_col), cleaned.alias(out), *counts)
-    total = None
+    # start from lit(0) so an explicitly empty patterns dict degrades to
+    # n_pii=0 instead of crashing (round-6 advice)
+    total: Column = F.lit(0)
     for name in pats:
-        c = F.col(f"n_{name}")
-        total = c if total is None else total + c
+        total = total + F.col(f"n_{name}")
     return base.withColumn("n_pii", total)
 
 
@@ -732,7 +733,9 @@ def url_filter(
     boolean chain — bounded by the keyword list length, no join."""
     spark = df.sparkSession
     if isinstance(blocked_domains, DataFrame):
-        bdf = blocked_domains.select(F.col("domain"))
+        # lowercase the relation path too — the extracted host is lowered,
+        # so mixed-case blocklist rows would never match (round-6 advice)
+        bdf = blocked_domains.select(F.lower(F.col("domain")).alias("domain"))
     else:
         bdf = spark.createDataFrame(
             [(d.lower(),) for d in blocked_domains], "domain string"

@@ -315,6 +315,51 @@ def stream_minhash_neardup(
     probe is the same Σ bucket-product join as the batch operator.
 
     Returns the StreamingQuery (caller awaits/stops it)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _minhash_process_batch(
+            batch_df,
+            batch_id,
+            store_path,
+            out_path,
+            text_col,
+            id_col,
+            num_hashes,
+            bands,
+            shingle_n,
+            threshold,
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _minhash_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> None:
+    """One micro-batch of stream_minhash_neardup, IDEMPOTENT per batch_id
+    (round-6 advice — foreachBatch is at-least-once): the store carries
+    batch_id, the probe sees only EARLIER batches' rows (a replayed batch
+    never probes rows its failed attempt wrote, which would drop every
+    doc), and both sinks OVERWRITE this batch's own batch_id partition
+    (dynamic partition overwrite) instead of blindly appending, so a retry
+    replaces its partial output rather than duplicating it. The probe
+    relation is therefore identical on every attempt and the batch result
+    deterministic. Module-level so the retry contract is directly
+    pytest-able."""
     from pyspark.sql.types import StructType
 
     from arrowhouse_spark.operators.dedup import minhash_incremental
@@ -325,40 +370,44 @@ def stream_minhash_neardup(
         .add("minhash", T.ArrayType(T.LongType()))
         .add("band", T.IntegerType())
         .add("bucket", T.LongType())
+        .add("batch_id", T.LongType())
     )
-
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        try:
-            store = spark.read.schema(store_schema).parquet(store_path)
-            store.head(1)  # surface an empty/missing dir as the except path
-        except Exception:  # noqa: BLE001 — first batch: no store yet
-            store = spark.createDataFrame([], store_schema)
-        # persisted locally: consumed by BOTH the doc emit and the store
-        # append, and released before the batch returns (no registry entry
-        # — each batch's relation is unique and dies with the batch)
-        surv_idx = minhash_incremental(
-            batch_df,
-            store,
-            text_col,
-            id_col,
-            num_hashes,
-            bands,
-            shingle_n,
-            threshold,
-        ).persist()
-        try:
-            surv_ids = surv_idx.select(id_col).distinct()
-            batch_df.join(surv_ids, id_col).withColumn(
-                "batch_id", F.lit(batch_id)
-            ).write.mode("append").parquet(out_path)
-            surv_idx.write.mode("append").parquet(store_path)
-        finally:
-            surv_idx.unpersist()
-
-    return (
-        sdf.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = batch_df.sparkSession
+    try:
+        store = spark.read.schema(store_schema).parquet(store_path)
+        store.head(1)  # surface an empty/missing dir as the except path
+    except Exception:  # noqa: BLE001 — first batch: no store yet
+        store = spark.createDataFrame([], store_schema)
+    prior = store.filter(F.col("batch_id") < batch_id).drop("batch_id")
+    # persisted locally: consumed by BOTH the doc emit and the store
+    # write, and released before the batch returns (no registry entry
+    # — each batch's relation is unique and dies with the batch)
+    surv_idx = minhash_incremental(
+        batch_df,
+        prior,
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+        shingle_n,
+        threshold,
+    ).persist()
+    try:
+        surv_ids = surv_idx.select(id_col).distinct()
+        (
+            batch_df.join(surv_ids, id_col)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+        (
+            surv_idx.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_path)
+        )
+    finally:
+        surv_idx.unpersist()

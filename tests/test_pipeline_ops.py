@@ -1259,3 +1259,95 @@ def test_bpe_encoded_corpus_applies_all_merges(spark):
     assert got[1] == ["a+a+a+a"]
     assert got[2] == ["a+a", "b"]
     assert got[3] == ["b", "a+a"]
+
+
+def test_bpe_exhausted_merges_keep_corpus(spark):
+    """Round-6 advice: when n_merges exceeds the learnable merges, the
+    empty top-1 relation must NOT empty the working corpus — exhausted
+    rounds leave every document unchanged and the merges table just stops
+    growing."""
+    from arrowhouse_spark.operators.bpe import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], ["doc_id", "text"]
+    )
+    # learnable merges: (a,b) -> a+b, then nothing (both docs are a single
+    # token). Ask for 4.
+    merges, encoded = bpe_train_merges(df, n_merges=4, return_encoded=True)
+    rows = {r.it: (r.left_tok, r.right_tok) for r in merges.collect()}
+    assert rows == {1: ("a", "b")}
+    got = {r.doc_id: r.bpe_tokens for r in encoded.collect()}
+    assert got == {1: ["a+b"], 2: ["a+b"]}
+
+    # single-token corpus from the start: zero learnable merges, corpus
+    # returned verbatim
+    df1 = spark.createDataFrame([(1, "solo"), (2, "uno")], ["doc_id", "text"])
+    m1, e1 = bpe_train_merges(df1, n_merges=2, return_encoded=True)
+    assert m1.count() == 0
+    assert {r.doc_id: r.bpe_tokens for r in e1.collect()} == {
+        1: ["solo"], 2: ["uno"]
+    }
+
+
+def test_shared_persist_survives_hash_collision(spark, monkeypatch):
+    """Round-6 advice: the registry key uses the 32-bit semanticHash; on a
+    collision the sameResult confirmation must route the two plans to
+    DIFFERENT persisted relations instead of silently serving the wrong
+    one. Forced by monkeypatching semanticHash to a constant."""
+    from pyspark.sql import DataFrame
+
+    from arrowhouse_spark.operators import dedup
+
+    dedup.release_caches()
+    monkeypatch.setattr(DataFrame, "semanticHash", lambda self: 42)
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], ["doc_id", "text"]
+    )
+    a = dedup._shared_persist(df.filter(F.col("doc_id") >= 2), "collide")
+    b = dedup._shared_persist(df.filter(F.col("doc_id") >= 3), "collide")
+    assert a is not b, "colliding but different plans must not share"
+    assert a.count() == 2 and b.count() == 1
+    # same logical plan still reuses the persisted relation
+    c = dedup._shared_persist(df.filter(F.col("doc_id") >= 2), "collide")
+    assert c is a
+    assert dedup.release_caches() >= 2
+
+
+def test_shared_persist_opt_out(spark):
+    """CACHE_ENABLED=False bypasses the registry entirely (per-session
+    opt-out for sources rewritten in place)."""
+    from arrowhouse_spark.operators import dedup
+
+    dedup.release_caches()
+    dedup.CACHE_ENABLED = False
+    try:
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        a = dedup._shared_persist(df, "optout")
+        assert len(dedup._CACHE_REGISTRY) == 0
+        a.unpersist()
+    finally:
+        dedup.CACHE_ENABLED = True
+
+
+def test_pii_scrub_empty_patterns_returns_zero(spark):
+    """Round-6 advice: an explicitly empty patterns dict degrades to
+    n_pii=0 instead of crashing."""
+    df = spark.createDataFrame([(1, "mail me a@b.co")], ["doc_id", "text"])
+    from arrowhouse_spark.operators.text import pii_scrub
+
+    row = pii_scrub(df, patterns={}).collect()[0]
+    assert row.n_pii == 0 and row.text_clean == "mail me a@b.co"
+
+
+def test_url_filter_relation_blocklist_case_insensitive(spark):
+    """Round-6 advice: mixed-case domain rows in the blocklist RELATION
+    must match the lowered extracted host, same as the inline-seq path."""
+    from arrowhouse_spark.operators.text import url_filter
+
+    df = spark.createDataFrame(
+        [(1, "https://Bad.Example.com/x"), (2, "https://ok.org/y")],
+        ["doc_id", "url"],
+    )
+    bdf = spark.createDataFrame([("BAD.example.COM",)], ["domain"])
+    got = {r.doc_id: r.blocked_domain for r in url_filter(df, blocked_domains=bdf).collect()}
+    assert got == {1: True, 2: False}

@@ -608,3 +608,43 @@ def test_stream_interval_join_matches_batch_on_union(spark, ordered_stream_dir):
         (r.user_id, r.a_id, r.o_id) for r in joined.collect()
     )
     assert stream_pairs == batch_pairs and len(batch_pairs) >= 1
+
+
+def test_stream_minhash_batch_retry_idempotent(spark, tmp_path):
+    """Round-6 advice: foreachBatch is at-least-once, so a replayed batch
+    must (a) not probe the rows its failed attempt wrote (which would drop
+    every doc) and (b) replace — not duplicate — its own output. Simulated
+    by invoking the module-level batch processor twice with the same
+    batch_id."""
+    from arrowhouse_spark.streaming.replace import _minhash_process_batch
+
+    d = str(tmp_path / "mh_retry")
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame(
+        [(1, " ".join(f"alpha{i}" for i in range(50)))], schema
+    )
+    near = " ".join(f"alpha{i}" for i in range(50)).replace("alpha7", "x", 1)
+    b1 = spark.createDataFrame(
+        [(3, near), (4, " ".join(f"beta{i}" for i in range(50)))], schema
+    )
+    kw = dict(store_path=d + "/store", out_path=d + "/out", threshold=0.5)
+    _minhash_process_batch(b0, 0, **kw)
+    _minhash_process_batch(b1, 1, **kw)
+
+    def snapshot():
+        out = spark.read.parquet(d + "/out")
+        store = spark.read.parquet(d + "/store")
+        return (
+            sorted((r.batch_id, r.doc_id) for r in out.collect()),
+            store.count(),
+            sorted(
+                r.doc_id
+                for r in store.select("doc_id").distinct().collect()
+            ),
+        )
+
+    first = snapshot()
+    assert [p[1] for p in first[0]] == [1, 4]  # near-dup 3 dropped
+    # the retry: same batch, same id — at-least-once replay
+    _minhash_process_batch(b1, 1, **kw)
+    assert snapshot() == first
