@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from arrowhouse_spark.operators.text import tokens
@@ -137,6 +137,184 @@ def bpe_train_merges(
         F.split_part(F.col("pair"), F.lit(SEP), F.lit(1)).alias("left_tok"),
         F.split_part(F.col("pair"), F.lit(SEP), F.lit(2)).alias("right_tok"),
         "pair_count",
+    )
+    if not return_encoded:
+        return merges
+    encoded = cur.select(
+        *id_cols,
+        F.split(
+            F.substring(F.col("s"), 2, F.length("s") - 2), SEP + SEP
+        ).alias("bpe_tokens"),
+    )
+    return merges, encoded
+
+
+def _wrap_pattern(pair: Column) -> Column:
+    """The boundary-wrapped literal occurrence string of a pair column."""
+    return F.concat(
+        F.lit(SEP), F.replace(pair, F.lit(SEP), F.lit(SEP + SEP)), F.lit(SEP)
+    )
+
+
+def _wrap_merged(pair: Column, join_str: str) -> Column:
+    """The boundary-wrapped replacement token of a pair column."""
+    return F.concat(
+        F.lit(SEP), F.replace(pair, F.lit(SEP), F.lit(join_str)), F.lit(SEP)
+    )
+
+
+def bpe_train_merges_batched(
+    df: DataFrame,
+    n_merges: int = 64,
+    batch_size: int = 8,
+    text_col: str = "text",
+    join_str: str = "+",
+    id_col: str = "doc_id",
+    return_encoded: bool = False,
+):
+    """Production-form BPE training: up to ``batch_size`` merges learned
+    and applied PER corpus pass, so ``n_merges`` merges cost
+    ``ceil(n_merges / batch_size)`` passes instead of ``n_merges`` — the
+    batching real tokenizer trainers use, since 30k sequential corpus
+    passes is not a viable plan at any scale (round-6 verdict #1).
+
+    Per pass the selected batch is the top-``batch_size``
+    **non-interfering** pairs: pair p is eligible iff NO strictly
+    higher-ranked pair (rank = pair_count DESC, pair ASC) shares a token
+    with p. Token-disjoint merges can neither create nor destroy each
+    other's occurrences, so applying the whole batch in one map-side pass
+    is order-independent and each merge behaves exactly as if applied
+    alone — the standard parallel-BPE independence condition. (This is
+    deliberately more conservative than "disjoint from higher-ranked
+    SELECTED pairs": the check against all higher-ranked pairs is a pure
+    keyed aggregation, needs no sequential scan anywhere, and only defers
+    a blocked pair to the next pass.) Batched selection is the documented
+    approximation to strict sequential BPE: within a batch, later merges
+    use counts from before the batch's earlier merges applied; the
+    non-interference rule is what makes those counts still exact.
+
+    Scale: per pass — one pair explode → keyed count (key count = live
+    pair vocab); one token explode → keyed min-struct (key count = live
+    token vocab, "best pair containing this token" as min over
+    struct(-cnt, pair) — NO global window, no single-partition stage);
+    two keyed joins of the pair relation against that token-best relation;
+    TakeOrdered(batch_size); then ONE map-side pass applying all selected
+    merges via an F.aggregate fold over the 1-row broadcast merge array.
+    The working corpus is lineage-cut per pass. Returns one row per
+    learned merge: (pass, left_tok, right_tok, pair_count); with
+    ``return_encoded=True`` also the fully-merged corpus as
+    (id_col, bpe_tokens). Exhausted corpora (no pairs left) yield empty
+    passes and the corpus flows through unchanged."""
+    if n_merges < 1 or batch_size < 1:
+        raise ValueError(
+            f"need n_merges/batch_size >= 1, got {n_merges}/{batch_size}"
+        )
+    toks = tokens(text_col)
+    id_cols = [F.col(id_col)] if return_encoded else []
+    cur = (
+        df.select(*id_cols, toks.alias("__t"))
+        .filter(F.size("__t") > 0)
+        .select(
+            *id_cols,
+            F.concat(
+                F.lit(SEP), F.array_join("__t", SEP + SEP), F.lit(SEP)
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_passes = -(-n_merges // batch_size)
+    results: list[DataFrame] = []
+    for p in range(1, n_passes + 1):
+        k = min(batch_size, n_merges - batch_size * (p - 1))
+        a = F.split(F.substring(F.col("s"), 2, F.length("s") - 2), SEP + SEP)
+        base = cur.select(a.alias("a")).filter(F.size("a") >= 2)
+        pc = (
+            base.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("a") - 1),
+                        lambda j: F.concat(
+                            F.element_at(F.col("a"), j),
+                            F.lit(SEP),
+                            F.element_at(F.col("a"), j + 1),
+                        ),
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        left_t = F.split_part(F.col("pair"), F.lit(SEP), F.lit(1))
+        right_t = F.split_part(F.col("pair"), F.lit(SEP), F.lit(2))
+        own_key = F.struct(
+            (-F.col("cnt")).alias("nc"), F.col("pair").alias("pair")
+        )
+        # best (highest-ranked) pair containing each token, as a keyed
+        # min-struct — rank order (cnt DESC, pair ASC) == struct(-cnt, pair)
+        # ascending
+        best = (
+            pc.select(
+                F.explode(F.array(left_t, right_t)).alias("tok"),
+                own_key.alias("key"),
+            )
+            .groupBy("tok")
+            .agg(F.min("key").alias("bk"))
+        )
+        sel = (
+            pc.join(
+                best.withColumnRenamed("tok", "__lt"),
+                (left_t == F.col("__lt")) & (own_key == F.col("bk")),
+            )
+            .drop("__lt", "bk")
+            .join(
+                best.withColumnRenamed("tok", "__rt"),
+                (right_t == F.col("__rt")) & (own_key == F.col("bk")),
+            )
+            .drop("__rt", "bk")
+            .orderBy(F.col("cnt").desc(), F.col("pair"))
+            .limit(k)
+            .select(F.lit(p).alias("pass"), "pair", "cnt")
+            # referenced twice (output union + this pass's apply) — cut so
+            # the selection subtree runs once
+            .localCheckpoint(eager=False)
+        )
+        results.append(sel)
+        if p < n_passes or return_encoded:
+            # exactly ONE row always (global agg): empty selection packs an
+            # empty array and the fold is the identity — exhausted merges
+            # leave the corpus unchanged
+            packed = sel.agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cnt")).alias("nc"),
+                            F.col("pair").alias("pair"),
+                        )
+                    )
+                ).alias("__ms")
+            )
+            cur = (
+                cur.crossJoin(F.broadcast(packed))
+                .select(
+                    *id_cols,
+                    F.aggregate(
+                        "__ms",
+                        F.col("s"),
+                        lambda acc, m: F.replace(
+                            acc,
+                            _wrap_pattern(m["pair"]),
+                            _wrap_merged(m["pair"], join_str),
+                        ),
+                    ).alias("s"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    out = reduce(DataFrame.unionByName, results)
+    merges = out.select(
+        "pass",
+        F.split_part(F.col("pair"), F.lit(SEP), F.lit(1)).alias("left_tok"),
+        F.split_part(F.col("pair"), F.lit(SEP), F.lit(2)).alias("right_tok"),
+        F.col("cnt").alias("pair_count"),
     )
     if not return_encoded:
         return merges

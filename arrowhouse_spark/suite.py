@@ -5242,6 +5242,122 @@ def _bpe_oracle_sql(k: int, encode: bool = False) -> str:
     return "".join(parts) + "\n    " + sel
 
 
+def _bpe_batched_oracle_sql(
+    n_merges: int, batch_size: int, encode: bool = False
+) -> str:
+    """Unrolled batched-BPE oracle (round-6 verdict #1): pass i ranks the
+    pair counts (cnt DESC, pair ASC), keeps the top-``batch_size`` pairs
+    sharing no token with ANY higher-ranked pair (per-token min-rank
+    equality — the same keyed rule the engine evaluates as a min-struct
+    aggregation), and applies ALL selected merges with nested literal
+    replaces. Token-disjointness makes the nesting order irrelevant; the
+    ranked j order used here mirrors the engine's sorted fold. The
+    never-matching sentinel repeat(chr(31),4) fills absent ranks (between
+    tokens the encoding has exactly two separators, so four in a row
+    cannot occur) — keeping each replace total instead of NULL-poisoning
+    the chain."""
+    s = "chr(31)"
+    idc = "doc_id, " if encode else ""
+    n_passes = -(-n_merges // batch_size)
+    parts = [
+        f"""WITH d0 AS MATERIALIZED (
+      SELECT {idc}{s} || array_to_string(
+               list_filter(string_split(text, ' '), x -> x != ''),
+               {s}||{s}) || {s} AS s
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x != '')) > 0
+    )"""
+    ]
+    for i in range(1, n_passes + 1):
+        k = min(batch_size, n_merges - batch_size * (i - 1))
+        prev = f"d{i - 1}"
+        parts.append(
+            f""", rk{i} AS MATERIALIZED (
+      SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+      FROM (
+        SELECT pair, count(*) AS cnt FROM (
+          SELECT a[ix] || {s} || a[ix + 1] AS pair FROM (
+            SELECT unnest(range(1, len(a))) AS ix, a FROM (
+              SELECT string_split(substr(s, 2, length(s) - 2), {s}||{s}) AS a
+              FROM {prev}
+            )
+          )
+        ) GROUP BY pair
+      )
+    ), tb{i} AS MATERIALIZED (
+      SELECT tok, min(rk) AS mrk FROM (
+        SELECT split_part(pair, {s}, 1) AS tok, rk FROM rk{i}
+        UNION ALL
+        SELECT split_part(pair, {s}, 2) AS tok, rk FROM rk{i}
+      ) GROUP BY tok
+    ), sel{i} AS MATERIALIZED (
+      SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS j
+      FROM rk{i} r
+      JOIN tb{i} t1
+        ON t1.tok = split_part(r.pair, {s}, 1) AND t1.mrk = r.rk
+      JOIN tb{i} t2
+        ON t2.tok = split_part(r.pair, {s}, 2) AND t2.mrk = r.rk
+      QUALIFY j <= {k}
+    )"""
+        )
+        if i < n_passes or encode:
+            expr = "s"
+            for j in range(1, k + 1):
+                pat = (
+                    f"coalesce((SELECT {s} || replace(pair, {s}, {s}||{s})"
+                    f" || {s} FROM sel{i} WHERE j = {j}),"
+                    f" repeat(chr(31), 4))"
+                )
+                mrg = (
+                    f"coalesce((SELECT {s} || replace(pair, {s}, '+')"
+                    f" || {s} FROM sel{i} WHERE j = {j}), '')"
+                )
+                expr = f"replace({expr},\n        {pat},\n        {mrg})"
+            parts.append(
+                f""", d{i} AS MATERIALIZED (
+      SELECT {idc}{expr} AS s
+      FROM {prev}
+    )"""
+            )
+    if encode:
+        sel = (
+            f"SELECT doc_id,\n"
+            f"      CAST(len(string_split(substr(s, 2, length(s) - 2),"
+            f" {s}||{s})) AS INTEGER) AS n_bpe_tokens,\n"
+            f"      substr(md5(array_to_string(string_split("
+            f"substr(s, 2, length(s) - 2), {s}||{s}), ' ')), 1, 16)"
+            f" AS bpe_checksum\n    FROM d{n_passes}"
+        )
+    else:
+        sel = "\n    UNION ALL\n    ".join(
+            f'SELECT CAST({i} AS INTEGER) AS "pass",'
+            f" split_part(pair, {s}, 1) AS left_tok,"
+            f" split_part(pair, {s}, 2) AS right_tok,"
+            f" CAST(cnt AS BIGINT) AS pair_count FROM sel{i}"
+            for i in range(1, n_passes + 1)
+        )
+    return "".join(parts) + "\n    " + sel
+
+
+@register("bpe_train_batched", _bpe_batched_oracle_sql(64, 8))
+def bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-form BPE training (operators/bpe.py:
+    bpe_train_merges_batched — round-6 verdict #1): up to 64 merges in at
+    most 8 corpus passes, each pass selecting the top-8 non-interfering
+    pairs (no token shared with any higher-ranked pair) via keyed
+    min-struct aggregation — no global window, no driver loop over
+    merges — and applying the whole batch in ONE map-side F.aggregate
+    fold over the 1-row broadcast merge array. The oracle unrolls all 8
+    passes with the identical ranking, independence rule, and nested
+    greedy replaces, so the hash pins every selected pair, its count,
+    and the pass it was learned in."""
+    from arrowhouse_spark.operators.bpe import bpe_train_merges_batched
+
+    return bpe_train_merges_batched(
+        _t(spark, sf_dir, "documents"), n_merges=64, batch_size=8
+    )
+
+
 @register("bpe_train_merges", _bpe_oracle_sql(5))
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py): the first 5
