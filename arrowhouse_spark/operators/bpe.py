@@ -171,6 +171,7 @@ def bpe_train_merges_batched(
     join_str: str = "+",
     id_col: str = "doc_id",
     return_encoded: bool = False,
+    tokens_col: str | None = None,
 ):
     """Production-form BPE training: up to ``batch_size`` merges learned
     and applied PER corpus pass, so ``n_merges`` merges cost
@@ -204,12 +205,13 @@ def bpe_train_merges_batched(
     learned merge: (pass, left_tok, right_tok, pair_count); with
     ``return_encoded=True`` also the fully-merged corpus as
     (id_col, bpe_tokens). Exhausted corpora (no pairs left) yield empty
-    passes and the corpus flows through unchanged."""
+    passes and the corpus flows through unchanged. ``tokens_col`` names an
+    already-tokenized array column (the pipeline scan-sharing seam)."""
     if n_merges < 1 or batch_size < 1:
         raise ValueError(
             f"need n_merges/batch_size >= 1, got {n_merges}/{batch_size}"
         )
-    toks = tokens(text_col)
+    toks = F.col(tokens_col) if tokens_col else tokens(text_col)
     id_cols = [F.col(id_col)] if return_encoded else []
     cur = (
         df.select(*id_cols, toks.alias("__t"))

@@ -4192,9 +4192,13 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pipeline_pretrain_full",
-    r"""
+# Shared nine-stage SQL replay prefix (inject -> scrub -> QC -> Gopher ->
+# exact dedup -> dup-span filter -> 13-gram decontamination -> source
+# mixing): the `mixed` CTE is the stage seam both full-pipeline oracles
+# resume from — pipeline_pretrain_full appends the whitespace-vocab
+# encode + pack tail, pipeline_pretrain_full_bpe the batched-BPE
+# train/encode + pack tail.
+_PIPE_FULL_MIX_SQL = r"""
     WITH inj AS (
       SELECT doc_id, source,
         text
@@ -4308,67 +4312,17 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS rn
       FROM surv4 s JOIN plan p ON s.source = p.source
     ), mixed AS MATERIALIZED (
-      SELECT doc_id, source, w FROM ranked WHERE rn <= take_n
-    ), pe AS MATERIALIZED (
-      SELECT doc_id, i - 1 AS pos, w[i] AS tok
-      FROM mixed, unnest(generate_series(1, len(w))) AS t(i)
-    ), tf AS (
-      SELECT tok, count(*) AS tf FROM pe GROUP BY tok
-    ), vocab AS (
-      SELECT tok, CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) AS INTEGER) AS tid
-      FROM tf ORDER BY tf DESC, tok ASC LIMIT 500
-    ), enc AS (
-      SELECT pe.doc_id, pe.pos, coalesce(vocab.tid, 0) AS tid
-      FROM pe LEFT JOIN vocab USING (tok)
-    ), encagg AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_unk,
-             CAST(sum((pos + 1) * tid) AS BIGINT) AS ids_checksum
-      FROM enc GROUP BY doc_id
-    ), pk0 AS (
-      SELECT doc_id, source, CAST(len(w) AS INT) AS n_tokens,
-             (('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-              % 32)::BIGINT AS bucket
-      FROM mixed
-    ), pk AS (
-      SELECT doc_id, source, bucket,
-             sum(n_tokens) OVER (PARTITION BY bucket
-                                 ORDER BY n_tokens DESC, doc_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - n_tokens AS strt
-      FROM pk0
-    )
-    SELECT e.doc_id, p.source, e.n_tokens, e.n_unk, e.ids_checksum, p.bucket,
-           CAST(p.strt // 200 AS BIGINT) AS pack_id,
-           CAST(p.strt % 200 AS BIGINT) AS pack_off
-    FROM encagg e JOIN pk p USING (doc_id)
-    """,
-)
-def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPLETE pretraining-data build as one composed plan — round-6
-    verdict item 2, extending pipeline_pretrain_corpus with the remaining
-    proven stages on both ends: PII scrub → encoding QC → Gopher quality →
-    exact dedup → duplicated-span filter → 13-gram benchmark
-    decontamination → deterministic source mixing (3/2/1 over
-    src0/src1/src2) → corpus vocab encoding (V=500) → sequence packing
-    (b=200). Deterministic PII (every 7th/11th/13th doc) and mojibake
-    noise (every 31st) are INJECTED from doc_id on both sides so scrub
-    and QC make real decisions; the eval set is the doc_id%97 sample of
-    the RAW corpus, so surviving eval twins are really dropped. One row
-    per mixed-sample document: source + encoded-sequence checksum + pack
-    placement — the oracle replays all nine stages in SQL, so the hash
-    compare certifies the full composition (wrong survivor set at ANY
-    stage, wrong mix counts, shifted id sequence, or different pack
-    layout all flip it).
+      SELECT doc_id, source, w FROM ranked WHERE rn <= take_n"""
 
-    Scale: each stage keeps its operator's proven plan (scrub/QC are
-    map-side codegen; dedup/spans/vocab/pack shuffles are keyed; the
-    decontamination eval side is a broadcast; the exact-mix window is
-    per-source — the documented boundedness trade of
-    operators/sampling.py:source_mixed_sample). Scan sharing: scrub → QC
-    feed one repartitioned injected subtree, and every tokenizing stage
-    downstream reads the one (doc_id, source, text, __toks) relation
-    through its ``tokens_col`` seam."""
+
+def _pipeline_full_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1-8 of the full pretraining build (inject -> PII scrub ->
+    encoding QC -> Gopher -> exact dedup -> dup-span filter -> 13-gram
+    decontamination -> source mixing), shared verbatim by
+    pipeline_pretrain_full (whitespace-vocab tail) and
+    pipeline_pretrain_full_bpe (batched-BPE tail). Returns the mixed
+    sample as (doc_id, source, text, __toks) — the `mixed` stage seam,
+    mirroring the oracle's _PIPE_FULL_MIX_SQL prefix."""
     from arrowhouse_spark.operators.dedup import dedup_exact, dup_spans
     from arrowhouse_spark.operators.packing import pack_sequences
     from arrowhouse_spark.operators.sampling import source_mixed_sample as sms
@@ -4475,6 +4429,76 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed = sms(
         surv4, weights={"src0": 3, "src1": 2, "src2": 1}, key="doc_id"
     )
+    return mixed
+
+
+@register(
+    "pipeline_pretrain_full",
+    _PIPE_FULL_MIX_SQL + r"""
+    ), pe AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS pos, w[i] AS tok
+      FROM mixed, unnest(generate_series(1, len(w))) AS t(i)
+    ), tf AS (
+      SELECT tok, count(*) AS tf FROM pe GROUP BY tok
+    ), vocab AS (
+      SELECT tok, CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) AS INTEGER) AS tid
+      FROM tf ORDER BY tf DESC, tok ASC LIMIT 500
+    ), enc AS (
+      SELECT pe.doc_id, pe.pos, coalesce(vocab.tid, 0) AS tid
+      FROM pe LEFT JOIN vocab USING (tok)
+    ), encagg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_unk,
+             CAST(sum((pos + 1) * tid) AS BIGINT) AS ids_checksum
+      FROM enc GROUP BY doc_id
+    ), pk0 AS (
+      SELECT doc_id, source, CAST(len(w) AS INT) AS n_tokens,
+             (('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 32)::BIGINT AS bucket
+      FROM mixed
+    ), pk AS (
+      SELECT doc_id, source, bucket,
+             sum(n_tokens) OVER (PARTITION BY bucket
+                                 ORDER BY n_tokens DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS strt
+      FROM pk0
+    )
+    SELECT e.doc_id, p.source, e.n_tokens, e.n_unk, e.ids_checksum, p.bucket,
+           CAST(p.strt // 200 AS BIGINT) AS pack_id,
+           CAST(p.strt % 200 AS BIGINT) AS pack_off
+    FROM encagg e JOIN pk p USING (doc_id)
+    """,
+)
+def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pretraining-data build as one composed plan — round-6
+    verdict item 2, extending pipeline_pretrain_corpus with the remaining
+    proven stages on both ends: PII scrub → encoding QC → Gopher quality →
+    exact dedup → duplicated-span filter → 13-gram benchmark
+    decontamination → deterministic source mixing (3/2/1 over
+    src0/src1/src2) → corpus vocab encoding (V=500) → sequence packing
+    (b=200). Deterministic PII (every 7th/11th/13th doc) and mojibake
+    noise (every 31st) are INJECTED from doc_id on both sides so scrub
+    and QC make real decisions; the eval set is the doc_id%97 sample of
+    the RAW corpus, so surviving eval twins are really dropped. One row
+    per mixed-sample document: source + encoded-sequence checksum + pack
+    placement — the oracle replays all nine stages in SQL, so the hash
+    compare certifies the full composition (wrong survivor set at ANY
+    stage, wrong mix counts, shifted id sequence, or different pack
+    layout all flip it).
+
+    Scale: each stage keeps its operator's proven plan (scrub/QC are
+    map-side codegen; dedup/spans/vocab/pack shuffles are keyed; the
+    decontamination eval side is a broadcast; the exact-mix window is
+    per-source — the documented boundedness trade of
+    operators/sampling.py:source_mixed_sample). Scan sharing: scrub → QC
+    feed one repartitioned injected subtree, and every tokenizing stage
+    downstream reads the one (doc_id, source, text, __toks) relation
+    through its ``tokens_col`` seam."""
+    from arrowhouse_spark.operators.packing import pack_sequences
+    from arrowhouse_spark.operators.text import vocab_encode
+
+    mixed = _pipeline_full_mixed(spark, sf_dir)
     enc = vocab_encode(
         mixed, vocab_size=500, tokens_col="__toks", with_ids=False
     )
@@ -4486,6 +4510,155 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(enc.select("doc_id", "n_tokens", "n_unk", "ids_checksum"), "doc_id")
         .join(packed, "doc_id")
     )
+
+
+def _bpe_full_tail_sql(n_merges: int, batch_size: int) -> str:
+    """The batched-BPE train/encode + pack tail appended to
+    _PIPE_FULL_MIX_SQL for pipeline_pretrain_full_bpe: BPE-trains on the
+    mixed sample with the same ranking/independence rule as
+    _bpe_batched_oracle_sql (per-pass top-``batch_size`` non-interfering
+    pairs, nested greedy replaces), then packs on the POST-MERGE token
+    counts. Starts with the close of the `mixed` CTE."""
+    s = "chr(31)"
+    n_passes = -(-n_merges // batch_size)
+    parts = [
+        f"""
+    ), bd0 AS MATERIALIZED (
+      SELECT doc_id, source,
+             {s} || array_to_string(w, {s}||{s}) || {s} AS s
+      FROM mixed WHERE len(w) > 0
+    )"""
+    ]
+    for i in range(1, n_passes + 1):
+        k = min(batch_size, n_merges - batch_size * (i - 1))
+        prev = f"bd{i - 1}"
+        parts.append(
+            f""", brk{i} AS MATERIALIZED (
+      SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+      FROM (
+        SELECT pair, count(*) AS cnt FROM (
+          SELECT a[ix] || {s} || a[ix + 1] AS pair FROM (
+            SELECT unnest(range(1, len(a))) AS ix, a FROM (
+              SELECT string_split(substr(s, 2, length(s) - 2), {s}||{s}) AS a
+              FROM {prev}
+            )
+          )
+        ) GROUP BY pair
+      )
+    ), btb{i} AS MATERIALIZED (
+      SELECT tok, min(rk) AS mrk FROM (
+        SELECT split_part(pair, {s}, 1) AS tok, rk FROM brk{i}
+        UNION ALL
+        SELECT split_part(pair, {s}, 2) AS tok, rk FROM brk{i}
+      ) GROUP BY tok
+    ), bsel{i} AS MATERIALIZED (
+      SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS j
+      FROM brk{i} r
+      JOIN btb{i} t1
+        ON t1.tok = split_part(r.pair, {s}, 1) AND t1.mrk = r.rk
+      JOIN btb{i} t2
+        ON t2.tok = split_part(r.pair, {s}, 2) AND t2.mrk = r.rk
+      QUALIFY j <= {k}
+    )"""
+        )
+        expr = "s"
+        for j in range(1, k + 1):
+            pat = (
+                f"coalesce((SELECT {s} || replace(pair, {s}, {s}||{s})"
+                f" || {s} FROM bsel{i} WHERE j = {j}),"
+                f" repeat(chr(31), 4))"
+            )
+            mrg = (
+                f"coalesce((SELECT {s} || replace(pair, {s}, '+')"
+                f" || {s} FROM bsel{i} WHERE j = {j}), '')"
+            )
+            expr = f"replace({expr},\n        {pat},\n        {mrg})"
+        parts.append(
+            f""", bd{i} AS MATERIALIZED (
+      SELECT doc_id, source, {expr} AS s
+      FROM {prev}
+    )"""
+        )
+    parts.append(
+        f""", benc AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(substr(s, 2, length(s) - 2),
+               {s}||{s})) AS INTEGER) AS n_bpe_tokens,
+             substr(md5(array_to_string(string_split(
+               substr(s, 2, length(s) - 2), {s}||{s}), ' ')), 1, 16)
+               AS bpe_checksum
+      FROM bd{n_passes}
+    ), bpk0 AS (
+      SELECT doc_id, source, n_bpe_tokens AS n_tokens,
+             (('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 32)::BIGINT AS bucket
+      FROM benc
+    ), bpk AS (
+      SELECT doc_id, bucket,
+             sum(n_tokens) OVER (PARTITION BY bucket
+                                 ORDER BY n_tokens DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS strt
+      FROM bpk0
+    )
+    SELECT e.doc_id, e.source, e.n_bpe_tokens, e.bpe_checksum, p.bucket,
+           CAST(p.strt // 200 AS BIGINT) AS pack_id,
+           CAST(p.strt % 200 AS BIGINT) AS pack_off
+    FROM benc e JOIN bpk p USING (doc_id)"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "pipeline_pretrain_full_bpe",
+    _PIPE_FULL_MIX_SQL + _bpe_full_tail_sql(16, 8),
+)
+def pipeline_pretrain_full_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-faithful flagship build (round-6 verdict #2): the
+    same nine-stage pipeline as pipeline_pretrain_full, but the
+    whitespace-vocab encode stage is replaced by TRAINED batched BPE —
+    bpe_train_merges_batched (16 merges in 2 passes of top-8
+    non-interfering pairs) learns on the mixed sample through the shared
+    ``__toks`` seam, every merge is applied, and packing runs on the
+    POST-MERGE token counts. One row per mixed document: source,
+    post-BPE token count, a 16-hex checksum of the full merged token
+    sequence, and its pack placement. The oracle replays stages 1-8 via
+    the shared _PIPE_FULL_MIX_SQL prefix and the BPE train/encode/pack
+    tail as unrolled SQL, so the hash pins the survivor set, every
+    learned merge, every document's merged sequence, and the pack layout
+    in ONE compare.
+
+    Scale: stages 1-8 as pipeline_pretrain_full; the BPE stage adds 2
+    corpus passes (keyed pair counts + token-best aggregations, 1-row
+    broadcast merge arrays, lineage-cut between passes) — the pass count
+    is n_merges/batch_size by construction, the round-6 capability fix."""
+    from arrowhouse_spark.operators.bpe import bpe_train_merges_batched
+    from arrowhouse_spark.operators.packing import pack_sequences
+
+    mixed = _pipeline_full_mixed(spark, sf_dir)
+    _merges, enc = bpe_train_merges_batched(
+        mixed,
+        n_merges=16,
+        batch_size=8,
+        tokens_col="__toks",
+        return_encoded=True,
+    )
+    with_bpe = (
+        mixed.select("doc_id", "source")
+        .join(enc, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    packed = pack_sequences(
+        with_bpe, budget=200, tokens_col="bpe_tokens"
+    ).select("doc_id", "bucket", "pack_id", "pack_off")
+    return with_bpe.select(
+        "doc_id",
+        "source",
+        F.size("bpe_tokens").cast("int").alias("n_bpe_tokens"),
+        F.substring(F.md5(F.concat_ws(" ", "bpe_tokens")), 1, 16).alias(
+            "bpe_checksum"
+        ),
+    ).join(packed, "doc_id")
 
 
 @register(
