@@ -30,6 +30,47 @@ EXT_MEDIA_TYPE: dict[str, str] = {
 }
 
 
+#: (name, size) of the deterministic media-fixture files — content is a
+#: fixed byte formula of (file index, offset), so every engine reading the
+#: directory sees bit-identical payloads.
+_FIXTURE_FILES: list[tuple[str, int]] = [
+    ("img_0.png", 512),
+    ("img_1.png", 1024),
+    ("img_2.jpg", 768),
+    ("aud_0.wav", 2048),
+    ("aud_1.mp3", 640),
+    ("vid_0.mp4", 4096),
+    ("doc_0.txt", 96),
+    ("doc_1.bin", 256),
+]
+
+
+def ensure_media_fixture(path: str = "/tmp/arrowhouse_media_fixture") -> str:
+    """Materialize the deterministic media directory the
+    ``binaryfile_ingest_stats`` oracle query reads (round-6 verdict #3:
+    the binaryFile source needs a DuckDB-checkable proof, and DuckDB's
+    ``read_blob`` must see the same bytes as Spark's binaryFile scan).
+    Content is a pure function of (file index, byte offset) — no
+    randomness, no timestamps — and files are rewritten only when absent
+    or wrong, so repeated calls are idempotent and cheap. Returns the
+    directory path."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    for k, (name, size) in enumerate(_FIXTURE_FILES):
+        payload = bytes((k * 41 + j * 13 + 7) % 256 for j in range(size))
+        fp = os.path.join(path, name)
+        try:
+            with open(fp, "rb") as f:
+                if f.read() == payload:
+                    continue
+        except OSError:
+            pass
+        with open(fp, "wb") as f:
+            f.write(payload)
+    return path
+
+
 def read_binary_files(
     spark: SparkSession,
     path: str,

@@ -4661,6 +4661,86 @@ def pipeline_pretrain_full_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(packed, "doc_id")
 
 
+def _binaryfile_oracle_sql() -> str:
+    """DuckDB oracle for the binaryFile ingestion source (round-6 verdict
+    #3): read_blob() over the SAME deterministic media directory the Spark
+    query scans — materialized at suite import via ensure_media_fixture()
+    so it exists whichever engine the gate runs first. The per-type
+    payload_md5 chains every file's full content hash in path order, so a
+    single flipped byte, missing file, or wrong type mapping flips the
+    compare."""
+    from arrowhouse_spark.sources.binaryfile import (
+        EXT_MEDIA_TYPE,
+        ensure_media_fixture,
+    )
+
+    d = ensure_media_fixture()
+    whens = "\n             ".join(
+        f"WHEN '{ext}' THEN '{mt}'"
+        for ext, mt in sorted(EXT_MEDIA_TYPE.items())
+    )
+    return rf"""
+    WITH typed AS (
+      SELECT CASE lower(regexp_extract(filename, '\.([A-Za-z0-9]+)$', 1))
+             {whens}
+             ELSE 'binary' END AS media_type,
+             filename, content, size
+      FROM read_blob('{d}/*')
+    )
+    SELECT media_type,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(size) AS BIGINT) AS total_bytes,
+           md5(string_agg(md5(upper(hex(content))), ''
+                          ORDER BY filename)) AS payload_md5
+    FROM typed GROUP BY media_type
+    """
+
+
+@register("binaryfile_ingest_stats", _binaryfile_oracle_sql())
+def binaryfile_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile media ingestion, oracle-proven end to end
+    (sources/binaryfile.py:read_binary_dir): scan the deterministic media
+    directory as a media table and roll up per media_type — file count,
+    total bytes, and a payload checksum chaining each file's full content
+    hash in path order. The oracle reads the same directory with DuckDB's
+    read_blob, so the hash compare certifies the source delivers
+    bit-identical payloads, correct file sizes, and the extension→type
+    mapping — not just row counts.
+
+    Scale: binaryFile reads content lazily per task and splits by file
+    across tasks (spark.sql.files.maxPartitionBytes), so a 100 TB media
+    lake scans like any other source; the rollup shuffles one
+    (media_type, path, md5) row per file, never payloads."""
+    from arrowhouse_spark.sources.binaryfile import (
+        ensure_media_fixture,
+        read_binary_dir,
+    )
+
+    d = ensure_media_fixture()
+    media = read_binary_dir(spark, d)
+    per = media.select(
+        "media_type",
+        "path",
+        "length",
+        F.md5(F.upper(F.hex("payload"))).alias("__h"),
+    )
+    return per.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("length").alias("total_bytes"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("path", "__h"))
+                    ),
+                    lambda s: s["__h"],
+                ),
+            )
+        ).alias("payload_md5"),
+    )
+
+
 @register(
     "corpus_stats",
     r"""

@@ -77,6 +77,10 @@ HEADLINE = [
     "bpe_train_merges",
     "quality_quantile_filter",
     "bpe_encode_docs",
+    # round 7 additions (no prior-round delta basis)
+    "bpe_train_batched",
+    "pipeline_pretrain_full_bpe",
+    "binaryfile_ingest_stats",
 ]
 
 
