@@ -411,3 +411,71 @@ def _minhash_process_batch(
         )
     finally:
         surv_idx.unpersist()
+
+
+def compact_band_store(
+    spark: SparkSession,
+    store_path: str,
+    n_files: int = 8,
+) -> dict:
+    """Compact the MinHash LSH band store that stream_minhash_neardup /
+    minhash_incremental appends grow (round-6 verdict #4): every batch
+    adds its own small parquet file-set, so a years-of-history store
+    becomes thousands of tiny files whose open/footer cost dominates the
+    probe. This helper rewrites the store as ``n_files`` files CLUSTERED
+    by (band, bucket) — the probe's join key — so each file holds
+    contiguous bucket runs and min/max column statistics let the scan
+    skip files for buckets the daily batch never touches.
+
+    Layout contract: the rewritten store collapses all committed batches
+    into the single partition ``batch_id = max(batch_id present)`` (or an
+    unpartitioned layout when the store has no batch_id column — the
+    plain incremental path). Future batches J have J > max, so the
+    streaming processor's ``batch_id < J`` probe filter still sees the
+    full compacted history, and a retry of batch J still overwrites only
+    its own partition. Run it BETWEEN triggers, after the last batch
+    committed — compacting under an in-flight uncommitted batch would
+    fold that batch's rows into history and break its replay probe.
+
+    Local-filesystem swap (tmp write → atomic directory rename); an
+    object-store deployment would write a new snapshot prefix and flip a
+    pointer instead. Returns {"rows": n, "files_before": a,
+    "files_after": b}."""
+    import glob
+    import os
+    import shutil
+
+    df = spark.read.parquet(store_path)
+    files_before = len(
+        glob.glob(os.path.join(store_path, "**", "*.parquet"), recursive=True)
+    )
+    has_batch = "batch_id" in df.columns
+    tmp = store_path.rstrip("/") + ".compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    out = df
+    writer_cols = ["band", "bucket"]
+    if has_batch:
+        max_b = df.agg(F.max("batch_id")).collect()[0][0]
+        out = df.withColumn("batch_id", F.lit(max_b).cast("long"))
+    w = (
+        out.repartition(n_files, *writer_cols)
+        .sortWithinPartitions(*writer_cols)
+        .write.mode("overwrite")
+    )
+    if has_batch:
+        w = w.partitionBy("batch_id")
+    w.parquet(tmp)
+    rows = df.count()
+    old = store_path.rstrip("/") + ".compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(store_path, old)
+    os.rename(tmp, store_path)
+    shutil.rmtree(old, ignore_errors=True)
+    files_after = len(
+        glob.glob(os.path.join(store_path, "**", "*.parquet"), recursive=True)
+    )
+    return {
+        "rows": rows,
+        "files_before": files_before,
+        "files_after": files_after,
+    }

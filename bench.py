@@ -232,6 +232,15 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — persistence is best-effort
             print(f"bench: could not self-persist: {e}", file=sys.stderr)
 
+    # deterministic teardown of BOTH cache registries (round-6 verdict #6)
+    try:
+        from arrowhouse_spark.operators.dedup import release_caches
+
+        release_caches()
+        suite.release_rel_caches()
+    except Exception:  # noqa: BLE001 — teardown is best-effort
+        pass
+
 
 if __name__ == "__main__":
     main()

@@ -77,3 +77,31 @@ def test_queries_order_respects_priority():
     prio = suite._coverage_priority()
     keys = [prio[n] for n in order]
     assert keys == sorted(keys)
+
+
+def test_suite_rel_cache_capped(spark):
+    """Round-6 verdict #6: the suite-level relation cache enforces the
+    same hard cap + FIFO eviction + release discipline as the operator
+    registry in operators/dedup.py."""
+    from arrowhouse_spark import suite
+
+    suite.release_rel_caches()
+    orig = suite._REL_CACHE_MAX
+    suite._REL_CACHE_MAX = 3
+    try:
+        for k in range(5):
+            suite._rel_cached(
+                ("app", "dir", f"t{k}"),
+                lambda k=k: spark.range(k + 1).toDF("v"),
+            )
+        assert len(suite._REL_CACHE) == 3
+        tags = [key[2] for key in suite._REL_CACHE]
+        assert tags == ["t2", "t3", "t4"]  # oldest two evicted FIFO
+        # hit returns the cached object without eviction
+        a = suite._rel_cached(("app", "dir", "t4"), lambda: None)
+        assert a is suite._REL_CACHE[("app", "dir", "t4")]
+        assert suite.release_rel_caches() == 3
+        assert len(suite._REL_CACHE) == 0
+    finally:
+        suite._REL_CACHE_MAX = orig
+        suite.release_rel_caches()

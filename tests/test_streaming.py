@@ -648,3 +648,68 @@ def test_stream_minhash_batch_retry_idempotent(spark, tmp_path):
     # the retry: same batch, same id — at-least-once replay
     _minhash_process_batch(b1, 1, **kw)
     assert snapshot() == first
+
+
+def test_compact_band_store_probe_invariant(spark, tmp_path):
+    """Round-6 verdict #4: compaction rewrites the appended band store as
+    few (band,bucket)-clustered files under one collapsed batch_id
+    partition — the row multiset and any future batch's probe verdict
+    must be IDENTICAL pre/post, and the file count must shrink."""
+    from arrowhouse_spark.operators.dedup import minhash_incremental
+    from arrowhouse_spark.streaming.replace import (
+        _minhash_process_batch,
+        compact_band_store,
+    )
+
+    d = str(tmp_path / "mh_compact")
+    schema = "doc_id long, text string"
+    mk = lambda i: " ".join(f"w{i}_{j}" for j in range(50))
+    kw = dict(store_path=d + "/store", out_path=d + "/out", threshold=0.5)
+    # several small appends -> many small files
+    for b in range(4):
+        _minhash_process_batch(
+            spark.createDataFrame([(b * 10 + 1, mk(b))], schema), b, **kw
+        )
+
+    def probe():
+        store = (
+            spark.read.parquet(d + "/store")
+            .filter(F.col("batch_id") < 99)
+            .drop("batch_id")
+        )
+        probe_df = spark.createDataFrame(
+            [(901, mk(1).replace("w1_3", "edit", 1)), (902, mk(99))], schema
+        )
+        surv = minhash_incremental(probe_df, store, threshold=0.5)
+        return sorted(
+            r.doc_id for r in surv.select("doc_id").distinct().collect()
+        )
+
+    before_rows = sorted(
+        tuple(r) for r in spark.read.parquet(d + "/store")
+        .select("doc_id", "band", "bucket").collect()
+    )
+    before_probe = probe()
+    assert before_probe == [902]  # near-dup of batch-1 survivor dropped
+
+    stats = compact_band_store(spark, d + "/store", n_files=2)
+    assert stats["files_before"] > stats["files_after"]
+    after_rows = sorted(
+        tuple(r) for r in spark.read.parquet(d + "/store")
+        .select("doc_id", "band", "bucket").collect()
+    )
+    assert after_rows == before_rows
+    assert probe() == before_probe
+    # collapsed history still precedes any future batch id
+    assert (
+        spark.read.parquet(d + "/store")
+        .select(F.max("batch_id")).collect()[0][0] == 3
+    )
+    # and a post-compaction append keeps working
+    _minhash_process_batch(
+        spark.createDataFrame([(41, mk(40))], schema), 4, **kw
+    )
+    assert (
+        spark.read.parquet(d + "/store")
+        .select("doc_id").distinct().count() == 5
+    )
