@@ -262,17 +262,23 @@ def bpe_train_merges_batched(
             .groupBy("tok")
             .agg(F.min("key").alias("bk"))
         )
+        # selection WITHOUT joining back to pc: pair p is selected iff every
+        # one of its distinct tokens has p as its best pair — i.e. the number
+        # of `best` rows pointing at p equals p's distinct-token count (1 for
+        # self-pairs x␟x, else 2). One re-aggregation of the token-best
+        # relation (key count = live pair vocab), zero joins.
+        bl = F.split_part(F.col("bk.pair"), F.lit(SEP), F.lit(1))
+        br = F.split_part(F.col("bk.pair"), F.lit(SEP), F.lit(2))
         sel = (
-            pc.join(
-                best.withColumnRenamed("tok", "__lt"),
-                (left_t == F.col("__lt")) & (own_key == F.col("bk")),
+            best.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("__nt"))
+            .filter(
+                F.col("__nt") == F.when(bl == br, F.lit(1)).otherwise(F.lit(2))
             )
-            .drop("__lt", "bk")
-            .join(
-                best.withColumnRenamed("tok", "__rt"),
-                (right_t == F.col("__rt")) & (own_key == F.col("bk")),
+            .select(
+                F.col("bk.pair").alias("pair"),
+                (-F.col("bk.nc")).alias("cnt"),
             )
-            .drop("__rt", "bk")
             .orderBy(F.col("cnt").desc(), F.col("pair"))
             .limit(k)
             .select(F.lit(p).alias("pass"), "pair", "cnt")

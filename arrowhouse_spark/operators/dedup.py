@@ -281,17 +281,60 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows of
     ``num_hashes/bands``; docs sharing any band bucket become a candidate pair.
     The pair-join is keyed on (band, band_hash) — no all-pairs comparison; AQE
-    handles hot buckets via skew-join splitting."""
+    handles hot buckets via skew-join splitting (task-level re-parallelism of
+    oversized shuffle partitions — it balances WORK, but the candidate COUNT
+    of a hot bucket is intrinsically n_b², which no re-partitioning shrinks).
+
+    ``max_bucket_size`` is the pathological-bucket fallback for
+    boilerplate-heavy corpora (round-6 verdict #5): buckets with more than
+    this many members switch to ANCHOR MODE — each member pairs only with
+    the bucket's min-id doc instead of all-pairs, so a B-member boilerplate
+    family costs B-1 candidates instead of B²/2. Documented approximation:
+    two docs of a hot bucket that are near-dups of EACH OTHER but not of
+    the anchor are not paired via that bucket — but a true near-dup pair
+    collides in ~bands·sim^(rows/band) bands in expectation, so any
+    non-degenerate bucket among those still emits the pair, and the
+    degenerate buckets this cap targets are precisely same-boilerplate
+    families where every member matches the anchor. Default None keeps
+    exact Σ-bucket² semantics (and is what every oracle-checked query
+    uses)."""
     banded = minhash_band_index(sig, id_col, num_hashes, bands)
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
+    if max_bucket_size is None:
+        left = banded.alias("l")
+        right = banded.alias("r")
+        return (
+            left.join(
+                right,
+                on=[
+                    F.col("l.band") == F.col("r.band"),
+                    F.col("l.bucket") == F.col("r.bucket"),
+                    F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+                ],
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l.minhash").alias("mh_a"),
+                F.col("r.minhash").alias("mh_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__anchor")
+    )
+    tagged = _shared_persist(
+        banded.join(sizes, ["band", "bucket"]), "lsh_tagged"
+    )
+    normal = tagged.filter(F.col("__n") <= max_bucket_size)
+    all_pairs = (
+        normal.alias("l")
+        .join(
+            normal.alias("r"),
             on=[
                 F.col("l.band") == F.col("r.band"),
                 F.col("l.bucket") == F.col("r.bucket"),
@@ -304,9 +347,24 @@ def minhash_lsh_candidates(
             F.col("l.minhash").alias("mh_a"),
             F.col("r.minhash").alias("mh_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
+    hot = tagged.filter(F.col("__n") > max_bucket_size)
+    anchors = hot.filter(F.col(id_col) == F.col("__anchor")).select(
+        "band",
+        "bucket",
+        F.col(id_col).alias("id_a"),
+        F.col("minhash").alias("mh_a"),
+    )
+    anchor_pairs = (
+        hot.filter(F.col(id_col) != F.col("__anchor"))
+        .select("band", "bucket", F.col(id_col).alias("id_b"),
+                F.col("minhash").alias("mh_b"))
+        .join(anchors, ["band", "bucket"])
+        .select("id_a", "id_b", "mh_a", "mh_b")
+    )
+    return all_pairs.unionByName(anchor_pairs).dropDuplicates(
+        ["id_a", "id_b"]
+    )
 
 
 def _est_jaccard(a: Column, b: Column, num_hashes: int) -> Column:
@@ -329,9 +387,11 @@ def minhash_dedup(
     shingle_n: int = 3,
     threshold: float = 0.8,
     shingles: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash near-dup pairs: (id_a, id_b, est_jaccard ≥ threshold).
-    est_jaccard = fraction of equal signature positions."""
+    est_jaccard = fraction of equal signature positions. ``max_bucket_size``
+    enables the hot-bucket anchor fallback (see minhash_lsh_candidates)."""
     # cache: the LSH candidate self-join references the signature twice
     # (left/right); without persist the whole shingle+hash pipeline runs twice
     sig = _shared_persist(
@@ -340,7 +400,9 @@ def minhash_dedup(
         ),
         "minhash_sig",
     )
-    pairs = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
+    pairs = minhash_lsh_candidates(
+        sig, id_col, num_hashes, bands, max_bucket_size=max_bucket_size
+    )
     return (
         pairs.withColumn(
             "est_jaccard", _est_jaccard(F.col("mh_a"), F.col("mh_b"), num_hashes)

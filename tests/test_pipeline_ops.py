@@ -1426,3 +1426,68 @@ def test_bpe_batched_exhausted_keeps_corpus(spark):
     assert {r.doc_id: r.bpe_tokens for r in enc.collect()} == {
         1: ["a+b"], 2: ["a+b"]
     }
+
+
+def test_quality_quantile_exact_vs_approx_bound(spark, sf_dir):
+    """Round-6 verdict #7: exact=False (t-digest approx_percentile,
+    accuracy=10000) is the documented 100 TB path — pin its divergence
+    from the exact interpolated percentile on the real fixture: per-group
+    |thr_approx - thr_exact| stays within the observed quantile spacing,
+    and the keep-decision flip rate stays small."""
+    from arrowhouse_spark.operators.text import quality_quantile_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = quality_quantile_filter(docs, frac=0.8, exact=True)
+    approx = quality_quantile_filter(docs, frac=0.8, exact=False)
+    thr_e = {r.source: r.q_thr for r in exact.select("source", "q_thr").distinct().collect()}
+    thr_a = {r.source: r.q_thr for r in approx.select("source", "q_thr").distinct().collect()}
+    assert set(thr_e) == set(thr_a)
+    for src in thr_e:
+        # t-digest at accuracy=10000 returns an actual data value adjacent
+        # to the interpolated exact quantile; bound the gap at 2% absolute
+        # quality (quality is in [0,1])
+        assert abs(thr_e[src] - thr_a[src]) <= 0.02, (
+            src, thr_e[src], thr_a[src]
+        )
+    n = exact.count()
+    flipped = (
+        exact.select("doc_id", "source", "quality", F.col("kept").alias("k_e"))
+        .join(approx.select("doc_id", F.col("kept").alias("k_a")), "doc_id")
+        .filter(F.col("k_e") != F.col("k_a"))
+        .collect()
+    )
+    # the structural invariant: a decision can flip ONLY for a doc whose
+    # quality lies in the thin band between the two thresholds
+    for r in flipped:
+        lo = min(thr_e[r.source], thr_a[r.source])
+        hi = max(thr_e[r.source], thr_a[r.source])
+        assert lo <= r.quality <= hi, (r.source, r.quality, lo, hi)
+    # and the band is thin: well under a tenth of the corpus
+    assert len(flipped) <= 0.1 * n, (len(flipped), n)
+
+
+def test_minhash_hot_bucket_anchor_mode(spark):
+    """Round-6 verdict #5: the max_bucket_size fallback bounds a
+    boilerplate bucket's candidates to B-1 anchor pairs while leaving
+    non-hot buckets' exact Σ-bucket² semantics untouched — and the dedup
+    verdict on a same-boilerplate family is unchanged (every member still
+    pairs with the family anchor at est_jaccard 1.0)."""
+    from arrowhouse_spark.operators.dedup import minhash_dedup
+
+    boiler = " ".join(f"tpl{j}" for j in range(40))
+    rows = [(i, boiler) for i in range(20)]  # one 20-member family
+    rows += [(100 + i, " ".join(f"u{i}_{j}" for j in range(40)))
+             for i in range(10)]  # uniques
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact = minhash_dedup(df, threshold=0.8)
+    capped = minhash_dedup(df, threshold=0.8, max_bucket_size=5)
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    # exact: all C(20,2)=190 family pairs; capped: only the 19 anchor pairs
+    assert exact_pairs == {(a, b) for a in range(20) for b in range(20) if a < b}
+    assert capped_pairs == {(0, b) for b in range(1, 20)}
+    # keep-first dedup verdict identical: docs 1..19 all drop either way
+    assert {b for _, b in capped_pairs} == {b for b in range(1, 20)}
+    # output contract preserved
+    assert capped.columns == ["id_a", "id_b", "est_jaccard"]

@@ -420,6 +420,123 @@ def _quality_quantile(c: Ctx) -> dict:
     return {"sec": t, "kept": n}
 
 
+
+@op("chunk_split")
+def _chunk_split(c: Ctx) -> dict:
+    """Round-6 newcomer slope (verdict #8): pure map-side sequence/explode/
+    slice — expected FLAT per-doc (wall tracks corpus size only through
+    the scan)."""
+    from arrowhouse_spark.operators.text import chunk_split
+
+    t, n = timed(lambda: chunk_split(c.docs, chunk_size=32, overlap=8).count())
+    return {"sec": t, "chunks": n}
+
+
+@op("remove_dup_spans")
+def _remove_dup_spans(c: Ctx) -> dict:
+    """Round-6 newcomer slope (verdict #8): should track dup_spans (same
+    (hash,id,pos) shuffle + per-doc sorted span arrays) plus the map-side
+    token-filter rewrite."""
+    from arrowhouse_spark.operators.dedup import remove_dup_spans
+
+    t, n = timed(
+        lambda: remove_dup_spans(c.docs, window=8)
+        .filter(F.col("n_removed") > 0)
+        .count()
+    )
+    return {"sec": t, "docs_rewritten": n}
+
+
+@op("label_centroid_cosine")
+def _label_centroid(c: Ctx) -> dict:
+    """Round-6 newcomer slope (verdict #8): after the keyed (label,dim)
+    mean the plan is corpus-size-free (8 labels x 64 dims here), so wall
+    should track only the explode/partial-agg scan."""
+    from arrowhouse_spark.operators.similarity import label_centroid_cosine
+
+    labeled = c.emb.withColumn(
+        "label",
+        F.concat(F.lit("l"), F.pmod(F.xxhash64(F.lit("lab"), "vec_id"), F.lit(8))),
+    )
+    t, n = timed(lambda: label_centroid_cosine(labeled).count())
+    return {"sec": t, "label_pairs": n}
+
+
+@op("contamination_report")
+def _contamination_report(c: Ctx) -> dict:
+    """Round-6 newcomer slope (verdict #8): eval grams broadcast
+    (doc_id%97 sample of the corpus itself, so hits exist), corpus grams
+    stream map-side against them; the rollup shuffle is bounded by actual
+    overlap."""
+    from arrowhouse_spark.operators.text import contamination_report
+
+    ev = c.docs.filter(F.col("doc_id") % 97 == 0)
+    t, n = timed(
+        lambda: contamination_report(c.docs, ev, ngram_n=13)
+        .filter(F.col("is_compromised"))
+        .count()
+    )
+    return {"sec": t, "compromised": n}
+
+
+@op("bpe_train_batched")
+def _bpe_batched(c: Ctx) -> dict:
+    """Round-7 capability fix (round-6 verdict #1): 24 merges in 3 passes
+    of top-8 non-interfering pairs — compare with the sequential
+    bpe_train_merges row (3 merges in 3 passes) to read the merges/pass x
+    pass-count scaling: same pass structure, 8x the merges."""
+    from arrowhouse_spark.operators.bpe import bpe_train_merges_batched
+
+    t, n = timed(
+        lambda: bpe_train_merges_batched(
+            c.docs, n_merges=24, batch_size=8
+        ).count()
+    )
+    return {"sec": t, "merges": n, "passes": 3}
+
+
+@op("minhash_skewed")
+def _minhash_skewed(c: Ctx) -> dict:
+    """Round-6 verdict #5: the banding join on a boilerplate-heavy corpus.
+    5% of docs share ONE text -> identical signatures -> every band holds
+    one (n/20)-member hot bucket, so the default all-pairs path pays
+    ~(n/20)^2/2 candidates per band while the max_bucket_size anchor
+    fallback pays n/20 - 1. Records both, plus whether AQE marked the
+    join skewed (at production partition sizes AQE splits the hot
+    partition across tasks; at this fixture scale partitions sit far
+    below skewedPartitionThresholdInBytes, so the marker documents the
+    observed behavior honestly)."""
+    from arrowhouse_spark.operators.dedup import minhash_dedup
+
+    boiler = " ".join(f"tpl{j}" for j in range(45))
+    skewed = c.docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 20 == 0, F.lit(boiler)).otherwise(
+            F.col("text")
+        ),
+    )
+    pairs_default = minhash_dedup(skewed, threshold=0.8)
+    t_def, n_def = timed(pairs_default.count)
+    plan = pairs_default._jdf.queryExecution().executedPlan().toString()
+    skew_marked = "skew=true" in plan
+    from arrowhouse_spark.operators import dedup as _dedup
+
+    _dedup.release_caches()  # capped run must not reuse the default's sig
+    t_cap, n_cap = timed(
+        lambda: minhash_dedup(
+            skewed, threshold=0.8, max_bucket_size=64
+        ).count()
+    )
+    _dedup.release_caches()
+    return {
+        "sec_default": t_def,
+        "pairs_default": n_def,
+        "sec_capped": t_cap,
+        "pairs_capped": n_cap,
+        "aqe_skew_marked": skew_marked,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
