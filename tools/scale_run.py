@@ -515,10 +515,18 @@ def _minhash_skewed(c: Ctx) -> dict:
             F.col("text")
         ),
     )
-    pairs_default = minhash_dedup(skewed, threshold=0.8)
-    t_def, n_def = timed(pairs_default.count)
-    plan = pairs_default._jdf.queryExecution().executedPlan().toString()
-    skew_marked = "skew=true" in plan
+    if c.n_docs > 60_000:
+        # the default leg is INTENTIONALLY quadratic in the hot-bucket size
+        # ((n/20)^2/2 minhash-array pairs per band x 16 bands); at 30x that
+        # is ~450M array-carrying join rows and OOMs the 16-thread local
+        # JVM — which is the demonstration itself. Record the skip and
+        # measure only the capped path at this scale.
+        t_def, n_def, skew_marked = None, None, None
+    else:
+        pairs_default = minhash_dedup(skewed, threshold=0.8)
+        t_def, n_def = timed(pairs_default.count)
+        plan = pairs_default._jdf.queryExecution().executedPlan().toString()
+        skew_marked = "skew=true" in plan
     from arrowhouse_spark.operators import dedup as _dedup
 
     _dedup.release_caches()  # capped run must not reuse the default's sig
