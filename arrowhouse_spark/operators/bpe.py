@@ -333,3 +333,80 @@ def bpe_train_merges_batched(
         ).alias("bpe_tokens"),
     )
     return merges, encoded
+
+
+def bpe_apply_merges(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    join_str: str = "+",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Encode a corpus with an ALREADY-TRAINED merge table — the
+    train-once / encode-often split every production tokenizer runs (the
+    trainer emits merges.txt; encoders apply it to new text forever).
+    ``merges`` is the output of :func:`bpe_train_merges_batched`
+    ((pass, left_tok, right_tok, pair_count)) or :func:`bpe_train_merges`
+    ((it, left_tok, right_tok, pair_count)); merges apply in TRAINING
+    order — (pass ASC, pair_count DESC, pair ASC) for the batched form
+    (within a pass the selected pairs are token-disjoint, so intra-pass
+    order cannot change the result; the sort just fixes a canonical fold),
+    (it ASC) for the sequential form. Returns (id_col, bpe_tokens).
+
+    Scale: the merge table is a tokenizer artifact (10k-100k rows, KBs) —
+    ONE sort_array(collect_list) packs it into a single broadcast row and
+    every document applies the whole table in one map-side F.aggregate
+    fold over the boundary-wrapped string; no shuffle of the corpus at
+    all, so encoding fuses into whatever scan feeds it (the same shape a
+    100 TB encode job wants: broadcast the vocab, map the corpus)."""
+    toks = F.col(tokens_col) if tokens_col else tokens(text_col)
+    cols = set(merges.columns)
+    if "pass" in cols:
+        key = F.struct(
+            F.col("pass").alias("p"),
+            (-F.col("pair_count")).alias("nc"),
+            F.col("left_tok").alias("lt"),
+            F.col("right_tok").alias("rt"),
+        )
+    elif "it" in cols:
+        key = F.struct(F.col("it").alias("p"))
+    else:
+        raise ValueError(
+            f"merges needs a 'pass' or 'it' column, got {sorted(cols)}"
+        )
+    pair = F.concat(F.col("left_tok"), F.lit(SEP), F.col("right_tok"))
+    packed = merges.agg(
+        F.sort_array(
+            F.collect_list(F.struct(key.alias("k"), pair.alias("pair")))
+        ).alias("__ms")
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .filter(F.size("__t") > 0)
+        .select(
+            F.col(id_col),
+            F.concat(
+                F.lit(SEP), F.array_join("__t", SEP + SEP), F.lit(SEP)
+            ).alias("s"),
+        )
+        .crossJoin(F.broadcast(packed))
+        .select(
+            F.col(id_col),
+            F.aggregate(
+                "__ms",
+                F.col("s"),
+                lambda acc, m: F.replace(
+                    acc,
+                    _wrap_pattern(m["pair"]),
+                    _wrap_merged(m["pair"], join_str),
+                ),
+            ).alias("s"),
+        )
+        .select(
+            F.col(id_col),
+            F.split(
+                F.substring(F.col("s"), 2, F.length("s") - 2), SEP + SEP
+            ).alias("bpe_tokens"),
+        )
+    )

@@ -5638,6 +5638,134 @@ def _bpe_batched_oracle_sql(
     return "".join(parts) + "\n    " + sel
 
 
+def _bpe_pretrained_oracle_sql(n_merges: int, batch_size: int) -> str:
+    """Oracle for the train-once/encode-often split: batched-BPE-train on
+    the EVEN documents (same ranking + non-interference rule as
+    _bpe_batched_oracle_sql), then apply every pass's merges IN TRAINING
+    ORDER to the held-out ODD documents the trainer never saw."""
+    s = "chr(31)"
+    n_passes = -(-n_merges // batch_size)
+    parts = [
+        f"""WITH tr0 AS MATERIALIZED (
+      SELECT {s} || array_to_string(
+               list_filter(string_split(text, ' '), x -> x != ''),
+               {s}||{s}) || {s} AS s
+      FROM documents
+      WHERE doc_id % 2 = 0
+        AND len(list_filter(string_split(text, ' '), x -> x != '')) > 0
+    ), ho0 AS MATERIALIZED (
+      SELECT doc_id, {s} || array_to_string(
+               list_filter(string_split(text, ' '), x -> x != ''),
+               {s}||{s}) || {s} AS s
+      FROM documents
+      WHERE doc_id % 2 = 1
+        AND len(list_filter(string_split(text, ' '), x -> x != '')) > 0
+    )"""
+    ]
+    for i in range(1, n_passes + 1):
+        k = min(batch_size, n_merges - batch_size * (i - 1))
+        parts.append(
+            f""", rk{i} AS MATERIALIZED (
+      SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+      FROM (
+        SELECT pair, count(*) AS cnt FROM (
+          SELECT a[ix] || {s} || a[ix + 1] AS pair FROM (
+            SELECT unnest(range(1, len(a))) AS ix, a FROM (
+              SELECT string_split(substr(s, 2, length(s) - 2), {s}||{s}) AS a
+              FROM tr{i - 1}
+            )
+          )
+        ) GROUP BY pair
+      )
+    ), tb{i} AS MATERIALIZED (
+      SELECT tok, min(rk) AS mrk FROM (
+        SELECT split_part(pair, {s}, 1) AS tok, rk FROM rk{i}
+        UNION ALL
+        SELECT split_part(pair, {s}, 2) AS tok, rk FROM rk{i}
+      ) GROUP BY tok
+    ), sel{i} AS MATERIALIZED (
+      SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS j
+      FROM rk{i} r
+      JOIN tb{i} t1
+        ON t1.tok = split_part(r.pair, {s}, 1) AND t1.mrk = r.rk
+      JOIN tb{i} t2
+        ON t2.tok = split_part(r.pair, {s}, 2) AND t2.mrk = r.rk
+      QUALIFY j <= {k}
+    )"""
+        )
+
+        def rep_chain(col: str, sel: str, k: int) -> str:
+            expr = col
+            for j in range(1, k + 1):
+                pat = (
+                    f"coalesce((SELECT {s} || replace(pair, {s}, {s}||{s})"
+                    f" || {s} FROM {sel} WHERE j = {j}),"
+                    f" repeat(chr(31), 4))"
+                )
+                mrg = (
+                    f"coalesce((SELECT {s} || replace(pair, {s}, '+')"
+                    f" || {s} FROM {sel} WHERE j = {j}), '')"
+                )
+                expr = f"replace({expr},\n        {pat},\n        {mrg})"
+            return expr
+
+        if i < n_passes:
+            parts.append(
+                f""", tr{i} AS MATERIALIZED (
+      SELECT {rep_chain("s", f"sel{i}", k)} AS s
+      FROM tr{i - 1}
+    )"""
+            )
+        parts.append(
+            f""", ho{i} AS MATERIALIZED (
+      SELECT doc_id, {rep_chain("s", f"sel{i}", k)} AS s
+      FROM ho{i - 1}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT doc_id,
+      CAST(len(string_split(substr(s, 2, length(s) - 2),
+        {s}||{s})) AS INTEGER) AS n_bpe_tokens,
+      substr(md5(array_to_string(string_split(
+        substr(s, 2, length(s) - 2), {s}||{s}), ' ')), 1, 16)
+        AS bpe_checksum
+    FROM ho{n_passes}"""
+    )
+    return "".join(parts)
+
+
+@register("bpe_encode_pretrained", _bpe_pretrained_oracle_sql(12, 4))
+def bpe_encode_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train-once/encode-often split (operators/bpe.py:
+    bpe_apply_merges): batched-BPE-train 12 merges (3 passes of top-4
+    non-interfering pairs) on the EVEN documents, then encode the held-out
+    ODD documents — text the trainer never saw — by broadcasting the merge
+    table and applying it in training order with one map-side F.aggregate
+    fold per document (no corpus shuffle at all; the 100 TB encode-job
+    shape). The oracle replays the training passes AND the held-out
+    application in SQL, so the hash pins the learned merges and every
+    held-out document's full encoded sequence."""
+    from arrowhouse_spark.operators.bpe import (
+        bpe_apply_merges,
+        bpe_train_merges_batched,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train_merges_batched(
+        docs.filter(F.col("doc_id") % 2 == 0), n_merges=12, batch_size=4
+    )
+    held_out = docs.filter(F.col("doc_id") % 2 == 1)
+    enc = bpe_apply_merges(held_out, merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("int").alias("n_bpe_tokens"),
+        F.substring(F.md5(F.concat_ws(" ", "bpe_tokens")), 1, 16).alias(
+            "bpe_checksum"
+        ),
+    )
+
+
 @register("bpe_train_batched", _bpe_batched_oracle_sql(64, 8))
 def bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-form BPE training (operators/bpe.py:

@@ -1491,3 +1491,44 @@ def test_minhash_hot_bucket_anchor_mode(spark):
     assert {b for _, b in capped_pairs} == {b for b in range(1, 20)}
     # output contract preserved
     assert capped.columns == ["id_a", "id_b", "est_jaccard"]
+
+
+def test_bpe_apply_merges_matches_train_encode(spark):
+    """The train-once/encode-often split: applying a trained merge table
+    to the SAME corpus reproduces return_encoded exactly — for both the
+    batched and the sequential merge-table formats — and encodes held-out
+    text the trainer never saw."""
+    from arrowhouse_spark.operators.bpe import (
+        bpe_apply_merges,
+        bpe_train_merges,
+        bpe_train_merges_batched,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a b"), (3, "b a a"), (4, "c d c d e f")],
+        ["doc_id", "text"],
+    )
+    m_b, enc_b = bpe_train_merges_batched(
+        df, n_merges=6, batch_size=3, return_encoded=True
+    )
+    got = {r.doc_id: r.bpe_tokens for r in bpe_apply_merges(df, m_b).collect()}
+    want = {r.doc_id: r.bpe_tokens for r in enc_b.collect()}
+    assert got == want
+
+    m_s, enc_s = bpe_train_merges(df, n_merges=3, return_encoded=True)
+    got_s = {r.doc_id: r.bpe_tokens for r in bpe_apply_merges(df, m_s).collect()}
+    want_s = {r.doc_id: r.bpe_tokens for r in enc_s.collect()}
+    assert got_s == want_s
+
+    # held-out text: trained merges (a,a)->(a+a,a+a) etc. apply greedily
+    new = spark.createDataFrame([(9, "a a a b c d")], ["doc_id", "text"])
+    out = bpe_apply_merges(new, m_b).collect()[0].bpe_tokens
+    # pass-1 merges: (a,a) then (c,d); pass-2: (a+a,a+a), (c+d,c+d)
+    # "a a a b c d" -> (a+a) a b (c+d); pass-2 pairs don't occur
+    assert out == ["a+a", "a", "b", "c+d"]
+
+    # empty merge table = passthrough tokenization
+    empty = m_b.filter(F.lit(False))
+    assert bpe_apply_merges(new, empty).collect()[0].bpe_tokens == [
+        "a", "a", "a", "b", "c", "d"
+    ]
