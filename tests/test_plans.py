@@ -182,3 +182,40 @@ def test_quality_quantile_broadcast_threshold_join(spark, sf_dir, qs):
     r = check_plan(df)
     assert r.broadcast_joins == 1
     assert r.sortmerge_joins == 0
+
+
+def test_binaryfile_ingest_partial_final_agg(spark, sf_dir, qs):
+    """binaryFile rollup: two-phase hash aggregate over the media scan,
+    no cartesian, no unpartitioned window — the per-file (type, path, md5)
+    rows shuffle, never payloads (the payload md5 is computed map-side)."""
+    df = qs["binaryfile_ingest_stats"](spark, sf_dir)
+    r = report(df)
+    assert r.partial_final_agg
+    check_plan(df)
+
+
+def test_bpe_apply_is_broadcast_map_side(spark, sf_dir, qs):
+    """bpe_encode_pretrained's APPLICATION half: the merge table reaches
+    every document via a broadcast (BroadcastNestedLoopJoin of the 1-row
+    packed array), never a shuffle of the corpus, and nothing degenerates
+    to CartesianProduct."""
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.bpe import (
+        bpe_apply_merges,
+        bpe_train_merges_batched,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train_merges_batched(
+        docs.filter(F.col("doc_id") % 2 == 0), n_merges=4, batch_size=4
+    ).localCheckpoint(eager=False)  # isolate the ENCODE half's plan
+    enc = bpe_apply_merges(docs.filter(F.col("doc_id") % 2 == 1), merges)
+    r = report(enc)
+    # the 1-row packed merge array arrives as BroadcastNestedLoopJoin
+    # (report.broadcast_joins counts only BroadcastHashJoin)
+    assert "BroadcastNestedLoopJoin" in r.operators
+    assert not r.has_cartesian
+    # corpus side: zero shuffle exchanges; the only exchange is the packed
+    # merge table's single-partition global agg (bounded, KB-sized)
+    assert r.exchanges <= 1
