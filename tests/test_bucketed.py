@@ -68,3 +68,58 @@ def test_bucketed_join_matches_unbucketed(spark, sf_dir, bucketed_tables):
         .collect()[0]
     )
     assert tuple(got) == tuple(exp)
+
+
+def test_bucketed_band_store_probe_no_store_exchange(spark):
+    """The incremental-MinHash ops claim (SCALE.md): 'the store written
+    bucketed by (band, bucket) co-locates the daily batch against years of
+    history without moving it'. Prove it: write the band index as a table
+    bucketed by (band, bucket) and plan the store-probe join — the STORE
+    side must read with NO shuffle exchange (only the small daily-batch
+    side exchanges to match the bucketing)."""
+    from arrowhouse_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_signature,
+    )
+    from arrowhouse_spark.sources.bucketed import write_bucketed
+
+    hist = spark.createDataFrame(
+        [(i, " ".join(f"h{i}_{j}" for j in range(30))) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    idx = minhash_band_index(minhash_signature(hist))
+    spark.sql("DROP TABLE IF EXISTS t_band_store_b")
+    write_bucketed(idx, "t_band_store_b", ["band", "bucket"], 4)
+    try:
+        store = spark.table("t_band_store_b")
+        day = spark.createDataFrame(
+            [(100, " ".join(f"d{j}" for j in range(30)))],
+            ["doc_id", "text"],
+        )
+        day_idx = minhash_band_index(minhash_signature(day))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            def probe_against(rel):
+                return day_idx.alias("l").join(
+                    rel.alias("r").withColumnRenamed("doc_id", "r_id"),
+                    ["band", "bucket"],
+                )
+
+            bucketed = report(probe_against(store))
+            # bucketed probe: exactly the DAY side's two exchanges remain
+            # (shingle_relation's internal repartition-by-doc_id + the
+            # join-key shuffle); the store side reads its buckets in place
+            assert bucketed.exchanges == 2, bucketed.operators
+            # differential: the identical probe against the store computed
+            # in-flight (unbucketed) pays the store side's own two
+            # exchanges on top — the shuffles the at-rest layout eliminates
+            unbucketed = report(probe_against(idx))
+            assert unbucketed.exchanges == 4, unbucketed.operators
+            assert (
+                bucketed.sortmerge_joins >= 1
+                or "ShuffledHashJoin" in bucketed.operators
+            )
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_band_store_b")
