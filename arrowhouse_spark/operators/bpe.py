@@ -198,7 +198,9 @@ def bpe_train_merges_batched(
     pair vocab); one token explode → keyed min-struct (key count = live
     token vocab, "best pair containing this token" as min over
     struct(-cnt, pair) — NO global window, no single-partition stage);
-    two keyed joins of the pair relation against that token-best relation;
+    then selection by ONE re-aggregation of that token-best relation
+    (a pair is selected iff the number of tokens whose best pair is p
+    equals p's distinct-token count — zero joins anywhere);
     TakeOrdered(batch_size); then ONE map-side pass applying all selected
     merges via an F.aggregate fold over the 1-row broadcast merge array.
     The working corpus is lineage-cut per pass. Returns one row per

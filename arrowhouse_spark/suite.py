@@ -5645,6 +5645,22 @@ def _bpe_pretrained_oracle_sql(n_merges: int, batch_size: int) -> str:
     ORDER to the held-out ODD documents the trainer never saw."""
     s = "chr(31)"
     n_passes = -(-n_merges // batch_size)
+
+    def rep_chain(col: str, sel: str, k: int) -> str:
+        expr = col
+        for j in range(1, k + 1):
+            pat = (
+                f"coalesce((SELECT {s} || replace(pair, {s}, {s}||{s})"
+                f" || {s} FROM {sel} WHERE j = {j}),"
+                f" repeat(chr(31), 4))"
+            )
+            mrg = (
+                f"coalesce((SELECT {s} || replace(pair, {s}, '+')"
+                f" || {s} FROM {sel} WHERE j = {j}), '')"
+            )
+            expr = f"replace({expr},\n        {pat},\n        {mrg})"
+        return expr
+
     parts = [
         f"""WITH tr0 AS MATERIALIZED (
       SELECT {s} || array_to_string(
@@ -5693,21 +5709,6 @@ def _bpe_pretrained_oracle_sql(n_merges: int, batch_size: int) -> str:
       QUALIFY j <= {k}
     )"""
         )
-
-        def rep_chain(col: str, sel: str, k: int) -> str:
-            expr = col
-            for j in range(1, k + 1):
-                pat = (
-                    f"coalesce((SELECT {s} || replace(pair, {s}, {s}||{s})"
-                    f" || {s} FROM {sel} WHERE j = {j}),"
-                    f" repeat(chr(31), 4))"
-                )
-                mrg = (
-                    f"coalesce((SELECT {s} || replace(pair, {s}, '+')"
-                    f" || {s} FROM {sel} WHERE j = {j}), '')"
-                )
-                expr = f"replace({expr},\n        {pat},\n        {mrg})"
-            return expr
 
         if i < n_passes:
             parts.append(
