@@ -498,3 +498,83 @@ def test_dup_spans_matches_python_model(spark, corpus):
         for r in dup_spans(df, window=3, min_count=2).collect()
     }
     assert got == _py_dup_spans(corpus, 3, 2)
+
+
+def _bpe_batched_model(docs: list[tuple[int, str]], n_merges: int, k: int):
+    """Pure-python reference for bpe_train_merges_batched: per pass, count
+    adjacent pairs over all docs' token lists, rank by (count desc, pair),
+    select pairs whose tokens appear in NO higher-ranked pair, cap at k,
+    apply all selected greedily left-to-right per doc. Returns
+    (merges, encoded): merges = [(pass, left, right, count)], encoded =
+    {doc_id: tokens}."""
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in docs}
+    toks = {i: [w for w in t if w] for i, t in toks.items()}
+    toks = {i: t for i, t in toks.items() if t}
+    merges = []
+    n_passes = -(-n_merges // k)
+    for p in range(1, n_passes + 1):
+        kk = min(k, n_merges - k * (p - 1))
+        cnt = Counter()
+        for t in toks.values():
+            for a, b in zip(t, t[1:]):
+                cnt[(a, b)] += 1
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        best_rank: dict[str, int] = {}
+        for r, ((a, b), _c) in enumerate(ranked):
+            for t in (a, b):
+                best_rank.setdefault(t, r)
+        selected = [
+            (a, b, c)
+            for r, ((a, b), c) in enumerate(ranked)
+            if best_rank[a] == r and best_rank[b] == r
+        ][:kk]
+        for a, b, c in selected:
+            merges.append((p, a, b, c))
+        for i, t in toks.items():
+            for a, b, _c in selected:
+                out = []
+                j = 0
+                while j < len(t):
+                    if j + 1 < len(t) and t[j] == a and t[j + 1] == b:
+                        out.append(a + "+" + b)
+                        j += 2
+                    else:
+                        out.append(t[j])
+                        j += 1
+                t = out
+            toks[i] = t
+    return merges, toks
+
+
+_BPE_TOKENS = st.lists(
+    st.sampled_from(["a", "b", "c", "ab", "x"]), min_size=0, max_size=12
+)
+_BPE_CORPUS = st.lists(_BPE_TOKENS, min_size=1, max_size=8)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=_BPE_CORPUS, n_merges=st.integers(1, 6), k=st.integers(1, 3))
+def test_bpe_batched_matches_python_model(spark, corpus, n_merges, k):
+    """Differential for the batched BPE trainer: tiny random corpora over a
+    5-token alphabet hammer the edge shapes the fixture oracle can't —
+    empty docs, single-token docs, self-pairs (a,a) runs, merge-token
+    collisions ('ab' vs a+b display), exhaustion mid-pass, k larger than
+    the eligible set."""
+    from arrowhouse_spark.operators.bpe import bpe_train_merges_batched
+
+    docs = [(i, " ".join(t)) for i, t in enumerate(corpus)]
+    want_merges, want_toks = _bpe_batched_model(docs, n_merges, k)
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    m, enc = bpe_train_merges_batched(
+        df, n_merges=n_merges, batch_size=k, return_encoded=True
+    )
+    got_merges = sorted(
+        (r["pass"], r.left_tok, r.right_tok, r.pair_count) for r in m.collect()
+    )
+    assert got_merges == sorted(want_merges)
+    got_toks = {r.doc_id: r.bpe_tokens for r in enc.collect()}
+    assert got_toks == want_toks
