@@ -713,3 +713,78 @@ def test_compact_band_store_probe_invariant(spark, tmp_path):
         spark.read.parquet(d + "/store")
         .select("doc_id").distinct().count() == 5
     )
+
+
+def test_stream_windowed_agg_matches_batch_on_union(spark, ordered_stream_dir):
+    """End-to-end batch equivalence for the windowed aggregation: in
+    complete mode the memory sink holds the FULL aggregate state after the
+    availableNow drain, which must equal the plain batch window aggregate
+    over the union of all micro-batches (completing the equivalence set:
+    replace-latest, interval-join, first-seen, minhash — round-6; windowed
+    agg, sessionize — this round)."""
+    from arrowhouse_spark.streaming import stream_windowed_agg
+
+    sdf = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ordered_stream_dir)
+    )
+    out = stream_windowed_agg(sdf, ts_col="ts", window_duration="1 hour")
+    q = _run_to_memory(out, "wagg_union", "complete")
+    try:
+        got = sorted(
+            (r.window_start, r.n, r.sum_value)
+            for r in spark.table("wagg_union").collect()
+        )
+    finally:
+        q.stop()
+
+    union = spark.read.schema(EVENT_SCHEMA).parquet(ordered_stream_dir)
+    want = sorted(
+        (r.window_start, r.n, r.sum_value)
+        for r in union.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+        .collect()
+    )
+    assert got == want and len(want) >= 2
+
+
+def test_stream_sessionize_matches_batch_sessions_on_union(
+    spark, ordered_stream_dir
+):
+    """End-to-end batch equivalence for streaming sessionization, against
+    the INDEPENDENT batch implementation (operators/sessions.py's
+    lag-window model, itself property-tested vs a python reference):
+    complete-mode session_window state after the drain must equal
+    session_stats on the union — same (key, start, end, count) tuples.
+    The fixture has no exact-boundary gaps (where the two models'
+    open/closed interval conventions legitimately differ)."""
+    from arrowhouse_spark.operators.sessions import session_stats
+    from arrowhouse_spark.streaming import stream_sessionize
+
+    sdf = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ordered_stream_dir)
+    )
+    out = stream_sessionize(
+        sdf, ts_col="ts", key_cols=["user_id"], gap="30 minutes"
+    )
+    q = _run_to_memory(out, "sess_union", "complete")
+    try:
+        got = sorted(
+            (r.user_id, r.session_start, r.n_events)
+            for r in spark.table("sess_union").collect()
+        )
+    finally:
+        q.stop()
+
+    union = spark.read.schema(EVENT_SCHEMA).parquet(ordered_stream_dir)
+    want = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in session_stats(
+            union, ts_col="ts", key_cols=["user_id"], gap_seconds=1800
+        ).collect()
+    )
+    assert got == want and len(want) >= 2
