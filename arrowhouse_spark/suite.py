@@ -4705,6 +4705,96 @@ def pipeline_pretrain_full_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(packed, "doc_id")
 
 
+@register(
+    "pipeline_daily_ingest",
+    r"""
+    WITH day1 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ), batch AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, text
+      FROM day1 WHERE doc_id % 21 = 0
+      UNION ALL
+      SELECT doc_id + 600000 AS doc_id, text FROM documents
+      WHERE doc_id % 3 != 0 AND doc_id % 33 = 1
+    ), store AS (
+      SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        AS fp
+      FROM day1
+    ), fps AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM batch WHERE text IS NOT NULL
+    ), surv AS (
+      SELECT min(doc_id) AS doc_id FROM fps
+      WHERE fp NOT IN (SELECT fp FROM store)
+      GROUP BY fp
+    )
+    SELECT b.doc_id,
+           CAST(len(list_filter(string_split(b.text, ' '), x -> x != ''))
+             AS INTEGER) AS n_tokens,
+           b.doc_id IN (SELECT doc_id FROM surv) AS kept_dedup,
+           b.doc_id IN (SELECT doc_id FROM surv)
+             AND len(list_filter(string_split(b.text, ' '), x -> x != ''))
+                 >= 30 AS kept
+    FROM batch b
+    """,
+)
+def pipeline_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-increment ops composition (the shape the incremental
+    operators exist FOR): day-1 corpus = doc_id%3=0; the day-2 raw batch is
+    everything else PLUS injected re-ingestions — every 21st day-1 doc
+    re-arrives under a new id (must drop vs the store) and every 33rd batch
+    doc arrives twice (must lose the within-batch min-id race) — then
+    dedup_incremental (within-batch winners anti-joined against the day-1
+    fingerprint store) and a token-count quality gate. One row per RAW
+    batch doc with its full verdict chain: (doc_id, n_tokens, kept_dedup,
+    kept) — the hash pins every per-doc decision at both stages, including
+    the injected dups actually dropping.
+
+    Scale: fingerprint store anti-join and the winners groupBy carry
+    (fp, id) only (dedup_incremental's documented shape — store bucketed
+    by fp at rest); the quality gate and verdict labeling are map-side
+    over the batch; the only other shuffle is the survivors join back."""
+    from arrowhouse_spark.operators.dedup import dedup_incremental
+    from arrowhouse_spark.operators.text import fingerprint, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    day1 = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select("doc_id", "text")
+        .unionByName(
+            day1.filter(F.col("doc_id") % 21 == 0).select(
+                (F.col("doc_id") + 500000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 33 == 1)
+            ).select((F.col("doc_id") + 600000).alias("doc_id"), "text")
+        )
+    )
+    store = fingerprint(day1).select("fp").distinct()
+    surv = dedup_incremental(batch, store).select(
+        "doc_id", F.lit(True).alias("__kept_dedup")
+    )
+    return (
+        token_count(batch)
+        .join(surv, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("__kept_dedup", F.lit(False)).alias("kept_dedup"),
+            (
+                F.coalesce("__kept_dedup", F.lit(False))
+                & (F.col("n_tokens") >= 30)
+            ).alias("kept"),
+        )
+    )
+
+
 def _binaryfile_oracle_sql() -> str:
     """DuckDB oracle for the binaryFile ingestion source (round-6 verdict
     #3): read_blob() over the SAME deterministic media directory the Spark

@@ -82,6 +82,7 @@ HEADLINE = [
     "pipeline_pretrain_full_bpe",
     "binaryfile_ingest_stats",
     "bpe_encode_pretrained",
+    "pipeline_daily_ingest",
 ]
 
 
