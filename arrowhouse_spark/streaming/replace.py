@@ -312,7 +312,10 @@ def stream_minhash_neardup(
     of (id, minhash, band, bucket) per surviving doc. Written bucketed by
     (band, bucket) in production, the daily batch joins against years of
     history without moving it (only matched buckets' rows are read); the
-    probe is the same Σ bucket-product join as the batch operator.
+    probe is the same Σ bucket-product join as the batch operator. Every
+    batch appends its own file-set, so long-running streams should run
+    :func:`compact_band_store` between triggers every N batches (probe
+    results are invariant — pinned in tests/test_streaming.py).
 
     Returns the StreamingQuery (caller awaits/stops it)."""
 
