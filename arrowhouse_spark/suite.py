@@ -5632,7 +5632,11 @@ def _bpe_oracle_sql(k: int, encode: bool = False) -> str:
 
 
 def _bpe_batched_oracle_sql(
-    n_merges: int, batch_size: int, encode: bool = False
+    n_merges: int,
+    batch_size: int,
+    encode: bool = False,
+    vocab: bool = False,
+    vocab_size: int = 256,
 ) -> str:
     """Unrolled batched-BPE oracle (round-6 verdict #1): pass i ranks the
     pair counts (cnt DESC, pair ASC), keeps the top-``batch_size`` pairs
@@ -5647,6 +5651,7 @@ def _bpe_batched_oracle_sql(
     the chain."""
     s = "chr(31)"
     idc = "doc_id, " if encode else ""
+    apply_all = encode or vocab  # both need every pass's merges applied
     n_passes = -(-n_merges // batch_size)
     parts = [
         f"""WITH d0 AS MATERIALIZED (
@@ -5689,7 +5694,7 @@ def _bpe_batched_oracle_sql(
       QUALIFY j <= {k}
     )"""
         )
-        if i < n_passes or encode:
+        if i < n_passes or apply_all:
             expr = "s"
             for j in range(1, k + 1):
                 pat = (
@@ -5708,7 +5713,20 @@ def _bpe_batched_oracle_sql(
       FROM {prev}
     )"""
             )
-    if encode:
+    if vocab:
+        # tokenizer vocab artifact: distinct final tokens of the merged
+        # corpus ranked by (tf DESC, token ASC), ids 1..V — the same total
+        # deterministic order vocab_encode assigns
+        sel = (
+            f"SELECT tok, CAST(row_number() OVER (ORDER BY tf DESC, tok)"
+            f" AS INTEGER) AS tid, CAST(tf AS BIGINT) AS tf FROM (\n"
+            f"      SELECT tok, count(*) AS tf FROM (\n"
+            f"        SELECT unnest(string_split(substr(s, 2, length(s) - 2),"
+            f" {s}||{s})) AS tok FROM d{n_passes}\n"
+            f"      ) GROUP BY tok\n"
+            f"    ) ORDER BY tf DESC, tok LIMIT {vocab_size}"
+        )
+    elif encode:
         sel = (
             f"SELECT doc_id,\n"
             f"      CAST(len(string_split(substr(s, 2, length(s) - 2),"
@@ -5824,6 +5842,49 @@ def _bpe_pretrained_oracle_sql(n_merges: int, batch_size: int) -> str:
     FROM ho{n_passes}"""
     )
     return "".join(parts)
+
+
+@register(
+    "bpe_vocab_table",
+    _bpe_batched_oracle_sql(16, 8, vocab=True, vocab_size=256),
+)
+def bpe_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third tokenizer artifact (after the merge table and the
+    encoder): the vocabulary — train 16 batched merges, apply them, and
+    rank the merged corpus's distinct tokens by (frequency DESC, token
+    ASC) into ids 1..256. Rank assignment uses vocab_encode's documented
+    broadcast theta-join (count of strictly-higher-ranked entries + 1)
+    instead of a global row_number window — the single-task shape the plan
+    audit forbids. The oracle replays training, application, and the
+    ranking, so the hash pins the full artifact: every token, its id, and
+    its frequency."""
+    from arrowhouse_spark.operators.bpe import bpe_train_merges_batched
+
+    _merges, enc = bpe_train_merges_batched(
+        _t(spark, sf_dir, "documents"),
+        n_merges=16,
+        batch_size=8,
+        return_encoded=True,
+    )
+    top = (
+        enc.select(F.explode("bpe_tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("tok").asc())
+        .limit(256)
+    )
+    other = F.broadcast(
+        top.select(F.col("tok").alias("tok2"), F.col("tf").alias("tf2"))
+    )
+    higher = (F.col("tf2") > F.col("tf")) | (
+        (F.col("tf2") == F.col("tf")) & (F.col("tok2") < F.col("tok"))
+    )
+    return (
+        top.join(other, higher, "left")
+        .groupBy("tok", "tf")
+        .agg((F.count(F.col("tok2")) + 1).cast("int").alias("tid"))
+        .select("tok", "tid", F.col("tf").cast("long").alias("tf"))
+    )
 
 
 @register("bpe_encode_pretrained", _bpe_pretrained_oracle_sql(12, 4))

@@ -83,6 +83,7 @@ HEADLINE = [
     "binaryfile_ingest_stats",
     "bpe_encode_pretrained",
     "pipeline_daily_ingest",
+    "bpe_vocab_table",
 ]
 
 

@@ -788,3 +788,65 @@ def test_stream_sessionize_matches_batch_sessions_on_union(
         ).collect()
     )
     assert got == want and len(want) >= 2
+
+
+def test_stream_minhash_resumes_after_compaction(spark, tmp_path):
+    """Ops e2e for compact_band_store: drain the stream, compact the band
+    store BETWEEN triggers (collapsing batch partitions into one), then
+    feed a new file and resume from the SAME checkpoint — the resumed
+    batch must probe the full compacted history (a near-dup of a
+    pre-compaction survivor still drops) and fresh content still
+    survives."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from arrowhouse_spark.streaming import stream_minhash_neardup
+    from arrowhouse_spark.streaming.replace import compact_band_store
+
+    d = str(tmp_path / "mh_resume")
+    schema = "doc_id long, text string"
+    mk = lambda p: " ".join(f"{p}{j}" for j in range(50))
+    os.makedirs(d + "/in")
+
+    def feed(i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            d + f"/b{i}"
+        )
+        f = glob.glob(d + f"/b{i}/part-*.parquet")[0]
+        dst = d + f"/in/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        now = time.time()
+        os.utime(dst, (now - 3600 + i * 60, now - 3600 + i * 60))
+
+    def drain():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/in")
+        )
+        q = stream_minhash_neardup(
+            sdf,
+            store_path=d + "/store",
+            out_path=d + "/out",
+            checkpoint_path=d + "/ckpt",
+            threshold=0.5,
+        )
+        q.awaitTermination(180)
+
+    feed(0, [(1, mk("alpha")), (2, mk("beta"))])
+    feed(1, [(3, mk("gamma"))])
+    drain()
+    stats = compact_band_store(spark, d + "/store", n_files=2)
+    assert stats["rows"] > 0
+
+    # resume: near-dup of doc 1 (batch 0, pre-compaction) must drop; new
+    # content survives
+    feed(2, [(4, mk("alpha").replace("alpha7", "x", 1)), (5, mk("delta"))])
+    drain()
+    out = spark.read.parquet(d + "/out")
+    got = {r.batch_id: set() for r in out.select("batch_id").distinct().collect()}
+    for r in out.collect():
+        got[r.batch_id].add(r.doc_id)
+    assert got == {0: {1, 2}, 1: {3}, 2: {5}}
