@@ -164,3 +164,52 @@ def dedup_components(
         F.col("id").alias(id_col)
     )
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Near-dup canonicalization: per connected component of ``edges``, keep
+    the single highest-``score_col`` document (minimum ``id_col`` on ties);
+    a document in no component is its own singleton and is always kept.
+
+    This is the "keep best representative" step real dedup pipelines run
+    after fuzzy matching (vs :func:`dedup_components`, whose survivor is the
+    arbitrary min-id label). Returns one row per input doc:
+    (id_col, component, kept ∈ {0,1} as long).
+
+    Scale: component labels cost the usual two keyed shuffles per
+    label-propagation round; the winner election is ONE keyed aggregation
+    ``min(struct(-score, id))`` per component — never a window over the
+    whole corpus — and the (component, winner) relation joins back keyed on
+    component (AQE broadcasts it when small; stays a shuffle join when the
+    component count is corpus-sized).
+    """
+    comps = connected_components(edges, src=src, dst=dst)
+    labeled = (
+        docs.select(F.col(id_col), F.col(score_col))
+        .join(comps.withColumnRenamed("id", id_col), on=id_col, how="left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    winners = (
+        labeled.groupBy("component")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col(score_col)).alias("neg_score"),
+                    F.col(id_col).alias("wid"),
+                )
+            ).alias("w")
+        )
+        .select("component", F.col("w.wid").alias("_winner_id"))
+    )
+    return labeled.join(winners, on="component").select(
+        F.col(id_col),
+        "component",
+        (F.col(id_col) == F.col("_winner_id")).cast("long").alias("kept"),
+    )

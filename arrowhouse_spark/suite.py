@@ -1585,6 +1585,69 @@ def dedup_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_best",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gs
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(gs) AS shingle FROM grams
+    ), sizes AS (
+      SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_common
+      FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.2
+    ), sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk AS (
+      SELECT src AS id, src AS comp FROM sym
+      UNION
+      SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.id
+    ), comps AS (
+      SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id
+    ), alldocs AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+      FROM documents d LEFT JOIN comps c USING (doc_id)
+    ), ranked AS (
+      SELECT doc_id, component,
+             row_number() OVER (
+               PARTITION BY component ORDER BY n_chars DESC, doc_id ASC
+             ) AS rn
+      FROM alldocs
+    )
+    SELECT doc_id, component, CAST(rn = 1 AS BIGINT) AS kept FROM ranked
+    """,
+)
+def dedup_keep_best_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization — the "keep best representative" step after
+    fuzzy matching (operators/components.py:dedup_keep_best): per connected
+    component of exact-Jaccard pairs (≥0.2, 2-shingles) keep the LONGEST doc
+    (min doc_id tiebreak), singletons always kept; one row per input doc
+    with its component label and 0/1 verdict. The oracle recomputes
+    components with the recursive CTE, then elects winners by
+    row_number() over (component, n_chars DESC, doc_id)."""
+    from arrowhouse_spark.operators.components import dedup_keep_best
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=2, threshold=0.2
+    )
+    return dedup_keep_best(
+        _t(spark, sf_dir, "documents"), pairs, id_col="doc_id", score_col="n_chars"
+    )
+
+
+@register(
     "hash_split_stats",
     """
     SELECT (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT

@@ -79,3 +79,22 @@ def test_star_components_long_chain(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.id: r.component for r in connected_components_star(df).collect()}
     assert got == {i: 0 for i in range(151)}
+
+def test_dedup_keep_best_elects_max_score_min_id(spark):
+    from arrowhouse_spark.operators.components import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 30), (2, 30), (3, 5), (4, 7), (5, 7), (6, 1)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    rows = {r.doc_id: (r.component, r.kept) for r in dedup_keep_best(docs, pairs).collect()}
+    # cluster {0,1,2}: max n_chars ties 1 vs 2 at 30 -> min doc_id 1 wins
+    assert rows[0] == (0, 0) and rows[1] == (0, 1) and rows[2] == (0, 0)
+    # cluster {4,5}: tie at 7 -> 4 wins
+    assert rows[4] == (4, 1) and rows[5] == (4, 0)
+    # singletons are their own component and always kept
+    assert rows[3] == (3, 1) and rows[6] == (6, 1)
+    assert len(rows) == 7
