@@ -4939,6 +4939,54 @@ def binaryfile_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shard_manifest",
+    """
+    WITH sharded AS (
+      SELECT (('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 8)::BIGINT AS shard,
+             doc_id, coalesce(text, '') AS text
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(string_split(text, ' '), x -> x != '')))
+             AS BIGINT) AS n_tokens,
+           CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+           CAST(bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+             1, 15))::UBIGINT) AS BIGINT) AS xor_checksum
+    FROM sharded GROUP BY shard
+    """,
+)
+def shard_manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export, proven end to end
+    (sources/shards.py): write documents as 8 md5-bucketed, id-sorted
+    parquet shards to a scratch directory, then RE-READ the files and roll
+    up the manifest a training loader consumes — per-shard doc count,
+    whitespace-token count, byte count, and an order-insensitive 60-bit XOR
+    content checksum over md5(doc_id ':' text). The oracle recomputes the
+    same assignment and rollup from the source table, so the hash compare
+    certifies the files on disk hold exactly the right rows, bit-identical
+    text, and nothing misrouted. The manifest is localCheckpointed (8 rows,
+    bounded by construction) before the scratch directory is removed."""
+    import shutil
+    import tempfile
+
+    from arrowhouse_spark.sources.shards import (
+        shard_manifest,
+        write_training_shards,
+    )
+
+    d = tempfile.mkdtemp(prefix="arrowhouse_shards_")
+    try:
+        write_training_shards(
+            _t(spark, sf_dir, "documents"), d, n_shards=8, id_col="doc_id"
+        )
+        return shard_manifest(spark, d).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "corpus_stats",
     r"""
     SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -81,6 +81,7 @@ HEADLINE = [
     "bpe_train_batched",
     "pipeline_pretrain_full_bpe",
     "binaryfile_ingest_stats",
+    "shard_manifest",
     "bpe_encode_pretrained",
     "pipeline_daily_ingest",
     "bpe_vocab_table",

@@ -1,0 +1,73 @@
+"""write_training_shards / shard_manifest (sources/shards.py): determinism,
+one file per shard, checksum sensitivity, and shard partition-pruning."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from arrowhouse_spark.sources.shards import shard_manifest, write_training_shards
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def _manifest_rows(spark, path):
+    return {
+        r.shard: (r.n_docs, r.n_tokens, r.n_bytes, r.xor_checksum)
+        for r in shard_manifest(spark, path).collect()
+    }
+
+
+def test_shards_deterministic_across_writes(spark, tmp_path):
+    docs = _docs(spark)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(docs, a, n_shards=8)
+    write_training_shards(docs.orderBy(F.rand(7)), b, n_shards=8)
+    ma, mb = _manifest_rows(spark, a), _manifest_rows(spark, b)
+    assert ma == mb and len(ma) == 8
+    assert sum(v[0] for v in ma.values()) == docs.count()
+
+
+def test_shards_one_file_per_shard(spark, tmp_path):
+    p = str(tmp_path / "s")
+    write_training_shards(_docs(spark), p, n_shards=8)
+    for k in range(8):
+        files = glob.glob(os.path.join(p, f"shard={k}", "*.parquet"))
+        assert len(files) == 1, (k, files)
+
+
+def test_shards_checksum_flips_on_single_byte(spark, tmp_path):
+    docs = _docs(spark)
+    clean, dirty = str(tmp_path / "c"), str(tmp_path / "d")
+    write_training_shards(docs, clean, n_shards=8)
+    victim = docs.select(F.min("doc_id")).first()[0]
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == victim, F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")),
+    )
+    write_training_shards(mutated, dirty, n_shards=8)
+    mc, md = _manifest_rows(spark, clean), _manifest_rows(spark, dirty)
+    diff = [k for k in mc if mc[k] != md[k]]
+    assert len(diff) == 1  # exactly the victim's shard changed
+    k = diff[0]
+    assert mc[k][0] == md[k][0]  # same docs
+    assert mc[k][3] != md[k][3]  # checksum flipped
+    assert md[k][2] == mc[k][2] + 1  # one extra byte
+
+
+def test_shards_read_prunes_partitions(spark, tmp_path):
+    p = str(tmp_path / "pr")
+    write_training_shards(_docs(spark), p, n_shards=8)
+    one = spark.read.parquet(p).filter(F.col("shard") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # the shard predicate must be a partition filter on the scan, and the
+    # pruned read must return only shard-3 rows
+    assert "PartitionFilters" in plan and "shard" in plan
+    assert one.select(F.count_distinct("shard")).first()[0] == 1
