@@ -143,6 +143,17 @@ def main() -> None:
             timings[name] = t if prev is None or prev < 0 else (
                 min(prev, t) if t >= 0 else prev
             )
+            if os.environ.get("SPARK_GRAFT_BENCH_GC", "1") != "0":
+                # drop Python references to finished plans so the JVM
+                # ContextCleaner can reap orphaned localCheckpoint blocks —
+                # the checkpoint-heavy queries (BPE training, the composed
+                # pipelines) otherwise accumulate block-manager state across
+                # the 61-query × 3-pass session and inflate later timings
+                # (measured: pipeline_pretrain_full 13.6s in-session vs 9.6s
+                # isolated before this hook). gc runs OUTSIDE the timed span.
+                import gc
+
+                gc.collect()
 
     # per-query delta vs the most recent PRIOR round, so ±noise regressions
     # are machine-adjudicable from the JSON alone. The driver's BENCH_r{N}

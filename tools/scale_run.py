@@ -169,6 +169,48 @@ def _ngram_containment(c: Ctx) -> dict:
     return {"sec": t, "pairs": n}
 
 
+@op("dedup_keep_best")
+def _dedup_keep_best_op(c: Ctx) -> dict:
+    # canonicalization on top of the (linear-measured) minhash pair stream:
+    # components + ONE keyed election; kept count ≈ n_docs − resolved dups
+    from arrowhouse_spark.operators.components import dedup_keep_best
+    from arrowhouse_spark.operators.dedup import minhash_dedup
+
+    docs = c.docs.withColumn("n_chars", F.length("text"))
+    pairs = minhash_dedup(c.docs, threshold=0.8)
+    t, n = timed(
+        lambda: dedup_keep_best(docs, pairs, score_col="n_chars")
+        .filter(F.col("kept") == 1)
+        .count()
+    )
+    return {"sec": t, "kept": n}
+
+
+@op("shard_export")
+def _shard_export(c: Ctx) -> dict:
+    # full write path: 32 md5-bucketed sorted shards to scratch disk, then
+    # the manifest aggregation over the re-read files
+    import shutil
+    import tempfile
+
+    from arrowhouse_spark.sources.shards import (
+        shard_manifest,
+        write_training_shards,
+    )
+
+    d = tempfile.mkdtemp(prefix="ah_scale_shards_")
+    try:
+
+        def run():
+            write_training_shards(c.docs, d, n_shards=32)
+            return shard_manifest(c.spark, d).count()
+
+        t, n = timed(run)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return {"sec": t, "shards": n}
+
+
 @op("embedding_neardup_pairs")
 def _embedding_neardup(c: Ctx) -> dict:
     from arrowhouse_spark.operators.similarity import embedding_neardup_pairs
