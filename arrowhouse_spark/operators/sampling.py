@@ -153,6 +153,19 @@ def source_mixed_sample(
     take_n (±~sqrt(take_n)) — the same determinism (a row's fate depends
     only on its key), traded for exact counts."""
     plan = source_mixing_plan(df, weights, source_col)
+    return _take_per_source(df, plan, key, source_col, salt, exact)
+
+
+def _take_per_source(
+    df: DataFrame,
+    plan: DataFrame,
+    key: str,
+    source_col: str,
+    salt: str,
+    exact: bool,
+) -> DataFrame:
+    """Materialize a (source, n_avail, take_n) plan over ``df`` — the shared
+    back half of source_mixed_sample and temperature_mix_sample."""
     h = F.md5(F.concat(F.lit(salt), _c(key).cast("string")))
     joined = df.join(F.broadcast(plan), source_col)
     if not exact:
@@ -170,6 +183,56 @@ def source_mixed_sample(
         .filter(F.col("__rn") <= F.col("take_n"))
         .drop("__rn", "n_avail", "take_n")
     )
+
+
+def temperature_mixing_plan(
+    df: DataFrame,
+    alpha: float = 0.7,
+    total: int = 200,
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source sample sizes ∝ n_s^alpha — multinomial temperature
+    sampling (the GPT-3 / XLM-R mixing knob, public): alpha=1 keeps natural
+    proportions, alpha→0 flattens toward uniform, upweighting small
+    high-quality sources. take_n = min(floor(round(total·p_s, 6)), n_s)
+    with p_s = n_s^alpha / Σ n^alpha; the 6-decimal rounding before floor
+    pins the one float step (pow + double sum) to a cross-engine-stable
+    value, same convention as the libm-sensitive scores.
+
+    Scale: one keyed count over the corpus + a |sources|-row broadcast —
+    the corpus itself never moves."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_avail"))
+    pw = counts.withColumn(
+        "__pw", F.pow(F.col("n_avail").cast("double"), F.lit(float(alpha)))
+    )
+    tot = pw.agg(F.sum("__pw").alias("__tot"))
+    return pw.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n_avail",
+        F.least(
+            F.floor(
+                F.round(F.lit(float(total)) * F.col("__pw") / F.col("__tot"), 6)
+            ).cast("long"),
+            F.col("n_avail"),
+        ).alias("take_n"),
+    )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    alpha: float = 0.7,
+    total: int = 200,
+    key: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "tmix",
+    exact: bool = True,
+) -> DataFrame:
+    """Materialize :func:`temperature_mixing_plan` with the module's
+    deterministic md5 rank — same exact/approx trade as
+    :func:`source_mixed_sample` (exact windows each source in one task;
+    ``exact=False`` is the map-side 100 TB path)."""
+    plan = temperature_mixing_plan(df, alpha, total, source_col)
+    return _take_per_source(df, plan, key, source_col, salt, exact)
 
 
 def split_leakage_check(

@@ -4122,6 +4122,50 @@ def source_mixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "temperature_mix_sample",
+    """
+    WITH counts AS (
+      SELECT source, count(*) AS n_avail FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(pow(n_avail, 0.7)) AS t FROM counts
+    ), plan AS (
+      SELECT source, n_avail,
+             least(CAST(floor(round(200 * pow(n_avail, 0.7) / tot.t, 6))
+                   AS BIGINT), n_avail) AS take_n
+      FROM counts, tot
+    ), ranked AS (
+      SELECT d.doc_id, d.source, p.take_n,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('tmix' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d JOIN plan p USING (source)
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM ranked WHERE rn <= take_n GROUP BY source
+    """,
+)
+def temperature_mix_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial temperature mixing (operators/sampling.py:
+    temperature_mix_sample, after the GPT-3/XLM-R α-sampling knob): per
+    source take ∝ n^0.7 of a 200-doc budget, rows chosen by the
+    engine-independent md5 rank. One keyed count + |sources|-row broadcast
+    plan + bounded per-source windows; sum/min of sampled ids pin the
+    exact row selection. The oracle replays pow/round/floor with the
+    6-decimal pin."""
+    from arrowhouse_spark.operators.sampling import temperature_mix_sample as tms
+
+    out = tms(_t(spark, sf_dir, "documents"), alpha=0.7, total=200, key="doc_id")
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+@register(
     "doc_unigram_logprob",
     """
     WITH toks AS (
@@ -6098,6 +6142,60 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return qqf(_t(spark, sf_dir, "documents"), frac=0.8).select(
         "doc_id", "source", "quality", "q_thr", "kept"
+    )
+
+
+@register(
+    "dsir_importance_select",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(tok), 1, 8))::UBIGINT % 1024)::BIGINT AS bucket,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
+      FROM (SELECT doc_id, lang,
+                   unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                                      x -> x != '')) AS tok
+            FROM documents)
+    ), counts AS (
+      SELECT bucket, count(*) AS c_raw, sum(is_t) AS c_t
+      FROM toks GROUP BY bucket
+    ), tot AS (
+      SELECT sum(c_raw) AS n_raw, sum(c_t) AS n_t FROM counts
+    ), ratio AS (
+      SELECT bucket,
+             ln((c_t + 1.0) / (n_t + 1024.0))
+               - ln((c_raw + 1.0) / (n_raw + 1024.0)) AS lr
+      FROM counts, tot
+    ), scored AS (
+      SELECT t.doc_id, count(*) AS n_toks, round(sum(r.lr), 3) AS log_importance
+      FROM toks t JOIN ratio r USING (bucket)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_toks, 0) AS BIGINT) AS n_toks,
+           coalesce(s.log_importance, 0.0) AS log_importance,
+           coalesce(s.log_importance, 0.0) >= 0.0 AS kept
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (operators/dsir.py, after Xie et al. 2023):
+    score every doc by its hashed-unigram log importance against the
+    English subset as the target domain (Laplace-smoothed 1024-bucket
+    distributions), kept = more-target-like-than-pool (log w ≥ 0). The
+    hashed feature space makes the model a fixed 1024-row broadcast at any
+    corpus size — two keyed aggs + one keyed per-doc sum, no corpus-sized
+    state. 3-decimal rounding is the doc_unigram_logprob libm convention;
+    the oracle replays buckets, smoothing, and scores exactly."""
+    from arrowhouse_spark.operators.dsir import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = dsir_importance(docs, target=F.col("lang") == "en")
+    return scored.select(
+        "doc_id",
+        "n_toks",
+        "log_importance",
+        (F.col("log_importance") >= 0.0).alias("kept"),
     )
 
 

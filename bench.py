@@ -82,6 +82,8 @@ HEADLINE = [
     "pipeline_pretrain_full_bpe",
     "binaryfile_ingest_stats",
     "shard_manifest",
+    "dsir_importance_select",
+    "temperature_mix_sample",
     "bpe_encode_pretrained",
     "pipeline_daily_ingest",
     "bpe_vocab_table",

@@ -200,3 +200,48 @@ def test_split_leakage_check_finds_cross_split_dups(spark):
     assert len(out) == 1
     assert out[0].n_train == 1 and out[0].n_test == 1
     assert {out[0].min_train_id, out[0].min_test_id} == {lo, hi}
+
+
+def test_temperature_mixing_plan_alpha_behavior(spark):
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.sampling import temperature_mixing_plan
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(900 + i, "mid") for i in range(90)]
+        + [(990 + i, "small") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def plan(alpha, total=100):
+        return {
+            r.source: r.take_n
+            for r in temperature_mixing_plan(df, alpha=alpha, total=total).collect()
+        }
+
+    nat = plan(1.0)
+    # alpha=1 reproduces natural proportions of the budget
+    assert nat == {"big": 90, "mid": 9, "small": 1}
+    flat = plan(0.0)
+    # alpha=0 is uniform across sources (floor(100/3) each, capped by avail)
+    assert flat == {"big": 33, "mid": 33, "small": 10}
+    mid = plan(0.5)
+    # intermediate alpha upweights small sources, downweights the head
+    assert mid["small"] > nat["small"] and mid["big"] < nat["big"]
+    # take_n never exceeds availability
+    capped = plan(0.0, total=3000)
+    assert capped["small"] <= 10 and capped["mid"] <= 90
+
+
+def test_temperature_mix_sample_is_deterministic(spark):
+    from arrowhouse_spark.operators.sampling import temperature_mix_sample
+
+    rows = [(i, f"s{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(r.doc_id for r in temperature_mix_sample(df, total=80).collect())
+    b = sorted(
+        r.doc_id
+        for r in temperature_mix_sample(df.orderBy("source"), total=80).collect()
+    )
+    assert a == b and len(a) == 80
