@@ -211,6 +211,41 @@ def _shard_export(c: Ctx) -> dict:
     return {"sec": t, "shards": n}
 
 
+@op("dsir_importance")
+def _dsir_importance(c: Ctx) -> dict:
+    # hashed-feature model is corpus-size-free; cost = the token explode +
+    # two keyed aggs, expected to track the unigram-LM family's slope
+    from arrowhouse_spark.operators.dsir import dsir_importance
+
+    target = F.pmod(F.xxhash64(F.lit("dsir_t"), "doc_id"), F.lit(10)) < 3
+    # aggregate the score column — a bare count() lets Catalyst eliminate
+    # the unique-key left join and skip the whole scoring computation
+    t, n = timed(
+        lambda: dsir_importance(c.docs, target=target)
+        .agg(F.count(F.lit(1)), F.sum("log_importance"))
+        .count()
+    )
+    return {"sec": t, "docs": c.n_docs}
+
+
+@op("temperature_mix")
+def _temperature_mix(c: Ctx) -> dict:
+    # exact path: windows are per-source (bounded strata); budget scales
+    # with the corpus so selected row count grows linearly
+    from arrowhouse_spark.operators.sampling import temperature_mix_sample
+
+    docs = c.docs.withColumn(
+        "source",
+        F.concat(F.lit("s"), F.pmod(F.xxhash64(F.lit("src"), "doc_id"), F.lit(16))),
+    )
+    t, n = timed(
+        lambda: temperature_mix_sample(
+            docs, alpha=0.7, total=c.n_docs // 5, key="doc_id"
+        ).count()
+    )
+    return {"sec": t, "sampled": n}
+
+
 @op("embedding_neardup_pairs")
 def _embedding_neardup(c: Ctx) -> dict:
     from arrowhouse_spark.operators.similarity import embedding_neardup_pairs
