@@ -578,3 +578,88 @@ def test_bpe_batched_matches_python_model(spark, corpus, n_merges, k):
     assert got_merges == sorted(want_merges)
     got_toks = {r.doc_id: r.bpe_tokens for r in enc.collect()}
     assert got_toks == want_toks
+
+
+# --- DSIR importance vs a pure-python model -------------------------------
+
+_DSIR_DOCS = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=6),
+        st.booleans(),  # is-target
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@_SETTINGS
+@given(_DSIR_DOCS)
+def test_dsir_importance_matches_python_model(spark, docs):
+    """dsir_importance ≡ an independent pure-python reimplementation of the
+    hashed-unigram log-ratio (same md5 bucketing, same Laplace smoothing),
+    to 3 decimals — independent of the DuckDB oracle's SQL replay."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.dsir import dsir_importance
+
+    n_buckets = 16
+    rows = [(i, " ".join(toks), t) for i, (toks, t) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    got = {
+        r.doc_id: (r.n_toks, r.log_importance)
+        for r in dsir_importance(
+            df, target=F.col("t"), n_buckets=n_buckets
+        ).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
+
+    c_raw, c_t = {}, {}
+    for toks, is_t in docs:
+        for tok in toks:
+            b = bucket(tok)
+            c_raw[b] = c_raw.get(b, 0) + 1
+            if is_t:
+                c_t[b] = c_t.get(b, 0) + 1
+    n_raw, n_t = sum(c_raw.values()), sum(c_t.values())
+    for i, (toks, _is_t) in enumerate(docs):
+        lw = sum(
+            math.log((c_t.get(bucket(tok), 0) + 1.0) / (n_t + n_buckets))
+            - math.log((c_raw[bucket(tok)] + 1.0) / (n_raw + n_buckets))
+            for tok in toks
+        )
+        assert got[i][0] == len(toks)
+        assert abs(got[i][1] - round(lw, 3)) < 1e-9, (i, got[i], lw)
+
+
+# --- temperature mixing plan vs a pure-python model -----------------------
+
+_TMIX_COUNTS = st.lists(st.integers(1, 40), min_size=1, max_size=6)
+
+
+@_SETTINGS
+@given(_TMIX_COUNTS, st.sampled_from([0.0, 0.5, 0.7, 1.0]))
+def test_temperature_plan_matches_python_model(spark, counts, alpha):
+    import math
+
+    from arrowhouse_spark.operators.sampling import temperature_mixing_plan
+
+    rows = [
+        (j, f"s{i}") for i, n in enumerate(counts) for j in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    total = 50
+    got = {
+        r.source: r.take_n
+        for r in temperature_mixing_plan(
+            df, alpha=alpha, total=total, source_col="source"
+        ).collect()
+    }
+    tot = sum(n**alpha for n in counts)
+    for i, n in enumerate(counts):
+        want = min(math.floor(round(total * (n**alpha) / tot, 6)), n)
+        assert got[f"s{i}"] == want, (i, n, alpha, got)
