@@ -30,18 +30,24 @@ EXT_MEDIA_TYPE: dict[str, str] = {
 }
 
 
-#: (name, size) of the deterministic media-fixture files — content is a
-#: fixed byte formula of (file index, offset), so every engine reading the
-#: directory sees bit-identical payloads.
-_FIXTURE_FILES: list[tuple[str, int]] = [
-    ("img_0.png", 512),
-    ("img_1.png", 1024),
-    ("img_2.jpg", 768),
-    ("aud_0.wav", 2048),
-    ("aud_1.mp3", 640),
-    ("vid_0.mp4", 4096),
-    ("doc_0.txt", 96),
-    ("doc_1.bin", 256),
+#: (name, size, content_key) of the deterministic media-fixture files —
+#: content is a fixed byte formula of (content_key, offset), so every engine
+#: reading the directory sees bit-identical payloads. Entries sharing a
+#: content_key are bit-identical duplicates (re-uploaded / re-crawled media,
+#: possibly under a different extension) — the media_dedup_stats query's
+#: subject matter.
+_FIXTURE_FILES: list[tuple[str, int, int]] = [
+    ("img_0.png", 512, 0),
+    ("img_1.png", 1024, 1),
+    ("img_2.jpg", 768, 2),
+    ("aud_0.wav", 2048, 3),
+    ("aud_1.mp3", 640, 4),
+    ("vid_0.mp4", 4096, 5),
+    ("doc_0.txt", 96, 6),
+    ("doc_1.bin", 256, 7),
+    ("img_0_dup.png", 512, 0),   # exact re-upload of img_0.png
+    ("img_0_copy.jpg", 512, 0),  # same bytes under a different extension
+    ("aud_0_dup.wav", 2048, 3),  # exact re-upload of aud_0.wav
 ]
 
 
@@ -57,8 +63,8 @@ def ensure_media_fixture(path: str = "/tmp/arrowhouse_media_fixture") -> str:
     import os
 
     os.makedirs(path, exist_ok=True)
-    for k, (name, size) in enumerate(_FIXTURE_FILES):
-        payload = bytes((k * 41 + j * 13 + 7) % 256 for j in range(size))
+    for name, size, key in _FIXTURE_FILES:
+        payload = bytes((key * 41 + j * 13 + 7) % 256 for j in range(size))
         fp = os.path.join(path, name)
         try:
             with open(fp, "rb") as f:

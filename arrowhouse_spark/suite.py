@@ -4982,6 +4982,53 @@ def binaryfile_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_dedup_oracle_sql() -> str:
+    from arrowhouse_spark.sources.binaryfile import ensure_media_fixture
+
+    d = ensure_media_fixture()
+    return rf"""
+    WITH f AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+             md5(upper(hex(content))) AS content_md5, size
+      FROM read_blob('{d}/*')
+    )
+    SELECT content_md5,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(fname) AS kept_file,
+           CAST(sum(size) - min(size) AS BIGINT) AS shed_bytes
+    FROM f GROUP BY content_md5
+    """
+
+
+@register("media_dedup_stats", _media_dedup_oracle_sql())
+def media_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload exact dedup over the media lake — the content-hash
+    image/audio dedup step of a multimodal pipeline, extension-blind (the
+    fixture plants bit-identical payloads under .png AND .jpg names, plus
+    exact re-uploads): per content group the copy count, the deterministic
+    keeper (min filename), and the bytes shed by dropping the rest. The
+    shuffle carries (16-byte content hash, name, length) rows — payloads
+    are hashed where they are read and never moved. Oracle = DuckDB
+    read_blob over the same directory."""
+    from arrowhouse_spark.sources.binaryfile import (
+        ensure_media_fixture,
+        read_binary_dir,
+    )
+
+    d = ensure_media_fixture()
+    media = read_binary_dir(spark, d)
+    per = media.select(
+        F.regexp_extract("path", "([^/]+)$", 1).alias("fname"),
+        F.md5(F.upper(F.hex("payload"))).alias("content_md5"),
+        F.col("length"),
+    )
+    return per.groupBy("content_md5").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("fname").alias("kept_file"),
+        (F.sum("length") - F.min("length")).alias("shed_bytes"),
+    )
+
+
 @register(
     "shard_manifest",
     """
