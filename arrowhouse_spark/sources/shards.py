@@ -48,18 +48,26 @@ def write_training_shards(
     n_shards: int = 8,
     id_col: str = "doc_id",
     salt: str = "shard",
+    mode: str = "overwrite",
 ) -> str:
     """Write ``df`` as ``n_shards`` deterministic parquet shards under
     ``path`` (directory layout ``shard=K/``). Assignment is
     hash_bucket(id) — stable across runs, engines, and cluster sizes —
-    and rows are sorted by id within each shard for byte-stable files."""
+    and rows are sorted by id within each shard for byte-stable files.
+
+    ``mode="append"`` is the incremental-ingest path: a day's new docs land
+    as one additional file inside each affected ``shard=K/`` directory
+    (same assignment, so a doc's shard never changes across days), and the
+    re-read manifest equals the one-shot manifest of the unioned corpus —
+    the counts are additive and the XOR checksum is order-insensitive by
+    construction (pinned by test_shards_append_equals_union)."""
     from arrowhouse_spark.operators.sampling import hash_bucket
 
     sharded = df.withColumn("shard", hash_bucket(id_col, n_shards, salt=salt))
     (
         sharded.repartition(n_shards, "shard")
         .sortWithinPartitions(id_col)
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("shard")
         .parquet(path)
     )

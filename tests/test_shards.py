@@ -71,3 +71,19 @@ def test_shards_read_prunes_partitions(spark, tmp_path):
     # pruned read must return only shard-3 rows
     assert "PartitionFilters" in plan and "shard" in plan
     assert one.select(F.count_distinct("shard")).first()[0] == 1
+
+
+def test_shards_append_equals_union(spark, tmp_path):
+    # incremental daily export: day-2 appended into the store must produce
+    # the same manifest as a one-shot export of the union (counts additive,
+    # XOR checksum order-insensitive), and each shard gains one file per day
+    docs = _docs(spark)
+    day1 = docs.filter(F.col("doc_id") % 2 == 0)
+    day2 = docs.filter(F.col("doc_id") % 2 == 1)
+    inc, oneshot = str(tmp_path / "inc"), str(tmp_path / "one")
+    write_training_shards(day1, inc, n_shards=8)
+    write_training_shards(day2, inc, n_shards=8, mode="append")
+    write_training_shards(docs, oneshot, n_shards=8)
+    assert _manifest_rows(spark, inc) == _manifest_rows(spark, oneshot)
+    files = glob.glob(os.path.join(inc, "shard=0", "*.parquet"))
+    assert len(files) == 2  # one file per ingest day
