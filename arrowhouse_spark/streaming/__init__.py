@@ -10,6 +10,7 @@ from arrowhouse_spark.streaming.replace import (
     stream_minhash_neardup,
     stream_replace_latest,
     stream_sessionize,
+    stream_shard_export,
     stream_trending_terms,
     stream_windowed_agg,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "stream_minhash_neardup",
     "stream_replace_latest",
     "stream_sessionize",
+    "stream_shard_export",
     "stream_trending_terms",
     "stream_windowed_agg",
 ]

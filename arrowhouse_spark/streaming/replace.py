@@ -482,3 +482,64 @@ def compact_band_store(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def _shard_export_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    n_shards: int,
+    id_col: str,
+    salt: str,
+) -> None:
+    """One micro-batch of the continuous shard export — module-level so a
+    retry can be simulated in tests. Files are partitioned
+    (shard, ingest_batch) and written with DYNAMIC partition overwrite: a
+    re-delivered batch N replaces exactly the shard=*/ingest_batch=N
+    partitions it wrote before, so the at-least-once foreachBatch contract
+    yields exactly-once file state (the idempotency rule the minhash sink
+    established)."""
+    from arrowhouse_spark.operators.sampling import hash_bucket
+
+    sharded = batch_df.withColumn(
+        "shard", hash_bucket(id_col, n_shards, salt=salt)
+    ).withColumn("ingest_batch", F.lit(int(batch_id)))
+    (
+        sharded.repartition("shard")
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard", "ingest_batch")
+        .parquet(store_path)
+    )
+
+
+def stream_shard_export(
+    sdf: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+):
+    """Continuous deterministic training-shard export (the streaming form of
+    sources/shards.py:write_training_shards): each micro-batch's docs land
+    in their md5-assigned ``shard=K/`` directories under an
+    ``ingest_batch=N`` subpartition, idempotently per batch. A doc's shard
+    assignment is batch- and day-stable, readers partition-prune on the
+    top-level shard key, and sources/shards.py:shard_manifest over the
+    store ignores the batch dimension — so the manifest provably equals a
+    one-shot batch export of the replayed union
+    (test_streaming.py::test_stream_shard_export_matches_batch)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _shard_export_batch(
+            batch_df, batch_id, store_path, n_shards, id_col, salt
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -850,3 +850,64 @@ def test_stream_minhash_resumes_after_compaction(spark, tmp_path):
     for r in out.collect():
         got[r.batch_id].add(r.doc_id)
     assert got == {0: {1, 2}, 1: {3}, 2: {5}}
+
+
+def test_stream_shard_export_matches_batch(spark, tmp_path):
+    """Continuous shard export: the streamed store's manifest equals a
+    one-shot batch export of the replayed union, and re-delivering a batch
+    (at-least-once retry) leaves the store byte-identical — the dynamic
+    (shard, ingest_batch) overwrite makes the sink idempotent."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from arrowhouse_spark.sources.shards import (
+        shard_manifest,
+        write_training_shards,
+    )
+    from arrowhouse_spark.streaming.replace import (
+        _shard_export_batch,
+        stream_shard_export,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batches = [
+        docs.filter(F.col("doc_id") % 3 == k).select("doc_id", "text")
+        for k in range(3)
+    ]
+    d = str(tmp_path / "sse")
+    os.makedirs(d + "/in")
+    now = time.time()
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(d + f"/b{i}")
+        f = glob.glob(d + f"/b{i}/part-*.parquet")[0]
+        dst = d + f"/in/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (now - 3600 + i * 60, now - 3600 + i * 60))
+
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/in")
+    )
+    q = stream_shard_export(
+        sdf, store_path=d + "/store", checkpoint_path=d + "/ckpt", n_shards=8
+    )
+    q.awaitTermination(180)
+
+    ref = str(tmp_path / "oneshot")
+    write_training_shards(docs.select("doc_id", "text"), ref, n_shards=8)
+
+    def rows(path):
+        return {
+            r.shard: (r.n_docs, r.n_tokens, r.n_bytes, r.xor_checksum)
+            for r in shard_manifest(spark, path).collect()
+        }
+
+    streamed = rows(d + "/store")
+    assert streamed == rows(ref)
+
+    # simulate an at-least-once re-delivery of batch 1: store unchanged
+    _shard_export_batch(batches[1], 1, d + "/store", 8, "doc_id", "shard")
+    assert rows(d + "/store") == streamed
