@@ -31,6 +31,7 @@ batches thousands of merges per count pass; this is the textbook
 
 from __future__ import annotations
 
+import re
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -411,4 +412,34 @@ def bpe_apply_merges(
                 F.substring(F.col("s"), 2, F.length("s") - 2), SEP + SEP
             ).alias("bpe_tokens"),
         )
+    )
+
+
+def bpe_decode(
+    df: DataFrame,
+    tokens_col: str = "bpe_tokens",
+    id_col: str = "doc_id",
+    join_str: str = "+",
+    out: str = "text",
+) -> DataFrame:
+    """Invert :func:`bpe_apply_merges` / the trainers' encoded output:
+    split every merged token back on ``join_str``, flatten, and re-join
+    the original whitespace token stream — the detokenization half every
+    tokenizer ships (ids→text; here merged-token→text, with
+    :func:`bpe_train_merges_batched`'s vocab table supplying the id→token
+    hop). BPE merging is lossless by construction, so
+    ``bpe_decode(bpe_apply_merges(df)) == tokens(df)`` exactly; the
+    ``bpe_decode_roundtrip`` oracle pins that identity against the
+    untouched source text. Requires ``join_str`` not to occur inside raw
+    tokens (production byte-level BPE reserves the marker byte the same
+    way; the trainers share this contract).
+
+    Scale: pure map-side transform/flatten/array_join — zero shuffles,
+    fuses into whatever scan or encode stage feeds it."""
+    merged = F.transform(
+        F.col(tokens_col), lambda t: F.split(t, re.escape(join_str))
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(F.flatten(merged), " ").alias(out),
     )

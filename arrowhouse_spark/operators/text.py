@@ -921,3 +921,79 @@ def quality_quantile_filter(
     return q.join(F.broadcast(thr), group_col).withColumn(
         "kept", F.col("quality") >= F.col("q_thr")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: DataFrame | Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-k documents for a bag-of-terms query
+    (Robertson/Sparck Jones BM25, the +1-smoothed idf variant
+    ``ln((N-df+0.5)/(df+0.5)+1)`` used by Lucene so scores stay
+    non-negative). Completes the retrieval family next to
+    :func:`inverted_index_stats` / :func:`tfidf_top_terms` — the lookup
+    side of the index those build. Superset of the reference (no text
+    surface there). Returns ``(id_col, score, rank)``, rank 1..k by
+    (6-dp-rounded score desc, id asc) — ordering on the ROUNDED score so
+    the tie-break is reproducible across engines.
+
+    Scale: tokenize → per-doc length + 1-row (N, avgdl) aggregate →
+    term-filtered tf. ``query_terms`` may be an inline sequence (compiles
+    to a map-side ``isin`` — the interactive-query path, no join at all)
+    or a DataFrame with a ``term`` column (broadcast equi-join — the
+    batch path for thousand-term queries). df(term) derives from the
+    filtered tf exactly (filtering by term does not change which docs
+    contain it). The final top-k is a TakeOrdered over per-doc summed
+    contributions — no global sort. N and avgdl count docs with ≥1
+    token."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tok = df.repartition(n_part, id_col).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    if isinstance(query_terms, DataFrame):
+        qt = query_terms.select("term").distinct()
+        hits = tok.join(F.broadcast(qt), "term")
+    else:
+        hits = tok.filter(F.col("term").isin(list(query_terms)))
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "c",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.round(F.sum("c"), 6).alias("score")
+    )
+    # TakeOrdered first (distributed top-k, no global sort), THEN rank —
+    # the single-partition window only ever sees k rows.
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select(id_col, "score", "rank")

@@ -6316,3 +6316,92 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return slc(base, test_frac=0.2)
+
+
+@register(
+    "bm25_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('scan', 'merge', 'window') GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), contrib AS (
+      SELECT tf.doc_id,
+             ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS c
+      FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+    ), scored AS (
+      SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+             AS rank
+    FROM scored ORDER BY score DESC, doc_id LIMIT 15
+    """,
+)
+def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-15 for the 3-term query (scan, merge, window)
+    (operators/text.py:bm25_topk) — the retrieval lookup over the corpus
+    the inverted-index/tf-idf queries build. Inline terms compile to a
+    map-side isin; the per-doc sum is one keyed agg; the top-k is a
+    TakeOrdered, never a global sort. Rank ties break on the 6-dp-rounded
+    score so both engines agree."""
+    from arrowhouse_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        ["scan", "merge", "window"],
+        k=15,
+    )
+
+
+@register(
+    "bpe_decode_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           array_to_string(toks, ' ') AS text
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    WHERE len(toks) > 0
+    """,
+)
+def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round-trip proof (operators/bpe.py:bpe_decode): train 12
+    batched merges on the EVEN documents, encode the held-out ODD
+    documents, then DECODE them back. BPE merging is lossless, so the
+    decoded stream must equal the original whitespace tokens exactly —
+    the oracle is simply the untouched source text (no SQL BPE replay),
+    which pins decode∘encode = identity per document, byte for byte.
+    Train/encode shapes are the pretrained query's; decode adds zero
+    shuffles (map-side split/flatten/join)."""
+    from arrowhouse_spark.operators.bpe import (
+        bpe_apply_merges,
+        bpe_decode,
+        bpe_train_merges_batched,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train_merges_batched(
+        docs.filter(F.col("doc_id") % 2 == 0), n_merges=12, batch_size=4
+    )
+    enc = bpe_apply_merges(docs.filter(F.col("doc_id") % 2 == 1), merges)
+    dec = bpe_decode(enc)
+    return dec.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+        "text",
+    )

@@ -1532,3 +1532,87 @@ def test_bpe_apply_merges_matches_train_encode(spark):
     assert bpe_apply_merges(new, empty).collect()[0].bpe_tokens == [
         "a", "a", "a", "b", "c", "d"
     ]
+
+
+def test_bpe_decode_inverts_apply_merges(spark):
+    from arrowhouse_spark.operators.bpe import (
+        bpe_apply_merges,
+        bpe_decode,
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a b"), (3, "b a a"), (4, "c")],
+        ["doc_id", "text"],
+    )
+    merges = bpe_train_merges(df, n_merges=2)
+    enc = bpe_apply_merges(df, merges)
+    # multi-level merges really happened (a+a and a+a+a+a exist)
+    toks = {t for r in enc.collect() for t in r.bpe_tokens}
+    assert any("+" in t for t in toks)
+    dec = {r.doc_id: r.text for r in bpe_decode(enc).collect()}
+    assert dec == {1: "a a a a", 2: "a a b", 3: "b a a", 4: "c"}
+
+
+def test_bpe_decode_escapes_regex_join_str(spark):
+    from arrowhouse_spark.operators.bpe import (
+        bpe_apply_merges,
+        bpe_decode,
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame([(1, "x y x y x y")], ["doc_id", "text"])
+    merges = bpe_train_merges(df, n_merges=1)
+    enc = bpe_apply_merges(df, merges, join_str=".")
+    # "." is a regex metachar — decode must split on the literal char,
+    # not on every character
+    dec = bpe_decode(enc, join_str=".").collect()[0].text
+    assert dec == "x y x y x y"
+
+
+def test_bm25_topk_hand_checked(spark):
+    import math
+
+    from arrowhouse_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat dog"),
+            (2, "cat cat cat fish"),
+            (3, "dog dog bird bird"),
+            (4, "fish bird"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: (r.score, r.rank)
+        for r in bm25_topk(df, ["cat"], k=10).collect()
+    }
+    # N=4, avgdl=3, df(cat)=2, idf = ln((4-2+.5)/(2+.5)+1) = ln(2)
+    k1, b = 1.2, 0.75
+
+    def s(tf, dl):
+        return round(
+            math.log(2.0) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 3.0)),
+            6,
+        )
+
+    assert set(rows) == {1, 2}
+    assert rows[2] == (s(3, 4), 1)  # higher tf wins despite longer doc
+    assert rows[1] == (s(1, 2), 2)
+
+
+def test_bm25_topk_relation_matches_sequence(spark):
+    from arrowhouse_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 5} w{(i + 1) % 5} common") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    seq = bm25_topk(df, ["w1", "common"], k=7).collect()
+    rel = bm25_topk(
+        df,
+        spark.createDataFrame([("w1",), ("common",)], ["term"]),
+        k=7,
+    ).collect()
+    assert [tuple(r) for r in seq] == [tuple(r) for r in rel]
