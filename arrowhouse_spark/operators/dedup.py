@@ -24,10 +24,13 @@ no Python UDFs.
 
 from __future__ import annotations
 
+import itertools
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from arrowhouse_spark.session import shuffle_parts
 
 from arrowhouse_spark.operators.text import fingerprint, tokens
 
@@ -63,6 +66,9 @@ _CACHE_REGISTRY_MAX = 64
 # call; per-call opt-out below.
 CACHE_ENABLED = True
 
+# sequence source for opt-out registry keys (see _shared_persist)
+_OPTOUT_SEQ = itertools.count()
+
 
 def _same_plan(a: DataFrame, b: DataFrame) -> bool:
     """True iff the two DataFrames have semantically equal analyzed plans.
@@ -79,9 +85,35 @@ def _same_plan(a: DataFrame, b: DataFrame) -> bool:
         return a.schema == b.schema
 
 
+def _evict_to_cap() -> None:
+    while len(_CACHE_REGISTRY) >= _CACHE_REGISTRY_MAX:
+        oldest_key = next(iter(_CACHE_REGISTRY))
+        for old in _CACHE_REGISTRY.pop(oldest_key):
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — source context stopped
+                pass
+
+
 def _shared_persist(df: DataFrame, tag: str) -> DataFrame:
     if not CACHE_ENABLED:
-        return df.persist()
+        # opt-out disables cross-call REUSE (the staleness hazard), not
+        # lifetime tracking: the per-call persist still lands in the
+        # registry under a unique never-matched key, so the FIFO cap and
+        # release_caches() bound the footprint instead of leaking one
+        # orphaned persisted RDD per call (round-7 review)
+        persisted = df.persist()
+        _evict_to_cap()
+        # monotonic counter, not id(): ids recycle after GC and a collision
+        # would overwrite a live registry slot, orphaning its persist
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            tag,
+            "__optout__",
+            next(_OPTOUT_SEQ),
+        )
+        _CACHE_REGISTRY[key] = [persisted]
+        return persisted
     key = (
         df.sparkSession.sparkContext.applicationId,
         tag,
@@ -90,13 +122,7 @@ def _shared_persist(df: DataFrame, tag: str) -> DataFrame:
     for cached in _CACHE_REGISTRY.get(key, ()):
         if _same_plan(cached, df):
             return cached
-    while len(_CACHE_REGISTRY) >= _CACHE_REGISTRY_MAX:
-        oldest_key = next(iter(_CACHE_REGISTRY))
-        for old in _CACHE_REGISTRY.pop(oldest_key):
-            try:
-                old.unpersist()
-            except Exception:  # noqa: BLE001 — source context stopped
-                pass
+    _evict_to_cap()
     persisted = df.persist()
     _CACHE_REGISTRY.setdefault(key, []).append(persisted)
     return persisted
@@ -184,7 +210,7 @@ def shingle_relation(
     ``shingle_filter`` — optional Column predicate over the shingle STRING,
     applied before hashing (e.g. stop-shingle removal at web scale, or the
     oracle-model domain guard in the parity suite)."""
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_parts(df.sparkSession)
     ex = df.repartition(n_part, id_col).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__s")
     )
@@ -203,7 +229,7 @@ def token_hash_relation(
     SimHash votes are occurrence-weighted). Hash materialized once per row so
     downstream bit-vote expressions read the same long. ``token_filter`` as
     in shingle_relation (a predicate over the token string, pre-hash)."""
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_parts(df.sparkSession)
     ex = df.repartition(n_part, id_col).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__t")
     )
@@ -865,7 +891,7 @@ def _jaccard_dense(
     sizes = mat.sum(axis=1, dtype=np.float64)
     bc = spark.sparkContext.broadcast((ids, mat, sizes))
 
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_parts(spark)
     # small blocks even out the triangle, but each block is a Python task —
     # keep ≥128 rows per block so worker startup doesn't dominate small inputs
     n_blocks = max(1, min(4 * n_part, -(-n // 128)))
@@ -958,7 +984,7 @@ def _jaccard_inverted(sh: DataFrame, id_col: str, threshold: float) -> DataFrame
     # ReuseExchange folds the two identical self-join sides into one.
     lvl = sh.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
-        n_part = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        n_part = shuffle_parts(sh.sparkSession)
         # persist: consumed three times (sizes + both sides of the
         # self-join); registry-keyed so repeated calls don't stack copies
         sh = _shared_persist(sh.repartition(n_part, "shingle"), "jaccard_sh")
@@ -1044,7 +1070,7 @@ def ngram_containment_pairs(
             return dense
     lvl = sh.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
-        n_part = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        n_part = shuffle_parts(sh.sparkSession)
         sh = _shared_persist(sh.repartition(n_part, "shingle"), "jaccard_sh")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     l, r = sh.alias("l"), sh.alias("r")
@@ -1154,7 +1180,7 @@ def dup_spans(
                 "pos", "__win"
             ),
         ).select(F.col(id_col), "pos", F.xxhash64("__win").alias("__h"))
-        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        n_part = shuffle_parts(df.sparkSession)
         # persist: consumed twice (count build + probe); see docstring
         # numbers. Registry-keyed (round-5 advice: the bare cache() pinned a
         # fresh copy per call and never released it)
@@ -1234,7 +1260,7 @@ def remove_dup_spans(
             "pos", "__win"
         ),
     ).select(F.col(id_col), "pos", F.xxhash64("__win").alias("__h"))
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_parts(df.sparkSession)
     wins = _shared_persist(wins.repartition(n_part, "__h"), "rm_spans_wins")
     own = wins.groupBy("__h").agg(
         F.count(F.lit(1)).alias("__c"),
@@ -1268,4 +1294,45 @@ def remove_dup_spans(
         F.array_join(kept, " ").alias("text_clean"),
         F.size("__w").alias("n_tokens"),
         (F.size("__w") - F.size(kept)).cast("int").alias("n_removed"),
+    )
+
+
+def dedup_lines_within_doc(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    line_col: str = "line",
+    sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal — the intra-page half of the
+    C4 line filter (Raffel et al. 2020 §2.2 drops repeated lines inside a
+    page; :func:`line_dedup_lines` is the CROSS-document half): keep the
+    FIRST occurrence of each distinct line per document, drop later
+    repeats, reassemble in order. Returns
+    ``(id_col, n_lines, n_kept, text)``.
+
+    Scale: the first-occurrence election is ONE keyed aggregation on
+    (doc, line) — exact string keys, no hash-collision risk merging two
+    distinct lines, and the key space is intra-document so no global hot
+    key can form; the per-doc total and the reassembly ride doc-keyed
+    aggregations (same shape as line_dedup_lines' reassembly, no
+    unpartitioned window)."""
+    first = lines.groupBy(id_col, line_col).agg(
+        F.min(pos_col).alias(pos_col)
+    )
+    tot = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    body = first.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(pos_col), F.col(line_col)))
+                ),
+                lambda s: s[line_col],
+            ),
+            sep,
+        ).alias("text"),
+    )
+    return tot.join(body, id_col).select(
+        id_col, "n_lines", "n_kept", "text"
     )

@@ -46,8 +46,18 @@ def dsir_importance(
     toks = docs.select(
         F.col(id_col),
         F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
-        target.cast("long").alias("__is_t"),
+        # NULL predicate rows (e.g. lang IS NULL under target=lang=='en')
+        # must count as non-target, not poison whole buckets: an
+        # all-NULL bucket would make c_t NULL -> __lr NULL, and the
+        # per-doc F.sum would silently SKIP that bucket's contribution
+        F.coalesce(target.cast("long"), F.lit(0)).alias("__is_t"),
     ).withColumn("bucket", _bucket(F.col("tok"), n_buckets))
+    # two consumers (bucket counts + per-doc scoring) — persist through the
+    # capped shared registry so the corpus tokenize/explode/md5 runs once,
+    # not twice (round-7 review; same convention as minhash's signature)
+    from arrowhouse_spark.operators.dedup import _shared_persist
+
+    toks = _shared_persist(toks, "dsir_toks")
 
     counts = toks.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("c_raw"),

@@ -17,6 +17,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from arrowhouse_spark.session import shuffle_parts
+
 # Tiny per-language marker-word sets for the n-gram/stopword heuristic.
 # Real pipelines plug in fastText/CLD3 via mapInPandas (see operators.multimodal
 # for the pattern); the heuristic keeps language-ID fully JVM-side.
@@ -123,7 +125,7 @@ def inverted_index_stats(
     Repartition precedes the explode so tokenization runs at cluster
     parallelism, and the (term, doc) grouping pre-shards hot terms before
     the per-term rollup (same two-phase shape as a salted count-distinct)."""
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_parts(df.sparkSession)
     tok = (
         df.repartition(n_part, id_col)
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
@@ -144,7 +146,7 @@ def tfidf_top_terms(
     """Top-k terms per document by tf·idf (idf = ln(N/df)), deterministic
     tie-break (score desc, term asc). N arrives via a broadcast 1-row
     aggregate, not a driver-side count — the whole computation is one plan."""
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_parts(df.sparkSession)
     tok = (
         df.repartition(n_part, id_col)
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
@@ -209,7 +211,7 @@ def gopher_quality(
     from arrowhouse_spark.operators.dedup import ngrams_from_tokens
 
     tok_expr = F.col(tokens_col) if tokens_col else tokens(text_col)
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_parts(df.sparkSession)
     spread = df if tokens_col else df.repartition(n_part, id_col)
     base = spread.select(
         F.col(id_col),
@@ -951,7 +953,7 @@ def bm25_topk(
     contain it). The final top-k is a TakeOrdered over per-doc summed
     contributions — no global sort. N and avgdl count docs with ≥1
     token."""
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_parts(df.sparkSession)
     tok = df.repartition(n_part, id_col).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     )

@@ -51,3 +51,20 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def shuffle_parts(spark: SparkSession) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating backends
+    where the value is non-numeric (Databricks auto-optimized shuffle
+    reports ``"auto"``): fall back to the context's default parallelism
+    (cores locally, executors×cores on a cluster), and to 200 — Spark's
+    own default — when even that is unavailable (Connect). Operators use
+    this for explicit pre-explode repartitions; the exact width is a
+    parallelism hint, never a correctness input."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        try:
+            return int(spark.sparkContext.defaultParallelism)
+        except Exception:  # noqa: BLE001 — Spark Connect: no SparkContext
+            return 200

@@ -381,7 +381,17 @@ def _minhash_process_batch(
         store.head(1)  # surface an empty/missing dir as the except path
     except Exception:  # noqa: BLE001 — first batch: no store yet
         store = spark.createDataFrame([], store_schema)
-    prior = store.filter(F.col("batch_id") < batch_id).drop("batch_id")
+    # legacy stores (written before the batch_id-partitioned layout) surface
+    # batch_id = NULL under the explicit schema; treat them as committed
+    # history (-1) instead of silently filtering the whole pre-upgrade
+    # index out (and its near-dups back in)
+    prior = (
+        store.withColumn(
+            "batch_id", F.coalesce(F.col("batch_id"), F.lit(-1).cast("long"))
+        )
+        .filter(F.col("batch_id") < batch_id)
+        .drop("batch_id")
+    )
     # persisted locally: consumed by BOTH the doc emit and the store
     # write, and released before the batch returns (no registry entry
     # — each batch's relation is unique and dies with the batch)
@@ -430,15 +440,20 @@ def compact_band_store(
     contiguous bucket runs and min/max column statistics let the scan
     skip files for buckets the daily batch never touches.
 
-    Layout contract: the rewritten store collapses all committed batches
-    into the single partition ``batch_id = max(batch_id present)`` (or an
-    unpartitioned layout when the store has no batch_id column — the
-    plain incremental path). Future batches J have J > max, so the
-    streaming processor's ``batch_id < J`` probe filter still sees the
-    full compacted history, and a retry of batch J still overwrites only
-    its own partition. Run it BETWEEN triggers, after the last batch
-    committed — compacting under an in-flight uncommitted batch would
-    fold that batch's rows into history and break its replay probe.
+    Layout contract: every batch strictly OLDER than the newest one
+    present is folded into the reserved history partition
+    ``batch_id = -1`` (repeated compactions are idempotent — history
+    stays at -1); the NEWEST batch's partition is carried over
+    byte-identical, never merged or rewritten. That makes compaction safe
+    against the
+    at-least-once replay window this module documents: if the newest
+    batch J committed its store write but not its checkpoint, the
+    replayed J still probes the full folded history (-1 < J), and its
+    dynamic partition overwrite still replaces ONLY partition J — not the
+    collapsed store. Rows with batch_id = NULL (a legacy unpartitioned
+    store) fold into -1 too, which is also the migration path to the
+    partitioned layout. Stores with no batch_id column at all (the plain
+    incremental path) are rewritten unpartitioned.
 
     Local-filesystem swap (tmp write → atomic directory rename); an
     object-store deployment would write a new snapshot prefix and flip a
@@ -455,11 +470,23 @@ def compact_band_store(
     has_batch = "batch_id" in df.columns
     tmp = store_path.rstrip("/") + ".compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    out = df
     writer_cols = ["band", "bucket"]
+    keep_dir = None
     if has_batch:
-        max_b = df.agg(F.max("batch_id")).collect()[0][0]
-        out = df.withColumn("batch_id", F.lit(max_b).cast("long"))
+        out = df.withColumn(
+            "batch_id", F.coalesce(F.col("batch_id"), F.lit(-1).cast("long"))
+        )
+        max_b = out.agg(F.max("batch_id")).collect()[0][0]
+        # fold history only, into the reserved -1 partition; the newest
+        # batch's partition directory is carried over BYTE-IDENTICAL so an
+        # at-least-once replay of it stays correct (see docstring)
+        out = out.filter(F.col("batch_id") != F.lit(max_b)).withColumn(
+            "batch_id", F.lit(-1).cast("long")
+        )
+        if max_b is not None and max_b >= 0:
+            keep_dir = f"batch_id={max_b}"
+    else:
+        out = df
     w = (
         out.repartition(n_files, *writer_cols)
         .sortWithinPartitions(*writer_cols)
@@ -468,6 +495,10 @@ def compact_band_store(
     if has_batch:
         w = w.partitionBy("batch_id")
     w.parquet(tmp)
+    if keep_dir is not None:
+        src = os.path.join(store_path, keep_dir)
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(tmp, keep_dir))
     rows = df.count()
     old = store_path.rstrip("/") + ".compact_old"
     shutil.rmtree(old, ignore_errors=True)

@@ -19,6 +19,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from arrowhouse_spark.session import shuffle_parts
+
 from arrowhouse_spark.compile import apply_program
 from arrowhouse_spark.functions import hashing
 from arrowhouse_spark.operators.dedup import (
@@ -284,7 +286,7 @@ def _doc_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, "txttok")
 
     def build() -> DataFrame:
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_part = shuffle_parts(spark)
         return (
             _t(spark, sf_dir, "documents")
             .repartition(n_part, "doc_id")
@@ -337,7 +339,7 @@ def _doc_shingles_stopfiltered(
     key = (spark.sparkContext.applicationId, sf_dir, "shgstop", shingle_n, max_df)
 
     def build() -> DataFrame:
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_part = shuffle_parts(spark)
         return (
             stop_shingle_filter(
                 _doc_shingles_guarded(spark, sf_dir, shingle_n), max_df
@@ -4060,7 +4062,7 @@ def ngram_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 100000).alias("doc_id"),
             F.concat_ws(" ", F.slice(tokens("text"), 1, 12)).alias("text"),
         )
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_part = shuffle_parts(spark)
         return (
             _doc_shingles_guarded(spark, sf_dir, 2)
             .unionByName(shingle_relation(excerpts, shingle_n=2))
@@ -4486,7 +4488,7 @@ def _pipeline_full_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab_encode,
     )
 
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_parts(spark)
     docs = _t(spark, sf_dir, "documents")
     injected = docs.repartition(n_part, "doc_id").select(
         "doc_id",
@@ -5554,7 +5556,7 @@ def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         from arrowhouse_spark.operators.text import tokens
 
         docs = _t(spark, sf_dir, "documents")
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_part = shuffle_parts(spark)
         return (
             docs.select(
                 F.col("doc_id"),
@@ -6405,3 +6407,57 @@ def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
         "text",
     )
+
+
+@register(
+    "doc_dedup_inner_lines",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), lns AS (
+      SELECT doc_id,
+             [array_to_string(w[i*10+1 : i*10+10], ' ')
+              FOR i IN range(0, CAST(ceil(len(w)/10.0) AS BIGINT))] AS ls
+      FROM toks
+    ), aug AS (
+      SELECT doc_id, list_concat(ls, ls[1:2]) AS l2 FROM lns
+    ), lines AS (
+      SELECT doc_id, unnest(ls2, recursive := true) FROM (
+        SELECT doc_id,
+               [{'pos': i - 1, 'line': l2[i]}
+                FOR i IN range(1, len(l2) + 1)] AS ls2
+        FROM aug
+      )
+    ), first AS (
+      SELECT doc_id, line, min(pos) AS pos FROM lines GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+      FROM lines GROUP BY 1
+    )
+    SELECT f.doc_id, t.n_lines, CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(f.line, ' ' ORDER BY f.pos) AS text
+    FROM first f JOIN tot t USING (doc_id)
+    GROUP BY f.doc_id, t.n_lines
+    """,
+)
+def doc_dedup_inner_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-line removal
+    (operators/dedup.py:dedup_lines_within_doc — the intra-page half of
+    the C4 §2.2 line filter; line_dedup_docs is the cross-document half).
+    Documents are chunked into 10-token lines with copies of the first
+    two lines INJECTED at the tail (guaranteeing within-doc repeats on
+    both engines, the split_leakage convention); the operator keeps each
+    line's first occurrence and reassembles in order. The oracle pins
+    every rewritten text plus the per-doc kept/total counts."""
+    from arrowhouse_spark.operators.dedup import dedup_lines_within_doc
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(w) / F.lit(10.0)).cast("int")
+    ls = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(w, i * F.lit(10) + 1, 10), " "),
+    )
+    aug = F.concat(ls, F.slice(ls, 1, 2))
+    lines = docs.select("doc_id", F.posexplode(aug).alias("pos", "line"))
+    return dedup_lines_within_doc(lines, sep=" ")

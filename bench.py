@@ -87,6 +87,8 @@ HEADLINE = [
     "bpe_encode_pretrained",
     "pipeline_daily_ingest",
     "bpe_vocab_table",
+    "bm25_topk",
+    "bpe_decode_roundtrip",
 ]
 
 

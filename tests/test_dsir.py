@@ -41,3 +41,34 @@ def test_dsir_empty_text_scores_zero(spark):
     }
     assert got[1] == (0, 0.0) and got[2] == (0, 0.0)
     assert got[0][0] == 2
+
+
+def test_dsir_null_target_rows_count_as_nontarget(spark):
+    """A NULL predicate row (lang IS NULL under lang=='en') must behave
+    exactly like a non-target row. Without the coalesce, a bucket whose
+    tokens ALL come from NULL-target docs gets c_t = sum(all NULL) = NULL,
+    its log-ratio goes NULL, and the per-doc sum silently skips it —
+    inflating scores for every doc sharing those buckets."""
+    rows = [
+        (0, "alpha beta alpha", "en"),
+        (1, "gamma delta", "en"),
+        # tokens unique to the NULL-lang doc -> their buckets would be
+        # all-NULL without the fix
+        (2, "zzz qqq zzz www", None),
+        (3, "alpha zzz", "en"),
+    ]
+    null_docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    filled = spark.createDataFrame(
+        [(d, t, l if l is not None else "xx") for d, t, l in rows],
+        "doc_id long, text string, lang string",
+    )
+    tgt = F.col("lang") == "en"
+    got_null = sorted(
+        tuple(r) for r in dsir_importance(null_docs, target=tgt).collect()
+    )
+    got_filled = sorted(
+        tuple(r) for r in dsir_importance(filled, target=tgt).collect()
+    )
+    assert got_null == got_filled

@@ -1314,17 +1314,26 @@ def test_shared_persist_survives_hash_collision(spark, monkeypatch):
 
 
 def test_shared_persist_opt_out(spark):
-    """CACHE_ENABLED=False bypasses the registry entirely (per-session
-    opt-out for sources rewritten in place)."""
+    """CACHE_ENABLED=False disables cross-call REUSE (per-session opt-out
+    for sources rewritten in place) but still tracks each per-call persist
+    under a unique key, so release_caches() and the FIFO cap bound the
+    footprint instead of leaking one orphaned persisted RDD per call."""
     from arrowhouse_spark.operators import dedup
 
     dedup.release_caches()
     dedup.CACHE_ENABLED = False
     try:
-        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
-        a = dedup._shared_persist(df, "optout")
+        # two distinct objects with the SAME logical plan — the registry
+        # path would reuse one relation here; opt-out must not
+        df1 = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        df2 = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        a = dedup._shared_persist(df1, "optout")
+        b = dedup._shared_persist(df2, "optout")
+        assert a is not b, "opt-out must never reuse a cached relation"
+        # both persists are tracked and releasable
+        assert len(dedup._CACHE_REGISTRY) == 2
+        assert dedup.release_caches() == 2
         assert len(dedup._CACHE_REGISTRY) == 0
-        a.unpersist()
     finally:
         dedup.CACHE_ENABLED = True
 
@@ -1616,3 +1625,27 @@ def test_bm25_topk_relation_matches_sequence(spark):
         k=7,
     ).collect()
     assert [tuple(r) for r in seq] == [tuple(r) for r in rel]
+
+
+def test_dedup_lines_within_doc_keeps_first_occurrence(spark):
+    from arrowhouse_spark.operators.dedup import dedup_lines_within_doc
+
+    lines = spark.createDataFrame(
+        [
+            (1, 0, "alpha"),
+            (1, 1, "beta"),
+            (1, 2, "alpha"),   # repeat -> dropped
+            (1, 3, "gamma"),
+            (1, 4, "beta"),    # repeat -> dropped
+            (2, 0, "x"),
+            (2, 1, "x"),
+            (2, 2, "x"),
+        ],
+        ["doc_id", "pos", "line"],
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept, r.text)
+        for r in dedup_lines_within_doc(lines, sep="\n").collect()
+    }
+    assert got[1] == (5, 3, "alpha\nbeta\ngamma")
+    assert got[2] == (3, 1, "x")

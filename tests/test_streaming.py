@@ -911,3 +911,56 @@ def test_stream_shard_export_matches_batch(spark, tmp_path):
     # simulate an at-least-once re-delivery of batch 1: store unchanged
     _shard_export_batch(batches[1], 1, d + "/store", 8, "doc_id", "shard")
     assert rows(d + "/store") == streamed
+
+
+def test_compact_band_store_then_replay_of_newest_batch(spark, tmp_path):
+    """The at-least-once hole compaction must not widen: if the newest
+    batch J committed its store write but not its checkpoint, J is
+    REPLAYED after a restart — and an operator may have compacted in
+    between. History folds to batch_id=-1 but J's partition is never
+    merged, so the replay still probes the full history and its dynamic
+    overwrite replaces only partition J. State must equal the no-crash
+    run exactly."""
+    from arrowhouse_spark.streaming.replace import (
+        _minhash_process_batch,
+        compact_band_store,
+    )
+
+    d = str(tmp_path / "mh_replay_compact")
+    schema = "doc_id long, text string"
+    mk = lambda s: " ".join(f"{s}{j}" for j in range(50))
+    kw = dict(store_path=d + "/store", out_path=d + "/out", threshold=0.5)
+    b1 = spark.createDataFrame(
+        [(3, mk("alpha").replace("alpha7", "x", 1)), (4, mk("beta"))], schema
+    )
+    _minhash_process_batch(
+        spark.createDataFrame([(1, mk("alpha"))], schema), 0, **kw
+    )
+    _minhash_process_batch(b1, 1, **kw)  # store write landed...
+
+    def snapshot():
+        out = spark.read.parquet(d + "/out")
+        store = spark.read.parquet(d + "/store")
+        return (
+            sorted((r.batch_id, r.doc_id) for r in out.collect()),
+            sorted(
+                tuple(r)
+                for r in store.select("doc_id", "band", "bucket").collect()
+            ),
+        )
+
+    first = snapshot()
+    assert [p[1] for p in first[0]] == [1, 4]  # near-dup 3 dropped
+
+    compact_band_store(spark, d + "/store", n_files=2)
+    # history is at -1, newest batch kept under its own id
+    ids = sorted(
+        r.batch_id
+        for r in spark.read.parquet(d + "/store")
+        .select("batch_id").distinct().collect()
+    )
+    assert ids == [-1, 1]
+
+    # ...but the checkpoint didn't: batch 1 replays post-compaction
+    _minhash_process_batch(b1, 1, **kw)
+    assert snapshot() == first

@@ -218,14 +218,19 @@ def _dsir_importance(c: Ctx) -> dict:
     from arrowhouse_spark.operators.dsir import dsir_importance
 
     target = F.pmod(F.xxhash64(F.lit("dsir_t"), "doc_id"), F.lit(10)) < 3
-    # aggregate the score column — a bare count() lets Catalyst eliminate
-    # the unique-key left join and skip the whole scoring computation
-    t, n = timed(
+    # CONSUME the aggregate row — a bare count() (even over this agg)
+    # prunes the inner sum, letting Catalyst eliminate the unique-key left
+    # join and skip the whole scoring computation (round-7 review: the
+    # earlier .agg(...).count() form measured a bare scan)
+    t, row = timed(
         lambda: dsir_importance(c.docs, target=target)
-        .agg(F.count(F.lit(1)), F.sum("log_importance"))
-        .count()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("log_importance"), 3).alias("score_sum"),
+        )
+        .collect()[0]
     )
-    return {"sec": t, "docs": c.n_docs}
+    return {"sec": t, "docs": c.n_docs, "score_sum": float(row["score_sum"])}
 
 
 @op("temperature_mix")
