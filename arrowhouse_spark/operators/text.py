@@ -992,10 +992,21 @@ def bm25_topk(
     scored = contrib.groupBy(id_col).agg(
         F.round(F.sum("c"), 6).alias("score")
     )
-    # TakeOrdered first (distributed top-k, no global sort), THEN rank —
-    # the single-partition window only ever sees k rows.
+    # TakeOrdered first (distributed top-k, no global sort), THEN rank via
+    # the broadcast theta-join (count of strictly-better rows + 1, the
+    # bpe_vocab_table pattern) — ties broken on (rounded score, id), and
+    # no unpartitioned window anywhere (the plan-audit invariant); the
+    # self-join is k×k, constant.
     top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
-    return top.withColumn(
-        "rank", F.row_number().over(w).cast("int")
-    ).select(id_col, "score", "rank")
+    other = F.broadcast(
+        top.select(F.col("score").alias("__s2"), F.col(id_col).alias("__i2"))
+    )
+    better = (F.col("__s2") > F.col("score")) | (
+        (F.col("__s2") == F.col("score")) & (F.col("__i2") < F.col(id_col))
+    )
+    return (
+        top.join(other, better, "left")
+        .groupBy(id_col, "score")
+        .agg((F.count("__i2") + 1).cast("int").alias("rank"))
+        .select(id_col, "score", "rank")
+    )

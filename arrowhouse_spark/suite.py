@@ -6461,3 +6461,48 @@ def doc_dedup_inner_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = F.concat(ls, F.slice(ls, 1, 2))
     lines = docs.select("doc_id", F.posexplode(aug).alias("pos", "line"))
     return dedup_lines_within_doc(lines, sep=" ")
+
+
+@register(
+    "events_hopping_window",
+    """
+    WITH e AS (
+      SELECT event_type, value,
+             unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+      FROM events
+    )
+    SELECT event_type,
+           strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM e GROUP BY 1, 2
+    """,
+)
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation: 2-hour windows every 1 hour
+    via Spark's native F.window — each event contributes to exactly two
+    overlapping windows. The tumbling complement is events_hourly; the
+    oracle replays the overlap by unnesting each event into its two
+    hop-aligned window starts (hour-aligned windows coincide with Spark's
+    epoch-aligned assignment). Window assignment is a map-side generator —
+    the only shuffle is the keyed aggregation, same as any groupBy."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.window("ts", "2 hours", "1 hour").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "n",
+            "sum_value",
+        )
+    )

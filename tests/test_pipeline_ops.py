@@ -1649,3 +1649,36 @@ def test_dedup_lines_within_doc_keeps_first_occurrence(spark):
     }
     assert got[1] == (5, 3, "alpha\nbeta\ngamma")
     assert got[2] == (3, 1, "x")
+
+
+def test_shuffle_parts_tolerates_non_numeric_conf(spark):
+    """Backends like Databricks auto-optimized shuffle report
+    spark.sql.shuffle.partitions='auto'; operators must fall back to the
+    context parallelism instead of raising ValueError."""
+    from arrowhouse_spark.session import shuffle_parts
+
+    assert shuffle_parts(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    class _Conf:
+        def get(self, k):
+            return "auto"
+
+    class _SC:
+        defaultParallelism = 7
+
+    class _Fake:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert shuffle_parts(_Fake()) == 7
+
+    class _NoSC:
+        conf = _Conf()
+
+        @property
+        def sparkContext(self):
+            raise RuntimeError("Connect: no SparkContext")
+
+    assert shuffle_parts(_NoSC()) == 200

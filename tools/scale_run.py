@@ -577,6 +577,63 @@ def _bpe_batched(c: Ctx) -> dict:
     return {"sec": t, "merges": n, "passes": 3}
 
 
+@op("bm25_topk")
+def _bm25_topk(c: Ctx) -> dict:
+    # retrieval lookup: cost = the token explode + per-doc length agg;
+    # the query-term tf side shrinks to the isin hit set. Expected to
+    # track the inverted-index family (near-linear in token count).
+    from arrowhouse_spark.operators.text import bm25_topk
+
+    # common-pool tokens (w0..w199) hit most docs (gen_documents)
+    terms = ["w1", "w2", "w3"]
+    t, rows = timed(lambda: bm25_topk(c.docs, terms, k=20).collect())
+    return {"sec": t, "hits": len(rows)}
+
+
+@op("bpe_encode_decode")
+def _bpe_encode_decode(c: Ctx) -> dict:
+    # train once (fixed small merge budget), then time ENCODE+DECODE over
+    # the corpus — both map-side folds, expected flat per-token
+    from arrowhouse_spark.operators.bpe import (
+        bpe_apply_merges,
+        bpe_decode,
+        bpe_train_merges_batched,
+    )
+
+    merges = bpe_train_merges_batched(
+        c.docs.limit(2000), n_merges=8, batch_size=4
+    )
+    t, n = timed(
+        lambda: bpe_decode(bpe_apply_merges(c.docs, merges))
+        .agg(F.count(F.lit(1)), F.sum(F.length("text")))
+        .collect()[0][0]
+    )
+    return {"sec": t, "docs": n}
+
+
+@op("dedup_lines_within")
+def _dedup_lines_within(c: Ctx) -> dict:
+    # within-doc first-occurrence election: one (doc,line)-keyed agg over
+    # 10-token chunk lines + doc-keyed reassembly — line_dedup's shape
+    from arrowhouse_spark.operators.dedup import dedup_lines_within_doc
+
+    w = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(w) / F.lit(10.0)).cast("int")
+    ls = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(w, i * F.lit(10) + 1, 10), " "),
+    )
+    lines = c.docs.select(
+        "doc_id", F.posexplode(F.concat(ls, F.slice(ls, 1, 2))).alias("pos", "line")
+    )
+    t, n = timed(
+        lambda: dedup_lines_within_doc(lines, sep=" ")
+        .agg(F.count(F.lit(1)), F.sum("n_kept"))
+        .collect()[0][0]
+    )
+    return {"sec": t, "docs": n}
+
+
 @op("minhash_skewed")
 def _minhash_skewed(c: Ctx) -> dict:
     """Round-6 verdict #5: the banding join on a boilerplate-heavy corpus.
