@@ -89,6 +89,8 @@ HEADLINE = [
     "bpe_vocab_table",
     "bm25_topk",
     "bpe_decode_roundtrip",
+    "doc_dedup_inner_lines",
+    "events_hopping_window",
 ]
 
 
