@@ -102,11 +102,22 @@ def stream_windowed_agg(
     window_duration: str = "1 hour",
     watermark_delay: str = "30 minutes",
     group_cols: Sequence[str] = (),
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling-window counts/sums with late-data handling."""
+    """Event-time windowed counts/sums with late-data handling — tumbling
+    by default, HOPPING when ``slide_duration`` < ``window_duration``
+    (each event then feeds window/slide overlapping windows; state grows
+    by the same factor, which is why the watermark matters more here).
+    The batch complement is the suite's events_hourly /
+    events_hopping_window pair."""
+    win = (
+        F.window(ts_col, window_duration)
+        if slide_duration is None
+        else F.window(ts_col, window_duration, slide_duration)
+    )
     return (
         sdf.withWatermark(ts_col, watermark_delay)
-        .groupBy(F.window(ts_col, window_duration), *group_cols)
+        .groupBy(win, *group_cols)
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
         .select(
             F.col("window.start").alias("window_start"),

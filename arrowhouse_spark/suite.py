@@ -6506,3 +6506,53 @@ def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def _edit_distance_oracle(
+    num_hashes: int = 16, bands: int = 8, max_dist: int = 120
+) -> str:
+    """LSH-blocked exact-Levenshtein oracle: the bit-exact banding prefix
+    (same machinery as minhash_lsh_parity) proposes candidates; DuckDB's
+    levenshtein() — classic unit-cost edit distance, identical semantics
+    to Spark's — verifies."""
+    prefix, _eq = _minhash_sigs_prefix(num_hashes, bands)
+    return f"""{prefix},
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+    FROM pairs p
+    JOIN documents a ON a.doc_id = p.id_a
+    JOIN documents b ON b.doc_id = p.id_b
+    WHERE levenshtein(a.text, b.text) <= {max_dist}
+    """
+
+
+@register("edit_distance_pairs", _edit_distance_oracle(16, 8, 120))
+def edit_distance_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-duplicate pairs by EXACT edit distance, LSH-blocked
+    (operators/dedup.py:edit_distance_pairs): 16-hash/8-band minhash
+    banding proposes ~1k candidates (never all-pairs), then Spark's
+    builtin banded Levenshtein (threshold form, O(max_dist·len) per pair)
+    keeps pairs within 120 edits. The oracle replays the full signature/
+    band/bucket chain bit-for-bit (minhash_lsh_parity machinery) and
+    verifies with DuckDB's levenshtein — pinning both the blocking and
+    the metric."""
+    from arrowhouse_spark.operators.dedup import (
+        edit_distance_pairs,
+        minhash_lsh_candidates,
+        minhash_signature,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(
+        docs,
+        num_hashes=16,
+        shingle_n=2,
+        shingles=_doc_shingles_guarded(spark, sf_dir, 2),
+    )
+    cands = minhash_lsh_candidates(sig, num_hashes=16, bands=8)
+    return edit_distance_pairs(docs, cands, max_dist=120)

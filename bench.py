@@ -91,6 +91,7 @@ HEADLINE = [
     "bpe_decode_roundtrip",
     "doc_dedup_inner_lines",
     "events_hopping_window",
+    "edit_distance_pairs",
 ]
 
 

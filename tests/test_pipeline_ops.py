@@ -1682,3 +1682,28 @@ def test_shuffle_parts_tolerates_non_numeric_conf(spark):
             raise RuntimeError("Connect: no SparkContext")
 
     assert shuffle_parts(_NoSC()) == 200
+
+
+def test_edit_distance_pairs_verifies_blocked_candidates(spark):
+    """Blocking proposes, the exact metric decides: pairs above max_dist
+    drop (the threshold form returns -1 there), kept pairs carry the true
+    Levenshtein distance."""
+    from arrowhouse_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "kitten sat on the mat"),
+            (2, "sitten sat on the mat"),   # dist 1 from doc 1
+            (3, "kitten sat on the hat"),   # dist 1 from doc 1
+            (4, "a completely different document body"),
+        ],
+        ["doc_id", "text"],
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], ["id_a", "id_b"]
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(docs, cands, max_dist=5).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2}  # (1,4) above bound

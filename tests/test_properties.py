@@ -663,3 +663,94 @@ def test_temperature_plan_matches_python_model(spark, counts, alpha):
     for i, n in enumerate(counts):
         want = min(math.floor(round(total * (n**alpha) / tot, 6)), n)
         assert got[f"s{i}"] == want, (i, n, alpha, got)
+
+
+# --- BPE decode round-trip property ---------------------------------------
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=_BPE_CORPUS, n_merges=st.integers(1, 6), k=st.integers(1, 3))
+def test_bpe_decode_inverts_encode_property(spark, corpus, n_merges, k):
+    """decode∘encode = identity for EVERY corpus/merge-budget shape —
+    empty docs (dropped by encode, by contract), single-token docs,
+    self-pair runs, exhausted merges. Stricter than the fixture oracle:
+    the identity must hold for arbitrary trained merge tables."""
+    from arrowhouse_spark.operators.bpe import (
+        bpe_decode,
+        bpe_train_merges_batched,
+    )
+
+    docs = [(i, " ".join(t)) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    _m, enc = bpe_train_merges_batched(
+        df, n_merges=n_merges, batch_size=k, return_encoded=True
+    )
+    got = {r.doc_id: r.text for r in bpe_decode(enc).collect()}
+    want = {i: " ".join(t) for i, t in docs_nonempty(docs)}
+    assert got == want
+
+
+def docs_nonempty(docs):
+    for i, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        if toks:
+            yield i, toks
+
+
+# --- BM25 vs a pure-python model ------------------------------------------
+
+_BM25_CORPUS = st.lists(
+    st.lists(
+        st.sampled_from(["q1", "q2", "w", "x", "y"]), min_size=1, max_size=8
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=_BM25_CORPUS)
+def test_bm25_matches_python_model(spark, corpus):
+    """bm25_topk ≡ an independent python Okapi BM25 (+1-smoothed idf):
+    random tiny corpora exercise all-docs-hit, no-docs-hit, tf ties and
+    rank tie-breaks. k ≥ n_docs so the comparison covers the full scored
+    set, not a cutoff."""
+    import math
+
+    from arrowhouse_spark.operators.text import bm25_topk
+
+    terms = ["q1", "q2"]
+    k1, b = 1.2, 0.75
+    docs = [(i, " ".join(t)) for i, t in enumerate(corpus)]
+    dls = {i: len(t) for i, t in enumerate(corpus)}
+    n = len(corpus)
+    avgdl = sum(dls.values()) / n
+    dfreq = {
+        q: sum(1 for t in corpus if q in t) for q in terms
+    }
+    want = {}
+    for i, t in enumerate(corpus):
+        s = 0.0
+        hit = False
+        for q in terms:
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            hit = True
+            idf = math.log((n - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[i] / avgdl))
+        if hit:
+            want[i] = s
+
+    rows = bm25_topk(
+        spark.createDataFrame(docs, ["doc_id", "text"]), terms, k=len(docs) + 5
+    ).collect()
+    got = {r.doc_id: (r.score, r.rank) for r in rows}
+    assert set(got) == set(want)
+    for i, w in want.items():
+        assert got[i][0] == pytest.approx(w, abs=1.5e-6)
+    # ranks = exact sort order by (rounded score desc, doc_id asc)
+    order = sorted(got, key=lambda i: (-got[i][0], i))
+    assert [got[i][1] for i in order] == list(range(1, len(order) + 1))

@@ -964,3 +964,41 @@ def test_compact_band_store_then_replay_of_newest_batch(spark, tmp_path):
     # ...but the checkpoint didn't: batch 1 replays post-compaction
     _minhash_process_batch(b1, 1, **kw)
     assert snapshot() == first
+
+
+def test_stream_hopping_window_matches_batch_on_union(spark, ordered_stream_dir):
+    """Batch equivalence for the HOPPING form of stream_windowed_agg
+    (slide < window: each event feeds two overlapping 2h/1h windows):
+    complete-mode state after the drain must equal the batch sliding
+    window over the union — the streaming twin of the
+    events_hopping_window suite query."""
+    from arrowhouse_spark.streaming import stream_windowed_agg
+
+    sdf = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ordered_stream_dir)
+    )
+    out = stream_windowed_agg(
+        sdf, ts_col="ts", window_duration="2 hours", slide_duration="1 hour"
+    )
+    q = _run_to_memory(out, "whop_union", "complete")
+    try:
+        got = sorted(
+            (r.window_start, r.n, r.sum_value)
+            for r in spark.table("whop_union").collect()
+        )
+    finally:
+        q.stop()
+
+    union = spark.read.schema(EVENT_SCHEMA).parquet(ordered_stream_dir)
+    want = sorted(
+        (r.window_start, r.n, r.sum_value)
+        for r in union.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+        .collect()
+    )
+    assert got == want and len(want) >= 3
+    # overlap really happened: total windowed rows ≈ 2× the event count
+    assert sum(n for _, n, _ in want) == 2 * union.count()

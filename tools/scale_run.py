@@ -634,6 +634,26 @@ def _dedup_lines_within(c: Ctx) -> dict:
     return {"sec": t, "docs": n}
 
 
+@op("edit_distance_verify")
+def _edit_distance_verify(c: Ctx) -> dict:
+    # verify cost over the (linear-measured) banding candidate stream;
+    # near-dups in the fixture differ by 3 appended ~8-char tokens, so
+    # max_dist=40 keeps them while the threshold form short-circuits the
+    # rest at O(max_dist * len) per pair
+    from arrowhouse_spark.operators.dedup import (
+        edit_distance_pairs,
+        minhash_lsh_candidates,
+        minhash_signature,
+    )
+
+    sig = minhash_signature(c.docs)
+    cands = minhash_lsh_candidates(sig)
+    t, n = timed(
+        lambda: edit_distance_pairs(c.docs, cands, max_dist=40).count()
+    )
+    return {"sec": t, "pairs": n}
+
+
 @op("minhash_skewed")
 def _minhash_skewed(c: Ctx) -> dict:
     """Round-6 verdict #5: the banding join on a boilerplate-heavy corpus.
