@@ -276,3 +276,45 @@ def split_leakage_check(
         )
     )
     return tr.join(te, "fp")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k rows
+    (Efraimidis & Spirakis 2006 A-ES): each row draws the hash-derived
+    uniform u ∈ (0,1] and races with key ``ln(u)/w`` — taking the top-k
+    maximizes u^(1/w), which selects each row with probability
+    proportional to its weight, jointly without replacement. The
+    statistically correct form of corpus up/down-weighting (a per-row
+    Bernoulli can't hit an exact budget; a plain top-k-by-weight is
+    deterministic but biased to heavy rows only). Rows with weight ≤ 0 or
+    NULL never qualify, matching the estimator's domain. u is the same
+    md5-prefix uniform every sampler here uses, so an independent engine
+    reproduces the draw bit-for-bit; the race key is one libm ``ln`` per
+    row (sub-ulp cross-engine divergence only reorders keys closer than
+    ~1e-15 relative — no fixture pair is remotely that close).
+
+    Scale: map-side u/key computation fused into the scan + ONE
+    TakeOrdered(k) — no shuffle beyond the top-k collection; weights
+    need no normalization pass (the race is scale-invariant)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), _c(key).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    # (v+1)/2^32 ∈ (0, 1]: never 0, so ln(u) is finite
+    u = (h + F.lit(1.0)) / F.lit(4294967296.0)
+    race = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("race_key", F.round(race, 9))
+        .orderBy(F.col("race_key").desc(), _c(key))
+        .limit(k)
+    )

@@ -6556,3 +6556,91 @@ def edit_distance_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = minhash_lsh_candidates(sig, num_hashes=16, bands=8)
     return edit_distance_pairs(docs, cands, max_dist=120)
+
+
+@register(
+    "weighted_sample_docs",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+               AS INTEGER) AS n_tokens,
+             (('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::UBIGINT + 1) / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, round(ln(u) / n_tokens, 9) AS race_key
+    FROM d WHERE n_tokens > 0
+    ORDER BY race_key DESC, doc_id LIMIT 25
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py:weighted_sample — Efraimidis-Spirakis A-ES):
+    25 docs drawn with probability proportional to token count via the
+    md5-uniform exponential race. The oracle replays the uniform, the
+    race key, and the top-k selection; the 9-dp-rounded key is both the
+    output column and the sort key so selection and ordering are pinned
+    cross-engine."""
+    from arrowhouse_spark.operators.sampling import weighted_sample
+    from arrowhouse_spark.operators.text import token_count
+
+    docs = token_count(_t(spark, sf_dir, "documents"))
+    return weighted_sample(docs, "n_tokens", k=25).select(
+        "doc_id", "n_tokens", "race_key"
+    )
+
+
+@register(
+    "histogram_equidepth",
+    """
+    WITH edges AS (
+      SELECT list_transform(
+               quantile_cont(o_totalprice,
+                 [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+               e -> round(e, 6)) AS es
+      FROM orders
+    )
+    SELECT len(list_filter(es, e -> o_totalprice > e)) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders, edges
+    GROUP BY 1
+    """,
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram (8 bins of ~equal row count) — the form query
+    optimizers and data profilers actually keep, complementing the
+    fixed-width histogram_totalprice. Bin edges are the interpolated
+    7-quantile array computed in ONE 1-row aggregate and broadcast; bin
+    assignment is a map-side count of edges below the value (no ntile —
+    that is a global window, the single-task shape the plan audit
+    forbids). Both engines round edges to 6 dp before assignment so
+    boundary rows bin identically."""
+    o = _t(spark, sf_dir, "orders")
+    edges = o.agg(
+        F.array(
+            *[
+                F.round(
+                    F.percentile("o_totalprice", F.lit(i / 8.0)), 6
+                )
+                for i in range(1, 8)
+            ]
+        ).alias("es")
+    )
+    return (
+        o.crossJoin(F.broadcast(edges))
+        .withColumn(
+            "bin",
+            F.size(
+                F.filter(F.col("es"), lambda e: F.col("o_totalprice") > e)
+            ),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -92,6 +92,8 @@ HEADLINE = [
     "doc_dedup_inner_lines",
     "events_hopping_window",
     "edit_distance_pairs",
+    "weighted_sample_docs",
+    "histogram_equidepth",
 ]
 
 

@@ -245,3 +245,28 @@ def test_temperature_mix_sample_is_deterministic(spark):
         for r in temperature_mix_sample(df.orderBy("source"), total=80).collect()
     )
     assert a == b and len(a) == 80
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    """A-ES weighted sampling: same salt → identical draw; across salts,
+    weight-10 rows are selected far more often than weight-1 rows (the
+    proportionality the race key exists for); zero/NULL weights never
+    qualify."""
+    from arrowhouse_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10 if i < 20 else 1) for i in range(40)]
+    rows += [(98, 0), (99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+
+    a = [r.doc_id for r in weighted_sample(df, "w", k=10, salt="s0").collect()]
+    b = [r.doc_id for r in weighted_sample(df, "w", k=10, salt="s0").collect()]
+    assert a == b and len(a) == 10
+    assert 98 not in a and 99 not in a
+
+    heavy = 0
+    for s in range(12):
+        got = weighted_sample(df, "w", k=10, salt=f"s{s}").collect()
+        heavy += sum(1 for r in got if r.doc_id < 20)
+    # E[heavy per draw] ≈ 8.7 for 20×w10 vs 20×w1 at k=10; a uniform
+    # sampler would center on 5. The salts are fixed -> no flakiness.
+    assert heavy >= 12 * 7, heavy

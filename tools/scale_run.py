@@ -634,6 +634,48 @@ def _dedup_lines_within(c: Ctx) -> dict:
     return {"sec": t, "docs": n}
 
 
+@op("weighted_sample")
+def _weighted_sample(c: Ctx) -> dict:
+    # A-ES race: map-side u/ln fused into the scan + one TakeOrdered(k) —
+    # expected flat (scan-bound)
+    from arrowhouse_spark.operators.sampling import weighted_sample
+    from arrowhouse_spark.operators.text import token_count
+
+    docs = token_count(c.docs)
+    t, n = timed(
+        lambda: len(weighted_sample(docs, "n_tokens", k=100).collect())
+    )
+    return {"sec": t, "rows": n}
+
+
+@op("histogram_equidepth")
+def _histogram_equidepth(c: Ctx) -> dict:
+    # 1-row exact-percentile agg (full-list state; approx_percentile is
+    # the unbounded-corpus path) + broadcast + keyed agg
+    from arrowhouse_spark.operators.text import token_count
+
+    docs = token_count(c.docs)
+    edges = docs.agg(
+        F.array(
+            *[
+                F.round(F.percentile("n_tokens", F.lit(i / 8.0)), 6)
+                for i in range(1, 8)
+            ]
+        ).alias("es")
+    )
+    t, n = timed(
+        lambda: docs.crossJoin(F.broadcast(edges))
+        .withColumn(
+            "bin",
+            F.size(F.filter(F.col("es"), lambda e: F.col("n_tokens") > e)),
+        )
+        .groupBy("bin")
+        .count()
+        .count()
+    )
+    return {"sec": t, "bins": n}
+
+
 @op("edit_distance_verify")
 def _edit_distance_verify(c: Ctx) -> dict:
     # verify cost over the (linear-measured) banding candidate stream;
