@@ -127,3 +127,58 @@ def replace_merge_agg(
     aggs = [F.max_by(F.col(c), F.col(version_col)).alias(c) for c in value_cols]
     aggs.append(F.max(F.col(version_col)).alias(version_col))
     return out.groupBy(*replace_key).agg(*aggs)
+
+
+def scd2_from_log(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_col: str,
+    tie_col: str,
+    open_end: str | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change log.
+
+    The dual of replace_merge: where Replace mode keeps only the LATEST
+    version per key (ClickHouse ReplacingMergeTree — see module docstring),
+    SCD2 keeps EVERY distinct run of the tracked attribute as a validity
+    interval. Input is an event/change log; output is one row per
+    consecutive run of ``attr_col`` per key:
+
+      key..., attr, valid_from (run's first ts), valid_to (next run's
+      first ts; NULL or ``open_end`` for the current run), is_current.
+
+    Rows within a key are ordered by (ts, tie) — ``tie_col`` must be
+    unique per row so runs are deterministic under equal timestamps.
+    Consecutive equal attribute values collapse into one interval
+    (NULL-safe: a NULL attr run is a run like any other, via ``eqNullSafe``).
+
+    Plan shape: TWO per-key ordered windows (lag to mark run starts on the
+    full log, lead to close intervals on the — much smaller — run-start
+    relation). Both windows partition by the dimension key; nothing global.
+    At 100 TB this is the standard lakehouse history-build: one shuffle by
+    key, window state bounded by a key's events.
+    """
+    keys = [F.col(k) for k in key_cols]
+    w_log = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tie_col))
+    prev = F.lag(F.col(attr_col)).over(w_log)
+    prev_seen = F.lag(F.lit(True)).over(w_log)  # distinguishes first row
+    starts = df.withColumn(
+        "__new_run",
+        prev_seen.isNull() | ~F.col(attr_col).eqNullSafe(prev),
+    ).filter(F.col("__new_run"))
+    w_runs = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tie_col))
+    nxt = F.lead(F.col(ts_col)).over(w_runs)
+    out = starts.select(
+        *key_cols,
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+    if open_end is not None:
+        out = out.withColumn(
+            "valid_to",
+            F.coalesce(F.col("valid_to"), F.lit(open_end).cast("timestamp")),
+        )
+    return out

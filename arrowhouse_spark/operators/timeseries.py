@@ -1,0 +1,141 @@
+"""Time-series downsampling and gap-filling over event streams.
+
+The reference engine's sorted-stream operators (reference
+``DataStreams/MergeSortingBlockInputStream.h``, ``YdbModes/``
+replace-merge — see operators/merge.py for the parity surface) exist to
+serve exactly this workload shape: ordered event logs reduced to
+per-key, per-bucket summaries. These two operators are the Spark-first
+extension of that family for analytics/feature pipelines:
+
+- ``ohlc_downsample`` — per (key, time-bucket) OPEN/HIGH/LOW/CLOSE
+  summary (the canonical market-data / metrics resample). Open and
+  close are selected by a total order (ts, tiebreak) carried INSIDE a
+  struct aggregate, so the result is deterministic even when multiple
+  rows share a timestamp — the same arrival-order-free discipline as
+  operators/merge.py's replace_merge_agg.
+- ``gapfill_locf`` — regularize each key's series onto a fixed-step
+  time spine (min..max observed bucket) and fill holes by
+  last-observation-carried-forward. The spine is GENERATED map-side
+  per key (one sequence + explode after a keyed min/max aggregate);
+  the fill is a per-key ordered window, never a global one.
+
+Scale notes (100 TB doctrine):
+- ohlc is ONE keyed aggregation — map-side partial aggregation applies,
+  shuffle width is (key, bucket, 4 doubles + count), source-size-free
+  after the partial.
+- gapfill's spine size is keys x buckets, independent of the event
+  count; the only shuffles are the keyed bounds aggregate, the
+  observed-bucket aggregate (same key), and the per-key window sort.
+  Both window and joins are partitioned by the series key — no global
+  ordering anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ohlc_downsample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tie_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Downsample to per-(key, bucket) OHLC rows.
+
+    ``open``/``close`` are the values of the first/last row within the
+    bucket under the total order (ts, tie) — ``tie_col`` must be unique
+    per row (an event id) so the selection is deterministic under equal
+    timestamps. Implemented as min/max over a (ts, tie, value) struct:
+    one Tungsten aggregate, no window, no self-join.
+    """
+    ordered = F.struct(
+        F.col(ts_col).alias("ts"),
+        F.col(tie_col).alias("tie"),
+        F.col(value_col).alias("v"),
+    )
+    return (
+        df.groupBy(
+            F.col(key_col),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(
+            F.min(ordered).getField("v").alias("open"),
+            F.round(F.max(F.col(value_col)), 2).alias("high"),
+            F.round(F.min(F.col(value_col)), 2).alias("low"),
+            F.max(ordered).getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col(value_col)), 2).alias("sum_value"),
+        )
+        .withColumn("open", F.round("open", 2))
+        .withColumn("close", F.round("close", 2))
+    )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tie_col: str,
+    step: str = "1 hour",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Regularize each key's series to a fixed-step spine with LOCF fill.
+
+    Output: one row per (key, spine bucket) from the key's first to last
+    observed bucket, with
+      - ``v_filled``: the bucket's last observed value, or the most
+        recent earlier bucket's value when the bucket is empty (LOCF);
+      - ``filled``: true iff the bucket had no observation.
+
+    Plan shape: keyed observed-aggregate (last value per bucket via the
+    same struct-max discipline as :func:`ohlc_downsample`), keyed
+    min/max bounds, a map-side ``sequence``+``explode`` spine, a keyed
+    left join spine<-observed, and ONE per-key ordered window for the
+    carry-forward. Spine cardinality is keys x buckets — independent of
+    event volume, so the explode cannot amplify a 100 TB input.
+    """
+    k = F.col(key_col)
+    b = F.date_trunc(bucket, F.col(ts_col))
+    ordered = F.struct(
+        F.col(ts_col).alias("ts"),
+        F.col(tie_col).alias("tie"),
+        F.col(value_col).alias("v"),
+    )
+    observed = df.groupBy(k.alias(key_col), b.alias("bucket_ts")).agg(
+        F.max(ordered).getField("v").alias("v_obs")
+    )
+    spine = (
+        observed.groupBy(key_col)
+        .agg(
+            F.min("bucket_ts").alias("mn"),
+            F.max("bucket_ts").alias("mx"),
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(
+                    F.col("mn"),
+                    F.col("mx"),
+                    F.expr(f"INTERVAL {step}"),
+                )
+            ).alias("bucket_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(observed, [key_col, "bucket_ts"], "left")
+        .withColumn(
+            "v_filled", F.round(F.last("v_obs", ignorenulls=True).over(w), 2)
+        )
+        .withColumn("filled", F.col("v_obs").isNull())
+        .drop("v_obs")
+    )

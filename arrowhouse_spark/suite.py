@@ -6644,3 +6644,159 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "events_ohlc",
+    """
+    WITH t AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+      FROM events
+    )
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_h,
+           round((min({'ts': ts, 'tie': event_id, 'v': value})).v, 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round((max({'ts': ts, 'tie': event_id, 'v': value})).v, 2) AS close,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM t GROUP BY 1, 2
+    """,
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsample (operators/timeseries.py:ohlc_downsample): per
+    (event_type, hour) open/high/low/close of ``value``, open/close
+    selected by the total order (ts, event_id) carried inside a struct
+    min/max — ONE Tungsten aggregate, deterministic under equal
+    timestamps, no window or self-join. The oracle replays the struct
+    ordering with DuckDB struct min/max. The canonical metrics/market
+    resample the reference's sorted-stream operators exist to serve."""
+    from arrowhouse_spark.operators.timeseries import ohlc_downsample
+
+    out = ohlc_downsample(
+        _events(spark, sf_dir),
+        key_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        tie_col="event_id",
+        bucket="hour",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_h"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n",
+        "sum_value",
+    )
+
+
+@register(
+    "events_gapfill_locf",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+      FROM events
+    ),
+    obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             (max({'ts': ts, 'tie': event_id, 'v': value})).v AS v_obs
+      FROM e GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM obs GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.user_id, s.h, o.v_obs
+      FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.h = s.h
+    )
+    SELECT user_id,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_h,
+           round(last_value(v_obs IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v_filled,
+           (v_obs IS NULL) AS filled
+    FROM j
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + last-observation-carried-forward
+    (operators/timeseries.py:gapfill_locf): each user's value series
+    regularized onto an hourly spine from first to last observed hour,
+    empty hours filled with the most recent earlier value. Spine is a
+    map-side sequence+explode after a keyed bounds aggregate (its size
+    is users x hours — event-volume-free); the carry-forward is ONE
+    per-key ordered window, never global. Oracle replays spine
+    (generate_series) and fill (last_value IGNORE NULLS)."""
+    from arrowhouse_spark.operators.timeseries import gapfill_locf
+
+    out = gapfill_locf(
+        _events(spark, sf_dir),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        tie_col="event_id",
+        step="1 hour",
+        bucket="hour",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_h"),
+        "v_filled",
+        "filled",
+    )
+
+
+@register(
+    "scd2_user_state",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, event_type, event_id,
+             lag(event_type) OVER w AS prev,
+             (row_number() OVER w) = 1 AS first
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    starts AS (
+      SELECT user_id, ts, event_type, event_id FROM marked
+      WHERE first OR prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (lead(ts) OVER w2 IS NULL) AS is_current
+    FROM starts WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build (operators/merge.py:scd2_from_log) — the
+    dual of the reference's Replace mode (MergingSortedInputStream.cpp:
+    104-307 keeps only the latest version; SCD2 keeps every run as a
+    validity interval). Tracks each user's event_type runs ordered by
+    (ts, event_id): consecutive equal values collapse, valid_to = next
+    run's start, open runs flagged current. Two per-key windows (lag on
+    the log, lead on the run-start relation), one shuffle by key."""
+    from arrowhouse_spark.operators.merge import scd2_from_log
+
+    out = scd2_from_log(
+        _events(spark, sf_dir),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_col="event_type",
+        tie_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
