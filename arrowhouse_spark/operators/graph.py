@@ -1,0 +1,96 @@
+"""Iterative graph scoring over relation-shaped edge lists — PageRank.
+
+Complements operators/components.py (connected components): components
+answers "which vertices belong together" (dedup clustering), PageRank
+answers "which vertices matter" — the standard centrality prior for
+web-corpus curation (rank-weighted sampling of crawled pages, seed-list
+scoring, link-spam damping). Reference scope note: the reference engine
+(ArrowHouse) has no graph operators; this is extension surface, built
+from the same join/groupBy primitives as components.py per SURVEY.md §2's
+"custom operators as compositions" doctrine.
+
+Algorithm: classic power iteration with damping (Brin & Page 1998).
+rank_i+1(v) = (1-d)/N + d * (Σ_{u→v} rank_i(u)/outdeg(u) + dangling_i/N)
+where dangling_i is the total rank mass on vertices with no out-edges,
+redistributed uniformly (the standard stochastic-matrix completion).
+
+Scale notes (100 TB doctrine):
+- Each iteration is TWO keyed shuffles: edges⋈ranks on src (a co-located
+  join when both sides are pre-partitioned by src — edges are static, so
+  at scale they are shuffled ONCE and reused), and the per-dst
+  contribution aggregate. N and the dangling mass are 1-row relations
+  crossJoin(broadcast)-ed — never driver-side scalars, so the whole loop
+  is one declarative plan per iteration.
+- Ranks are lazily localCheckpoint()ed per iteration — the same
+  lineage-cut discipline as components.py; without it, planning cost
+  doubles per round.
+- Fixed iteration count (not convergence-probed): web-scale PageRank runs
+  a fixed 20-50 rounds; a convergence probe would add a full extra pass
+  per round for no production benefit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(id, r) for every vertex in ``edges`` after ``iterations`` rounds.
+
+    ``edges`` is DISTINCT-ed (parallel edges collapse — unweighted form);
+    vertices with no out-edges contribute their mass uniformly to all
+    vertices (dangling redistribution), so Σr stays 1 every round.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_rel = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+    ranks = nodes.crossJoin(F.broadcast(n_rel)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    d = F.lit(damping)
+    for _ in range(iterations):
+        ranks = ranks.localCheckpoint(eager=False)  # referenced twice below
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("cr"))
+        )
+        dangling = (
+            ranks.join(deg, ranks.id == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(n_rel))
+            .select(
+                "id",
+                (
+                    (F.lit(1.0) - d) / F.col("n")
+                    + d
+                    * (
+                        F.coalesce(F.col("cr"), F.lit(0.0))
+                        + F.col("dm") / F.col("n")
+                    )
+                ).alias("r"),
+            )
+        )
+    return ranks

@@ -6800,3 +6800,71 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         "is_current",
     )
+
+
+def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-iteration oracle (same mechanics as the BPE
+    unrolled-round oracle): one CTE triple (contributions, dangling mass,
+    next ranks) per iteration, exactly the recurrence in
+    operators/graph.py:pagerank."""
+    d = repr(damping)
+    parts = [
+        """e AS (
+      SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS dst
+      FROM events
+    ),
+    nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT id, 1.0 / n AS r FROM nodes, nn)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""c{i} AS (
+      SELECT e.dst AS id, sum(r.r / d.c) AS cr
+      FROM e JOIN r{i - 1} r ON r.id = e.src JOIN deg d ON d.src = e.src
+      GROUP BY 1
+    ),
+    dm{i} AS (
+      SELECT coalesce(sum(r.r), 0) AS dm
+      FROM r{i - 1} r LEFT JOIN deg ON deg.src = r.id
+      WHERE deg.src IS NULL
+    ),
+    r{i} AS (
+      SELECT n.id, (1 - {d}) / nn.n + {d} * (coalesce(c.cr, 0) + dmt.dm / nn.n) AS r
+      FROM nodes n LEFT JOIN c{i} c ON c.id = n.id, dm{i} dmt, nn
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT id, round(r, 9) AS rank FROM r{iterations}
+    ORDER BY rank DESC, id LIMIT 20"""
+    )
+
+
+@register("pagerank_topk", _pagerank_oracle(5, 0.85))
+def pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality (operators/graph.py:pagerank) over the
+    user->prop-k interaction graph derived from events: 5 damped power
+    iterations with uniform dangling redistribution, top-20 vertices.
+    Each iteration is two keyed shuffles (edges⋈ranks on src, per-dst
+    contribution aggregate); N and the dangling mass stay 1-row broadcast
+    relations, never driver scalars. The oracle unrolls all five
+    iterations as CTE triples; the 9-dp-rounded rank is both the output
+    and the sort key so selection is pinned cross-engine."""
+    from arrowhouse_spark.operators.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        F.get_json_object("props", "$.k").cast("long").alias("dst"),
+    )
+    ranks = pagerank(edges, iterations=5, damping=0.85)
+    return (
+        ranks.select("id", F.round("r", 9).alias("rank"))
+        .orderBy(F.col("rank").desc(), "id")
+        .limit(20)
+    )

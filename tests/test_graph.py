@@ -1,0 +1,68 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from arrowhouse_spark.operators.graph import pagerank
+
+
+def _np_pagerank(edges, iterations=5, d=0.85):
+    """Independent dense power-iteration model with uniform dangling
+    redistribution — the property differential for the distributed form."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out: dict[int, list[int]] = {}
+    for u, v in set(edges):
+        out.setdefault(idx[u], []).append(idx[v])
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        nxt = np.full(n, (1.0 - d) / n)
+        dangling = sum(r[i] for i in range(n) if i not in out)
+        nxt += d * dangling / n
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += d * r[u] / len(vs)
+        r = nxt
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["id"]: r["r"] for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_matches_dense_model_on_cycle_with_dangling(spark):
+    # A->B->C->A plus C->D where D dangles
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    got = _run(spark, edges, iterations=5)
+    want = _np_pagerank(edges, iterations=5)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-12)
+
+
+def test_pagerank_parallel_edges_collapse_and_hub_wins(spark):
+    # everything points at 9; duplicated edges must not double-count
+    # at low even iteration counts the 1<->9 cycle oscillates (rank mass
+    # sloshes between hub and its single successor); 25 rounds is near
+    # convergence where the hub's steady-state lead holds
+    edges = [(1, 9), (1, 9), (2, 9), (3, 9), (9, 1)]
+    got = _run(spark, edges, iterations=25)
+    want = _np_pagerank(edges, iterations=25)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    assert got[9] == max(got.values())
+
+
+def test_pagerank_random_graph_differential(spark):
+    rng = np.random.default_rng(7)
+    edges = [
+        (int(rng.integers(0, 12)), int(rng.integers(0, 12))) for _ in range(40)
+    ]
+    got = _run(spark, edges, iterations=6)
+    want = _np_pagerank(edges, iterations=6)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9)
