@@ -1010,3 +1010,116 @@ def bm25_topk(
         .agg((F.count("__i2") + 1).cast("int").alias("rank"))
         .select(id_col, "score", "rank")
     )
+
+
+def html_extract(
+    df: DataFrame,
+    text_col: str = "html",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Boilerplate HTML -> visible text: the first stage of every
+    web-crawl corpus pipeline (C4/CCNet/RefinedWeb all start from WET/WARC
+    tag-stripping before any quality filter in this module applies).
+
+    Pure map-side codegen regex chain, same doctrine as pii_scrub:
+      1. drop <script>/<style> blocks and <!-- comments --> wholesale
+         (their CONTENT is not text; a bare tag-strip would leak JS/CSS);
+      2. replace every remaining tag with a space (tags are word
+         boundaries: '<p>a</p><p>b</p>' must not fuse to 'ab');
+      3. unescape the six entities that dominate real HTML
+         (&lt; &gt; &quot; &#39; &nbsp; and LAST &amp; — the standard
+         unescape order, so '&amp;lt;' decodes to '&lt;' not '<');
+      4. collapse whitespace runs and trim.
+
+    Zero shuffles, fuses into the scan. Full entity tables / DOM-aware
+    extraction (trafilatura-class) would be a pandas-UDF seam like
+    normalize_text; the regex form is the 100 TB hot path.
+    """
+    s = F.col(text_col)
+    for pat in (
+        r"(?is)<script[^>]*>.*?</script>",
+        r"(?is)<style[^>]*>.*?</style>",
+        r"(?s)<!--.*?-->",
+        r"<[^>]+>",
+    ):
+        s = F.regexp_replace(s, pat, " ")
+    for ent, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),  # last: '&amp;lt;' must yield '&lt;', not '<'
+    ):
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return df.withColumn(out_col, s)
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: weighted least-squares
+    slope/intercept of ln(freq) against ln(rank) — the standard corpus
+    health statistic (natural text sits near slope -1; template/spam
+    corpora flatten, boilerplate-heavy ones steepen).
+
+    Rank is the frequency-CLASS midrank (ties at equal frequency share
+    the midpoint of their rank range), which makes the statistic
+    deterministic — per-token ranks under ties are arbitrary. The class
+    relation is tiny (one row per distinct frequency, O(sqrt corpus
+    tokens) by Heaps/Zipf), so the rank range comes from the broadcast
+    theta-join pattern (count of strictly-higher classes — same shape as
+    bm25_topk's rank), NOT a global window: the plan-audit invariant
+    (no unpartitioned windows) holds even here.
+
+    Plan: token explode -> keyed freq agg -> tiny class agg -> broadcast
+    theta self-join -> one 1-row weighted-LS aggregate. The only
+    corpus-sized shuffles are the two keyed aggregates.
+    """
+    toks = df.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    classes = freq.groupBy("f").agg(F.count(F.lit(1)).alias("n"))
+    other = F.broadcast(
+        classes.select(F.col("f").alias("f2"), F.col("n").alias("n2"))
+    )
+    pts = (
+        classes.join(other, F.col("f2") > F.col("f"), "left")
+        .groupBy("f", "n")
+        .agg(F.coalesce(F.sum("n2"), F.lit(0)).alias("cum_before"))
+        .select(
+            F.log(F.col("f").cast("double")).alias("y"),
+            F.log(
+                F.col("cum_before").cast("double")
+                + (F.col("n").cast("double") + 1.0) / 2.0
+            ).alias("x"),
+            F.col("n").cast("double").alias("w"),
+            F.col("n"),
+            F.col("f"),
+        )
+    )
+    s = pts.agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("x")).alias("swx"),
+        F.sum(F.col("w") * F.col("y")).alias("swy"),
+        F.sum(F.col("w") * F.col("x") * F.col("y")).alias("swxy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).alias("swx2"),
+        F.sum("n").alias("n_vocab"),
+        F.sum(F.col("n") * F.col("f")).alias("n_occurrences"),
+    )
+    slope = (
+        F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")
+    ) / (F.col("sw") * F.col("swx2") - F.col("swx") * F.col("swx"))
+    return s.select(
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("swy") - slope * F.col("swx")) / F.col("sw"), 6
+        ).alias("zipf_intercept"),
+        F.col("n_vocab").cast("long").alias("n_vocab"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+    )

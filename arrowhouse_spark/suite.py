@@ -6868,3 +6868,125 @@ def pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "id")
         .limit(20)
     )
+
+
+_HTML_PRE = (
+    '<html><head><title>d</title><style type="text/css">p {color: red}'
+    '</style><script>var x = "1 < 2";</script></head><body>'
+    "<!-- boilerplate –– comment --><h1>"
+)
+_HTML_MID = "</h1><p>"
+_HTML_POST = " &amp; &lt;tag&gt; &quot;q&quot; &#39;a&#39;&nbsp;.</p></body></html>"
+
+
+@register(
+    "html_text_extract",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             '{_HTML_PRE.replace("'", "''")}' || lang || '{_HTML_MID}' ||
+             replace(text, ' ', '</p>' || chr(10) || '<p>') ||
+             '{_HTML_POST}' AS html
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               html,
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]+>', ' ', 'g') AS t
+      FROM h
+    ),
+    s2 AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(t,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t
+      FROM s1
+    )
+    SELECT doc_id,
+           trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text,
+           CAST(length(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS INTEGER)
+             AS n_chars
+    FROM s2
+    """,
+)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip (operators/text.py:html_extract) — the
+    web-crawl stage before every quality filter: drop script/style/comment
+    blocks, strip tags as word boundaries, unescape the six dominant
+    entities (&amp; last), collapse whitespace. Each document is wrapped
+    in a deterministic page template (title/style/script/comment, one <p>
+    per word, a trailing entity gauntlet) IDENTICALLY on both sides, so
+    the oracle pins the full extraction chain, not just happy-path text.
+    Pure map-side codegen — zero shuffles, fuses into the scan."""
+    from arrowhouse_spark.operators.text import html_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_PRE),
+            F.col("lang"),
+            F.lit(_HTML_MID),
+            F.replace(F.col("text"), F.lit(" "), F.lit("</p>\n<p>")),
+            F.lit(_HTML_POST),
+        ).alias("html"),
+    )
+    out = html_extract(wrapped, text_col="html", out_col="clean_text")
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.length("clean_text").cast("int").alias("n_chars"),
+    )
+
+
+@register(
+    "zipf_slope_stats",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY 1),
+    classes AS (SELECT f, count(*) AS n FROM freq GROUP BY 1),
+    pts AS (
+      SELECT c.f, c.n,
+             coalesce((SELECT sum(o.n) FROM classes o WHERE o.f > c.f), 0)
+               AS cum_before
+      FROM classes c
+    ),
+    xyw AS (
+      SELECT ln(CAST(f AS DOUBLE)) AS y,
+             ln(CAST(cum_before AS DOUBLE) + (CAST(n AS DOUBLE) + 1.0) / 2.0)
+               AS x,
+             CAST(n AS DOUBLE) AS w, n, f
+      FROM pts
+    ),
+    s AS (
+      SELECT sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
+             sum(w * x * y) AS swxy, sum(w * x * x) AS swx2,
+             CAST(sum(n) AS BIGINT) AS n_vocab,
+             CAST(sum(n * f) AS BIGINT) AS n_occurrences
+      FROM xyw
+    )
+    SELECT round((sw * swxy - swx * swy) / (sw * swx2 - swx * swx), 6)
+             AS zipf_slope,
+           round((swy - (sw * swxy - swx * swy) / (sw * swx2 - swx * swx)
+             * swx) / sw, 6) AS zipf_intercept,
+           n_vocab, n_occurrences
+    FROM s
+    """,
+)
+def zipf_slope_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law corpus fit (operators/text.py:zipf_fit): weighted LS of
+    ln(freq) on ln(class midrank) — the dataset-card statistic for corpus
+    naturalness (template corpora flatten the slope). Rank ranges come
+    from a broadcast theta-join over the tiny frequency-class relation
+    (no unpartitioned window); the only corpus-sized work is the token
+    and frequency keyed aggregates."""
+    from arrowhouse_spark.operators.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))
