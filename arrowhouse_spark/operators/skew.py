@@ -110,3 +110,53 @@ def heavy_hitters(
         .filter(F.col("cnt") * k > F.col("__n"))
         .select(F.col("__v").alias("value"), "cnt")
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+    force_shuffle: bool = False,
+) -> DataFrame:
+    """Skew-safe equi-join: shard the fact side's hot keys across ``salt``
+    reducers by joining on (keys..., salt), where the fact row's salt is a
+    deterministic hash of its full row and the dim side is replicated to
+    every salt value. Results are EXACTLY the plain join's — salting only
+    re-partitions the work (each fact row meets each matching dim row at
+    exactly one salt value).
+
+    This is the manual form of AQE's skew-join split for when AQE can't
+    apply: sort-merge joins feeding an order-sensitive consumer,
+    non-shuffle-join plans, or a dim side too big to broadcast but small
+    enough to replicate x salt. ``how`` supports inner/left (the dim side
+    is the replicated one, so right/full would multiply unmatched dim
+    rows — rejected).
+
+    Cost model (100 TB doctrine): dim bytes x salt extra shuffle input in
+    exchange for the hot key's reducer shrinking by 1/salt. The explode
+    is map-side (sequence+explode, no UDF); both join inputs stay keyed
+    on (keys..., __salt), so the join itself is an ordinary shuffled
+    hash/sort-merge join with a salt-wide key.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_join replicates the dim side; only inner/left keep "
+            f"join semantics exact (got {how!r})"
+        )
+    on = list(on)
+    fact_salted = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt)),
+    )
+    dim_salted = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"))
+    )
+    if force_shuffle:
+        # salting only helps a SHUFFLED join — if the dim fits the
+        # broadcast threshold Spark would broadcast it and the salt is
+        # moot (and harmless); the hint pins the shuffled-hash path so
+        # small-scale runs exercise the plan the operator exists for
+        dim_salted = dim_salted.hint("shuffle_hash")
+    return fact_salted.join(dim_salted, [*on, "__salt"], how).drop("__salt")

@@ -6990,3 +6990,85 @@ def zipf_slope_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrowhouse_spark.operators.text import zipf_fit
 
     return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "agg_state_merge_daily",
+    """
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS count_value,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def agg_state_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-visible two-phase aggregation (operators/aggstate.py): per
+    (event_type, day) mergeable state rows — count/sum/min/max plus avg's
+    (sum,count) pair — folded by agg_merge to per-type finals. The oracle
+    is the SINGLE-SHOT aggregate, so the check pins merge ≡ direct —
+    exactly the reference's two-phase E2E contract
+    (tests/ut_aggregator.cpp:133-149; state column
+    Columns/ColumnAggregateFunction.h:16-107). The incremental-rollup
+    form: day states append without rescanning history; the merge reads
+    (keys x days) state rows only."""
+    from arrowhouse_spark.operators.aggstate import agg_merge, agg_state
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    ops = [
+        ("value", "count"),
+        ("value", "sum"),
+        ("value", "min"),
+        ("value", "max"),
+        ("value", "avg"),
+    ]
+    states = agg_state(ev, keys=["event_type", "day"], ops=ops)
+    final = agg_merge(states, keys=["event_type"], ops=ops)
+    return final.select(
+        "event_type",
+        "count_value",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
+@register(
+    "join_salted_revenue",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def join_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (operators/skew.py:salted_join):
+    lineitem x orders sharded 16 ways — the fact row's salt is a
+    deterministic full-row hash, the dim side replicates to all salts,
+    so each fact row meets its order exactly once and the oracle is the
+    PLAIN join: salting must change the partitioning, never the result.
+    The manual complement to AQE's skew split for plans AQE can't touch;
+    dim replication cost is dim x salt, the hot key's reducer shrinks by
+    1/salt."""
+    from arrowhouse_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders,
+        on=["o_orderkey"],
+        salt=16,
+        force_shuffle=True,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -1,0 +1,89 @@
+from __future__ import annotations
+
+import pytest
+
+from arrowhouse_spark.operators.aggstate import agg_merge, agg_state
+
+OPS = [("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max"), ("v", "avg")]
+
+
+def _df(spark):
+    rows = [
+        ("a", 1, 10.0),
+        ("a", 1, 2.0),
+        ("a", 2, 5.0),
+        ("b", 1, 7.0),
+        ("b", 2, None),  # null: count skips it, min/max ignore it
+    ]
+    return spark.createDataFrame(rows, "k string, day int, v double")
+
+
+def test_two_phase_equals_single_shot(spark):
+    df = _df(spark)
+    states = agg_state(df, keys=["k", "day"], ops=OPS)
+    final = {r["k"]: r for r in agg_merge(states, keys=["k"], ops=OPS).collect()}
+    assert final["a"]["count_v"] == 3
+    assert final["a"]["sum_v"] == pytest.approx(17.0)
+    assert final["a"]["min_v"] == 2.0
+    assert final["a"]["max_v"] == 10.0
+    assert final["a"]["avg_v"] == pytest.approx(17.0 / 3)
+    assert final["b"]["count_v"] == 1
+    assert final["b"]["avg_v"] == pytest.approx(7.0)
+
+
+def test_merge_of_merges_is_associative(spark):
+    # fold day-1 states and day-2 states SEPARATELY (keeping day in keys),
+    # then merge the union — must equal merging everything at once
+    df = _df(spark)
+    s1 = agg_state(df.filter("day = 1"), keys=["k", "day"], ops=OPS)
+    s2 = agg_state(df.filter("day = 2"), keys=["k", "day"], ops=OPS)
+    incremental = agg_merge(s1.unionByName(s2), keys=["k"], ops=OPS)
+    oneshot = agg_merge(
+        agg_state(df, keys=["k", "day"], ops=OPS), keys=["k"], ops=OPS
+    )
+    a = {tuple(r) for r in incremental.collect()}
+    b = {tuple(r) for r in oneshot.collect()}
+    assert a == b
+
+
+def test_avg_only_drops_helper_states(spark):
+    df = _df(spark)
+    states = agg_state(df, keys=["k"], ops=[("v", "avg")])
+    assert set(states.columns) == {"k", "sum_v", "count_v"}
+    out = agg_merge(states, keys=["k"], ops=[("v", "avg")])
+    assert set(out.columns) == {"k", "avg_v"}
+    got = {r["k"]: r["avg_v"] for r in out.collect()}
+    assert got["a"] == pytest.approx(17.0 / 3)
+
+
+def test_unknown_op_rejected(spark):
+    with pytest.raises(ValueError, match="unsupported state op"):
+        agg_state(_df(spark), keys=["k"], ops=[("v", "median")])
+
+
+def test_salted_join_equals_plain_join(spark):
+    from arrowhouse_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (1, 30.0), (2, 5.0), (3, 7.0)], "k long, v double"
+    )
+    dim = spark.createDataFrame([(1, "x"), (2, "y"), (4, "z")], "k long, d string")
+    plain = {tuple(r) for r in fact.join(dim, "k").collect()}
+    salted = {
+        tuple(r) for r in salted_join(fact, dim, on=["k"], salt=4).collect()
+    }
+    assert salted == plain
+    # left join keeps unmatched fact rows exactly once
+    plain_l = sorted(tuple(r) for r in fact.join(dim, "k", "left").collect())
+    salted_l = sorted(
+        tuple(r) for r in salted_join(fact, dim, on=["k"], how="left", salt=4).collect()
+    )
+    assert salted_l == plain_l
+
+
+def test_salted_join_rejects_right_outer(spark):
+    from arrowhouse_spark.operators.skew import salted_join
+
+    df = spark.range(1).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, on=["k"], how="right")
