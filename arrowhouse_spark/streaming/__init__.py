@@ -8,6 +8,7 @@ from arrowhouse_spark.streaming.replace import (
     stream_dedup_first_seen,
     stream_interval_join,
     stream_minhash_neardup,
+    stream_ohlc,
     stream_replace_latest,
     stream_sessionize,
     stream_shard_export,
@@ -21,6 +22,7 @@ __all__ = [
     "stream_dedup_first_seen",
     "stream_interval_join",
     "stream_minhash_neardup",
+    "stream_ohlc",
     "stream_replace_latest",
     "stream_sessionize",
     "stream_shard_export",

@@ -128,6 +128,53 @@ def stream_windowed_agg(
     )
 
 
+def stream_ohlc(
+    sdf: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    tie_col: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Continuous OHLC downsampling — the streaming form of
+    operators/timeseries.py:ohlc_downsample, same struct-ordered
+    open/close selection ((ts, tie, v) min/max inside the windowed
+    aggregate, deterministic under equal timestamps) with event-time
+    windows and late-data handling. Struct min/max is a plain ordered
+    aggregate, so state per (key, window) is two structs + three
+    scalars — no applyInPandasWithState needed. Epoch-aligned windows
+    coincide with the batch operator's date_trunc buckets, which is what
+    the batch-equivalence test pins."""
+    ordered = F.struct(
+        F.col(ts_col).alias("ts"),
+        F.col(tie_col).alias("tie"),
+        F.col(value_col).alias("v"),
+    )
+    return (
+        sdf.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration), F.col(key_col))
+        .agg(
+            F.min(ordered).getField("v").alias("open"),
+            F.round(F.max(F.col(value_col)), 2).alias("high"),
+            F.round(F.min(F.col(value_col)), 2).alias("low"),
+            F.max(ordered).getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col(value_col)), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_ts"),
+            key_col,
+            F.round("open", 2).alias("open"),
+            "high",
+            "low",
+            F.round("close", 2).alias("close"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def stream_sessionize(
     sdf: DataFrame,
     ts_col: str,

@@ -1002,3 +1002,42 @@ def test_stream_hopping_window_matches_batch_on_union(spark, ordered_stream_dir)
     assert got == want and len(want) >= 3
     # overlap really happened: total windowed rows ≈ 2× the event count
     assert sum(n for _, n, _ in want) == 2 * union.count()
+
+
+def test_stream_ohlc_matches_batch_on_union(spark, ordered_stream_dir):
+    """Batch equivalence for streaming OHLC: complete-mode state after the
+    availableNow drain must equal operators/timeseries.py:ohlc_downsample
+    (the INDEPENDENT batch implementation) on the union of micro-batches —
+    including the struct-ordered open/close tie-break on the duplicated
+    timestamp in batch 1."""
+    from arrowhouse_spark.operators.timeseries import ohlc_downsample
+    from arrowhouse_spark.streaming import stream_ohlc
+
+    sdf = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ordered_stream_dir)
+    )
+    out = stream_ohlc(
+        sdf, ts_col="ts", key_col="user_id", value_col="value", tie_col="event_id"
+    )
+    q = _run_to_memory(out, "ohlc_union", "complete")
+    try:
+        got = sorted(tuple(r) for r in spark.table("ohlc_union").collect())
+    finally:
+        q.stop()
+
+    union = spark.read.schema(EVENT_SCHEMA).parquet(ordered_stream_dir)
+    want = sorted(
+        tuple(r)
+        for r in ohlc_downsample(
+            union, key_col="user_id", ts_col="ts", value_col="value",
+            tie_col="event_id",
+        )
+        .select(
+            F.col("bucket_ts"), "user_id", "open", "high", "low", "close",
+            "n", "sum_value",
+        )
+        .collect()
+    )
+    assert got == want and len(want) >= 3
