@@ -94,6 +94,14 @@ HEADLINE = [
     "edit_distance_pairs",
     "weighted_sample_docs",
     "histogram_equidepth",
+    "events_ohlc",
+    "events_gapfill_locf",
+    "scd2_user_state",
+    "pagerank_topk",
+    "html_text_extract",
+    "zipf_slope_stats",
+    "agg_state_merge_daily",
+    "join_salted_revenue",
 ]
 
 

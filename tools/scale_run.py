@@ -130,10 +130,44 @@ def op(name: str):
     return deco
 
 
+def gen_events(spark: SparkSession, n_events: int) -> DataFrame:
+    """event_id, user_id, ts (30-day span), event_type, value, k — every
+    column a pure hash function of event_id, so replicas are bit-exact.
+    Users scale with volume (n/100) so per-key series lengths stay
+    constant while key count grows — the shape a sharded 100 TB event
+    log actually has."""
+    e = spark.range(n_events).withColumnRenamed("id", "event_id")
+    n_users = max(200, n_events // 100)
+    types = F.array(
+        *[F.lit(x) for x in ("view", "click", "purchase", "signup", "error")]
+    )
+    return e.select(
+        "event_id",
+        F.pmod(F.xxhash64(F.lit("u"), "event_id"), F.lit(n_users)).alias(
+            "user_id"
+        ),
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + F.pmod(F.xxhash64(F.lit("t"), "event_id"), F.lit(30 * 24 * 3600))
+        ).alias("ts"),
+        F.element_at(
+            types,
+            (F.pmod(F.xxhash64(F.lit("e"), "event_id"), F.lit(5)) + 1).cast(
+                "int"
+            ),
+        ).alias("event_type"),
+        (
+            F.pmod(F.xxhash64(F.lit("v"), "event_id"), F.lit(100000)) / 100.0
+        ).alias("value"),
+        F.pmod(F.xxhash64(F.lit("k"), "event_id"), F.lit(100)).alias("k"),
+    )
+
+
 class Ctx:
-    def __init__(self, spark, docs, emb, scale, n_docs, n_vecs):
+    def __init__(self, spark, docs, emb, scale, n_docs, n_vecs, events=None):
         self.spark, self.docs, self.emb = spark, docs, emb
         self.scale, self.n_docs, self.n_vecs = scale, n_docs, n_vecs
+        self.events = events
 
 
 @op("minhash_dedup")
@@ -746,6 +780,115 @@ def _minhash_skewed(c: Ctx) -> dict:
     }
 
 
+@op("ohlc_downsample")
+def _ohlc(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.timeseries import ohlc_downsample
+
+    t, n = timed(
+        lambda: ohlc_downsample(
+            c.events, key_col="event_type", ts_col="ts", value_col="value",
+            tie_col="event_id",
+        ).count()
+    )
+    return {"sec": t, "buckets": n}
+
+
+@op("gapfill_locf")
+def _gapfill(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.timeseries import gapfill_locf
+
+    t, n = timed(
+        lambda: gapfill_locf(
+            c.events, key_col="user_id", ts_col="ts", value_col="value",
+            tie_col="event_id",
+        ).count()
+    )
+    return {"sec": t, "spine_rows": n}
+
+
+@op("scd2_from_log")
+def _scd2(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.merge import scd2_from_log
+
+    t, n = timed(
+        lambda: scd2_from_log(
+            c.events, key_cols=["user_id"], ts_col="ts",
+            attr_col="event_type", tie_col="event_id",
+        ).count()
+    )
+    return {"sec": t, "intervals": n}
+
+
+@op("pagerank")
+def _pagerank(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.graph import pagerank
+
+    edges = c.events.select(
+        F.col("user_id").alias("src"), F.col("k").alias("dst")
+    )
+    t, n = timed(lambda: pagerank(edges, iterations=5).count())
+    return {"sec": t, "vertices": n}
+
+
+@op("agg_state_merge")
+def _aggstate(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.aggstate import agg_merge, agg_state
+
+    ops_ = [("value", "count"), ("value", "sum"), ("value", "min"),
+            ("value", "max"), ("value", "avg")]
+    ev = c.events.withColumn("day", F.to_date("ts"))
+    t, n = timed(
+        lambda: agg_merge(
+            agg_state(ev, keys=["event_type", "day"], ops=ops_),
+            keys=["event_type"], ops=ops_,
+        ).count()
+    )
+    return {"sec": t, "groups": n}
+
+
+@op("salted_join")
+def _salted_join(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.skew import salted_join
+
+    dim = c.events.select("user_id").distinct().withColumn(
+        "attr", F.pmod(F.col("user_id"), F.lit(7))
+    )
+    t, n = timed(
+        lambda: salted_join(
+            c.events, dim, on=["user_id"], salt=16, force_shuffle=True
+        ).count()
+    )
+    return {"sec": t, "rows": n}
+
+
+@op("html_extract")
+def _html_extract(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.text import html_extract
+
+    wrapped = c.docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><script>var x = "1 < 2";</script></head>'
+                  "<body><p>"),
+            F.replace(F.col("text"), F.lit(" "), F.lit("</p><p>")),
+            F.lit(" &amp; done</p></body></html>"),
+        ).alias("html"),
+    )
+    t, n = timed(
+        lambda: html_extract(wrapped, text_col="html")
+        .filter(F.length("clean_text") > 0).count()
+    )
+    return {"sec": t, "docs": n}
+
+
+@op("zipf_fit")
+def _zipf(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.text import zipf_fit
+
+    t, rows = timed(lambda: zipf_fit(c.docs).collect())
+    return {"sec": t, "slope": rows[0]["zipf_slope"]}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
@@ -773,14 +916,19 @@ def main() -> None:
 
     for scale in scales:
         n_docs, n_vecs = 5000 * scale, 2000 * scale
+        n_events = 20000 * scale
         droot = f"{args.out}/s{scale}"
         shutil.rmtree(droot, ignore_errors=True)
         gen_documents(spark, n_docs).repartition(32).write.parquet(f"{droot}/docs")
         gen_embeddings(spark, n_vecs).repartition(32).write.parquet(f"{droot}/emb")
+        gen_events(spark, n_events).repartition(32).write.parquet(
+            f"{droot}/events"
+        )
         docs = spark.read.parquet(f"{droot}/docs")
         emb = spark.read.parquet(f"{droot}/emb")
+        events = spark.read.parquet(f"{droot}/events")
         rec = results[f"{scale}x"] = {"n_docs": n_docs, "n_vecs": n_vecs}
-        ctx = Ctx(spark, docs, emb, scale, n_docs, n_vecs)
+        ctx = Ctx(spark, docs, emb, scale, n_docs, n_vecs, events=events)
 
         for name, runner in BATTERY:
             if only and name not in only:
