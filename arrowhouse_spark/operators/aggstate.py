@@ -116,3 +116,39 @@ def agg_merge(
     if finals:
         out = out.select("*", *finals).drop(*drop_helpers)
     return out
+
+
+def hll_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lg_config_k: int = 14,
+    out: str = "hll_sketch",
+) -> DataFrame:
+    """Mergeable approximate-distinct state: one Datasketches HLL sketch
+    (binary column) per key tuple — the approximate member of the
+    agg_state family, and the closest Spark analog to the reference's
+    opaque ColumnAggregateFunction states (here the blob IS opaque,
+    unlike the plain-column exact states). Store per increment; merging
+    is register-wise max, so fold order can never change the result."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_config_k)).alias(out)
+    )
+
+
+def hll_merge(
+    states: DataFrame,
+    keys: Sequence[str],
+    state_col: str = "hll_sketch",
+    out: str = "approx_distinct",
+) -> DataFrame:
+    """Fold HLL states by the surviving ``keys`` and finalize to the
+    distinct estimate. Union of sketches over partitions of the data is
+    EXACTLY the sketch of the whole (register-wise max), so
+    merge-then-estimate equals direct-estimate deterministically — the
+    contract the oracle query pins."""
+    return states.groupBy(*keys).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col(state_col), F.lit(False))
+        ).alias(out)
+    )

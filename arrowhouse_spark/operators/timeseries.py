@@ -139,3 +139,49 @@ def gapfill_locf(
         .withColumn("filled", F.col("v_obs").isNull())
         .drop("v_obs")
     )
+
+
+def decayed_agg(
+    df: DataFrame,
+    key_cols,
+    ts_col: str,
+    value_col: str,
+    half_life_hours: float = 24.0 * 7,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exponentially time-decayed per-key score: Σ v · 2^(-Δt/half_life),
+    Δt measured back from the GLOBAL max timestamp — the standard
+    recency-weighted rollup (trending/engagement scores; the batch analog
+    of stream_trending_terms' per-window decay, with a closed-form weight
+    instead of window buckets).
+
+    The anchor t_max is a 1-row broadcast aggregate (never a driver
+    scalar); the weight is pure map-side codegen (integer epoch diff →
+    one pow), so the whole operator is ONE keyed aggregate with map-side
+    partials. Scores are rounded (default 6 dp) because a sum of
+    exponentially-scaled doubles is the associativity-sensitive shape the
+    suite conventions exist for.
+    """
+    key_cols = list(key_cols)
+    anchor = df.agg(F.max(F.col(ts_col)).alias("__tmax"))
+    w = F.pow(
+        F.lit(2.0),
+        -(
+            (
+                F.unix_timestamp(F.col("__tmax"))
+                - F.unix_timestamp(F.col(ts_col))
+            ).cast("double")
+            / F.lit(half_life_hours * 3600.0)
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(anchor))
+        .groupBy(*key_cols)
+        .agg(
+            F.round(F.sum(F.col(value_col) * w), round_dp).alias(
+                "decayed_sum"
+            ),
+            F.round(F.sum(w), round_dp).alias("decayed_count"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -7072,3 +7072,141 @@ def join_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+def _zorder_oracle() -> str:
+    """Bit-interleave replay: 32 shift/mask/or terms generated to match
+    operators/layout.py:zorder_value exactly (16 bits x 2 cols,
+    column-major positions b*2+i); quantization is the same exact
+    BIGINT multiply-then-floor-divide, so no float boundary can differ."""
+    terms = " | ".join(
+        f"(((q{c} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(16)
+        for i, c in enumerate(("c", "o"))
+    )
+    return f"""
+    WITH b AS (
+      SELECT CAST(min(o_custkey) AS BIGINT) AS mnc,
+             CAST(max(o_custkey) AS BIGINT) AS mxc,
+             CAST(min(o_orderkey) AS BIGINT) AS mno,
+             CAST(max(o_orderkey) AS BIGINT) AS mxo
+      FROM orders
+    ),
+    q AS (
+      SELECT ((CAST(o_custkey AS BIGINT) - mnc) * 65535) // (mxc - mnc)
+               AS qc,
+             ((CAST(o_orderkey AS BIGINT) - mno) * 65535) // (mxo - mno)
+               AS qo
+      FROM orders, b
+    ),
+    z AS (SELECT ({terms}) AS zvalue FROM q)
+    SELECT zvalue >> 24 AS zbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(zvalue) AS min_z, max(zvalue) AS max_z
+    FROM z GROUP BY 1
+    """
+
+
+@register("zorder_key_layout", _zorder_oracle())
+def zorder_key_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key (operators/layout.py:zorder_value) over
+    orders (o_custkey x o_orderkey): exact-integer 16-bit quantization
+    from a 1-row broadcast bounds aggregate, 32-term codegen bit
+    interleave, rolled up to the 256 top-8-bit buckets a
+    repartitionByRange layout rewrite would range-split on. The oracle
+    regenerates the identical interleave expression — every boundary is
+    integer-exact, so the hash pins the full code, not a float
+    approximation of it."""
+    from arrowhouse_spark.operators.layout import zorder_value
+
+    z = zorder_value(
+        _t(spark, sf_dir, "orders"), ["o_custkey", "o_orderkey"], bits=16
+    )
+    return (
+        z.select(F.shiftright("zvalue", 24).alias("zbucket"), "zvalue")
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zvalue").alias("min_z"),
+            F.max("zvalue").alias("max_z"),
+        )
+    )
+
+
+@register(
+    "decayed_event_score",
+    """
+    WITH a AS (SELECT max(CAST(ts AS TIMESTAMP)) AS tmax FROM events),
+    w AS (
+      SELECT event_type, value,
+             pow(2.0, -(CAST(epoch(tmax) - epoch(CAST(ts AS TIMESTAMP))
+               AS DOUBLE) / 604800.0)) AS wt
+      FROM events, a
+    )
+    SELECT event_type,
+           round(sum(value * wt), 6) AS decayed_sum,
+           round(sum(wt), 6) AS decayed_count,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w GROUP BY 1
+    """,
+)
+def decayed_event_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed per-type engagement score
+    (operators/timeseries.py:decayed_agg, half-life 7 days): recency
+    weight 2^(-Δt/hl) anchored at the global max timestamp, which stays a
+    1-row broadcast relation. ONE keyed aggregate with map-side partials;
+    weights are map-side codegen (epoch diff + pow). Oracle replays the
+    anchor, the weight, and the 6-dp rounding."""
+    from arrowhouse_spark.operators.timeseries import decayed_agg
+
+    return decayed_agg(
+        _events(spark, sf_dir),
+        key_cols=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        half_life_hours=24.0 * 7,
+    )
+
+
+@register(
+    "hll_state_merge_daily",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           true AS within_5pct,
+           true AS merge_eq_direct
+    FROM events GROUP BY 1
+    """,
+)
+def hll_state_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-user state (operators/aggstate.py:
+    hll_state/hll_merge): per (event_type, day) sketches folded to
+    per-type estimates — approx_count_distinct's incremental-rollup form,
+    under the same error-bound contract oracle (estimate within 5% of
+    exact at lgK=14) PLUS the merge contract: fold-then-estimate must
+    equal the single-shot sketch estimate exactly (register-wise max is
+    partition-order-free). A drifted sketch or a non-associative merge
+    flips a boolean and fails the gate."""
+    from arrowhouse_spark.operators.aggstate import hll_merge, hll_state
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    states = hll_state(ev, keys=["event_type", "day"], value_col="user_id")
+    merged = hll_merge(states, keys=["event_type"])
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(14))
+        ).alias("direct_est"),
+        F.count_distinct("user_id").alias("n_users_exact"),
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_users_exact"))
+            / F.col("n_users_exact")
+            <= 0.05
+        ).alias("within_5pct"),
+        (F.col("approx_distinct") == F.col("direct_est")).alias(
+            "merge_eq_direct"
+        ),
+    )

@@ -1,0 +1,110 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from arrowhouse_spark.operators.layout import zorder_value
+
+
+def _np_morton(xs, ys, bits=16):
+    def quant(v, mn, mx):
+        return 0 if mx == mn else (v - mn) * ((1 << bits) - 1) // (mx - mn)
+
+    out = []
+    for x, y in zip(xs, ys):
+        qx, qy = quant(x, min(xs), max(xs)), quant(y, min(ys), max(ys))
+        z = 0
+        for b in range(bits):
+            z |= ((qx >> b) & 1) << (2 * b)
+            z |= ((qy >> b) & 1) << (2 * b + 1)
+        out.append(z)
+    return out
+
+
+def test_zorder_matches_python_interleave(spark):
+    xs = [0, 3, 7, 100, 255]
+    ys = [255, 100, 7, 3, 0]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["zvalue"]
+        for r in zorder_value(df, ["x", "y"]).collect()
+    }
+    want = dict(zip(zip(xs, ys), _np_morton(xs, ys)))
+    assert got == want
+
+
+def test_zorder_constant_column_quantizes_to_zero(spark):
+    df = spark.createDataFrame([(5, 1), (5, 2)], "x long, y long")
+    rows = zorder_value(df, ["x", "y"]).collect()
+    # x contributes nothing; z is the interleave of y's quantized bits only
+    assert all(r["zvalue"] >= 0 for r in rows)
+    z = {r["y"]: r["zvalue"] for r in rows}
+    assert z[1] == 0  # y=min -> q=0
+    assert z[2] > 0
+
+
+def test_zorder_locality_beats_single_column_sort(spark):
+    # the point of the curve: range-bucketing by zvalue bounds BOTH dims,
+    # bucketing by x alone leaves y unbounded. Check that the top-8-bit
+    # bucket's y-spread is far below the global y-range for a grid.
+    pts = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = zorder_value(df, ["x", "y"]).collect()
+    by_bucket: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_bucket.setdefault(r["zvalue"] >> 26, []).append((r["x"], r["y"]))
+    spreads = [
+        (max(v for _, v in pts_) - min(v for _, v in pts_))
+        for pts_ in by_bucket.values()
+    ]
+    assert len(by_bucket) > 16
+    assert max(spreads) <= 16  # every bucket is a tight y-slab; global is 63
+
+
+def test_zorder_width_guard():
+    # 4 cols x 16 bits = 64 > 62: rejected before any plan is built
+    with pytest.raises(ValueError, match="bits"):
+        zorder_value(None, ["a", "b", "c", "d"], bits=16)
+
+
+def test_decayed_agg_matches_closed_form(spark):
+    from arrowhouse_spark.operators.timeseries import decayed_agg
+
+    base = dt.datetime(2024, 1, 8)
+    rows = [
+        ("a", base, 10.0),                      # Δt=0  -> w=1
+        ("a", base - dt.timedelta(hours=24), 8.0),   # w=2^-1
+        ("a", base - dt.timedelta(hours=48), 4.0),   # w=2^-2
+        ("b", base - dt.timedelta(hours=24), 6.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        r["k"]: (r["decayed_sum"], r["decayed_count"], r["n"])
+        for r in decayed_agg(
+            df, key_cols=["k"], ts_col="ts", value_col="v",
+            half_life_hours=24.0,
+        ).collect()
+    }
+    assert got["a"] == (pytest.approx(10 + 4 + 1), pytest.approx(1.75), 3)
+    assert got["b"] == (pytest.approx(3.0), pytest.approx(0.5), 1)
+
+
+def test_hll_state_merge_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.aggstate import hll_merge, hll_state
+
+    df = (
+        spark.range(5000)
+        .withColumn("day", (F.col("id") % 5).cast("int"))
+        .withColumn("u", F.col("id") % 733)
+    )
+    states = hll_state(df, keys=["day"], value_col="u")
+    merged = hll_merge(states, keys=[]).collect()[0]["approx_distinct"]
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("u", F.lit(14)))
+    ).collect()[0][0]
+    assert merged == direct
+    assert abs(merged - 733) / 733 <= 0.05
