@@ -1,0 +1,100 @@
+"""Declarative data-quality constraint checking — a Deequ-lite.
+
+Production tables ship with contracts (keys unique, measures in range,
+codes from a dictionary, mandatory fields present); a 100 TB pipeline
+needs those verified in ONE pass, not one scan per rule. ``dq_check``
+compiles a rule list into a single aggregate: every rule becomes a
+conditional-count expression (plus a count-distinct pair for uniqueness),
+so the whole contract costs one keyed-less aggregation with map-side
+partials — the same one-pass-many-signals doctrine as
+operators/profile.py's column profiler, specialized to pass/fail
+contracts. (Public prior art: AWS Deequ / Great Expectations;
+implementation here is original and declarative-Spark.)
+
+Rule forms (tuples):
+  ("not_null", col)              — no NULLs in col
+  ("unique", col)                — col values are distinct (NULLs ignored,
+                                   SQL-style: uniqueness is about values)
+  ("in_set", col, (v1, v2, ...)) — every non-null value in the set
+  ("range", col, lo, hi)         — every non-null value in [lo, hi]
+  ("regex", col, pattern)        — every non-null value fully matches
+
+Violations are ROWS for row-scoped rules; for ``unique`` the violation
+count is n_rows_with_value - n_distinct_values (0 when unique). The
+report is long-format (rule, col, violations, passed) so it lands in a
+monitoring table / alert join directly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _violation_expr(rule: tuple) -> Column:
+    kind, col = rule[0], rule[1]
+    c = F.col(col)
+    if kind == "not_null":
+        return F.sum(F.when(c.isNull(), 1).otherwise(0))
+    if kind == "in_set":
+        vals = [F.lit(v) for v in rule[2]]
+        return F.sum(F.when(c.isNotNull() & ~c.isin(*vals), 1).otherwise(0))
+    if kind == "range":
+        lo, hi = rule[2], rule[3]
+        return F.sum(
+            F.when(c.isNotNull() & ((c < lo) | (c > hi)), 1).otherwise(0)
+        )
+    if kind == "regex":
+        return F.sum(
+            F.when(
+                c.isNotNull() & ~c.rlike(f"^(?:{rule[2]})$"), 1
+            ).otherwise(0)
+        )
+    raise ValueError(f"unknown dq rule kind {kind!r}")
+
+
+def dq_check(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
+    """Evaluate every rule in ONE aggregation pass; returns the
+    long-format report (rule, col, violations, passed), ordered by the
+    rule list via an explicit index so output is deterministic."""
+    aggs: list[Column] = []
+    names: list[tuple[int, str, str]] = []
+    for i, rule in enumerate(rules):
+        kind, col = rule[0], rule[1]
+        if kind == "unique":
+            aggs.append(
+                (
+                    F.count(F.col(col)) - F.count_distinct(F.col(col))
+                ).alias(f"__v{i}")
+            )
+        else:
+            aggs.append(_violation_expr(rule).cast("long").alias(f"__v{i}"))
+        names.append((i, kind, col))
+    wide = df.agg(*aggs)
+    report = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("rule_idx"),
+                    F.lit(kind).alias("rule"),
+                    F.lit(col).alias("col"),
+                    F.coalesce(F.col(f"__v{i}"), F.lit(0)).alias(
+                        "violations"
+                    ),
+                )
+                for i, kind, col in names
+            ]
+        )
+    ).alias("r")
+    return (
+        wide.select(report)
+        .select(
+            F.col("r.rule_idx").alias("rule_idx"),
+            F.col("r.rule").alias("rule"),
+            F.col("r.col").alias("col"),
+            F.col("r.violations").alias("violations"),
+            (F.col("r.violations") == 0).alias("passed"),
+        )
+    )

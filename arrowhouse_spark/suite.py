@@ -7210,3 +7210,118 @@ def hll_state_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merge_eq_direct"
         ),
     )
+
+
+@register(
+    "dq_check_orders",
+    """
+    WITH s AS (
+      SELECT
+        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v0,
+        count(o_orderkey) - count(DISTINCT o_orderkey) AS v1,
+        sum(CASE WHEN o_orderstatus IS NOT NULL
+                  AND o_orderstatus NOT IN ('F', 'O') THEN 1 ELSE 0 END)
+          AS v2,
+        sum(CASE WHEN o_totalprice IS NOT NULL
+                  AND (o_totalprice < 0 OR o_totalprice > 10000000)
+                 THEN 1 ELSE 0 END) AS v3,
+        sum(CASE WHEN o_orderpriority IS NOT NULL
+                  AND NOT regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+')
+                 THEN 1 ELSE 0 END) AS v4
+      FROM orders
+    )
+    SELECT u.rule_idx, u.rule, u.col,
+           CAST(u.violations AS BIGINT) AS violations,
+           u.violations = 0 AS passed
+    FROM s, LATERAL (VALUES
+      (0, 'not_null', 'o_custkey', v0),
+      (1, 'unique', 'o_orderkey', v1),
+      (2, 'in_set', 'o_orderstatus', v2),
+      (3, 'range', 'o_totalprice', v3),
+      (4, 'regex', 'o_orderpriority', v4)
+    ) AS u(rule_idx, rule, col, violations)
+    """,
+)
+def dq_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contract (operators/quality.py:dq_check —
+    Deequ-lite): five rules over orders verified in ONE aggregation pass
+    (conditional counts + a count/count-distinct pair for uniqueness; no
+    per-rule scans). The in_set rule deliberately omits status 'P', so
+    the report carries a real non-zero violation count — the oracle pins
+    exact violation arithmetic, not just all-green booleans."""
+    from arrowhouse_spark.operators.quality import dq_check
+
+    return dq_check(
+        _t(spark, sf_dir, "orders"),
+        [
+            ("not_null", "o_custkey"),
+            ("unique", "o_orderkey"),
+            ("in_set", "o_orderstatus", ("F", "O")),
+            ("range", "o_totalprice", 0, 10_000_000),
+            ("regex", "o_orderpriority", "[1-5]-[A-Z ]+"),
+        ],
+    )
+
+
+@register(
+    "vocab_growth_batches",
+    """
+    WITH d AS (
+      SELECT doc_id % 10 AS batch,
+             list_filter(string_split(text, ' '), t -> t != '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT batch,
+             unnest(list_transform(range(len(toks) - 1),
+                                   i -> toks[i + 1] || ' ' || toks[i + 2]))
+               AS g
+      FROM d
+    ),
+    first_seen AS (SELECT g, min(batch) AS fb FROM grams GROUP BY 1),
+    new_per AS (SELECT fb, count(*) AS n_new FROM first_seen GROUP BY 1)
+    SELECT a.fb AS batch,
+           CAST(a.n_new AS BIGINT) AS n_new,
+           CAST((SELECT sum(b.n_new) FROM new_per b WHERE b.fb <= a.fb)
+             AS BIGINT) AS n_cum
+    FROM new_per a
+    """,
+)
+def vocab_growth_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve over BIGRAMS: documents arrive
+    in 10 ingest batches (doc_id mod 10); per batch, the count of
+    never-seen-before bigrams and the cumulative vocabulary size
+    (unigrams saturate in batch 0 on this corpus — the bigram space is
+    where the curve lives, measured 862/39/5/... at sf0.01). first-seen
+    is ONE keyed min aggregate over (gram, batch); the cumulative sum
+    runs on the tiny per-batch relation via the broadcast theta-join
+    (the zipf_fit / bm25 rank pattern — no unpartitioned window). The
+    dataset-card companion to zipf_slope_stats: a flattening curve means
+    the crawl stopped finding new language."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    grams_arr = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    grams = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(10)).alias("batch"),
+        F.explode(grams_arr).alias("g"),
+    )
+    first = grams.groupBy("g").agg(F.min("batch").alias("fb"))
+    new_per = first.groupBy("fb").agg(F.count(F.lit(1)).alias("n_new"))
+    other = F.broadcast(
+        new_per.select(F.col("fb").alias("f2"), F.col("n_new").alias("n2"))
+    )
+    return (
+        new_per.join(other, F.col("f2") <= F.col("fb"))
+        .groupBy(F.col("fb").alias("batch"), "n_new")
+        .agg(F.sum("n2").alias("n_cum"))
+        .select("batch", "n_new", "n_cum")
+    )
