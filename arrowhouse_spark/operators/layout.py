@@ -100,3 +100,29 @@ def zorder_repartition(
     return zorder_value(df, cols, bits=bits).repartitionByRange(
         num_partitions, F.col("zvalue")
     )
+
+
+def layout_manifest(
+    df: DataFrame,
+    bucket_col: Column | str,
+    stat_cols: Sequence[str],
+) -> DataFrame:
+    """Per-bucket file-statistics manifest: row count plus min/max of every
+    ``stat_col`` — what a lakehouse writes per data file and what a
+    scan's predicate pruning consults. One keyed aggregate; pair with
+    :func:`zorder_value`'s bucket (zvalue >> shift) to see multi-column
+    min/max tighten, or with any 1-D layout key to see them NOT tighten
+    on the other columns (the measurable difference
+    ``zorder_pruning_stats`` pins)."""
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    return df.groupBy(b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            a
+            for c in stat_cols
+            for a in (
+                F.min(F.col(c)).alias(f"min_{c}"),
+                F.max(F.col(c)).alias(f"max_{c}"),
+            )
+        ],
+    )

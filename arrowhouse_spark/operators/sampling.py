@@ -318,3 +318,31 @@ def weighted_sample(
         .orderBy(F.col("race_key").desc(), _c(key))
         .limit(k)
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_rows: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per key, selected by a deterministic
+    hash race — the crawl-pipeline domain cap (C4/RefinedWeb keep ≤N pages
+    per registered domain so no single host dominates the corpus; same
+    mechanism caps per-source or per-near-dup-cluster contributions).
+
+    Selection order is md5(salt, id) ascending with id tiebreak: a
+    layout-independent uniform draw (the stratified_sample/weighted_sample
+    discipline — NOT rand(), NOT input order), so the kept set is
+    reproducible across runs, partitionings, and engines. ONE per-key
+    window bounded by the key's rows; hot keys degrade to a sorted
+    partition of that key only, and the window state is row_number-sized.
+    """
+    race = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(F.col(key_col)).orderBy(race, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )

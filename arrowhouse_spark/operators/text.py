@@ -1123,3 +1123,49 @@ def zipf_fit(
         F.col("n_vocab").cast("long").alias("n_vocab"),
         F.col("n_occurrences").cast("long").alias("n_occurrences"),
     )
+
+
+def chat_turns(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    roles: tuple[str, ...] = ("system", "user", "assistant"),
+) -> DataFrame:
+    """Parse role-tagged chat transcripts ("role: content" lines) into one
+    row per turn — the SFT/chat-data normalization stage (role-balance
+    stats, per-role filtering, prompt-only dedup all start from this).
+
+    Parsing is a two-step map-side chain deliberately free of regex
+    LOOKAHEAD (Java regex has it, RE2 engines do not — cross-engine
+    portability is a suite invariant): mark each turn start by rewriting
+    "(^|\\n)role: " to SOH+role+STX control markers, split on SOH, then
+    split each segment at STX into (role, content). Multi-line turn
+    content (including lines that LOOK like prose) survives because only
+    exact role markers at line starts are rewritten. Zero shuffles;
+    output order is pinned by (id, turn_idx).
+
+    Returns (id, turn_idx, role, content, n_words).
+    """
+    soh, stx = "\u0001", "\u0002"
+    alts = "|".join(roles)
+    marked = F.regexp_replace(
+        F.col(text_col), f"(^|\\n)({alts}): ", f"{soh}$2{stx}"
+    )
+    parts = F.filter(F.split(marked, soh), lambda p: p != "")
+    return (
+        df.select(F.col(id_col), F.posexplode(parts).alias("turn_idx", "__p"))
+        .select(
+            id_col,
+            "turn_idx",
+            F.split_part(F.col("__p"), F.lit(stx), F.lit(1)).alias("role"),
+            F.split_part(F.col("__p"), F.lit(stx), F.lit(2)).alias("content"),
+        )
+        .withColumn(
+            "n_words",
+            F.size(
+                F.filter(
+                    F.split(F.col("content"), r"\s+"), lambda t: t != ""
+                )
+            ),
+        )
+    )

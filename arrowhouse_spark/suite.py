@@ -7325,3 +7325,240 @@ def vocab_growth_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n2").alias("n_cum"))
         .select("batch", "n_new", "n_cum")
     )
+
+
+@register(
+    "cap_per_source_docs",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM r WHERE rn <= 30 GROUP BY 1
+    """,
+)
+def cap_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/sampling.py:cap_per_key — the
+    C4/RefinedWeb ≤N-pages-per-domain rule): keep 30 docs per source,
+    selected by the deterministic md5 hash race (layout-independent,
+    reproducible; never rand() or input order). ONE per-key window. The
+    oracle replays the race and pins the EXACT kept set via the per-source
+    id checksum."""
+    from arrowhouse_spark.operators.sampling import cap_per_key
+
+    kept = cap_per_key(
+        _t(spark, sf_dir, "documents"),
+        key_col="source",
+        id_col="doc_id",
+        max_rows=30,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+@register(
+    "chat_turns_split",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t != '') AS w
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             'system: be concise' || chr(10) ||
+             'user: ' ||
+             coalesce(array_to_string(list_slice(w, 1, 10), ' '), '') ||
+             chr(10) ||
+             'assistant: ' ||
+             coalesce(array_to_string(list_slice(w, 11, len(w)), ' '), '')
+               AS tr
+      FROM d
+    ),
+    m AS (
+      SELECT doc_id,
+             regexp_replace(tr, '(^|\\n)(system|user|assistant): ',
+                            chr(1) || '\\2' || chr(2), 'g') AS mk
+      FROM t
+    ),
+    p AS (
+      SELECT doc_id,
+             list_filter(string_split(mk, chr(1)), x -> x != '') AS ps
+      FROM m
+    ),
+    x AS (SELECT doc_id, unnest(range(len(ps))) AS i, ps FROM p)
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS turn_idx,
+           split_part(ps[i + 1], chr(2), 1) AS role,
+           split_part(ps[i + 1], chr(2), 2) AS content,
+           CAST(len(list_filter(regexp_split_to_array(
+             split_part(ps[i + 1], chr(2), 2), '\\s+'), t -> t != ''))
+             AS INTEGER) AS n_words
+    FROM x
+    """,
+)
+def chat_turns_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-transcript turn parsing (operators/text.py:chat_turns — the
+    SFT-data normalization stage): each document is wrapped into a
+    deterministic system/user/assistant transcript IDENTICALLY on both
+    sides (first 10 words = the user turn), then parsed back by the
+    lookahead-free marker chain (RE2-portable by construction — the
+    oracle runs the very same rewrite). Hash pins every role, every
+    content split, every word count. Zero shuffles."""
+    from arrowhouse_spark.operators.text import chat_turns
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    tr = F.concat(
+        F.lit("system: be concise\nuser: "),
+        F.array_join(F.slice(w, 1, 10), " "),
+        F.lit("\nassistant: "),
+        F.array_join(
+            F.slice(w, 11, F.greatest(F.size(w) - 10, F.lit(1))), " "
+        ),
+    )
+    wrapped = docs.select("doc_id", tr.alias("text"))
+    return chat_turns(wrapped, text_col="text", id_col="doc_id")
+
+
+def _zorder_pruning_oracle() -> str:
+    terms = " | ".join(
+        f"(((q{c} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(16)
+        for i, c in enumerate(("c", "o"))
+    )
+    return f"""
+    WITH b AS (
+      SELECT CAST(min(o_custkey) AS BIGINT) AS mnc,
+             CAST(max(o_custkey) AS BIGINT) AS mxc,
+             CAST(min(o_orderkey) AS BIGINT) AS mno,
+             CAST(max(o_orderkey) AS BIGINT) AS mxo
+      FROM orders
+    ),
+    pred AS (
+      SELECT mnc + ((mxc - mnc) * 2) // 5 AS c_lo,
+             mnc + ((mxc - mnc) * 9) // 20 AS c_hi,
+             mno + ((mxo - mno) * 2) // 5 AS o_lo,
+             mno + ((mxo - mno) * 9) // 20 AS o_hi
+      FROM b
+    ),
+    q AS (
+      SELECT o_custkey AS ck, o_orderkey AS ok,
+             ((CAST(o_custkey AS BIGINT) - mnc) * 65535) // (mxc - mnc)
+               AS qc,
+             ((CAST(o_orderkey AS BIGINT) - mno) * 65535) // (mxo - mno)
+               AS qo
+      FROM orders, b
+    ),
+    zman AS (
+      SELECT ({terms}) >> 24 AS bucket,
+             min(ck) AS min_c, max(ck) AS max_c,
+             min(ok) AS min_o, max(ok) AS max_o
+      FROM q GROUP BY 1
+    ),
+    sman AS (
+      SELECT qc >> 8 AS bucket,
+             min(ck) AS min_c, max(ck) AS max_c,
+             min(ok) AS min_o, max(ok) AS max_o
+      FROM q GROUP BY 1
+    ),
+    zc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(CASE WHEN min_c <= c_hi AND max_c >= c_lo
+                            AND min_o <= o_hi AND max_o >= o_lo
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates
+      FROM zman, pred
+    ),
+    sc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(CASE WHEN min_c <= c_hi AND max_c >= c_lo
+                            AND min_o <= o_hi AND max_o >= o_lo
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates
+      FROM sman, pred
+    )
+    SELECT 'zorder' AS layout, n_buckets, n_candidates,
+           round(CAST(n_candidates AS DOUBLE) / n_buckets, 4) AS frac_scanned
+    FROM zc
+    UNION ALL
+    SELECT 'custkey_sort' AS layout, n_buckets, n_candidates,
+           round(CAST(n_candidates AS DOUBLE) / n_buckets, 4) AS frac_scanned
+    FROM sc
+    """
+
+
+@register("zorder_pruning_stats", _zorder_pruning_oracle())
+def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping A/B (operators/layout.py:layout_manifest): the same
+    2-D predicate (a ~5% window on BOTH o_custkey and o_orderkey) pruned
+    against per-bucket min/max manifests of two layouts — 256 Z-order
+    buckets vs 256 custkey-sort buckets. Z-order manifests bound BOTH
+    dimensions, so the candidate fraction collapses; the 1-D sort bounds
+    only custkey and must scan every bucket the custkey window touches
+    regardless of orderkey. The oracle replays quantization, interleave,
+    manifests, and the intersect test — the claimed pruning win is
+    hash-pinned, not asserted."""
+    from arrowhouse_spark.operators.layout import layout_manifest, zorder_value
+
+    o = _t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_custkey").cast("long").alias("mnc"),
+        F.max("o_custkey").cast("long").alias("mxc"),
+        F.min("o_orderkey").cast("long").alias("mno"),
+        F.max("o_orderkey").cast("long").alias("mxo"),
+    )
+    z = zorder_value(o, ["o_custkey", "o_orderkey"], bits=16)
+    zman = layout_manifest(
+        z, F.shiftright("zvalue", 24), ["o_custkey", "o_orderkey"]
+    )
+    qc = F.expr(
+        "((CAST(o_custkey AS BIGINT) - mnc) * 65535) DIV (mxc - mnc)"
+    )
+    sman = layout_manifest(
+        o.crossJoin(F.broadcast(b)).withColumn("__qc", qc),
+        F.shiftright("__qc", 8),
+        ["o_custkey", "o_orderkey"],
+    )
+    pred = b.select(
+        (F.col("mnc") + F.expr("((mxc - mnc) * 2) DIV 5")).alias("c_lo"),
+        (F.col("mnc") + F.expr("((mxc - mnc) * 9) DIV 20")).alias("c_hi"),
+        (F.col("mno") + F.expr("((mxo - mno) * 2) DIV 5")).alias("o_lo"),
+        (F.col("mno") + F.expr("((mxo - mno) * 9) DIV 20")).alias("o_hi"),
+    )
+
+    def _count(man: DataFrame, label: str) -> DataFrame:
+        hit = (
+            (F.col("min_o_custkey") <= F.col("c_hi"))
+            & (F.col("max_o_custkey") >= F.col("c_lo"))
+            & (F.col("min_o_orderkey") <= F.col("o_hi"))
+            & (F.col("max_o_orderkey") >= F.col("o_lo"))
+        )
+        return (
+            man.crossJoin(F.broadcast(pred))
+            .agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.sum(F.when(hit, 1).otherwise(0))
+                .cast("long")
+                .alias("n_candidates"),
+            )
+            .select(
+                F.lit(label).alias("layout"),
+                "n_buckets",
+                "n_candidates",
+                F.round(
+                    F.col("n_candidates").cast("double")
+                    / F.col("n_buckets"),
+                    4,
+                ).alias("frac_scanned"),
+            )
+        )
+
+    return _count(zman, "zorder").unionAll(_count(sman, "custkey_sort"))

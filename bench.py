@@ -102,6 +102,11 @@ HEADLINE = [
     "zipf_slope_stats",
     "agg_state_merge_daily",
     "join_salted_revenue",
+    "zorder_key_layout",
+    "decayed_event_score",
+    "hll_state_merge_daily",
+    "dq_check_orders",
+    "vocab_growth_batches",
 ]
 
 

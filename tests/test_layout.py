@@ -108,3 +108,25 @@ def test_hll_state_merge_equals_direct(spark):
     ).collect()[0][0]
     assert merged == direct
     assert abs(merged - 733) / 733 <= 0.05
+
+
+def test_layout_manifest_and_pruning_win(spark):
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.layout import layout_manifest, zorder_value
+
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    z = zorder_value(df, ["x", "y"])
+    man = layout_manifest(z, F.shiftright("zvalue", 26), ["x", "y"])
+    rows = man.collect()
+    assert sum(r["n_rows"] for r in rows) == 1024
+    # z-order buckets are tight SQUARES: both dims bounded, so a point
+    # predicate (x in [8,9], y in [8,9]) touches few buckets
+    cand = [
+        r
+        for r in rows
+        if r["min_x"] <= 9 and r["max_x"] >= 8 and r["min_y"] <= 9 and r["max_y"] >= 8
+    ]
+    assert len(cand) <= 4  # tight: 2x2 window falls in at most 4 z-squares
+    assert len(rows) >= 16

@@ -889,6 +889,63 @@ def _zipf(c: Ctx) -> dict:
     return {"sec": t, "slope": rows[0]["zipf_slope"]}
 
 
+@op("zorder_value")
+def _zorder(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.layout import zorder_value
+
+    t, n = timed(
+        lambda: zorder_value(c.events, ["user_id", "k"], bits=16)
+        .select(F.shiftright("zvalue", 24).alias("zb"))
+        .groupBy("zb").count().count()
+    )
+    return {"sec": t, "buckets": n}
+
+
+@op("decayed_agg")
+def _decayed(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.timeseries import decayed_agg
+
+    t, n = timed(
+        lambda: decayed_agg(
+            c.events, key_cols=["event_type"], ts_col="ts", value_col="value"
+        ).count()
+    )
+    return {"sec": t, "groups": n}
+
+
+@op("hll_state_merge")
+def _hll(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.aggstate import hll_merge, hll_state
+
+    ev = c.events.withColumn("day", F.to_date("ts"))
+    t, n = timed(
+        lambda: hll_merge(
+            hll_state(ev, keys=["event_type", "day"], value_col="user_id"),
+            keys=["event_type"],
+        ).count()
+    )
+    return {"sec": t, "groups": n}
+
+
+@op("dq_check")
+def _dq(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.quality import dq_check
+
+    t, n = timed(
+        lambda: dq_check(
+            c.events,
+            [
+                ("not_null", "user_id"),
+                ("unique", "event_id"),
+                ("in_set", "event_type",
+                 ("view", "click", "purchase", "signup", "error")),
+                ("range", "value", 0, 1000),
+            ],
+        ).count()
+    )
+    return {"sec": t, "rules": n}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
