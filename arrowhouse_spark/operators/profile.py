@@ -71,3 +71,45 @@ def profile(
         "column", "n_rows", "n_null", "n_distinct",
         "min_num", "max_num", "min_str", "max_str",
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+    round_dp: int = 6,
+    smooth: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    categorical distribution — the standard production drift monitor
+    (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted; public credit-
+    scoring/ML-ops convention). PSI = Σ (p_cur - p_ref) · ln(p_cur/p_ref)
+    over categories, with symmetric ``smooth`` additive smoothing so a
+    category present on one side only stays finite.
+
+    Plan: one keyed count per side (map-side partials), a full-outer join
+    on the category (tiny relation — distinct categories), totals as
+    1-row broadcasts, one final 1-row sum. Emits both the total PSI and
+    the per-category contributions (the drill-down a drift alert needs).
+    """
+    rc = ref.groupBy(F.col(cat_col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    cc = cur.groupBy(F.col(cat_col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    joined = rc.join(cc, "cat", "full_outer").select(
+        "cat",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = joined.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    p = (F.col("n_ref") + F.lit(smooth)) / (F.col("__tr") + F.lit(smooth))
+    q = (F.col("n_cur") + F.lit(smooth)) / (F.col("__tc") + F.lit(smooth))
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .withColumn("psi_term", F.round((q - p) * F.log(q / p), round_dp))
+        .select("cat", "n_ref", "n_cur", "psi_term")
+    )

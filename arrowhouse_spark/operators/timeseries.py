@@ -185,3 +185,41 @@ def decayed_agg(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    key_cols,
+    value_col: str,
+    threshold: float = 3.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-key z-score outlier flagging — the metrics-monitoring primitive
+    (flag events whose value sits beyond ``threshold`` population standard
+    deviations from the key's mean).
+
+    Plan: ONE keyed aggregate to per-key (mean, stddev_pop) + a broadcast
+    join back — never a window (per-row windows with unbounded frames
+    re-sort every key; the stats relation is keys-sized and broadcasts).
+    Population stddev (not sample) so the z of a 1-row key is NULL→not
+    flagged rather than divide-by-zero. Returns the input plus
+    ``zscore`` (rounded) and ``is_outlier``.
+    """
+    key_cols = list(key_cols)
+    stats = df.groupBy(*key_cols).agg(
+        F.avg(F.col(value_col)).alias("__mu"),
+        F.stddev_pop(F.col(value_col)).alias("__sigma"),
+    )
+    z = F.when(
+        F.col("__sigma") > 0,
+        (F.col(value_col) - F.col("__mu")) / F.col("__sigma"),
+    )
+    return (
+        df.join(F.broadcast(stats), key_cols)
+        .withColumn("zscore", F.round(z, round_dp))
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.abs(z) > threshold, F.lit(False)),
+        )
+        .drop("__mu", "__sigma")
+    )

@@ -7562,3 +7562,192 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _count(zman, "zorder").unionAll(_count(sman, "custkey_sort"))
+
+
+@register(
+    "events_zscore_outliers",
+    """
+    WITH s AS (
+      SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN s.sigma > 0
+                          AND abs((e.value - s.mu) / s.sigma) > 2.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(sum(CASE WHEN s.sigma > 0
+                          AND abs((e.value - s.mu) / s.sigma) > 2.5
+                         THEN e.event_id ELSE 0 END) AS BIGINT) AS outlier_id_sum,
+           round(any_value(s.mu), 6) AS mu,
+           round(any_value(s.sigma), 6) AS sigma
+    FROM events e JOIN s USING (event_type)
+    GROUP BY 1
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key z-score anomaly flags (operators/timeseries.py:
+    zscore_outliers, threshold 2.5σ population): ONE keyed stats
+    aggregate broadcast back — never a window. The report pins the exact
+    flagged set per type via the outlier event-id checksum (flag flips
+    need |z| to cross the threshold, which float associativity cannot
+    move); the per-key mean/stddev are 6-dp rounded single values."""
+    from arrowhouse_spark.operators.timeseries import zscore_outliers
+
+    flagged = zscore_outliers(
+        _events(spark, sf_dir),
+        key_cols=["event_type"],
+        value_col="value",
+        threshold=2.5,
+    )
+    stats = _events(spark, sf_dir).groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_pop("value"), 6).alias("sigma"),
+    )
+    rollup = flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+        F.sum(F.when(F.col("is_outlier"), F.col("event_id")).otherwise(0))
+        .cast("long")
+        .alias("outlier_id_sum"),
+    )
+    return rollup.join(F.broadcast(stats), "event_type").select(
+        "event_type", "n", "n_outliers", "outlier_id_sum", "mu", "sigma"
+    )
+
+
+@register(
+    "correlation_matrix_lineitem",
+    """
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+           round(corr(l_quantity, l_discount), 6) AS qty_disc,
+           round(corr(l_quantity, l_tax), 6) AS qty_tax,
+           round(corr(l_extendedprice, l_discount), 6) AS price_disc,
+           round(corr(l_extendedprice, l_tax), 6) AS price_tax,
+           round(corr(l_discount, l_tax), 6) AS disc_tax,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    """,
+)
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's four measures in
+    ONE aggregation pass (six corr aggregates share the scan and the
+    partial-aggregate shuffle — the one-pass-many-signals profile
+    doctrine). Complements stats_moments; feeds feature-selection /
+    multicollinearity checks."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice", "qty_price"),
+        ("l_quantity", "l_discount", "qty_disc"),
+        ("l_quantity", "l_tax", "qty_tax"),
+        ("l_extendedprice", "l_discount", "price_disc"),
+        ("l_extendedprice", "l_tax", "price_tax"),
+        ("l_discount", "l_tax", "disc_tax"),
+    ]
+    return li.agg(
+        *[F.round(F.corr(a, b), 6).alias(n) for a, b, n in pairs],
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "ab_test_welch",
+    """
+    WITH g AS (
+      SELECT user_id % 2 AS grp, value FROM events
+    ),
+    s AS (
+      SELECT grp, count(*) AS n, avg(value) AS m, var_samp(value) AS v
+      FROM g GROUP BY 1
+    ),
+    w AS (
+      SELECT a.n AS n_a, b.n AS n_b, a.m AS m_a, b.m AS m_b,
+             (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) AS t
+      FROM s a, s b WHERE a.grp = 0 AND b.grp = 1
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+           round(t, 4) AS t_stat,
+           abs(t) > 1.96 AS significant_95
+    FROM w
+    """,
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test report (A/B experiment readout): users hash
+    into two arms (user_id mod 2), per-arm n/mean/sample-variance from
+    ONE keyed aggregate, then the t statistic from the closed Welch
+    formula on the 2-row relation. The experimentation primitive every
+    analytics engine ships; oracle replays the arithmetic exactly."""
+    ev = _events(spark, sf_dir).withColumn(
+        "grp", F.pmod(F.col("user_id"), F.lit(2))
+    )
+    s = ev.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = s.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"), F.col("v").alias("v_a")
+    )
+    b = s.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n_b"), F.col("m").alias("m_b"), F.col("v").alias("v_b")
+    )
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(
+        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            "n_a",
+            "n_b",
+            F.round("m_a", 6).alias("mean_a"),
+            F.round("m_b", 6).alias("mean_b"),
+            F.round(t, 4).alias("t_stat"),
+            (F.abs(t) > 1.96).alias("significant_95"),
+        )
+    )
+
+
+@register(
+    "psi_drift_event_types",
+    """
+    WITH r AS (
+      SELECT event_type AS cat, count(*) AS n_ref FROM events
+      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT event_type AS cat, count(*) AS n_cur FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(r.cat, c.cat) AS cat,
+             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      FROM r FULL OUTER JOIN c ON r.cat = c.cat
+    ),
+    t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+    SELECT cat, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           round(((n_cur + 1e-6) / (tc + 1e-6) - (n_ref + 1e-6) / (tr + 1e-6))
+                 * ln(((n_cur + 1e-6) / (tc + 1e-6))
+                      / ((n_ref + 1e-6) / (tr + 1e-6))), 6) AS psi_term
+    FROM j, t
+    """,
+)
+def psi_drift_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift report (operators/profile.py:
+    psi_drift): event-type distribution of the first half of the month
+    (reference) vs the second (current), smoothed per-category PSI
+    contributions — the production ML-ops drift monitor. Keyed counts +
+    full-outer on the tiny category relation + 1-row broadcast totals."""
+    from arrowhouse_spark.operators.profile import psi_drift
+
+    ev = _events(spark, sf_dir)
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return psi_drift(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut),
+        cat_col="event_type",
+    )

@@ -107,6 +107,13 @@ HEADLINE = [
     "hll_state_merge_daily",
     "dq_check_orders",
     "vocab_growth_batches",
+    "cap_per_source_docs",
+    "chat_turns_split",
+    "zorder_pruning_stats",
+    "events_zscore_outliers",
+    "correlation_matrix_lineitem",
+    "ab_test_welch",
+    "psi_drift_event_types",
 ]
 
 
