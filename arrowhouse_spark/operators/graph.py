@@ -94,3 +94,45 @@ def pagerank(
             )
         )
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Multi-source BFS: (id, dist) — the minimum hop count from any
+    vertex in ``sources`` (a 1-column relation, column name = ``src``'s)
+    along directed edges, up to ``max_hops``; unreachable vertices are
+    absent. The reachability/shortest-path companion to
+    :func:`pagerank` and components.py (seed-set expansion: "everything
+    within K hops of the flagged accounts / seed domains").
+
+    Each hop is one keyed join (frontier⋈edges on src) + one keyed min —
+    the same two-shuffle round as every iterative operator here, with
+    per-round lineage cuts. The frontier relation only carries vertices
+    NEWLY reached this hop (anti-join vs visited), so total work is
+    O(edges within the reached ball), not O(hops x edges).
+    """
+    visited = (
+        sources.select(F.col(src).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
+    e = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.select("id"), "id")
+            .select(F.col("nbr").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited

@@ -182,3 +182,78 @@ def scd2_from_log(
             F.coalesce(F.col("valid_to"), F.lit(open_end).cast("timestamp")),
         )
     return out
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    when_matched: str = "update",
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Relational MERGE INTO (upsert): apply a change-set ``source`` to
+    ``target`` by key — matched rows update (or delete when the source
+    row's ``delete_col`` is true), unmatched source rows insert, untouched
+    target rows carry over. The lakehouse write-side primitive
+    (Delta/Iceberg MERGE; ClickHouse reaches the same end state through
+    ReplacingMergeTree — replace_merge above is the READ-side resolution
+    of the same upsert; this is the eager form that materializes the
+    resolved table).
+
+    ``source`` must be key-unique (the standard MERGE precondition —
+    multiple matches per target row are ambiguous; Delta raises exactly
+    here). Enforced IN the plan: the per-key source count guards the
+    delete/update flag with raise_error, and because that flag is always
+    consumed (the delete filter), Catalyst cannot prune the check away.
+
+    Plan: one per-key source window (count) + ONE full-outer keyed join +
+    coalesce projection — both sides shuffle by key once; bucketed tables
+    co-locate it. No global state anywhere.
+    """
+    keys = list(key_cols)
+    data_cols = [c for c in target.columns if c not in keys]
+    s_cols = [c for c in source.columns if c not in keys and c != delete_col]
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    del_base = (
+        F.col(delete_col) if delete_col is not None else F.lit(False)
+    )
+    del_guarded = F.when(
+        F.count(F.lit(1)).over(w) > 1,
+        F.raise_error(
+            F.concat(
+                F.lit("merge_into: duplicate source key "),
+                F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
+            )
+        ).cast("boolean"),
+    ).otherwise(del_base)
+    srel = source.select(
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
+        *[F.col(c).alias(f"__s_{c}") for c in s_cols],
+        del_guarded.alias("__s_del"),
+    )
+    trel = target.select(
+        *[F.col(k).alias(f"__tk_{k}") for k in keys],
+        *[F.col(c).alias(f"__t_{c}") for c in data_cols],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__tk_{k}") == F.col(f"__sk_{k}")
+        cond = c if cond is None else (cond & c)
+    joined = trel.join(srel, cond, "full_outer")
+    src_present = F.col(f"__sk_{keys[0]}").isNotNull()
+    out_cols = [
+        F.coalesce(F.col(f"__sk_{k}"), F.col(f"__tk_{k}")).alias(k)
+        for k in keys
+    ]
+    for c in data_cols:
+        if c in s_cols and when_matched == "update":
+            out_cols.append(
+                F.when(src_present, F.col(f"__s_{c}"))
+                .otherwise(F.col(f"__t_{c}"))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"__t_{c}").alias(c))
+    return joined.filter(
+        ~F.coalesce(src_present & F.col("__s_del"), F.lit(False))
+    ).select(*out_cols)

@@ -7751,3 +7751,120 @@ def psi_drift_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("ts") >= cut),
         cat_col="event_type",
     )
+
+
+@register(
+    "merge_into_upsert",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k, o_totalprice + 1000 AS new_price,
+             (o_orderkey % 13 = 0) AS is_del
+      FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS k, 42.0 AS new_price, false AS is_del
+      FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    merged AS (
+      SELECT coalesce(s.k, t.o_orderkey) AS k,
+             CASE WHEN s.k IS NOT NULL THEN s.new_price
+                  ELSE t.o_totalprice END AS price,
+             t.o_orderstatus AS st
+      FROM orders t FULL OUTER JOIN src s ON s.k = t.o_orderkey
+      WHERE NOT coalesce(s.k IS NOT NULL AND s.is_del, false)
+    )
+    SELECT st AS o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(price), 2) AS sum_price
+    FROM merged GROUP BY 1
+    """,
+)
+def merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO upsert (operators/merge.py:merge_into — the lakehouse
+    write-side primitive; replace_merge is the read-side resolution of
+    the same operation): a deterministic change-set (price updates for
+    keys %7, deletes for keys %13, inserts at key+10M for keys %11)
+    applied to orders in ONE full-outer keyed join, with the source
+    key-uniqueness precondition enforced unprunably inside the plan.
+    Rolled up by status (inserted rows carry NULL status); the oracle
+    replays the merge relationally."""
+    from arrowhouse_spark.operators.merge import merge_into
+
+    o = _t(spark, sf_dir, "orders")
+    changes = (
+        o.filter((F.col("o_orderkey") % 7 == 0) | (F.col("o_orderkey") % 13 == 0))
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+            (F.col("o_orderkey") % 13 == 0).alias("is_del"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit(42.0).alias("o_totalprice"),
+                F.lit(False).alias("is_del"),
+            )
+        )
+    )
+    merged = merge_into(
+        o, changes, key_cols=["o_orderkey"], delete_col="is_del"
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def _bfs_oracle(max_hops: int = 4) -> str:
+    parts = [
+        """e AS (
+      SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS dst
+      FROM events
+    ),
+    v0 AS (
+      SELECT DISTINCT CAST(user_id AS BIGINT) AS id, 0 AS dist
+      FROM events WHERE user_id < 5
+    )"""
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"""f{h} AS (
+      SELECT DISTINCT e.dst AS id
+      FROM e JOIN v{h - 1} v ON v.id = e.src
+      WHERE e.dst NOT IN (SELECT id FROM v{h - 1})
+    ),
+    v{h} AS (
+      SELECT id, dist FROM v{h - 1}
+      UNION ALL SELECT id, {h} AS dist FROM f{h}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT id, CAST(dist AS INTEGER) AS dist FROM v{max_hops}"""
+    )
+
+
+@register("bfs_reach_levels", _bfs_oracle(4))
+def bfs_reach_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop levels (operators/graph.py:bfs_levels): the
+    minimum hop distance from seed users {0..4} over the user->prop-k
+    interaction graph, 4 hops — seed-set expansion, the reachability
+    companion to pagerank_topk on the same edges. Each hop is a keyed
+    frontier join + anti-join against visited (work bounded by the
+    reached ball, not hops x edges). The oracle unrolls all four
+    frontier/visited rounds."""
+    from arrowhouse_spark.operators.graph import bfs_levels
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        F.get_json_object("props", "$.k").cast("long").alias("dst"),
+    ).distinct()
+    seeds = ev.filter(F.col("user_id") < 5).select(
+        F.col("user_id").cast("long").alias("src")
+    )
+    return bfs_levels(edges, seeds, max_hops=4).select(
+        "id", F.col("dist").cast("int").alias("dist")
+    )

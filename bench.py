@@ -114,6 +114,8 @@ HEADLINE = [
     "correlation_matrix_lineitem",
     "ab_test_welch",
     "psi_drift_event_types",
+    "merge_into_upsert",
+    "bfs_reach_levels",
 ]
 
 

@@ -946,6 +946,56 @@ def _dq(c: Ctx) -> dict:
     return {"sec": t, "rules": n}
 
 
+@op("cap_per_key")
+def _cap(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.sampling import cap_per_key
+
+    t, n = timed(
+        lambda: cap_per_key(
+            c.events, key_col="event_type", id_col="event_id", max_rows=500
+        ).count()
+    )
+    return {"sec": t, "kept": n}
+
+
+@op("chat_turns")
+def _chat(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.text import chat_turns
+
+    wrapped = c.docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("user: "),
+            F.col("text"),
+            F.lit("\nassistant: ok"),
+        ).alias("text"),
+    )
+    t, n = timed(lambda: chat_turns(wrapped).count())
+    return {"sec": t, "turns": n}
+
+
+@op("zscore_outliers")
+def _zscore(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.timeseries import zscore_outliers
+
+    t, n = timed(
+        lambda: zscore_outliers(
+            c.events, key_cols=["event_type"], value_col="value"
+        ).filter("is_outlier").count()
+    )
+    return {"sec": t, "outliers": n}
+
+
+@op("psi_drift")
+def _psi(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.profile import psi_drift
+
+    half = c.events.filter(F.dayofmonth("ts") <= 15)
+    rest = c.events.filter(F.dayofmonth("ts") > 15)
+    t, n = timed(lambda: psi_drift(half, rest, cat_col="event_type").count())
+    return {"sec": t, "cats": n}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
