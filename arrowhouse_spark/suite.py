@@ -210,7 +210,23 @@ def _parquet_num_rows(sf_dir: str, name: str) -> int | None:
 # set during the gate, but a long-lived service reusing this module over
 # many sf_dirs/sessions must not accumulate persisted relations forever.
 _REL_CACHE: dict[tuple, DataFrame] = {}
-_REL_CACHE_MAX = 64
+# Cap sizing: the FIFO must hold one warm pass over every registered
+# query or a multi-pass bench THRASHES — at 92 headline queries the old
+# fixed 64 evicted the shared shingle relations between passes, and the
+# cache-dependent families (ngram_jaccard, minhash_incremental, bpe_*)
+# regressed 0.5-1.6 s/query in BENCH r07 pass timings. Scale with the
+# registry (2 entries/query observed worst case) under a hard bound;
+# the long-lived-service leak bound survives.
+_REL_CACHE_MAX = 64  # floor; raised to fit the registry below
+_REL_CACHE_HARD_MAX = 1024
+
+
+def _rel_cache_cap() -> int:
+    if _REL_CACHE_MAX < 64:
+        # an explicit small override (tests pin eviction behavior) is an
+        # absolute cap, not a floor
+        return _REL_CACHE_MAX
+    return min(max(_REL_CACHE_MAX, 2 * len(_QUERIES)), _REL_CACHE_HARD_MAX)
 
 
 def _rel_cached(key: tuple, build) -> DataFrame:
@@ -220,7 +236,7 @@ def _rel_cached(key: tuple, build) -> DataFrame:
     hit = _REL_CACHE.get(key)
     if hit is not None:
         return hit
-    while len(_REL_CACHE) >= _REL_CACHE_MAX:
+    while len(_REL_CACHE) >= _rel_cache_cap():
         oldest = _REL_CACHE.pop(next(iter(_REL_CACHE)))
         try:
             oldest.unpersist()
@@ -7867,4 +7883,93 @@ def bfs_reach_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return bfs_levels(edges, seeds, max_hops=4).select(
         "id", F.col("dist").cast("int").alias("dist")
+    )
+
+
+@register(
+    "embedding_covariance_8d",
+    """
+    WITH idx AS (SELECT unnest(range(8)) AS i),
+    v AS (
+      SELECT vec_id, i, embedding[i + 1] AS xi
+      FROM embeddings, idx
+    ),
+    c AS (
+      SELECT a.i AS i, b.i AS j, avg(a.xi * b.xi) AS exy
+      FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ),
+    m AS (SELECT i, avg(xi) AS ex FROM v GROUP BY 1)
+    SELECT CAST(c.i AS INTEGER) AS i, CAST(c.j AS INTEGER) AS j,
+           round(c.exy - mi.ex * mj.ex, 9) AS cov
+    FROM c JOIN m mi ON mi.i = c.i JOIN m mj ON mj.i = c.j
+    """,
+)
+def embedding_covariance_8d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass distributed covariance (operators/pca.py:
+    embedding_covariance) over the first 8 embedding dims: the pair
+    explode collapses to d(d+1)/2=36 groups per partition before any
+    shuffle (map-side partials), means join back as an 8-row broadcast.
+    The data-sized half of distributed PCA; the oracle computes the same
+    moments through a relational pair join."""
+    from arrowhouse_spark.operators.pca import embedding_covariance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, dims=8).select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        F.round("cov", 9).alias("cov"),
+    )
+
+
+@register(
+    "embedding_pca_contract",
+    """
+    WITH idx AS (SELECT unnest(range(64)) AS i),
+    v AS (SELECT i, embedding[i + 1] AS xi FROM embeddings, idx),
+    pv AS (SELECT i, var_pop(xi) AS vp FROM v GROUP BY 1),
+    tv AS (SELECT round(sum(vp), 6) AS total_variance FROM pv)
+    SELECT CAST(c AS INTEGER) AS comp_idx, tv.total_variance,
+           true AS orthonormal, true AS variance_decreasing,
+           true AS ratio_in_unit
+    FROM tv, (SELECT unnest(range(4)) AS c) t
+    """,
+)
+def embedding_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA under a contract oracle (operators/pca.py:pca_fit):
+    the top-4 eigenpairs of the 64-dim covariance. The SQL-checkable fact
+    is the total variance (trace ≡ Σ per-dim var_pop — the distributed
+    covariance pass must reproduce it to 6 dp); the eigen side ships as
+    contract booleans the oracle pins true: components orthonormal
+    (max |CCᵀ−I| < 1e-6), explained variances non-increasing, every
+    ratio in (0,1]. Eigh runs on the driver over the model-sized d x d
+    matrix — the documented bounded collect, same as k-means init."""
+    import numpy as np
+
+    from arrowhouse_spark.operators.pca import pca_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    fit = pca_fit(emb, k=4)
+    comps, ev = fit["components"], fit["explained_variance"]
+    gram = comps @ comps.T
+    orthonormal = bool(
+        np.max(np.abs(gram - np.eye(comps.shape[0]))) < 1e-6
+    )
+    decreasing = bool(np.all(np.diff(ev) <= 1e-12))
+    ratios = ev / fit["total_variance"]
+    in_unit = bool(np.all((ratios > 0) & (ratios <= 1.0)))
+    rows = [
+        (
+            int(m),
+            round(float(fit["total_variance"]), 6),
+            orthonormal,
+            decreasing,
+            in_unit,
+        )
+        for m in range(comps.shape[0])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "comp_idx int, total_variance double, orthonormal boolean, "
+        "variance_decreasing boolean, ratio_in_unit boolean",
     )
