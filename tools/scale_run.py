@@ -996,6 +996,48 @@ def _psi(c: Ctx) -> dict:
     return {"sec": t, "cats": n}
 
 
+@op("merge_into")
+def _merge_into(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.merge import merge_into
+
+    changes = c.events.filter(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        (F.col("value") + 1).alias("value"),
+        (F.col("event_id") % 50 == 0).alias("is_del"),
+    )
+    t, n = timed(
+        lambda: merge_into(
+            c.events, changes, key_cols=["event_id"], delete_col="is_del"
+        ).count()
+    )
+    return {"sec": t, "rows": n}
+
+
+@op("bfs_levels")
+def _bfs(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.graph import bfs_levels
+
+    edges = c.events.select(
+        F.col("user_id").alias("src"), F.col("k").alias("dst")
+    ).distinct()
+    seeds = c.events.filter(F.col("user_id") < 5).select(
+        F.col("user_id").alias("src")
+    )
+    t, n = timed(lambda: bfs_levels(edges, seeds, max_hops=4).count())
+    return {"sec": t, "reached": n}
+
+
+@op("pca_fit_project")
+def _pca(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.pca import pca_fit, pca_project
+
+    fit = pca_fit(c.emb, vec_col="embedding", k=4)
+    t, n = timed(
+        lambda: pca_project(c.emb, fit["components"]).count()
+    )
+    return {"sec": t, "rows": n, "tv": round(fit["total_variance"], 4)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
