@@ -116,6 +116,8 @@ HEADLINE = [
     "psi_drift_event_types",
     "merge_into_upsert",
     "bfs_reach_levels",
+    "embedding_covariance_8d",
+    "embedding_pca_contract",
 ]
 
 
