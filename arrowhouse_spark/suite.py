@@ -7973,3 +7973,86 @@ def embedding_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "comp_idx int, total_variance double, orthonormal boolean, "
         "variance_decreasing boolean, ratio_in_unit boolean",
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE) / sum(count(*))
+             OVER (PARTITION BY event_type), 6) AS p
+    FROM o WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (the product-analytics "what happens next" readout): lead() per user
+    ordered by (ts, event_id), counts per (from, to) pair, row-normalized
+    to probabilities. One per-key window + one keyed count; the
+    normalizing window runs on the TINY (from,to) matrix relation
+    partitioned by from-type — nothing global, nothing corpus-sized
+    after the count."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    o = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    counts = o.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wt), 6
+        ).alias("p"),
+    )
+
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH e AS (
+      SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi
+      FROM (
+        SELECT CAST(user_id AS BIGINT) AS s,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS d
+        FROM events
+      ) WHERE s != d
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e w1
+    JOIN e w2 ON w2.lo = w1.hi
+    WHERE EXISTS (
+      SELECT 1 FROM e c WHERE c.lo = w1.lo AND c.hi = w2.hi
+    )
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count (operators/graph.py:triangle_count) over the
+    undirected user->prop-k interaction graph — the ordered-wedge plan
+    (orient low->high, join wedges on the middle vertex, close with a
+    semi-join) counts each triangle exactly once in two keyed shuffles.
+    Completes the graph family: components (connectivity), pagerank
+    (centrality), bfs (reachability), triangles (clustering). The oracle
+    replays the same relational wedge closure."""
+    from arrowhouse_spark.operators.graph import triangle_count
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        F.get_json_object("props", "$.k").cast("long").alias("dst"),
+    )
+    return triangle_count(edges)

@@ -118,6 +118,8 @@ HEADLINE = [
     "bfs_reach_levels",
     "embedding_covariance_8d",
     "embedding_pca_contract",
+    "event_transition_matrix",
+    "graph_triangle_count",
 ]
 
 

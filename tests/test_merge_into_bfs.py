@@ -68,3 +68,31 @@ def test_bfs_min_distance_wins_on_multiple_paths(spark):
 def test_bfs_multi_source_and_hop_cap(spark):
     got = _bfs(spark, [(1, 2), (2, 3), (3, 4)], [1, 3], max_hops=1)
     assert got == {1: 0, 3: 0, 2: 1, 4: 1}  # capped: nothing at dist 2
+
+
+def _tri(spark, edges):
+    from arrowhouse_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return triangle_count(df).collect()[0]["n_triangles"]
+
+
+def test_triangle_count_basic(spark):
+    # one triangle 1-2-3 plus a dangling edge
+    assert _tri(spark, [(1, 2), (2, 3), (3, 1), (3, 4)]) == 1
+
+
+def test_triangle_count_direction_parallel_and_self_loops_collapse(spark):
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3), (3, 2)]
+    assert _tri(spark, edges) == 1
+
+
+def test_triangle_count_k4_has_four(spark):
+    import itertools
+
+    edges = [(a, b) for a, b in itertools.combinations([1, 2, 3, 4], 2)]
+    assert _tri(spark, edges) == 4
+
+
+def test_triangle_count_square_has_none(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4), (4, 1)]) == 0

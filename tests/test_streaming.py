@@ -1041,3 +1041,35 @@ def test_stream_ohlc_matches_batch_on_union(spark, ordered_stream_dir):
         .collect()
     )
     assert got == want and len(want) >= 3
+
+
+def test_stream_dq_check_matches_batch_on_union(spark, ordered_stream_dir):
+    """dq_check is a plain aggregation, so it runs UNCHANGED on a
+    streaming relation in complete mode (including the count-distinct
+    uniqueness rule, if supported by the streaming planner): the drained
+    report must equal the batch report on the union — quality contracts
+    monitored continuously with zero new operator code."""
+    from arrowhouse_spark.operators.quality import dq_check
+
+    rules = [
+        ("not_null", "user_id"),
+        ("in_set", "event_type", ("a", "b", "c", "z")),
+        ("range", "value", 0.0, 4.5),
+    ]
+    sdf = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ordered_stream_dir)
+    )
+    out = dq_check(sdf, rules)
+    q = _run_to_memory(out, "dq_union", "complete")
+    try:
+        got = sorted(tuple(r) for r in spark.table("dq_union").collect())
+    finally:
+        q.stop()
+    union = spark.read.schema(EVENT_SCHEMA).parquet(ordered_stream_dir)
+    want = sorted(tuple(r) for r in dq_check(union, rules).collect())
+    assert got == want and len(want) == 3
+    # the fixture plants one violation: value 5.0 breaks the range rule
+    by_rule = {r[1]: r[3] for r in got}
+    assert by_rule["range"] == 1
