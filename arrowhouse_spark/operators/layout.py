@@ -50,6 +50,20 @@ def zorder_value(
         raise ValueError(
             f"zvalue would need {bits * len(cols)} bits; reduce bits or cols"
         )
+    if df is not None:
+        bad = [
+            c
+            for c in cols
+            if df.schema[c].dataType.typeName() in ("double", "float")
+            or df.schema[c].dataType.typeName().startswith("decimal")
+        ]
+        if bad:
+            raise TypeError(
+                f"zorder_value needs integer columns; {bad} are fractional "
+                "— the long cast would truncate silently and engines "
+                "disagree on float boundaries. Pre-bucket them "
+                "(e.g. cast(price * 100 as long)) first."
+            )
     bounds = df.agg(
         *[
             a

@@ -210,6 +210,10 @@ def merge_into(
     coalesce projection — both sides shuffle by key once; bucketed tables
     co-locate it. No global state anywhere.
     """
+    if when_matched not in ("update", "keep"):
+        raise ValueError(
+            f"when_matched must be 'update' or 'keep', got {when_matched!r}"
+        )
     keys = list(key_cols)
     data_cols = [c for c in target.columns if c not in keys]
     s_cols = [c for c in source.columns if c not in keys and c != delete_col]

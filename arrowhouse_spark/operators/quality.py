@@ -40,6 +40,10 @@ def _violation_expr(rule: tuple) -> Column:
         return F.sum(F.when(c.isNull(), 1).otherwise(0))
     if kind == "in_set":
         vals = [F.lit(v) for v in rule[2]]
+        if not vals:
+            # empty accepted-set: every non-null value violates (isin()
+            # with zero args would throw at plan time instead)
+            return F.sum(F.when(c.isNotNull(), 1).otherwise(0))
         return F.sum(F.when(c.isNotNull() & ~c.isin(*vals), 1).otherwise(0))
     if kind == "range":
         lo, hi = rule[2], rule[3]

@@ -130,3 +130,25 @@ def test_layout_manifest_and_pruning_win(spark):
     ]
     assert len(cand) <= 4  # tight: 2x2 window falls in at most 4 z-squares
     assert len(rows) >= 16
+
+
+def test_zorder_rejects_fractional_columns(spark):
+    df = spark.createDataFrame([(1, 1.5)], "x long, y double")
+    with pytest.raises(TypeError, match="fractional"):
+        zorder_value(df, ["x", "y"])
+
+
+def test_dq_empty_in_set_counts_all_non_null(spark):
+    from arrowhouse_spark.operators.quality import dq_check
+
+    df = spark.createDataFrame([("a",), ("b",), (None,)], "c string")
+    out = dq_check(df, [("in_set", "c", ())]).collect()[0]
+    assert out["violations"] == 2 and not out["passed"]
+
+
+def test_merge_into_rejects_unknown_when_matched(spark):
+    from arrowhouse_spark.operators.merge import merge_into
+
+    df = spark.range(1).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="when_matched"):
+        merge_into(df, df, key_cols=["k"], when_matched="upsert")
