@@ -176,3 +176,79 @@ def triangle_count(
         "left_semi",
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: teleport (and dangling mass) return to the
+    SEED distribution instead of uniform — the recommendation/relevance
+    form ("importance relative to these seed accounts/domains"). p0 is
+    uniform over ``sources`` (1-column relation named like ``src``);
+    r_{t+1} = (1-d)·p0 + d·(WᵀD⁻¹ r_t + dangling_t · p0).
+
+    Same two-keyed-shuffles-per-iteration shape as :func:`pagerank`; the
+    p0 relation is seed-sized and joins broadcast. Vertices unreachable
+    from the seeds converge to rank 0 (they still appear, with r=0 —
+    callers filter if they want the reachable set only; compare
+    :func:`bfs_levels` which omits them).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seeds = sources.select(F.col(src).alias("id")).distinct()
+    ns_rel = seeds.agg(F.count(F.lit(1)).cast("double").alias("ns"))
+    p0 = (
+        nodes.join(seeds.withColumn("__is_seed", F.lit(1)), "id", "left")
+        .crossJoin(F.broadcast(ns_rel))
+        .select(
+            "id",
+            F.when(F.col("__is_seed").isNotNull(), 1.0 / F.col("ns"))
+            .otherwise(0.0)
+            .alias("p0"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+    ranks = p0.select("id", F.col("p0").alias("r"))
+    d = F.lit(damping)
+    for _ in range(iterations):
+        ranks = ranks.localCheckpoint(eager=False)
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("cr"))
+        )
+        dangling = ranks.join(
+            deg, ranks.id == deg.src, "left_anti"
+        ).agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+        ranks = (
+            p0.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    (F.lit(1.0) - d) * F.col("p0")
+                    + d
+                    * (
+                        F.coalesce(F.col("cr"), F.lit(0.0))
+                        + F.col("dm") * F.col("p0")
+                    )
+                ).alias("r"),
+            )
+        )
+    return ranks

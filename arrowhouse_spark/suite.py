@@ -8056,3 +8056,154 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("dst"),
     )
     return triangle_count(edges)
+
+
+def _ppr_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled personalized-PageRank oracle: pagerank's CTE mechanics
+    with the uniform vector replaced by the seed distribution p0 (seeds =
+    users {0..4}), dangling mass re-teleporting by p0."""
+    d = repr(damping)
+    parts = [
+        """e AS (
+      SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS dst
+      FROM events
+    ),
+    nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    seeds AS (
+      SELECT DISTINCT CAST(user_id AS BIGINT) AS id FROM events
+      WHERE user_id < 5
+    ),
+    ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+    p0 AS (
+      SELECT n.id,
+             CASE WHEN s.id IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS p
+      FROM nodes n LEFT JOIN seeds s ON s.id = n.id, ns
+    ),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY 1),
+    r0 AS (SELECT id, p AS r FROM p0)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""c{i} AS (
+      SELECT e.dst AS id, sum(r.r / d.c) AS cr
+      FROM e JOIN r{i - 1} r ON r.id = e.src JOIN deg d ON d.src = e.src
+      GROUP BY 1
+    ),
+    dm{i} AS (
+      SELECT coalesce(sum(r.r), 0) AS dm
+      FROM r{i - 1} r LEFT JOIN deg ON deg.src = r.id
+      WHERE deg.src IS NULL
+    ),
+    r{i} AS (
+      SELECT p.id,
+             (1 - {d}) * p.p + {d} * (coalesce(c.cr, 0) + dmt.dm * p.p) AS r
+      FROM p0 p LEFT JOIN c{i} c ON c.id = p.id, dm{i} dmt
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT id, round(r, 9) AS rank FROM r{iterations}
+    ORDER BY rank DESC, id LIMIT 20"""
+    )
+
+
+@register("personalized_pagerank_topk", _ppr_oracle(5, 0.85))
+def personalized_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py:personalized_pagerank):
+    relevance relative to seed users {0..4} — teleport and dangling mass
+    return to the seed distribution, so unreachable vertices converge to
+    0 and the top-20 ranks the seeds' neighborhood. Same unrolled-CTE
+    oracle mechanics as pagerank_topk with p0 replacing the uniform."""
+    from arrowhouse_spark.operators.graph import personalized_pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        F.get_json_object("props", "$.k").cast("long").alias("dst"),
+    )
+    seeds = ev.filter(F.col("user_id") < 5).select(
+        F.col("user_id").cast("long").alias("src")
+    )
+    ranks = personalized_pagerank(edges, seeds, iterations=5, damping=0.85)
+    return (
+        ranks.select("id", F.round("r", 9).alias("rank"))
+        .orderBy(F.col("rank").desc(), "id")
+        .limit(20)
+    )
+
+
+@register(
+    "point_in_time_enrich",
+    """
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id,
+             lag(event_type) OVER w AS prev,
+             (row_number() OVER w) = 1 AS first
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP),
+                   event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, event_type, event_id FROM marked
+      WHERE first OR prev IS DISTINCT FROM event_type
+    ),
+    p AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           (SELECT r.event_type FROM runs r
+             WHERE r.user_id = p.user_id AND r.ts <= p.ts
+             ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS state,
+           strftime((SELECT r.ts FROM runs r
+             WHERE r.user_id = p.user_id AND r.ts <= p.ts
+             ORDER BY r.ts DESC, r.event_id DESC LIMIT 1),
+             '%Y-%m-%d %H:%M:%S') AS state_since
+    FROM p
+    """,
+)
+def point_in_time_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — the feature-store correctness primitive: each
+    purchase event enriched with the dimension state VALID AT ITS
+    TIMESTAMP (never a later one — no feature leakage). Pure composition:
+    scd2_from_log builds the per-user state intervals, asof_join attaches
+    the latest run at-or-before each fact row. The oracle resolves the
+    same lookup with correlated latest-row subqueries."""
+    from arrowhouse_spark.operators.asof import asof_join
+    from arrowhouse_spark.operators.merge import scd2_from_log
+
+    ev = _events(spark, sf_dir)
+    runs = scd2_from_log(
+        ev, key_cols=["user_id"], ts_col="ts", attr_col="event_type",
+        tie_col="event_id",
+    ).select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.col("event_type").alias("state"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "state_since"
+        ),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        runs,
+        on="ts",
+        by=["user_id"],
+        value_cols=["state", "state_since"],
+        direction="backward",
+        prefix="",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "state",
+        "state_since",
+    )

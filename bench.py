@@ -120,6 +120,8 @@ HEADLINE = [
     "embedding_pca_contract",
     "event_transition_matrix",
     "graph_triangle_count",
+    "personalized_pagerank_topk",
+    "point_in_time_enrich",
 ]
 
 

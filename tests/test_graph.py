@@ -66,3 +66,43 @@ def test_pagerank_random_graph_differential(spark):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-9)
+
+
+def _np_ppr(edges, seeds, iterations=5, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out: dict[int, list[int]] = {}
+    for u, v in set(edges):
+        out.setdefault(idx[u], []).append(idx[v])
+    p0 = np.zeros(n)
+    for s in seeds:
+        p0[idx[s]] = 1.0 / len(seeds)
+    r = p0.copy()
+    for _ in range(iterations):
+        dangling = sum(r[i] for i in range(n) if i not in out)
+        nxt = (1 - d) * p0 + d * dangling * p0
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += d * r[u] / len(vs)
+        r = nxt
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_personalized_pagerank_matches_dense_model(spark):
+    from arrowhouse_spark.operators.graph import personalized_pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6)]
+    seeds = [1]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "src long")
+    got = {
+        r["id"]: r["r"]
+        for r in personalized_pagerank(e, s, iterations=6).collect()
+    }
+    want = _np_ppr(edges, seeds, iterations=6)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12, abs=1e-15)
+    # the 5->6 island is unreachable from seed 1: rank decays to ~0
+    assert got[6] < 1e-6 and got[2] > 0.1
