@@ -223,3 +223,69 @@ def zscore_outliers(
         )
         .drop("__mu", "__sigma")
     )
+
+
+def rolling_mean(
+    df: DataFrame,
+    key_cols,
+    order_col: str,
+    value_col: str,
+    window_rows: int = 7,
+    round_dp: int = 2,
+    out_col: str = "rolling_mean",
+    stat: str = "mean",
+) -> DataFrame:
+    """Trailing moving ``stat`` ("mean" or "sum") over the ``window_rows``
+    most recent rows per key (current row inclusive) — the smoothing
+    everyone applies to the gapfill_locf output before charting/alerting.
+    ONE per-key ordered window with a BOUNDED rows frame, so per-row
+    state is window_rows values regardless of series length (an
+    unbounded frame would be the running-sum shape instead — that exists
+    as window_running_sum).
+
+    Cross-engine note: a mean of d-decimal inputs lands on .xx5 rounding
+    boundaries where engines' tie rules differ (half-up vs half-even —
+    one row in 105k flipped in the oracle gate); a rolling SUM of
+    d-decimal inputs stays ON the d-decimal grid, so the oracle query
+    uses stat="sum". The mean form is for in-pipeline use."""
+    if stat not in ("mean", "sum"):
+        raise ValueError(f"stat must be mean|sum, got {stat!r}")
+    key_cols = list(key_cols)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(order_col))
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    agg = F.avg if stat == "mean" else F.sum
+    return df.withColumn(
+        out_col, F.round(agg(F.col(value_col)).over(w), round_dp)
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    key_cols,
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str = "winsorized",
+) -> DataFrame:
+    """Per-key winsorization: clip ``value_col`` to the key's
+    [``lower``, ``upper``] interpolated quantiles — the standard outlier
+    treatment before averaging/regression (the destructive complement of
+    zscore_outliers, which only flags). ONE keyed quantile aggregate
+    broadcast back + a map-side clip; quantiles are rounded to 6 dp
+    before clipping so both engines clip at identical boundaries."""
+    key_cols = list(key_cols)
+    q = df.groupBy(*key_cols).agg(
+        F.round(F.percentile(F.col(value_col), F.lit(lower)), 6).alias("__lo"),
+        F.round(F.percentile(F.col(value_col), F.lit(upper)), 6).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(q), key_cols)
+        .withColumn(
+            out_col,
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )

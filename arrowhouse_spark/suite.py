@@ -8207,3 +8207,109 @@ def point_in_time_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state",
         "state_since",
     )
+
+
+@register(
+    "events_rolling_mean",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+      FROM events
+    ),
+    obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             (max({'ts': ts, 'tie': event_id, 'v': value})).v AS v_obs
+      FROM e GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM obs GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    filled AS (
+      SELECT s.user_id, s.h,
+             round(last_value(o.v_obs IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS v_filled
+      FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.h = s.h
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_h, v_filled,
+           round(sum(v_filled) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rolling_sum
+    FROM filled
+    """,
+)
+def events_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-bucket moving average (operators/timeseries.py:
+    rolling_mean, stat="sum") over the gap-filled hourly series — the
+    composition a monitoring pipeline actually charts: gapfill_locf
+    regularizes, then ONE bounded-frame per-key window smooths (state =
+    7 values per row, series-length-free). The SUM form keeps results on
+    the 2-decimal grid (a rolling MEAN lands on .xx5 tie boundaries
+    where engine rounding rules differ — measured: 1 row in 105k).
+    Oracle replays spine, fill, and the bounded frame."""
+    from arrowhouse_spark.operators.timeseries import gapfill_locf, rolling_mean
+
+    filled = gapfill_locf(
+        _events(spark, sf_dir),
+        key_col="user_id", ts_col="ts", value_col="value",
+        tie_col="event_id",
+    )
+    out = rolling_mean(
+        filled, key_cols=["user_id"], order_col="bucket_ts",
+        value_col="v_filled", window_rows=7, stat="sum",
+        out_col="rolling_sum",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_h"),
+        "v_filled",
+        "rolling_sum",
+    )
+
+
+@register(
+    "events_winsorized_stats",
+    """
+    WITH q AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS lo,
+             round(quantile_cont(value, 0.95), 6) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(least(greatest(e.value, q.lo), q.hi)), 2)
+             AS sum_winsorized,
+           round(avg(least(greatest(e.value, q.lo), q.hi)), 6)
+             AS avg_winsorized,
+           CAST(sum(CASE WHEN e.value < q.lo OR e.value > q.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN q USING (event_type)
+    GROUP BY 1
+    """,
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key winsorization (operators/timeseries.py:winsorize, [5%,95%]):
+    clip to the key's interpolated quantiles — one keyed quantile
+    aggregate broadcast back, map-side clip; thresholds 6-dp rounded so
+    both engines clip identical boundary rows. The destructive complement
+    of events_zscore_outliers (flags); rolled up per type with the
+    clipped-row count."""
+    from arrowhouse_spark.operators.timeseries import winsorize
+
+    ev = _events(spark, sf_dir)
+    w = winsorize(
+        ev, key_cols=["event_type"], value_col="value",
+        lower=0.05, upper=0.95,
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("winsorized"), 2).alias("sum_winsorized"),
+        F.round(F.avg("winsorized"), 6).alias("avg_winsorized"),
+        F.sum(
+            F.when(F.col("value") != F.col("winsorized"), 1).otherwise(0)
+        ).cast("long").alias("n_clipped"),
+    )

@@ -122,6 +122,8 @@ HEADLINE = [
     "graph_triangle_count",
     "personalized_pagerank_topk",
     "point_in_time_enrich",
+    "events_rolling_mean",
+    "events_winsorized_stats",
 ]
 
 

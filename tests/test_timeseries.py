@@ -76,3 +76,45 @@ def test_gapfill_spine_is_bounded_by_buckets_not_events(spark):
     assert out.count() == 1
     r = out.collect()[0]
     assert r["v_filled"] == 99.0 and not r["filled"]
+
+
+def test_rolling_mean_bounded_frame(spark):
+    rows = [("a", i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    from arrowhouse_spark.operators.timeseries import rolling_mean
+
+    out = {
+        r["t"]: r["rolling_mean"]
+        for r in rolling_mean(
+            df, key_cols=["k"], order_col="t", value_col="v", window_rows=3
+        ).collect()
+    }
+    assert out[0] == 0.0
+    assert out[1] == 0.5  # mean(0,1)
+    assert out[5] == 4.0  # mean(3,4,5)
+    assert out[9] == 8.0
+
+
+def test_rolling_rejects_unknown_stat(spark):
+    import pytest as _pytest
+
+    from arrowhouse_spark.operators.timeseries import rolling_mean
+
+    with _pytest.raises(ValueError, match="stat"):
+        rolling_mean(
+            spark.range(1), key_cols=[], order_col="id", value_col="id",
+            stat="median",
+        )
+
+
+def test_winsorize_clips_to_group_quantiles(spark):
+    vals = [float(v) for v in range(1, 101)]  # 1..100
+    df = spark.createDataFrame([("a", v) for v in vals], "k string, v double")
+    from arrowhouse_spark.operators.timeseries import winsorize
+
+    out = winsorize(df, key_cols=["k"], value_col="v", lower=0.1, upper=0.9)
+    rows = {r["v"]: r["winsorized"] for r in out.collect()}
+    # interpolated p10 of 1..100 = 10.9, p90 = 90.1 (rounded 6dp)
+    assert rows[1.0] == 10.9
+    assert rows[100.0] == 90.1
+    assert rows[50.0] == 50.0
