@@ -8313,3 +8313,68 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("value") != F.col("winsorized"), 1).otherwise(0)
         ).cast("long").alias("n_clipped"),
     )
+
+
+@register(
+    "ohlc_incremental_merge",
+    """
+    WITH t AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+      FROM events
+    )
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_h,
+           round((min({'ts': ts, 'tie': event_id, 'v': value})).v, 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round((max({'ts': ts, 'tie': event_id, 'v': value})).v, 2) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY 1, 2
+    """,
+)
+def ohlc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental OHLC under late data, via mergeable state
+    (operators/aggstate.py): the month's events split into an on-time
+    batch (first 25 days) and a late batch; each produces per-(type,
+    hour) state rows INDEPENDENTLY — min/max over the (ts, tie, value)
+    struct are mergeable states exactly like sum/count — and agg_merge
+    folds the two state sets. The oracle is the DIRECT single-shot OHLC
+    over everything: merge-after-late-arrival must equal recompute, the
+    backfill-correctness contract every incremental rollup pipeline
+    needs. Same two-phase ≡ one-shot discipline as agg_state_merge_daily
+    (ut_aggregator.cpp:133-149), composed to a real rollup shape."""
+    from arrowhouse_spark.operators.aggstate import agg_merge, agg_state
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        "value",
+        F.struct(
+            F.col("ts"), F.col("event_id").alias("tie"), F.col("value").alias("v")
+        ).alias("ots"),
+        F.col("ts"),
+    )
+    cut = F.lit("2024-01-26 00:00:00").cast("timestamp")
+    ops = [("ots", "min"), ("ots", "max"), ("value", "min"),
+           ("value", "max"), ("value", "count")]
+    on_time = agg_state(
+        ev.filter(F.col("ts") < cut).drop("ts"),
+        keys=["event_type", "bucket_ts"], ops=ops,
+    )
+    late = agg_state(
+        ev.filter(F.col("ts") >= cut).drop("ts"),
+        keys=["event_type", "bucket_ts"], ops=ops,
+    )
+    merged = agg_merge(
+        on_time.unionByName(late),
+        keys=["event_type", "bucket_ts"], ops=ops,
+    )
+    return merged.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_h"),
+        F.round(F.col("min_ots").getField("v"), 2).alias("open"),
+        F.round("max_value", 2).alias("high"),
+        F.round("min_value", 2).alias("low"),
+        F.round(F.col("max_ots").getField("v"), 2).alias("close"),
+        F.col("count_value").alias("n"),
+    )

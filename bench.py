@@ -124,6 +124,7 @@ HEADLINE = [
     "point_in_time_enrich",
     "events_rolling_mean",
     "events_winsorized_stats",
+    "ohlc_incremental_merge",
 ]
 
 

@@ -1038,6 +1038,41 @@ def _pca(c: Ctx) -> dict:
     return {"sec": t, "rows": n, "tv": round(fit["total_variance"], 4)}
 
 
+@op("triangle_count")
+def _triangles(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.graph import triangle_count
+
+    edges = c.events.select(
+        F.col("user_id").alias("src"), F.col("k").alias("dst")
+    )
+    t, rows = timed(lambda: triangle_count(edges).collect())
+    return {"sec": t, "triangles": rows[0]["n_triangles"]}
+
+
+@op("rolling_winsorize")
+def _rolling(c: Ctx) -> dict:
+    from arrowhouse_spark.operators.timeseries import (
+        gapfill_locf,
+        rolling_mean,
+        winsorize,
+    )
+
+    filled = gapfill_locf(
+        c.events, key_col="user_id", ts_col="ts", value_col="value",
+        tie_col="event_id",
+    )
+    t, n = timed(
+        lambda: winsorize(
+            rolling_mean(
+                filled, key_cols=["user_id"], order_col="bucket_ts",
+                value_col="v_filled", window_rows=7,
+            ),
+            key_cols=["user_id"], value_col="rolling_mean",
+        ).count()
+    )
+    return {"sec": t, "rows": n}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
