@@ -152,3 +152,47 @@ def test_merge_into_rejects_unknown_when_matched(spark):
     df = spark.range(1).withColumnRenamed("id", "k")
     with pytest.raises(ValueError, match="when_matched"):
         merge_into(df, df, key_cols=["k"], when_matched="upsert")
+
+
+def test_zorder_repartition_write_produces_tight_file_stats(spark, tmp_path):
+    # the end goal of the layout rewrite: AFTER writing, each parquet
+    # file's min/max footer stats bound BOTH dimensions, so a 2-D point
+    # predicate hits few files on stats alone. The skipping metric is the
+    # SUM of per-file bounding-box areas (= expected files scanned per
+    # uniform point lookup x grid size): a random or 1-D layout gives
+    # every file the full 64x64 box (total 8*4096); the z-layout keeps
+    # most files in a ~32x16 box. A couple of range-boundary files
+    # legitimately straddle Morton quadrants and go wide (same artifact
+    # Delta's OPTIMIZE ZORDER has), so assert on the total, not the max.
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from arrowhouse_spark.operators.layout import zorder_repartition
+
+    pts = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = str(tmp_path / "zsorted")
+    (
+        zorder_repartition(df, ["x", "y"], num_partitions=8)
+        .sortWithinPartitions("zvalue")
+        .write.parquet(out)
+    )
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) >= 4
+    areas = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        stats = [
+            [md.row_group(g).column(c).statistics for g in range(md.num_row_groups)]
+            for c in (0, 1)
+        ]
+        spans = [
+            max(s.max for s in col) - min(s.min for s in col) for col in stats
+        ]
+        areas.append((spans[0] + 1) * (spans[1] + 1))
+    unclustered = len(files) * 64 * 64
+    # z-layout: ~6 tight 32x16 files + <=2 quadrant-straddlers; well under
+    # half the unclustered area, and at least one file must be tight
+    assert sum(areas) < 0.5 * unclustered
+    assert min(areas) <= 32 * 16
