@@ -136,6 +136,90 @@ def hll_state(
     )
 
 
+_CMS_P = 1_000_000_007  # prime modulus; (p-1)^2 ~ 1.0e18 fits a signed long
+# fixed pairwise-independent affine rows (a, b), a != 0, both < p — shared
+# verbatim by the SQL oracle so bucket assignment is engine-identical
+_CMS_ROWS = ((999_983, 7_920), (999_979, 15_839), (999_961, 23_758), (999_959, 31_677))
+
+
+def _cms_bucket(col, a: int, b: int, width: int):
+    """Affine bucket ((a * (x mod p) + b) mod p) mod w in exact BIGINT
+    arithmetic — every step stays under 2^63, no float anywhere, so any
+    engine computes the identical bucket."""
+    x = F.pmod(F.col(col).cast("long"), F.lit(_CMS_P))
+    return F.pmod(F.pmod(F.lit(a) * x + F.lit(b), F.lit(_CMS_P)), F.lit(width))
+
+
+def cms_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Mergeable count-min-sketch state (Cormode/Muthukrishnan CM sketch):
+    per key tuple, ``depth`` x ``width`` counters as PLAIN ROWS
+    (row, bucket, cnt) — the frequency-sketch member of the agg_state
+    family, complementing hll_state (distinct) and the exact states.
+    Plain rows keep the merge a built-in SUM (codegen, map-side partials)
+    and the stored sketch queryable/partitionable at rest; state size is
+    bounded by keys x depth x width regardless of data volume.
+
+    The bucket hash is an exact-integer affine map with fixed public
+    constants, so a SQL oracle (or another engine) reproduces the sketch
+    bit-for-bit — same doctrine as layout.py's integer quantization."""
+    if depth > len(_CMS_ROWS):
+        raise ValueError(f"depth <= {len(_CMS_ROWS)}; got {depth}")
+    buckets = F.array(
+        *[_cms_bucket(value_col, a, b, width) for a, b in _CMS_ROWS[:depth]]
+    )
+    exploded = df.select(
+        *keys, F.posexplode(buckets).alias("row", "bucket")
+    )
+    return exploded.groupBy(*keys, "row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge(states: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Fold CM-sketch states by the surviving ``keys``: counter-wise SUM.
+    Addition is associative/commutative, so fold order and increment
+    partitioning can never change the merged sketch — merge-then-query
+    equals direct-build-then-query exactly (the contract the oracle
+    replays)."""
+    return states.groupBy(*keys, "row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_point_estimate(
+    states: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    depth: int = 4,
+    width: int = 512,
+    out: str = "est",
+) -> DataFrame:
+    """Point-frequency estimates for a (small) probe relation against a
+    merged keyless sketch: min over depth rows of the probed counters —
+    the CM guarantee est >= true always holds. The probe side re-derives
+    its buckets with the same fixed constants and broadcast-joins the
+    state (depth x width rows); missing counters read as 0."""
+    if depth > len(_CMS_ROWS):
+        raise ValueError(f"depth <= {len(_CMS_ROWS)}; got {depth}")
+    buckets = F.array(
+        *[_cms_bucket(probe_col, a, b, width) for a, b in _CMS_ROWS[:depth]]
+    )
+    probe_h = probes.select(
+        F.col(probe_col), F.posexplode(buckets).alias("row", "bucket")
+    )
+    joined = probe_h.join(F.broadcast(states), ["row", "bucket"], "left")
+    per_row = joined.groupBy(probe_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out)
+    )
+    return per_row
+
+
 def hll_merge(
     states: DataFrame,
     keys: Sequence[str],

@@ -252,3 +252,58 @@ def personalized_pagerank(
             )
         )
     return ranks
+
+
+def ancestor_rollup(
+    nodes: DataFrame,
+    id_col: str,
+    parent_expr: str,
+    value_col: str,
+    root_pred: str,
+    max_depth: int = 64,
+) -> DataFrame:
+    """Hierarchy subtree rollup via Spark's native recursive CTE
+    (WITH RECURSIVE, SQL:1999 / Spark 4.x): for every node, walk its
+    ancestor chain ``id -> parent_expr(id) -> ...`` until ``root_pred``
+    holds, then aggregate each ancestor's subtree (self included):
+    member count, sum of ``value_col``, and max chain depth below it —
+    the org-chart / BOM rollup classic, expressed as ENGINE-side
+    recursion instead of a driver loop (contrast bfs_levels above, which
+    iterates in Python because BFS needs frontier de-dup that recursive
+    UNION ALL cannot express).
+
+    ``parent_expr`` / ``root_pred`` are SQL fragments over the column
+    ``cur`` (e.g. ``"cur DIV 10"`` / ``"cur = 0"``) — a FUNCTIONAL
+    hierarchy where each node has exactly one parent, so the recursion
+    grows linearly (rows x depth), never combinatorially: each iteration
+    is a pure map-side projection of the previous step, no join at all.
+    ``max_depth`` bounds the recursion against a non-terminating parent
+    function (Spark also enforces its own recursion row/level limits).
+
+    Scale: total recursive output is n x chain-depth rows (depth is
+    log_b(keyspace) for a b-ary key hierarchy); the only shuffle is the
+    final keyed rollup aggregate. Returns (ancestor, n_subtree,
+    sum_<value_col>, max_depth_below).
+    """
+    spark = nodes.sparkSession
+    view = f"__anc_nodes_{abs(hash((id_col, parent_expr, root_pred))) % 10**8}"
+    nodes.select(
+        F.col(id_col).alias("node"), F.col(value_col).alias("val")
+    ).createOrReplaceTempView(view)
+    out = spark.sql(
+        f"""
+        WITH RECURSIVE chain(node, cur, depth, val) AS (
+          SELECT node, node, 0, val FROM {view}
+          UNION ALL
+          SELECT node, {parent_expr.replace('cur', '(cur)')}, depth + 1, val
+          FROM chain WHERE NOT ({root_pred}) AND depth < {int(max_depth)}
+        )
+        SELECT cur AS ancestor,
+               COUNT(*) AS n_subtree,
+               SUM(val) AS sum_val,
+               MAX(depth) AS max_depth_below
+        FROM chain
+        GROUP BY cur
+        """
+    )
+    return out.withColumnRenamed("sum_val", f"sum_{value_col}")

@@ -1169,3 +1169,54 @@ def chat_turns(
             ),
         )
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[tuple[str, DataFrame]],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    c: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher RRF) of N ranked
+    retrieval lists: score(d) = sum over lists of 1/(c + rank_list(d)),
+    the standard score-free way to combine lexical (BM25) and dense
+    (embedding cosine) retrieval into one hybrid ranking. Superset of the
+    reference (no retrieval surface there); completes the retrieval
+    family next to :func:`bm25_topk` as its rank CONSUMER.
+
+    Each input is a (name, df) pair where df holds (id_col, rank_col)
+    for an already-truncated top-N list, so everything here is
+    constant-sized: the fusion is a chain of full-outer joins in the
+    given list order with the contribution sum written as an explicit
+    left-to-right ``+`` chain — addition order is FIXED by construction,
+    never by shuffle arrival, so the fused double is deterministic and a
+    SQL oracle reproduces it bit-for-bit. Per-list ranks survive as
+    ``<name>_rank`` (NULL = not retrieved by that list). Output top-k by
+    (9-dp-rounded score desc, id asc) via TakeOrdered — no global sort,
+    no window.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one (name, ranking) pair")
+    fused = None
+    for name, rdf in rankings:
+        side = rdf.select(
+            F.col(id_col), F.col(rank_col).alias(f"{name}_rank")
+        )
+        fused = side if fused is None else fused.join(side, id_col, "full_outer")
+    contribs = [
+        F.coalesce(
+            1.0 / (F.lit(float(c)) + F.col(f"{name}_rank").cast("double")),
+            F.lit(0.0),
+        )
+        for name, _ in rankings
+    ]
+    score = contribs[0]
+    for term in contribs[1:]:
+        score = score + term
+    scored = fused.withColumn("rrf_score", F.round(score, 9))
+    return (
+        scored.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "rrf_score", *[f"{n}_rank" for n, _ in rankings])
+    )

@@ -8378,3 +8378,321 @@ def ohlc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("max_ots").getField("v"), 2).alias("close"),
         F.col("count_value").alias("n"),
     )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the six-table join —
+    lineitem x orders x customer x supplier x nation x region with the
+    local-supplier equality s_nationkey = c_nationkey — the multi-join
+    planning benchmark the two-table queries (q3, join_broadcast) don't
+    exercise. Declarative joins end to end: the date filter pushes into
+    the orders scan, nation/region compile to broadcast hashes, and
+    AQE/Catalyst pick the lineitem x orders x customer strategies from
+    runtime sizes (at 100 TB all three scale with SF, so hard-coding a
+    broadcast would be wrong — the planner must choose). Engine parity:
+    the reference executes joins one pair at a time in caller order
+    (YdbModes join streams); here join ORDER itself is the optimizer's."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (supp.s_suppkey == li.l_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), nation.n_nationkey == supp.s_nationkey)
+        .join(F.broadcast(region), region.r_regionkey == nation.n_regionkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "hierarchy_rollup_recursive",
+    """
+    WITH RECURSIVE chain(node, cur, depth, val) AS (
+      SELECT c_custkey, c_custkey, 0, c_acctbal FROM customer
+      UNION ALL
+      SELECT node, cur // 10, depth + 1, val
+      FROM chain WHERE NOT (cur = 0) AND depth < 64
+    )
+    SELECT cur AS ancestor,
+           CAST(count(*) AS BIGINT) AS n_subtree,
+           round(sum(val), 2) AS sum_acctbal,
+           CAST(max(depth) AS INTEGER) AS max_depth_below
+    FROM chain GROUP BY 1
+    """,
+)
+def hierarchy_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy subtree rollup through Spark's NATIVE recursive CTE
+    (operators/graph.py:ancestor_rollup, WITH RECURSIVE — Spark 4.x):
+    every customer rolls up its ancestor chain in the 10-ary key forest
+    (parent = custkey DIV 10), aggregating subtree size, balance, and
+    depth per ancestor — the org-chart/BOM classic, recursion executed by
+    the ENGINE rather than a driver loop (the iterative complement is
+    bfs_reach_levels, whose frontier dedup recursive UNION ALL cannot
+    express). The functional parent keeps growth linear (rows x depth,
+    depth = log10(keyspace)); each recursive step is a map-side
+    projection, the only shuffle is the final rollup. The oracle is the
+    IDENTICAL recursive SQL in DuckDB — both engines walk the same
+    SQL:1999 construct."""
+    from arrowhouse_spark.operators.graph import ancestor_rollup
+
+    cust = _t(spark, sf_dir, "customer")
+    out = ancestor_rollup(
+        cust,
+        id_col="c_custkey",
+        parent_expr="cur DIV 10",
+        value_col="c_acctbal",
+        root_pred="cur = 0",
+        max_depth=64,
+    )
+    return out.select(
+        "ancestor",
+        F.col("n_subtree").cast("long").alias("n_subtree"),
+        F.round("sum_c_acctbal", 2).alias("sum_acctbal"),
+        F.col("max_depth_below").cast("int").alias("max_depth_below"),
+    )
+
+
+@register(
+    "cms_state_merge_daily",
+    """
+    WITH rws(r, a, b) AS (
+      VALUES (0, 999983, 7920), (1, 999979, 15839),
+             (2, 999961, 23758), (3, 999959, 31677)
+    ),
+    h AS (
+      SELECT rws.r AS row,
+             ((rws.a * (user_id % 1000000007) + rws.b) % 1000000007) % 512
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events, rws GROUP BY 1, 2
+    ),
+    probes(u) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)),
+    ph AS (
+      SELECT probes.u, rws.r AS row,
+             ((rws.a * (probes.u % 1000000007) + rws.b) % 1000000007) % 512
+               AS bucket
+      FROM probes, rws
+    ),
+    est AS (
+      SELECT ph.u, min(coalesce(h.cnt, 0)) AS est
+      FROM ph LEFT JOIN h USING (row, bucket) GROUP BY 1
+    ),
+    exact AS (
+      SELECT user_id AS u, CAST(count(*) AS BIGINT) AS exact_n
+      FROM events WHERE user_id < 8 GROUP BY 1
+    )
+    SELECT CAST(est.u AS BIGINT) AS user_id,
+           CAST(est.est AS BIGINT) AS est_n,
+           coalesce(exact.exact_n, 0) AS exact_n,
+           est.est >= coalesce(exact.exact_n, 0) AS never_under
+    FROM est LEFT JOIN exact USING (u)
+    """,
+)
+def cms_state_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable count-min-sketch frequency state (operators/aggstate.py:
+    cms_state/cms_merge/cms_point_estimate): per-day 4 x 512 sketches of
+    the user_id stream folded to one global sketch, then point-frequency
+    estimates for users 0-7 against their exact counts. The frequency
+    member of the mergeable-state family (exact states = agg_state, HLL
+    distinct = hll_state): counters are PLAIN (row, bucket, cnt) rows, so
+    the merge is a built-in codegen SUM and the stored sketch stays
+    queryable at rest; state is keys x 4 x 512 regardless of volume. The
+    bucket hash is exact-BIGINT affine arithmetic with fixed public
+    constants, so the oracle REPLAYS the sketch bit-for-bit (sum
+    associativity makes day-split-then-merge ≡ direct by construction)
+    and pins the CM overestimate guarantee per probe."""
+    from arrowhouse_spark.operators.aggstate import (
+        cms_merge,
+        cms_point_estimate,
+        cms_state,
+    )
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    states = cms_state(ev, keys=["day"], value_col="user_id")
+    merged = cms_merge(states, keys=[])
+    probes = spark.range(8).select(F.col("id").alias("user_id"))
+    est = cms_point_estimate(merged, probes, "user_id", out="est_n")
+    exact = (
+        ev.filter(F.col("user_id") < 8)
+        .groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return (
+        est.select(F.col("user_id").cast("long").alias("user_id"), "est_n")
+        .join(F.broadcast(exact), "user_id", "left")
+        .select(
+            "user_id",
+            "est_n",
+            F.coalesce("exact_n", F.lit(0)).alias("exact_n"),
+            (F.col("est_n") >= F.coalesce("exact_n", F.lit(0))).alias(
+                "never_under"
+            ),
+        )
+    )
+
+
+@register(
+    "hybrid_rrf_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('scan', 'merge', 'window') GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), contrib AS (
+      SELECT tf.doc_id,
+             ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS c
+      FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+    ), bscored AS (
+      SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY doc_id
+    ), b AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+               AS rank
+      FROM bscored ORDER BY score DESC, doc_id LIMIT 50
+    ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cscored AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 6)
+               AS cos_sim
+      FROM embeddings e, q
+    ), c AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INTEGER)
+               AS rank
+      FROM cscored ORDER BY cos_sim DESC, doc_id LIMIT 50
+    ), fused AS (
+      SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             round(coalesce(1.0 / (60.0 + b.rank), 0)
+                   + coalesce(1.0 / (60.0 + c.rank), 0), 9) AS rrf_score,
+             b.rank AS bm25_rank, c.rank AS cos_rank
+      FROM b FULL OUTER JOIN c ON b.doc_id = c.doc_id
+    )
+    SELECT doc_id, rrf_score, bm25_rank, cos_rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 15
+    """,
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (operators/text.py:
+    rrf_fuse) of the lexical BM25 top-50 and the dense cosine top-50 for
+    the same information need — the standard two-tower retrieval combiner
+    (RRF is score-free, so BM25's log-scale and cosine's [-1,1] need no
+    calibration). Both inputs are already-proven suite components
+    (bm25_topk, ann_cosine_topk's brute force); the fusion itself is
+    constant-sized (two 50-row lists, full-outer join, fixed-order
+    contribution sum so the double is engine-deterministic). The dense
+    list's rank comes from the same broadcast theta-join pattern as
+    bm25's — no window anywhere."""
+    from arrowhouse_spark.operators.text import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["scan", "merge", "window"], k=50)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    dense = cosine_topk_query(emb, qvec, k=50).select(
+        F.col("vec_id").alias("doc_id"), "cos_sim"
+    )
+    other = F.broadcast(
+        dense.select(
+            F.col("cos_sim").alias("__s2"), F.col("doc_id").alias("__i2")
+        )
+    )
+    better = (F.col("__s2") > F.col("cos_sim")) | (
+        (F.col("__s2") == F.col("cos_sim")) & (F.col("__i2") < F.col("doc_id"))
+    )
+    dense_ranked = (
+        dense.join(other, better, "left")
+        .groupBy("doc_id", "cos_sim")
+        .agg((F.count("__i2") + 1).cast("int").alias("rank"))
+        .select("doc_id", "rank")
+    )
+    return rrf_fuse(
+        [("bm25", lex.select("doc_id", "rank")), ("cos", dense_ranked)],
+        id_col="doc_id",
+        c=60,
+        k=15,
+    )
+
+
+@register(
+    "variant_props_stats",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS max_k,
+           'OBJECT<k: BIGINT>' AS vschema
+    FROM events GROUP BY 1
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-less semi-structured ingestion through Spark's VARIANT type
+    (Spark 4.x parse_json / variant_get — the engine's binary
+    semi-structured encoding, shredded at the scan like ClickHouse's JSON
+    object columns): typed path extraction WITHOUT a declared schema,
+    where json_props_stats' from_json needs one up front — the two
+    queries are the static- vs dynamic-schema pair over the same payload.
+    schema_of_variant_agg pins the inferred payload shape as data
+    (OBJECT<k: BIGINT>), which the oracle asserts as a literal — a
+    payload drift (new key, type change) fails the gate. All map-side
+    codegen into one keyed aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.variant_get(v, "$.k", "bigint")).alias("sum_k"),
+        F.min(F.variant_get(v, "$.k", "bigint")).alias("min_k"),
+        F.max(F.variant_get(v, "$.k", "bigint")).alias("max_k"),
+        F.schema_of_variant_agg(v).alias("vschema"),
+    )

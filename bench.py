@@ -125,6 +125,11 @@ HEADLINE = [
     "events_rolling_mean",
     "events_winsorized_stats",
     "ohlc_incremental_merge",
+    "q5_local_supplier_volume",
+    "hierarchy_rollup_recursive",
+    "cms_state_merge_daily",
+    "hybrid_rrf_topk",
+    "variant_props_stats",
 ]
 
 

@@ -87,3 +87,44 @@ def test_salted_join_rejects_right_outer(spark):
     df = spark.range(1).withColumnRenamed("id", "k")
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(df, df, on=["k"], how="right")
+
+
+def test_cms_merge_equals_direct_and_never_underestimates(spark):
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.aggstate import (
+        cms_merge,
+        cms_point_estimate,
+        cms_state,
+    )
+
+    rows = [(d, u) for d in (1, 2) for u in [7] * 5 + [11] * 3 + [13]]
+    df = spark.createDataFrame(rows, "day int, u long")
+    # day-split states folded ...
+    merged = cms_merge(
+        cms_state(df, keys=["day"], value_col="u"), keys=[]
+    )
+    # ... must equal the direct keyless sketch counter-for-counter
+    direct = cms_state(df, keys=[], value_col="u")
+    assert (
+        merged.exceptAll(direct).count() == 0
+        and direct.exceptAll(merged).count() == 0
+    )
+    probes = spark.createDataFrame([(7,), (11,), (13,), (99,)], "u long")
+    est = {
+        r["u"]: r["est"]
+        for r in cms_point_estimate(merged, probes, "u").collect()
+    }
+    exact = {7: 10, 11: 6, 13: 2, 99: 0}
+    for u, n in exact.items():
+        assert est[u] >= n  # the CM overestimate guarantee
+    # 4 distinct items in 4x512 counters: collisions impossible -> exact
+    assert est == exact
+
+
+def test_cms_depth_guard(spark):
+    from arrowhouse_spark.operators.aggstate import cms_state
+
+    df = spark.createDataFrame([(1,)], "u long")
+    with pytest.raises(ValueError, match="depth"):
+        cms_state(df, keys=[], value_col="u", depth=9)

@@ -1,0 +1,79 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_rrf_fuse_combines_and_keeps_per_list_ranks(spark):
+    from arrowhouse_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (1, 2), (9, 3)], "doc_id long, rank int")
+    out = rrf_fuse([("lex", a), ("dense", b)], c=60, k=10).collect()
+    got = {r["doc_id"]: r for r in out}
+    # doc 1: 1/61 + 1/62; doc 3: 1/63 + 1/61; doc 2 lex-only; doc 9 dense-only
+    assert got[1]["rrf_score"] == pytest.approx(
+        round(1 / 61 + 1 / 62, 9), abs=1e-12
+    )
+    assert got[3]["rrf_score"] == pytest.approx(
+        round(1 / 63 + 1 / 61, 9), abs=1e-12
+    )
+    assert got[2]["dense_rank"] is None and got[2]["lex_rank"] == 2
+    assert got[9]["lex_rank"] is None and got[9]["dense_rank"] == 3
+    # ordering: 1 (0.0325..) > 3 (0.0322..) > singles
+    ordered = [r["doc_id"] for r in out]
+    assert ordered[:2] == [1, 3]
+
+
+def test_rrf_fuse_empty_rankings_rejected(spark):
+    from arrowhouse_spark.operators.text import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+
+
+def test_rrf_fuse_topk_truncates_deterministically(spark):
+    from arrowhouse_spark.operators.text import rrf_fuse
+
+    # all equal scores -> tie-break on doc_id ascending, k=3
+    a = spark.createDataFrame(
+        [(i, 1) for i in (5, 2, 9, 1)], "doc_id long, rank int"
+    )
+    out = rrf_fuse([("only", a)], k=3).collect()
+    assert [r["doc_id"] for r in out] == [1, 2, 5]
+
+
+def test_ancestor_rollup_matches_python_model(spark):
+    from arrowhouse_spark.operators.graph import ancestor_rollup
+
+    n = 13
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(n)], "id long, v double"
+    )
+    out = {
+        r["ancestor"]: (r["n_subtree"], r["sum_v"], r["max_depth_below"])
+        for r in ancestor_rollup(
+            df,
+            id_col="id",
+            parent_expr="cur DIV 10",
+            value_col="v",
+            root_pred="cur = 0",
+        ).collect()
+    }
+    # python model: every node contributes to each ancestor on its chain
+    want: dict[int, list[float]] = {}
+    for i in range(n):
+        cur, depth = i, 0
+        while True:
+            st = want.setdefault(cur, [0, 0.0, 0])
+            st[0] += 1
+            st[1] += float(i)
+            st[2] = max(st[2], depth)
+            if cur == 0:
+                break
+            cur, depth = cur // 10, depth + 1
+    assert set(out) == set(want)
+    for k, (cnt, sv, dep) in want.items():
+        assert out[k][0] == cnt
+        assert out[k][1] == pytest.approx(sv)
+        assert out[k][2] == dep
