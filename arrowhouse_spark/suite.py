@@ -8696,3 +8696,117 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.variant_get(v, "$.k", "bigint")).alias("max_k"),
         F.schema_of_variant_agg(v).alias("vschema"),
     )
+
+
+@register(
+    "pipe_syntax_rollup",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.x `|>` operators, the GoogleSQL pipe-flow
+    form): the same scan -> filter -> keyed aggregate as a classic
+    GROUP BY, written as a top-down pipeline — engine surface for the
+    query-authoring style ClickHouse users reach for with chained
+    subqueries. Compiles to the IDENTICAL plan as the classic form
+    (filter pushed to scan, partial->final aggregate), which is the
+    point: syntax, not semantics. Oracle is the classic-form SQL."""
+    view = f"__pipe_orders_{abs(hash(sf_dir)) % 10**8}"
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        FROM {view}
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+           GROUP BY o_orderpriority
+        """
+    ).select("o_orderpriority", "n", "total")
+
+
+@register(
+    "lateral_topk_per_nation",
+    """
+    SELECT n.n_name AS nation, t.c_custkey,
+           round(t.c_acctbal, 2) AS acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+    ) t
+    """,
+)
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table,
+    Spark 3.2+/4.x): top-3 customers by balance PER NATION, expressed as
+    a per-row correlated subquery with ORDER BY ... LIMIT — the
+    join-shaped dual of topk_per_group's window form. Catalyst decorrelates
+    it into a join + per-key limit, so the declarative form stays
+    distributed (no per-nation driver loop); the oracle is the IDENTICAL
+    LATERAL SQL in DuckDB — both engines decorrelate the same construct."""
+    view = f"__lat_{abs(hash(sf_dir)) % 10**8}"
+    _t(spark, sf_dir, "nation").createOrReplaceTempView(f"{view}_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView(f"{view}_customer")
+    return spark.sql(
+        f"""
+        SELECT n.n_name AS nation, t.c_custkey,
+               ROUND(t.c_acctbal, 2) AS acctbal
+        FROM {view}_nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM {view}_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+        ) t
+        """
+    )
+
+
+@register(
+    "join_null_safe",
+    """
+    WITH a AS (
+      SELECT CASE WHEN o_custkey % 97 = 0 THEN NULL ELSE o_custkey END AS k,
+             o_totalprice AS tp
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), b AS (
+      SELECT CASE WHEN o_custkey % 97 = 0 THEN NULL ELSE o_custkey END AS k,
+             o_totalprice AS tp
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT a.k AS k, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(a.tp + b.tp), 2) AS sum_pair_price
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY 1
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of vanishing — the join flavor deduplication and
+    CDC reconciliation need when the business key is nullable (a plain
+    equi-join silently drops every NULL row; an explicit coalesce
+    sentinel risks colliding with real keys). EqualNullSafe stays a HASH
+    join key in Spark (null hashes like any value), so the plan is the
+    ordinary shuffled hash/SMJ — no null-handling cliff. Keys are
+    deterministically NULLed (custkey % 97) on disjoint order halves;
+    the aggregate pins both the NULL-group cross pairs and every
+    non-null group."""
+    orders = _t(spark, sf_dir, "orders")
+    k = F.when(F.col("o_custkey") % 97 == 0, F.lit(None).cast("long")).otherwise(
+        F.col("o_custkey")
+    )
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        k.alias("k"), F.col("o_totalprice").alias("tp_a")
+    )
+    b = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        k.alias("k2"), F.col("o_totalprice").alias("tp_b")
+    )
+    joined = a.join(b, a.k.eqNullSafe(b.k2))
+    return joined.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum(F.col("tp_a") + F.col("tp_b")), 2).alias(
+            "sum_pair_price"
+        ),
+    )

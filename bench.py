@@ -130,6 +130,9 @@ HEADLINE = [
     "cms_state_merge_daily",
     "hybrid_rrf_topk",
     "variant_props_stats",
+    "pipe_syntax_rollup",
+    "lateral_topk_per_nation",
+    "join_null_safe",
 ]
 
 

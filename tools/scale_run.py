@@ -1073,6 +1073,70 @@ def _rolling(c: Ctx) -> dict:
     return {"sec": t, "rows": n}
 
 
+@op("cms_state_merge")
+def _cms_state_merge(c: Ctx) -> dict:
+    # day-keyed 4x512 counter states -> keyless fold -> 16 probe estimates;
+    # state cardinality is days x 4 x 512 regardless of volume, so expected
+    # near-flat (scan + one keyed agg over fixed-size keys)
+    from arrowhouse_spark.operators.aggstate import (
+        cms_merge,
+        cms_point_estimate,
+        cms_state,
+    )
+
+    ev = c.events.withColumn("day", F.to_date("ts"))
+    probes = c.spark.range(16).select(F.col("id").alias("user_id"))
+
+    def run():
+        merged = cms_merge(
+            cms_state(ev, keys=["day"], value_col="user_id"), keys=[]
+        )
+        return cms_point_estimate(merged, probes, "user_id").count()
+
+    t, n = timed(run)
+    return {"sec": t, "probes": n}
+
+
+@op("ancestor_rollup")
+def _ancestor_rollup(c: Ctx) -> dict:
+    # native recursive CTE over the 10-ary event_id forest: rows x depth
+    # recursion (depth grows log10 with volume), one final keyed rollup —
+    # expected near-linear with a log-depth factor
+    from arrowhouse_spark.operators.graph import ancestor_rollup
+
+    nodes = c.events.select(F.col("event_id").alias("id"), F.col("value"))
+    t, n = timed(
+        lambda: ancestor_rollup(
+            nodes,
+            id_col="id",
+            parent_expr="cur DIV 10",
+            value_col="value",
+            root_pred="cur = 0",
+        ).count()
+    )
+    return {"sec": t, "ancestors": n}
+
+
+@op("rrf_hybrid")
+def _rrf_hybrid(c: Ctx) -> dict:
+    # fusion itself is constant-sized (two top-50 lists); the cost is the
+    # two retrieval legs (bm25 over disjoint term sets stands in for the
+    # dense leg so the battery needs no embedding join key) — expected to
+    # track 2x bm25_topk
+    from arrowhouse_spark.operators.text import bm25_topk, rrf_fuse
+
+    a = bm25_topk(c.docs, ["w1", "w2", "w3"], k=50)
+    b = bm25_topk(c.docs, ["w4", "w5", "w6"], k=50)
+    t, n = timed(
+        lambda: rrf_fuse(
+            [("lex", a.select("doc_id", "rank")),
+             ("alt", b.select("doc_id", "rank"))],
+            k=20,
+        ).count()
+    )
+    return {"sec": t, "rows": n}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
