@@ -4,6 +4,7 @@ one with a natural continuous analog)."""
 
 from arrowhouse_spark.streaming.replace import (
     read_parquet_stream,
+    stream_cms,
     stream_dedup_exact,
     stream_dedup_first_seen,
     stream_interval_join,
@@ -18,6 +19,7 @@ from arrowhouse_spark.streaming.replace import (
 
 __all__ = [
     "read_parquet_stream",
+    "stream_cms",
     "stream_dedup_exact",
     "stream_dedup_first_seen",
     "stream_interval_join",

@@ -1073,3 +1073,38 @@ def test_stream_dq_check_matches_batch_on_union(spark, ordered_stream_dir):
     # the fixture plants one violation: value 5.0 breaks the range rule
     by_rule = {r[1]: r[3] for r in got}
     assert by_rule["range"] == 1
+
+
+def test_stream_cms_state_matches_batch_sketch(spark, stream_dir):
+    # the streaming sketch's complete-mode state after draining all
+    # micro-batches must equal the BATCH sketch over the union exactly
+    # (counter sums are associative) — and probing it must give the same
+    # estimates the batch path gives
+    from arrowhouse_spark.operators.aggstate import (
+        cms_point_estimate,
+        cms_state,
+    )
+    from arrowhouse_spark.streaming import read_parquet_stream, stream_cms
+
+    sdf = read_parquet_stream(spark, stream_dir, EVENT_SCHEMA)
+    out = stream_cms(sdf, "user_id", depth=4, width=64)
+    _run_to_memory(out, "cms_sink", "complete")
+    streamed = spark.sql("SELECT row, bucket, cnt FROM cms_sink")
+    batch = cms_state(
+        spark.read.schema(EVENT_SCHEMA).parquet(stream_dir),
+        keys=[],
+        value_col="user_id",
+        depth=4,
+        width=64,
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    probes = spark.createDataFrame([(1,), (2,), (3,)], "user_id long")
+    est = {
+        r["user_id"]: r["est"]
+        for r in cms_point_estimate(
+            streamed, probes, "user_id", depth=4, width=64
+        ).collect()
+    }
+    # fixture: user 1 has 4 rows (incl. dup), user 2 has 2, user 3 none
+    assert est[1] >= 4 and est[2] >= 2 and est[3] >= 0
