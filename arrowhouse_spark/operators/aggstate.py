@@ -236,3 +236,92 @@ def hll_merge(
             F.hll_union_agg(F.col(state_col), F.lit(False))
         ).alias(out)
     )
+
+
+def hist_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    bins: int = 250,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+) -> DataFrame:
+    """Mergeable fixed-grid histogram state — the QUANTILE member of the
+    mergeable family (exact = agg_state, distinct = hll_state, frequency
+    = cms_state): per key tuple, equi-width bin counts over the FIXED
+    domain [lo, hi) as plain (bin, cnt) rows. The grid must be fixed up
+    front (a data-derived range would give increments incompatible
+    grids — the same reason t-digest/KLL carry their own compression
+    parameters); out-of-domain values clamp to the edge bins. Quantile
+    estimates from the merged state carry error <= one bin width —
+    (hi-lo)/bins, chosen by the caller to match their tolerance.
+
+    The bin map is a fixed-order double expression (floor(((x-lo)*bins)
+    /(hi-lo)) clamped), so any IEEE-754 engine reproduces the state
+    bit-for-bit — the replay-oracle doctrine."""
+    b = F.floor(
+        ((F.col(value_col) - F.lit(lo)) * F.lit(float(bins))) / F.lit(hi - lo)
+    )
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1)).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(states: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Fold histogram states by the surviving ``keys``: bin-wise SUM
+    (associative — merge-then-estimate ≡ direct-build, same contract as
+    cms_merge)."""
+    return states.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantile(
+    states: DataFrame,
+    qs: Sequence[float],
+    bins: int = 250,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Quantile estimates from a (merged) histogram state, one output row
+    per key tuple x q: linear interpolation inside the covering bin,
+    est = lo + (bin + (q*total - cum_before)/cnt) * binwidth. Everything
+    is a fixed-order double expression over the tiny state relation
+    (keys x bins rows): cumulative counts via the broadcast theta
+    self-join (the bm25/zipf rank pattern — no unpartitioned window),
+    quantile targets as an exploded literal array. Error <= binwidth by
+    construction; pin it against the exact percentile where affordable."""
+    width = (hi - lo) / bins
+    kcols = list(keys)
+    t = states.select(
+        *[F.col(k).alias(f"__k_{k}") for k in kcols],
+        F.col("bin").alias("__bin2"),
+        F.col("cnt").alias("__cnt2"),
+    )
+    cond = F.col("__bin2") < F.col("bin")
+    for k in kcols:
+        cond = cond & (F.col(f"__k_{k}") == F.col(k))
+    cum = (
+        states.join(F.broadcast(t), cond, "left")
+        .groupBy(*kcols, "bin", "cnt")
+        .agg(F.coalesce(F.sum("__cnt2"), F.lit(0)).alias("cum_before"))
+    )
+    total = states.groupBy(*kcols).agg(F.sum("cnt").alias("total"))
+    if kcols:
+        cum = cum.join(F.broadcast(total), kcols)
+    else:
+        cum = cum.crossJoin(F.broadcast(total))
+    qrel = cum.select(
+        "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    target = F.col("q") * F.col("total")
+    hit = qrel.filter(
+        (F.col("cum_before") < target)
+        & ((F.col("cum_before") + F.col("cnt")) >= target)
+    )
+    est = F.lit(lo) + (
+        F.col("bin") + (target - F.col("cum_before")) / F.col("cnt")
+    ) * F.lit(width)
+    return hit.select(*kcols, "q", est.alias("est"))

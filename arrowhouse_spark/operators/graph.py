@@ -261,6 +261,7 @@ def ancestor_rollup(
     value_col: str,
     root_pred: str,
     max_depth: int = 64,
+    row_limit: int | None = None,
 ) -> DataFrame:
     """Hierarchy subtree rollup via Spark's native recursive CTE
     (WITH RECURSIVE, SQL:1999 / Spark 4.x): for every node, walk its
@@ -282,10 +283,20 @@ def ancestor_rollup(
 
     Scale: total recursive output is n x chain-depth rows (depth is
     log_b(keyspace) for a b-ary key hierarchy); the only shuffle is the
-    final keyed rollup aggregate. Returns (ancestor, n_subtree,
-    sum_<value_col>, max_depth_below).
+    final keyed rollup aggregate. Spark additionally guards recursion
+    with ``spark.sql.cteRecursionRowLimit`` (default 1,000,000 TOTAL
+    recursive rows — measured: a 200k-node forest at depth ~6 trips it);
+    pass ``row_limit`` sized to n x depth and the operator raises the
+    session conf to at least that (it applies at EXECUTION time, so it
+    cannot be scoped-and-restored around a lazy plan — documented
+    session-level knob, exactly like shuffle.partitions). Returns
+    (ancestor, n_subtree, sum_<value_col>, max_depth_below).
     """
     spark = nodes.sparkSession
+    if row_limit is not None:
+        current = int(spark.conf.get("spark.sql.cteRecursionRowLimit"))
+        if 0 < current < row_limit:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", str(int(row_limit)))
     view = f"__anc_nodes_{abs(hash((id_col, parent_expr, root_pred))) % 10**8}"
     nodes.select(
         F.col(id_col).alias("node"), F.col(value_col).alias("val")

@@ -8810,3 +8810,90 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_pair_price"
         ),
     )
+
+
+@register(
+    "hist_quantile_state_merge",
+    """
+    WITH st AS (
+      SELECT CAST(least(greatest(floor(((value - 0.0) * 250.0) / 1000.0),
+                                 0), 249) AS INTEGER) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), cum AS (
+      SELECT s.bin, s.cnt, CAST(coalesce(sum(t.cnt), 0) AS BIGINT)
+               AS cum_before
+      FROM st s LEFT JOIN st t ON t.bin < s.bin GROUP BY s.bin, s.cnt
+    ), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM st),
+    qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                     (CAST(0.99 AS DOUBLE))),
+    hit AS (
+      SELECT qs.q, c.bin, c.cnt, c.cum_before, tot.total
+      FROM qs, tot, cum c
+      WHERE c.cum_before < qs.q * tot.total
+        AND c.cum_before + c.cnt >= qs.q * tot.total
+    ), ex AS (
+      SELECT CAST(0.5 AS DOUBLE) AS q, quantile_cont(value, 0.5) AS exact_v
+      FROM events
+      UNION ALL SELECT CAST(0.9 AS DOUBLE), quantile_cont(value, 0.9)
+      FROM events
+      UNION ALL SELECT CAST(0.99 AS DOUBLE), quantile_cont(value, 0.99)
+      FROM events
+    )
+    SELECT hit.q,
+           round(0.0 + (hit.bin + (hit.q * hit.total - hit.cum_before)
+                        / hit.cnt) * 4.0, 6) AS est_q,
+           round(ex.exact_v, 6) AS exact_q,
+           abs((0.0 + (hit.bin + (hit.q * hit.total - hit.cum_before)
+                       / hit.cnt) * 4.0) - ex.exact_v) <= 4.0 AS within_bin
+    FROM hit JOIN ex USING (q)
+    """,
+)
+def hist_quantile_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE state (operators/aggstate.py:hist_state/
+    hist_merge/hist_quantile) — completing the mergeable family (exact /
+    HLL distinct / CMS frequency / histogram quantile): per-day
+    fixed-grid histograms of event value (250 bins over [0,1000)) folded
+    to one state, then p50/p90/p99 by in-bin linear interpolation. The
+    grid is FIXED up front so increments stay merge-compatible (the same
+    reason t-digest carries its compression parameter); estimate error
+    <= one bin width (4.0) by construction, pinned against the exact
+    percentile per quantile. The oracle REPLAYS the whole path — bin
+    map, theta-join cumulative, interpolation — as fixed-order double
+    arithmetic, so est values hash-match bit-for-bit."""
+    from arrowhouse_spark.operators.aggstate import (
+        hist_merge,
+        hist_quantile,
+        hist_state,
+    )
+
+    qs = [0.5, 0.9, 0.99]
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    states = hist_state(
+        ev, keys=["day"], value_col="value", bins=250, lo=0.0, hi=1000.0
+    )
+    merged = hist_merge(states, keys=[])
+    est = hist_quantile(merged, qs, bins=250, lo=0.0, hi=1000.0)
+    exact = (
+        ev.agg(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"),
+                        F.percentile("value", F.lit(float(q))).alias(
+                            "exact_v"
+                        ),
+                    )
+                    for q in qs
+                ]
+            ).alias("a")
+        )
+        .select(F.explode("a").alias("s"))
+        .select("s.q", "s.exact_v")
+    )
+    return est.join(F.broadcast(exact), "q").select(
+        "q",
+        F.round("est", 6).alias("est_q"),
+        F.round("exact_v", 6).alias("exact_q"),
+        (F.abs(F.col("est") - F.col("exact_v")) <= 4.0).alias("within_bin"),
+    )

@@ -133,6 +133,7 @@ HEADLINE = [
     "pipe_syntax_rollup",
     "lateral_topk_per_nation",
     "join_null_safe",
+    "hist_quantile_state_merge",
 ]
 
 

@@ -128,3 +128,51 @@ def test_cms_depth_guard(spark):
     df = spark.createDataFrame([(1,)], "u long")
     with pytest.raises(ValueError, match="depth"):
         cms_state(df, keys=[], value_col="u", depth=9)
+
+
+def test_hist_state_merge_and_interpolated_quantiles(spark):
+    from arrowhouse_spark.operators.aggstate import (
+        hist_merge,
+        hist_quantile,
+        hist_state,
+    )
+
+    # 100 uniform values 0..99 split across two days; 10 bins of width 10
+    rows = [(i % 2, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "day int, v double")
+    states = hist_state(df, keys=["day"], value_col="v", bins=10, lo=0.0, hi=100.0)
+    merged = hist_merge(states, keys=[])
+    direct = hist_state(df, keys=[], value_col="v", bins=10, lo=0.0, hi=100.0)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    est = {
+        r["q"]: r["est"]
+        for r in hist_quantile(
+            merged, [0.5, 0.95], bins=10, lo=0.0, hi=100.0
+        ).collect()
+    }
+    # bin 4 holds values 40..49: cum_before=40, target=50 -> est exactly 50
+    assert est[0.5] == pytest.approx(50.0)
+    # target=95 lands mid-bin-9: est = (9 + 5/10) * 10 = 95
+    assert est[0.95] == pytest.approx(95.0)
+
+
+def test_hist_state_clamps_out_of_domain_and_keys(spark):
+    from arrowhouse_spark.operators.aggstate import hist_quantile, hist_state
+
+    rows = [("a", -5.0), ("a", 500.0), ("a", 5.0), ("b", 95.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    st = hist_state(df, keys=["k"], value_col="v", bins=10, lo=0.0, hi=100.0)
+    got = {(r["k"], r["bin"]): r["cnt"] for r in st.collect()}
+    # -5 clamps to bin 0 (with 5.0), 500 clamps to bin 9
+    assert got[("a", 0)] == 2 and got[("a", 9)] == 1 and got[("b", 9)] == 1
+    # keyed quantiles stay per-key
+    est = {
+        (r["k"], r["q"]): r["est"]
+        for r in hist_quantile(
+            st, [0.5], bins=10, lo=0.0, hi=100.0, keys=["k"]
+        ).collect()
+    }
+    assert ("a", 0.5) in est and ("b", 0.5) in est
+    # b's only mass is bin 9: est = (9 + (0.5*1 - 0)/1) * 10 = 95
+    assert est[("b", 0.5)] == pytest.approx(95.0)

@@ -1112,6 +1112,7 @@ def _ancestor_rollup(c: Ctx) -> dict:
             parent_expr="cur DIV 10",
             value_col="value",
             root_pred="cur = 0",
+            row_limit=c.scale * 20000 * 10,  # n x depth headroom
         ).count()
     )
     return {"sec": t, "ancestors": n}
