@@ -219,3 +219,44 @@ def test_bpe_apply_is_broadcast_map_side(spark, sf_dir, qs):
     # corpus side: zero shuffle exchanges; the only exchange is the packed
     # merge table's single-partition global agg (bounded, KB-sized)
     assert r.exchanges <= 1
+
+
+def test_q5_pushdown_no_cartesian(spark, sf_dir, qs):
+    # six-table join: the date filter must reach the orders scan, nothing
+    # may degrade to a cartesian/BNLJ, and no single-task window appears
+    df = qs["q5_local_supplier_volume"](spark, sf_dir)
+    r = check_plan(df, require_pushed_filters=True)
+    assert r.exchanges <= 2  # only the final aggregate (+ AQE artifacts)
+
+
+def test_lateral_topk_decorrelates_to_group_limit(spark, sf_dir, qs):
+    # Catalyst must rewrite the correlated LATERAL LIMIT into a keyed
+    # WindowGroupLimit (map-side top-k) — not a per-nation loop or a
+    # cartesian; the window is partitioned by the correlation key
+    df = qs["lateral_topk_per_nation"](spark, sf_dir)
+    check_plan(df)  # forbids cartesians and unpartitioned windows
+    assert "WindowGroupLimit" in plan_text(df)
+
+
+def test_null_safe_join_stays_hash_keyed(spark, sf_dir, qs):
+    # EqualNullSafe must remain a join KEY (hash/SMJ), never a post-join
+    # filter over a cartesian
+    df = qs["join_null_safe"](spark, sf_dir)
+    check_plan(df)
+    assert "cartesian" not in plan_text(df).lower()
+
+
+def test_pipe_syntax_compiles_to_classic_plan(spark, sf_dir, qs):
+    # the |> form is syntax only: same pushed filter + partial->final agg
+    df = qs["pipe_syntax_rollup"](spark, sf_dir)
+    r = check_plan(df, require_pushed_filters=True)
+    assert r.partial_final_agg
+    assert r.exchanges == 1
+
+
+def test_hist_quantile_runs_on_state_sized_relations(spark, sf_dir, qs):
+    # after the one data-sized keyed agg, everything downstream (cumulative
+    # theta-join, quantile selection) must be broadcast-sized — no extra
+    # data-sized shuffles and no windows
+    df = qs["hist_quantile_state_merge"](spark, sf_dir)
+    check_plan(df)
