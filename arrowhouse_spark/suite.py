@@ -8897,3 +8897,139 @@ def hist_quantile_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("exact_v", 6).alias("exact_q"),
         (F.abs(F.col("est") - F.col("exact_v")) <= 4.0).alias("within_bin"),
     )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): the 4-table join + top-20
+    customers by lost revenue — the classic "big agg then small top-k"
+    shape. Both return-flag and date filters push to their scans; the
+    top-k is a TakeOrdered over the aggregated (per-customer) relation,
+    never a global sort; ties break on (rounded revenue, custkey) so both
+    engines cut the same 20."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    agg = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), nation.n_nationkey == cust.c_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+@register(
+    "session_window_native",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 21600
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), t AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(epoch(max(ts)) - epoch(min(ts)), 3) AS duration_s
+    FROM t GROUP BY user_id, sid
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Spark's NATIVE session_window aggregate
+    (merging session windows in the aggregation operator itself — the
+    same machinery Structured Streaming uses for streaming sessions) —
+    the engine-native dual of sessionize_events' composed window-function
+    form, proven equivalent against the identical gap-logic oracle: same
+    6h gap, same sessions, same per-session stats. One keyed aggregate,
+    no per-user window chain at all."""
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "6 hours").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            # double-cast epochs keep sub-second precision (unix_timestamp
+            # truncates to whole seconds and drifts from DuckDB's epoch())
+            F.round(
+                F.col("last_ts").cast("double")
+                - F.col("first_ts").cast("double"),
+                3,
+            ).alias("duration_s"),
+        )
+    )
+
+
+@register(
+    "bitmap_distinct_state_merge",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def bitmap_distinct_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable EXACT-distinct state via Spark's bitmap aggregates
+    (bitmap_construct_agg / bitmap_or_agg / bitmap_count — Roaring-style
+    bucketed bitmaps): per (event_type, day, bucket) bitmap states,
+    OR-folded across days, summed across buckets — the exact companion to
+    hll_state_merge_daily (approx) in the mergeable-state family. OR is
+    idempotent AND associative, so re-delivered increments can never
+    double-count — the property that makes bitmap states the exact-distinct
+    form production rollups can retry safely. The oracle is simply
+    count(DISTINCT): the bitmap path must reproduce it exactly. State per
+    key-bucket is a fixed 4KB page of the id domain; the day->merged fold
+    shuffles only state rows."""
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    states = ev.groupBy(
+        "event_type",
+        "day",
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    merged = states.groupBy("event_type", "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )

@@ -134,6 +134,9 @@ HEADLINE = [
     "lateral_topk_per_nation",
     "join_null_safe",
     "hist_quantile_state_merge",
+    "q10_returned_items",
+    "session_window_native",
+    "bitmap_distinct_state_merge",
 ]
 
 
