@@ -9033,3 +9033,120 @@ def bitmap_distinct_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("event_type").agg(
         F.sum(F.bitmap_count("bm")).alias("n_users")
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the pure scan-filter-aggregate —
+    every predicate (date range, discount band, quantity) must reach the
+    parquet scan as a pushed filter and the plan collapses to scan →
+    partial agg → 1-row final. The query the reference's SSA
+    filter-then-aggregate path runs natively; here it doubles as the
+    pushdown litmus (PLANS.md row shows all three filters pushed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): the aggregate-subquery semi-join
+    shape — orders whose lineitems sum past a quantity threshold, then
+    the customer/order detail for exactly those. The IN-subquery compiles
+    to a LEFT SEMI join against the keyed HAVING aggregate (no
+    materialized temp table, no distinct explosion); the outer 3-table
+    join then re-aggregates per order. Quantity threshold 150 fits the
+    synthetic fixture's order sizes (TPC-H's 300 assumes 7-line orders)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(big, F.col("big_orderkey") == orders.o_orderkey, "left_semi")
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@register(
+    "listagg_status_rollup",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def listagg_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered string aggregation via Spark 4's LISTAGG
+    (SQL:2016 `WITHIN GROUP (ORDER BY ...)`): the standards-form dual of
+    array_agg_sorted's sort_array(collect_list) — ordering enforced by
+    the aggregate itself, DISTINCT collapses duplicates before the
+    ordered concat, so the output string is engine-deterministic by
+    construction (a bare collect/string_agg would be partition-order
+    nondeterministic and could never hash-match)."""
+    view = f"__listagg_{abs(hash(sf_dir)) % 10**8}"
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               COUNT(*) AS n
+        FROM {view} GROUP BY o_orderpriority
+        """
+    )

@@ -137,6 +137,9 @@ HEADLINE = [
     "q10_returned_items",
     "session_window_native",
     "bitmap_distinct_state_merge",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
+    "listagg_status_rollup",
 ]
 
 
