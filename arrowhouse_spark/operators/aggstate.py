@@ -150,6 +150,19 @@ def _cms_bucket(col, a: int, b: int, width: int):
     return F.pmod(F.pmod(F.lit(a) * x + F.lit(b), F.lit(_CMS_P)), F.lit(width))
 
 
+def _cms_check_numeric(df: DataFrame, value_col: str) -> None:
+    # a string column would cast to NULL long and every row would pile
+    # into one NULL bucket — silently wrong; require the caller to
+    # pre-hash (F.xxhash64) non-numeric keys, ClickHouse-style
+    t = df.schema[value_col].dataType.typeName()
+    if t in ("string", "binary", "boolean"):
+        raise TypeError(
+            f"cms value column {value_col!r} is {t}; pre-hash it to a long "
+            "first (e.g. F.xxhash64(col)) — the affine bucket map needs an "
+            "integer domain"
+        )
+
+
 def cms_state(
     df: DataFrame,
     keys: Sequence[str],
@@ -170,6 +183,7 @@ def cms_state(
     bit-for-bit — same doctrine as layout.py's integer quantization."""
     if depth > len(_CMS_ROWS):
         raise ValueError(f"depth <= {len(_CMS_ROWS)}; got {depth}")
+    _cms_check_numeric(df, value_col)
     buckets = F.array(
         *[_cms_bucket(value_col, a, b, width) for a, b in _CMS_ROWS[:depth]]
     )
@@ -207,6 +221,7 @@ def cms_point_estimate(
     state (depth x width rows); missing counters read as 0."""
     if depth > len(_CMS_ROWS):
         raise ValueError(f"depth <= {len(_CMS_ROWS)}; got {depth}")
+    _cms_check_numeric(probes, probe_col)
     buckets = F.array(
         *[_cms_bucket(probe_col, a, b, width) for a, b in _CMS_ROWS[:depth]]
     )

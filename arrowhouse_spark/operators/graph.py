@@ -297,7 +297,7 @@ def ancestor_rollup(
         current = int(spark.conf.get("spark.sql.cteRecursionRowLimit"))
         if 0 < current < row_limit:
             spark.conf.set("spark.sql.cteRecursionRowLimit", str(int(row_limit)))
-    view = f"__anc_nodes_{abs(hash((id_col, parent_expr, root_pred))) % 10**8}"
+    view = f"__anc_nodes_{abs(hash((id_col, parent_expr, root_pred, id(nodes)))) % 10**10}"
     nodes.select(
         F.col(id_col).alias("node"), F.col(value_col).alias("val")
     ).createOrReplaceTempView(view)
