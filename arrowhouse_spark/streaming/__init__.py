@@ -4,9 +4,11 @@ one with a natural continuous analog)."""
 
 from arrowhouse_spark.streaming.replace import (
     read_parquet_stream,
+    stream_bitmap_distinct,
     stream_cms,
     stream_dedup_exact,
     stream_dedup_first_seen,
+    stream_hist,
     stream_interval_join,
     stream_minhash_neardup,
     stream_ohlc,
@@ -19,9 +21,11 @@ from arrowhouse_spark.streaming.replace import (
 
 __all__ = [
     "read_parquet_stream",
+    "stream_bitmap_distinct",
     "stream_cms",
     "stream_dedup_exact",
     "stream_dedup_first_seen",
+    "stream_hist",
     "stream_interval_join",
     "stream_minhash_neardup",
     "stream_ohlc",

@@ -666,3 +666,47 @@ def stream_cms(
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def stream_hist(
+    sdf: DataFrame,
+    value_col: str,
+    bins: int = 250,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+) -> DataFrame:
+    """Continuously-maintained fixed-grid histogram — the streaming form of
+    operators/aggstate.py:hist_state, by the same insight as
+    :func:`stream_cms`: the histogram IS a keyed count over a bounded key
+    space (the bin grid), so native stateful aggregation owns the
+    counters and state is exactly ``bins`` rows forever. Probe quantiles
+    from the materialized state with hist_quantile (error <= binwidth) —
+    the continuous p99 monitor without per-value state."""
+    from arrowhouse_spark.operators.aggstate import hist_state
+
+    return hist_state(sdf, keys=[], value_col=value_col, bins=bins, lo=lo, hi=hi)
+
+
+def stream_bitmap_distinct(
+    sdf: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Continuously-maintained EXACT distinct count via bitmap aggregates
+    (bitmap_construct_agg over bit positions, bucketed by
+    bitmap_bucket_number): state per (group, bucket) is one fixed 4KB
+    bitmap page — exact distinct at bounded state, where dropDuplicates
+    would hold one state row PER VALUE. OR-idempotence means re-delivered
+    rows can never double-count — the retry-safe exact-distinct monitor.
+    Emits per-(group, bucket) set bit counts; sum buckets per group at
+    read time for the distinct count (the test pins batch parity)."""
+    return (
+        sdf.groupBy(
+            *group_cols, F.bitmap_bucket_number(value_col).alias("bucket")
+        )
+        .agg(
+            F.bitmap_count(
+                F.bitmap_construct_agg(F.bitmap_bit_position(value_col))
+            ).alias("n_in_bucket")
+        )
+    )

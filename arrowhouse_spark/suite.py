@@ -8471,6 +8471,11 @@ def hierarchy_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrowhouse_spark.operators.graph import ancestor_rollup
 
     cust = _t(spark, sf_dir, "customer")
+    # recursion output is n x depth rows; Spark guards with a 1M-row default
+    # (spark.sql.cteRecursionRowLimit) that a bigger fixture would trip —
+    # size the limit from the parquet footer count (depth <= 8 for the
+    # 10-ary forest over any realistic custkey domain)
+    n_cust = _parquet_num_rows(sf_dir, "customer") or 1_000_000
     out = ancestor_rollup(
         cust,
         id_col="c_custkey",
@@ -8478,6 +8483,7 @@ def hierarchy_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="c_acctbal",
         root_pred="cur = 0",
         max_depth=64,
+        row_limit=max(1_000_000, n_cust * 10),
     )
     return out.select(
         "ancestor",
@@ -9149,4 +9155,119 @@ def listagg_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n
         FROM {view} GROUP BY o_orderpriority
         """
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY 1
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted to this fixture's
+    columns: orders in a quarter having AT LEAST ONE lineitem shipped
+    after the order date (the fixture has no commit/receipt dates — the
+    late-lineitem EXISTS is the same correlated-exists shape). The EXISTS
+    compiles to a LEFT SEMI join with the non-equi lateness predicate
+    carried as the join condition — no aggregate-then-join, no distinct
+    explosion."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / priority), adapted: lineitems shipped in
+    a year, split per linestatus into high- vs low-priority order counts —
+    the join + two-branch conditional aggregate shape (the reference's
+    conditional-sum kernels; map-side CASE into one keyed agg)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS promo_revenue_pct,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): one month of lineitems joined to part,
+    promo revenue as a share of total — the conditional-ratio global
+    aggregate. The month filter pushes to the lineitem scan; part joins
+    broadcast at test scale (a keyed join at 100 TB — the planner's
+    call); both CASE branches fold into ONE aggregate pass."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     )

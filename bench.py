@@ -140,6 +140,9 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q18_large_volume_customer",
     "listagg_status_rollup",
+    "q4_order_priority",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
 ]
 
 

@@ -1108,3 +1108,51 @@ def test_stream_cms_state_matches_batch_sketch(spark, stream_dir):
     }
     # fixture: user 1 has 4 rows (incl. dup), user 2 has 2, user 3 none
     assert est[1] >= 4 and est[2] >= 2 and est[3] >= 0
+
+
+def test_stream_hist_state_matches_batch_and_quantile(spark, stream_dir):
+    from arrowhouse_spark.operators.aggstate import hist_quantile, hist_state
+    from arrowhouse_spark.streaming import read_parquet_stream, stream_hist
+
+    sdf = read_parquet_stream(spark, stream_dir, EVENT_SCHEMA)
+    out = stream_hist(sdf, "value", bins=10, lo=0.0, hi=10.0)
+    _run_to_memory(out, "hist_sink", "complete")
+    streamed = spark.sql("SELECT bin, cnt FROM hist_sink")
+    batch = hist_state(
+        spark.read.schema(EVENT_SCHEMA).parquet(stream_dir),
+        keys=[], value_col="value", bins=10, lo=0.0, hi=10.0,
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    est = {
+        r["q"]: r["est"]
+        for r in hist_quantile(streamed, [0.5], bins=10, lo=0.0, hi=10.0).collect()
+    }
+    # fixture values: 1,2,3,1,4,5 -> median estimate inside [1,4]
+    assert 1.0 <= est[0.5] <= 4.0
+
+
+def test_stream_bitmap_distinct_matches_exact(spark, stream_dir):
+    from arrowhouse_spark.streaming import (
+        read_parquet_stream,
+        stream_bitmap_distinct,
+    )
+
+    sdf = read_parquet_stream(spark, stream_dir, EVENT_SCHEMA)
+    out = stream_bitmap_distinct(sdf, "event_id", group_cols=["user_id"])
+    _run_to_memory(out, "bm_sink", "complete")
+    got = {
+        r["user_id"]: r["n"]
+        for r in spark.sql(
+            "SELECT user_id, sum(n_in_bucket) AS n FROM bm_sink GROUP BY 1"
+        ).collect()
+    }
+    exact = {
+        r["user_id"]: r["n"]
+        for r in spark.read.schema(EVENT_SCHEMA)
+        .parquet(stream_dir)
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_id").alias("n"))
+        .collect()
+    }
+    assert got == exact
