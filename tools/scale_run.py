@@ -1138,6 +1138,28 @@ def _rrf_hybrid(c: Ctx) -> dict:
     return {"sec": t, "rows": n}
 
 
+@op("hist_state_merge")
+def _hist_state_merge(c: Ctx) -> dict:
+    # day-keyed 250-bin histogram states -> keyless fold -> 3 quantiles;
+    # same bounded-key-agg shape as cms_state_merge — expected flat
+    from arrowhouse_spark.operators.aggstate import (
+        hist_merge,
+        hist_quantile,
+        hist_state,
+    )
+
+    ev = c.events.withColumn("day", F.to_date("ts"))
+
+    def run():
+        merged = hist_merge(
+            hist_state(ev, keys=["day"], value_col="value"), keys=[]
+        )
+        return hist_quantile(merged, [0.5, 0.9, 0.99]).count()
+
+    t, n = timed(run)
+    return {"sec": t, "quantiles": n}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
