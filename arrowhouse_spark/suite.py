@@ -9271,3 +9271,210 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    ) GROUP BY 1
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution): LEFT OUTER join with an
+    extra join-side predicate (the reference query's NOT LIKE comment
+    filter, stood in by a priority exclusion — it must stay in the JOIN
+    condition, not a WHERE, or zero-order customers vanish), then the
+    two-level aggregate: orders per customer, customers per order-count.
+    count(o_orderkey) counts non-NULL only, so unmatched customers land
+    in the c_count=0 bucket — the outer-join-correctness classic."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = cust.join(
+        orders,
+        (orders.o_custkey == cust.c_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    ).groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
+    max — the scalar-subquery-against-own-aggregate shape (the reference
+    query's view + MAX). The revenue relation builds ONCE and feeds both
+    the 1-row max (broadcast) and the equality filter; comparing on the
+    2-dp ROUNDED revenue keeps the max-equality engine-deterministic
+    (raw double sums differ in the last ulp between engines)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(rev, rev.supplier_no == supp.s_suppkey)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < (
+        SELECT round(0.2 * avg(l2.l_quantity), 6)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the CORRELATED SCALAR
+    AGGREGATE subquery — each lineitem compared against 20% of its own
+    part's average quantity. Expressed as the correlated SQL itself (like
+    the LATERAL query, the point is the engine's decorrelation: Catalyst
+    rewrites it into a per-part aggregate + join, never a per-row loop).
+    The threshold is ROUNDED to 6 dp in both engines so a last-ulp
+    difference in the avg can't flip a boundary row."""
+    view = f"__q17_{abs(hash(sf_dir)) % 10**8}"
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(f"{view}_l")
+    _t(spark, sf_dir, "part").createOrReplaceTempView(f"{view}_p")
+    return spark.sql(
+        f"""
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+               COUNT(*) AS n_lines
+        FROM {view}_l l JOIN {view}_p p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#13'
+          AND l.l_quantity < (
+            SELECT ROUND(0.2 * AVG(l2.l_quantity), 6)
+            FROM {view}_l l2 WHERE l2.l_partkey = l.l_partkey
+          )
+        """
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the OR-of-ANDs (DNF) predicate
+    spanning BOTH join sides — the planner must split it into the
+    single-side conjuncts it can push to each scan (brand/size to part,
+    quantity bounds to lineitem) while keeping the cross-side DNF as the
+    post-join filter. One global aggregate; the pushed-filter column in
+    PLANS.md shows the per-scan residuals."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    arm = lambda b, smax, qlo, qhi: (  # noqa: E731 — three parallel arms
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .filter(
+            arm("Brand#1", 15, 1, 11)
+            | arm("Brand#2", 25, 10, 20)
+            | arm("Brand#3", 35, 20, 30)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q22_sales_opportunity",
+    """
+    WITH avg_bal AS (
+      SELECT round(avg(c_acctbal), 6) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY 1
+    """,
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): above-average-balance
+    customers with no RECENT order (the fixture's order log covers every
+    customer, so "never ordered" would prove an empty set; lapsed-since-
+    2000 keeps the anti-join selective) — the scalar-aggregate broadcast
+    + ANTI JOIN shape (NOT EXISTS compiles to LEFT ANTI, never a NOT IN
+    null trap). Nation key stands in for the reference query's phone
+    country code (no phone column in this fixture); the average is
+    6-dp-rounded on both sides so the > threshold is engine-
+    deterministic."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("a")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(orders, orders.o_custkey == cust.c_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -143,6 +143,11 @@ HEADLINE = [
     "q4_order_priority",
     "q12_priority_shipping",
     "q14_promo_revenue",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
 ]
 
 
