@@ -9478,3 +9478,70 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "pyds_source_stats",
+    """
+    WITH ids AS (SELECT unnest(range(2000)) AS i),
+    s0 AS (
+      SELECT i, (CAST(i AS HUGEINT) + 11400714819323198485)
+                % 18446744073709551616 AS x FROM ids
+    ), s1 AS (SELECT i, xor(x, x >> 30) AS x FROM s0),
+    s2 AS (
+      SELECT i, ((x * 484763065) % 18446744073709551616
+                 + ((x * 3210233709) % 4294967296) * 4294967296)
+                % 18446744073709551616 AS x
+      FROM s1
+    ), s3 AS (SELECT i, xor(x, x >> 27) AS x FROM s2),
+    s4 AS (
+      SELECT i, ((x * 321982955) % 18446744073709551616
+                 + ((x * 2496678331) % 4294967296) * 4294967296)
+                % 18446744073709551616 AS x
+      FROM s3
+    ), h AS (SELECT i, xor(x, x >> 31) AS x FROM s4),
+    rows_ AS (
+      SELECT i AS event_id, CAST(x % 100 AS BIGINT) AS user_id,
+             ['view','click','purchase','signup','error']
+               [CAST((x >> 17) % 5 AS INTEGER) + 1] AS event_type,
+             CAST((x >> 23) % 100000 AS DOUBLE) / 100.0 AS value
+      FROM h WHERE i >= 500
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS sum_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids
+    FROM rows_ GROUP BY 1
+    """,
+)
+def pyds_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource under the ORACLE gate
+    (sources/pyds.py — Spark 4.x DataSource V2 Python API, the
+    engine-native analog of the reference's custom block input streams):
+    read the registered `synth_events` format with an event_id range
+    predicate that `pushFilters` consumes at the SOURCE (the planned
+    shard set shrinks — the applyFilters late-materialization contract,
+    SsaProgram.cpp:615-678), then aggregate. The oracle REPLAYS the
+    source's splitmix64 generator bit-for-bit in DuckDB HUGEINT
+    arithmetic (64x64-bit modular multiply via 32-bit constant splits) —
+    a PRNG-parity proof in the cityhash/xxhash tradition, pinning that
+    the source generates exactly what it promises on every engine."""
+    from arrowhouse_spark.sources.pyds import register_synth_events
+
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:  # noqa: BLE001 — pinned conf; reads still work
+        pass
+    register_synth_events(spark)
+    df = (
+        spark.read.format("synth_events")
+        .option("n_rows", "2000")
+        .load()
+        .filter(F.col("event_id") >= 500)
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum("event_id").alias("sum_ids"),
+    )

@@ -148,6 +148,7 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
     "q22_sales_opportunity",
+    "pyds_source_stats",
 ]
 
 
