@@ -9545,3 +9545,79 @@ def pyds_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.sum("event_id").alias("sum_ids"),
     )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+    WITH m AS (
+      SELECT l_linestatus, 'quantity' AS measure, l_quantity AS v
+      FROM lineitem
+      UNION ALL
+      SELECT l_linestatus, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_linestatus, 'discount', l_discount FROM lineitem
+    )
+    SELECT l_linestatus, measure,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(v), 2) AS total,
+           round(avg(v), 6) AS mean
+    FROM m GROUP BY 1, 2
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping via the native UNPIVOT/melt operator
+    (Dataset.unpivot, Spark 3.4+/4.x — the inverse of pivot_status_by_
+    priority's pivot): three measure columns melt to (measure, value)
+    rows, then one keyed aggregate per (status, measure). Catalyst
+    expands the melt to an in-memory Expand node — one scan, no
+    self-union of three scans (the oracle's UNION ALL form reads the
+    table three times; the operator's Expand reads once — same result,
+    the engine-side win)."""
+    li = _t(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ids=["l_linestatus"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    ).withColumn(
+        "measure",
+        F.regexp_replace("measure", "^l_", ""),
+    )
+    return melted.groupBy("l_linestatus", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v"), 2).alias("total"),
+        F.round(F.avg("v"), 6).alias("mean"),
+    )
+
+
+@register(
+    "window_rank_family",
+    """
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 9) AS pr,
+           round(cume_dist() OVER w, 9) AS cd,
+           CAST(dense_rank() OVER w AS BIGINT) AS dr
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY round(o_totalprice, 2), o_orderkey)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-rank window family (percent_rank / cume_dist /
+    dense_rank) over per-status partitions — completing the window
+    coverage next to lag/lead/ntile and running sums. The window orders
+    on the 2-dp ROUNDED price plus the key, so tie GROUPS (which these
+    three functions are all sensitive to) are identical across engines;
+    partitioned windows only — the plan-audit invariant holds."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.round("o_totalprice", 2), "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.dense_rank().over(w).cast("long").alias("dr"),
+    )

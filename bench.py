@@ -149,6 +149,8 @@ HEADLINE = [
     "q19_discounted_revenue",
     "q22_sales_opportunity",
     "pyds_source_stats",
+    "unpivot_lineitem_measures",
+    "window_rank_family",
 ]
 
 

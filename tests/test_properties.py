@@ -754,3 +754,81 @@ def test_bm25_matches_python_model(spark, corpus):
     # ranks = exact sort order by (rounded score desc, doc_id asc)
     order = sorted(got, key=lambda i: (-got[i][0], i))
     assert [got[i][1] for i in order] == list(range(1, len(order) + 1))
+
+
+_SKETCH_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 3),          # arbitrary split key (the "day")
+        st.integers(0, 10**12),     # item id
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@_SETTINGS
+@given(rows=_SKETCH_ROWS)
+def test_cms_merge_is_split_invariant_and_never_underestimates(spark, rows):
+    # CM-sketch property: ANY partitioning of the stream, folded, equals
+    # the direct sketch counter-for-counter (sum associativity), and every
+    # point estimate upper-bounds the true count
+    from collections import Counter
+
+    from arrowhouse_spark.operators.aggstate import (
+        cms_merge,
+        cms_point_estimate,
+        cms_state,
+    )
+
+    df = spark.createDataFrame(rows, "day int, u long")
+    merged = cms_merge(cms_state(df, keys=["day"], value_col="u"), keys=[])
+    direct = cms_state(df, keys=[], value_col="u")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    truth = Counter(u for _, u in rows)
+    probes = spark.createDataFrame(
+        [(u,) for u in list(truth)[:8]], "u long"
+    )
+    est = {
+        r["u"]: r["est"]
+        for r in cms_point_estimate(merged, probes, "u").collect()
+    }
+    for u, n in list(truth.items())[:8]:
+        assert est[u] >= n
+
+
+@_SETTINGS
+@given(rows=_SKETCH_ROWS)
+def test_hist_merge_split_invariant_and_quantile_error_bound(spark, rows):
+    # histogram property: split-then-merge ≡ direct, and the estimate sits
+    # within one bin width of the q-th ORDER STATISTIC (ceil(q*n)-th value
+    # — the guarantee the bin grid actually gives; a two-point midpoint
+    # median interpolates BETWEEN order statistics, which no histogram
+    # can see)
+    import math
+
+    from arrowhouse_spark.operators.aggstate import (
+        hist_merge,
+        hist_quantile,
+        hist_state,
+    )
+
+    vals = [(day, float(u % 1000)) for day, u in rows]
+    df = spark.createDataFrame(vals, "day int, v double")
+    merged = hist_merge(
+        hist_state(df, keys=["day"], value_col="v", bins=50, lo=0.0, hi=1000.0),
+        keys=[],
+    )
+    direct = hist_state(df, keys=[], value_col="v", bins=50, lo=0.0, hi=1000.0)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    est = {
+        r["q"]: r["est"]
+        for r in hist_quantile(
+            merged, [0.5], bins=50, lo=0.0, hi=1000.0
+        ).collect()
+    }
+    order_stat = sorted(v for _, v in vals)[
+        max(0, math.ceil(0.5 * len(vals)) - 1)
+    ]
+    assert abs(est[0.5] - order_stat) <= 20.0 + 1e-9  # one bin width
