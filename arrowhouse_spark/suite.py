@@ -9621,3 +9621,86 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 9).alias("cd"),
         F.dense_rank().over(w).cast("long").alias("dr"),
     )
+
+
+@register(
+    "mode_deterministic",
+    """
+    WITH counts AS (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), best AS (
+      SELECT event_type, k, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, k) AS rn
+      FROM counts
+    )
+    SELECT event_type, k AS modal_k, CAST(cnt AS BIGINT) AS n_occurrences
+    FROM best WHERE rn = 1
+    """,
+)
+def mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC mode: the most frequent props.k per event type with a
+    pinned min-value tie-break — Spark's built-in `mode()` leaves ties
+    arbitrary (like the reference's arrival-order `any`, the same
+    documented exclusion), so the suite form elects via ONE keyed count
+    plus a `min_by` over the (-count, value) struct: two keyed aggregates
+    with map-side partials, no window, reproducible on any engine."""
+    ev = _t(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type", "k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = counts.groupBy("event_type").agg(
+        F.min(F.struct(-F.col("cnt"), F.col("k"))).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b").getField("k").alias("modal_k"),
+        (-F.col("b").getField("col1")).cast("long").alias("n_occurrences"),
+    )
+
+
+@register(
+    "date_rollup_quarters",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS first_order
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def date_rollup_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function rollup (year/quarter extraction, the fiscal
+    reporting shape): two years of orders bucketed to (year, quarter)
+    with order count, revenue, distinct customers, and the first order
+    date per bucket — the date-kernel parity surface (both engines must
+    agree on year/quarter boundaries and date formatting, the same
+    cross-engine contract the hash queries pin for integers). Date range
+    pushes to the scan; one keyed aggregate."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    return orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias(
+            "first_order"
+        ),
+    )

@@ -151,6 +151,8 @@ HEADLINE = [
     "pyds_source_stats",
     "unpivot_lineitem_measures",
     "window_rank_family",
+    "mode_deterministic",
+    "date_rollup_quarters",
 ]
 
 
