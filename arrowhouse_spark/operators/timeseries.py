@@ -158,9 +158,23 @@ def decayed_agg(
     The anchor t_max is a 1-row broadcast aggregate (never a driver
     scalar); the weight is pure map-side codegen (integer epoch diff →
     one pow), so the whole operator is ONE keyed aggregate with map-side
-    partials. Scores are rounded (default 6 dp) because a sum of
-    exponentially-scaled doubles is the associativity-sensitive shape the
-    suite conventions exist for.
+    partials.
+
+    Determinism (two distinct round-7 lessons, both driver-caught):
+    - Δt uses FRACTIONAL epoch seconds (``timestamp.cast("double")``,
+      microsecond precision), never ``unix_timestamp`` — the latter
+      truncates to whole seconds, a systematic per-row weight bias
+      (~3.5e-7 relative at sf0.01) against any engine that keeps the
+      fraction.
+    - A sum of exponentially-scaled doubles is the
+      associativity-sensitive shape — at sf0.01 the per-type sums land
+      as close as 4e-8 to a 6-dp rounding boundary while Spark's
+      partial-agg combine order varies run to run. Each term is
+      therefore quantized to DECIMAL(38,9) BEFORE the sum: decimal
+      addition is exact and associative, so the aggregate is
+      bit-identical under any partial ordering (and matches an engine
+      that sums in a single thread). The 9-dp per-term quantization
+      (≤5e-10 per row) is far below the 6-dp output precision.
     """
     key_cols = list(key_cols)
     anchor = df.agg(F.max(F.col(ts_col)).alias("__tmax"))
@@ -168,20 +182,23 @@ def decayed_agg(
         F.lit(2.0),
         -(
             (
-                F.unix_timestamp(F.col("__tmax"))
-                - F.unix_timestamp(F.col(ts_col))
-            ).cast("double")
+                F.col("__tmax").cast("double")
+                - F.col(ts_col).cast("double")
+            )
             / F.lit(half_life_hours * 3600.0)
         ),
     )
+    q = "decimal(38,9)"
     return (
         df.crossJoin(F.broadcast(anchor))
         .groupBy(*key_cols)
         .agg(
-            F.round(F.sum(F.col(value_col) * w), round_dp).alias(
-                "decayed_sum"
-            ),
-            F.round(F.sum(w), round_dp).alias("decayed_count"),
+            F.round(F.sum((F.col(value_col) * w).cast(q)), round_dp)
+            .cast("double")
+            .alias("decayed_sum"),
+            F.round(F.sum(w.cast(q)), round_dp)
+            .cast("double")
+            .alias("decayed_count"),
             F.count(F.lit(1)).alias("n"),
         )
     )

@@ -7160,8 +7160,8 @@ def zorder_key_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events, a
     )
     SELECT event_type,
-           round(sum(value * wt), 6) AS decayed_sum,
-           round(sum(wt), 6) AS decayed_count,
+           CAST(round(sum(CAST(value * wt AS DECIMAL(38,9))), 6) AS DOUBLE) AS decayed_sum,
+           CAST(round(sum(CAST(wt AS DECIMAL(38,9))), 6) AS DOUBLE) AS decayed_count,
            CAST(count(*) AS BIGINT) AS n
     FROM w GROUP BY 1
     """,
@@ -7171,8 +7171,11 @@ def decayed_event_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/timeseries.py:decayed_agg, half-life 7 days): recency
     weight 2^(-Δt/hl) anchored at the global max timestamp, which stays a
     1-row broadcast relation. ONE keyed aggregate with map-side partials;
-    weights are map-side codegen (epoch diff + pow). Oracle replays the
-    anchor, the weight, and the 6-dp rounding."""
+    weights are map-side codegen (epoch diff + pow). Terms are quantized
+    to DECIMAL(38,9) before the sum so the aggregate is order-free
+    (exact decimal addition) — the round-7 driver window caught the
+    double-sum form 4e-8 from a 6-dp boundary. Oracle replays the
+    anchor, the weight, the quantization, and the 6-dp rounding."""
     from arrowhouse_spark.operators.timeseries import decayed_agg
 
     return decayed_agg(
