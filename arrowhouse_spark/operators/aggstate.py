@@ -218,9 +218,21 @@ def cms_point_estimate(
     merged keyless sketch: min over depth rows of the probed counters —
     the CM guarantee est >= true always holds. The probe side re-derives
     its buckets with the same fixed constants and broadcast-joins the
-    state (depth x width rows); missing counters read as 0."""
+    state (depth x width rows); missing counters read as 0.
+
+    ``states`` must be a KEYLESS sketch — exactly (row, bucket, cnt).
+    cms_state/cms_merge readily produce keyed (per-group) states, and
+    joining one here on (row, bucket) alone would silently SUM counters
+    across all key groups, inflating every estimate; fold the keys away
+    with ``cms_merge(states, keys=[])`` first (or filter to one key)."""
     if depth > len(_CMS_ROWS):
         raise ValueError(f"depth <= {len(_CMS_ROWS)}; got {depth}")
+    if set(states.columns) != {"row", "bucket", "cnt"}:
+        raise ValueError(
+            "cms_point_estimate requires a keyless state with columns "
+            f"(row, bucket, cnt); got {states.columns} — fold keyed "
+            "states with cms_merge(states, keys=[]) first"
+        )
     _cms_check_numeric(probes, probe_col)
     buckets = F.array(
         *[_cms_bucket(probe_col, a, b, width) for a, b in _CMS_ROWS[:depth]]
@@ -332,9 +344,17 @@ def hist_quantile(
         "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
     )
     target = F.col("q") * F.col("total")
+    # q <= 0 needs its own branch: target=0 can never satisfy
+    # cum_before < 0, so the row would silently vanish. The q=0 estimate
+    # is the low edge of the FIRST populated bin (cum_before == 0; state
+    # rows always have cnt >= 1), where the interpolation term is 0 and
+    # est reduces to lo + bin*width. An EMPTY state yields no rows for
+    # any q — there is no quantile of nothing.
     hit = qrel.filter(
-        (F.col("cum_before") < target)
-        & ((F.col("cum_before") + F.col("cnt")) >= target)
+        F.when(target <= F.lit(0.0), F.col("cum_before") == 0).otherwise(
+            (F.col("cum_before") < target)
+            & ((F.col("cum_before") + F.col("cnt")) >= target)
+        )
     )
     est = F.lit(lo) + (
         F.col("bin") + (target - F.col("cum_before")) / F.col("cnt")

@@ -31,6 +31,8 @@ Scale notes (100 TB doctrine):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -274,7 +276,12 @@ def ancestor_rollup(
     UNION ALL cannot express).
 
     ``parent_expr`` / ``root_pred`` are SQL fragments over the column
-    ``cur`` (e.g. ``"cur DIV 10"`` / ``"cur = 0"``) — a FUNCTIONAL
+    ``cur`` (e.g. ``"cur DIV 10"`` / ``"cur = 0"``), interpolated
+    VERBATIM into the recursive CTE — they are trusted code from the
+    caller (exactly like ``DataFrame.selectExpr``), not data; never pass
+    user-supplied strings. References to ``cur`` are rewritten with a
+    word-boundary match, so identifiers merely CONTAINING the letters
+    (``currency``) pass through untouched. A FUNCTIONAL
     hierarchy where each node has exactly one parent, so the recursion
     grows linearly (rows x depth), never combinatorially: each iteration
     is a pure map-side projection of the previous step, no join at all.
@@ -297,6 +304,9 @@ def ancestor_rollup(
         current = int(spark.conf.get("spark.sql.cteRecursionRowLimit"))
         if 0 < current < row_limit:
             spark.conf.set("spark.sql.cteRecursionRowLimit", str(int(row_limit)))
+    # word-boundary rewrite: identifiers merely containing 'cur'
+    # (currency, curve, current_date) must pass through untouched
+    parent_sql = re.sub(r"\bcur\b", "(cur)", parent_expr)
     view = f"__anc_nodes_{abs(hash((id_col, parent_expr, root_pred, id(nodes)))) % 10**10}"
     nodes.select(
         F.col(id_col).alias("node"), F.col(value_col).alias("val")
@@ -306,7 +316,7 @@ def ancestor_rollup(
         WITH RECURSIVE chain(node, cur, depth, val) AS (
           SELECT node, node, 0, val FROM {view}
           UNION ALL
-          SELECT node, {parent_expr.replace('cur', '(cur)')}, depth + 1, val
+          SELECT node, {parent_sql}, depth + 1, val
           FROM chain WHERE NOT ({root_pred}) AND depth < {int(max_depth)}
         )
         SELECT cur AS ancestor,

@@ -245,6 +245,7 @@ def merge_into(
         cond = c if cond is None else (cond & c)
     joined = trel.join(srel, cond, "full_outer")
     src_present = F.col(f"__sk_{keys[0]}").isNotNull()
+    tgt_present = F.col(f"__tk_{keys[0]}").isNotNull()
     out_cols = [
         F.coalesce(F.col(f"__sk_{k}"), F.col(f"__tk_{k}")).alias(k)
         for k in keys
@@ -253,6 +254,15 @@ def merge_into(
         if c in s_cols and when_matched == "update":
             out_cols.append(
                 F.when(src_present, F.col(f"__s_{c}"))
+                .otherwise(F.col(f"__t_{c}"))
+                .alias(c)
+            )
+        elif c in s_cols:
+            # 'keep' governs MATCHED rows only — standard MERGE still
+            # inserts the SOURCE values for unmatched source rows (the
+            # matched-clause policy never applies to the insert branch)
+            out_cols.append(
+                F.when(src_present & ~tgt_present, F.col(f"__s_{c}"))
                 .otherwise(F.col(f"__t_{c}"))
                 .alias(c)
             )

@@ -436,8 +436,22 @@ def _minhash_process_batch(
     spark = batch_df.sparkSession
     try:
         store = spark.read.schema(store_schema).parquet(store_path)
-        store.head(1)  # surface an empty/missing dir as the except path
+        store.head(1)  # surface a missing dir as the except path
     except Exception:  # noqa: BLE001 — first batch: no store yet
+        if batch_id > 0:
+            # Prior batches committed (ids are monotonic; batch 0 always
+            # creates the store dir, even with zero survivors), so a
+            # missing store means it was moved/deleted out from under the
+            # stream — e.g. reading inside compact_band_store's swap
+            # window. Probing an EMPTY history here would silently
+            # re-admit every near-duplicate in this batch; fail loudly
+            # instead and let the retry see the swapped-in store.
+            raise RuntimeError(
+                f"minhash band store {store_path!r} is missing but "
+                f"batch_id={batch_id} implies committed history — refusing "
+                "to probe an empty index (was compact_band_store run "
+                "while the stream was live?)"
+            )
         store = spark.createDataFrame([], store_schema)
     # legacy stores (written before the batch_id-partitioned layout) surface
     # batch_id = NULL under the explicit schema; treat them as committed
@@ -513,9 +527,16 @@ def compact_band_store(
     partitioned layout. Stores with no batch_id column at all (the plain
     incremental path) are rewritten unpartitioned.
 
-    Local-filesystem swap (tmp write → atomic directory rename); an
-    object-store deployment would write a new snapshot prefix and flip a
-    pointer instead. Returns {"rows": n, "files_before": a,
+    **Run only with the stream STOPPED** (between availableNow triggers
+    or after query.stop()): the swap is two renames, not one atomic
+    operation, so a concurrent micro-batch can observe the store ABSENT
+    between them. A reader in that window must not probe empty history —
+    _minhash_process_batch now raises (rather than falling back to an
+    empty index) when the store is missing but batch_id indicates
+    committed batches, so the failure is loud and the retried batch sees
+    the swapped-in store. An object-store deployment would write a new
+    snapshot prefix and flip a pointer instead, which removes the window
+    entirely. Returns {"rows": n, "files_before": a,
     "files_after": b}."""
     import glob
     import os

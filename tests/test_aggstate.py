@@ -130,6 +130,19 @@ def test_cms_depth_guard(spark):
         cms_state(df, keys=[], value_col="u", depth=9)
 
 
+def test_cms_point_estimate_rejects_keyed_state(spark):
+    # round-7 advice: a keyed state joined on (row, bucket) alone would
+    # silently SUM counters across all key groups and inflate every
+    # estimate — must raise, pointing at cms_merge(keys=[])
+    from arrowhouse_spark.operators.aggstate import cms_point_estimate, cms_state
+
+    df = spark.createDataFrame([(1, 7), (2, 7)], "day int, u long")
+    keyed = cms_state(df, keys=["day"], value_col="u")
+    probes = spark.createDataFrame([(7,)], "u long")
+    with pytest.raises(ValueError, match="keyless"):
+        cms_point_estimate(keyed, probes, "u")
+
+
 def test_hist_state_merge_and_interpolated_quantiles(spark):
     from arrowhouse_spark.operators.aggstate import (
         hist_merge,
@@ -155,6 +168,27 @@ def test_hist_state_merge_and_interpolated_quantiles(spark):
     assert est[0.5] == pytest.approx(50.0)
     # target=95 lands mid-bin-9: est = (9 + 5/10) * 10 = 95
     assert est[0.95] == pytest.approx(95.0)
+
+
+def test_hist_quantile_q_zero_returns_first_bin_edge(spark):
+    # round-7 advice: q=0's target=0 never satisfies cum_before < target,
+    # so the row silently vanished; it must return the low edge of the
+    # first POPULATED bin (q=1 exercises the ordinary top-edge branch)
+    from arrowhouse_spark.operators.aggstate import hist_quantile, hist_state
+
+    rows = [(float(v),) for v in range(23, 87)]
+    df = spark.createDataFrame(rows, "v double")
+    st = hist_state(df, keys=[], value_col="v", bins=10, lo=0.0, hi=100.0)
+    est = {
+        r["q"]: r["est"]
+        for r in hist_quantile(st, [0.0, 1.0], bins=10, lo=0.0, hi=100.0).collect()
+    }
+    # first populated bin is 2 (values 23..29): q=0 -> its low edge, 20
+    assert est[0.0] == pytest.approx(20.0)
+    assert 80.0 <= est[1.0] <= 90.0  # top value 86 sits in bin 8
+    # empty state: no quantile of nothing, for any q
+    empty = st.filter("cnt < 0")
+    assert hist_quantile(empty, [0.0, 0.5], bins=10, lo=0.0, hi=100.0).count() == 0
 
 
 def test_hist_state_clamps_out_of_domain_and_keys(spark):

@@ -37,6 +37,25 @@ def test_merge_into_delete_of_absent_key_is_noop(spark):
     assert out.count() == 3  # nothing inserted, nothing removed
 
 
+def test_merge_into_keep_mode_still_inserts_source_values(spark):
+    # round-7 advice: 'keep' governs MATCHED rows only — unmatched source
+    # rows must insert the SOURCE values, not NULLs from the absent target
+    src = spark.createDataFrame(
+        [(2, 99.0, False), (9, 42.0, False)],
+        "k long, price double, is_del boolean",
+    )
+    out = {
+        r["k"]: (r["name"], r["price"])
+        for r in merge_into(
+            _target(spark), src, key_cols=["k"],
+            when_matched="keep", delete_col="is_del",
+        ).collect()
+    }
+    assert out[2] == ("b", 20.0)  # matched row kept untouched
+    assert out[9] == (None, 42.0)  # inserted row carries SOURCE price
+    assert len(out) == 4
+
+
 def test_merge_into_duplicate_source_key_raises(spark):
     src = spark.createDataFrame(
         [(2, 1.0, False), (2, 2.0, False)], "k long, price double, is_del boolean"

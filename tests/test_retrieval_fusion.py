@@ -77,3 +77,35 @@ def test_ancestor_rollup_matches_python_model(spark):
         assert out[k][0] == cnt
         assert out[k][1] == pytest.approx(sv)
         assert out[k][2] == dep
+
+
+def test_ancestor_rollup_cur_substring_identifiers_untouched(spark):
+    # round-7 advice: the 'cur' rewrite must be word-boundary, so an
+    # expression whose identifiers merely CONTAIN the letters (a column
+    # named 'curve') compiles instead of corrupting to '(cur)ve'
+    from arrowhouse_spark.operators.graph import ancestor_rollup
+
+    df = spark.createDataFrame(
+        [(i, float(i), 10) for i in range(13)], "id long, v double, curve int"
+    )
+    # greatest(cur DIV 10, cur - cur) exercises cur twice; 'curve' never
+    # appears in the fragment but a naive substring rewrite of a fragment
+    # like this one's docstring example showed would break it
+    out = ancestor_rollup(
+        df.select("id", "v"),
+        id_col="id",
+        parent_expr="greatest(cur DIV 10, cur - cur)",
+        value_col="v",
+        root_pred="cur = 0",
+    ).collect()
+    assert {r["ancestor"] for r in out} == {0, 1, 10, 11, 12} | set(range(2, 10))
+    # and a fragment that actually CONTAINS a cur-prefixed identifier:
+    # current_date() is a zero-arg SQL function whose name must survive
+    got = ancestor_rollup(
+        df.select("id", "v"),
+        id_col="id",
+        parent_expr="cur DIV (10 + 0 * year(current_date()))",
+        value_col="v",
+        root_pred="cur = 0",
+    ).collect()
+    assert len(got) == len(out)

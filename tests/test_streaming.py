@@ -650,6 +650,31 @@ def test_stream_minhash_batch_retry_idempotent(spark, tmp_path):
     assert snapshot() == first
 
 
+def test_minhash_batch_missing_store_with_history_raises(spark, tmp_path):
+    """Round-7 advice: if the band store vanishes (e.g. a reader landing
+    inside compact_band_store's two-rename swap window) while batch_id
+    indicates committed history, the batch must FAIL loudly — falling back
+    to an empty index would silently re-admit every near-duplicate."""
+    import shutil
+
+    import pytest
+
+    from arrowhouse_spark.streaming.replace import _minhash_process_batch
+
+    d = str(tmp_path / "mh_missing")
+    schema = "doc_id long, text string"
+    doc = " ".join(f"alpha{i}" for i in range(50))
+    kw = dict(store_path=d + "/store", out_path=d + "/out", threshold=0.5)
+    _minhash_process_batch(spark.createDataFrame([(1, doc)], schema), 0, **kw)
+    shutil.rmtree(d + "/store")
+    with pytest.raises(RuntimeError, match="committed history"):
+        _minhash_process_batch(
+            spark.createDataFrame([(2, doc)], schema), 1, **kw
+        )
+    # batch 0 with no store remains the legitimate bootstrap path
+    _minhash_process_batch(spark.createDataFrame([(1, doc)], schema), 0, **kw)
+
+
 def test_compact_band_store_probe_invariant(spark, tmp_path):
     """Round-6 verdict #4: compaction rewrites the appended band store as
     few (band,bucket)-clustered files under one collapsed batch_id
