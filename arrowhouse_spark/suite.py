@@ -9707,3 +9707,603 @@ def date_rollup_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_order"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (round 8): the eight queries the fixture's schema forced
+# previous rounds to defer — Q2/Q7/Q8/Q9/Q11/Q16/Q20/Q21. The fixture has no
+# partsupp table, no l_commitdate/l_receiptdate, and no comment columns, so
+# each is a DOCUMENTED ADAPTATION that preserves the query's canonical PLAN
+# SHAPE (the thing worth grading: correlated regional min, two-nation volume
+# join, market-share conditional ratio, profit expression over a part join,
+# HAVING over a global scalar, NOT-IN supplier exclusion, quantity-dominance
+# semi-join, sole-late-supplier exists/not-exists) against the columns that
+# exist. Determinism doctrine throughout: money sums that feed RATIOS or
+# sign-mixing expressions are quantized to DECIMAL(38,9) before aggregation
+# (exact, combine-order-free — the decayed_event_score lesson); plain 2-dp
+# revenue rollups keep the suite's established convention.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eur AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    eo AS (
+      SELECT o.l_partkey, o.l_suppkey, o.unit_cost, e.s_name, e.s_acctbal, e.n_name
+      FROM offers o JOIN eur e ON e.s_suppkey = o.l_suppkey
+    ),
+    mc AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM eo GROUP BY 1)
+    SELECT p.p_partkey, p.p_name, eo.s_name, eo.n_name,
+           round(eo.s_acctbal, 2) AS s_acctbal,
+           round(eo.unit_cost, 6) AS unit_cost
+    FROM eo
+    JOIN mc ON mc.l_partkey = eo.l_partkey AND eo.unit_cost = mc.min_cost
+    JOIN part p ON p.p_partkey = eo.l_partkey
+    WHERE p.p_size >= 40 AND p.p_type = 'LARGE'
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: the fixture has no
+    partsupp, so the supply catalog is DERIVED — per (part, supplier) the
+    minimum observed unit price (l_extendedprice/l_quantity) plays
+    ps_supplycost. The canonical shape survives intact: a correlated
+    MIN-per-part subquery over the region-restricted offer relation,
+    decorrelated into a keyed min + join-back on (part, cost) equality —
+    exactly how Catalyst executes the scalar subquery form. The double
+    equality join is engine-safe: both sides take min() over IDENTICAL
+    IEEE division results, never re-derived arithmetic. EUROPE
+    suppliers; large top-size parts keep the output part-bounded. All
+    ties at the minimum are emitted (standard Q2 behavior)."""
+    li = _t(spark, sf_dir, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_cost"
+        )
+    )
+    eur = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eo = offers.join(F.broadcast(eur), eur.s_suppkey == offers.l_suppkey)
+    mc = eo.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 40) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        eo.join(
+            F.broadcast(mc.withColumnRenamed("l_partkey", "__mk")),
+            (F.col("__mk") == eo.l_partkey)
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), part.p_partkey == eo.l_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bidirectional trade between two
+    nations, grouped (supp_nation, cust_nation, ship year) — the
+    two-dimension-table double-role join (nation joins TWICE, as the
+    supplier's and the customer's) with a disjunctive cross-filter that
+    only applies AFTER both joins. Both nation sides broadcast; the
+    lineitem-orders-customer chain stays keyed; the 2-year ship-date
+    filter pushes into the lineitem scan. Schema note: the fixture's
+    nations are NATION_0..24 (generic names), all columns canonical."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(
+            _t(spark, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,9)) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = nc.n_regionkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(volume), 2) AS DOUBLE) AS total_volume,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(38,9)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3's share of ECONOMY-part
+    volume sold into AMERICA-region customers per order year — the
+    conditional-ratio aggregate over an eight-relation join where nation
+    joins twice in DIFFERENT roles (customer's nation chains to region
+    for the filter; supplier's nation feeds the CASE numerator).
+    Determinism: the ratio's numerator and denominator are sums of
+    DECIMAL(38,9)-quantized volume terms (exact, order-free), divided as
+    doubles only at the end — round-after-double-sum ratios are exactly
+    the shape the round-7 driver flake taught us to quantize."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    nc = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            _t(spark, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            _t(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(F.broadcast(nc), F.col("nc_key") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("nc_region"))
+        .join(F.broadcast(ns), F.col("ns_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(38,9)")
+            .alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(38,9)")
+    return vol.groupBy("o_year").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("volume"), 2).cast("double").alias("total_volume"),
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                .otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share"),
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT ns.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(CAST(
+             l.l_extendedprice * (1 - l.l_discount)
+             - 0.55 * p.p_retailprice * l.l_quantity AS DECIMAL(38,9))), 2)
+             AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: no partsupp means no
+    ps_supplycost, so unit cost is proxied as 0.55 x p_retailprice — the
+    profit expression keeps Q9's defining property of MIXED-SIGN terms
+    (revenue minus cost can cancel), grouped (supplier nation, order
+    year) across every year, with the part filter a name substring
+    (LIKE '%red%', Q9's '%green%' against this fixture's color-named
+    parts). Sign-mixing sums cancel catastrophically in doubles, so each
+    term is DECIMAL(38,9)-quantized before aggregation — exact and
+    combine-order-free. Plan: the part filter prunes the probe side
+    before the join chain; nation broadcasts; one keyed aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("nation")
+    )
+    profit_term = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.55) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(38,9)")
+    joined = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            _t(spark, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(ns), F.col("ns_key") == F.col("s_nationkey"))
+    )
+    return joined.groupBy(
+        "nation", F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(profit_term), 2).cast("double").alias("profit"),
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH ev AS (
+      SELECT l.l_partkey,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(38,9))) AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(v) AS t FROM ev)
+    SELECT ev.l_partkey AS p_partkey,
+           CAST(round(ev.v, 2) AS DOUBLE) AS value
+    FROM ev, tot
+    WHERE CAST(ev.v AS DOUBLE) > 0.001 * CAST(tot.t AS DOUBLE)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock), adapted: no partsupp means stock
+    value is DERIVED as per-part revenue from EUROPE-region suppliers'
+    line items (value stands in for ps_supplycost*ps_availqty; the
+    nation filter widened to a region so the relation isn't trivially
+    small). The canonical shape is exactly preserved: a keyed aggregate
+    filtered by a GLOBAL scalar aggregate of ITSELF (HAVING sum(v) >
+    fraction * total) — the global total is a 1-row broadcast, never a
+    window over the whole relation. Determinism: both the per-part
+    values and the total are sums of DECIMAL(38,9)-quantized terms, so
+    the threshold comparison (parts sitting arbitrarily close to the
+    cut) is exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    eur = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    ev = (
+        li.join(F.broadcast(eur), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,9)"
+                )
+            ).alias("v")
+        )
+    )
+    tot = ev.agg(F.sum("v").alias("t"))
+    return (
+        ev.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("v").cast("double") > F.lit(0.001) * F.col("t").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("v", 2).cast("double").alias("value"),
+        )
+    )
+
+
+@register(
+    "q16_part_supplier_variety",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: the supplier
+    catalog relation is derived from lineitem's (part, supplier) pairs
+    (no partsupp), and the 'customer complaints' NOT-IN exclusion keys
+    on s_acctbal < 0 (no comment column). Shape intact: a triple-negated
+    filter stack (brand <>, type <>, size IN-list) on the dimension, a
+    NOT IN that compiles to a broadcast ANTI join (the blacklist is
+    supplier-bounded), and a DISTINCT-count aggregate over the surviving
+    pairs. Exact integers throughout — no float surface at all."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin([1, 5, 10, 15, 20, 25, 30, 35])
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_shipper",
+    """
+    WITH sq AS (
+      SELECT l.l_partkey, l.l_suppkey, sum(l.l_quantity) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ),
+    pa AS (SELECT l_partkey, avg(qty) AS avg_qty FROM sq GROUP BY 1),
+    dom AS (
+      SELECT sq.l_suppkey, count(*) AS n_dominant
+      FROM sq JOIN pa ON pa.l_partkey = sq.l_partkey
+      WHERE sq.qty > 1.5 * pa.avg_qty
+      GROUP BY 1
+    )
+    SELECT s.s_name, n.n_name AS nation,
+           CAST(dom.n_dominant AS BIGINT) AS n_dominant
+    FROM dom
+    JOIN supplier s ON s.s_suppkey = dom.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    """,
+)
+def q20_excess_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (excess availability), adapted: with no ps_availqty the
+    dominance test inverts onto shipped quantity — a supplier qualifies
+    when some 'small%'-named part's 1997 shipments from it exceed 1.5x
+    that part's per-supplier average (Q20's availqty > 0.5 * shipped,
+    re-anchored to observable data). Shape intact: the name-filtered
+    part probe, a per-(part,supplier) keyed quantity rollup, a
+    correlated per-part scalar (decorrelated to a keyed avg + broadcast
+    join back), and the nation/region-restricted supplier semi-join at
+    the top. Determinism: quantities are small integral doubles, so
+    sums and averages are IEEE-exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    sq = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    pa = sq.groupBy("l_partkey").agg(F.avg("qty").alias("avg_qty"))
+    dom = (
+        sq.join(
+            F.broadcast(pa.withColumnRenamed("l_partkey", "__pk")),
+            F.col("__pk") == sq.l_partkey,
+        )
+        .filter(F.col("qty") > F.lit(1.5) * F.col("avg_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominant"))
+    )
+    asian = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+    return dom.join(
+        F.broadcast(asian), F.col("s_suppkey") == F.col("l_suppkey")
+    ).select("s_name", "nation", F.col("n_dominant").cast("long").alias("n_dominant"))
+
+
+@register(
+    "q21_sole_late_shipper",
+    """
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY 1, 2
+    ),
+    os AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+      FROM lo GROUP BY 1
+    ),
+    w AS (
+      SELECT lo.l_suppkey, count(*) AS numwait
+      FROM lo JOIN os ON os.l_orderkey = lo.l_orderkey
+      WHERE lo.late = 1 AND os.n_supp >= 2 AND os.n_late = 1
+      GROUP BY 1
+    )
+    SELECT s.s_name, CAST(w.numwait AS BIGINT) AS numwait
+    FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    ORDER BY w.numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: with no
+    l_commitdate/l_receiptdate, 'late' means shipped more than 90 days
+    after the order date. The EXISTS (another supplier in the order) /
+    NOT EXISTS (another LATE supplier) pair is algebraized into ONE
+    per-(order, supplier) rollup + per-order counts: a supplier waits on
+    order o iff it is late in o, o has >= 2 suppliers, and o has exactly
+    1 late supplier — semantically identical to the self-join pair but
+    one shuffle narrower (the per-order counts relation is order-keyed
+    and joins back on the same key; Catalyst plans the correlated
+    EXISTS forms into exactly these semi/anti hash joins anyway). Top 20
+    by (numwait DESC, s_name) — a total order, so the LIMIT boundary is
+    deterministic on any engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    lo = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    os_ = lo.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    w = (
+        lo.join(os_.withColumnRenamed("l_orderkey", "__ok"),
+                F.col("__ok") == lo.l_orderkey)
+        .filter(
+            (F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        w.join(
+            F.broadcast(_t(spark, sf_dir, "supplier")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .select("s_name", F.col("numwait").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
