@@ -153,6 +153,15 @@ HEADLINE = [
     "window_rank_family",
     "mode_deterministic",
     "date_rollup_quarters",
+    # round 8 additions (no prior-round delta basis)
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q16_part_supplier_variety",
+    "q20_excess_shipper",
+    "q21_sole_late_shipper",
 ]
 
 
