@@ -10307,3 +10307,49 @@ def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "doc_token_runs",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(arr) AS token,
+             unnest(range(len(arr))) AS pos
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS arr
+            FROM documents)
+    ),
+    b AS (
+      SELECT doc_id, token, pos,
+             CASE WHEN lag(token) OVER w IS NULL
+                    OR lag(token) OVER w <> token THEN 1 ELSE 0 END AS boundary
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    i AS (
+      SELECT *, sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS INTEGER) AS start_pos,
+           min(token) AS token,
+           CAST(count(*) AS INTEGER) AS run_len
+    FROM i GROUP BY doc_id, island HAVING count(*) >= 2
+    """,
+)
+def doc_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated-token runs per document (operators/udtf_ops.py:
+    token_runs_declarative) — the positional repetition signal
+    (gaps-and-islands over the token stream: per-doc lag boundary +
+    running-sum island id + one keyed island aggregate). The registered
+    form is the fully declarative hot path; its Spark-4 Python-UDTF twin
+    (token_runs_udtf_table, LATERAL join over a row-fanning table
+    function — the API surface sources/pyds.py gives the DataSource
+    side) is pinned row-identical in tests/test_udtf.py. Oracle replays
+    the same islands construction; both windows are doc-partitioned."""
+    from arrowhouse_spark.operators.udtf_ops import token_runs_declarative
+
+    return token_runs_declarative(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )

@@ -162,6 +162,7 @@ HEADLINE = [
     "q16_part_supplier_variety",
     "q20_excess_shipper",
     "q21_sole_late_shipper",
+    "doc_token_runs",
 ]
 
 
