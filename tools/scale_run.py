@@ -1160,6 +1160,17 @@ def _hist_state_merge(c: Ctx) -> dict:
     return {"sec": t, "quantiles": n}
 
 
+@op("token_runs")
+def _token_runs(c: Ctx) -> dict:
+    # round-8 newcomer: posexplode + two doc-partitioned windows + one keyed
+    # island aggregate — expected linear in corpus size (reducer state is one
+    # document's tokens; no global window anywhere)
+    from arrowhouse_spark.operators.udtf_ops import token_runs_declarative
+
+    t, n = timed(lambda: token_runs_declarative(c.docs).count())
+    return {"sec": t, "runs": n}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
