@@ -10353,3 +10353,70 @@ def doc_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_runs_declarative(
         _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
     )
+
+
+@register(
+    "doc_repetition_filter",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(arr) AS token,
+             unnest(range(len(arr))) AS pos
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS arr
+            FROM documents)
+    ),
+    b AS (
+      SELECT doc_id, token, pos,
+             CASE WHEN lag(token) OVER w IS NULL
+                    OR lag(token) OVER w <> token THEN 1 ELSE 0 END AS boundary
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    i AS (
+      SELECT *, sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM b
+    ),
+    runs AS (
+      SELECT doc_id, count(*) AS run_len
+      FROM i GROUP BY doc_id, island HAVING count(*) >= 3
+    ),
+    flagged AS (SELECT DISTINCT doc_id FROM runs)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE f.doc_id IS NOT NULL) AS BIGINT)
+             AS n_dropped,
+           CAST(count(*) FILTER (WHERE f.doc_id IS NULL) AS BIGINT) AS n_kept
+    FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+    GROUP BY 1
+    """,
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate composed from the run detector
+    (operators/udtf_ops.py:token_runs_declarative): documents containing
+    any >= 3-long repeated-token run are dropped (the positional form of
+    the Gopher duplicate-n-gram-fraction family — a run of 3 is the
+    degenerate repetition a fraction threshold can miss in short docs),
+    reported as per-source kept/dropped counts. Plan: the run relation is
+    doc-keyed; flagging is one distinct + a LEFT join back on doc_id;
+    the rollup is one keyed aggregate — all shuffles on doc_id/source."""
+    from arrowhouse_spark.operators.udtf_ops import token_runs_declarative
+
+    docs = _t(spark, sf_dir, "documents")
+    flagged = (
+        token_runs_declarative(docs, min_run=3)
+        .select("doc_id")
+        .distinct()
+        .withColumn("__flag", F.lit(1))
+    )
+    return (
+        docs.join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__flag").alias("n_dropped"),
+            F.sum(
+                F.when(F.col("__flag").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_kept"),
+        )
+    )
