@@ -163,6 +163,7 @@ HEADLINE = [
     "q20_excess_shipper",
     "q21_sole_late_shipper",
     "doc_token_runs",
+    "doc_repetition_filter",
 ]
 
 
