@@ -136,6 +136,7 @@ def scd2_from_log(
     attr_col: str,
     tie_col: str,
     open_end: str | None = None,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Build a slowly-changing-dimension type-2 history from a change log.
 
@@ -158,6 +159,11 @@ def scd2_from_log(
     relation). Both windows partition by the dimension key; nothing global.
     At 100 TB this is the standard lakehouse history-build: one shuffle by
     key, window state bounded by a key's events.
+
+    ``keep_cols`` pass extra columns through FROM THE RUN-START ROW (the
+    row whose (ts, tie) opens the interval) — streaming/replace.py's
+    incremental maintenance keeps the tie and store bucket this way so a
+    stored interval can be converted back into its originating event.
     """
     keys = [F.col(k) for k in key_cols]
     w_log = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tie_col))
@@ -175,6 +181,7 @@ def scd2_from_log(
         F.col(ts_col).alias("valid_from"),
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
+        *[F.col(c) for c in keep_cols],
     )
     if open_end is not None:
         out = out.withColumn(

@@ -731,3 +731,140 @@ def stream_bitmap_distinct(
             ).alias("n_in_bucket")
         )
     )
+
+
+def _scd2_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_col: str,
+    tie_col: str,
+    n_buckets: int = 16,
+) -> None:
+    """One micro-batch of stream_scd2: incremental per-key SCD2 rebuild.
+
+    Steps (all keyed on the dimension key — nothing global):
+      1. affected keys = the batch's distinct keys;
+      2. load ONLY the affected keys' history rows from the store
+         (bucket-pruned: the store is partitioned by ``kb = hash_bucket
+         (key)``, so unaffected buckets are never read or written);
+      3. convert those rows back to run-start change events
+         (valid_from, attr, tie) and union the batch's events;
+      4. re-run operators/merge.py:scd2_from_log on this small relation —
+         late events land INSIDE closed intervals correctly because the
+         key's whole history is rebuilt;
+      5. rewrite only the affected buckets via dynamic partition
+         overwrite, carrying unaffected keys in those buckets over.
+
+    IDEMPOTENT per batch_id by construction rather than by bookkeeping:
+    re-applying the same events to an already-updated store is a no-op
+    because each store row IS the run-start event that produced it —
+    re-unioned batch events either duplicate a run start or fall mid-run
+    with an equal attribute, and scd2_from_log collapses both (equal
+    consecutive attrs never open a new run; a duplicate of the run-start
+    row shares its (ts, tie, attr), leaving run boundaries fixed). The
+    retry test pins this. State at rest is the SCD2 table itself —
+    the same store-is-the-state doctrine as the minhash band index.
+    """
+    from arrowhouse_spark.operators.merge import scd2_from_log
+    from arrowhouse_spark.operators.sampling import hash_bucket
+
+    keys = list(key_cols)
+    spark = batch_df.sparkSession
+    events = batch_df.select(*keys, ts_col, attr_col, tie_col).withColumn(
+        "kb", hash_bucket(keys[0], n_buckets, salt="scd2")
+    )
+    try:
+        store = spark.read.parquet(store_path)
+        store.head(1)
+    except Exception:  # noqa: BLE001 — first batch: no store yet
+        if batch_id > 0:
+            raise RuntimeError(
+                f"scd2 store {store_path!r} is missing but batch_id="
+                f"{batch_id} implies committed history — refusing to "
+                "rebuild from nothing (same contract as the minhash "
+                "band store)"
+            )
+        store = None
+    akeys = events.select(*keys, "kb").distinct()
+    if store is not None:
+        prior = store.join(F.broadcast(akeys.select(*keys)), keys, "semi")
+        prior_events = prior.select(
+            *keys,
+            F.col("valid_from").alias(ts_col),
+            F.col(attr_col),
+            F.col("__tie").alias(tie_col),
+            "kb",
+        )
+        all_events = events.unionByName(prior_events)
+        carry = store.join(F.broadcast(akeys.select(*keys)), keys, "left_anti")
+        # only buckets the batch touches get rewritten; carried rows are
+        # the unaffected keys LIVING IN those buckets
+        carry = carry.join(
+            F.broadcast(akeys.select("kb").distinct()), ["kb"], "semi"
+        )
+    else:
+        all_events = events
+        carry = None
+    # keep_cols carries the run-start row's tie (renamed __tie below) and
+    # store bucket through the rebuild — the row stays re-convertible to
+    # its originating event on the NEXT batch
+    rebuilt = scd2_from_log(
+        all_events.withColumnRenamed(tie_col, "__tie"),
+        key_cols=keys, ts_col=ts_col, attr_col=attr_col, tie_col="__tie",
+        keep_cols=["__tie", "kb"],
+    )
+    cols = [*keys, attr_col, "valid_from", "valid_to", "is_current",
+            "__tie", "kb"]
+    out = rebuilt.select(*cols)
+    if carry is not None:
+        out = out.unionByName(carry.select(*cols))
+    (
+        out.repartition("kb")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("kb")
+        .parquet(store_path)
+    )
+
+
+def stream_scd2(
+    sdf: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    tie_col: str = "event_id",
+    n_buckets: int = 16,
+):
+    """Continuously-maintained SCD2 dimension history — the streaming form
+    of operators/merge.py:scd2_from_log, completing the lakehouse
+    write-side streaming set (exact dedup, replace-latest, minhash
+    near-dup, shard export → and now validity-interval history).
+
+    foreachBatch + the batch operator over a bucket-partitioned store,
+    NOT applyInPandasWithState: interval maintenance needs the key's full
+    history on every update (a late event can split a CLOSED interval),
+    which per-key state transitions would have to hold forever anyway —
+    the store IS the state, bucket-pruned per batch. Per-batch outputs
+    equal one batch scd2_from_log over the union of all delivered events
+    (pinned in tests/test_streaming.py), and re-delivered batches are
+    no-ops by construction (see _scd2_process_batch).
+
+    Returns the StreamingQuery (caller awaits/stops it)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _scd2_process_batch(
+            batch_df, batch_id, store_path, key_cols, ts_col, attr_col,
+            tie_col, n_buckets,
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

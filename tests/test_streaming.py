@@ -1181,3 +1181,97 @@ def test_stream_bitmap_distinct_matches_exact(spark, stream_dir):
         .collect()
     }
     assert got == exact
+
+
+def test_stream_scd2_incremental_matches_batch_and_retry(spark, tmp_path):
+    """Round-8: continuous SCD2 maintenance. The bucket-partitioned store
+    after N batches must equal one batch scd2_from_log over the union of
+    all delivered events — including a LATE event that lands inside a
+    CLOSED interval (the per-key full-history rebuild) — and re-applying
+    a delivered batch must be a no-op (idempotence by construction)."""
+    from arrowhouse_spark.operators.merge import scd2_from_log
+    from arrowhouse_spark.streaming.replace import _scd2_process_batch
+
+    d = str(tmp_path / "scd2")
+    schema = "user_id long, ts timestamp, plan string, event_id long"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(u, f"2024-01-0{t} 00:00:00", a, e) for u, t, a, e in rows],
+            "user_id long, ts string, plan string, event_id long",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    b0 = mk([(1, 1, "free", 10), (1, 3, "pro", 11), (2, 1, "free", 12)])
+    b1 = mk([(1, 5, "free", 13), (2, 4, "team", 14)])
+    # late event INSIDE user 1's closed [01-01, 01-03) interval: splits it
+    b2 = mk([(1, 2, "pro", 15)])
+    kw = dict(
+        store_path=d + "/store", key_cols=["user_id"], ts_col="ts",
+        attr_col="plan", tie_col="event_id", n_buckets=4,
+    )
+    _scd2_process_batch(b0, 0, **kw)
+    _scd2_process_batch(b1, 1, **kw)
+    _scd2_process_batch(b2, 2, **kw)
+
+    def snapshot():
+        return sorted(
+            (r.user_id, r.plan, str(r.valid_from), str(r.valid_to),
+             r.is_current)
+            for r in spark.read.parquet(d + "/store").collect()
+        )
+
+    union = b0.unionByName(b1).unionByName(b2)
+    want = sorted(
+        (r.user_id, r.plan, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in scd2_from_log(
+            union, key_cols=["user_id"], ts_col="ts", attr_col="plan",
+            tie_col="event_id",
+        ).collect()
+    )
+    got = snapshot()
+    assert got == want
+    # the late event split the run sequence: user 1 is free,pro,free —
+    # with pro's interval starting at the LATE ts (01-02), not 01-03
+    u1 = [(a, f) for (u, a, f, _t, _c) in got if u == 1]
+    assert ("pro", "2024-01-02 00:00:00") in u1
+    # at-least-once: re-applying batch 2 must change nothing
+    _scd2_process_batch(b2, 2, **kw)
+    assert snapshot() == got
+    # a missing store with committed history must fail loudly (same
+    # contract as the minhash band store)
+    import shutil
+
+    import pytest
+
+    shutil.rmtree(d + "/store")
+    with pytest.raises(RuntimeError, match="committed history"):
+        _scd2_process_batch(b2, 3, **kw)
+
+
+def test_stream_scd2_availablenow_drain(spark, tmp_path):
+    """End-to-end through the streaming engine: a file-source availableNow
+    drain through stream_scd2 leaves the same store the direct batch
+    calls build."""
+    from arrowhouse_spark.streaming.replace import stream_scd2
+
+    d = str(tmp_path / "scd2s")
+    rows = [
+        (1, "2024-01-01 00:00:00", "free", 10),
+        (1, "2024-01-03 00:00:00", "pro", 11),
+        (2, "2024-01-01 00:00:00", "free", 12),
+    ]
+    src = spark.createDataFrame(
+        rows, "user_id long, ts string, plan string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src.write.parquet(d + "/in")
+    sdf = spark.readStream.schema(src.schema).parquet(d + "/in")
+    q = stream_scd2(
+        sdf, d + "/store", d + "/ckpt", key_cols=["user_id"],
+        ts_col="ts", attr_col="plan", tie_col="event_id", n_buckets=4,
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.plan, r.is_current)
+        for r in spark.read.parquet(d + "/store").collect()
+    )
+    assert got == [(1, "free", False), (1, "pro", True), (2, "free", True)]
