@@ -10420,3 +10420,70 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_kept"),
         )
     )
+
+
+@register(
+    "scd2_snapshot_asof",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, event_type, event_id,
+             lag(event_type) OVER w AS prev,
+             (row_number() OVER w) = 1 AS first
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    starts AS (
+      SELECT user_id, ts, event_type, event_id FROM marked
+      WHERE first OR prev IS DISTINCT FROM event_type
+    ),
+    hist AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER w2 AS valid_to
+      FROM starts WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    snap AS (
+      SELECT user_id, event_type FROM hist
+      WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+        AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(user_id) AS BIGINT) AS min_user,
+           CAST(max(user_id) AS BIGINT) AS max_user
+    FROM snap GROUP BY 1
+    """,
+)
+def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension snapshot from the SCD2 history — the READ
+    side of scd2_user_state / stream_scd2 (the lakehouse "as of T" query
+    every history table exists to answer): build validity intervals from
+    the change log, keep each user's interval CONTAINING the snapshot
+    instant (half-open [valid_from, valid_to)), roll up state occupancy.
+    At most one interval per key can contain T by construction, so the
+    snapshot is exactly the dimension state at T — late-arriving history
+    handled by the same rebuild as the streaming store. Plan: the scd2
+    windows (doc-keyed) + a map-side interval filter + one keyed rollup;
+    at rest the stored history prunes to intervals overlapping T via
+    min/max file stats on valid_from."""
+    from arrowhouse_spark.operators.merge import scd2_from_log
+
+    t = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    hist = scd2_from_log(
+        _events(spark, sf_dir),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_col="event_type",
+        tie_col="event_id",
+    )
+    snap = hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )

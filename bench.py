@@ -164,6 +164,7 @@ HEADLINE = [
     "q21_sole_late_shipper",
     "doc_token_runs",
     "doc_repetition_filter",
+    "scd2_snapshot_asof",
 ]
 
 
