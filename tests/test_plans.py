@@ -260,3 +260,47 @@ def test_hist_quantile_runs_on_state_sized_relations(spark, sf_dir, qs):
     # data-sized shuffles and no windows
     df = qs["hist_quantile_state_merge"](spark, sf_dir)
     check_plan(df)
+
+
+def test_q21_algebraized_exists_pair_shape(spark, sf_dir, qs):
+    # the EXISTS/NOT-EXISTS pair is ONE per-(order,supplier) rollup + a
+    # per-order count join: keyed exchanges only, top-20 via TakeOrdered
+    # (never a global sort), no cartesian anywhere
+    df = qs["q21_sole_late_shipper"](spark, sf_dir)
+    r = check_plan(df)
+    assert report(df).has_take_ordered
+    assert r.exchanges <= 5
+
+
+def test_q2_decorrelated_min_broadcasts(spark, sf_dir, qs):
+    # the regional-min subquery decorrelates to a keyed min joined BACK by
+    # broadcast; part/supplier/nation/region dims broadcast too
+    df = qs["q2_min_cost_supplier"](spark, sf_dir)
+    r = check_plan(df, require_broadcast_join=True)
+    assert r.exchanges <= 3  # offers rollup + regional min; dims broadcast
+
+
+def test_q8_share_single_keyed_aggregate(spark, sf_dir, qs):
+    # the market-share ratio is ONE keyed aggregate over the join tree —
+    # numerator and denominator in the same pass, never two scans
+    df = qs["q8_market_share"](spark, sf_dir)
+    r = check_plan(df, require_pushed_filters=True)
+    assert r.partial_final_agg
+    n_scans = plan_text(df).count("lineitem.parquet")
+    assert n_scans == 1
+
+
+def test_q11_global_scalar_is_broadcast(spark, sf_dir, qs):
+    # HAVING over the global total: a 1-row broadcast to the per-part
+    # relation, never a window over it
+    df = qs["q11_important_parts"](spark, sf_dir)
+    r = check_plan(df, require_broadcast_join=True)
+    assert not report(df).has_global_window
+
+
+def test_token_runs_windows_are_doc_partitioned(spark, sf_dir, qs):
+    # gaps-and-islands: both windows partition by doc_id (the check_plan
+    # default forbids the unpartitioned form), one keyed exchange
+    df = qs["doc_token_runs"](spark, sf_dir)
+    r = check_plan(df)
+    assert r.exchanges <= 2
