@@ -10487,3 +10487,131 @@ def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("user_id").alias("min_user"),
         F.max("user_id").alias("max_user"),
     )
+
+
+@register(
+    "source_entropy_report",
+    """
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+    tot AS (SELECT source, sum(c) AS t, count(*) AS n_distinct
+            FROM cnt GROUP BY 1)
+    SELECT cnt.source,
+           CAST(max(tot.t) AS BIGINT) AS n_tokens,
+           CAST(max(tot.n_distinct) AS BIGINT) AS n_distinct,
+           CAST(round(sum(CAST(
+             -(c / t) * log2(c / t) AS DECIMAL(38,15))), 6) AS DOUBLE)
+             AS entropy_bits,
+           round(CAST(max(tot.n_distinct) AS DOUBLE) / max(tot.t), 6)
+             AS type_token_ratio
+    FROM cnt JOIN tot ON tot.source = cnt.source
+    GROUP BY 1
+    """,
+)
+def source_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy + type-token ratio — the
+    information-theoretic corpus diversity readout next to
+    source_kl_divergence (low entropy = templated/boilerplate-heavy
+    source; TTR separates small-vocab repetition from short-corpus
+    effects). Plan: ONE (source, token) keyed count, a source-keyed
+    total broadcast back, map-side p·log2(p) terms, one keyed rollup.
+    Determinism doctrine: each entropy term is DECIMAL(38,15)-quantized
+    before the sum — p = c/t is an exact-integer division both engines
+    compute identically, log2 can differ in the last ulp cross-engine,
+    and 15-dp per-term quantization makes any accumulated drift orders
+    below the 6-dp output rounding while keeping the sum combine-order
+    free (the decayed_event_score lesson applied to a transcendental)."""
+    from arrowhouse_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("c") / F.col("t")
+    term = (-p * F.log2(p)).cast("decimal(38,15)")
+    return (
+        cnt.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.max("t").cast("long").alias("n_tokens"),
+            F.max("n_distinct").cast("long").alias("n_distinct"),
+            F.round(F.sum(term), 6).cast("double").alias("entropy_bits"),
+            F.round(
+                F.max("n_distinct").cast("double") / F.max("t"), 6
+            ).alias("type_token_ratio"),
+        )
+    )
+
+
+@register(
+    "vocab_oov_rate",
+    """
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS tf FROM tok GROUP BY 1
+        ORDER BY tf DESC, token ASC LIMIT 500
+      )
+    )
+    SELECT tok.source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
+           round(CAST(count(*) FILTER (WHERE v.token IS NULL) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab v ON v.token = tok.token
+    GROUP BY 1
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer out-of-vocabulary rate per source — the coverage readout
+    a vocab build (vocab_encode / bpe_train) is judged by: with the
+    top-500 corpus vocabulary (count desc, token asc — a total order, so
+    the K-boundary tie is engine-deterministic), what fraction of each
+    source's token OCCURRENCES falls outside it? High per-source OOV
+    flags a source the tokenizer underserves (the mixing-weight feedback
+    signal). Plan: one token count + global top-K (TakeOrdered), the
+    K-row vocab broadcast to a LEFT join over the token stream, one
+    keyed rollup — integers and one exact ratio; no float surface beyond
+    the final division."""
+    from arrowhouse_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(500)
+        .select("token")
+        .withColumn("__v", F.lit(1))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("__v").isNull(), 1)).alias("n_oov"),
+            F.round(
+                F.count(F.when(F.col("__v").isNull(), 1)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

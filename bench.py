@@ -165,6 +165,8 @@ HEADLINE = [
     "doc_token_runs",
     "doc_repetition_filter",
     "scd2_snapshot_asof",
+    "source_entropy_report",
+    "vocab_oov_rate",
 ]
 
 
