@@ -1381,3 +1381,126 @@ def edit_distance_pairs(
         .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+def _jaccard_prefix_candidates(
+    sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Prefix-filtered candidate pairs (id_a, id_b, size_a, size_b) for the
+    exact-Jaccard join — the PPJoin-family candidate generator (Chaudhuri
+    et al. SSJoin / Xiao et al. PPJoin, public literature).
+
+    Order every doc's shingles by GLOBAL rarity (document frequency asc,
+    shingle asc — a total order); if J(A,B) >= t then |A∩B| >= ceil(t·|A|),
+    so A must contribute at least one of its first |A| − ceil(t·|A|) + 1
+    rarest shingles to any qualifying pair — only PREFIX shingles generate
+    candidates. Rare shingles have small df, so the candidate join costs
+    Σ df_prefix² over rare tokens instead of Σ df² over all tokens — the
+    third candidate strategy next to the dense matmul and the full
+    inverted join, and the one that survives a corpus whose boilerplate
+    has been LEFT IN (no stop-shingle cap needed: hot shingles sort LAST
+    and fall out of every prefix). The length filter (t·|A| <= |B| <= |A|/t)
+    prunes the rest. Candidates are a SUPERSET of qualifying pairs;
+    callers must exact-verify."""
+    dfreq = sh.groupBy("shingle").agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
+    )
+    ranked = sh.join(dfreq, "shingle")
+    per_doc = ranked.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__df"), F.col("shingle")))
+        ).alias("__ord")
+    )
+    n = F.size("__ord")
+    plen = (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
+    prefix = per_doc.select(
+        F.col(id_col),
+        n.alias("__n"),
+        F.explode(F.slice(F.col("__ord"), 1, plen)).alias("__p"),
+    ).select(
+        F.col(id_col), F.col("__n"), F.col("__p.shingle").alias("shingle")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("__n").alias("size_a"), "shingle"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("__n").alias("size_b"), "shingle"
+    )
+    t = float(threshold)
+    return (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: sizes of a qualifying pair are within t of
+            # each other in ratio (|A∩B| <= min, |A∪B| >= max)
+            & (F.col("size_b") * F.lit(t) <= F.col("size_a"))
+            & (F.col("size_a") * F.lit(t) <= F.col("size_b"))
+        )
+        .select("id_a", "id_b", "size_a", "size_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via prefix-filtered candidates — same
+    output contract as ngram_jaccard_pairs (id_a < id_b, 6-dp jaccard >=
+    threshold; tests/test_pipeline_ops.py pins them row-identical), but
+    the candidate join touches only each doc's n − ⌈t·n⌉ + 1 RAREST
+    shingles. When a doc's rare shingles outnumber that bound, its hot
+    boilerplate shingles sort to the suffix and generate NO candidates —
+    EXACT results where the inverted path needs the opt-in stop-shingle
+    cap and the capped result is an approximation. When boilerplate
+    dominates past the bound (low t on template-heavy docs), the theorem
+    forces hot shingles into the prefix and pruning degrades gracefully
+    toward the inverted join's cost — correctness never depends on the
+    corpus shape, only the savings do (pinned both ways in the test).
+
+    Plan: one df count + per-doc array_sort (doc-keyed) + prefix explode
+    + shingle-keyed candidate join + length filter + exact verify (two
+    id-keyed joins against the full shingle relation, cost Σ(na+nb) over
+    candidates). Everything keyed on shingle or doc id; no windows, no
+    driver state. The exact verify makes prefix filtering PURE savings:
+    false candidates cost verification only, and the completeness bound
+    is the standard prefix-filter theorem over the global rarity order."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold in (0, 1]; got {threshold}")
+    sh = shingles if shingles is not None else shingle_relation(
+        df, text_col, id_col, shingle_n
+    )
+    lvl = sh.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        sh = _shared_persist(
+            sh.repartition(shuffle_parts(sh.sparkSession), "shingle"),
+            "jaccard_prefix_sh",
+        )
+    cand = _jaccard_prefix_candidates(sh, id_col, threshold)
+    l = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    r = sh.select(F.col(id_col).alias("__rb"), F.col("shingle").alias("__s2"))
+    inter = (
+        cand.join(l, "id_a")
+        .join(
+            r,
+            (F.col("id_b") == F.col("__rb"))
+            & (F.col("shingle") == F.col("__s2")),
+        )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = inter.withColumn(
+        "jaccard",
+        F.round(
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+            6,
+        ),
+    )
+    return out.filter(F.col("jaccard") >= F.lit(float(threshold))).select(
+        "id_a", "id_b", "jaccard"
+    )

@@ -10615,3 +10615,51 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "ngram_jaccard_prefix_dups",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gs
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, unnest(gs) AS shingle FROM grams
+      ) WHERE strlen(shingle) <= 31 AND strlen(shingle) = length(shingle)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_common
+      FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.2
+    """,
+)
+def ngram_jaccard_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram Jaccard via PREFIX-FILTERED candidates
+    (operators/dedup.py:ngram_jaccard_prefix_pairs, the PPJoin-family
+    strategy): each doc's candidate join uses only its n − ⌈t·n⌉ + 1
+    globally-rarest shingles + the length filter, with an exact verify —
+    the third candidate-generation strategy next to the dense matmul and
+    the full inverted join. The oracle is deliberately the PLAIN exact
+    Jaccard SQL (identical to ngram_jaccard_dups'): prefix filtering is
+    pure pruning, so hash-equality against the unpruned computation IS
+    the completeness proof at fixture scale."""
+    from arrowhouse_spark.operators.dedup import ngram_jaccard_prefix_pairs
+
+    return ngram_jaccard_prefix_pairs(
+        _t(spark, sf_dir, "documents"),
+        shingle_n=2,
+        threshold=0.2,
+        shingles=_doc_shingles_guarded(spark, sf_dir, 2),
+    )

@@ -167,6 +167,7 @@ HEADLINE = [
     "scd2_snapshot_asof",
     "source_entropy_report",
     "vocab_oov_rate",
+    "ngram_jaccard_prefix_dups",
 ]
 
 

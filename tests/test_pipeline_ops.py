@@ -1707,3 +1707,71 @@ def test_edit_distance_pairs_verifies_blocked_candidates(spark):
         for r in edit_distance_pairs(docs, cands, max_dist=5).collect()
     }
     assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2}  # (1,4) above bound
+
+
+def test_prefix_jaccard_matches_inverted_exactly(spark):
+    """PPJoin-style prefix filtering is pure candidate pruning: the exact
+    verify makes its output ROW-IDENTICAL to the inverted path at the
+    same threshold (completeness = the prefix-filter theorem over the
+    global rarity order)."""
+    from arrowhouse_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_prefix_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.2, 0.6):
+        a = sorted(
+            tuple(r)
+            for r in ngram_jaccard_pairs(docs, shingle_n=2, threshold=t).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in ngram_jaccard_prefix_pairs(
+                docs, shingle_n=2, threshold=t
+            ).collect()
+        )
+        assert a == b
+    assert len(a) > 0  # the fixture contains qualifying pairs at 0.2
+
+
+def test_prefix_jaccard_boilerplate_generates_no_candidates(spark):
+    """Hot boilerplate shingles sort to the SUFFIX of every doc's rarity
+    order, so they never enter a prefix — the property that replaces the
+    inverted path's opt-in stop-shingle cap without approximating."""
+    from arrowhouse_spark.operators.dedup import (
+        _jaccard_prefix_candidates,
+        ngram_jaccard_prefix_pairs,
+        shingle_relation,
+    )
+
+    # 40 docs: all share one boilerplate line; only docs 0 and 1 are real
+    # near-duplicates. The prefix MUST hold n - ceil(t*n) + 1 shingles
+    # (the theorem's completeness bound), so pruning requires the rare
+    # shingles to outnumber that bound — 11 content bigrams vs a prefix
+    # of 5 at t=0.7 here. (At t=0.5 with half the doc boilerplate the
+    # bound forces a hot shingle INTO the prefix and pruning rightly
+    # vanishes — correctness over savings.)
+    boiler = "subscribe to our newsletter now"
+    content = "a1 b2 c3 d4 e5 f6 g7 h8 i9 j10 k11"
+    rows = [(0, f"{content} {boiler}"),
+            (1, f"{content[:-3]}zz {boiler}")]  # one trailing token differs
+    rows += [
+        (i, " ".join(f"u{i}x{j}" for j in range(11)) + f" {boiler}")
+        for i in range(2, 40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_relation(docs, "text", "doc_id", 2)
+    cand = _jaccard_prefix_candidates(sh, "doc_id", 0.7)
+    n_cand = cand.count()
+    # the inverted path would push ~40*39/2 = 780 co-occurrence pairs
+    # through the boilerplate shingles; every filler doc's prefix here is
+    # pure df-1 content, so only the real near-dup pair survives
+    assert n_cand < 10
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_prefix_pairs(
+            docs, shingle_n=2, threshold=0.7
+        ).collect()
+    )
+    assert got == [(0, 1)]

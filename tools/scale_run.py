@@ -1160,6 +1160,26 @@ def _hist_state_merge(c: Ctx) -> dict:
     return {"sec": t, "quantiles": n}
 
 
+@op("jaccard_prefix")
+def _jaccard_prefix(c: Ctx) -> dict:
+    # round-8 newcomer: prefix-filtered exact Jaccard — candidate join uses
+    # only each doc's rarest shingles; expected to track the inverted path
+    # on this corpus (rich long-tail vocab -> prefixes stay rare) with a
+    # far smaller candidate relation
+    from arrowhouse_spark.operators.dedup import (
+        _jaccard_prefix_candidates,
+        ngram_jaccard_prefix_pairs,
+        shingle_relation,
+    )
+
+    sh = shingle_relation(c.docs, shingle_n=2)
+    n_cand = _jaccard_prefix_candidates(sh, "doc_id", 0.5).count()
+    t, n = timed(
+        lambda: ngram_jaccard_prefix_pairs(c.docs, shingle_n=2, threshold=0.5).count()
+    )
+    return {"sec": t, "pairs": n, "candidates": n_cand}
+
+
 @op("token_runs")
 def _token_runs(c: Ctx) -> dict:
     # round-8 newcomer: posexplode + two doc-partitioned windows + one keyed
