@@ -10663,3 +10663,123 @@ def ngram_jaccard_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.2,
         shingles=_doc_shingles_guarded(spark, sf_dir, 2),
     )
+
+
+@register(
+    "pipeline_sft_prep",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), t -> t != '') AS w
+      FROM documents
+    ),
+    conv AS (
+      SELECT doc_id, source,
+             coalesce(array_to_string(list_slice(w, 1, 10), ' '), '') AS prompt,
+             coalesce(array_to_string(list_slice(w, 11, len(w)), ' '), '')
+               || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+               AS resp
+      FROM d
+    ),
+    eval_set AS (SELECT DISTINCT prompt FROM conv WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM conv WHERE doc_id % 97 <> 0),
+    -- stage 1: PII scrub (same RE2-safe email regex as the Spark side)
+    scrub AS (
+      SELECT doc_id, source, prompt,
+             regexp_replace(resp,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS resp_clean,
+             len(regexp_extract_all(resp,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email
+      FROM train
+    ),
+    -- stage 2: exact dedup on the prompt (keep min doc_id)
+    keeper AS (SELECT prompt, min(doc_id) AS doc_id FROM scrub GROUP BY 1),
+    dedup AS (
+      SELECT s.* FROM scrub s JOIN keeper k
+        ON k.prompt = s.prompt AND k.doc_id = s.doc_id
+    ),
+    -- stage 3: eval-leakage filter (prompt-level anti join)
+    leakfree AS (
+      SELECT * FROM dedup WHERE prompt NOT IN (SELECT prompt FROM eval_set)
+    ),
+    -- stage 4: deterministic per-source cap (md5 race, id tiebreak)
+    capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source
+          ORDER BY md5('sft' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM leakfree
+      ) WHERE rn <= 15
+    )
+    -- stage 5: dataset-card stats
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_convs,
+           CAST(sum(len(list_filter(string_split(resp_clean, ' '),
+                                    t -> t != ''))) AS BIGINT) AS n_resp_words,
+           CAST(sum(n_email) AS BIGINT) AS n_pii_redacted,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM capped GROUP BY 1
+    """,
+)
+def pipeline_sft_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed SFT/chat data-prep pipeline — the instruction-tuning
+    counterpart of pipeline_pretrain_full, five stages in ONE declarative
+    plan: (1) transcript construction (first 10 words = user prompt, rest
+    = assistant response, with a DETERMINISTIC doc-keyed email injected
+    so the scrub stage provably transforms the data); (2) PII scrub
+    (operators/text.py:pii_scrub, single RE2-safe email pattern shared
+    verbatim with the oracle); (3) exact prompt dedup keeping the
+    minimum doc id (at 100 TB the group key would be the prompt's
+    64-bit fingerprint — the string form here keeps the oracle
+    replayable, same semantics); (4) cross-split leakage filter — drop
+    training conversations whose prompt appears in the doc_id%97 eval
+    split (the split_leakage_check shape applied as a filter); (5) the
+    deterministic md5-race per-source cap (operators/sampling.py:
+    cap_per_key, ≤15/source) and the dataset-card rollup. Shuffles:
+    prompt-keyed dedup agg + join, broadcast anti join (eval prompts),
+    source-partitioned cap window, final keyed rollup — no global
+    windows, no driver state; every stage's relation stays keyed."""
+    from arrowhouse_spark.operators.sampling import cap_per_key
+    from arrowhouse_spark.operators.text import pii_scrub
+
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    docs = _t(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    conv = docs.select(
+        "doc_id",
+        "source",
+        F.array_join(F.slice(w, 1, 10), " ").alias("prompt"),
+        F.concat(
+            F.array_join(F.slice(w, 11, 1_000_000), " "),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ).alias("resp"),
+    )
+    eval_prompts = (
+        conv.filter(F.col("doc_id") % 97 == 0).select("prompt").distinct()
+    )
+    train = conv.filter(F.col("doc_id") % 97 != 0)
+    scrubbed = pii_scrub(
+        train, text_col="resp", id_col="doc_id",
+        patterns={"email": email}, out="resp_clean",
+    ).select("doc_id", "resp_clean", "n_email")
+    s = train.join(scrubbed, "doc_id").select(
+        "doc_id", "source", "prompt", "resp_clean", "n_email"
+    )
+    keeper = s.groupBy("prompt").agg(F.min("doc_id").alias("doc_id"))
+    dedup = s.join(keeper, ["prompt", "doc_id"])
+    leakfree = dedup.join(F.broadcast(eval_prompts), "prompt", "left_anti")
+    capped = cap_per_key(
+        leakfree, key_col="source", id_col="doc_id", max_rows=15, salt="sft"
+    )
+    n_words = F.size(
+        F.filter(F.split(F.col("resp_clean"), " "), lambda t: t != "")
+    )
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.sum(n_words).cast("long").alias("n_resp_words"),
+        F.sum("n_email").cast("long").alias("n_pii_redacted"),
+        F.min("doc_id").alias("min_doc"),
+    )

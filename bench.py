@@ -168,6 +168,7 @@ HEADLINE = [
     "source_entropy_report",
     "vocab_oov_rate",
     "ngram_jaccard_prefix_dups",
+    "pipeline_sft_prep",
 ]
 
 
