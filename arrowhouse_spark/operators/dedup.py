@@ -1448,6 +1448,8 @@ def ngram_jaccard_prefix_pairs(
     shingle_n: int = 2,
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    dense_cells_cap: int = 1 << 27,
+    force_prefix: bool = False,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs via prefix-filtered candidates — same
     output contract as ngram_jaccard_pairs (id_a < id_b, 6-dp jaccard >=
@@ -1462,6 +1464,16 @@ def ngram_jaccard_prefix_pairs(
     toward the inverted join's cost — correctness never depends on the
     corpus shape, only the savings do (pinned both ways in the test).
 
+    Strategy dispatch (same measured-shape doctrine as
+    ngram_jaccard_pairs): a DENSE corpus — tiny shared vocabulary, docs ×
+    distinct-shingles under ``dense_cells_cap`` — is the regime where NO
+    rarity order prunes (every doc's rarest shingle still has high df;
+    measured on the sf0.1 fixture: the pure prefix path ran 62s where the
+    matmul runs ~1s), so the call delegates to ngram_jaccard_pairs, whose
+    dense matmul is exact too and the output contract is identical.
+    ``force_prefix=True`` pins the pure prefix path for tests/benchmarks
+    of the machinery itself.
+
     Plan: one df count + per-doc array_sort (doc-keyed) + prefix explode
     + shingle-keyed candidate join + length filter + exact verify (two
     id-keyed joins against the full shingle relation, cost Σ(na+nb) over
@@ -1474,6 +1486,24 @@ def ngram_jaccard_prefix_pairs(
     sh = shingles if shingles is not None else shingle_relation(
         df, text_col, id_col, shingle_n
     )
+    if not force_prefix:
+        # dense-regime dispatch: prefix filtering cannot prune a
+        # tiny-vocabulary corpus; hand the same shingle relation to the
+        # strategy chooser (which takes the exact dense matmul there and
+        # the inverted join otherwise — both share this output contract)
+        n_docs = _footer_num_rows(df)
+        if n_docs is None:
+            n_docs = sh.select(id_col).distinct().count()
+        max_dense_docs = max(1, dense_cells_cap // 512)
+        if n_docs <= max_dense_docs:
+            est_vocab = sh.agg(
+                F.approx_count_distinct("shingle").alias("v")
+            ).first()["v"]
+            if n_docs * est_vocab * 1.1 <= dense_cells_cap:
+                return ngram_jaccard_pairs(
+                    df, text_col, id_col, shingle_n, threshold,
+                    dense_cells_cap, shingles=sh, n_docs=n_docs,
+                )
     lvl = sh.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
         sh = _shared_persist(

@@ -10646,15 +10646,22 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact bigram Jaccard via PREFIX-FILTERED candidates
-    (operators/dedup.py:ngram_jaccard_prefix_pairs, the PPJoin-family
-    strategy): each doc's candidate join uses only its n − ⌈t·n⌉ + 1
-    globally-rarest shingles + the length filter, with an exact verify —
-    the third candidate-generation strategy next to the dense matmul and
-    the full inverted join. The oracle is deliberately the PLAIN exact
-    Jaccard SQL (identical to ngram_jaccard_dups'): prefix filtering is
-    pure pruning, so hash-equality against the unpruned computation IS
-    the completeness proof at fixture scale."""
+    """Exact bigram Jaccard via the PREFIX-FILTER strategy entry point
+    (operators/dedup.py:ngram_jaccard_prefix_pairs, PPJoin family): each
+    doc's candidate join uses only its n − ⌈t·n⌉ + 1 globally-rarest
+    shingles + the length filter, with an exact verify — the third
+    candidate-generation strategy next to the dense matmul and the full
+    inverted join. On THIS fixture's degenerate tiny-vocabulary shape
+    the operator's measured-shape dispatch hands the relation to the
+    dense matmul (no rarity order prunes a corpus where every shingle is
+    hot — the pure prefix path measured 62s vs ~1s here), so the gate
+    pins the dispatcher + the shared output contract; the pure prefix
+    machinery is pinned row-identical on sparse corpora in
+    tests/test_pipeline_ops.py (force_prefix=True) and measured in the
+    scale battery. The oracle is deliberately the PLAIN exact Jaccard
+    SQL (identical to ngram_jaccard_dups'): every strategy is pure
+    pruning, so hash-equality against the unpruned computation IS the
+    completeness proof."""
     from arrowhouse_spark.operators.dedup import ngram_jaccard_prefix_pairs
 
     return ngram_jaccard_prefix_pairs(

@@ -1728,7 +1728,7 @@ def test_prefix_jaccard_matches_inverted_exactly(spark):
         b = sorted(
             tuple(r)
             for r in ngram_jaccard_prefix_pairs(
-                docs, shingle_n=2, threshold=t
+                docs, shingle_n=2, threshold=t, force_prefix=True
             ).collect()
         )
         assert a == b
@@ -1771,7 +1771,7 @@ def test_prefix_jaccard_boilerplate_generates_no_candidates(spark):
     got = sorted(
         (r.id_a, r.id_b)
         for r in ngram_jaccard_prefix_pairs(
-            docs, shingle_n=2, threshold=0.7
+            docs, shingle_n=2, threshold=0.7, force_prefix=True
         ).collect()
     )
     assert got == [(0, 1)]

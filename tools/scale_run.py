@@ -1175,7 +1175,7 @@ def _jaccard_prefix(c: Ctx) -> dict:
     sh = shingle_relation(c.docs, shingle_n=2)
     n_cand = _jaccard_prefix_candidates(sh, "doc_id", 0.5).count()
     t, n = timed(
-        lambda: ngram_jaccard_prefix_pairs(c.docs, shingle_n=2, threshold=0.5).count()
+        lambda: ngram_jaccard_prefix_pairs(c.docs, shingle_n=2, threshold=0.5, force_prefix=True).count()
     )
     return {"sec": t, "pairs": n, "candidates": n_cand}
 
