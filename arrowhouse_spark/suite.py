@@ -10790,3 +10790,68 @@ def pipeline_sft_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_email").cast("long").alias("n_pii_redacted"),
         F.min("doc_id").alias("min_doc"),
     )
+
+
+@register(
+    "events_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(max(d.med), 6) AS median_value,
+           round(max(m.mad), 6) AS mad,
+           CAST(count(*) FILTER (
+             WHERE abs(d.value - d.med) > 3.5 * 1.4826 * m.mad
+           ) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY 1
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    heavy-tail-safe complement of events_zscore_outliers (one extreme
+    value inflates a stddev and hides its peers; the median/MAD pair is
+    breakdown-point-0.5). Per type: median, MAD, and the count beyond
+    3.5 modified z (the 1.4826 factor scales MAD to σ under normality —
+    Iglewicz-Hoaglin). Plan: TWO keyed exact percentiles (Spark's
+    percentile = sort-based interpolation, deterministic — no
+    order-sensitive sums anywhere) each a keyed aggregate whose state is
+    the key's value list, + broadcast joins of the 5-row stats relations
+    back, + one keyed rollup. At 100 TB swap percentile for
+    approx_percentile (t-digest) — same shape, documented accuracy knob,
+    the quality_quantile_filter precedent."""
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    out = dev.join(
+        F.broadcast(mad.withColumnRenamed("event_type", "__et")),
+        F.col("__et") == F.col("event_type"),
+    )
+    is_out = F.abs(F.col("value") - F.col("med")) > (
+        F.lit(3.5 * 1.4826) * F.col("mad")
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("med"), 6).alias("median_value"),
+        F.round(F.max("mad"), 6).alias("mad"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+    )

@@ -169,6 +169,7 @@ HEADLINE = [
     "vocab_oov_rate",
     "ngram_jaccard_prefix_dups",
     "pipeline_sft_prep",
+    "events_mad_outliers",
 ]
 
 
