@@ -1180,6 +1180,28 @@ def _jaccard_prefix(c: Ctx) -> dict:
     return {"sec": t, "pairs": n, "candidates": n_cand}
 
 
+@op("mad_outliers")
+def _mad_outliers(c: Ctx) -> dict:
+    # round-8 newcomer: two keyed exact percentiles + broadcast stats joins;
+    # per-key state is the key's value list, so expected linear in events
+    # (key count fixed at 5 types while per-key lists grow with volume —
+    # the worst case for the exact path; approx_percentile is the 100 TB swap)
+    from arrowhouse_spark.operators import timeseries  # noqa: F401 — parity import
+    from pyspark.sql import functions as F
+
+    ev = c.events
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med")))
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    out = dev.join(F.broadcast(mad.withColumnRenamed("event_type", "__et")),
+                   F.col("__et") == F.col("event_type"))
+    is_out = F.abs(F.col("value") - F.col("med")) > F.lit(3.5 * 1.4826) * F.col("mad")
+    t, n = timed(lambda: out.groupBy("event_type").agg(
+        F.sum(F.when(is_out, 1).otherwise(0)).alias("n_out")).count())
+    return {"sec": t, "groups": n}
+
+
 @op("token_runs")
 def _token_runs(c: Ctx) -> dict:
     # round-8 newcomer: posexplode + two doc-partitioned windows + one keyed
