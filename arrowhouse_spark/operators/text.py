@@ -1220,3 +1220,41 @@ def rrf_fuse(
         .limit(k)
         .select(id_col, "rrf_score", *[f"{n}_rank" for n, _ in rankings])
     )
+
+
+def url_canonicalize(
+    df: DataFrame, url_col: str = "url", out: str = "canonical_url"
+) -> DataFrame:
+    """URL canonicalization for dedup keys — the normalization every
+    web-corpus pipeline runs before URL-level dedup (C4/CCNet dedup by
+    URL; the same URL arrives spelled dozens of ways across dumps):
+    lowercase scheme+host, strip default ports (:443/:80), drop the
+    fragment, remove tracking params (utm_*, fbclid, gclid), repair the
+    orphaned '&' a removed leading param leaves, collapse duplicate
+    path slashes, and strip trailing '/' and empty '?'.
+
+    Pure map-side regexp chain (fuses into the scan; zero shuffles,
+    zero Python). Every pattern is RE2-safe (no lookahead/backrefs in
+    the MATCH side) so an oracle can replay the chain verbatim in
+    engines whose regex is RE2 — the Java-regex/RE2 common subset is
+    the contract. Caveats (documented, not bugs): '//'-collapse applies
+    to the whole tail, so a query-string containing '//' would also
+    collapse (no scheme-relative '//' survives after the host split);
+    param removal assumes tracking params are not the only thing
+    between '?' and a kept param more than once per position — the
+    orphan-fix pass repairs the single leading case, which is the form
+    real trackers append."""
+    u = F.col(url_col)
+    head = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)", 1)
+    chead = F.regexp_replace(F.lower(head), r":(443|80)$", "")
+    crest = F.regexp_replace(rest, r"#.*$", "")
+    crest = F.regexp_replace(
+        crest, r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", ""
+    )
+    crest = F.regexp_replace(crest, r"^([^?]*)&", r"$1?")
+    crest = F.regexp_replace(crest, r"//+", "/")
+    crest = F.regexp_replace(crest, r"/\?", "?")
+    crest = F.regexp_replace(crest, r"/+$", "")
+    crest = F.regexp_replace(crest, r"\?$", "")
+    return df.withColumn(out, F.concat(chead, crest))

@@ -306,3 +306,76 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols,
+    order_cols,
+    value_col: str,
+    alpha: float = 0.25,
+    lookback: int = 32,
+    out_col: str = "ewma",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average with exact finite
+    support: ``ewma_n = sum_{j<L} (1-a)^j x_{n-j} / sum_{j<L} (1-a)^j``
+    (the normalized-weights EWMA truncated at ``lookback`` terms — the
+    alpha factor cancels under normalization; terms beyond L=32 carry
+    weight <= 0.75^32 ~ 1e-4 of the head and are DEFINED out of the
+    operator so both engines compute the identical finite formula).
+
+    The textbook recurrence ``y_n = a*x_n + (1-a)*y_{n-1}`` is a
+    sequential scan no engine aggregates associatively; the truncated
+    form makes it a bounded per-key window: collect the last L values in
+    frame order, fold newest-first. Determinism doctrine
+    (decayed_event_score / source_entropy_report precedent): the weight
+    ladder is built by repeated double multiplication (0.75^j is exactly
+    representable for j <= 31 — 3^31 < 2^53 — so every step is exact),
+    each weighted term is quantized to DECIMAL(38,15) and summed
+    EXACTLY, so the result is combine-order-free and bit-reproducible
+    across partitionings; the final ratio is one double division,
+    rounded.
+
+    Scale: ONE per-key window whose frame state is <= L values per row —
+    series-length-free; the only shuffle is the key partitioning. No
+    Python, no global window.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(f"need 0 < alpha < 1, got {alpha}")
+    if lookback < 1 or (1 - alpha) ** (lookback - 1) == 0:
+        raise ValueError(f"bad lookback {lookback} for alpha {alpha}")
+    key_cols, order_cols = list(key_cols), list(order_cols)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(lookback - 1), Window.currentRow)
+    )
+    # frame order is oldest..newest; fold newest-first so the weight
+    # ladder starts at 1 on the current row
+    arr = F.reverse(F.collect_list(F.col(value_col)).over(w))
+    # accumulator DECIMAL(37,15) + term DECIMAL(22,15) sums to (38,15)
+    # with NO scale reduction (Spark widens precision on add; at (38,15)
+    # inputs it would drop to scale 14 and round mid-fold); the cast back
+    # to (37,15) is exact for any |value| < 1e7 per term, so every
+    # partial sum is the mathematically exact decimal the oracle's
+    # DECIMAL(38,15) SUM also produces.
+    acc_t, term_t = "decimal(37,15)", "decimal(22,15)"
+    zero = F.struct(
+        F.lit(0).cast(acc_t).alias("s"),
+        F.lit(0).cast(acc_t).alias("ws"),
+        F.lit(1.0).alias("w"),
+    )
+    acc = F.aggregate(
+        arr,
+        zero,
+        lambda a, x: F.struct(
+            (a["s"] + (a["w"] * x).cast(term_t)).cast(acc_t).alias("s"),
+            (a["ws"] + a["w"].cast(term_t)).cast(acc_t).alias("ws"),
+            (a["w"] * F.lit(1.0 - alpha)).alias("w"),
+        ),
+    )
+    return df.withColumn(
+        out_col,
+        F.round(acc["s"].cast("double") / acc["ws"].cast("double"), round_dp),
+    )

@@ -10855,3 +10855,201 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("mad"), 6).alias("mad"),
         F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
     )
+
+
+@register(
+    "url_canonical_dedup",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN 'News.Example.COM'
+                      ELSE 'blog.example.org' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+             || (CASE WHEN doc_id % 11 = 0 THEN '/p//' ELSE '/p/' END)
+             || CAST(doc_id % 100 AS VARCHAR)
+             || (CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_campaign=x'
+                      WHEN doc_id % 5 = 1 THEN '?id=7&utm_medium=email'
+                      WHEN doc_id % 5 = 2 THEN '?utm_content=a&id=7'
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END) AS url
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+        regexp_replace(
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1)),
+          ':(443|80)$', '')
+        ||
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*(.*)', 1),
+            '#.*$', '', 'g'),
+          '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+          '^([^?]*)&', '\\1?', 'g'),
+          '//+', '/', 'g'),
+          '/\\?', '?', 'g'),
+          '/+$', '', 'g'),
+          '\\?$', '', 'g') AS canonical_url
+      FROM u
+    )
+    SELECT regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+           CAST(count(*) - count(DISTINCT canonical_url) AS BIGINT)
+             AS n_removed,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM c GROUP BY 1
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup via canonicalization (operators/text.py:
+    url_canonicalize) — the normalization web-corpus pipelines run
+    before URL dedup across dumps (the same page arrives as
+    'HTTPS://Host.COM:443/p//7/?id=7&utm_medium=email#frag' and
+    'https://host.com/p/7?utm_content=a&id=7'). The fixture has no URL
+    column, so one is SYNTHESIZED deterministically from doc_id on both
+    sides (the doc_url_filter discipline), with every noise axis the
+    canonicalizer handles: scheme/host case, default port, duplicate
+    path slash, trailing slash, tracking params (leading AND trailing,
+    exercising the orphan-'&' repair), and fragments. 100 canonical
+    classes under 500 docs ⇒ a real dedup ratio, pinned per domain.
+    Plan: map-side regexp chain fused into the scan + ONE keyed agg
+    (count distinct by domain) — at 100 TB the dedup itself is the
+    exact-dedup fingerprint groupBy on canonical_url; this query reports
+    the rollup."""
+    from arrowhouse_spark.operators.text import url_canonicalize
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    with_url = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(d % 3 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+            F.when(d % 2 == 0, F.lit("News.Example.COM")).otherwise(
+                F.lit("blog.example.org")
+            ),
+            F.when(d % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit("/p//")).otherwise(F.lit("/p/")),
+            (d % 100).cast("string"),
+            F.when(d % 13 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit("?utm_source=feed&utm_campaign=x"))
+            .when(d % 5 == 1, F.lit("?id=7&utm_medium=email"))
+            .when(d % 5 == 2, F.lit("?utm_content=a&id=7"))
+            .otherwise(F.lit("")),
+            F.when(d % 9 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    c = url_canonicalize(with_url)
+    dom = F.regexp_extract(F.col("canonical_url"), r"^[a-z]+://([^/:?#]+)", 1)
+    return c.groupBy(dom.alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("canonical_url").cast("long").alias("n_canonical"),
+        (F.count(F.lit(1)) - F.countDistinct("canonical_url"))
+        .cast("long")
+        .alias("n_removed"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+    )
+
+
+@register(
+    "events_ewma_last",
+    """
+    WITH RECURSIVE wts(j, wt) AS (
+      SELECT 0, CAST(1.0 AS DOUBLE)
+      UNION ALL SELECT j + 1, wt * 0.75 FROM wts WHERE j < 31
+    ),
+    seq AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    lastn AS (
+      SELECT user_id, max(rn) AS n, CAST(count(*) AS BIGINT) AS n_events
+      FROM seq GROUP BY 1
+    )
+    SELECT s.user_id,
+           max(l.n_events) AS n_events,
+           round(CAST(sum(CAST(w.wt * s.value AS DECIMAL(38,15))) AS DOUBLE)
+                 / CAST(sum(CAST(w.wt AS DECIMAL(38,15))) AS DOUBLE),
+                 6) AS ewma_last
+    FROM seq s
+    JOIN lastn l ON l.user_id = s.user_id
+    JOIN wts w ON w.j = l.n - s.rn
+    WHERE l.n - s.rn < 32
+    GROUP BY 1
+    """,
+)
+def events_ewma_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA-smoothed latest activity level
+    (operators/timeseries.py:ewma — normalized exponential weights,
+    exact 32-term support, alpha=0.25). The sequential recurrence
+    ``y_n = a x_n + (1-a) y_{n-1}`` no engine folds associatively;
+    truncating at L=32 (tail weight <= 0.75^32 ~ 1e-4) turns it into a
+    bounded per-key window both engines compute identically: weight
+    ladder by repeated exact double multiplication (0.75^j exactly
+    representable through j=31), each term DECIMAL(38,15)-quantized and
+    summed exactly (source_entropy_report doctrine ⇒ combine-order-free),
+    one double division, round 6. The oracle builds the identical ladder
+    with a recursive CTE and joins it on lag. Plan: one user-keyed
+    window (frame state <= 32 values) + one keyed rollup electing the
+    final row via the (ts, event_id) total-order struct max — no global
+    window, no Python."""
+    from arrowhouse_spark.operators.timeseries import ewma
+
+    ev = _events(spark, sf_dir)
+    sm = ewma(
+        ev, ["user_id"], ["ts", "event_id"], "value",
+        alpha=0.25, lookback=32, out_col="__ewma",
+    )
+    return sm.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(F.struct("ts", "event_id", "__ewma"))["__ewma"].alias(
+            "ewma_last"
+        ),
+    )
+
+
+@register(
+    "regression_by_segment",
+    """
+    SELECT c_mktsegment,
+           CAST(regr_count(o_totalprice, c_acctbal) AS BIGINT) AS n,
+           round(regr_slope(o_totalprice, c_acctbal), 6) AS slope,
+           round(regr_intercept(o_totalprice, c_acctbal), 4) AS intercept,
+           round(regr_r2(o_totalprice, c_acctbal), 6) AS r2,
+           round(regr_avgx(o_totalprice, c_acctbal), 4) AS avg_x,
+           round(regr_avgy(o_totalprice, c_acctbal), 4) AS avg_y
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def regression_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares regression aggregates — the SQL:2003
+    ``REGR_*`` family (slope/intercept/R²/means of order totalprice on
+    customer account balance, per market segment). Absent from the
+    reference's aggregate factory (`/root/reference/AggregateFunctions/
+    IAggregateFunction.h:454-473` enables only count/sum/avg/min/max/any);
+    engine-native superset here — Spark's `regr_*` run as Tungsten
+    central-moment aggregates with partial→final combine, so the whole
+    query is one broadcast join + one keyed agg, zero Python. Rounding to
+    4-6 dp follows the stats_moments doctrine: the merge formula's double
+    arithmetic is partition-order-sensitive in the last ulps, and the
+    round collapses that (bit-exactness re-proved per round by the
+    determinism audit). Plan at 100 TB: customer broadcasts (or shuffles
+    at dim scale — semantics unchanged), orders streams map-side into the
+    5-key partial agg; no window, no collect."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    y, x = F.col("o_totalprice"), F.col("c_acctbal")
+    return j.groupBy("c_mktsegment").agg(
+        F.regr_count(y, x).cast("long").alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+    )

@@ -1775,3 +1775,40 @@ def test_prefix_jaccard_boilerplate_generates_no_candidates(spark):
         ).collect()
     )
     assert got == [(0, 1)]
+
+
+def test_url_canonicalize_hand_checked(spark):
+    from arrowhouse_spark.operators.text import url_canonicalize
+
+    cases = [
+        # scheme/host case + default port + double slash + trailing slash
+        ("HTTPS://News.Example.COM:443/p//7/", "https://news.example.com/p/7"),
+        # tracking-only query disappears along with its '?'
+        (
+            "https://a.example.org/x?utm_source=f&utm_campaign=c",
+            "https://a.example.org/x",
+        ),
+        # leading tracking param removed -> orphaned '&' repaired to '?'
+        (
+            "https://a.example.org/x?utm_content=a&id=7#frag",
+            "https://a.example.org/x?id=7",
+        ),
+        # trailing tracking param after a kept one
+        (
+            "https://a.example.org/x?id=7&utm_medium=email",
+            "https://a.example.org/x?id=7",
+        ),
+        # :80 stripped, root slash stripped, fbclid removed
+        ("http://B.example.NET:80/?fbclid=zz", "http://b.example.net"),
+        # non-default port and real params survive
+        (
+            "https://a.example.org:8443/x?id=7&q=2",
+            "https://a.example.org:8443/x?id=7&q=2",
+        ),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: r["canonical_url"] for r in url_canonicalize(df).collect()
+    }
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)

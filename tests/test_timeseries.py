@@ -118,3 +118,35 @@ def test_winsorize_clips_to_group_quantiles(spark):
     assert rows[1.0] == 10.9
     assert rows[100.0] == 90.1
     assert rows[50.0] == 50.0
+
+
+def test_ewma_hand_checked_and_truncation(spark):
+    import pytest
+
+    from arrowhouse_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 40.0), ("b", 9, 7.0)],
+        "k string, seq int, v double",
+    )
+    # alpha=0.25 -> weights 1, .75, .5625 newest-first, normalized
+    out = {
+        (r["k"], r["seq"]): r["ewma"]
+        for r in ewma(df, ["k"], ["seq"], "v", alpha=0.25).collect()
+    }
+    assert out[("a", 1)] == 10.0
+    assert out[("a", 2)] == round(27.5 / 1.75, 6)
+    assert out[("a", 3)] == round(60.625 / 2.3125, 6)
+    assert out[("b", 9)] == 7.0  # keys independent
+
+    # lookback truncation: L=2 drops the oldest term entirely
+    out2 = {
+        (r["k"], r["seq"]): r["ewma"]
+        for r in ewma(df, ["k"], ["seq"], "v", alpha=0.25, lookback=2).collect()
+    }
+    assert out2[("a", 3)] == round(55.0 / 1.75, 6)
+
+    with pytest.raises(ValueError):
+        ewma(df, ["k"], ["seq"], "v", alpha=1.5)
+    with pytest.raises(ValueError):
+        ewma(df, ["k"], ["seq"], "v", lookback=0)
