@@ -10858,6 +10858,54 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pareto_frontier_parts",
+    """
+    WITH pts AS (
+      SELECT p_retailprice AS price, CAST(p_size AS BIGINT) AS size,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(min(p_partkey) AS BIGINT) AS min_partkey
+      FROM part GROUP BY 1, 2
+    )
+    SELECT round(price, 2) AS price, size, n_parts, min_partkey
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE (b.price < a.price AND b.size >= a.size)
+         OR (b.price <= a.price AND b.size > a.size)
+    )
+    """,
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier / skyline (operators/skyline.py:
+    pareto_frontier) over parts: minimize retail price, maximize size —
+    the cheapest-per-capability shortlist (Börzsönyi et al., ICDE 2001).
+    The distributed form is grid-partitioned: distinct-point reduction →
+    fixed price-grid bucketing from a 1-row broadcast bounds aggregate →
+    per-BUCKET window (running max of size over strictly-preceding
+    points in (price asc, size desc) order decides local dominance) →
+    B-row broadcast theta self-join for cross-bucket dominance. Exact:
+    same-bucket dominators hit the running max, lower-bucket ones the
+    bucket cummax, higher buckets cannot dominate (strictly larger
+    price). The oracle is the textbook unpruned NOT EXISTS — hash
+    equality proves the pruning loses nothing. No global window, no
+    cartesian; all dominance state is one running max per reducer."""
+    from arrowhouse_spark.operators.skyline import pareto_frontier
+
+    p = _t(spark, sf_dir, "part").withColumn(
+        "p_size_l", F.col("p_size").cast("long")
+    )
+    out = pareto_frontier(
+        p, min_col="p_retailprice", max_col="p_size_l", id_col="p_partkey"
+    )
+    return out.select(
+        F.round(F.col("p_retailprice"), 2).alias("price"),
+        F.col("p_size_l").alias("size"),
+        F.col("n_rows").alias("n_parts"),
+        F.col("min_id").alias("min_partkey"),
+    )
+
+
+@register(
     "url_canonical_dedup",
     """
     WITH u AS (
