@@ -360,3 +360,117 @@ def hist_quantile(
         F.col("bin") + (target - F.col("cum_before")) / F.col("cnt")
     ) * F.lit(width)
     return hit.select(*kcols, "q", est.alias("est"))
+
+
+_BLOOM_BITS_PER_WORD = 62  # bit index 0..61 keeps 1<<bit strictly positive
+# in signed-64 arithmetic on every engine (no sign-bit / overflow edge)
+
+
+def _bloom_pos(col, a: int, b: int, m_bits: int):
+    """Bit position via the same exact-BIGINT affine map as the CM sketch
+    (_cms_bucket) — fixed public constants, reproducible by any engine."""
+    x = F.pmod(F.col(col).cast("long"), F.lit(_CMS_P))
+    return F.pmod(F.pmod(F.lit(a) * x + F.lit(b), F.lit(_CMS_P)), F.lit(m_bits))
+
+
+def bloom_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    depth: int = 4,
+    n_words: int = 256,
+) -> DataFrame:
+    """Mergeable Bloom-filter membership state (Bloom 1970) — the
+    membership member of the agg_state family (exact/HLL-distinct/
+    CMS-frequency/histogram-quantile/bitmap): per key tuple, an
+    ``n_words`` x 62-bit filter stored as PLAIN ROWS (word, bits) so the
+    merge is a built-in BIT_OR (codegen, map-side partials) and the
+    stored filter stays queryable/partitionable at rest. Absent word
+    rows are all-zero words — state size is bounded by occupancy, never
+    allocated dense.
+
+    ``depth`` hash functions are the CM sketch's exact-integer affine
+    rows over ``m = n_words*62`` bits, so a SQL oracle reproduces every
+    set bit exactly; OR is idempotent + associative/commutative, so
+    retried or re-partitioned increments can never change the filter —
+    merge-then-probe equals direct-build-then-probe bit-for-bit.
+    Contract: probes of true members always return true (no false
+    negatives); false-positive rate ~ (1 - e^{-kn/m})^k."""
+    if depth > len(_CMS_ROWS):
+        raise ValueError(f"depth <= {len(_CMS_ROWS)}; got {depth}")
+    if n_words < 1:
+        raise ValueError(f"need n_words >= 1, got {n_words}")
+    _cms_check_numeric(df, value_col)
+    m_bits = n_words * _BLOOM_BITS_PER_WORD
+    pos = F.array(
+        *[_bloom_pos(value_col, a, b, m_bits) for a, b in _CMS_ROWS[:depth]]
+    )
+    exploded = df.select(*keys, F.explode(pos).alias("p"))
+    word = F.floor(F.col("p") / _BLOOM_BITS_PER_WORD).cast("long")
+    bit = F.pmod(F.col("p"), F.lit(_BLOOM_BITS_PER_WORD)).cast("int")
+    return (
+        exploded.select(
+            *keys,
+            word.alias("word"),
+            bit.alias("__bit"),
+        )
+        # shiftleft needs a column shift amount -> SQL expression form
+        .withColumn("__b", F.expr("shiftleft(CAST(1 AS BIGINT), __bit)"))
+        .groupBy(*keys, "word")
+        .agg(F.bit_or("__b").alias("bits"))
+    )
+
+
+def bloom_merge(states: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Fold Bloom states by the surviving ``keys``: word-wise BIT_OR.
+    Idempotent and associative — any increment partitioning or retry
+    folds to the identical filter."""
+    return states.groupBy(*keys, "word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    states: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    depth: int = 4,
+    n_words: int = 256,
+    out: str = "member",
+) -> DataFrame:
+    """Membership probes against a merged KEYLESS filter: re-derive the
+    ``depth`` bit positions with the same fixed constants, broadcast-join
+    the state's word rows, and report true iff EVERY probed bit is set
+    (missing word rows read as zero words). Guaranteed no false
+    negatives; false positives bounded by the filter's occupancy.
+
+    ``states`` must be exactly (word, bits) — keyed states would
+    silently OR across key groups; fold keys away with
+    ``bloom_merge(states, keys=[])`` first."""
+    if depth > len(_CMS_ROWS):
+        raise ValueError(f"depth <= {len(_CMS_ROWS)}; got {depth}")
+    if set(states.columns) != {"word", "bits"}:
+        raise ValueError(
+            "bloom_probe requires a keyless state with columns "
+            f"(word, bits); got {states.columns} — fold keyed states "
+            "with bloom_merge(states, keys=[]) first"
+        )
+    _cms_check_numeric(probes, probe_col)
+    m_bits = n_words * _BLOOM_BITS_PER_WORD
+    pos = F.array(
+        *[_bloom_pos(probe_col, a, b, m_bits) for a, b in _CMS_ROWS[:depth]]
+    )
+    probe_h = probes.select(F.col(probe_col), F.explode(pos).alias("p"))
+    word = F.floor(F.col("p") / _BLOOM_BITS_PER_WORD).cast("long")
+    bit = F.pmod(F.col("p"), F.lit(_BLOOM_BITS_PER_WORD)).cast("int")
+    probe_b = probe_h.select(
+        F.col(probe_col), word.alias("word"), bit.alias("bit")
+    )
+    joined = probe_b.join(F.broadcast(states), ["word"], "left")
+    hit = (
+        F.coalesce(
+            F.expr("shiftright(bits, bit) & CAST(1 AS BIGINT)"), F.lit(0)
+        )
+        == 1
+    )
+    return joined.groupBy(probe_col).agg(
+        (F.min(hit.cast("int")) == 1).alias(out)
+    )

@@ -10858,6 +10858,123 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bloom_state_merge_monthly",
+    """
+    WITH hash_rows(a, b) AS (
+      VALUES (999983, 7920), (999979, 15839), (999961, 23758), (999959, 31677)
+    ),
+    inc_bits AS (
+      SELECT DISTINCT
+        CAST(((h.a * (o.o_custkey % 1000000007) + h.b) % 1000000007) % 15872
+             AS BIGINT) AS p
+      FROM orders o CROSS JOIN hash_rows h
+    ),
+    words AS (
+      SELECT p // 62 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INTEGER)) AS wbits
+      FROM inc_bits GROUP BY 1
+    ),
+    probes AS (
+      SELECT c_custkey,
+             c_custkey + CASE WHEN c_custkey % 3 = 0 THEN 1000000 ELSE 0 END
+               AS q
+      FROM customer
+    ),
+    probe_bits AS (
+      SELECT pr.q,
+             CAST(((h.a * (pr.q % 1000000007) + h.b) % 1000000007) % 15872
+                  AS BIGINT) AS p
+      FROM probes pr CROSS JOIN hash_rows h
+    ),
+    hits AS (
+      SELECT pb.q,
+             min(coalesce((w.wbits >> CAST(pb.p % 62 AS INTEGER))
+                          & CAST(1 AS BIGINT), 0)) AS hit
+      FROM probe_bits pb LEFT JOIN words w ON w.word = pb.p // 62
+      GROUP BY 1
+    ),
+    truth AS (SELECT DISTINCT o_custkey FROM orders),
+    verdicts AS (
+      SELECT h.q, h.hit = 1 AS member, t.o_custkey IS NOT NULL AS is_true
+      FROM hits h LEFT JOIN truth t ON t.o_custkey = h.q
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(count(*) FILTER (WHERE member) AS BIGINT) AS n_bloom_pos,
+           CAST(count(*) FILTER (WHERE is_true) AS BIGINT) AS n_true,
+           CAST(count(*) FILTER (WHERE member AND NOT is_true) AS BIGINT)
+             AS n_false_pos,
+           CAST(count(*) FILTER (WHERE is_true AND NOT member) AS BIGINT)
+             AS n_false_neg,
+           (SELECT CAST(count(*) AS BIGINT) FROM words) AS n_words_occupied,
+           (SELECT CAST(sum(bit_count(wbits)) AS BIGINT) FROM words)
+             AS n_bits_set
+    FROM verdicts
+    """,
+)
+def bloom_state_merge_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Bloom-filter membership state (operators/aggstate.py:
+    bloom_state/bloom_merge/bloom_probe) — the membership member of the
+    -State/-Merge family (exact / HLL-distinct / CMS-frequency /
+    histogram-quantile / bitmap-exact-distinct): per-MONTH filters built
+    over orders' customer keys, folded to one filter by word-wise BIT_OR
+    (idempotent + associative ⇒ retries and any partitioning fold
+    identically), probed by a customer list with a third of the probes
+    perturbed out of the key domain. Bit positions come from the CM
+    sketch's exact-BIGINT affine rows over 256x62 bits, so the oracle
+    REPLAYS the filter bit-for-bit (words, popcount, every verdict) —
+    and because the oracle builds DIRECT while the query builds
+    monthly-then-merge, hash equality doubles as the merge≡direct proof.
+    n_false_neg is structurally 0 (the no-false-negative contract, also
+    pytest-pinned). Plan: one keyed word agg + B-row broadcast probe
+    join + one rollup; state is occupancy-bounded rows, queryable at
+    rest — at 100 TB this is the pre-join pruning filter a day's batch
+    ships instead of the full historical key set."""
+    from arrowhouse_spark.operators.aggstate import (
+        bloom_merge,
+        bloom_probe,
+        bloom_state,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "m", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    monthly = bloom_state(o, ["m"], "o_custkey")
+    merged = bloom_merge(monthly, [])
+    c = _t(spark, sf_dir, "customer")
+    probes = c.select(
+        (
+            F.col("c_custkey")
+            + F.when(F.col("c_custkey") % 3 == 0, F.lit(1_000_000)).otherwise(
+                F.lit(0)
+            )
+        ).alias("q")
+    )
+    probed = bloom_probe(merged, probes, "q")
+    truth = o.select(F.col("o_custkey").alias("q")).distinct().withColumn(
+        "__t", F.lit(1)
+    )
+    v = probed.join(truth, "q", "left").select(
+        "member", F.col("__t").isNotNull().alias("is_true")
+    )
+    stats = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_words_occupied"),
+        F.sum(F.bit_count("bits")).cast("long").alias("n_bits_set"),
+    )
+    agg = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.col("member").cast("int")).cast("long").alias("n_bloom_pos"),
+        F.sum(F.col("is_true").cast("int")).cast("long").alias("n_true"),
+        F.sum((F.col("member") & ~F.col("is_true")).cast("int"))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum((F.col("is_true") & ~F.col("member")).cast("int"))
+        .cast("long")
+        .alias("n_false_neg"),
+    )
+    return agg.crossJoin(F.broadcast(stats))
+
+
+@register(
     "pareto_frontier_parts",
     """
     WITH pts AS (

@@ -210,3 +210,63 @@ def test_hist_state_clamps_out_of_domain_and_keys(spark):
     assert ("a", 0.5) in est and ("b", 0.5) in est
     # b's only mass is bin 9: est = (9 + (0.5*1 - 0)/1) * 10 = 95
     assert est[("b", 0.5)] == pytest.approx(95.0)
+
+
+def test_bloom_merge_equals_direct_and_no_false_negatives(spark):
+    from arrowhouse_spark.operators.aggstate import (
+        bloom_merge,
+        bloom_probe,
+        bloom_state,
+    )
+
+    df = spark.createDataFrame(
+        [(d, v) for d in range(3) for v in range(d * 40, d * 40 + 50)],
+        "day int, v long",
+    )
+    merged = bloom_merge(bloom_state(df, ["day"], "v"), [])
+    direct = bloom_state(df.select("v"), [], "v")
+    assert {(r["word"], r["bits"]) for r in merged.collect()} == {
+        (r["word"], r["bits"]) for r in direct.collect()
+    }
+
+    probes = spark.createDataFrame([(v,) for v in range(0, 400, 3)], "q long")
+    got = {
+        r["q"]: r["member"]
+        for r in bloom_probe(merged, probes, "q").collect()
+    }
+    members = set(range(130))
+    # contract: NO false negatives, ever
+    assert all(got[q] for q in got if q in members)
+
+
+def test_bloom_probe_rejects_keyed_state_and_bad_params(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.aggstate import (
+        bloom_probe,
+        bloom_state,
+    )
+
+    df = spark.createDataFrame([(1, 5)], "day int, v long")
+    keyed = bloom_state(df, ["day"], "v")
+    probes = spark.createDataFrame([(5,)], "q long")
+    with pytest.raises(ValueError, match="keyless"):
+        bloom_probe(keyed, probes, "q")
+    with pytest.raises(ValueError):
+        bloom_state(df, [], "v", depth=9)
+    with pytest.raises(ValueError):
+        bloom_state(df, [], "v", n_words=0)
+    with pytest.raises(TypeError):
+        bloom_state(df.select(F.col("v").cast("string")), [], "v")
+
+
+def test_bloom_empty_state_probes_all_false(spark):
+    from arrowhouse_spark.operators.aggstate import bloom_probe, bloom_state
+
+    empty = bloom_state(
+        spark.createDataFrame([], "v long"), [], "v"
+    )
+    probes = spark.createDataFrame([(1,), (2,)], "q long")
+    got = {r["q"]: r["member"] for r in bloom_probe(empty, probes, "q").collect()}
+    assert got == {1: False, 2: False}
