@@ -10858,6 +10858,99 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmeans_lloyd_clusters",
+    """
+    WITH pts AS (
+      SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS c
+      FROM embeddings
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+    ),
+    d1 AS (
+      SELECT p.id, c.cid,
+             sum(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,12))) AS dist
+      FROM pts p JOIN c0 c ON c.dim = p.dim GROUP BY 1, 2
+    ),
+    m1 AS (SELECT id, min(dist) AS dist FROM d1 GROUP BY 1),
+    a1 AS (
+      SELECT d.id, min(d.cid) AS cid
+      FROM d1 d JOIN m1 m ON m.id = d.id AND m.dist = d.dist GROUP BY 1
+    ),
+    c1 AS (
+      SELECT a.cid, p.dim,
+             round(CAST(sum(CAST(p.v AS DECIMAL(38,10))) AS DOUBLE)
+                   / count(*), 9) AS c
+      FROM pts p JOIN a1 a ON a.id = p.id GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT p.id, c.cid,
+             sum(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,12))) AS dist
+      FROM pts p JOIN c1 c ON c.dim = p.dim GROUP BY 1, 2
+    ),
+    m2 AS (SELECT id, min(dist) AS dist FROM d2 GROUP BY 1),
+    a2 AS (
+      SELECT d.id, min(d.cid) AS cid
+      FROM d2 d JOIN m2 m ON m.id = d.id AND m.dist = d.dist GROUP BY 1
+    ),
+    c2 AS (
+      SELECT a.cid, p.dim,
+             round(CAST(sum(CAST(p.v AS DECIMAL(38,10))) AS DOUBLE)
+                   / count(*), 9) AS c
+      FROM pts p JOIN a2 a ON a.id = p.id GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT p.id, c.cid,
+             sum(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,12))) AS dist
+      FROM pts p JOIN c2 c ON c.dim = p.dim GROUP BY 1, 2
+    ),
+    mf AS (SELECT id, min(dist) AS dist FROM df GROUP BY 1),
+    af AS (
+      SELECT d.id, min(d.cid) AS cid
+      FROM df d JOIN mf m ON m.id = d.id AND m.dist = d.dist GROUP BY 1
+    ),
+    sq AS (
+      SELECT a.id, a.cid, d.dist
+      FROM af a JOIN df d ON d.id = a.id AND d.cid = a.cid
+    )
+    SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           round(CAST(sum(dist) AS DOUBLE) / count(*), 6) AS avg_sqdist
+    FROM sq GROUP BY 1
+    """,
+)
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (operators/clustering.py:
+    kmeans_lloyd; k=4, 2 exact iterations, min-id seeding) over the
+    embeddings corpus — the fully-declarative companion to
+    ivf_centroids_kmeans's bounded-collect numpy fit, and the
+    cluster-balanced curation primitive (cluster-then-sample mixing;
+    SemDeDup's clustering stage as a PLAN instead of a driver loop).
+    Every iteration is replayed unrolled by the oracle: squared-distance
+    terms DECIMAL(38,12)-quantized and summed exactly so the argmin key
+    is engine-identical, argmin = min-dist + min-cid-at-min-dist (no
+    struct comparators), centroid means from exact DECIMAL(38,10)
+    coordinate sums rounded to 9 dp before feeding the next round.
+    Plan per iteration: map-side explode + BROADCAST k*dim centroid
+    join + keyed exact sums — shuffles keyed by point id / (cid, dim);
+    lineage cut per iteration (lazy localCheckpoint, the staged-seam
+    discipline). Output: per-cluster size + mean squared distance."""
+    from arrowhouse_spark.operators.clustering import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = kmeans_lloyd(emb, "vec_id", "embedding", k=4, iters=2)
+    return out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(
+            F.sum("sqdist").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_sqdist"),
+    )
+
+
+@register(
     "bloom_state_merge_monthly",
     """
     WITH hash_rows(a, b) AS (

@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+import pytest
+
+from arrowhouse_spark.operators.clustering import kmeans_lloyd
+
+
+def test_kmeans_separates_two_obvious_blobs(spark):
+    # blob A around (0,0), blob B around (10,10); seeds are ids 1 and 2 —
+    # one in each blob, so one iteration already lands the right split
+    rows = [
+        (1, [0.0, 0.1]),
+        (2, [10.0, 10.0]),
+        (3, [0.2, -0.1]),
+        (4, [9.8, 10.2]),
+        (5, [0.1, 0.0]),
+        (6, [10.1, 9.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<float>")
+    out = kmeans_lloyd(df, "vec_id", "vec", k=2, iters=2).collect()
+    got = {r["vec_id"]: r["cluster_id"] for r in out}
+    assert got == {1: 1, 3: 1, 5: 1, 2: 2, 4: 2, 6: 2}
+    # members sit near their centroid: squared distance is small
+    assert all(float(r["sqdist"]) < 0.1 for r in out)
+
+
+def test_kmeans_deterministic_under_repartitioning(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<float>")
+    a = sorted(
+        (r["vec_id"], r["cluster_id"], str(r["sqdist"]))
+        for r in kmeans_lloyd(df, "vec_id", "vec", k=3, iters=2).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster_id"], str(r["sqdist"]))
+        for r in kmeans_lloyd(
+            df.repartition(7), "vec_id", "vec", k=3, iters=2
+        ).collect()
+    )
+    assert a == b
+
+
+def test_kmeans_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, vec array<float>")
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, "vec_id", "vec", k=0)
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, "vec_id", "vec", iters=0)
