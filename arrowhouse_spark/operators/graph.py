@@ -328,3 +328,86 @@ def ancestor_rollup(
         """
     )
     return out.withColumnRenamed("sum_val", f"sum_{value_col}")
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) — the link-analysis
+    companion to :func:`pagerank`: authority(v) accumulates the hub
+    scores of v's in-neighbors, hub(u) the authority scores of u's
+    out-neighbors, L1-normalized each half-step. Returns
+    (id, hub, authority) for every vertex (vertices missing from a side
+    score 0.0 there).
+
+    Determinism doctrine, one step stricter than pagerank's (whose
+    per-dst contribution sums are few-term): every score is re-rounded
+    to 12 dp each half-step and summed as exact DECIMAL(38,12), so both
+    the keyed contribution sums and the GLOBAL normalization total are
+    combine-order-free; the only double op per half-step is one division
+    of two engine-identical values, then the round. An oracle unrolls
+    the same half-steps verbatim.
+
+    Scale: per half-step ONE edges⋈scores keyed join + keyed sum, plus
+    a 1-row broadcast total — the pagerank shuffle shape; lineage cut
+    per half-step (lazy localCheckpoint)."""
+    if iterations < 1:
+        raise ValueError(f"need iterations >= 1, got {iterations}")
+    dec = "decimal(38,12)"
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hubs = e.select(F.col("src").alias("id")).distinct()
+    auths = e.select(F.col("dst").alias("id")).distinct()
+    h = hubs.select("id", F.lit(1.0).alias("h")).localCheckpoint(eager=False)
+    a = None
+    for _ in range(iterations):
+        raw_a = (
+            e.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("h").cast(dec)).alias("raw"))
+        )
+        tot_a = raw_a.agg(F.sum("raw").alias("tot"))
+        a = (
+            raw_a.crossJoin(F.broadcast(tot_a))
+            .select(
+                "id",
+                F.round(
+                    F.col("raw").cast("double") / F.col("tot").cast("double"),
+                    12,
+                ).alias("a"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        raw_h = (
+            e.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum(F.col("a").cast(dec)).alias("raw"))
+        )
+        tot_h = raw_h.agg(F.sum("raw").alias("tot"))
+        h = (
+            raw_h.crossJoin(F.broadcast(tot_h))
+            .select(
+                "id",
+                F.round(
+                    F.col("raw").cast("double") / F.col("tot").cast("double"),
+                    12,
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    nodes = hubs.union(auths).distinct()
+    return (
+        nodes.join(h, "id", "left")
+        .join(a, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("a"), F.lit(0.0)).alias("authority"),
+        )
+    )

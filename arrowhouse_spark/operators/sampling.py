@@ -346,3 +346,58 @@ def cap_per_key(
         .filter(F.col("__rn") <= max_rows)
         .drop("__rn")
     )
+
+
+def contrastive_negatives(
+    anchors: DataFrame,
+    pool: DataFrame,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training:
+    for each anchor, the ``k`` pool rows with a DIFFERENT label whose
+    md5(salt‖anchor_id‖':'‖cand_id) ranks smallest — the md5-race
+    discipline every sampler in this module uses, so the draw is
+    uniform-ish, reproducible under any partitioning, and replayable by
+    any engine with md5. Same-id and same-label candidates are excluded
+    (a same-label "negative" is a false negative in the InfoNCE loss).
+
+    Returns (anchor_id, neg_id, neg_label, neg_rank 1..k).
+
+    Shape: anchors BROADCAST against the pool (the anchor set is a
+    bounded per-batch relation — contrastive batches are, by
+    construction, small relative to the corpus), one per-anchor
+    PARTITIONED window for the top-k race. At full-corpus anchor counts
+    swap the broadcast for a hash_bucket equi-join (sample k buckets per
+    anchor, race within) — same semantics, bounded fan-out; documented
+    rather than defaulted because the equi-join draw is bucket-uniform,
+    not pool-uniform."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    a = anchors.select(
+        _c(id_col).alias("anchor_id"), _c(label_col).alias("__alab")
+    )
+    p = pool.select(
+        _c(id_col).alias("neg_id"), _c(label_col).alias("neg_label")
+    )
+    cand = p.join(
+        F.broadcast(a),
+        (F.col("neg_label") != F.col("__alab"))
+        & (F.col("neg_id") != F.col("anchor_id")),
+    )
+    h = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.col("anchor_id").cast("string"),
+            F.lit(":"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(h, F.col("neg_id"))
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("anchor_id", "neg_id", "neg_label", "neg_rank")
+    )

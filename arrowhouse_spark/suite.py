@@ -10858,6 +10858,146 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contrastive_negatives_sample",
+    """
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS alab
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    cand AS (
+      SELECT a.anchor_id, p.vec_id AS neg_id, p.label AS neg_label,
+             md5('neg' || CAST(a.anchor_id AS VARCHAR) || ':'
+                 || CAST(p.vec_id AS VARCHAR)) AS h
+      FROM a JOIN embeddings p
+        ON p.label != a.alab AND p.vec_id != a.anchor_id
+    ),
+    r AS (
+      SELECT anchor_id, neg_id, neg_label,
+             CAST(row_number() OVER (
+               PARTITION BY anchor_id ORDER BY h, neg_id
+             ) AS INTEGER) AS neg_rank
+      FROM cand
+    )
+    SELECT anchor_id, neg_id, neg_label, neg_rank
+    FROM r WHERE neg_rank <= 5
+    """,
+)
+def contrastive_negatives_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training
+    (operators/sampling.py:contrastive_negatives): for each anchor
+    (every 50th embedding), the 5 different-LABEL pool vectors winning
+    the md5(salt‖anchor‖cand) race — uniform-ish, partitioning-proof,
+    and engine-replayable (the module's md5-race discipline; same-label
+    candidates are excluded as InfoNCE false negatives). Plan: bounded
+    anchor relation BROADCAST against the pool with the label-inequality
+    predicate, one per-ANCHOR partitioned window for the top-k race —
+    no global window; at corpus-scale anchor counts the documented swap
+    is a hash_bucket equi-join race."""
+    from arrowhouse_spark.operators.sampling import contrastive_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    out = contrastive_negatives(anchors, emb, "vec_id", "label", k=5)
+    return out.select(
+        F.col("anchor_id").cast("long").alias("anchor_id"),
+        F.col("neg_id").cast("long").alias("neg_id"),
+        F.col("neg_label").cast("int").alias("neg_label"),
+        F.col("neg_rank").cast("int").alias("neg_rank"),
+    )
+
+
+def _hits_oracle(iterations: int = 2) -> str:
+    """Unrolled HITS half-step oracle (the _pagerank_oracle mechanics):
+    per iteration one (raw-authority, total, authority, raw-hub, total,
+    hub) CTE block — exactly operators/graph.py:hits' recurrence,
+    DECIMAL(38,12) exact sums + round-12 renormalization."""
+    parts = [
+        """e AS (
+      SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS dst
+      FROM events
+    ),
+    h0 AS (SELECT DISTINCT src AS id, CAST(1.0 AS DOUBLE) AS h FROM e)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""ra{i} AS (
+      SELECT e.dst AS id, sum(CAST(h.h AS DECIMAL(38,12))) AS raw
+      FROM e JOIN h{i - 1} h ON h.id = e.src GROUP BY 1
+    ),
+    ta{i} AS (SELECT sum(raw) AS tot FROM ra{i}),
+    a{i} AS (
+      SELECT id, round(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE), 12) AS a
+      FROM ra{i}, ta{i}
+    ),
+    rh{i} AS (
+      SELECT e.src AS id, sum(CAST(a.a AS DECIMAL(38,12))) AS raw
+      FROM e JOIN a{i} a ON a.id = e.dst GROUP BY 1
+    ),
+    th{i} AS (SELECT sum(raw) AS tot FROM rh{i}),
+    h{i} AS (
+      SELECT id, round(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE), 12) AS h
+      FROM rh{i}, th{i}
+    )"""
+        )
+    n = iterations
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT * FROM (
+      SELECT 'authority' AS role, id, round(a, 9) AS score
+      FROM a{n} ORDER BY score DESC, id LIMIT 10
+    )
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'hub' AS role, id, round(h, 9) AS score
+      FROM h{n} ORDER BY score DESC, id LIMIT 10
+    )"""
+    )
+
+
+@register("hits_hubs_authorities", _hits_oracle(2))
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS link analysis (operators/graph.py:hits) over the same
+    user->prop-k interaction graph pagerank_topk ranks: 2 iterations of
+    hub/authority mutual reinforcement with L1 renormalization, top-10
+    of each side. One determinism notch stricter than pagerank: scores
+    are re-rounded to 12 dp each half-step and summed as exact
+    DECIMAL(38,12), making the keyed sums AND the global normalization
+    total combine-order-free (a global double sum would wobble in the
+    last ulps under re-partitioning). The oracle unrolls every
+    half-step; the 9-dp score is both output and sort key. Per
+    half-step: one edges⋈scores keyed join + keyed sum + 1-row broadcast
+    total — the pagerank shuffle shape, lineage-cut per half-step."""
+    from arrowhouse_spark.operators.graph import hits
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        F.get_json_object("props", "$.k").cast("long").alias("dst"),
+    )
+    out = hits(edges, iterations=2)
+    top_a = (
+        out.select(
+            F.lit("authority").alias("role"),
+            "id",
+            F.round("authority", 9).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "id")
+        .limit(10)
+    )
+    top_h = (
+        out.select(
+            F.lit("hub").alias("role"), "id", F.round("hub", 9).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "id")
+        .limit(10)
+    )
+    return top_a.unionAll(top_h)
+
+
+@register(
     "kmeans_lloyd_clusters",
     """
     WITH pts AS (

@@ -106,3 +106,34 @@ def test_personalized_pagerank_matches_dense_model(spark):
         assert got[k] == pytest.approx(want[k], rel=1e-12, abs=1e-15)
     # the 5->6 island is unreachable from seed 1: rank decays to ~0
     assert got[6] < 1e-6 and got[2] > 0.1
+
+
+def test_hits_star_graph_hand_checked(spark):
+    from arrowhouse_spark.operators.graph import hits
+
+    # 1,2,3 all endorse 10; 1 also endorses 11
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (1, 11)], "src long, dst long"
+    )
+    out = {r["id"]: (r["hub"], r["authority"]) for r in hits(edges, iterations=1).collect()}
+    # a = (3/4, 1/4); h(1) = 1.0/2.5, h(2)=h(3) = 0.75/2.5
+    assert out[10] == (0.0, 0.75)
+    assert out[11] == (0.0, 0.25)
+    assert out[1] == (0.4, 0.0)
+    assert out[2] == (0.3, 0.0)
+    assert out[3] == (0.3, 0.0)
+
+
+def test_hits_deterministic_under_repartitioning(spark):
+    import random
+
+    from arrowhouse_spark.operators.graph import hits
+
+    rng = random.Random(5)
+    edges = spark.createDataFrame(
+        [(rng.randint(0, 30), rng.randint(31, 60)) for _ in range(300)],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, hits(edges, iterations=2).collect()))
+    b = sorted(map(tuple, hits(edges.repartition(13), iterations=2).collect()))
+    assert a == b

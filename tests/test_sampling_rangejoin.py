@@ -270,3 +270,33 @@ def test_weighted_sample_deterministic_and_proportional(spark):
     # E[heavy per draw] ≈ 8.7 for 20×w10 vs 20×w1 at k=10; a uniform
     # sampler would center on 5. The salts are fixed -> no flakiness.
     assert heavy >= 12 * 7, heavy
+
+
+def test_contrastive_negatives_excludes_same_label_and_self(spark):
+    from arrowhouse_spark.operators.sampling import contrastive_negatives
+
+    pool = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "vid long, lab int"
+    )
+    anchors = pool.filter(F.col("vid") < 2)  # labels 0 and 1
+    out = contrastive_negatives(anchors, pool, "vid", "lab", k=4).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    assert set(by_anchor) == {0, 1}
+    for aid, rows in by_anchor.items():
+        assert sorted(r["neg_rank"] for r in rows) == [1, 2, 3, 4]
+        for r in rows:
+            assert r["neg_label"] != aid % 3
+            assert r["neg_id"] != aid
+
+    # deterministic under repartitioning
+    again = contrastive_negatives(
+        pool.filter(F.col("vid") < 2), pool.repartition(7), "vid", "lab", k=4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        contrastive_negatives(anchors, pool, "vid", "lab", k=0)
