@@ -170,6 +170,14 @@ HEADLINE = [
     "ngram_jaccard_prefix_dups",
     "pipeline_sft_prep",
     "events_mad_outliers",
+    "regression_by_segment",
+    "events_ewma_last",
+    "url_canonical_dedup",
+    "pareto_frontier_parts",
+    "bloom_state_merge_monthly",
+    "kmeans_lloyd_clusters",
+    "hits_hubs_authorities",
+    "contrastive_negatives_sample",
 ]
 
 

@@ -304,3 +304,51 @@ def test_token_runs_windows_are_doc_partitioned(spark, sf_dir, qs):
     df = qs["doc_token_runs"](spark, sf_dir)
     r = check_plan(df)
     assert r.exchanges <= 2
+
+
+def test_regression_by_segment_broadcast_and_two_phase(spark, sf_dir, qs):
+    # regr_* must run as one broadcast join + partial->final keyed agg
+    df = qs["regression_by_segment"](spark, sf_dir)
+    r = check_plan(df, require_broadcast_join=True, forbid_sortmerge_join=True)
+    assert r.partial_final_agg
+
+
+def test_ewma_window_is_key_partitioned_single_shuffle(spark, sf_dir, qs):
+    # the EWMA window and the final rollup share the user_id partitioning
+    df = qs["events_ewma_last"](spark, sf_dir)
+    r = check_plan(df)  # forbids unpartitioned windows
+    assert r.exchanges <= 2
+
+
+def test_url_canonical_regex_chain_fuses_into_scan(spark, sf_dir, qs):
+    # canonicalization is map-side: only the distinct-agg shuffles remain
+    df = qs["url_canonical_dedup"](spark, sf_dir)
+    r = check_plan(df)
+    assert "Window" not in plan_text(df)
+    assert r.exchanges <= 3
+
+
+def test_pareto_windows_bucketed_no_cartesian(spark, sf_dir, qs):
+    # local skyline windows must be bucket-partitioned; cross-bucket prune
+    # and bounds are broadcast-sized
+    df = qs["pareto_frontier_parts"](spark, sf_dir)
+    check_plan(df)
+    assert "CartesianProduct" not in plan_text(df)
+
+
+def test_bloom_probe_is_broadcast_state_join(spark, sf_dir, qs):
+    df = qs["bloom_state_merge_monthly"](spark, sf_dir)
+    check_plan(df, require_broadcast_join=True)
+
+
+def test_kmeans_centroid_joins_broadcast(spark, sf_dir, qs):
+    # every per-iteration centroid join must broadcast the k*dim relation
+    df = qs["kmeans_lloyd_clusters"](spark, sf_dir)
+    r = check_plan(df, require_broadcast_join=True)
+    assert not r.has_cartesian
+
+
+def test_hits_and_negatives_plan_hygiene(spark, sf_dir, qs):
+    for name in ("hits_hubs_authorities", "contrastive_negatives_sample"):
+        df = qs[name](spark, sf_dir)
+        check_plan(df)  # no cartesian, no unpartitioned window
