@@ -868,3 +868,101 @@ def stream_scd2(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_bloom(
+    sdf: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    n_words: int = 256,
+) -> DataFrame:
+    """Continuously-maintained Bloom filter — the streaming form of
+    operators/aggstate.py:bloom_state, by the stream_cms/stream_hist
+    insight: the filter IS a keyed BIT_OR aggregate over a bounded key
+    space (the word index), so native stateful aggregation owns the
+    words and state is at most ``n_words`` rows forever. OR-idempotence
+    makes re-delivered rows no-ops — the retry-safe membership monitor
+    (has this key EVER appeared?) at fixed state, where
+    stream_dedup_first_seen holds one state row per distinct key. Probe
+    the materialized word rows with bloom_probe (no false negatives)."""
+    from arrowhouse_spark.operators.aggstate import (
+        _BLOOM_BITS_PER_WORD,
+        _CMS_ROWS,
+        _bloom_pos,
+    )
+
+    if depth > len(_CMS_ROWS):
+        raise ValueError(f"depth <= {len(_CMS_ROWS)}; got {depth}")
+    m_bits = n_words * _BLOOM_BITS_PER_WORD
+    pos = F.array(
+        *[_bloom_pos(value_col, a, b, m_bits) for a, b in _CMS_ROWS[:depth]]
+    )
+    exploded = sdf.select(F.explode(pos).alias("p"))
+    word = F.floor(F.col("p") / _BLOOM_BITS_PER_WORD).cast("long")
+    bit = F.pmod(F.col("p"), F.lit(_BLOOM_BITS_PER_WORD)).cast("int")
+    return (
+        exploded.select(word.alias("word"), bit.alias("__bit"))
+        .withColumn("__b", F.expr("shiftleft(CAST(1 AS BIGINT), __bit)"))
+        .groupBy("word")
+        .agg(F.bit_or("__b").alias("bits"))
+    )
+
+
+def stream_ewma(
+    sdf: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Continuously-maintained per-key EWMA — the streaming form of
+    operators/timeseries.py:ewma, via per-key state transitions
+    (applyInPandasWithState): the textbook recurrence
+    ``u_n = x_n + (1-a) u_{n-1}``, ``s_n = 1 + (1-a) s_{n-1}``,
+    ``ewma = u/s`` — the NORMALIZED (untruncated) exponential average,
+    so state per key is exactly three scalars (u, s, n) forever. Rows
+    within a batch fold in (order_col) order; cross-batch order is
+    arrival order (the replace-latest contract — for late-event
+    correctness feed an ordered source or re-run the batch operator).
+    Emits (key, n_events, ewma) for touched keys each micro-batch.
+    Equals the batch operator exactly while the series is shorter than
+    its ``lookback`` (the truncation point — parity the test pins)."""
+    if not 0 < alpha < 1:
+        raise ValueError(f"need 0 < alpha < 1, got {alpha}")
+    beta = 1.0 - alpha
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("u", T.DoubleType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):  # noqa: F821
+        import pandas as pd
+
+        u, s, n = (state.get if state.exists else (0.0, 0.0, 0))
+        for pdf in pdfs:
+            for x in pdf.sort_values(order_col)[value_col]:
+                u = float(x) + beta * u
+                s = 1.0 + beta * s
+                n += 1
+        state.update((u, s, n))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "ewma": [u / s]}
+        )
+
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

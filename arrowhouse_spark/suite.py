@@ -10858,6 +10858,120 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "entity_resolution_pipeline",
+    """
+    WITH RECURSIVE recs AS (
+      SELECT c_custkey AS rec_id,
+             substring(md5('ent' || CAST(c_custkey % 300 AS VARCHAR)), 1, 8)
+               AS tok,
+             (c_custkey // 300) % 4 AS var
+      FROM customer
+    ),
+    raw AS (
+      SELECT rec_id,
+             CASE var
+               WHEN 0 THEN tok || ' inc'
+               WHEN 1 THEN upper(tok) || ' inc'
+               WHEN 2 THEN substring(tok, 1, 7) || 'x inc'
+               ELSE tok || ' inc.' END AS raw_name
+      FROM recs
+    ),
+    norm AS (
+      SELECT rec_id, regexp_replace(lower(raw_name), '\\.$', '') AS nm
+      FROM raw
+    ),
+    blk AS (SELECT rec_id, nm, substring(nm, 1, 4) AS b FROM norm),
+    pairs AS (
+      SELECT l.rec_id AS src, r.rec_id AS dst
+      FROM blk l JOIN blk r ON l.b = r.b AND l.rec_id < r.rec_id
+      WHERE levenshtein(l.nm, r.nm) <= 1
+    ),
+    sym AS (
+      SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ),
+    walk AS (
+      SELECT src AS id, src AS comp FROM sym
+      UNION
+      SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.id
+    ),
+    comp AS (SELECT id, min(comp) AS comp FROM walk GROUP BY 1),
+    ent AS (
+      SELECT n.rec_id, coalesce(c.comp, n.rec_id) AS entity
+      FROM norm n LEFT JOIN comp c ON c.id = n.rec_id
+    ),
+    sizes AS (
+      SELECT entity, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM ent GROUP BY 1
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_entities,
+           CAST(min(entity) AS BIGINT) AS min_entity
+    FROM sizes GROUP BY 1
+    """,
+)
+def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed entity resolution — the Fellegi-Sunter blocking+verify
+    record-linkage pipeline as ONE plan: (1) records with
+    deterministically SYNTHESIZED name variants (the PII-injection
+    discipline: per base entity, four spellings — cased, one-char typo,
+    punctuated suffix); (2) normalization (lower + trailing-period
+    strip, map-side); (3) blocking on the 4-char name prefix — pair
+    generation is Σ block², never all-pairs; (4) exact verify via
+    operators/dedup.py:edit_distance_pairs (threshold-banded
+    levenshtein ≤ 1); (5) match graph → min-label connected components
+    (operators/components.py — the dedup_components machinery reused
+    for identity instead of near-dup text); (6) singleton-preserving
+    entity assignment + cluster-size census. The oracle replays every
+    stage, components via the recursive-CTE walk. Shuffles: blocking
+    self-join keyed by block, two (id,text) verify joins, the
+    components rounds (two keyed shuffles each, lineage-cut), one
+    rollup — no global windows, no cartesian; at 100 TB the blocker
+    swaps for minhash banding with identical downstream stages."""
+    from arrowhouse_spark.operators.components import connected_components
+    from arrowhouse_spark.operators.dedup import edit_distance_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    ent = F.col("c_custkey") % 300
+    var = F.expr("(c_custkey div 300) % 4")
+    tok = F.substring(
+        F.md5(F.concat(F.lit("ent"), ent.cast("string"))), 1, 8
+    )
+    raw = (
+        F.when(var == 0, F.concat(tok, F.lit(" inc")))
+        .when(var == 1, F.concat(F.upper(tok), F.lit(" inc")))
+        .when(var == 2, F.concat(F.substring(tok, 1, 7), F.lit("x inc")))
+        .otherwise(F.concat(tok, F.lit(" inc.")))
+    )
+    norm = c.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.regexp_replace(F.lower(raw), r"\.$", "").alias("nm"),
+    )
+    blk = norm.withColumn("b", F.substring("nm", 1, 4))
+    cands = (
+        blk.select(F.col("rec_id").alias("id_a"), "b")
+        .join(blk.select(F.col("rec_id").alias("id_b"), "b"), "b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    matched = edit_distance_pairs(
+        norm, cands, max_dist=1, text_col="nm", id_col="rec_id"
+    )
+    comp = connected_components(matched, src="id_a", dst="id_b")
+    assigned = norm.join(
+        comp, norm.rec_id == comp.id, "left"
+    ).select(
+        "rec_id",
+        F.coalesce(F.col("component"), F.col("rec_id")).alias("entity"),
+    )
+    sizes = assigned.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.min("entity").cast("long").alias("min_entity"),
+    )
+
+
+@register(
     "contrastive_negatives_sample",
     """
     WITH a AS (

@@ -1275,3 +1275,69 @@ def test_stream_scd2_availablenow_drain(spark, tmp_path):
         for r in spark.read.parquet(d + "/store").collect()
     )
     assert got == [(1, "free", False), (1, "pro", True), (2, "free", True)]
+
+
+def test_stream_bloom_matches_batch_state_and_probe(spark, stream_dir):
+    from arrowhouse_spark.operators.aggstate import bloom_probe, bloom_state
+    from arrowhouse_spark.streaming.replace import stream_bloom
+
+    sdf = read_parquet_stream(spark, stream_dir, EVENT_SCHEMA)
+    out = stream_bloom(sdf.select("event_id"), "event_id")
+    _run_to_memory(out, "bloom_sink", "complete")
+    got = {
+        (r["word"], r["bits"])
+        for r in spark.sql("SELECT word, bits FROM bloom_sink").collect()
+    }
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(stream_dir)
+    want = {
+        (r["word"], r["bits"])
+        for r in bloom_state(batch.select("event_id"), [], "event_id").collect()
+    }
+    assert got == want  # streamed filter == batch filter, word for word
+
+    # probing the streamed state never false-negatives a seen event id
+    state = spark.sql("SELECT word, bits FROM bloom_sink")
+    probes = spark.createDataFrame([(i,) for i in range(8, 16)], "q long")
+    verdicts = {
+        r["q"]: r["member"] for r in bloom_probe(state, probes, "q").collect()
+    }
+    for seen in (9, 10, 11, 12, 13):
+        assert verdicts[seen]
+
+
+def test_stream_ewma_matches_batch_recurrence(spark, stream_dir):
+    from arrowhouse_spark.operators.timeseries import ewma
+    from arrowhouse_spark.streaming.replace import stream_ewma
+
+    sdf = read_parquet_stream(spark, stream_dir, EVENT_SCHEMA)
+    out = stream_ewma(sdf, "user_id", "ts", "value", alpha=0.25)
+    _run_to_memory(out, "ewma_sink", "update")
+    # update mode: keep the LAST emission per user (max n_events)
+    rows = spark.sql(
+        "SELECT user_id, max_by(ewma, n_events) AS ewma, max(n_events) AS n "
+        "FROM ewma_sink GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: (r["n"], round(r["ewma"], 9)) for r in rows}
+
+    # batch reference: series shorter than the lookback -> truncated form
+    # equals the untruncated recurrence exactly
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(stream_dir)
+    bt = ewma(
+        batch, ["user_id"], ["ts"], "value",
+        alpha=0.25, lookback=32, round_dp=9,
+    )
+    last = bt.groupBy("user_id").agg(
+        F.max(F.struct("ts", "ewma"))["ewma"].alias("ewma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    want = {r["user_id"]: (r["n"], r["ewma"]) for r in last.collect()}
+    # NOTE the duplicated event row in b1 is real input to both sides
+    assert got == want
+
+
+def test_stream_ewma_rejects_bad_alpha(spark, stream_dir):
+    from arrowhouse_spark.streaming.replace import stream_ewma
+
+    sdf = read_parquet_stream(spark, stream_dir, EVENT_SCHEMA)
+    with pytest.raises(ValueError):
+        stream_ewma(sdf, "user_id", "ts", "value", alpha=0.0)
