@@ -10858,6 +10858,138 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "max_concurrency_by_type",
+    """
+    WITH sess AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP) + INTERVAL 300 SECOND AS e, event_id
+      FROM events
+    ),
+    sweep AS (
+      SELECT event_type, s AS t, 1 AS d, event_id FROM sess
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS d, event_id FROM sess
+    ),
+    run AS (
+      SELECT event_type,
+             sum(d) OVER (
+               PARTITION BY event_type ORDER BY t, d, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cur
+      FROM sweep
+    )
+    SELECT r.event_type,
+           CAST((SELECT count(*) FROM sess s2
+                 WHERE s2.event_type = r.event_type) AS BIGINT) AS n_sessions,
+           CAST(max(cur) AS BIGINT) AS max_concurrent
+    FROM run r GROUP BY 1
+    """,
+)
+def max_concurrency_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the sweep-line (+1/-1 running sum) — the
+    classic interval-overlap maximum (max simultaneous sessions /
+    connections / GPU jobs), here over 5-minute half-open activity
+    windows per event type. Half-open [s, e) semantics come free from
+    the (t, delta ASC) sweep order: at a shared instant the -1 folds
+    before the +1, so back-to-back sessions never double-count; the
+    (t, d, event_id) total order plus INTEGER running sums make the
+    result exact on any engine — no float anywhere. Plan: map-side
+    double-projection union + ONE per-TYPE partitioned window (running
+    integer, constant state) + keyed max — no global window; at 100 TB
+    the partition key is the tenant/shard the concurrency question is
+    actually asked of."""
+    ev = _events(spark, sf_dir)
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("d"), "event_id"
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("t"),
+        F.lit(-1).alias("d"),
+        "event_id",
+    )
+    sweep = starts.unionAll(ends)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = sweep.withColumn("cur", F.sum("d").over(w))
+    n_sess = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    peak = run.groupBy("event_type").agg(
+        F.max("cur").cast("long").alias("max_concurrent")
+    )
+    return n_sess.join(peak, "event_type").select(
+        "event_type", "n_sessions", "max_concurrent"
+    )
+
+
+@register(
+    "feature_hashing_vectors",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != ''))
+        AS tok
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id,
+             (('0x' || substr(md5('fh' || tok), 1, 8))::UBIGINT
+              % 1024)::BIGINT AS bucket
+      FROM toks
+    ),
+    vec AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM bucketed GROUP BY 1, 2
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS doc_freq,
+           CAST(sum(cnt) AS BIGINT) AS total_count,
+           CAST(max(cnt) AS BIGINT) AS max_in_doc
+    FROM vec WHERE bucket < 64 GROUP BY 1
+    """,
+)
+def feature_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing-trick vectorizer, Weinberger et al.
+    2009): tokens map to a FIXED 1024-bucket space via the module's
+    md5-prefix bucket (operators/sampling.py:hash_bucket — engine-
+    replayable, collision-accepting by design), giving every document a
+    bounded sparse count vector with NO vocabulary table, no OOV, and
+    no fit step — the vectorizer that survives streaming corpora where
+    vocab_encode's rank table would churn. Plan: map-side
+    explode+bucket, ONE (doc, bucket) keyed count (map-side partials),
+    bounded rollup of the first 64 buckets as the proof surface. The
+    oracle re-derives every bucket from the same md5 arithmetic."""
+    from arrowhouse_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    vec = (
+        toks.select(
+            "doc_id", hash_bucket(F.col("tok"), 1024, salt="fh").alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        vec.filter(F.col("bucket") < 64)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_freq"),
+            F.sum("cnt").cast("long").alias("total_count"),
+            F.max("cnt").cast("long").alias("max_in_doc"),
+        )
+    )
+
+
+@register(
     "entity_resolution_pipeline",
     """
     WITH RECURSIVE recs AS (

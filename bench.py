@@ -178,6 +178,9 @@ HEADLINE = [
     "kmeans_lloyd_clusters",
     "hits_hubs_authorities",
     "contrastive_negatives_sample",
+    "entity_resolution_pipeline",
+    "feature_hashing_vectors",
+    "max_concurrency_by_type",
 ]
 
 

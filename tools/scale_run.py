@@ -1213,6 +1213,159 @@ def _token_runs(c: Ctx) -> dict:
     return {"sec": t, "runs": n}
 
 
+@op("ewma")
+def _ewma(c: Ctx) -> dict:
+    # round-8 newcomer: ONE per-key window with frame state <= 32 values —
+    # expected linear in events (users scale with volume, per-key series
+    # length constant)
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.timeseries import ewma
+
+    sm = ewma(c.events, ["user_id"], ["ts", "event_id"], "value", alpha=0.25)
+    t, n = timed(lambda: sm.groupBy("user_id").agg(F.max("ewma")).count())
+    return {"sec": t, "users": n}
+
+
+@op("pareto_frontier")
+def _pareto(c: Ctx) -> dict:
+    # round-8 newcomer: distinct-point reduce + bucketed windows + B-row
+    # broadcast prune — expected scan-dominated linear; frontier size is
+    # data-shaped, not volume-shaped
+    from arrowhouse_spark.operators.skyline import pareto_frontier
+
+    t, n = timed(
+        lambda: pareto_frontier(
+            c.events, min_col="value", max_col="user_id", id_col="event_id"
+        ).count()
+    )
+    return {"sec": t, "frontier": n}
+
+
+@op("bloom_state_merge")
+def _bloom(c: Ctx) -> dict:
+    # round-8 newcomer: keyed word agg (state occupancy-bounded at
+    # n_words rows however large the input) + broadcast probe join —
+    # expected linear scan cost, flat state
+    from arrowhouse_spark.operators.aggstate import (
+        bloom_merge,
+        bloom_probe,
+        bloom_state,
+    )
+
+    st = bloom_merge(bloom_state(c.events, ["event_type"], "user_id"), [])
+    probes = c.spark.range(2000).withColumnRenamed("id", "q")
+    t, n = timed(lambda: bloom_probe(st, probes, "q").count())
+    return {"sec": t, "probes": n}
+
+
+@op("kmeans_lloyd")
+def _kmeans(c: Ctx) -> dict:
+    # round-8 newcomer: per iteration explode + broadcast k*dim join +
+    # keyed exact sums — expected linear in vectors at fixed k/iters
+    from arrowhouse_spark.operators.clustering import kmeans_lloyd
+
+    t, n = timed(
+        lambda: kmeans_lloyd(c.emb, "vec_id", "embedding", k=4, iters=2).count()
+    )
+    return {"sec": t, "assigned": n}
+
+
+@op("hits")
+def _hits(c: Ctx) -> dict:
+    # round-8 newcomer: per half-step one edges-scores keyed join + keyed
+    # exact-decimal sum + 1-row broadcast total — the pagerank shuffle
+    # shape, expected linear in edges
+    from arrowhouse_spark.operators.graph import hits
+
+    edges = c.events.select(
+        c.events.user_id.alias("src"), c.events.k.alias("dst")
+    )
+    t, n = timed(lambda: hits(edges, iterations=2).count())
+    return {"sec": t, "vertices": n}
+
+
+@op("url_canonicalize")
+def _url_canon(c: Ctx) -> dict:
+    # round-8 newcomer: pure map-side regexp chain + one distinct agg —
+    # expected linear, scan-dominated
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.text import url_canonicalize
+
+    with_url = c.docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://Example.COM:443/p//"),
+            F.pmod(F.col("doc_id"), F.lit(1000)).cast("string"),
+            F.lit("/?utm_source=x&id=7#f"),
+        ).alias("url"),
+    )
+    t, n = timed(
+        lambda: url_canonicalize(with_url)
+        .select("canonical_url")
+        .distinct()
+        .count()
+    )
+    return {"sec": t, "canonical": n}
+
+
+@op("entity_resolution")
+def _entity_res(c: Ctx) -> dict:
+    # round-8 newcomer: blocking self-join (sigma block^2, block size
+    # constant ~5 as bases scale with volume) + threshold levenshtein +
+    # min-label components — expected near-linear
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.components import connected_components
+    from arrowhouse_spark.operators.dedup import edit_distance_pairs
+
+    ids = c.events.select(F.col("event_id").alias("rec_id"))
+    n_base = 200 * c.scale
+    base = F.pmod(F.col("rec_id"), F.lit(n_base))
+    var = F.pmod(F.expr(f"rec_id div {n_base}"), F.lit(3))
+    tok = F.substring(F.md5(F.concat(F.lit("sb"), base.cast("string"))), 1, 8)
+    nm = (
+        F.when(var == 0, F.concat(tok, F.lit(" inc")))
+        .when(var == 1, F.concat(F.substring(tok, 1, 7), F.lit("x inc")))
+        .otherwise(F.concat(tok, F.lit(" inc")))
+    )
+    norm = ids.select("rec_id", F.lower(nm).alias("nm"))
+    blk = norm.withColumn("b", F.substring("nm", 1, 4))
+    cands = (
+        blk.select(F.col("rec_id").alias("id_a"), "b")
+        .join(blk.select(F.col("rec_id").alias("id_b"), "b"), "b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    matched = edit_distance_pairs(
+        norm, cands, max_dist=1, text_col="nm", id_col="rec_id"
+    )
+    comp = connected_components(matched, src="id_a", dst="id_b")
+    t, n = timed(lambda: comp.select("component").distinct().count())
+    return {"sec": t, "entities": n}
+
+
+@op("contrastive_negatives")
+def _contrastive(c: Ctx) -> dict:
+    # round-8 newcomer: bounded anchor broadcast x pool + per-anchor
+    # window — expected linear in pool at fixed anchor count
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.sampling import contrastive_negatives
+
+    pool = c.emb.select(
+        "vec_id", F.pmod(F.col("vec_id"), F.lit(20)).alias("label")
+    )
+    anchors = pool.filter(F.col("vec_id") % (c.n_vecs // 20) == 0)
+    t, n = timed(
+        lambda: contrastive_negatives(
+            anchors, pool, "vec_id", "label", k=5
+        ).count()
+    )
+    return {"sec": t, "pairs": n}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
