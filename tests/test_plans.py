@@ -352,3 +352,24 @@ def test_hits_and_negatives_plan_hygiene(spark, sf_dir, qs):
     for name in ("hits_hubs_authorities", "contrastive_negatives_sample"):
         df = qs[name](spark, sf_dir)
         check_plan(df)  # no cartesian, no unpartitioned window
+
+
+def test_feature_hashing_single_keyed_count(spark, sf_dir, qs):
+    # map-side explode+bucket; the only data-sized shuffle is the
+    # (doc, bucket) count's partial->final exchange
+    df = qs["feature_hashing_vectors"](spark, sf_dir)
+    r = check_plan(df)
+    assert r.partial_final_agg
+
+
+def test_max_concurrency_window_type_partitioned(spark, sf_dir, qs):
+    # the sweep-line running sum must be partitioned by event_type
+    df = qs["max_concurrency_by_type"](spark, sf_dir)
+    check_plan(df)  # forbids unpartitioned windows
+
+
+def test_entity_resolution_no_cartesian_blocked_join(spark, sf_dir, qs):
+    # pair generation must stay an equi-join on the block key
+    df = qs["entity_resolution_pipeline"](spark, sf_dir)
+    check_plan(df)
+    assert "CartesianProduct" not in plan_text(df)
