@@ -1341,3 +1341,39 @@ def test_stream_ewma_rejects_bad_alpha(spark, stream_dir):
     sdf = read_parquet_stream(spark, stream_dir, EVENT_SCHEMA)
     with pytest.raises(ValueError):
         stream_ewma(sdf, "user_id", "ts", "value", alpha=0.0)
+
+
+def test_stream_ewma_per_batch_golden_arrival_order(spark, ordered_stream_dir):
+    """Two micro-batches pin the ARRIVAL-order contract: user 2's batch-2
+    event has an OLDER ts than its batch-1 event, and the recurrence must
+    fold it second anyway (cross-batch order is arrival order; only
+    within-batch rows sort by order_col)."""
+    from arrowhouse_spark.streaming.replace import stream_ewma
+
+    sdf = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ordered_stream_dir)
+    )
+    out = stream_ewma(sdf, "user_id", "ts", "value", alpha=0.25)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_golden_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["user_id"], r["n_events"]): round(r["ewma"], 9)
+        for r in spark.sql("SELECT * FROM ewma_golden_sink").collect()
+    }
+    # batch 1 — user 1 folds 1.0, 1.0(dup row), 2.0 in ts order:
+    #   u = 3.3125, s = 2.3125
+    assert rows[(1, 3)] == round(3.3125 / 2.3125, 9)
+    assert rows[(2, 1)] == 3.0
+    # batch 2 — user 1 folds 4.0; user 2 folds the STALE-ts 5.0 second
+    assert rows[(1, 4)] == round(
+        (4.0 + 0.75 * 3.3125) / (1.0 + 0.75 * 2.3125), 9
+    )
+    assert rows[(2, 2)] == round((5.0 + 0.75 * 3.0) / 1.75, 9)
