@@ -10858,6 +10858,68 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_trailing_range_window",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events
+    ),
+    t AS (
+      SELECT user_id, event_id,
+             CAST(count(*) OVER w AS BIGINT) AS n_trailing_10m,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+               AS sum_trailing_10m
+      FROM e
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT user_id,
+           CAST(max(n_trailing_10m) AS BIGINT) AS peak_burst,
+           round(max(sum_trailing_10m), 2) AS peak_burst_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM t GROUP BY 1
+    """,
+)
+def events_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame — the frame type every other window
+    query here leaves unexercised (ROWS frames count rows;
+    RANGE INTERVAL frames select by the ORDER key's VALUE, so ties and
+    gaps behave differently): per user, the trailing-10-minute event
+    count and value sum at every event — the burst detector — rolled up
+    to the per-user peak. The sum is DECIMAL-quantized (frame contents
+    are engine-identical sets, but a double sum's fold order inside the
+    frame is not pinned cross-engine); the count is exact by
+    construction. Plan: ONE user-partitioned range-frame window (state =
+    the 10-minute tail, bounded by burst width not series length) + one
+    keyed rollup — no global window. Both engines frame over the exact
+    MICROSECOND epoch (the fixture's timestamps are sub-second — a
+    seconds-truncated order key would shift frame boundaries between
+    engines): rangeBetween(-600e6, 0) over unix_micros here,
+    epoch_us(ts) RANGE 600000000 PRECEDING in the oracle."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    t = ev.select(
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_10m"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"),
+            2,
+        ).alias("sum_trailing_10m"),
+    )
+    return t.groupBy("user_id").agg(
+        F.max("n_trailing_10m").cast("long").alias("peak_burst"),
+        F.round(F.max("sum_trailing_10m"), 2).alias("peak_burst_value"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+@register(
     "max_concurrency_by_type",
     """
     WITH sess AS (

@@ -181,6 +181,7 @@ HEADLINE = [
     "entity_resolution_pipeline",
     "feature_hashing_vectors",
     "max_concurrency_by_type",
+    "events_trailing_range_window",
 ]
 
 
