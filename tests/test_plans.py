@@ -373,3 +373,11 @@ def test_entity_resolution_no_cartesian_blocked_join(spark, sf_dir, qs):
     df = qs["entity_resolution_pipeline"](spark, sf_dir)
     check_plan(df)
     assert "CartesianProduct" not in plan_text(df)
+
+
+def test_trailing_range_window_key_partitioned(spark, sf_dir, qs):
+    # the RANGE-interval frame must be user-partitioned and the rollup
+    # reuse its partitioning
+    df = qs["events_trailing_range_window"](spark, sf_dir)
+    r = check_plan(df)
+    assert r.exchanges <= 2
