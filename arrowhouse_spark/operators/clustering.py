@@ -122,3 +122,131 @@ def kmeans_lloyd(
         F.col("__cid").alias("cluster_id"),
         "sqdist",
     )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    subdim: int = 16,
+    k_cb: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Product quantization + asymmetric-distance top-k (Jégou et al.
+    2011, public literature) — the memory-compressed ANN path that
+    complements similarity.py's brute/LSH/IVF-flat: vectors are split
+    into ``dim/subdim`` subspaces, each subspace gets a ``k_cb``-centroid
+    codebook (ONE exact Lloyd iteration from min-id seeds — the
+    kmeans_lloyd determinism doctrine applied per subspace), every
+    vector is encoded as its per-subspace nearest-centroid code (storage
+    = n_sub small ints per vector instead of the full float array), and
+    a query scans CODES against a precomputed (subspace, centroid)
+    distance table — asymmetric distance = sum of n_sub table lookups,
+    never a full-vector float op.
+
+    The subspace axis is A KEY COLUMN, not a loop: one exploded relation
+    (sub, id, dim, v) carries all codebook training, encoding, and table
+    lookups as keyed aggregates — the whole fit+encode+search is ONE
+    declarative plan. All distances are exact DECIMAL(38,12) term sums
+    and centroid means are exact-decimal-rounded to 9 dp, so codes,
+    tables, and the final (adc, id) ordering are engine-identical.
+
+    The query is the corpus's min-id vector (a 1-row broadcast relation,
+    never a driver scalar). Returns the top ``k`` (``id_col``, adc_dist)
+    rows by ascending asymmetric distance, exact-decimal-ordered with an
+    id tie-break (the query vector itself included — its ADC is its
+    quantization residual, not 0).
+
+    Scale: codebooks are n_sub*k_cb*subdim rows (corpus-size-free,
+    broadcast everywhere); codes are the only corpus-sized relation
+    (n_sub rows per vector, int-narrow); the ADC scan is one broadcast
+    lookup join + keyed sum + TakeOrdered — no full-vector distance at
+    query time, which is the entire point of PQ at 100 TB."""
+    if subdim < 1 or k_cb < 1 or k < 1:
+        raise ValueError(f"need subdim/k_cb/k >= 1, got {subdim}/{k_cb}/{k}")
+    sub = F.floor(F.col("__d") / subdim).cast("long")
+    kk = F.pmod(F.col("__d"), F.lit(subdim)).cast("long")
+    pts = (
+        df.select(
+            F.col(id_col).cast("long").alias("__id"),
+            F.posexplode(vec_col).alias("__d", "__v"),
+        )
+        .select(
+            "__id",
+            sub.alias("__sub"),
+            kk.alias("__k"),
+            F.col("__v").cast("double").alias("__v"),
+        )
+    )
+    seeds = df.select(F.col(id_col).cast("long").alias("__sid"), vec_col)
+    seeds = seeds.orderBy("__sid").limit(k_cb)
+    c0 = (
+        seeds.select(
+            F.col("__sid").alias("__cid"),
+            F.posexplode(vec_col).alias("__d", "__c"),
+        )
+        .select(
+            "__cid",
+            sub.alias("__sub"),
+            kk.alias("__k"),
+            F.col("__c").cast("double").alias("__c"),
+        )
+    )
+
+    def assign(cb: DataFrame) -> DataFrame:
+        d = F.col("__v") - F.col("__c")
+        dists = (
+            pts.join(F.broadcast(cb), ["__sub", "__k"])
+            .select(
+                "__sub", "__id", "__cid", (d * d).cast(_DIST_T).alias("__t")
+            )
+            .groupBy("__sub", "__id", "__cid")
+            .agg(F.sum("__t").alias("__dist"))
+        )
+        mind = dists.groupBy("__sub", "__id").agg(
+            F.min("__dist").alias("__dist")
+        )
+        return (
+            dists.join(mind, ["__sub", "__id", "__dist"])
+            .groupBy("__sub", "__id")
+            .agg(F.min("__cid").alias("__cid"))
+        )
+
+    a1 = assign(c0)
+    c1 = (
+        pts.join(a1, ["__sub", "__id"])
+        .groupBy("__sub", "__cid", "__k")
+        .agg(
+            F.round(
+                F.sum(F.col("__v").cast(_COORD_T)).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("__c")
+        )
+        .localCheckpoint(eager=False)
+    )
+    codes = assign(c1)
+    qid = df.agg(F.min(F.col(id_col).cast("long")).alias("__qid"))
+    q = pts.join(
+        F.broadcast(qid), pts["__id"] == F.col("__qid")
+    ).select("__sub", "__k", F.col("__v").alias("__qv"))
+    dq = F.col("__qv") - F.col("__c")
+    dtable = (
+        c1.join(F.broadcast(q), ["__sub", "__k"])
+        .select("__sub", "__cid", (dq * dq).cast(_DIST_T).alias("__t"))
+        .groupBy("__sub", "__cid")
+        .agg(F.sum("__t").alias("__td"))
+    )
+    adc = (
+        codes.join(F.broadcast(dtable), ["__sub", "__cid"])
+        .groupBy("__id")
+        .agg(F.sum("__td").alias("__adc"))
+    )
+    return (
+        adc.orderBy(F.col("__adc").asc(), F.col("__id").asc())
+        .limit(k)
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(F.col("__adc").cast("double"), 6).alias("adc_dist"),
+        )
+    )

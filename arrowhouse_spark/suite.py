@@ -10858,6 +10858,95 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pq_adc_topk_embeddings",
+    """
+    WITH pts AS (
+      SELECT vec_id AS id,
+             (generate_subscripts(embedding, 1) - 1) // 16 AS sub,
+             (generate_subscripts(embedding, 1) - 1) % 16 AS k,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid,
+             (generate_subscripts(embedding, 1) - 1) // 16 AS sub,
+             (generate_subscripts(embedding, 1) - 1) % 16 AS k,
+             CAST(unnest(embedding) AS DOUBLE) AS c
+      FROM embeddings
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+    ),
+    d1 AS (
+      SELECT p.sub, p.id, c.cid,
+             sum(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,12))) AS dist
+      FROM pts p JOIN c0 c ON c.sub = p.sub AND c.k = p.k
+      GROUP BY 1, 2, 3
+    ),
+    m1 AS (SELECT sub, id, min(dist) AS dist FROM d1 GROUP BY 1, 2),
+    a1 AS (
+      SELECT d.sub, d.id, min(d.cid) AS cid
+      FROM d1 d JOIN m1 m ON m.sub = d.sub AND m.id = d.id AND m.dist = d.dist
+      GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT a.sub, a.cid, p.k,
+             round(CAST(sum(CAST(p.v AS DECIMAL(38,10))) AS DOUBLE)
+                   / count(*), 9) AS c
+      FROM pts p JOIN a1 a ON a.sub = p.sub AND a.id = p.id
+      GROUP BY 1, 2, 3
+    ),
+    d2 AS (
+      SELECT p.sub, p.id, c.cid,
+             sum(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,12))) AS dist
+      FROM pts p JOIN c1 c ON c.sub = p.sub AND c.k = p.k
+      GROUP BY 1, 2, 3
+    ),
+    m2 AS (SELECT sub, id, min(dist) AS dist FROM d2 GROUP BY 1, 2),
+    codes AS (
+      SELECT d.sub, d.id, min(d.cid) AS cid
+      FROM d2 d JOIN m2 m ON m.sub = d.sub AND m.id = d.id AND m.dist = d.dist
+      GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT sub, k, v AS qv FROM pts
+      WHERE id = (SELECT min(vec_id) FROM embeddings)
+    ),
+    dt AS (
+      SELECT c.sub, c.cid,
+             sum(CAST((q.qv - c.c) * (q.qv - c.c) AS DECIMAL(38,12))) AS td
+      FROM c1 c JOIN q ON q.sub = c.sub AND q.k = c.k
+      GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT cd.id, sum(dt.td) AS adc
+      FROM codes cd JOIN dt ON dt.sub = cd.sub AND dt.cid = cd.cid
+      GROUP BY 1
+    )
+    SELECT id AS vec_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist
+    FROM adc ORDER BY adc, id LIMIT 10
+    """,
+)
+def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance
+    (operators/clustering.py:pq_adc_topk; Jégou et al. 2011): 64-dim
+    embeddings → four 16-dim subspaces → per-subspace 4-centroid
+    codebooks (one exact Lloyd iteration, min-id seeds) → every vector
+    stored as 4 small codes → query answered by summing a precomputed
+    (subspace, centroid) distance-table row per code — the
+    memory-compressed fourth ANN strategy next to brute / LSH / IVF-flat
+    (at 100 TB: codes are ~64× narrower than the float vectors, and
+    query cost is table lookups, not float dot products). The subspace
+    axis is a KEY COLUMN, so fit+encode+search is ONE declarative plan;
+    every distance is an exact DECIMAL(38,12) sum and codebook means are
+    exact-decimal-rounded (kmeans_lloyd doctrine) — codes, tables, and
+    the (adc, id) top-k ordering replay engine-identically in the
+    oracle's unrolled CTEs."""
+    from arrowhouse_spark.operators.clustering import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, "vec_id", "embedding", subdim=16, k_cb=4, k=10)
+
+
+@register(
     "events_trailing_range_window",
     """
     WITH e AS (

@@ -182,6 +182,7 @@ HEADLINE = [
     "feature_hashing_vectors",
     "max_concurrency_by_type",
     "events_trailing_range_window",
+    "pq_adc_topk_embeddings",
 ]
 
 

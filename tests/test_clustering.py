@@ -51,3 +51,52 @@ def test_kmeans_rejects_bad_params(spark):
         kmeans_lloyd(df, "vec_id", "vec", k=0)
     with pytest.raises(ValueError):
         kmeans_lloyd(df, "vec_id", "vec", iters=0)
+
+
+def test_pq_adc_query_ranks_first_and_dupes_tie(spark):
+    import random
+
+    from arrowhouse_spark.operators.clustering import pq_adc_topk
+
+    rng = random.Random(3)
+    base = [rng.uniform(-1, 1) for _ in range(32)]
+    rows = [(0, base), (7, list(base))]  # 7 is an exact duplicate of the query
+    rows += [
+        (i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(1, 40) if i != 7
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<float>")
+    got = pq_adc_topk(df, "vec_id", "vec", subdim=8, k_cb=3, k=5).collect()
+    # the query's own codes minimize every per-subspace table entry, so the
+    # query (min id) must rank first; its exact duplicate shares all codes
+    # hence the identical ADC, and follows on the id tie-break
+    assert [r["vec_id"] for r in got[:2]] == [0, 7]
+    assert got[0]["adc_dist"] == got[1]["adc_dist"]
+    assert all(r["adc_dist"] >= 0 for r in got)
+
+
+def test_pq_adc_deterministic_under_repartitioning(spark):
+    import random
+
+    from arrowhouse_spark.operators.clustering import pq_adc_topk
+
+    rng = random.Random(9)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<float>")
+    a = [tuple(r) for r in pq_adc_topk(df, "vec_id", "vec", subdim=4).collect()]
+    b = [
+        tuple(r)
+        for r in pq_adc_topk(df.repartition(11), "vec_id", "vec", subdim=4).collect()
+    ]
+    assert a == b
+
+
+def test_pq_adc_rejects_bad_params(spark):
+    import pytest
+
+    from arrowhouse_spark.operators.clustering import pq_adc_topk
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, vec array<float>")
+    with pytest.raises(ValueError):
+        pq_adc_topk(df, "vec_id", "vec", subdim=0)

@@ -381,3 +381,11 @@ def test_trailing_range_window_key_partitioned(spark, sf_dir, qs):
     df = qs["events_trailing_range_window"](spark, sf_dir)
     r = check_plan(df)
     assert r.exchanges <= 2
+
+
+def test_pq_adc_broadcast_tables_take_ordered(spark, sf_dir, qs):
+    # codebooks/distance tables must broadcast; top-k must TakeOrdered,
+    # never globally sort
+    df = qs["pq_adc_topk_embeddings"](spark, sf_dir)
+    r = check_plan(df, require_broadcast_join=True)
+    assert r.has_take_ordered
