@@ -474,3 +474,92 @@ def bloom_probe(
     return joined.groupBy(probe_col).agg(
         (F.min(hit.cast("int")) == 1).alias(out)
     )
+
+
+# fixed affine ladder for the MinHash signature rows — documented public
+# constants, enumerable by an oracle as a linear formula of the row index
+# (a_r != 0 and both < _CMS_P for every r < 1000)
+_MH_A = 999_983
+_MH_A_STEP = 1_000
+_MH_B = 123
+_MH_B_STEP = 7_919
+
+
+def _mh_token_int(col) -> "Column":  # noqa: F821 — doc type
+    """Token string -> 32-bit integer via the md5-prefix idiom
+    (sampling.py:hash_bucket) — engine-replayable, unlike xxhash."""
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def minhash_sig_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    token_col: str,
+    depth: int = 32,
+) -> DataFrame:
+    """Mergeable MinHash SIGNATURE state (Broder 1997) — the
+    set-similarity member of the agg_state family: per key tuple,
+    ``depth`` rows (r, minv) where minv is the minimum of the r-th
+    affine hash over the key's token set. MIN is associative,
+    commutative, and idempotent, so signatures merge by row-wise MIN
+    across any partitioning/retry — merge-then-estimate equals
+    direct-build exactly, and the state is ``depth`` rows per key
+    FOREVER (the bounded sketch of an unbounded token set).
+
+    Distinct from operators/dedup.py's per-DOCUMENT minhash (near-dup
+    banding): this sketches arbitrary KEY GROUPS (sources, days,
+    shards) for cross-group Jaccard ESTIMATES — "how much does
+    yesterday's crawl overlap today's" without holding either token
+    set. The hash ladder is affine over the md5-prefix token integer
+    with fixed public constants (a_r = 999983 - 1000r,
+    b_r = 123 + 7919r mod p=1e9+7), so a SQL oracle replays every
+    signature cell bit-for-bit."""
+    if depth < 1 or depth > 999:
+        raise ValueError(f"need 1 <= depth <= 999, got {depth}")
+    x = _mh_token_int(token_col)
+    hashes = F.array(
+        *[
+            F.pmod(
+                F.lit(_MH_A - _MH_A_STEP * r) * F.pmod(x, F.lit(_CMS_P))
+                + F.lit(_MH_B + _MH_B_STEP * r),
+                F.lit(_CMS_P),
+            )
+            for r in range(depth)
+        ]
+    )
+    exploded = df.select(*keys, F.posexplode(hashes).alias("r", "__h"))
+    return exploded.groupBy(*keys, "r").agg(F.min("__h").alias("minv"))
+
+
+def minhash_sig_merge(states: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Fold signature states by the surviving ``keys``: row-wise MIN —
+    idempotent and associative, any fold order gives the same sketch."""
+    return states.groupBy(*keys, "r").agg(F.min("minv").alias("minv"))
+
+
+def minhash_sig_jaccard(
+    states: DataFrame, key_col: str, depth: int = 32
+) -> DataFrame:
+    """Pairwise Jaccard ESTIMATES between every two key groups of a
+    single-key signature relation: est = (matching rows)/depth — the
+    collision probability of per-row minima equals the Jaccard index
+    (Broder). Returns (key_a, key_b, est) for key_a < key_b.
+
+    The signature relation is key-count x depth rows — broadcast-sized
+    for any sane group count; the pairwise join is (groups x depth)²
+    /2 on the r-equality key, corpus-size-free."""
+    a = states.select(
+        F.col(key_col).alias("key_a"), "r", F.col("minv").alias("__ma")
+    )
+    b = states.select(
+        F.col(key_col).alias("key_b"), "r", F.col("minv").alias("__mb")
+    )
+    pairs = a.join(F.broadcast(b), "r").filter(F.col("key_a") < F.col("key_b"))
+    return pairs.groupBy("key_a", "key_b").agg(
+        (
+            F.sum(F.when(F.col("__ma") == F.col("__mb"), 1).otherwise(0))
+            / F.lit(float(depth))
+        ).alias("est")
+    )

@@ -379,3 +379,89 @@ def ewma(
         out_col,
         F.round(acc["s"].cast("double") / acc["ws"].cast("double"), round_dp),
     )
+
+
+def gapfill_lerp(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tie_col: str,
+    step: str = "1 hour",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Regularize each key's series to a fixed-step spine with LINEAR
+    interpolation — the smooth sibling of :func:`gapfill_locf` (LOCF
+    draws staircases; metrics dashboards and feature pipelines usually
+    want the line between observations). Output per (key, spine bucket):
+    ``v_lerp`` (the interpolated value, 6 dp) and ``filled`` (true iff
+    the bucket had no observation).
+
+    Interpolation between the previous and next OBSERVED buckets uses
+    exact integer epoch-second offsets, so the lerp ratio and therefore
+    the double expression ``p + (n - p) * ratio`` is engine-identical
+    (observed endpoint values are 2-dp-rounded first, the locf
+    discipline). Trailing buckets after the last observation carry it
+    forward (there is nothing to interpolate toward).
+
+    Plan: the gapfill_locf shape plus ONE extra per-key window direction
+    — keyed observed aggregate, keyed bounds, map-side spine explode,
+    keyed left join, and two per-key ordered windows (backward last +
+    forward first, both partitioned); spine cardinality is keys x
+    buckets, volume-free."""
+    k = F.col(key_col)
+    b = F.date_trunc(bucket, F.col(ts_col))
+    ordered = F.struct(
+        F.col(ts_col).alias("ts"),
+        F.col(tie_col).alias("tie"),
+        F.col(value_col).alias("v"),
+    )
+    observed = df.groupBy(k.alias(key_col), b.alias("bucket_ts")).agg(
+        F.round(F.max(ordered).getField("v"), 2).alias("v_obs")
+    )
+    spine = (
+        observed.groupBy(key_col)
+        .agg(F.min("bucket_ts").alias("mn"), F.max("bucket_ts").alias("mx"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"), F.expr(f"INTERVAL {step}"))
+            ).alias("bucket_ts"),
+        )
+    )
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs = F.when(
+        F.col("v_obs").isNotNull(),
+        F.struct(
+            F.unix_timestamp("bucket_ts").alias("ots"),
+            F.col("v_obs").alias("ov"),
+        ),
+    )
+    joined = (
+        spine.join(observed, [key_col, "bucket_ts"], "left")
+        .withColumn("__prev", F.last(obs, ignorenulls=True).over(wb))
+        .withColumn("__next", F.first(obs, ignorenulls=True).over(wf))
+    )
+    t = F.unix_timestamp("bucket_ts")
+    p, n = F.col("__prev"), F.col("__next")
+    ratio = (t - p["ots"]).cast("double") / (n["ots"] - p["ots"]).cast(
+        "double"
+    )
+    lerp = F.when(
+        n.isNotNull() & (n["ots"] != p["ots"]),
+        p["ov"] + (n["ov"] - p["ov"]) * ratio,
+    ).otherwise(p["ov"])
+    return (
+        joined.withColumn("v_lerp", F.round(lerp, 6))
+        .withColumn("filled", F.col("v_obs").isNull())
+        .select(key_col, "bucket_ts", "v_lerp", "filled")
+    )

@@ -10857,6 +10857,298 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BENFORD_P = (
+    "(1, 0.3010299956639812), (2, 0.17609125905568124), "
+    "(3, 0.12493873660829993), (4, 0.09691001300805642), "
+    "(5, 0.07918124604762482), (6, 0.06694678963061322), "
+    "(7, 0.05799194697768673), (8, 0.05115252244738129), "
+    "(9, 0.04575749056067514)"
+)
+
+
+@register(
+    "benford_digit_audit",
+    f"""
+    WITH expected(d, p) AS (VALUES {_BENFORD_P}),
+    ints AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS i
+      FROM events WHERE value > 0
+    ),
+    digits AS (
+      SELECT event_type,
+             CAST(substring(CAST(i AS VARCHAR), 1, 1) AS INTEGER) AS d
+      FROM ints WHERE i > 0
+    ),
+    counts AS (
+      SELECT event_type, d, count(*) AS c FROM digits GROUP BY 1, 2
+    ),
+    totals AS (SELECT event_type, count(*) AS n FROM digits GROUP BY 1),
+    grid AS (
+      SELECT t.event_type, t.n, e.d, e.p, coalesce(c.c, 0) AS obs
+      FROM totals t CROSS JOIN expected e
+      LEFT JOIN counts c ON c.event_type = t.event_type AND c.d = e.d
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           round(CAST(sum(CAST(
+             (obs - n * p) * (obs - n * p) / (n * p) AS DECIMAL(38,12)
+           )) AS DOUBLE), 4) AS chi2,
+           CAST(min(CASE WHEN obs = mx THEN d END) AS INTEGER) AS top_digit
+    FROM (SELECT *, max(obs) OVER (PARTITION BY event_type) AS mx FROM grid)
+    GROUP BY 1
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit (Newcomb/Benford; the standard
+    fabricated-numbers screen in fraud and data-quality work): per event
+    type, the chi-square statistic of the observed first-significant-
+    digit distribution against log10(1+1/d), plus the modal digit. The
+    digit is extracted via INTEGER-STRING arithmetic (value scaled to
+    cents, first character of the integer's decimal form) — zero float
+    formatting or log10 anywhere, so extraction is engine-exact; chi2
+    terms are DECIMAL(38,12)-quantized before the sum
+    (combine-order-free), expected probabilities are shared literal
+    constants. Digits a type never produced still contribute their
+    n·p_d term through the type×digit grid (a missing-row bug here
+    understates the statistic). Plan: map-side digit extraction + one
+    keyed count + a 9-row broadcast grid + one keyed rollup (the modal
+    digit via a type-partitioned max window) — no global state."""
+    ev = _events(spark, sf_dir)
+    i = F.round(F.col("value") * 100).cast("long")
+    digits = (
+        ev.filter(F.col("value") > 0)
+        .select("event_type", i.alias("i"))
+        .filter(F.col("i") > 0)
+        .select(
+            "event_type",
+            F.substring(F.col("i").cast("string"), 1, 1)
+            .cast("int")
+            .alias("d"),
+        )
+    )
+    counts = digits.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = digits.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    pairs = [tuple(map(float, x.strip("() ").split(", "))) for x in _BENFORD_P.split("), (")]
+    expected = spark.createDataFrame(
+        [(int(d), p) for d, p in pairs], "d int, p double"
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(expected))
+        .join(counts, ["event_type", "d"], "left")
+        .withColumn("obs", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    mx = F.max("obs").over(Window.partitionBy("event_type"))
+    g = grid.withColumn("mx", mx)
+    dev = F.col("obs") - F.col("n") * F.col("p")
+    term = dev * dev / (F.col("n") * F.col("p"))
+    return g.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(
+            F.sum(term.cast("decimal(38,12)")).cast("double"), 4
+        ).alias("chi2"),
+        F.min(F.when(F.col("obs") == F.col("mx"), F.col("d")))
+        .cast("int")
+        .alias("top_digit"),
+    )
+
+
+@register(
+    "source_minhash_jaccard",
+    """
+    WITH rows_r AS (SELECT unnest(range(32)) AS r),
+    toks AS (
+      SELECT source,
+             unnest(list_filter(string_split(text, ' '), t -> t != ''))
+               AS tok
+      FROM documents
+    ),
+    x AS (
+      SELECT source, tok,
+             CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS xi
+      FROM toks
+    ),
+    sig AS (
+      SELECT source, rr.r,
+             min(((999983 - 1000 * rr.r) * (xi % 1000000007)
+                  + (123 + 7919 * rr.r)) % 1000000007) AS minv
+      FROM x CROSS JOIN rows_r rr GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             round(sum(CASE WHEN a.minv = b.minv THEN 1 ELSE 0 END) / 32.0, 6)
+               AS est_jaccard
+      FROM sig a JOIN sig b ON b.r = a.r AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    sets AS (SELECT DISTINCT source, tok FROM toks),
+    sizes AS (SELECT source, count(*) AS n FROM sets GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS ni
+      FROM sets a JOIN sets b ON b.tok = a.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT e.source_a, e.source_b, e.est_jaccard,
+           round(coalesce(i.ni, 0)
+                 / (sa.n + sb.n - coalesce(i.ni, 0)), 6) AS exact_jaccard
+    FROM est e
+    LEFT JOIN inter i
+      ON i.source_a = e.source_a AND i.source_b = e.source_b
+    JOIN sizes sa ON sa.source = e.source_a
+    JOIN sizes sb ON sb.source = e.source_b
+    """,
+)
+def source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE vocabulary overlap via mergeable MinHash signatures
+    (operators/aggstate.py:minhash_sig_state/merge/jaccard — Broder
+    1997), reported next to the exact token-set Jaccard so the sketch's
+    error is visible in the output. Distinct from the per-document
+    near-dup minhash (dedup.py): this sketches KEY GROUPS — "how much
+    does source A's vocabulary overlap source B's" from depth=32 rows
+    per source, mergeable by row-wise MIN across any
+    partitioning/increment (the -State/-Merge set-similarity member).
+    The affine hash ladder over md5-prefix token integers is a linear
+    formula of the row index, so the oracle replays every signature
+    cell. Plan: one explode + keyed MIN (map-side partials; state =
+    sources x 32 rows forever) + a broadcast-sized pairwise join; the
+    exact side is a distinct + keyed self-join — corpus-sized, present
+    only because this QUERY audits the estimate."""
+    from arrowhouse_spark.operators.aggstate import (
+        minhash_sig_jaccard,
+        minhash_sig_state,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    sig = minhash_sig_state(toks, ["source"], "tok", depth=32)
+    est = minhash_sig_jaccard(sig, "source", depth=32).select(
+        F.col("key_a").alias("source_a"),
+        F.col("key_b").alias("source_b"),
+        F.round("est", 6).alias("est_jaccard"),
+    )
+    sets = toks.distinct()
+    sizes = sets.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sets.alias("a")
+        .join(
+            sets.alias("b"),
+            (F.col("b.tok") == F.col("a.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        est.join(inter, ["source_a", "source_b"], "left")
+        .join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "est_jaccard",
+            F.round(
+                F.coalesce(F.col("ni"), F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("ni"), F.lit(0))),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+
+
+@register(
+    "events_gapfill_lerp",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+      FROM events
+    ),
+    obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+             round((max({'ts': ts, 'tie': event_id, 'v': value})).v, 2)
+               AS v_obs
+      FROM e GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(bucket_ts) AS mn, max(bucket_ts) AS mx
+      FROM obs GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.user_id, s.bucket_ts, o.v_obs,
+             last_value(
+               CASE WHEN o.v_obs IS NOT NULL THEN
+                 {'ots': date_part('epoch', s.bucket_ts), 'ov': o.v_obs}
+               END IGNORE NULLS
+             ) OVER (
+               PARTITION BY s.user_id ORDER BY s.bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS prev,
+             first_value(
+               CASE WHEN o.v_obs IS NOT NULL THEN
+                 {'ots': date_part('epoch', s.bucket_ts), 'ov': o.v_obs}
+               END IGNORE NULLS
+             ) OVER (
+               PARTITION BY s.user_id ORDER BY s.bucket_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS nxt
+      FROM spine s LEFT JOIN obs o
+        ON o.user_id = s.user_id AND o.bucket_ts = s.bucket_ts
+    )
+    SELECT user_id,
+           strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_h,
+           round(CASE WHEN nxt IS NOT NULL AND nxt.ots != prev.ots THEN
+                   prev.ov + (nxt.ov - prev.ov)
+                   * (CAST(date_part('epoch', bucket_ts) - prev.ots AS DOUBLE)
+                      / CAST(nxt.ots - prev.ots AS DOUBLE))
+                 ELSE prev.ov END, 6) AS v_lerp,
+           v_obs IS NULL AS filled
+    FROM j
+    """,
+)
+def events_gapfill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill (operators/timeseries.py:
+    gapfill_lerp) — the smooth sibling of events_gapfill_locf: each
+    user's hourly spine filled with the LINE between the surrounding
+    observations instead of a staircase (trailing buckets carry the
+    last value forward). The lerp ratio is built from exact integer
+    epoch seconds and the endpoint values are 2-dp-rounded first, so
+    the double expression p + (n-p)*ratio is engine-identical; round 6
+    closes it out. Plan: keyed observed aggregate + map-side spine
+    explode + keyed left join + TWO per-user ordered windows (backward
+    last / forward first, both partitioned) — spine size is users x
+    buckets, event-volume-free."""
+    from arrowhouse_spark.operators.timeseries import gapfill_lerp
+
+    out = gapfill_lerp(
+        _events(spark, sf_dir),
+        key_col="user_id", ts_col="ts", value_col="value",
+        tie_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_h"),
+        "v_lerp",
+        "filled",
+    )
+
+
 @register(
     "pq_adc_topk_embeddings",
     """

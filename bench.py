@@ -183,6 +183,9 @@ HEADLINE = [
     "max_concurrency_by_type",
     "events_trailing_range_window",
     "pq_adc_topk_embeddings",
+    "events_gapfill_lerp",
+    "source_minhash_jaccard",
+    "benford_digit_audit",
 ]
 
 

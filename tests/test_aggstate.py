@@ -270,3 +270,46 @@ def test_bloom_empty_state_probes_all_false(spark):
     probes = spark.createDataFrame([(1,), (2,)], "q long")
     got = {r["q"]: r["member"] for r in bloom_probe(empty, probes, "q").collect()}
     assert got == {1: False, 2: False}
+
+
+def test_minhash_sig_merge_equals_direct_and_estimates(spark):
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.aggstate import (
+        minhash_sig_jaccard,
+        minhash_sig_merge,
+        minhash_sig_state,
+    )
+
+    # two groups with known overlap: 50 shared tokens, 50 unique each
+    # -> true Jaccard = 50/150
+    rows = [("g1", f"t{i}") for i in range(100)] + [
+        ("g2", f"t{i}") for i in range(50, 150)
+    ]
+    df = spark.createDataFrame(rows, "g string, tok string")
+    direct = minhash_sig_state(df, ["g"], "tok", depth=64)
+    # split into halves, build per-half states, merge
+    batched = df.withColumn("half", F.length("tok") % 2)
+    merged = minhash_sig_merge(
+        minhash_sig_state(batched, ["g", "half"], "tok", depth=64), ["g"]
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+    est = minhash_sig_jaccard(direct, "g", depth=64).collect()
+    [(ka, kb, e)] = [(r["key_a"], r["key_b"], r["est"]) for r in est]
+    assert (ka, kb) == ("g1", "g2")
+    # 64 rows: estimate should land within ~4 sigma of 1/3
+    assert abs(e - 1 / 3) < 0.25
+
+    # duplicated tokens cannot change a MIN-based signature
+    dup = minhash_sig_state(df.union(df), ["g"], "tok", depth=64)
+    assert sorted(map(tuple, dup.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        minhash_sig_state(df, ["g"], "tok", depth=0)

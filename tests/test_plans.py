@@ -389,3 +389,13 @@ def test_pq_adc_broadcast_tables_take_ordered(spark, sf_dir, qs):
     df = qs["pq_adc_topk_embeddings"](spark, sf_dir)
     r = check_plan(df, require_broadcast_join=True)
     assert r.has_take_ordered
+
+
+def test_wave3_plan_hygiene(spark, sf_dir, qs):
+    for name in (
+        "events_gapfill_lerp",
+        "source_minhash_jaccard",
+        "benford_digit_audit",
+    ):
+        df = qs[name](spark, sf_dir)
+        check_plan(df)  # no cartesian, no unpartitioned window

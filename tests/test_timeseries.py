@@ -150,3 +150,30 @@ def test_ewma_hand_checked_and_truncation(spark):
         ewma(df, ["k"], ["seq"], "v", alpha=1.5)
     with pytest.raises(ValueError):
         ewma(df, ["k"], ["seq"], "v", lookback=0)
+
+
+def test_gapfill_lerp_interpolates_and_carries_tail(spark):
+    from arrowhouse_spark.operators.timeseries import gapfill_lerp
+
+    df = spark.createDataFrame(
+        [
+            ("a", _ts(0), 1, 10.0),
+            ("a", _ts(3), 2, 40.0),   # hours 1,2 are gaps: expect 20, 30
+            ("a", _ts(5), 3, 40.0),   # hour 4 gap: lerp flat 40
+            ("b", _ts(2), 4, 7.0),
+        ],
+        "k string, ts timestamp, eid int, v double",
+    )
+    out = {
+        (r["k"], r["bucket_ts"].hour): (r["v_lerp"], r["filled"])
+        for r in gapfill_lerp(
+            df, key_col="k", ts_col="ts", value_col="v", tie_col="eid"
+        ).collect()
+    }
+    assert out[("a", 0)] == (10.0, False)
+    assert out[("a", 1)] == (20.0, True)
+    assert out[("a", 2)] == (30.0, True)
+    assert out[("a", 3)] == (40.0, False)
+    assert out[("a", 4)] == (40.0, True)
+    assert out[("a", 5)] == (40.0, False)
+    assert out[("b", 2)] == (7.0, False)
