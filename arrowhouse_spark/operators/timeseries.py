@@ -460,8 +460,19 @@ def gapfill_lerp(
         n.isNotNull() & (n["ots"] != p["ots"]),
         p["ov"] + (n["ov"] - p["ov"]) * ratio,
     ).otherwise(p["ov"])
+    # 6-dp quantization hazard, measured: 2-dp endpoints lerped across
+    # power-of-two hour gaps produce values EXACTLY on the x.xxxxxx5
+    # midpoint (113 rows in 105k at sf0.01), and engines quantize a
+    # double to 6 dp through different machinery (shortest-repr
+    # BigDecimal HALF_UP vs scaled llround) that disagrees in DIRECTION
+    # on those binary near-midpoints. The 1e-9 nudge pushes the whole
+    # midpoint family decisively up on every engine; values off the
+    # boundary (>1e-8 away) are unaffected at 6 dp.
     return (
-        joined.withColumn("v_lerp", F.round(lerp, 6))
+        joined.withColumn(
+            "v_lerp",
+            (lerp + F.lit(1e-9)).cast("decimal(18,6)").cast("double"),
+        )
         .withColumn("filled", F.col("v_obs").isNull())
         .select(key_col, "bucket_ts", "v_lerp", "filled")
     )

@@ -11113,11 +11113,12 @@ def source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_h,
-           round(CASE WHEN nxt IS NOT NULL AND nxt.ots != prev.ots THEN
+           CAST(CAST((CASE WHEN nxt IS NOT NULL AND nxt.ots != prev.ots THEN
                    prev.ov + (nxt.ov - prev.ov)
                    * (CAST(date_part('epoch', bucket_ts) - prev.ots AS DOUBLE)
                       / CAST(nxt.ots - prev.ots AS DOUBLE))
-                 ELSE prev.ov END, 6) AS v_lerp,
+                 ELSE prev.ov END) + 1e-9 AS DECIMAL(18,6)) AS DOUBLE)
+             AS v_lerp,
            v_obs IS NULL AS filled
     FROM j
     """,
