@@ -10857,6 +10857,90 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "attribution_last_touch",
+    """
+    WITH tagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+             CASE WHEN event_type = 'click' THEN
+               {'ch': ['email', 'search', 'social', 'direct']
+                      [CAST(json_extract(props, '$.k') AS BIGINT) % 4 + 1]}
+             END AS c
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    flow AS (
+      SELECT user_id, ts, event_id, value, side,
+             last_value(c IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS attr
+      FROM tagged
+    )
+    SELECT coalesce(attr.ch, 'unattributed') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM flow WHERE side = 1
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution — every purchase's revenue is
+    credited to the user's most recent PRECEDING click's channel (the
+    canonical attribution model; first-touch is the same plan with the
+    carry direction flipped). Channel is derived deterministically from
+    the click's props key. Instead of a purchase←click as-of join, the
+    union-and-carry form runs ONE per-user window: clicks sort before
+    purchases at equal timestamps under the (ts, side, event_id) total
+    order — the ≤ as-of semantics with an explicit tie-break both
+    engines replay — and last_value(IGNORE NULLS) carries the click
+    context onto each purchase. Revenue sums as exact DECIMAL(18,2).
+    Plan: map-side tag/filter + one user-partitioned window + one keyed
+    rollup — the asof.py shuffle shape without the join; purchases with
+    no prior click report as 'unattributed' (silently dropping them
+    overstates every channel)."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    channels = F.array(
+        F.lit("email"), F.lit("search"), F.lit("social"), F.lit("direct")
+    )
+    ch = F.element_at(
+        channels,
+        (F.get_json_object("props", "$.k").cast("long") % 4 + 1).cast("int"),
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("side"),
+        F.when(
+            F.col("event_type") == "click", F.struct(ch.alias("ch"))
+        ).alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flow = tagged.withColumn("attr", F.last("c", ignorenulls=True).over(w))
+    return (
+        flow.filter(F.col("side") == 1)
+        .groupBy(
+            F.coalesce(F.col("attr")["ch"], F.lit("unattributed")).alias(
+                "channel"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 _BENFORD_P = (
     "(1, 0.3010299956639812), (2, 0.17609125905568124), "
     "(3, 0.12493873660829993), (4, 0.09691001300805642), "

@@ -186,6 +186,7 @@ HEADLINE = [
     "events_gapfill_lerp",
     "source_minhash_jaccard",
     "benford_digit_audit",
+    "attribution_last_touch",
 ]
 
 

@@ -399,3 +399,10 @@ def test_wave3_plan_hygiene(spark, sf_dir, qs):
     ):
         df = qs[name](spark, sf_dir)
         check_plan(df)  # no cartesian, no unpartitioned window
+
+
+def test_attribution_single_user_window(spark, sf_dir, qs):
+    # the carry-forward must be user-partitioned; one window, no join
+    df = qs["attribution_last_touch"](spark, sf_dir)
+    r = check_plan(df)
+    assert r.exchanges <= 2
