@@ -1366,6 +1366,85 @@ def _contrastive(c: Ctx) -> dict:
     return {"sec": t, "pairs": n}
 
 
+@op("pq_adc_topk")
+def _pq_adc(c: Ctx) -> dict:
+    # round-8 newcomer: subspace-keyed codebook fit + encode + ADC scan —
+    # expected linear in vectors at fixed (subdim, k_cb); codebooks and
+    # distance tables broadcast, codes are the only corpus-sized relation
+    from arrowhouse_spark.operators.clustering import pq_adc_topk
+
+    t, n = timed(
+        lambda: pq_adc_topk(c.emb, "vec_id", "embedding", subdim=16).count()
+    )
+    return {"sec": t, "topk": n}
+
+
+@op("gapfill_lerp")
+def _gapfill_lerp(c: Ctx) -> dict:
+    # round-8 newcomer: spine size = users x buckets (volume-free), two
+    # per-key windows — expected flat (users scale, series length fixed)
+    from arrowhouse_spark.operators.timeseries import gapfill_lerp
+
+    t, n = timed(
+        lambda: gapfill_lerp(
+            c.events, key_col="user_id", ts_col="ts",
+            value_col="value", tie_col="event_id",
+        ).count()
+    )
+    return {"sec": t, "spine_rows": n}
+
+
+@op("minhash_sig")
+def _minhash_sig(c: Ctx) -> dict:
+    # round-8 newcomer: explode + keyed MIN (state = groups x depth rows
+    # forever) + broadcast pairwise join — expected linear scan cost
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.aggstate import (
+        minhash_sig_jaccard,
+        minhash_sig_state,
+    )
+
+    toks = c.docs.select(
+        F.pmod(F.col("doc_id"), F.lit(8)).alias("g"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    sig = minhash_sig_state(toks, ["g"], "tok", depth=32)
+    t, n = timed(lambda: minhash_sig_jaccard(sig, "g", depth=32).count())
+    return {"sec": t, "pairs": n}
+
+
+@op("attribution")
+def _attribution(c: Ctx) -> dict:
+    # round-8 newcomer: one user-partitioned carry-forward window + keyed
+    # rollup — expected linear, window state one struct per user
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = c.events.filter(F.col("event_type").isin("click", "purchase"))
+    tagged = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("side"),
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(F.pmod(F.col("k"), F.lit(4)).alias("ch")),
+        ).alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flow = tagged.withColumn("attr", F.last("c", ignorenulls=True).over(w))
+    t, n = timed(
+        lambda: flow.filter(F.col("side") == 1)
+        .groupBy(F.col("attr")["ch"])
+        .count()
+        .count()
+    )
+    return {"sec": t, "channels": n}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
