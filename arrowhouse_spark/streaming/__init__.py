@@ -10,8 +10,11 @@ from arrowhouse_spark.streaming.replace import (
     stream_dedup_first_seen,
     stream_hist,
     stream_interval_join,
+    stream_bloom,
+    stream_ewma,
     stream_minhash_neardup,
     stream_ohlc,
+    stream_scd2,
     stream_replace_latest,
     stream_sessionize,
     stream_shard_export,
@@ -27,9 +30,12 @@ __all__ = [
     "stream_dedup_first_seen",
     "stream_hist",
     "stream_interval_join",
+    "stream_bloom",
+    "stream_ewma",
     "stream_minhash_neardup",
     "stream_ohlc",
     "stream_replace_latest",
+    "stream_scd2",
     "stream_sessionize",
     "stream_shard_export",
     "stream_trending_terms",
