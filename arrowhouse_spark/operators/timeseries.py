@@ -434,10 +434,15 @@ def gapfill_lerp(
         .orderBy("bucket_ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the forward fill as first() over (currentRow, unboundedFollowing)
+    # is a SHRINKING frame — Spark's window exec re-evaluates those from
+    # scratch per row (no incremental state), O(frame²) per key; the
+    # identical semantics as last() over a GROWING frame in DESCENDING
+    # order runs incrementally (bench: 21.5s → window cost gone)
     wf = (
         Window.partitionBy(key_col)
-        .orderBy("bucket_ts")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("bucket_ts").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs = F.when(
         F.col("v_obs").isNotNull(),
@@ -449,7 +454,7 @@ def gapfill_lerp(
     joined = (
         spine.join(observed, [key_col, "bucket_ts"], "left")
         .withColumn("__prev", F.last(obs, ignorenulls=True).over(wb))
-        .withColumn("__next", F.first(obs, ignorenulls=True).over(wf))
+        .withColumn("__next", F.last(obs, ignorenulls=True).over(wf))
     )
     t = F.unix_timestamp("bucket_ts")
     p, n = F.col("__prev"), F.col("__next")
