@@ -10858,6 +10858,182 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gdpr_purge_audit",
+    """
+    WITH tomb AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    o AS (
+      SELECT count(*) AS total,
+             count(*) FILTER (WHERE t.c_custkey IS NOT NULL) AS purged
+      FROM orders LEFT JOIN tomb t ON t.c_custkey = o_custkey
+    ),
+    l AS (
+      SELECT count(*) AS total,
+             count(*) FILTER (WHERE t.c_custkey IS NOT NULL) AS purged
+      FROM lineitem li
+      JOIN orders ord ON ord.o_orderkey = li.l_orderkey
+      LEFT JOIN tomb t ON t.c_custkey = ord.o_custkey
+    ),
+    e AS (
+      SELECT count(*) AS total,
+             count(*) FILTER (WHERE t.c_custkey IS NOT NULL) AS purged
+      FROM events ev LEFT JOIN tomb t ON t.c_custkey = ev.user_id
+    ),
+    c AS (
+      SELECT count(*) AS total,
+             count(*) FILTER (WHERE t.c_custkey IS NOT NULL) AS purged
+      FROM customer cu LEFT JOIN tomb t ON t.c_custkey = cu.c_custkey
+    )
+    SELECT * FROM (
+      SELECT 'customer' AS tbl, CAST(total AS BIGINT) AS n_rows,
+             CAST(purged AS BIGINT) AS n_purged,
+             CAST(total - purged AS BIGINT) AS n_kept FROM c
+      UNION ALL SELECT 'orders', CAST(total AS BIGINT),
+             CAST(purged AS BIGINT), CAST(total - purged AS BIGINT) FROM o
+      UNION ALL SELECT 'lineitem', CAST(total AS BIGINT),
+             CAST(purged AS BIGINT), CAST(total - purged AS BIGINT) FROM l
+      UNION ALL SELECT 'events', CAST(total AS BIGINT),
+             CAST(purged AS BIGINT), CAST(total - purged AS BIGINT) FROM e
+    )
+    """,
+)
+def gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge audit — the governance operation a
+    100 TB lakehouse runs before the actual delete: a TOMBSTONE key set
+    (every 97th customer here) is propagated through the foreign-key
+    graph (customer → orders → lineitem via orderkey; events via
+    user id) and each table reports would-purge vs survivor counts.
+    The purge itself is the same plan with the left join flipped to
+    LEFT ANTI and a rewrite sink; auditing FIRST is the operational
+    discipline (a bad tombstone list destroys data irreversibly).
+    Plan: the tombstone relation BROADCASTS to every fact scan
+    (map-side membership, no fact shuffle); lineitem needs one keyed
+    join through orders to reach the customer key — the one genuine
+    shuffle, keyed by orderkey; per-table rollups are 1-row
+    aggregates unioned map-side. At dim-scale tombstone lists the
+    broadcast swaps for a bloom_state pre-filter + shuffle join
+    (operators/aggstate.py) — semantics unchanged."""
+    c = _t(spark, sf_dir, "customer")
+    tomb = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+
+    def audit(df, key, name):
+        j = df.join(
+            F.broadcast(tomb.withColumnRenamed("c_custkey", "__t")),
+            F.col(key) == F.col("__t"),
+            "left",
+        )
+        return j.agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("__t").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_purged"),
+            (
+                F.count(F.lit(1))
+                - F.sum(F.col("__t").isNotNull().cast("int"))
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").join(
+        o.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.col("o_custkey").alias("__ck"),
+        ),
+        "l_orderkey",
+    )
+    ev = _t(spark, sf_dir, "events")
+    return (
+        audit(c, "c_custkey", "customer")
+        .unionAll(audit(o, "o_custkey", "orders"))
+        .unionAll(audit(li, "__ck", "lineitem"))
+        .unionAll(audit(ev, "user_id", "events"))
+    )
+
+
+@register(
+    "attribution_first_touch",
+    """
+    WITH tagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+             CASE WHEN event_type = 'click' THEN
+               {'ch': ['email', 'search', 'social', 'direct']
+                      [CAST(json_extract(props, '$.k') AS BIGINT) % 4 + 1]}
+             END AS c
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    flow AS (
+      SELECT user_id, ts, event_id, value, side,
+             first_value(c IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS attr
+      FROM tagged
+    )
+    SELECT coalesce(attr.ch, 'unattributed') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM flow WHERE side = 1
+    GROUP BY 1
+    """,
+)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution — the dual of attribution_last_touch:
+    every purchase credits the user's EARLIEST preceding click (brand
+    discovery vs closing touch; ad platforms report both). Same
+    union-and-carry plan under the same (ts, side, id) total order,
+    with first_value(IGNORE NULLS) over the growing frame instead of
+    last_value — still an incremental frame (the gapfill_lerp lesson:
+    shrinking frames re-evaluate per row; neither attribution direction
+    needs one). One user-partitioned window + one keyed rollup; exact
+    DECIMAL revenue."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    channels = F.array(
+        F.lit("email"), F.lit("search"), F.lit("social"), F.lit("direct")
+    )
+    ch = F.element_at(
+        channels,
+        (F.get_json_object("props", "$.k").cast("long") % 4 + 1).cast("int"),
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("side"),
+        F.when(
+            F.col("event_type") == "click", F.struct(ch.alias("ch"))
+        ).alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flow = tagged.withColumn("attr", F.first("c", ignorenulls=True).over(w))
+    return (
+        flow.filter(F.col("side") == 1)
+        .groupBy(
+            F.coalesce(F.col("attr")["ch"], F.lit("unattributed")).alias(
+                "channel"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
     "attribution_last_touch",
     """
     WITH tagged AS (

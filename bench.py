@@ -187,6 +187,8 @@ HEADLINE = [
     "source_minhash_jaccard",
     "benford_digit_audit",
     "attribution_last_touch",
+    "attribution_first_touch",
+    "gdpr_purge_audit",
 ]
 
 

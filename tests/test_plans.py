@@ -406,3 +406,9 @@ def test_attribution_single_user_window(spark, sf_dir, qs):
     df = qs["attribution_last_touch"](spark, sf_dir)
     r = check_plan(df)
     assert r.exchanges <= 2
+
+
+def test_wave4_plan_hygiene(spark, sf_dir, qs):
+    for name in ("gdpr_purge_audit", "attribution_first_touch"):
+        df = qs[name](spark, sf_dir)
+        check_plan(df)
