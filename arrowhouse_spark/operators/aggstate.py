@@ -571,3 +571,32 @@ def minhash_sig_jaccard(
             / F.lit(float(depth))
         ).alias("est")
     )
+
+
+def cms_inner_product(
+    state_a: DataFrame, state_b: DataFrame, out: str = "est"
+) -> DataFrame:
+    """Join-size estimation from two KEYLESS CM sketches (Cormode &
+    Muthukrishnan's inner-product estimate): for each hash row r,
+    sum counter products over shared buckets; the estimate is the MIN
+    across rows and NEVER underestimates the true equi-join cardinality
+    Σ_k n_a(k)·n_b(k) — the sketch-algebra primitive a planner uses to
+    size a shuffle join from two already-stored daily sketches without
+    touching either table. Pure integer arithmetic end-to-end, so any
+    engine reproduces the estimate bit-for-bit. Returns one row
+    (``out`` BIGINT). Plan: one (row, bucket) equi-join of two
+    depth×width relations + two tiny aggregates — corpus-size-free."""
+    for nm, st in (("state_a", state_a), ("state_b", state_b)):
+        if set(st.columns) != {"row", "bucket", "cnt"}:
+            raise ValueError(
+                f"cms_inner_product requires keyless states; {nm} has "
+                f"{st.columns} — fold keys away with cms_merge(st, keys=[])"
+            )
+    a = state_a.select("row", "bucket", F.col("cnt").alias("__ca"))
+    b = state_b.select("row", "bucket", F.col("cnt").alias("__cb"))
+    per_row = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+    )
+    return per_row.agg(F.min("__ip").cast("long").alias(out))

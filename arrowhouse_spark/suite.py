@@ -10858,6 +10858,153 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "basket_pair_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n_baskets AS (SELECT count(DISTINCT o) AS nb FROM items),
+    supp AS (SELECT p, count(*) AS np FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_together
+      FROM items a JOIN items b ON b.o = a.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT pr.part_a, pr.part_b,
+           CAST(pr.n_together AS BIGINT) AS n_together,
+           round(CAST(pr.n_together AS DOUBLE) / sa.np, 6) AS confidence,
+           round(CAST(pr.n_together AS DOUBLE) * nb.nb
+                 / (sa.np * sb.np), 6) AS lift
+    FROM pairs pr
+    JOIN supp sa ON sa.p = pr.part_a
+    JOIN supp sb ON sb.p = pr.part_b
+    CROSS JOIN n_baskets nb
+    """,
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (Agrawal association rules — the
+    frequent-itemset family, previously absent): for every part pair
+    co-occurring in >= 3 orders, its support, confidence
+    P(b|a) and lift P(ab)/(P(a)P(b)). All statistics are ratios of
+    EXACT integer counts (one double division + round 6 each — no
+    order-sensitive sums anywhere). Plan: distinct (order, item) →
+    pair generation via the order-keyed self-join (Σ basket² with
+    baskets <= ~13 items here — the join is keyed by order, never
+    all-pairs), keyed pair counts with the HAVING pushed into the
+    aggregate, broadcast support joins, 1-row basket total. At 100 TB
+    the same plan holds because basket width, not corpus size, bounds
+    the pair fan-out."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    nb = items.agg(F.countDistinct("o").alias("nb"))
+    supp = items.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
+    a = items.select(F.col("o"), F.col("p").alias("part_a"))
+    b = items.select(F.col("o"), F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .filter(F.col("n_together") >= 3)
+    )
+    sa = supp.select(F.col("p").alias("part_a"), F.col("np").alias("na"))
+    sb = supp.select(F.col("p").alias("part_b"), F.col("np").alias("nb2"))
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_together").cast("long").alias("n_together"),
+            F.round(
+                F.col("n_together").cast("double") / F.col("na"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("n_together").cast("double")
+                * F.col("nb")
+                / (F.col("na") * F.col("nb2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "cms_join_size_estimate",
+    """
+    WITH hash_rows(r, a, b) AS (
+      VALUES (0, 999983, 7920), (1, 999979, 15839),
+             (2, 999961, 23758), (3, 999959, 31677)
+    ),
+    sk_e AS (
+      SELECT h.r,
+             ((h.a * (e.user_id % 1000000007) + h.b) % 1000000007) % 512
+               AS bucket,
+             count(*) AS cnt
+      FROM events e CROSS JOIN hash_rows h GROUP BY 1, 2
+    ),
+    sk_o AS (
+      SELECT h.r,
+             ((h.a * (o.o_custkey % 1000000007) + h.b) % 1000000007) % 512
+               AS bucket,
+             count(*) AS cnt
+      FROM orders o CROSS JOIN hash_rows h GROUP BY 1, 2
+    ),
+    ip AS (
+      SELECT a.r, sum(a.cnt * b.cnt) AS p
+      FROM sk_e a JOIN sk_o b ON b.r = a.r AND b.bucket = a.bucket
+      GROUP BY 1
+    ),
+    est AS (SELECT CAST(min(p) AS BIGINT) AS est FROM ip),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_size
+      FROM events e JOIN orders o ON o.o_custkey = e.user_id
+    )
+    SELECT est.est, exact.exact_size,
+           round(CAST(est.est AS DOUBLE) / exact.exact_size, 6) AS over_ratio
+    FROM est, exact
+    """,
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join cardinality estimation from two CM sketches
+    (operators/aggstate.py:cms_inner_product — Cormode/Muthukrishnan's
+    inner-product estimate): the events⋈orders-on-customer join is
+    sized as min over hash rows of the counter-product sum, WITHOUT
+    touching either table — the planner primitive that decides
+    broadcast vs shuffle from two already-stored daily sketches; the
+    estimate never underestimates (output pins est, the true size, and
+    the over-ratio). Pure integer arithmetic end-to-end, replayed
+    bit-for-bit by the oracle (which also computes the exact join — the
+    audit this QUERY exists to show). Plan: two keyed sketch builds
+    (map-side partials) + a depth×width equi-join + 1-row aggregates;
+    the exact side is the real join, present only for the audit."""
+    from arrowhouse_spark.operators.aggstate import (
+        cms_inner_product,
+        cms_state,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    sk_e = cms_state(ev, [], "user_id")
+    sk_o = cms_state(o, [], "o_custkey")
+    est = cms_inner_product(sk_e, sk_o)
+    exact = (
+        ev.join(o, ev.user_id == o.o_custkey)
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_size"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est",
+        "exact_size",
+        F.round(
+            F.col("est").cast("double") / F.col("exact_size"), 6
+        ).alias("over_ratio"),
+    )
+
+
+@register(
     "gdpr_purge_audit",
     """
     WITH tomb AS (

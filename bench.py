@@ -189,6 +189,8 @@ HEADLINE = [
     "attribution_last_touch",
     "attribution_first_touch",
     "gdpr_purge_audit",
+    "basket_pair_lift",
+    "cms_join_size_estimate",
 ]
 
 

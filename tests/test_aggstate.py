@@ -313,3 +313,25 @@ def test_minhash_sig_merge_equals_direct_and_estimates(spark):
 
     with pytest.raises(ValueError):
         minhash_sig_state(df, ["g"], "tok", depth=0)
+
+
+def test_cms_inner_product_never_underestimates(spark):
+    from arrowhouse_spark.operators.aggstate import (
+        cms_inner_product,
+        cms_state,
+    )
+
+    a = spark.createDataFrame([(k,) for k in [1] * 5 + [2] * 3 + [9]], "k long")
+    b = spark.createDataFrame([(k,) for k in [1] * 2 + [2] * 4 + [7]], "k long")
+    est = cms_inner_product(cms_state(a, [], "k"), cms_state(b, [], "k"))
+    [(v,)] = est.collect()
+    exact = 5 * 2 + 3 * 4  # keys 1 and 2 overlap; 9 and 7 do not
+    assert v >= exact
+    # 4 distinct keys across 4x512 counters: no collisions -> exact
+    assert v == exact
+
+    import pytest
+
+    keyed = cms_state(a.withColumn("day", a.k % 2), ["day"], "k")
+    with pytest.raises(ValueError, match="keyless"):
+        cms_inner_product(keyed, cms_state(b, [], "k"))

@@ -412,3 +412,9 @@ def test_wave4_plan_hygiene(spark, sf_dir, qs):
     for name in ("gdpr_purge_audit", "attribution_first_touch"):
         df = qs[name](spark, sf_dir)
         check_plan(df)
+
+
+def test_wave5_plan_hygiene(spark, sf_dir, qs):
+    for name in ("basket_pair_lift", "cms_join_size_estimate"):
+        df = qs[name](spark, sf_dir)
+        check_plan(df)
