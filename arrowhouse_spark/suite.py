@@ -10858,6 +10858,132 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "abc_classification_parts",
+    """
+    WITH rev AS (
+      SELECT l_partkey AS part,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS r
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(r) AS t FROM rev),
+    ranked AS (
+      SELECT part, r,
+             sum(r) OVER (
+               ORDER BY r DESC, part
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS before_me
+      FROM rev
+    ),
+    classed AS (
+      SELECT part, r,
+             CASE
+               WHEN coalesce(before_me, 0) * 5 < t * 4 THEN 'A'
+               WHEN coalesce(before_me, 0) * 20 < t * 19 THEN 'B'
+               ELSE 'C' END AS cls
+      FROM ranked, tot
+    )
+    SELECT cls,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(r) AS DOUBLE) AS revenue,
+           round(CAST(sum(r) AS DOUBLE) / CAST(max(t) AS DOUBLE), 6)
+             AS share
+    FROM classed, tot GROUP BY 1
+    """,
+)
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto-share) inventory classification — parts binned A/B/C
+    by whether the revenue accumulated BEFORE them (descending revenue
+    order) is under 80% / 95% of the total. The hard part at scale is
+    the GLOBAL cumulative sum, which naively is one unpartitioned
+    window; here it runs as a distributed prefix sum, the same
+    grid-partitioning scheme as the skyline operator: (1) exact decimal
+    revenue per part, (2) a 32-bucket revenue grid from a 1-row bounds
+    broadcast, (3) per-BUCKET running sums (windows partitioned by
+    bucket), (4) cross-bucket offsets from the B-row bucket-total
+    relation (broadcast theta join). Class thresholds compare exact
+    decimals cross-multiplied by integers (before*5 < total*4) — no
+    doubles anywhere until the output share. The oracle uses the plain
+    global-window cumsum; hash equality proves the distributed prefix
+    sum is exact. Higher buckets hold STRICTLY larger revenues, so
+    bucket order agrees with the (rev desc, part) total order except
+    WITHIN a bucket — which the per-bucket window owns; equal revenues
+    in different buckets cannot happen (equal values share a bucket)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        # 4-dp quantization: a 2-dp price x (1 - 2-dp discount) product IS
+        # an exact 4-dp value, so the double sits ~1 ulp from the grid
+        # point and every engine casts it identically; at 2 dp the same
+        # products land EXACTLY on x.xx5 midpoints where engine rounding
+        # directions diverge (measured: per-class sums off by ~1 unit)
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("r")
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    bounds = rev.agg(F.min("r").alias("mn"), F.max("r").alias("mx"))
+    nb = 32
+    b = rev.crossJoin(F.broadcast(bounds)).withColumn(
+        "__bucket",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.floor(
+                    (F.col("r") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * F.lit(nb)
+                ),
+                F.lit(nb - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col("r").desc(), F.col("part"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn("__before_local", F.sum("r").over(w))
+    summary = b.groupBy("__bucket").agg(F.sum("r").alias("__bsum"))
+    higher = (
+        summary.alias("s")
+        .join(
+            F.broadcast(summary.alias("h")),
+            F.col("h.__bucket") > F.col("s.__bucket"),
+            "left",
+        )
+        .groupBy(F.col("s.__bucket").alias("__bucket"))
+        .agg(F.sum(F.col("h.__bsum")).alias("__offset"))
+    )
+    z = F.lit(0).cast("decimal(18,4)")
+    classed = (
+        local.join(F.broadcast(higher), "__bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__before",
+            F.coalesce(F.col("__offset"), z)
+            + F.coalesce(F.col("__before_local"), z),
+        )
+        .withColumn(
+            "cls",
+            F.when(F.col("__before") * 5 < F.col("t") * 4, F.lit("A"))
+            .when(F.col("__before") * 20 < F.col("t") * 19, F.lit("B"))
+            .otherwise(F.lit("C")),
+        )
+    )
+    return classed.groupBy("cls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("r").cast("double").alias("revenue"),
+        F.round(
+            F.sum("r").cast("double") / F.max("t").cast("double"), 6
+        ).alias("share"),
+    )
+
+
+@register(
     "basket_pair_lift",
     """
     WITH items AS (

@@ -191,6 +191,7 @@ HEADLINE = [
     "gdpr_purge_audit",
     "basket_pair_lift",
     "cms_join_size_estimate",
+    "abc_classification_parts",
 ]
 
 

@@ -418,3 +418,11 @@ def test_wave5_plan_hygiene(spark, sf_dir, qs):
     for name in ("basket_pair_lift", "cms_join_size_estimate"):
         df = qs[name](spark, sf_dir)
         check_plan(df)
+
+
+def test_abc_prefix_sum_no_global_window(spark, sf_dir, qs):
+    # the global cumulative must decompose into bucket-partitioned
+    # windows + broadcast offsets — an unpartitioned window here would
+    # single-task the whole parts relation
+    df = qs["abc_classification_parts"](spark, sf_dir)
+    check_plan(df)
