@@ -1445,6 +1445,91 @@ def _attribution(c: Ctx) -> dict:
     return {"sec": t, "channels": n}
 
 
+@op("basket_pairs")
+def _basket_pairs(c: Ctx) -> dict:
+    # round-8 newcomer: order-keyed pair self-join — cost is sigma
+    # basket², basket width fixed (5 items) as baskets scale with volume
+    from pyspark.sql import functions as F
+
+    items = c.events.select(
+        (F.col("event_id") % (c.n_docs)).alias("o"),
+        F.col("k").alias("p"),
+    ).distinct()
+    a = items.select("o", F.col("p").alias("pa"))
+    b = items.select("o", F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t, n = timed(pairs.count)
+    return {"sec": t, "pairs": n}
+
+
+@op("abc_prefix_sum")
+def _abc_prefix(c: Ctx) -> dict:
+    # round-8 newcomer: distributed grid prefix sum — per-bucket windows
+    # + B-row broadcast offsets; expected linear in keys
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rev = c.events.groupBy(F.col("user_id").alias("part")).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("r")
+    )
+    bounds = rev.agg(F.min("r").alias("mn"), F.max("r").alias("mx"))
+    nb = 32
+    b = rev.crossJoin(F.broadcast(bounds)).withColumn(
+        "__bucket",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.floor((F.col("r") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn")) * F.lit(nb)),
+                F.lit(nb - 1),
+            ),
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col("r").desc(), F.col("part"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn("__bl", F.sum("r").over(w))
+    summary = b.groupBy("__bucket").agg(F.sum("r").alias("__bs"))
+    higher = (
+        summary.alias("s")
+        .join(F.broadcast(summary.alias("h")),
+              F.col("h.__bucket") > F.col("s.__bucket"), "left")
+        .groupBy(F.col("s.__bucket").alias("__bucket"))
+        .agg(F.sum(F.col("h.__bs")).alias("__off"))
+    )
+    out = local.join(F.broadcast(higher), "__bucket", "left")
+    t, n = timed(out.count)
+    return {"sec": t, "keys": n}
+
+
+@op("gdpr_audit")
+def _gdpr(c: Ctx) -> dict:
+    # round-8 newcomer: broadcast tombstone membership over the fact scan
+    from pyspark.sql import functions as F
+
+    tomb = (
+        c.events.select(F.col("user_id").alias("__t"))
+        .distinct()
+        .filter(F.col("__t") % 97 == 0)
+    )
+    j = c.events.join(
+        F.broadcast(tomb), c.events.user_id == F.col("__t"), "left"
+    )
+    t, n = timed(
+        lambda: j.agg(
+            F.sum(F.col("__t").isNotNull().cast("int"))
+        ).count()
+    )
+    return {"sec": t, "rows": n}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
