@@ -14,6 +14,7 @@ from arrowhouse_spark.streaming.replace import (
     stream_ewma,
     stream_minhash_neardup,
     stream_ohlc,
+    stream_pareto,
     stream_scd2,
     stream_replace_latest,
     stream_sessionize,
@@ -34,6 +35,7 @@ __all__ = [
     "stream_ewma",
     "stream_minhash_neardup",
     "stream_ohlc",
+    "stream_pareto",
     "stream_replace_latest",
     "stream_scd2",
     "stream_sessionize",

@@ -966,3 +966,98 @@ def stream_ewma(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _pareto_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    min_col: str,
+    max_col: str,
+    id_col: str,
+) -> None:
+    """One micro-batch of stream_pareto: fold the batch's points into
+    the stored frontier. The frontier ABSORBS dominated history — a
+    point dominated now is dominated forever (dominance is monotone
+    under insertion) — so folding (stored frontier ∪ batch) through the
+    batch skyline operator yields exactly the frontier of every point
+    ever seen; counts/min-ids of SURVIVING points aggregate across
+    batches by sum/min during the fold. Replay safety: frontier
+    MEMBERSHIP is idempotent (re-folding known points changes no
+    dominance verdict), but the n_rows tally would double-count a
+    re-delivered batch — a `_last_batch` ledger file skips batch ids
+    already folded (same stop-the-stream caveat as compact_band_store:
+    the ledger+store pair is not atomic under concurrent readers)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.skyline import pareto_frontier
+
+    spark = batch_df.sparkSession
+    ledger = store_path + "__last_batch"
+    if os.path.exists(ledger):
+        with open(ledger) as fh:
+            if batch_id <= int(fh.read().strip() or -1):
+                return  # replayed batch: already folded
+    have_store = os.path.isdir(store_path) and any(
+        f.endswith(".parquet") or f.startswith("part-")
+        for f in os.listdir(store_path)
+    )
+    pts = batch_df.select(
+        F.col(min_col), F.col(max_col), F.col(id_col).cast("long").alias("__w")
+    ).withColumn("__n", F.lit(1).cast("long"))
+    if have_store:
+        stored = spark.read.parquet(store_path).select(
+            F.col(min_col),
+            F.col(max_col),
+            F.col("min_id").alias("__w"),
+            F.col("n_rows").alias("__n"),
+        )
+        pts = pts.unionByName(stored)
+    # weighted distinct-point reduce, then the grid skyline on the
+    # reduced relation (pareto_frontier re-reduces harmlessly: its
+    # internal count over one row per point re-counts via __n below)
+    reduced = pts.groupBy(min_col, max_col).agg(
+        F.sum("__n").alias("n_rows"), F.min("__w").alias("min_id")
+    )
+    front = pareto_frontier(
+        reduced.withColumn("__pid", F.col("min_id")),
+        min_col=min_col,
+        max_col=max_col,
+        id_col="__pid",
+    ).select(min_col, max_col)
+    out = front.join(reduced, [min_col, max_col])
+    tmp = store_path + "__tmp"
+    out.coalesce(1).write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(store_path)
+    with open(ledger, "w") as fh:
+        fh.write(str(batch_id))  # fold recorded AFTER the store write
+
+
+def stream_pareto(
+    sdf: DataFrame,
+    store_path: str,
+    min_col: str,
+    max_col: str,
+    id_col: str,
+):
+    """Continuously-maintained 2-D Pareto frontier — the streaming form
+    of operators/skyline.py:pareto_frontier via foreachBatch over a
+    frontier store (the stream_minhash_neardup pattern: the state IS a
+    relation, here the current frontier — dominance is a CROSS-point
+    verdict no per-key state transition can express). State is the
+    frontier alone: dominated points are discarded forever (dominance
+    is insertion-monotone), so store size is frontier-shaped, not
+    stream-shaped. After each batch the store holds (min_col, max_col,
+    n_rows, min_id) for every non-dominated point of the whole history —
+    batch-parity with the batch operator over the union is pinned in
+    tests. Returns the StreamingQuery; callers own checkpointing."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _pareto_process_batch(
+            batch_df, batch_id, store_path, min_col, max_col, id_col
+        )
+
+    return sdf.writeStream.foreachBatch(_fold)

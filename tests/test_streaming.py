@@ -1377,3 +1377,66 @@ def test_stream_ewma_per_batch_golden_arrival_order(spark, ordered_stream_dir):
         (4.0 + 0.75 * 3.3125) / (1.0 + 0.75 * 2.3125), 9
     )
     assert rows[(2, 2)] == round((5.0 + 0.75 * 3.0) / 1.75, 9)
+
+
+def test_stream_pareto_frontier_folds_and_ledger_skips_replay(spark, tmp_path):
+    from arrowhouse_spark.operators.skyline import pareto_frontier
+    from arrowhouse_spark.streaming.replace import (
+        _pareto_process_batch,
+        stream_pareto,
+    )
+
+    PT = "x double, y long, pid long"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    store = str(tmp_path / "front")
+    b1 = [(10.0, 5, 1), (12.0, 7, 2), (25.0, 1, 3)]
+    # batch 2: (9,6) dominates (10,5); (12,7) repeats -> n_rows 2
+    b2 = [(9.0, 6, 4), (30.0, 9, 5), (12.0, 7, 6)]
+    import time as _t
+
+    now = _t.time()
+    for i, rows in enumerate([b1, b2], start=1):
+        tmpd = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, PT).coalesce(1).write.parquet(tmpd)
+        [pf] = [f_ for f_ in os.listdir(tmpd) if f_.endswith(".parquet")]
+        dst = f"{src}/b{i}.parquet"
+        shutil.copy(f"{tmpd}/{pf}", dst)
+        os.utime(dst, (now - 600 + i * 60, now - 600 + i * 60))
+
+    sdf = (
+        spark.readStream.schema(PT)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_pareto(sdf, store, min_col="x", max_col="y", id_col="pid")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["x"], r["y"]): (r["n_rows"], r["min_id"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == {(9.0, 6): (1, 4), (12.0, 7): (2, 2), (30.0, 9): (1, 5)}
+
+    # parity with the batch operator over the full union
+    union = spark.createDataFrame(b1 + b2, PT)
+    batch = {
+        (r["x"], r["y"]): (r["n_rows"], r["min_id"])
+        for r in pareto_frontier(union, "x", "y", "pid").collect()
+    }
+    assert got == batch
+
+    # replaying an already-folded batch id is a no-op (ledger guard)
+    _pareto_process_batch(
+        spark.createDataFrame(b2, PT), 1, store, "x", "y", "pid"
+    )
+    again = {
+        (r["x"], r["y"]): (r["n_rows"], r["min_id"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert again == got
