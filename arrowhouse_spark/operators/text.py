@@ -1252,7 +1252,11 @@ def url_canonicalize(
     crest = F.regexp_replace(
         crest, r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", ""
     )
-    crest = F.regexp_replace(crest, r"^([^?]*)&", r"$1?")
+    # Non-greedy anchor via negated class: [^?&]* stops at the FIRST '&'
+    # (a greedy [^?]* would backtrack to the LAST '&' when several kept
+    # params follow a removed leading tracker, producing a malformed URL
+    # and splitting canonical keys for the same logical URL).
+    crest = F.regexp_replace(crest, r"^([^?&]*)&", r"$1?")
     crest = F.regexp_replace(crest, r"//+", "/")
     crest = F.regexp_replace(crest, r"/\?", "?")
     crest = F.regexp_replace(crest, r"/+$", "")

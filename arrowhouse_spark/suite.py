@@ -74,20 +74,27 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def _coverage_priority() -> dict[str, tuple]:
+def _coverage_priority(artifact_dir: str | None = None) -> dict[str, tuple]:
     """Order hint from past driver rounds (CORRECTNESS_r*.json).
 
     The driver checks a capped prefix of ``queries()`` per round (r01 capped
-    at 50), so with >50 registered queries the registry rotates: queries never
-    checked come first, then checked-but-not-green, then green ones ordered
-    oldest-proven first. Across rounds every query gets an oracle-verified
-    entry; regressions re-enter the checked window immediately.
+    at 50), so with >50 registered queries the registry rotates: queries whose
+    MOST RECENT driver record failed come first (a known regression is
+    strictly worse than an unknown), then never-checked ones, then green ones
+    ordered oldest-proven first. Across rounds every query gets an
+    oracle-verified entry; regressions re-enter the checked window
+    immediately, ahead of everything else.
+
+    ``artifact_dir`` overrides where CORRECTNESS_r*.json files are read from
+    (unit tests point it at a tmpdir with synthetic records).
     """
     import glob
     import json
     import os
 
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    here = artifact_dir or os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
     last_seen: dict[str, int] = {}
     last_green: dict[str, int] = {}
     latest_green: dict[str, bool] = {}  # green-ness of the MOST RECENT record
@@ -122,16 +129,19 @@ def _coverage_priority() -> dict[str, tuple]:
     reg_pos = {name: i for i, name in enumerate(_QUERIES)}
 
     def key(name: str) -> tuple:
+        if name in last_seen and (
+            name not in last_green or latest_green.get(name) is not True
+        ):
+            # never green, OR regressed: the most recent driver record is not
+            # green even if an older round was. A known-failed query is worse
+            # than a never-checked one — re-check it FIRST.
+            return (0, reg_pos[name])
         if name not in last_seen:
-            return (0, reg_pos[name])  # never checked → front
-        if name not in last_green or latest_green.get(name) is not True:
-            # never green, OR regressed: the most recent record is not green
-            # even if an older round was — re-check immediately.
-            return (1, reg_pos[name])
+            return (1, reg_pos[name])  # never checked → next
         if name in rows_only_green and name in _ORACLES:
             # previously green only as a rows-only check but an oracle exists
             # now → its value check has never run; treat as unchecked
-            return (0, reg_pos[name])
+            return (1, reg_pos[name])
         return (2, last_green[name], reg_pos[name])  # green: oldest proof first
 
     return {name: key(name) for name in _QUERIES}
@@ -12492,7 +12502,7 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
              || (CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '' END)
              || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_campaign=x'
                       WHEN doc_id % 5 = 1 THEN '?id=7&utm_medium=email'
-                      WHEN doc_id % 5 = 2 THEN '?utm_content=a&id=7'
+                      WHEN doc_id % 5 = 2 THEN '?utm_content=a&id=7&page=2'
                       ELSE '' END)
              || (CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END) AS url
       FROM documents
@@ -12508,7 +12518,7 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*(.*)', 1),
             '#.*$', '', 'g'),
           '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
-          '^([^?]*)&', '\\1?', 'g'),
+          '^([^?&]*)&', '\\1?', 'g'),
           '//+', '/', 'g'),
           '/\\?', '?', 'g'),
           '/+$', '', 'g'),
@@ -12557,7 +12567,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(d % 13 == 0, F.lit("/")).otherwise(F.lit("")),
             F.when(d % 5 == 0, F.lit("?utm_source=feed&utm_campaign=x"))
             .when(d % 5 == 1, F.lit("?id=7&utm_medium=email"))
-            .when(d % 5 == 2, F.lit("?utm_content=a&id=7"))
+            .when(d % 5 == 2, F.lit("?utm_content=a&id=7&page=2"))
             .otherwise(F.lit("")),
             F.when(d % 9 == 0, F.lit("#frag")).otherwise(F.lit("")),
         ).alias("url"),

@@ -233,8 +233,14 @@ def main() -> None:
     # warm shared shingle cache; ``queries_first_run`` records the cold pass
     # (incl. the shared-scan build) for each query.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # optional comma-separated subset for quick smoke runs (never set by the
+    # driver; full-scale self-persist below is gated off for partial runs)
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
+    headline = [n for n in HEADLINE if not only or n in only]
     for run in range(n_runs):
-        for name in HEADLINE:
+        for name in headline:
             fn = qs[name]
             t0 = time.time()
             try:
@@ -350,13 +356,39 @@ def main() -> None:
         "delta_vs": prior_file,
         "delta_vs_prior": delta,
     }
-    print(json.dumps(payload))
+    # The driver captures a bounded tail of stdout and json-parses the final
+    # line; the full payload (167+ per-query timings + delta maps + variance
+    # prose) outgrew that capture in round 4 and every BENCH_r04..r08.json
+    # recorded `parsed: null`. Print a compact (<500 byte) final line — the
+    # full payload lives in BENCH_local_r{N}.json, self-persisted below.
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v >= 0),
+            key=lambda kv: -kv[1],
+        )[:5]
+    )
+    compact = {
+        "metric": "headline-suite wall time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "runs_per_query": n_runs,
+        "agg": "min",
+        "slowest5": slowest,
+        "detail": f"BENCH_local_r{cur_round:02d}.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 500:  # never exceed the driver's capture window
+        compact.pop("slowest5", None)
+        line = json.dumps(compact)
+    print(line)
     # self-persist the full artifact (never truncated, unlike the driver's
     # stdout capture) so the NEXT round has a guaranteed delta basis; only
     # full-scale (sf0.1, default run count) runs qualify — an sf0.01 smoke
     # run must not become the basis that every round-over-round delta
     # silently diffs against
-    if sf >= 0.1 and n_runs >= 3:
+    if sf >= 0.1 and n_runs >= 3 and not only:
         try:
             out_path = os.path.join(here, f"BENCH_local_r{cur_round:02d}.json")
             with open(out_path, "w") as f:

@@ -1805,6 +1805,19 @@ def test_url_canonicalize_hand_checked(spark):
             "https://a.example.org:8443/x?id=7&q=2",
             "https://a.example.org:8443/x?id=7&q=2",
         ),
+        # removed LEADING tracker followed by TWO kept params: the orphan
+        # '&' repair must anchor at the FIRST '&' (a greedy [^?]* would
+        # emit the malformed '/path&b=1?c=2')
+        (
+            "https://a.example.org/path?utm_source=a&b=1&c=2",
+            "https://a.example.org/path?b=1&c=2",
+        ),
+        # same URL spelled WITHOUT the leading tracker must canonicalize
+        # to the identical key
+        (
+            "https://a.example.org/path?b=1&c=2",
+            "https://a.example.org/path?b=1&c=2",
+        ),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = {

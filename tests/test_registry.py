@@ -14,61 +14,40 @@ def _write(path, data):
         json.dump(data, f)
 
 
-def test_coverage_priority_regression_reenters_window(tmp_path, monkeypatch):
-    """A query green in r01 but FAILED in r02 must classify as group 1
-    (checked-not-green → re-check immediately), not ride its stale r01
+def test_coverage_priority_regression_outranks_never_checked(tmp_path):
+    """A query green in r01 but FAILED in r02 must classify as group 0 —
+    AHEAD of never-checked queries (a known regression is strictly worse
+    than an unknown; round-8 verdict item 2) — not ride its stale r01
     proof into the oldest-green rotation."""
-    import glob as glob_mod
-
     names = list(suite._QUERIES)[:3]
     a, b, c = names
-    f1 = tmp_path / "CORRECTNESS_r01.json"
-    f2 = tmp_path / "CORRECTNESS_r02.json"
     ok = {"rows_match": True, "schema_match": True, "hash_match": True,
           "spark_rows": 1, "oracle_rows": 1, "err": None}
     bad = dict(ok, hash_match=False)
-    _write(f1, {a: ok, b: ok})
-    _write(f2, {a: bad, b: ok})
+    _write(tmp_path / "CORRECTNESS_r01.json", {a: ok, b: ok})
+    _write(tmp_path / "CORRECTNESS_r02.json", {a: bad, b: ok})
 
-    real_glob = glob_mod.glob
-
-    def fake_glob(pat):
-        if "CORRECTNESS_r" in pat:
-            return [str(f1), str(f2)]
-        return real_glob(pat)
-
-    monkeypatch.setattr(glob_mod, "glob", fake_glob)
-    prio = suite._coverage_priority()
-    assert prio[a][0] == 1, "regressed query must re-enter the checked window"
+    prio = suite._coverage_priority(artifact_dir=str(tmp_path))
+    assert prio[a][0] == 0, "driver-failed query must come FIRST"
     assert prio[b][0] == 2, "still-green query rotates by oldest proof"
-    assert prio[c][0] == 0, "never-checked query goes to the front"
-    # and the regressed query sorts ahead of every green one
-    assert prio[a] < prio[b]
+    assert prio[c][0] == 1, "never-checked query comes after failed ones"
+    # failed < never-checked < green in the final sort
+    assert prio[a] < prio[c] < prio[b]
 
 
-def test_coverage_priority_rows_only_with_new_oracle_front(tmp_path, monkeypatch):
+def test_coverage_priority_rows_only_with_new_oracle_front(tmp_path):
     """A query only ever checked rows-only (err=no_oracle) that NOW has an
-    oracle must be treated as never-value-checked (group 0)."""
-    import glob as glob_mod
-
+    oracle must be treated as never-value-checked (group 1, with the
+    never-checked — it has no failure on record)."""
     oracled = [n for n in suite._QUERIES if n in suite._ORACLES]
     a = oracled[0]
-    f1 = tmp_path / "CORRECTNESS_r01.json"
     _write(
-        f1,
+        tmp_path / "CORRECTNESS_r01.json",
         {a: {"rows_match": None, "schema_match": None, "hash_match": None,
              "spark_rows": 5, "oracle_rows": None, "err": "no_oracle"}},
     )
-    real_glob = glob_mod.glob
-
-    def fake_glob(pat):
-        if "CORRECTNESS_r" in pat:
-            return [str(f1)]
-        return real_glob(pat)
-
-    monkeypatch.setattr(glob_mod, "glob", fake_glob)
-    prio = suite._coverage_priority()
-    assert prio[a][0] == 0
+    prio = suite._coverage_priority(artifact_dir=str(tmp_path))
+    assert prio[a][0] == 1
 
 
 def test_queries_order_respects_priority():
