@@ -547,13 +547,19 @@ def minhash_sig_merge(states: DataFrame, keys: Sequence[str]) -> DataFrame:
     return states.groupBy(*keys, "r").agg(F.min("minv").alias("minv"))
 
 
-def minhash_sig_jaccard(
-    states: DataFrame, key_col: str, depth: int = 32
-) -> DataFrame:
+def minhash_sig_jaccard(states: DataFrame, key_col: str) -> DataFrame:
     """Pairwise Jaccard ESTIMATES between every two key groups of a
-    single-key signature relation: est = (matching rows)/depth — the
-    collision probability of per-row minima equals the Jaccard index
-    (Broder). Returns (key_a, key_b, est) for key_a < key_b.
+    single-key signature relation: est = (matching rows)/(comparable
+    rows) — the collision probability of per-row minima equals the
+    Jaccard index (Broder). Returns (key_a, key_b, est) for
+    key_a < key_b.
+
+    The denominator is DERIVED from the state itself (the count of r
+    values the two keys share in the join), never caller-supplied: a
+    state built with depth=32 but estimated with a claimed depth=16
+    would silently double every estimate. For same-depth states the
+    derived count equals that depth; for states of unequal depth it is
+    the shared prefix — the only rows with comparable minima.
 
     The signature relation is key-count x depth rows — broadcast-sized
     for any sane group count; the pairwise join is (groups x depth)²
@@ -568,7 +574,7 @@ def minhash_sig_jaccard(
     return pairs.groupBy("key_a", "key_b").agg(
         (
             F.sum(F.when(F.col("__ma") == F.col("__mb"), 1).otherwise(0))
-            / F.lit(float(depth))
+            / F.count(F.lit(1)).cast("double")
         ).alias("est")
     )
 

@@ -340,6 +340,12 @@ def ewma(
     Scale: ONE per-key window whose frame state is <= L values per row —
     series-length-free; the only shuffle is the key partitioning. No
     Python, no global window.
+
+    Domain: ``|value| < 1e7`` (each weighted term must fit
+    DECIMAL(22,15) exactly). Out-of-range values RAISE at execution
+    time via a per-row guard — without it the decimal cast would (ANSI
+    off) silently null the term and corrupt the average. NULL values
+    pass through (collect_list drops them, as before).
     """
     if not 0 < alpha < 1:
         raise ValueError(f"need 0 < alpha < 1, got {alpha}")
@@ -351,9 +357,20 @@ def ewma(
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(-(lookback - 1), Window.currentRow)
     )
+    v = F.col(value_col)
+    checked = F.when(v.isNull() | (F.abs(v.cast("double")) < 1e7), v).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"ewma: |{value_col}| >= 1e7 overflows the exact "
+                      "DECIMAL(22,15) term (value="),
+                v.cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
     # frame order is oldest..newest; fold newest-first so the weight
     # ladder starts at 1 on the current row
-    arr = F.reverse(F.collect_list(F.col(value_col)).over(w))
+    arr = F.reverse(F.collect_list(checked).over(w))
     # accumulator DECIMAL(37,15) + term DECIMAL(22,15) sums to (38,15)
     # with NO scale reduction (Spark widens precision on add; at (38,15)
     # inputs it would drop to scale 14 and round mid-fold); the cast back

@@ -975,6 +975,7 @@ def _pareto_process_batch(
     min_col: str,
     max_col: str,
     id_col: str,
+    run_key: str | None = None,
 ) -> None:
     """One micro-batch of stream_pareto: fold the batch's points into
     the stored frontier. The frontier ABSORBS dominated history — a
@@ -986,8 +987,19 @@ def _pareto_process_batch(
     MEMBERSHIP is idempotent (re-folding known points changes no
     dominance verdict), but the n_rows tally would double-count a
     re-delivered batch — a `_last_batch` ledger file skips batch ids
-    already folded (same stop-the-stream caveat as compact_band_store:
-    the ledger+store pair is not atomic under concurrent readers)."""
+    already folded. The ledger records (run_key, last_batch): batch ids
+    are only monotone WITHIN one checkpoint lineage, so pairing an
+    existing store with a FRESH checkpoint directory would restart ids
+    at 0 and the monotone guard would silently drop every new batch.
+    When ``run_key`` (the checkpoint location) is supplied, a mismatch
+    against the ledger's recorded key raises instead of corrupting;
+    a legacy keyless ledger is adopted on first keyed fold. Remaining
+    (documented) hazard: the store write and ledger write are two
+    non-atomic steps — a crash between them re-folds the in-flight
+    batch on recovery and double-counts ITS n_rows contribution (the
+    frontier membership itself stays correct); same stop-the-stream
+    caveat as compact_band_store under concurrent readers."""
+    import json
     import os
 
     from pyspark.sql import functions as F
@@ -998,8 +1010,22 @@ def _pareto_process_batch(
     ledger = store_path + "__last_batch"
     if os.path.exists(ledger):
         with open(ledger) as fh:
-            if batch_id <= int(fh.read().strip() or -1):
-                return  # replayed batch: already folded
+            raw = fh.read().strip()
+        try:
+            rec = json.loads(raw)
+            led_key, led_last = rec.get("run_key"), int(rec.get("last_batch"))
+        except (json.JSONDecodeError, TypeError, ValueError):
+            led_key, led_last = None, int(raw or -1)  # legacy keyless ledger
+        if led_key is not None and led_key != run_key:
+            raise ValueError(
+                f"stream_pareto store {store_path!r} belongs to checkpoint "
+                f"lineage {led_key!r} but this stream runs under "
+                f"{run_key!r}; batch ids are not comparable across "
+                "checkpoints — reuse the original checkpoint location or "
+                "start a fresh store"
+            )
+        if batch_id <= led_last:
+            return  # replayed batch: already folded
     have_store = os.path.isdir(store_path) and any(
         f.endswith(".parquet") or f.startswith("part-")
         for f in os.listdir(store_path)
@@ -1032,8 +1058,8 @@ def _pareto_process_batch(
     out.coalesce(1).write.mode("overwrite").parquet(tmp)
     final = spark.read.parquet(tmp)
     final.write.mode("overwrite").parquet(store_path)
-    with open(ledger, "w") as fh:
-        fh.write(str(batch_id))  # fold recorded AFTER the store write
+    with open(ledger, "w") as fh:  # fold recorded AFTER the store write
+        json.dump({"run_key": run_key, "last_batch": batch_id}, fh)
 
 
 def stream_pareto(
@@ -1042,6 +1068,7 @@ def stream_pareto(
     min_col: str,
     max_col: str,
     id_col: str,
+    checkpoint_path: str | None = None,
 ):
     """Continuously-maintained 2-D Pareto frontier — the streaming form
     of operators/skyline.py:pareto_frontier via foreachBatch over a
@@ -1053,11 +1080,36 @@ def stream_pareto(
     stream-shaped. After each batch the store holds (min_col, max_col,
     n_rows, min_id) for every non-dominated point of the whole history —
     batch-parity with the batch operator over the union is pinned in
-    tests. Returns the StreamingQuery; callers own checkpointing."""
+    tests.
+
+    With ``checkpoint_path`` given (recommended), the query is STARTED
+    (availableNow trigger, like stream_scd2) and the StreamingQuery is
+    returned; the checkpoint location doubles as the ledger run-key, so
+    re-pairing the store with a different checkpoint fails loudly
+    instead of silently dropping batches (batch ids restart at 0 under
+    a fresh checkpoint). Without it, the UNSTARTED DataStreamWriter is
+    returned and the caller must chain .option("checkpointLocation",
+    ...)/.trigger(...)/.start() — in that legacy form the ledger is
+    keyless and the caller MUST keep the store paired with one
+    checkpoint location forever."""
+    import os
+
+    run_key = (
+        os.path.abspath(checkpoint_path) if checkpoint_path is not None
+        else None
+    )
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         _pareto_process_batch(
-            batch_df, batch_id, store_path, min_col, max_col, id_col
+            batch_df, batch_id, store_path, min_col, max_col, id_col,
+            run_key=run_key,
         )
 
-    return sdf.writeStream.foreachBatch(_fold)
+    writer = sdf.writeStream.foreachBatch(_fold)
+    if checkpoint_path is None:
+        return writer
+    return (
+        writer.option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -11572,7 +11572,7 @@ def source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok"),
     )
     sig = minhash_sig_state(toks, ["source"], "tok", depth=32)
-    est = minhash_sig_jaccard(sig, "source", depth=32).select(
+    est = minhash_sig_jaccard(sig, "source").select(
         F.col("key_a").alias("source_a"),
         F.col("key_b").alias("source_b"),
         F.round("est", 6).alias("est_jaccard"),

@@ -297,7 +297,7 @@ def test_minhash_sig_merge_equals_direct_and_estimates(spark):
         map(tuple, merged.collect())
     )
 
-    est = minhash_sig_jaccard(direct, "g", depth=64).collect()
+    est = minhash_sig_jaccard(direct, "g").collect()
     [(ka, kb, e)] = [(r["key_a"], r["key_b"], r["est"]) for r in est]
     assert (ka, kb) == ("g1", "g2")
     # 64 rows: estimate should land within ~4 sigma of 1/3
@@ -308,6 +308,25 @@ def test_minhash_sig_merge_equals_direct_and_estimates(spark):
     assert sorted(map(tuple, dup.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+    # denominator is DERIVED from the state (round-8 advice): truncating
+    # one key's signature to depth 32 must rescale the estimate to the
+    # 32 comparable rows, not silently halve it against a claimed 64
+    ragged = direct.filter((F.col("g") == "g2") | (F.col("r") < 32))
+    matches = (
+        direct.filter(F.col("r") < 32)
+        .groupBy("r")
+        .pivot("g", ["g1", "g2"])
+        .agg(F.first("minv"))
+        .filter(F.col("g1") == F.col("g2"))
+        .count()
+    )
+    [(ka, kb, e32)] = [
+        (r["key_a"], r["key_b"], r["est"])
+        for r in minhash_sig_jaccard(ragged, "g").collect()
+    ]
+    assert (ka, kb) == ("g1", "g2")
+    assert e32 == matches / 32
 
     import pytest
 

@@ -1409,11 +1409,9 @@ def test_stream_pareto_frontier_folds_and_ledger_skips_replay(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        stream_pareto(sdf, store, min_col="x", max_col="y", id_col="pid")
-        .option("checkpointLocation", str(tmp_path / "ck"))
-        .trigger(availableNow=True)
-        .start()
+    q = stream_pareto(
+        sdf, store, min_col="x", max_col="y", id_col="pid",
+        checkpoint_path=str(tmp_path / "ck"),
     )
     q.awaitTermination(120)
 
@@ -1432,11 +1430,28 @@ def test_stream_pareto_frontier_folds_and_ledger_skips_replay(spark, tmp_path):
     assert got == batch
 
     # replaying an already-folded batch id is a no-op (ledger guard)
+    run_key = os.path.abspath(str(tmp_path / "ck"))
     _pareto_process_batch(
-        spark.createDataFrame(b2, PT), 1, store, "x", "y", "pid"
+        spark.createDataFrame(b2, PT), 1, store, "x", "y", "pid",
+        run_key=run_key,
     )
     again = {
         (r["x"], r["y"]): (r["n_rows"], r["min_id"])
         for r in spark.read.parquet(store).collect()
     }
     assert again == got
+
+    # pairing the store with a DIFFERENT checkpoint lineage fails loudly
+    # (batch ids restart at 0 under a fresh checkpoint: the old monotone
+    # guard would have silently dropped every new batch)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="checkpoint lineage"):
+        _pareto_process_batch(
+            spark.createDataFrame(b2, PT), 0, store, "x", "y", "pid",
+            run_key=os.path.abspath(str(tmp_path / "ck_fresh")),
+        )
+    assert {
+        (r["x"], r["y"]): (r["n_rows"], r["min_id"])
+        for r in spark.read.parquet(store).collect()
+    } == got

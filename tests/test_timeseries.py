@@ -148,6 +148,22 @@ def test_ewma_hand_checked_and_truncation(spark):
 
     with pytest.raises(ValueError):
         ewma(df, ["k"], ["seq"], "v", alpha=1.5)
+
+    # |value| >= 1e7 overflows the exact DECIMAL(22,15) term: must RAISE
+    # loudly (round-8 advice), never silently null the term
+    big = spark.createDataFrame([("a", 1, 1e7)], "k string, seq int, v double")
+    with pytest.raises(Exception, match="overflows the exact"):
+        ewma(big, ["k"], ["seq"], "v").collect()
+
+    # NULL values still pass through (collect_list drops them)
+    withnull = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None)], "k string, seq int, v double"
+    )
+    outn = {
+        r["seq"]: r["ewma"]
+        for r in ewma(withnull, ["k"], ["seq"], "v").collect()
+    }
+    assert outn[1] == 10.0 and outn[2] == 10.0
     with pytest.raises(ValueError):
         ewma(df, ["k"], ["seq"], "v", lookback=0)
 

@@ -1410,7 +1410,7 @@ def _minhash_sig(c: Ctx) -> dict:
         F.explode(F.split("text", " ")).alias("tok"),
     )
     sig = minhash_sig_state(toks, ["g"], "tok", depth=32)
-    t, n = timed(lambda: minhash_sig_jaccard(sig, "g", depth=32).count())
+    t, n = timed(lambda: minhash_sig_jaccard(sig, "g").count())
     return {"sec": t, "pairs": n}
 
 
