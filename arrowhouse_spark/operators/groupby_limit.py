@@ -14,9 +14,23 @@ Reference semantics: once the hash table reaches max_rows,
 Distributed design (SURVEY.md §4 item 1): arrival order is not meaningful
 across shuffles, so the order-dependent modes get DETERMINISTIC analogues:
 
-ANY picks the ``max_rows`` heaviest keys (count, tie-break by key) and
-aggregates the remainder into the overflow row when requested. Same
-bounded-output guarantee, deterministic instead of arrival-dependent.
+ANY without ``order_col`` picks the ``max_rows`` heaviest keys (count,
+tie-break by key) and aggregates the remainder into the overflow row when
+requested. Same bounded-output guarantee, deterministic instead of
+arrival-dependent.
+
+ANY with ``order_col`` replays the reference's ARRIVAL-ORDER semantics
+exactly, against that explicit order (the BREAK contract): once the hash
+table holds max_rows keys, a row with a NEW key is rejected while rows of
+already-present keys keep aggregating to end-of-stream — so the kept key
+set is precisely the keys whose FIRST occurrence ranks among the max_rows
+earliest, and every row of a kept key aggregates no matter how late it
+arrives. That definition is order-dependent but not physical-arrival-
+dependent, which makes it replayable by any engine (the oracle is plain
+SQL: rank keys by min(order_col), keep the first max_rows, aggregate all
+their rows; the rest fold into the overflow row). On a single-partition
+stream ordered by order_col this is bit-for-bit the reference's behavior
+(executeImplBatch's find-only path, Aggregator.cpp:361-369).
 
 BREAK replays "stop at the cap" against an EXPLICIT deterministic order
 (``order_col``, caller-supplied — same contract as replace_merge's order
@@ -88,6 +102,10 @@ def group_by_limited(
     deterministic consumption order the stop point is measured against (see
     module docstring); only rows strictly before the first occurrence of
     the (max_rows+1)-th distinct key are aggregated.
+
+    ``mode=ANY`` with ``order_col`` selects the reference's arrival-order
+    semantics (first max_rows keys to appear in that order win, ALL their
+    rows aggregate); without it, the deterministic heaviest-keys analogue.
     """
     if mode is OverflowMode.BREAK:
         if order_col is None:
@@ -97,6 +115,10 @@ def group_by_limited(
                 "a row order"
             )
         return _group_by_break(df, keys, aggs, max_rows, order_col)
+    if mode is OverflowMode.ANY and order_col is not None:
+        return _group_by_any_arrival(
+            df, keys, aggs, max_rows, order_col, overflow_row
+        )
     agg_cols = [c.alias(n) for n, c in aggs.items()]
     full = df.groupBy(*keys).agg(
         *agg_cols, F.count(F.lit(1)).alias("__group_weight")
@@ -138,6 +160,57 @@ def group_by_limited(
     )
     for k in keys:
         merged = merged.withColumn(k, F.lit(None).cast(dict(df.dtypes)[k] if k in dict(df.dtypes) else "string"))
+    merged = merged.withColumn("__overflow", F.lit(True))
+    return kept.unionByName(merged.select(*kept.columns))
+
+
+def _group_by_any_arrival(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+    max_rows: int,
+    order_col: str,
+    overflow_row: bool,
+) -> DataFrame:
+    """Arrival-order ANY (module docstring): the kept keys are those whose
+    first occurrence in ``order_col`` order ranks in the earliest
+    ``max_rows``; every row of a kept key aggregates (late rows of present
+    keys are accepted — the reference's find-only path), every row of a
+    rejected key folds into the overflow row when requested.
+
+    Plan: per-key min(order_col) (one keyed agg over (key, ord) pairs) →
+    TakeOrderedAndProject of the max_rows earliest firsts → ≤max_rows-row
+    broadcast semi/anti joins → plain groupBy. Two keyed aggregations and
+    a bounded broadcast; no global sort, no window — holds at any scale."""
+    ord_ = F.col(order_col)
+    kept_keys = (
+        df.groupBy(*keys)
+        .agg(F.min(ord_).alias("__fp"))
+        .orderBy(F.col("__fp").asc(), *[F.col(k).asc_nulls_last() for k in keys])
+        .limit(max_rows)
+        .select(*[F.col(k).alias(f"__kept_{k}") for k in keys])
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(k).eqNullSafe(F.col(f"__kept_{k}")) for k in keys],
+    )
+    agg_cols = [c.alias(n) for n, c in aggs.items()]
+    kept = (
+        df.join(F.broadcast(kept_keys), cond, "left_semi")
+        .groupBy(*keys)
+        .agg(*agg_cols)
+    )
+    if not overflow_row:
+        return kept
+    kept = kept.withColumn("__overflow", F.lit(False))
+    dtypes = dict(df.dtypes)
+    merged = (
+        df.join(F.broadcast(kept_keys), cond, "left_anti").agg(*agg_cols)
+    )
+    for k in keys:
+        merged = merged.withColumn(
+            k, F.lit(None).cast(dtypes.get(k, "string"))
+        )
     merged = merged.withColumn("__overflow", F.lit(True))
     return kept.unionByName(merged.select(*kept.columns))
 

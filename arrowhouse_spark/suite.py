@@ -3448,6 +3448,61 @@ def groupby_limited_break(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "groupby_limited_any_arrival",
+    """
+    WITH d AS (
+      SELECT event_id, user_id % 50 AS k, value FROM events
+    ), fp AS (
+      SELECT k, min(event_id) AS fp FROM d GROUP BY k
+    ), ranked AS (
+      SELECT k, row_number() OVER (ORDER BY fp ASC, k ASC) AS rk FROM fp
+    ), kept AS (
+      SELECT k FROM ranked WHERE rk <= 20
+    )
+    SELECT d.k, CAST(count(*) AS BIGINT) AS n, round(sum(d.value), 3) AS sv,
+           false AS is_overflow
+    FROM d JOIN kept ON d.k = kept.k GROUP BY d.k
+    UNION ALL
+    SELECT NULL AS k, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 3) AS sv, true AS is_overflow
+    FROM d WHERE k NOT IN (SELECT k FROM kept)
+    """,
+)
+def groupby_limited_any_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OverflowMode::ANY with ARRIVAL-ORDER semantics (Aggregator.cpp:
+    361-369 find-only path; arrow_clickhouse_types.h:24-34), replayed
+    against the explicit event_id order: the first 20 distinct keys
+    (user_id % 50) to appear claim the hash-table slots, ALL their rows
+    aggregate (including rows arriving after the table fills — the
+    find-only path accepts present keys forever), and every row of a
+    later key folds into the overflow row. Distinguishes all three
+    deterministic limit modes in the registry: heaviest-keys ANY
+    (groupby_limited_top), stop-consuming BREAK (groupby_limited_break),
+    and first-seen-keys-win ANY (this query — kept keys match BREAK's
+    first-seen set but carry FULL aggregates, not partial ones)."""
+    from arrowhouse_spark.operators.groupby_limit import (
+        OverflowMode,
+        group_by_limited,
+    )
+
+    d = _events(spark, sf_dir).select(
+        "event_id", (F.col("user_id") % 50).alias("k"), "value"
+    )
+    out = group_by_limited(
+        d,
+        ["k"],
+        {"n": F.count(F.lit(1)), "sv": F.round(F.sum("value"), 3)},
+        max_rows=20,
+        mode=OverflowMode.ANY,
+        order_col="event_id",
+        overflow_row=True,
+    )
+    return out.select(
+        "k", "n", "sv", F.col("__overflow").alias("is_overflow")
+    )
+
+
+@register(
     "agg_any_single_member",
     # `any` is nondeterministic in general (MinMaxAny.h:527-535); over
     # single-member groups it equals min — giving it an exact oracle

@@ -350,7 +350,20 @@ def main() -> None:
             "passes (storage/GC/block-manager churn; r06's session was "
             "54 queries), a measurement-environment effect that grows "
             "with registry size, not a plan regression; adjudicate this "
-            "family against isolated minima"
+            "family against isolated minima. Round-9 adjudication of the "
+            "r08 BPE-family deltas (pipeline_pretrain_full_bpe +1.26s, "
+            "bpe_train_batched +0.61s, bpe_encode_pretrained +0.56s vs "
+            "r07): operator code (operators/bpe.py) and all three suite "
+            "query bodies are git-IDENTICAL between the r07 and r08 bench "
+            "bases (the only post-r07 bpe.py change is a docstring + the "
+            "unrelated bpe_decode addition), PLANS.md rows unchanged, and "
+            "four control queries (q1/sessionize/replace_merge/tfidf) "
+            "re-measured flat vs r07 (within 0.03s) in the same round-9 "
+            "session that still reproduced the BPE inflation isolated — "
+            "identical code + identical plans + flat controls means the "
+            "delta is scheduling/JIT-warmup noise on the many-job "
+            "checkpoint queries (the family this note already flags as "
+            "most co-tenancy-sensitive), not a plan regression"
         ),
         "noise_floor_sec": 0.3,
         "delta_vs": prior_file,

@@ -124,3 +124,43 @@ def test_break_requires_order_col(spark):
         group_by_limited(
             df, ["k"], {"s": F.sum("v")}, max_rows=1, mode=OverflowMode.BREAK
         )
+
+
+def test_any_arrival_first_seen_keys_win(spark):
+    """Arrival-order ANY (Aggregator.cpp:361-369 find-only path): first
+    max_rows distinct keys in order_col order claim the slots; their LATE
+    rows still aggregate (unlike BREAK's partials); later keys overflow."""
+    from arrowhouse_spark.operators.groupby_limit import OverflowMode
+
+    # stream: A(1) B(2) A(3) D(4) B(5) D(6) D(7) C(8) D(9) A(10)
+    rows = [
+        (1, "A", 1.0), (2, "B", 2.0), (3, "A", 3.0), (4, "D", 4.0),
+        (5, "B", 5.0), (6, "D", 6.0), (7, "D", 7.0), (8, "C", 8.0),
+        (9, "D", 9.0), (10, "A", 10.0),
+    ]
+    df = spark.createDataFrame(rows, "ord: long, k: string, v: double")
+    out = group_by_limited(
+        df, ["k"], {"n": F.count(F.lit(1)), "s": F.sum("v")}, max_rows=2,
+        mode=OverflowMode.ANY, order_col="ord", overflow_row=True,
+    ).collect()
+    kept = {r.k: (r.n, r.s) for r in out if not r["__overflow"]}
+    # first 2 keys seen are A, B — D is heavier (4 rows) but arrived 3rd;
+    # A's row at ord=10 (long after the table filled) still aggregates
+    assert kept == {"A": (3, 14.0), "B": (2, 7.0)}
+    [ov] = [r for r in out if r["__overflow"]]
+    assert (ov.n, ov.s) == (5, 34.0)  # D's 4 rows + C's 1 row
+    assert ov.k is None
+
+    # without overflow_row: just the kept keys, fully aggregated
+    out2 = group_by_limited(
+        df, ["k"], {"n": F.count(F.lit(1))}, max_rows=2,
+        mode=OverflowMode.ANY, order_col="ord",
+    )
+    assert {r.k: r.n for r in out2.collect()} == {"A": 3, "B": 2}
+
+    # under the limit: identical to a plain group-by
+    out3 = group_by_limited(
+        df, ["k"], {"n": F.count(F.lit(1))}, max_rows=10,
+        mode=OverflowMode.ANY, order_col="ord",
+    )
+    assert {r.k: r.n for r in out3.collect()} == {"A": 3, "B": 2, "D": 4, "C": 1}
