@@ -1,0 +1,1503 @@
+"""Query suite chunk: see the package __init__ docstring. Positional slice of the original suite.py (registration order is load-bearing for the driver rotation — do not reorder)."""
+
+# ruff: noqa: F401  (shared header imports; unused ones kept for uniformity)
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arrowhouse_spark.session import shuffle_parts
+
+from arrowhouse_spark.compile import apply_program
+from arrowhouse_spark.functions import hashing
+from arrowhouse_spark.operators.dedup import (
+    dedup_exact,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from arrowhouse_spark.operators.asof import asof_join
+from arrowhouse_spark.operators.merge import merge_sorted, replace_merge_agg
+from arrowhouse_spark.operators.sessions import session_stats
+from arrowhouse_spark.operators.setops import except_all, intersect
+from arrowhouse_spark.operators.similarity import (
+    ann_cosine_ivf_kmeans,
+    ann_cosine_lsh_multi,
+    cosine_topk_query,
+    embedding_neardup_pairs,
+)
+from arrowhouse_spark.operators.sort import SortKey, top_k
+from arrowhouse_spark.operators.text import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from arrowhouse_spark.program import (
+    AggOp,
+    AggregateAssign,
+    Assign,
+    GroupBy,
+    Op,
+    Program,
+    ProgramStep,
+    const,
+)
+
+
+from arrowhouse_spark.suite import (
+    _events,
+    _t,
+    register,
+)
+
+@register(
+    "attribution_first_touch",
+    """
+    WITH tagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+             CASE WHEN event_type = 'click' THEN
+               {'ch': ['email', 'search', 'social', 'direct']
+                      [CAST(json_extract(props, '$.k') AS BIGINT) % 4 + 1]}
+             END AS c
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    flow AS (
+      SELECT user_id, ts, event_id, value, side,
+             first_value(c IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS attr
+      FROM tagged
+    )
+    SELECT coalesce(attr.ch, 'unattributed') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM flow WHERE side = 1
+    GROUP BY 1
+    """,
+)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution — the dual of attribution_last_touch:
+    every purchase credits the user's EARLIEST preceding click (brand
+    discovery vs closing touch; ad platforms report both). Same
+    union-and-carry plan under the same (ts, side, id) total order,
+    with first_value(IGNORE NULLS) over the growing frame instead of
+    last_value — still an incremental frame (the gapfill_lerp lesson:
+    shrinking frames re-evaluate per row; neither attribution direction
+    needs one). One user-partitioned window + one keyed rollup; exact
+    DECIMAL revenue."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    channels = F.array(
+        F.lit("email"), F.lit("search"), F.lit("social"), F.lit("direct")
+    )
+    ch = F.element_at(
+        channels,
+        (F.get_json_object("props", "$.k").cast("long") % 4 + 1).cast("int"),
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("side"),
+        F.when(
+            F.col("event_type") == "click", F.struct(ch.alias("ch"))
+        ).alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flow = tagged.withColumn("attr", F.first("c", ignorenulls=True).over(w))
+    return (
+        flow.filter(F.col("side") == 1)
+        .groupBy(
+            F.coalesce(F.col("attr")["ch"], F.lit("unattributed")).alias(
+                "channel"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "attribution_last_touch",
+    """
+    WITH tagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+             CASE WHEN event_type = 'click' THEN
+               {'ch': ['email', 'search', 'social', 'direct']
+                      [CAST(json_extract(props, '$.k') AS BIGINT) % 4 + 1]}
+             END AS c
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    flow AS (
+      SELECT user_id, ts, event_id, value, side,
+             last_value(c IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS attr
+      FROM tagged
+    )
+    SELECT coalesce(attr.ch, 'unattributed') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM flow WHERE side = 1
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution — every purchase's revenue is
+    credited to the user's most recent PRECEDING click's channel (the
+    canonical attribution model; first-touch is the same plan with the
+    carry direction flipped). Channel is derived deterministically from
+    the click's props key. Instead of a purchase←click as-of join, the
+    union-and-carry form runs ONE per-user window: clicks sort before
+    purchases at equal timestamps under the (ts, side, event_id) total
+    order — the ≤ as-of semantics with an explicit tie-break both
+    engines replay — and last_value(IGNORE NULLS) carries the click
+    context onto each purchase. Revenue sums as exact DECIMAL(18,2).
+    Plan: map-side tag/filter + one user-partitioned window + one keyed
+    rollup — the asof.py shuffle shape without the join; purchases with
+    no prior click report as 'unattributed' (silently dropping them
+    overstates every channel)."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    channels = F.array(
+        F.lit("email"), F.lit("search"), F.lit("social"), F.lit("direct")
+    )
+    ch = F.element_at(
+        channels,
+        (F.get_json_object("props", "$.k").cast("long") % 4 + 1).cast("int"),
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("side"),
+        F.when(
+            F.col("event_type") == "click", F.struct(ch.alias("ch"))
+        ).alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flow = tagged.withColumn("attr", F.last("c", ignorenulls=True).over(w))
+    return (
+        flow.filter(F.col("side") == 1)
+        .groupBy(
+            F.coalesce(F.col("attr")["ch"], F.lit("unattributed")).alias(
+                "channel"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+_BENFORD_P = (
+    "(1, 0.3010299956639812), (2, 0.17609125905568124), "
+    "(3, 0.12493873660829993), (4, 0.09691001300805642), "
+    "(5, 0.07918124604762482), (6, 0.06694678963061322), "
+    "(7, 0.05799194697768673), (8, 0.05115252244738129), "
+    "(9, 0.04575749056067514)"
+)
+
+
+@register(
+    "benford_digit_audit",
+    f"""
+    WITH expected(d, p) AS (VALUES {_BENFORD_P}),
+    ints AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS i
+      FROM events WHERE value > 0
+    ),
+    digits AS (
+      SELECT event_type,
+             CAST(substring(CAST(i AS VARCHAR), 1, 1) AS INTEGER) AS d
+      FROM ints WHERE i > 0
+    ),
+    counts AS (
+      SELECT event_type, d, count(*) AS c FROM digits GROUP BY 1, 2
+    ),
+    totals AS (SELECT event_type, count(*) AS n FROM digits GROUP BY 1),
+    grid AS (
+      SELECT t.event_type, t.n, e.d, e.p, coalesce(c.c, 0) AS obs
+      FROM totals t CROSS JOIN expected e
+      LEFT JOIN counts c ON c.event_type = t.event_type AND c.d = e.d
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           round(CAST(sum(CAST(
+             (obs - n * p) * (obs - n * p) / (n * p) AS DECIMAL(38,12)
+           )) AS DOUBLE), 4) AS chi2,
+           CAST(min(CASE WHEN obs = mx THEN d END) AS INTEGER) AS top_digit
+    FROM (SELECT *, max(obs) OVER (PARTITION BY event_type) AS mx FROM grid)
+    GROUP BY 1
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit (Newcomb/Benford; the standard
+    fabricated-numbers screen in fraud and data-quality work): per event
+    type, the chi-square statistic of the observed first-significant-
+    digit distribution against log10(1+1/d), plus the modal digit. The
+    digit is extracted via INTEGER-STRING arithmetic (value scaled to
+    cents, first character of the integer's decimal form) — zero float
+    formatting or log10 anywhere, so extraction is engine-exact; chi2
+    terms are DECIMAL(38,12)-quantized before the sum
+    (combine-order-free), expected probabilities are shared literal
+    constants. Digits a type never produced still contribute their
+    n·p_d term through the type×digit grid (a missing-row bug here
+    understates the statistic). Plan: map-side digit extraction + one
+    keyed count + a 9-row broadcast grid + one keyed rollup (the modal
+    digit via a type-partitioned max window) — no global state."""
+    ev = _events(spark, sf_dir)
+    i = F.round(F.col("value") * 100).cast("long")
+    digits = (
+        ev.filter(F.col("value") > 0)
+        .select("event_type", i.alias("i"))
+        .filter(F.col("i") > 0)
+        .select(
+            "event_type",
+            F.substring(F.col("i").cast("string"), 1, 1)
+            .cast("int")
+            .alias("d"),
+        )
+    )
+    counts = digits.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = digits.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    pairs = [tuple(map(float, x.strip("() ").split(", "))) for x in _BENFORD_P.split("), (")]
+    expected = spark.createDataFrame(
+        [(int(d), p) for d, p in pairs], "d int, p double"
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(expected))
+        .join(counts, ["event_type", "d"], "left")
+        .withColumn("obs", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    mx = F.max("obs").over(Window.partitionBy("event_type"))
+    g = grid.withColumn("mx", mx)
+    dev = F.col("obs") - F.col("n") * F.col("p")
+    term = dev * dev / (F.col("n") * F.col("p"))
+    return g.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(
+            F.sum(term.cast("decimal(38,12)")).cast("double"), 4
+        ).alias("chi2"),
+        F.min(F.when(F.col("obs") == F.col("mx"), F.col("d")))
+        .cast("int")
+        .alias("top_digit"),
+    )
+
+
+@register(
+    "source_minhash_jaccard",
+    """
+    WITH rows_r AS (SELECT unnest(range(32)) AS r),
+    toks AS (
+      SELECT source,
+             unnest(list_filter(string_split(text, ' '), t -> t != ''))
+               AS tok
+      FROM documents
+    ),
+    x AS (
+      SELECT source, tok,
+             CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS xi
+      FROM toks
+    ),
+    sig AS (
+      SELECT source, rr.r,
+             min(((999983 - 1000 * rr.r) * (xi % 1000000007)
+                  + (123 + 7919 * rr.r)) % 1000000007) AS minv
+      FROM x CROSS JOIN rows_r rr GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             round(sum(CASE WHEN a.minv = b.minv THEN 1 ELSE 0 END) / 32.0, 6)
+               AS est_jaccard
+      FROM sig a JOIN sig b ON b.r = a.r AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    sets AS (SELECT DISTINCT source, tok FROM toks),
+    sizes AS (SELECT source, count(*) AS n FROM sets GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS ni
+      FROM sets a JOIN sets b ON b.tok = a.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT e.source_a, e.source_b, e.est_jaccard,
+           round(coalesce(i.ni, 0)
+                 / (sa.n + sb.n - coalesce(i.ni, 0)), 6) AS exact_jaccard
+    FROM est e
+    LEFT JOIN inter i
+      ON i.source_a = e.source_a AND i.source_b = e.source_b
+    JOIN sizes sa ON sa.source = e.source_a
+    JOIN sizes sb ON sb.source = e.source_b
+    """,
+)
+def source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE vocabulary overlap via mergeable MinHash signatures
+    (operators/aggstate.py:minhash_sig_state/merge/jaccard — Broder
+    1997), reported next to the exact token-set Jaccard so the sketch's
+    error is visible in the output. Distinct from the per-document
+    near-dup minhash (dedup.py): this sketches KEY GROUPS — "how much
+    does source A's vocabulary overlap source B's" from depth=32 rows
+    per source, mergeable by row-wise MIN across any
+    partitioning/increment (the -State/-Merge set-similarity member).
+    The affine hash ladder over md5-prefix token integers is a linear
+    formula of the row index, so the oracle replays every signature
+    cell. Plan: one explode + keyed MIN (map-side partials; state =
+    sources x 32 rows forever) + a broadcast-sized pairwise join; the
+    exact side is a distinct + keyed self-join — corpus-sized, present
+    only because this QUERY audits the estimate."""
+    from arrowhouse_spark.operators.aggstate import (
+        minhash_sig_jaccard,
+        minhash_sig_state,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    sig = minhash_sig_state(toks, ["source"], "tok", depth=32)
+    est = minhash_sig_jaccard(sig, "source").select(
+        F.col("key_a").alias("source_a"),
+        F.col("key_b").alias("source_b"),
+        F.round("est", 6).alias("est_jaccard"),
+    )
+    sets = toks.distinct()
+    sizes = sets.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sets.alias("a")
+        .join(
+            sets.alias("b"),
+            (F.col("b.tok") == F.col("a.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        est.join(inter, ["source_a", "source_b"], "left")
+        .join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "est_jaccard",
+            F.round(
+                F.coalesce(F.col("ni"), F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("ni"), F.lit(0))),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+
+
+@register(
+    "events_gapfill_lerp",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+      FROM events
+    ),
+    obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+             round((max({'ts': ts, 'tie': event_id, 'v': value})).v, 2)
+               AS v_obs
+      FROM e GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(bucket_ts) AS mn, max(bucket_ts) AS mx
+      FROM obs GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.user_id, s.bucket_ts, o.v_obs,
+             last_value(
+               CASE WHEN o.v_obs IS NOT NULL THEN
+                 {'ots': date_part('epoch', s.bucket_ts), 'ov': o.v_obs}
+               END IGNORE NULLS
+             ) OVER (
+               PARTITION BY s.user_id ORDER BY s.bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS prev,
+             first_value(
+               CASE WHEN o.v_obs IS NOT NULL THEN
+                 {'ots': date_part('epoch', s.bucket_ts), 'ov': o.v_obs}
+               END IGNORE NULLS
+             ) OVER (
+               PARTITION BY s.user_id ORDER BY s.bucket_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS nxt
+      FROM spine s LEFT JOIN obs o
+        ON o.user_id = s.user_id AND o.bucket_ts = s.bucket_ts
+    )
+    SELECT user_id,
+           strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_h,
+           CAST(CAST((CASE WHEN nxt IS NOT NULL AND nxt.ots != prev.ots THEN
+                   prev.ov + (nxt.ov - prev.ov)
+                   * (CAST(date_part('epoch', bucket_ts) - prev.ots AS DOUBLE)
+                      / CAST(nxt.ots - prev.ots AS DOUBLE))
+                 ELSE prev.ov END) + 1e-9 AS DECIMAL(18,6)) AS DOUBLE)
+             AS v_lerp,
+           v_obs IS NULL AS filled
+    FROM j
+    """,
+)
+def events_gapfill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill (operators/timeseries.py:
+    gapfill_lerp) — the smooth sibling of events_gapfill_locf: each
+    user's hourly spine filled with the LINE between the surrounding
+    observations instead of a staircase (trailing buckets carry the
+    last value forward). The lerp ratio is built from exact integer
+    epoch seconds and the endpoint values are 2-dp-rounded first, so
+    the double expression p + (n-p)*ratio is engine-identical; round 6
+    closes it out. Plan: keyed observed aggregate + map-side spine
+    explode + keyed left join + TWO per-user ordered windows (backward
+    last / forward first, both partitioned) — spine size is users x
+    buckets, event-volume-free."""
+    from arrowhouse_spark.operators.timeseries import gapfill_lerp
+
+    out = gapfill_lerp(
+        _events(spark, sf_dir),
+        key_col="user_id", ts_col="ts", value_col="value",
+        tie_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_h"),
+        "v_lerp",
+        "filled",
+    )
+
+
+@register(
+    "pq_adc_topk_embeddings",
+    """
+    WITH pts AS (
+      SELECT vec_id AS id,
+             (generate_subscripts(embedding, 1) - 1) // 16 AS sub,
+             (generate_subscripts(embedding, 1) - 1) % 16 AS k,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid,
+             (generate_subscripts(embedding, 1) - 1) // 16 AS sub,
+             (generate_subscripts(embedding, 1) - 1) % 16 AS k,
+             CAST(unnest(embedding) AS DOUBLE) AS c
+      FROM embeddings
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+    ),
+    d1 AS (
+      SELECT p.sub, p.id, c.cid,
+             sum(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,12))) AS dist
+      FROM pts p JOIN c0 c ON c.sub = p.sub AND c.k = p.k
+      GROUP BY 1, 2, 3
+    ),
+    m1 AS (SELECT sub, id, min(dist) AS dist FROM d1 GROUP BY 1, 2),
+    a1 AS (
+      SELECT d.sub, d.id, min(d.cid) AS cid
+      FROM d1 d JOIN m1 m ON m.sub = d.sub AND m.id = d.id AND m.dist = d.dist
+      GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT a.sub, a.cid, p.k,
+             round(CAST(sum(CAST(p.v AS DECIMAL(38,10))) AS DOUBLE)
+                   / count(*), 9) AS c
+      FROM pts p JOIN a1 a ON a.sub = p.sub AND a.id = p.id
+      GROUP BY 1, 2, 3
+    ),
+    d2 AS (
+      SELECT p.sub, p.id, c.cid,
+             sum(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,12))) AS dist
+      FROM pts p JOIN c1 c ON c.sub = p.sub AND c.k = p.k
+      GROUP BY 1, 2, 3
+    ),
+    m2 AS (SELECT sub, id, min(dist) AS dist FROM d2 GROUP BY 1, 2),
+    codes AS (
+      SELECT d.sub, d.id, min(d.cid) AS cid
+      FROM d2 d JOIN m2 m ON m.sub = d.sub AND m.id = d.id AND m.dist = d.dist
+      GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT sub, k, v AS qv FROM pts
+      WHERE id = (SELECT min(vec_id) FROM embeddings)
+    ),
+    dt AS (
+      SELECT c.sub, c.cid,
+             sum(CAST((q.qv - c.c) * (q.qv - c.c) AS DECIMAL(38,12))) AS td
+      FROM c1 c JOIN q ON q.sub = c.sub AND q.k = c.k
+      GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT cd.id, sum(dt.td) AS adc
+      FROM codes cd JOIN dt ON dt.sub = cd.sub AND dt.cid = cd.cid
+      GROUP BY 1
+    )
+    SELECT id AS vec_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist
+    FROM adc ORDER BY adc, id LIMIT 10
+    """,
+)
+def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance
+    (operators/clustering.py:pq_adc_topk; Jégou et al. 2011): 64-dim
+    embeddings → four 16-dim subspaces → per-subspace 4-centroid
+    codebooks (one exact Lloyd iteration, min-id seeds) → every vector
+    stored as 4 small codes → query answered by summing a precomputed
+    (subspace, centroid) distance-table row per code — the
+    memory-compressed fourth ANN strategy next to brute / LSH / IVF-flat
+    (at 100 TB: codes are ~64× narrower than the float vectors, and
+    query cost is table lookups, not float dot products). The subspace
+    axis is a KEY COLUMN, so fit+encode+search is ONE declarative plan;
+    every distance is an exact DECIMAL(38,12) sum and codebook means are
+    exact-decimal-rounded (kmeans_lloyd doctrine) — codes, tables, and
+    the (adc, id) top-k ordering replay engine-identically in the
+    oracle's unrolled CTEs."""
+    from arrowhouse_spark.operators.clustering import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, "vec_id", "embedding", subdim=16, k_cb=4, k=10)
+
+
+@register(
+    "events_trailing_range_window",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events
+    ),
+    t AS (
+      SELECT user_id, event_id,
+             CAST(count(*) OVER w AS BIGINT) AS n_trailing_10m,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+               AS sum_trailing_10m
+      FROM e
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT user_id,
+           CAST(max(n_trailing_10m) AS BIGINT) AS peak_burst,
+           round(max(sum_trailing_10m), 2) AS peak_burst_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM t GROUP BY 1
+    """,
+)
+def events_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame — the frame type every other window
+    query here leaves unexercised (ROWS frames count rows;
+    RANGE INTERVAL frames select by the ORDER key's VALUE, so ties and
+    gaps behave differently): per user, the trailing-10-minute event
+    count and value sum at every event — the burst detector — rolled up
+    to the per-user peak. The sum is DECIMAL-quantized (frame contents
+    are engine-identical sets, but a double sum's fold order inside the
+    frame is not pinned cross-engine); the count is exact by
+    construction. Plan: ONE user-partitioned range-frame window (state =
+    the 10-minute tail, bounded by burst width not series length) + one
+    keyed rollup — no global window. Both engines frame over the exact
+    MICROSECOND epoch (the fixture's timestamps are sub-second — a
+    seconds-truncated order key would shift frame boundaries between
+    engines): rangeBetween(-600e6, 0) over unix_micros here,
+    epoch_us(ts) RANGE 600000000 PRECEDING in the oracle."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    t = ev.select(
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_10m"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"),
+            2,
+        ).alias("sum_trailing_10m"),
+    )
+    return t.groupBy("user_id").agg(
+        F.max("n_trailing_10m").cast("long").alias("peak_burst"),
+        F.round(F.max("sum_trailing_10m"), 2).alias("peak_burst_value"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "max_concurrency_by_type",
+    """
+    WITH sess AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP) + INTERVAL 300 SECOND AS e, event_id
+      FROM events
+    ),
+    sweep AS (
+      SELECT event_type, s AS t, 1 AS d, event_id FROM sess
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS d, event_id FROM sess
+    ),
+    run AS (
+      SELECT event_type,
+             sum(d) OVER (
+               PARTITION BY event_type ORDER BY t, d, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cur
+      FROM sweep
+    )
+    SELECT r.event_type,
+           CAST((SELECT count(*) FROM sess s2
+                 WHERE s2.event_type = r.event_type) AS BIGINT) AS n_sessions,
+           CAST(max(cur) AS BIGINT) AS max_concurrent
+    FROM run r GROUP BY 1
+    """,
+)
+def max_concurrency_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the sweep-line (+1/-1 running sum) — the
+    classic interval-overlap maximum (max simultaneous sessions /
+    connections / GPU jobs), here over 5-minute half-open activity
+    windows per event type. Half-open [s, e) semantics come free from
+    the (t, delta ASC) sweep order: at a shared instant the -1 folds
+    before the +1, so back-to-back sessions never double-count; the
+    (t, d, event_id) total order plus INTEGER running sums make the
+    result exact on any engine — no float anywhere. Plan: map-side
+    double-projection union + ONE per-TYPE partitioned window (running
+    integer, constant state) + keyed max — no global window; at 100 TB
+    the partition key is the tenant/shard the concurrency question is
+    actually asked of."""
+    ev = _events(spark, sf_dir)
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("d"), "event_id"
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("t"),
+        F.lit(-1).alias("d"),
+        "event_id",
+    )
+    sweep = starts.unionAll(ends)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = sweep.withColumn("cur", F.sum("d").over(w))
+    n_sess = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    peak = run.groupBy("event_type").agg(
+        F.max("cur").cast("long").alias("max_concurrent")
+    )
+    return n_sess.join(peak, "event_type").select(
+        "event_type", "n_sessions", "max_concurrent"
+    )
+
+
+@register(
+    "feature_hashing_vectors",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != ''))
+        AS tok
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id,
+             (('0x' || substr(md5('fh' || tok), 1, 8))::UBIGINT
+              % 1024)::BIGINT AS bucket
+      FROM toks
+    ),
+    vec AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM bucketed GROUP BY 1, 2
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS doc_freq,
+           CAST(sum(cnt) AS BIGINT) AS total_count,
+           CAST(max(cnt) AS BIGINT) AS max_in_doc
+    FROM vec WHERE bucket < 64 GROUP BY 1
+    """,
+)
+def feature_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing-trick vectorizer, Weinberger et al.
+    2009): tokens map to a FIXED 1024-bucket space via the module's
+    md5-prefix bucket (operators/sampling.py:hash_bucket — engine-
+    replayable, collision-accepting by design), giving every document a
+    bounded sparse count vector with NO vocabulary table, no OOV, and
+    no fit step — the vectorizer that survives streaming corpora where
+    vocab_encode's rank table would churn. Plan: map-side
+    explode+bucket, ONE (doc, bucket) keyed count (map-side partials),
+    bounded rollup of the first 64 buckets as the proof surface. The
+    oracle re-derives every bucket from the same md5 arithmetic."""
+    from arrowhouse_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    vec = (
+        toks.select(
+            "doc_id", hash_bucket(F.col("tok"), 1024, salt="fh").alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        vec.filter(F.col("bucket") < 64)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_freq"),
+            F.sum("cnt").cast("long").alias("total_count"),
+            F.max("cnt").cast("long").alias("max_in_doc"),
+        )
+    )
+
+
+@register(
+    "entity_resolution_pipeline",
+    """
+    WITH RECURSIVE recs AS (
+      SELECT c_custkey AS rec_id,
+             substring(md5('ent' || CAST(c_custkey % 300 AS VARCHAR)), 1, 8)
+               AS tok,
+             (c_custkey // 300) % 4 AS var
+      FROM customer
+    ),
+    raw AS (
+      SELECT rec_id,
+             CASE var
+               WHEN 0 THEN tok || ' inc'
+               WHEN 1 THEN upper(tok) || ' inc'
+               WHEN 2 THEN substring(tok, 1, 7) || 'x inc'
+               ELSE tok || ' inc.' END AS raw_name
+      FROM recs
+    ),
+    norm AS (
+      SELECT rec_id, regexp_replace(lower(raw_name), '\\.$', '') AS nm
+      FROM raw
+    ),
+    blk AS (SELECT rec_id, nm, substring(nm, 1, 4) AS b FROM norm),
+    pairs AS (
+      SELECT l.rec_id AS src, r.rec_id AS dst
+      FROM blk l JOIN blk r ON l.b = r.b AND l.rec_id < r.rec_id
+      WHERE levenshtein(l.nm, r.nm) <= 1
+    ),
+    sym AS (
+      SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ),
+    walk AS (
+      SELECT src AS id, src AS comp FROM sym
+      UNION
+      SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.id
+    ),
+    comp AS (SELECT id, min(comp) AS comp FROM walk GROUP BY 1),
+    ent AS (
+      SELECT n.rec_id, coalesce(c.comp, n.rec_id) AS entity
+      FROM norm n LEFT JOIN comp c ON c.id = n.rec_id
+    ),
+    sizes AS (
+      SELECT entity, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM ent GROUP BY 1
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_entities,
+           CAST(min(entity) AS BIGINT) AS min_entity
+    FROM sizes GROUP BY 1
+    """,
+)
+def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed entity resolution — the Fellegi-Sunter blocking+verify
+    record-linkage pipeline as ONE plan: (1) records with
+    deterministically SYNTHESIZED name variants (the PII-injection
+    discipline: per base entity, four spellings — cased, one-char typo,
+    punctuated suffix); (2) normalization (lower + trailing-period
+    strip, map-side); (3) blocking on the 4-char name prefix — pair
+    generation is Σ block², never all-pairs; (4) exact verify via
+    operators/dedup.py:edit_distance_pairs (threshold-banded
+    levenshtein ≤ 1); (5) match graph → min-label connected components
+    (operators/components.py — the dedup_components machinery reused
+    for identity instead of near-dup text); (6) singleton-preserving
+    entity assignment + cluster-size census. The oracle replays every
+    stage, components via the recursive-CTE walk. Shuffles: blocking
+    self-join keyed by block, two (id,text) verify joins, the
+    components rounds (two keyed shuffles each, lineage-cut), one
+    rollup — no global windows, no cartesian; at 100 TB the blocker
+    swaps for minhash banding with identical downstream stages."""
+    from arrowhouse_spark.operators.components import connected_components
+    from arrowhouse_spark.operators.dedup import edit_distance_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    ent = F.col("c_custkey") % 300
+    var = F.expr("(c_custkey div 300) % 4")
+    tok = F.substring(
+        F.md5(F.concat(F.lit("ent"), ent.cast("string"))), 1, 8
+    )
+    raw = (
+        F.when(var == 0, F.concat(tok, F.lit(" inc")))
+        .when(var == 1, F.concat(F.upper(tok), F.lit(" inc")))
+        .when(var == 2, F.concat(F.substring(tok, 1, 7), F.lit("x inc")))
+        .otherwise(F.concat(tok, F.lit(" inc.")))
+    )
+    norm = c.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.regexp_replace(F.lower(raw), r"\.$", "").alias("nm"),
+    )
+    blk = norm.withColumn("b", F.substring("nm", 1, 4))
+    cands = (
+        blk.select(F.col("rec_id").alias("id_a"), "b")
+        .join(blk.select(F.col("rec_id").alias("id_b"), "b"), "b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    matched = edit_distance_pairs(
+        norm, cands, max_dist=1, text_col="nm", id_col="rec_id"
+    )
+    comp = connected_components(matched, src="id_a", dst="id_b")
+    assigned = norm.join(
+        comp, norm.rec_id == comp.id, "left"
+    ).select(
+        "rec_id",
+        F.coalesce(F.col("component"), F.col("rec_id")).alias("entity"),
+    )
+    sizes = assigned.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.min("entity").cast("long").alias("min_entity"),
+    )
+
+
+@register(
+    "contrastive_negatives_sample",
+    """
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS alab
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    cand AS (
+      SELECT a.anchor_id, p.vec_id AS neg_id, p.label AS neg_label,
+             md5('neg' || CAST(a.anchor_id AS VARCHAR) || ':'
+                 || CAST(p.vec_id AS VARCHAR)) AS h
+      FROM a JOIN embeddings p
+        ON p.label != a.alab AND p.vec_id != a.anchor_id
+    ),
+    r AS (
+      SELECT anchor_id, neg_id, neg_label,
+             CAST(row_number() OVER (
+               PARTITION BY anchor_id ORDER BY h, neg_id
+             ) AS INTEGER) AS neg_rank
+      FROM cand
+    )
+    SELECT anchor_id, neg_id, neg_label, neg_rank
+    FROM r WHERE neg_rank <= 5
+    """,
+)
+def contrastive_negatives_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training
+    (operators/sampling.py:contrastive_negatives): for each anchor
+    (every 50th embedding), the 5 different-LABEL pool vectors winning
+    the md5(salt‖anchor‖cand) race — uniform-ish, partitioning-proof,
+    and engine-replayable (the module's md5-race discipline; same-label
+    candidates are excluded as InfoNCE false negatives). Plan: bounded
+    anchor relation BROADCAST against the pool with the label-inequality
+    predicate, one per-ANCHOR partitioned window for the top-k race —
+    no global window; at corpus-scale anchor counts the documented swap
+    is a hash_bucket equi-join race."""
+    from arrowhouse_spark.operators.sampling import contrastive_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    out = contrastive_negatives(anchors, emb, "vec_id", "label", k=5)
+    return out.select(
+        F.col("anchor_id").cast("long").alias("anchor_id"),
+        F.col("neg_id").cast("long").alias("neg_id"),
+        F.col("neg_label").cast("int").alias("neg_label"),
+        F.col("neg_rank").cast("int").alias("neg_rank"),
+    )
+
+
+def _hits_oracle(iterations: int = 2) -> str:
+    """Unrolled HITS half-step oracle (the _pagerank_oracle mechanics):
+    per iteration one (raw-authority, total, authority, raw-hub, total,
+    hub) CTE block — exactly operators/graph.py:hits' recurrence,
+    DECIMAL(38,12) exact sums + round-12 renormalization."""
+    parts = [
+        """e AS (
+      SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS dst
+      FROM events
+    ),
+    h0 AS (SELECT DISTINCT src AS id, CAST(1.0 AS DOUBLE) AS h FROM e)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""ra{i} AS (
+      SELECT e.dst AS id, sum(CAST(h.h AS DECIMAL(38,12))) AS raw
+      FROM e JOIN h{i - 1} h ON h.id = e.src GROUP BY 1
+    ),
+    ta{i} AS (SELECT sum(raw) AS tot FROM ra{i}),
+    a{i} AS (
+      SELECT id, round(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE), 12) AS a
+      FROM ra{i}, ta{i}
+    ),
+    rh{i} AS (
+      SELECT e.src AS id, sum(CAST(a.a AS DECIMAL(38,12))) AS raw
+      FROM e JOIN a{i} a ON a.id = e.dst GROUP BY 1
+    ),
+    th{i} AS (SELECT sum(raw) AS tot FROM rh{i}),
+    h{i} AS (
+      SELECT id, round(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE), 12) AS h
+      FROM rh{i}, th{i}
+    )"""
+        )
+    n = iterations
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT * FROM (
+      SELECT 'authority' AS role, id, round(a, 9) AS score
+      FROM a{n} ORDER BY score DESC, id LIMIT 10
+    )
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'hub' AS role, id, round(h, 9) AS score
+      FROM h{n} ORDER BY score DESC, id LIMIT 10
+    )"""
+    )
+
+
+@register("hits_hubs_authorities", _hits_oracle(2))
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS link analysis (operators/graph.py:hits) over the same
+    user->prop-k interaction graph pagerank_topk ranks: 2 iterations of
+    hub/authority mutual reinforcement with L1 renormalization, top-10
+    of each side. One determinism notch stricter than pagerank: scores
+    are re-rounded to 12 dp each half-step and summed as exact
+    DECIMAL(38,12), making the keyed sums AND the global normalization
+    total combine-order-free (a global double sum would wobble in the
+    last ulps under re-partitioning). The oracle unrolls every
+    half-step; the 9-dp score is both output and sort key. Per
+    half-step: one edges⋈scores keyed join + keyed sum + 1-row broadcast
+    total — the pagerank shuffle shape, lineage-cut per half-step."""
+    from arrowhouse_spark.operators.graph import hits
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        F.get_json_object("props", "$.k").cast("long").alias("dst"),
+    )
+    out = hits(edges, iterations=2)
+    top_a = (
+        out.select(
+            F.lit("authority").alias("role"),
+            "id",
+            F.round("authority", 9).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "id")
+        .limit(10)
+    )
+    top_h = (
+        out.select(
+            F.lit("hub").alias("role"), "id", F.round("hub", 9).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "id")
+        .limit(10)
+    )
+    return top_a.unionAll(top_h)
+
+
+@register(
+    "kmeans_lloyd_clusters",
+    """
+    WITH pts AS (
+      SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS c
+      FROM embeddings
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+    ),
+    d1 AS (
+      SELECT p.id, c.cid,
+             sum(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,12))) AS dist
+      FROM pts p JOIN c0 c ON c.dim = p.dim GROUP BY 1, 2
+    ),
+    m1 AS (SELECT id, min(dist) AS dist FROM d1 GROUP BY 1),
+    a1 AS (
+      SELECT d.id, min(d.cid) AS cid
+      FROM d1 d JOIN m1 m ON m.id = d.id AND m.dist = d.dist GROUP BY 1
+    ),
+    c1 AS (
+      SELECT a.cid, p.dim,
+             round(CAST(sum(CAST(p.v AS DECIMAL(38,10))) AS DOUBLE)
+                   / count(*), 9) AS c
+      FROM pts p JOIN a1 a ON a.id = p.id GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT p.id, c.cid,
+             sum(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,12))) AS dist
+      FROM pts p JOIN c1 c ON c.dim = p.dim GROUP BY 1, 2
+    ),
+    m2 AS (SELECT id, min(dist) AS dist FROM d2 GROUP BY 1),
+    a2 AS (
+      SELECT d.id, min(d.cid) AS cid
+      FROM d2 d JOIN m2 m ON m.id = d.id AND m.dist = d.dist GROUP BY 1
+    ),
+    c2 AS (
+      SELECT a.cid, p.dim,
+             round(CAST(sum(CAST(p.v AS DECIMAL(38,10))) AS DOUBLE)
+                   / count(*), 9) AS c
+      FROM pts p JOIN a2 a ON a.id = p.id GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT p.id, c.cid,
+             sum(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,12))) AS dist
+      FROM pts p JOIN c2 c ON c.dim = p.dim GROUP BY 1, 2
+    ),
+    mf AS (SELECT id, min(dist) AS dist FROM df GROUP BY 1),
+    af AS (
+      SELECT d.id, min(d.cid) AS cid
+      FROM df d JOIN mf m ON m.id = d.id AND m.dist = d.dist GROUP BY 1
+    ),
+    sq AS (
+      SELECT a.id, a.cid, d.dist
+      FROM af a JOIN df d ON d.id = a.id AND d.cid = a.cid
+    )
+    SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           round(CAST(sum(dist) AS DOUBLE) / count(*), 6) AS avg_sqdist
+    FROM sq GROUP BY 1
+    """,
+)
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (operators/clustering.py:
+    kmeans_lloyd; k=4, 2 exact iterations, min-id seeding) over the
+    embeddings corpus — the fully-declarative companion to
+    ivf_centroids_kmeans's bounded-collect numpy fit, and the
+    cluster-balanced curation primitive (cluster-then-sample mixing;
+    SemDeDup's clustering stage as a PLAN instead of a driver loop).
+    Every iteration is replayed unrolled by the oracle: squared-distance
+    terms DECIMAL(38,12)-quantized and summed exactly so the argmin key
+    is engine-identical, argmin = min-dist + min-cid-at-min-dist (no
+    struct comparators), centroid means from exact DECIMAL(38,10)
+    coordinate sums rounded to 9 dp before feeding the next round.
+    Plan per iteration: map-side explode + BROADCAST k*dim centroid
+    join + keyed exact sums — shuffles keyed by point id / (cid, dim);
+    lineage cut per iteration (lazy localCheckpoint, the staged-seam
+    discipline). Output: per-cluster size + mean squared distance."""
+    from arrowhouse_spark.operators.clustering import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = kmeans_lloyd(emb, "vec_id", "embedding", k=4, iters=2)
+    return out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(
+            F.sum("sqdist").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_sqdist"),
+    )
+
+
+@register(
+    "bloom_state_merge_monthly",
+    """
+    WITH hash_rows(a, b) AS (
+      VALUES (999983, 7920), (999979, 15839), (999961, 23758), (999959, 31677)
+    ),
+    inc_bits AS (
+      SELECT DISTINCT
+        CAST(((h.a * (o.o_custkey % 1000000007) + h.b) % 1000000007) % 15872
+             AS BIGINT) AS p
+      FROM orders o CROSS JOIN hash_rows h
+    ),
+    words AS (
+      SELECT p // 62 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INTEGER)) AS wbits
+      FROM inc_bits GROUP BY 1
+    ),
+    probes AS (
+      SELECT c_custkey,
+             c_custkey + CASE WHEN c_custkey % 3 = 0 THEN 1000000 ELSE 0 END
+               AS q
+      FROM customer
+    ),
+    probe_bits AS (
+      SELECT pr.q,
+             CAST(((h.a * (pr.q % 1000000007) + h.b) % 1000000007) % 15872
+                  AS BIGINT) AS p
+      FROM probes pr CROSS JOIN hash_rows h
+    ),
+    hits AS (
+      SELECT pb.q,
+             min(coalesce((w.wbits >> CAST(pb.p % 62 AS INTEGER))
+                          & CAST(1 AS BIGINT), 0)) AS hit
+      FROM probe_bits pb LEFT JOIN words w ON w.word = pb.p // 62
+      GROUP BY 1
+    ),
+    truth AS (SELECT DISTINCT o_custkey FROM orders),
+    verdicts AS (
+      SELECT h.q, h.hit = 1 AS member, t.o_custkey IS NOT NULL AS is_true
+      FROM hits h LEFT JOIN truth t ON t.o_custkey = h.q
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(count(*) FILTER (WHERE member) AS BIGINT) AS n_bloom_pos,
+           CAST(count(*) FILTER (WHERE is_true) AS BIGINT) AS n_true,
+           CAST(count(*) FILTER (WHERE member AND NOT is_true) AS BIGINT)
+             AS n_false_pos,
+           CAST(count(*) FILTER (WHERE is_true AND NOT member) AS BIGINT)
+             AS n_false_neg,
+           (SELECT CAST(count(*) AS BIGINT) FROM words) AS n_words_occupied,
+           (SELECT CAST(sum(bit_count(wbits)) AS BIGINT) FROM words)
+             AS n_bits_set
+    FROM verdicts
+    """,
+)
+def bloom_state_merge_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Bloom-filter membership state (operators/aggstate.py:
+    bloom_state/bloom_merge/bloom_probe) — the membership member of the
+    -State/-Merge family (exact / HLL-distinct / CMS-frequency /
+    histogram-quantile / bitmap-exact-distinct): per-MONTH filters built
+    over orders' customer keys, folded to one filter by word-wise BIT_OR
+    (idempotent + associative ⇒ retries and any partitioning fold
+    identically), probed by a customer list with a third of the probes
+    perturbed out of the key domain. Bit positions come from the CM
+    sketch's exact-BIGINT affine rows over 256x62 bits, so the oracle
+    REPLAYS the filter bit-for-bit (words, popcount, every verdict) —
+    and because the oracle builds DIRECT while the query builds
+    monthly-then-merge, hash equality doubles as the merge≡direct proof.
+    n_false_neg is structurally 0 (the no-false-negative contract, also
+    pytest-pinned). Plan: one keyed word agg + B-row broadcast probe
+    join + one rollup; state is occupancy-bounded rows, queryable at
+    rest — at 100 TB this is the pre-join pruning filter a day's batch
+    ships instead of the full historical key set."""
+    from arrowhouse_spark.operators.aggstate import (
+        bloom_merge,
+        bloom_probe,
+        bloom_state,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "m", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    monthly = bloom_state(o, ["m"], "o_custkey")
+    merged = bloom_merge(monthly, [])
+    c = _t(spark, sf_dir, "customer")
+    probes = c.select(
+        (
+            F.col("c_custkey")
+            + F.when(F.col("c_custkey") % 3 == 0, F.lit(1_000_000)).otherwise(
+                F.lit(0)
+            )
+        ).alias("q")
+    )
+    probed = bloom_probe(merged, probes, "q")
+    truth = o.select(F.col("o_custkey").alias("q")).distinct().withColumn(
+        "__t", F.lit(1)
+    )
+    v = probed.join(truth, "q", "left").select(
+        "member", F.col("__t").isNotNull().alias("is_true")
+    )
+    stats = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_words_occupied"),
+        F.sum(F.bit_count("bits")).cast("long").alias("n_bits_set"),
+    )
+    agg = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.col("member").cast("int")).cast("long").alias("n_bloom_pos"),
+        F.sum(F.col("is_true").cast("int")).cast("long").alias("n_true"),
+        F.sum((F.col("member") & ~F.col("is_true")).cast("int"))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum((F.col("is_true") & ~F.col("member")).cast("int"))
+        .cast("long")
+        .alias("n_false_neg"),
+    )
+    return agg.crossJoin(F.broadcast(stats))
+
+
+@register(
+    "pareto_frontier_parts",
+    """
+    WITH pts AS (
+      SELECT p_retailprice AS price, CAST(p_size AS BIGINT) AS size,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(min(p_partkey) AS BIGINT) AS min_partkey
+      FROM part GROUP BY 1, 2
+    )
+    SELECT round(price, 2) AS price, size, n_parts, min_partkey
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE (b.price < a.price AND b.size >= a.size)
+         OR (b.price <= a.price AND b.size > a.size)
+    )
+    """,
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier / skyline (operators/skyline.py:
+    pareto_frontier) over parts: minimize retail price, maximize size —
+    the cheapest-per-capability shortlist (Börzsönyi et al., ICDE 2001).
+    The distributed form is grid-partitioned: distinct-point reduction →
+    fixed price-grid bucketing from a 1-row broadcast bounds aggregate →
+    per-BUCKET window (running max of size over strictly-preceding
+    points in (price asc, size desc) order decides local dominance) →
+    B-row broadcast theta self-join for cross-bucket dominance. Exact:
+    same-bucket dominators hit the running max, lower-bucket ones the
+    bucket cummax, higher buckets cannot dominate (strictly larger
+    price). The oracle is the textbook unpruned NOT EXISTS — hash
+    equality proves the pruning loses nothing. No global window, no
+    cartesian; all dominance state is one running max per reducer."""
+    from arrowhouse_spark.operators.skyline import pareto_frontier
+
+    p = _t(spark, sf_dir, "part").withColumn(
+        "p_size_l", F.col("p_size").cast("long")
+    )
+    out = pareto_frontier(
+        p, min_col="p_retailprice", max_col="p_size_l", id_col="p_partkey"
+    )
+    return out.select(
+        F.round(F.col("p_retailprice"), 2).alias("price"),
+        F.col("p_size_l").alias("size"),
+        F.col("n_rows").alias("n_parts"),
+        F.col("min_id").alias("min_partkey"),
+    )
+
+
+@register(
+    "url_canonical_dedup",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN 'News.Example.COM'
+                      ELSE 'blog.example.org' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+             || (CASE WHEN doc_id % 11 = 0 THEN '/p//' ELSE '/p/' END)
+             || CAST(doc_id % 100 AS VARCHAR)
+             || (CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_campaign=x'
+                      WHEN doc_id % 5 = 1 THEN '?id=7&utm_medium=email'
+                      WHEN doc_id % 5 = 2 THEN '?utm_content=a&id=7&page=2'
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END) AS url
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+        regexp_replace(
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1)),
+          ':(443|80)$', '')
+        ||
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*(.*)', 1),
+            '#.*$', '', 'g'),
+          '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+          '^([^?&]*)&', '\\1?', 'g'),
+          '//+', '/', 'g'),
+          '/\\?', '?', 'g'),
+          '/+$', '', 'g'),
+          '\\?$', '', 'g') AS canonical_url
+      FROM u
+    )
+    SELECT regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+           CAST(count(*) - count(DISTINCT canonical_url) AS BIGINT)
+             AS n_removed,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM c GROUP BY 1
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup via canonicalization (operators/text.py:
+    url_canonicalize) — the normalization web-corpus pipelines run
+    before URL dedup across dumps (the same page arrives as
+    'HTTPS://Host.COM:443/p//7/?id=7&utm_medium=email#frag' and
+    'https://host.com/p/7?utm_content=a&id=7'). The fixture has no URL
+    column, so one is SYNTHESIZED deterministically from doc_id on both
+    sides (the doc_url_filter discipline), with every noise axis the
+    canonicalizer handles: scheme/host case, default port, duplicate
+    path slash, trailing slash, tracking params (leading AND trailing,
+    exercising the orphan-'&' repair), and fragments. 100 canonical
+    classes under 500 docs ⇒ a real dedup ratio, pinned per domain.
+    Plan: map-side regexp chain fused into the scan + ONE keyed agg
+    (count distinct by domain) — at 100 TB the dedup itself is the
+    exact-dedup fingerprint groupBy on canonical_url; this query reports
+    the rollup."""
+    from arrowhouse_spark.operators.text import url_canonicalize
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    with_url = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(d % 3 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+            F.when(d % 2 == 0, F.lit("News.Example.COM")).otherwise(
+                F.lit("blog.example.org")
+            ),
+            F.when(d % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit("/p//")).otherwise(F.lit("/p/")),
+            (d % 100).cast("string"),
+            F.when(d % 13 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit("?utm_source=feed&utm_campaign=x"))
+            .when(d % 5 == 1, F.lit("?id=7&utm_medium=email"))
+            .when(d % 5 == 2, F.lit("?utm_content=a&id=7&page=2"))
+            .otherwise(F.lit("")),
+            F.when(d % 9 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    c = url_canonicalize(with_url)
+    dom = F.regexp_extract(F.col("canonical_url"), r"^[a-z]+://([^/:?#]+)", 1)
+    return c.groupBy(dom.alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("canonical_url").cast("long").alias("n_canonical"),
+        (F.count(F.lit(1)) - F.countDistinct("canonical_url"))
+        .cast("long")
+        .alias("n_removed"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+    )
+
+
+@register(
+    "events_ewma_last",
+    """
+    WITH RECURSIVE wts(j, wt) AS (
+      SELECT 0, CAST(1.0 AS DOUBLE)
+      UNION ALL SELECT j + 1, wt * 0.75 FROM wts WHERE j < 31
+    ),
+    seq AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    lastn AS (
+      SELECT user_id, max(rn) AS n, CAST(count(*) AS BIGINT) AS n_events
+      FROM seq GROUP BY 1
+    )
+    SELECT s.user_id,
+           max(l.n_events) AS n_events,
+           round(CAST(sum(CAST(w.wt * s.value AS DECIMAL(38,15))) AS DOUBLE)
+                 / CAST(sum(CAST(w.wt AS DECIMAL(38,15))) AS DOUBLE),
+                 6) AS ewma_last
+    FROM seq s
+    JOIN lastn l ON l.user_id = s.user_id
+    JOIN wts w ON w.j = l.n - s.rn
+    WHERE l.n - s.rn < 32
+    GROUP BY 1
+    """,
+)
+def events_ewma_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA-smoothed latest activity level
+    (operators/timeseries.py:ewma — normalized exponential weights,
+    exact 32-term support, alpha=0.25). The sequential recurrence
+    ``y_n = a x_n + (1-a) y_{n-1}`` no engine folds associatively;
+    truncating at L=32 (tail weight <= 0.75^32 ~ 1e-4) turns it into a
+    bounded per-key window both engines compute identically: weight
+    ladder by repeated exact double multiplication (0.75^j exactly
+    representable through j=31), each term DECIMAL(38,15)-quantized and
+    summed exactly (source_entropy_report doctrine ⇒ combine-order-free),
+    one double division, round 6. The oracle builds the identical ladder
+    with a recursive CTE and joins it on lag. Plan: one user-keyed
+    window (frame state <= 32 values) + one keyed rollup electing the
+    final row via the (ts, event_id) total-order struct max — no global
+    window, no Python."""
+    from arrowhouse_spark.operators.timeseries import ewma
+
+    ev = _events(spark, sf_dir)
+    sm = ewma(
+        ev, ["user_id"], ["ts", "event_id"], "value",
+        alpha=0.25, lookback=32, out_col="__ewma",
+    )
+    return sm.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(F.struct("ts", "event_id", "__ewma"))["__ewma"].alias(
+            "ewma_last"
+        ),
+    )
+
+
+@register(
+    "regression_by_segment",
+    """
+    SELECT c_mktsegment,
+           CAST(regr_count(o_totalprice, c_acctbal) AS BIGINT) AS n,
+           round(regr_slope(o_totalprice, c_acctbal), 6) AS slope,
+           round(regr_intercept(o_totalprice, c_acctbal), 4) AS intercept,
+           round(regr_r2(o_totalprice, c_acctbal), 6) AS r2,
+           round(regr_avgx(o_totalprice, c_acctbal), 4) AS avg_x,
+           round(regr_avgy(o_totalprice, c_acctbal), 4) AS avg_y
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def regression_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares regression aggregates — the SQL:2003
+    ``REGR_*`` family (slope/intercept/R²/means of order totalprice on
+    customer account balance, per market segment). Absent from the
+    reference's aggregate factory (`/root/reference/AggregateFunctions/
+    IAggregateFunction.h:454-473` enables only count/sum/avg/min/max/any);
+    engine-native superset here — Spark's `regr_*` run as Tungsten
+    central-moment aggregates with partial→final combine, so the whole
+    query is one broadcast join + one keyed agg, zero Python. Rounding to
+    4-6 dp follows the stats_moments doctrine: the merge formula's double
+    arithmetic is partition-order-sensitive in the last ulps, and the
+    round collapses that (bit-exactness re-proved per round by the
+    determinism audit). Plan at 100 TB: customer broadcasts (or shuffles
+    at dim scale — semantics unchanged), orders streams map-side into the
+    5-key partial agg; no window, no collect."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    y, x = F.col("o_totalprice"), F.col("c_acctbal")
+    return j.groupBy("c_mktsegment").agg(
+        F.regr_count(y, x).cast("long").alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+    )

@@ -1,0 +1,1448 @@
+"""Query suite chunk: see the package __init__ docstring. Positional slice of the original suite.py (registration order is load-bearing for the driver rotation — do not reorder)."""
+
+# ruff: noqa: F401  (shared header imports; unused ones kept for uniformity)
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arrowhouse_spark.session import shuffle_parts
+
+from arrowhouse_spark.compile import apply_program
+from arrowhouse_spark.functions import hashing
+from arrowhouse_spark.operators.dedup import (
+    dedup_exact,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from arrowhouse_spark.operators.asof import asof_join
+from arrowhouse_spark.operators.merge import merge_sorted, replace_merge_agg
+from arrowhouse_spark.operators.sessions import session_stats
+from arrowhouse_spark.operators.setops import except_all, intersect
+from arrowhouse_spark.operators.similarity import (
+    ann_cosine_ivf_kmeans,
+    ann_cosine_lsh_multi,
+    cosine_topk_query,
+    embedding_neardup_pairs,
+)
+from arrowhouse_spark.operators.sort import SortKey, top_k
+from arrowhouse_spark.operators.text import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from arrowhouse_spark.program import (
+    AggOp,
+    AggregateAssign,
+    Assign,
+    GroupBy,
+    Op,
+    Program,
+    ProgramStep,
+    const,
+)
+
+
+from arrowhouse_spark.suite import (
+    _doc_shingles_guarded,
+    _doc_shingles_stopfiltered,
+    _doc_text_tokens,
+    _parquet_num_rows,
+    _rel_cached,
+    _t,
+    register,
+)
+
+# ---------------------------------------------------------------------------
+# Round 4 additions: incremental dedup, cross-doc line dedup (C4-style
+# boilerplate removal), token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_docs",
+    r"""
+    WITH fps AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             doc_id % 3 AS part
+      FROM documents
+    ), winners AS (
+      SELECT fp, min(doc_id) AS doc_id FROM fps WHERE part != 0 GROUP BY fp
+    )
+    SELECT doc_id, fp FROM winners
+    WHERE fp NOT IN (SELECT DISTINCT fp FROM fps WHERE part = 0)
+    """,
+)
+def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest exact dedup (operators/dedup.py:dedup_incremental):
+    docs with doc_id % 3 == 0 act as the historical fingerprint store, the
+    rest as the new batch; survivors are first-in-batch per fingerprint AND
+    unseen in the store. Anti-join + groupBy both shuffle (fp, id) only."""
+    from arrowhouse_spark.operators.dedup import dedup_incremental
+    from arrowhouse_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    seen = fingerprint(docs.filter(F.col("doc_id") % 3 == 0)).select("fp")
+    return dedup_incremental(new, seen)
+
+
+@register(
+    "line_dedup_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), lns AS (
+      SELECT doc_id,
+             [{'pos': i, 'line': array_to_string(w[i*10+1 : i*10+10], ' ')}
+              FOR i IN range(0, CAST(ceil(len(w)/10.0) AS BIGINT))] AS ls
+      FROM lns_src
+    ), lines AS (
+      SELECT doc_id, unnest(ls, recursive := true) FROM lns
+    ), dfc AS (
+      SELECT line, count(DISTINCT doc_id) AS c FROM lines GROUP BY line
+    ), kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l JOIN dfc ON l.line = dfc.line WHERE dfc.c <= 5
+    )
+    SELECT doc_id,
+           string_agg(line, ' ' ORDER BY pos) AS text,
+           CAST(count(*) AS BIGINT) AS n_lines_kept
+    FROM kept GROUP BY doc_id
+    """.replace("lns_src", "toks"),
+)
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup (operators/dedup.py:line_dedup_lines — the
+    C4/CCNet boilerplate-removal step): documents are chunked into 10-token
+    'lines', any line occurring in more than 5 distinct docs is dropped
+    everywhere, and docs are reassembled from their surviving lines in
+    order. Line df-counting and the anti-join ride an 8-byte line hash."""
+    from arrowhouse_spark.operators.dedup import line_dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(w) / F.lit(10.0)).cast("int")
+    ls = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(w, i * F.lit(10) + 1, 10), " "),
+    )
+    lines = docs.select("doc_id", F.posexplode(ls).alias("pos", "line"))
+    return line_dedup_lines(lines, max_df=5, sep=" ")
+
+
+@register(
+    "pack_sequences_docs",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS INT)
+               AS n_tokens,
+             (('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 32)::BIGINT AS bucket
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens, bucket,
+             sum(n_tokens) OVER (PARTITION BY bucket
+                                 ORDER BY n_tokens DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS strt
+      FROM d
+    )
+    SELECT doc_id, n_tokens, bucket,
+           CAST(strt // 200 AS BIGINT) AS pack_id,
+           CAST(strt % 200 AS BIGINT) AS pack_off
+    FROM c
+    """,
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/packing.py): docs scatter
+    into 32 md5 buckets, first-fit-decreasing order within each bucket, and
+    packs cut at 200-token boundaries from the running sum — one shuffle +
+    one PARTITIONED window, identical deterministic rule in both engines."""
+    from arrowhouse_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=200)
+
+
+@register(
+    "ngram_jaccard_stopfiltered",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gs
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(gs) AS shingle FROM grams
+    ), dfc AS (
+      SELECT shingle, count(*) AS c FROM sh GROUP BY shingle
+    ), shf AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle)
+      WHERE dfc.c <= 30
+    ), sizes AS (
+      SELECT doc_id, count(*) AS set_size FROM shf GROUP BY doc_id
+    ), inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_common
+      FROM shf l JOIN shf r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.2
+    """,
+)
+def ngram_jaccard_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard under stop-shingle removal (max_shingle_df=30): the
+    web-scale skew cap — boilerplate shingles drop before the join, Jaccard
+    measures the filtered sets on both engines. At this sf the filter
+    observably changes the answer (27 pairs vs 25 unfiltered: removing hot
+    shingles shrinks unions and promotes two near-pairs past the
+    threshold), so the oracle pins the filtered semantics, not a no-op.
+
+    The df cap is applied via the persisted shared relation
+    (:func:`_doc_shingles_stopfiltered`, backed by
+    operators/dedup.py:stop_shingle_filter — the same code path
+    ``max_shingle_df=30`` would take), so repeated executions pay the
+    df-aggregation + anti-join once instead of rebuilding the shingle
+    relation from raw text every pass."""
+    from arrowhouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        shingle_n=2,
+        threshold=0.2,
+        shingles=_doc_shingles_stopfiltered(spark, sf_dir, 2, 30),
+        n_docs=_parquet_num_rows(sf_dir, "documents"),
+    )
+
+
+@register(
+    "ngram_containment_dups",
+    """
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             array_to_string(
+               list_filter(string_split(text, ' '), x -> x != '')[1:12], ' '
+             ) AS text
+      FROM documents WHERE doc_id % 17 = 0
+    ), toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM base
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gs
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(gs) AS shingle FROM grams
+    ), sizes AS (
+      SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_common
+      FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / sa.set_size, 6) AS cont_a_in_b,
+           round(n_common / sb.set_size, 6) AS cont_b_in_a,
+           round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE greatest(round(n_common / sa.set_size, 6),
+                   round(n_common / sb.set_size, 6)) >= 0.9
+    """,
+)
+def ngram_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.py:
+    ngram_containment_pairs): C(A⊂B) = |A∩B|/|A| — the subset-duplicate
+    signal Jaccard misses. Excerpt documents (first 12 tokens of every
+    17th doc, id+100000) are synthesized identically on both sides, so
+    the oracle pins true asymmetric pairs: excerpt⊂original rows carry
+    cont≈1.0 with low jaccard, while the fixture's exact duplicates show
+    containment 1.0 in BOTH directions."""
+    from arrowhouse_spark.operators.dedup import (
+        ngram_containment_pairs,
+        shingle_relation,
+    )
+    from arrowhouse_spark.operators.text import tokens
+
+    # shared-relation discipline: corpus shingles = session-persisted base
+    # relation ∪ the (tiny) excerpt shingles, persisted once — repeated
+    # executions skip re-shingling the whole corpus from raw text
+    key = (spark.sparkContext.applicationId, sf_dir, "shgcont", 2)
+
+    def build() -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        excerpts = docs.filter(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(tokens("text"), 1, 12)).alias("text"),
+        )
+        n_part = shuffle_parts(spark)
+        return (
+            _doc_shingles_guarded(spark, sf_dir, 2)
+            .unionByName(shingle_relation(excerpts, shingle_n=2))
+            .repartition(n_part, "shingle")
+            .persist()
+        )
+
+    return ngram_containment_pairs(
+        spark.createDataFrame([], "doc_id long, text string"),  # unused: shingles given
+        shingle_n=2,
+        threshold=0.9,
+        shingles=_rel_cached(key, build),
+    )
+
+
+@register(
+    "source_mixed_sample",
+    """
+    WITH w(source, w) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),
+    counts AS (
+      SELECT d.source, count(*) AS n_avail, any_value(w.w) AS w
+      FROM documents d JOIN w ON d.source = w.source GROUP BY d.source
+    ), m AS (
+      SELECT min(n_avail // w) AS m FROM counts
+    ), plan AS (
+      SELECT source, w * m.m AS take_n FROM counts, m
+    ), ranked AS (
+      SELECT d.doc_id, d.source, p.take_n,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('mix' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d JOIN plan p ON d.source = p.source
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM ranked WHERE rn <= take_n GROUP BY source
+    """,
+)
+def source_mixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing (operators/sampling.py): the largest
+    sample matching a 5/3/2 weight mix over three sources without
+    upsampling, rows chosen by the engine-independent md5 rank. The oracle
+    recomputes plan and sample in SQL; sum/min of sampled ids pin the exact
+    row selection, not just the counts."""
+    from arrowhouse_spark.operators.sampling import source_mixed_sample as sms
+
+    out = sms(
+        _t(spark, sf_dir, "documents"),
+        weights={"src0": 5, "src1": 3, "src2": 2},
+        key="doc_id",
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+@register(
+    "temperature_mix_sample",
+    """
+    WITH counts AS (
+      SELECT source, count(*) AS n_avail FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(pow(n_avail, 0.7)) AS t FROM counts
+    ), plan AS (
+      SELECT source, n_avail,
+             least(CAST(floor(round(200 * pow(n_avail, 0.7) / tot.t, 6))
+                   AS BIGINT), n_avail) AS take_n
+      FROM counts, tot
+    ), ranked AS (
+      SELECT d.doc_id, d.source, p.take_n,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('tmix' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d JOIN plan p USING (source)
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM ranked WHERE rn <= take_n GROUP BY source
+    """,
+)
+def temperature_mix_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial temperature mixing (operators/sampling.py:
+    temperature_mix_sample, after the GPT-3/XLM-R α-sampling knob): per
+    source take ∝ n^0.7 of a 200-doc budget, rows chosen by the
+    engine-independent md5 rank. One keyed count + |sources|-row broadcast
+    plan + bounded per-source windows; sum/min of sampled ids pin the
+    exact row selection. The oracle replays pow/round/floor with the
+    6-decimal pin."""
+    from arrowhouse_spark.operators.sampling import temperature_mix_sample as tms
+
+    out = tms(_t(spark, sf_dir, "documents"), alpha=0.7, total=200, key="doc_id")
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+@register(
+    "doc_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT sum(tf) AS total FROM tf
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens_lm,
+           round(avg(-ln(tf.tf / tot.total)), 3) AS mean_neg_logprob
+    FROM toks t JOIN tf USING (tok), tot
+    GROUP BY t.doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy (operators/text.py:unigram_logprob_score)
+    — per-doc mean −ln p(token) under the self-corpus unigram model. The
+    3-decimal rounding absorbs cross-engine libm/summation-order ulp noise
+    in the double sums; both engines compute the identical rational p."""
+    from arrowhouse_spark.operators.text import unigram_logprob_score
+
+    return unigram_logprob_score(_t(spark, sf_dir, "documents"))
+
+
+# (the Σ(pos+1)·id sequence checksum both vocab_encode_docs and the
+# composed pipelines pin is now computed inside operators/text.py:
+# vocab_encode(with_ids=False) — folded into the hash aggregate instead of
+# being re-derived from a materialized ids array)
+
+
+@register(
+    "pipeline_pretrain_corpus",
+    """
+    WITH toks0 AS MATERIALIZED (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ), scal AS (
+      SELECT doc_id,
+             CAST(len(w) AS INTEGER) AS n_words,
+             round((length(text) - (len(w) - 1)) / greatest(len(w), 1), 6) AS mwl,
+             round(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                   / greatest(len(w), 1), 6) AS awr,
+             round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                   / greatest(length(text), 1), 6) AS symr
+      FROM toks0
+    ), bgc AS (
+      SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+        FROM toks0
+      ) GROUP BY 1, 2
+    ), tbf AS (
+      SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+      FROM bgc GROUP BY 1
+    ), gpass AS (
+      SELECT s.doc_id FROM scal s LEFT JOIN tbf t ON s.doc_id = t.doc_id
+      WHERE s.n_words >= 50 AND s.n_words <= 100000
+        AND s.mwl >= 3 AND s.mwl <= 10 AND s.awr >= 0.8 AND s.symr <= 0.1
+        AND coalesce(t.top_bigram_frac, 0.0) <= 0.18
+    ), surv1 AS MATERIALIZED (
+      SELECT d.doc_id, d.text FROM documents d JOIN gpass USING (doc_id)
+    ), keep AS (
+      SELECT min(doc_id) AS doc_id FROM surv1
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ), surv2 AS MATERIALIZED (
+      SELECT s.doc_id, s.text FROM surv1 s JOIN keep USING (doc_id)
+    ), t2 AS MATERIALIZED (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM surv2
+    ), wins AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS win
+      FROM t2, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+    ), wc AS (
+      SELECT win, count(*) AS c FROM wins GROUP BY win
+    ), dup AS (
+      SELECT doc_id, pos FROM wins JOIN wc USING (win) WHERE wc.c >= 2
+    ), cov AS (
+      SELECT doc_id, count(DISTINCT tp) AS covered
+      FROM dup, unnest(generate_series(pos, pos + 7)) AS u(tp) GROUP BY doc_id
+    ), surv3 AS MATERIALIZED (
+      SELECT t2.doc_id, t2.w FROM t2 LEFT JOIN cov USING (doc_id)
+      WHERE round(coalesce(cov.covered, 0) / greatest(len(t2.w), 1), 6) <= 0.2
+    ), pe AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS pos, w[i] AS tok
+      FROM surv3, unnest(generate_series(1, len(w))) AS t(i)
+    ), tf AS (
+      SELECT tok, count(*) AS tf FROM pe GROUP BY tok
+    ), vocab AS (
+      SELECT tok, CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) AS INTEGER) AS tid
+      FROM tf ORDER BY tf DESC, tok ASC LIMIT 500
+    ), enc AS (
+      SELECT pe.doc_id, pe.pos, coalesce(vocab.tid, 0) AS tid
+      FROM pe LEFT JOIN vocab USING (tok)
+    ), encagg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_unk,
+             CAST(sum((pos + 1) * tid) AS BIGINT) AS ids_checksum
+      FROM enc GROUP BY doc_id
+    ), pk0 AS (
+      SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+             (('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 32)::BIGINT AS bucket
+      FROM surv3
+    ), pk AS (
+      SELECT doc_id, bucket,
+             sum(n_tokens) OVER (PARTITION BY bucket
+                                 ORDER BY n_tokens DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS strt
+      FROM pk0
+    )
+    SELECT e.doc_id, e.n_tokens, e.n_unk, e.ids_checksum, p.bucket,
+           CAST(p.strt // 200 AS BIGINT) AS pack_id,
+           CAST(p.strt % 200 AS BIGINT) AS pack_off
+    FROM encagg e JOIN pk p USING (doc_id)
+    """,
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-data build as ONE composed plan, every stage a
+    round-proven operator: Gopher quality filter → exact dedup (min-id per
+    fingerprint) → duplicated-span filter (≤20% covered tokens) → corpus
+    vocab encoding (V=500, UNK=0) → token-budget sequence packing (b=200).
+    Output is one row per surviving document carrying its encoded-sequence
+    checksum AND its pack placement — the oracle replays all five stages in
+    SQL, so the hash compare certifies the END-TO-END composition: a wrong
+    survivor set, a shifted id sequence, or a different pack layout all
+    flip it. Catalyst sees a single DAG: every shuffle is keyed
+    (fingerprint, window hash, token, doc, bucket), and each stage's
+    100 TB story is the operator's own (see SCALE.md).
+
+    Scan sharing (round-6, verdict item 1): every stage reads the ONE
+    session-persisted (doc_id, text, __toks) relation through its
+    operator's ``tokens_col`` seam — the corpus is scanned and tokenized
+    once per session, instead of once per stage family (previously ~56
+    pruned-but-separate document scan legs in the physical plan)."""
+    from arrowhouse_spark.operators.dedup import dedup_exact, dup_spans
+    from arrowhouse_spark.operators.packing import pack_sequences
+    from arrowhouse_spark.operators.text import gopher_quality, vocab_encode
+
+    base = _doc_text_tokens(spark, sf_dir).select("doc_id", "text", "__toks")
+    gpass = (
+        gopher_quality(base, tokens_col="__toks")
+        .filter(F.col("gopher_pass"))
+        .select("doc_id")
+    )
+    surv1 = base.join(gpass, "doc_id")
+    keep = dedup_exact(surv1).select(F.col("keep_id").alias("doc_id"))
+    surv2 = surv1.join(keep, "doc_id")
+    spanok = (
+        dup_spans(surv2, window=8, tokens_col="__toks")
+        .filter(F.col("dup_token_frac") <= 0.2)
+        .select("doc_id")
+    )
+    # Lineage cut at the last seam (lazy localCheckpoint): enc and packed
+    # BOTH consume surv3, and vocab_encode's token relation feeds two
+    # branches again — uncut, those consumers re-executed the whole
+    # gopher→dedup→spans chain per reference (measured 4.3-5.8 s noop at
+    # sf0.1; with the cut the survivors materialize once and the total is
+    # ~1 s). Same doctrine as pipeline_pretrain_full's seams.
+    surv3 = surv2.join(spanok, "doc_id").localCheckpoint(eager=False)
+    # with_ids=False: the pipeline only audits the sequence, so the
+    # checksum folds into the hash aggregate — no per-doc ids array build
+    enc = vocab_encode(
+        surv3, vocab_size=500, tokens_col="__toks", with_ids=False
+    )
+    packed = pack_sequences(surv3, budget=200, tokens_col="__toks").select(
+        "doc_id", "bucket", "pack_id", "pack_off"
+    )
+    return (
+        enc.select("doc_id", "n_tokens", "n_unk", "ids_checksum")
+        .join(packed, "doc_id")
+    )
+
+
+# Shared nine-stage SQL replay prefix (inject -> scrub -> QC -> Gopher ->
+# exact dedup -> dup-span filter -> 13-gram decontamination -> source
+# mixing): the `mixed` CTE is the stage seam both full-pipeline oracles
+# resume from — pipeline_pretrain_full appends the whitespace-vocab
+# encode + pack tail, pipeline_pretrain_full_bpe the batched-BPE
+# train/encode + pack tail.
+_PIPE_FULL_MIX_SQL = r"""
+    WITH inj AS (
+      SELECT doc_id, source,
+        text
+        || CASE WHEN doc_id % 7 = 0
+             THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+             THEN ' ip 10.0.' || (doc_id % 256) || '.17 seen' ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+             THEN ' call +1-555-' || (100 + doc_id % 900) || '-'
+                  || (1000 + doc_id % 9000) || ' today' ELSE '' END
+        || CASE WHEN doc_id % 31 = 0
+             THEN ' café �� ba' || chr(7) || 'd' ELSE '' END
+        AS text
+      FROM documents
+    ), scrubbed AS MATERIALIZED (
+      SELECT doc_id, source,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+          '\+\d{1,3}[-. ]\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]?\d{3,4}\b',
+          '<PHONE>', 'g') AS text
+      FROM inj
+    ), qc AS MATERIALIZED (
+      SELECT doc_id, source, text FROM scrubbed
+      WHERE length(text) = length(regexp_replace(text, '�', '', 'g'))
+        AND length(text) = length(regexp_replace(text,
+              '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'))
+        AND round((length(text) - length(regexp_replace(text,
+              '[^\x00-\x7f]', '', 'g'))) / greatest(length(text), 1), 6)
+              <= 0.25
+    ), toks0 AS MATERIALIZED (
+      SELECT doc_id, source, text,
+             list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM qc
+    ), scal AS (
+      SELECT doc_id,
+             CAST(len(w) AS INTEGER) AS n_words,
+             round((length(text) - (len(w) - 1)) / greatest(len(w), 1), 6) AS mwl,
+             round(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                   / greatest(len(w), 1), 6) AS awr,
+             round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                   / greatest(length(text), 1), 6) AS symr
+      FROM toks0
+    ), bgc AS (
+      SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+        FROM toks0
+      ) GROUP BY 1, 2
+    ), tbf AS (
+      SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+      FROM bgc GROUP BY 1
+    ), gpass AS (
+      SELECT s.doc_id FROM scal s LEFT JOIN tbf t ON s.doc_id = t.doc_id
+      WHERE s.n_words >= 50 AND s.n_words <= 100000
+        AND s.mwl >= 3 AND s.mwl <= 10 AND s.awr >= 0.8 AND s.symr <= 0.1
+        AND coalesce(t.top_bigram_frac, 0.0) <= 0.18
+    ), surv1 AS MATERIALIZED (
+      SELECT q.doc_id, q.source, q.text, q.w
+      FROM toks0 q JOIN gpass USING (doc_id)
+    ), keep AS (
+      SELECT min(doc_id) AS doc_id FROM surv1
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    ), surv2 AS MATERIALIZED (
+      SELECT s.doc_id, s.source, s.text, s.w FROM surv1 s JOIN keep USING (doc_id)
+    ), wins AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS win
+      FROM surv2, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+    ), wc AS (
+      SELECT win, count(*) AS c FROM wins GROUP BY win
+    ), dup AS (
+      SELECT doc_id, pos FROM wins JOIN wc USING (win) WHERE wc.c >= 2
+    ), cov AS (
+      SELECT doc_id, count(DISTINCT tp) AS covered
+      FROM dup, unnest(generate_series(pos, pos + 7)) AS u(tp) GROUP BY doc_id
+    ), surv3 AS MATERIALIZED (
+      SELECT s.doc_id, s.source, s.text, s.w FROM surv2 s LEFT JOIN cov USING (doc_id)
+      WHERE round(coalesce(cov.covered, 0) / greatest(len(s.w), 1), 6) <= 0.2
+    ), evtoks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents WHERE doc_id % 97 = 0
+    ), ev AS (
+      SELECT DISTINCT unnest([array_to_string(w[i:i+12], ' ')
+                              FOR i IN range(1, len(w) - 11)]) AS g
+      FROM evtoks
+    ), cgrams AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+12], ' ')
+                                   FOR i IN range(1, len(w) - 11)])) AS g
+      FROM surv3
+    ), contaminated AS (
+      SELECT DISTINCT c.doc_id FROM cgrams c JOIN ev ON c.g = ev.g
+    ), surv4 AS MATERIALIZED (
+      SELECT s.doc_id, s.source, s.w FROM surv3 s
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), wts(source, wt) AS (
+      VALUES ('src0', 3), ('src1', 2), ('src2', 1)
+    ), counts AS (
+      SELECT s.source, count(*) AS n_avail, any_value(wts.wt) AS wt
+      FROM surv4 s JOIN wts ON s.source = wts.source GROUP BY s.source
+    ), m AS (
+      SELECT min(n_avail // wt) AS m FROM counts
+    ), plan AS (
+      SELECT source, wt * m.m AS take_n FROM counts, m
+    ), ranked AS (
+      SELECT s.doc_id, s.source, s.w, p.take_n,
+             row_number() OVER (
+               PARTITION BY s.source
+               ORDER BY md5('mix' || CAST(s.doc_id AS VARCHAR)), s.doc_id
+             ) AS rn
+      FROM surv4 s JOIN plan p ON s.source = p.source
+    ), mixed AS MATERIALIZED (
+      SELECT doc_id, source, w FROM ranked WHERE rn <= take_n"""
+
+
+def _pipeline_full_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1-8 of the full pretraining build (inject -> PII scrub ->
+    encoding QC -> Gopher -> exact dedup -> dup-span filter -> 13-gram
+    decontamination -> source mixing), shared verbatim by
+    pipeline_pretrain_full (whitespace-vocab tail) and
+    pipeline_pretrain_full_bpe (batched-BPE tail). Returns the mixed
+    sample as (doc_id, source, text, __toks) — the `mixed` stage seam,
+    mirroring the oracle's _PIPE_FULL_MIX_SQL prefix."""
+    from arrowhouse_spark.operators.dedup import dedup_exact, dup_spans
+    from arrowhouse_spark.operators.packing import pack_sequences
+    from arrowhouse_spark.operators.sampling import source_mixed_sample as sms
+    from arrowhouse_spark.operators.text import (
+        decontaminate,
+        encoding_quality,
+        gopher_quality,
+        pii_scrub,
+        tokens,
+        vocab_encode,
+    )
+
+    n_part = shuffle_parts(spark)
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.repartition(n_part, "doc_id").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" ip 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".17 seen"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+                    F.lit("-"),
+                    (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+                    F.lit(" today"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 31 == 0, F.lit(" café �� ba\x07d")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scr = pii_scrub(injected).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    qc_ok = (
+        encoding_quality(scr).filter(F.col("encoding_clean")).select("doc_id")
+    )
+    # first lineage cut HERE, not only at surv2: sbase is referenced by
+    # gopher + surv1 and its own scrub/QC subtree references injected 3× —
+    # uncut, the surv2 checkpoint's plan still duplicated the regex-heavy
+    # scrub chain into ~36 scan legs (~100 CPU-s of repeated scrubbing at
+    # sf0.1, and every AQE plan-description render walks the exponential
+    # tree). With the cut no segment exceeds two reference levels.
+    sbase = (
+        injected.select("doc_id", "source")
+        .join(scr, "doc_id")
+        .join(qc_ok, "doc_id")
+        .select("doc_id", "source", "text", tokens("text").alias("__toks"))
+        .localCheckpoint(eager=False)
+    )
+    gpass = (
+        gopher_quality(sbase, tokens_col="__toks")
+        .filter(F.col("gopher_pass"))
+        .select("doc_id")
+    )
+    surv1 = sbase.join(gpass, "doc_id")
+    keep = dedup_exact(surv1).select(F.col("keep_id").alias("doc_id"))
+    # Lineage CUTS at the stage seams (lazy localCheckpoint): each stage
+    # family references its survivor input ~2× (the filter build and the
+    # join probe), so across nine stages the uncut logical plan duplicates
+    # the scrub/QC expression subtree ~2^9 times — the explain string
+    # alone OOMs a 1g driver, and execution piles hundreds of duplicate
+    # operator instances into fused tasks (measured
+    # UNABLE_TO_ACQUIRE_MEMORY under the 8g/16-thread gate session even
+    # with repartition barriers). A lazy checkpoint materializes the
+    # survivor relation ONCE at first execution and every downstream
+    # reference reads those blocks as a leaf — plan size back to linear,
+    # each mega-stage's memory released before the next begins. At 100 TB
+    # this materialization is exactly the persisted intermediate a real
+    # multi-day pipeline would write between stages anyway.
+    surv2 = surv1.join(keep, "doc_id").localCheckpoint(eager=False)
+    spanok = (
+        dup_spans(surv2, window=8, tokens_col="__toks")
+        .filter(F.col("dup_token_frac") <= 0.2)
+        .select("doc_id")
+    )
+    surv3 = surv2.join(spanok, "doc_id")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    decon_ok = (
+        decontaminate(surv3, ev, ngram_n=13)
+        .filter(~F.col("is_contaminated"))
+        .select("doc_id")
+    )
+    surv4 = surv3.join(decon_ok, "doc_id").localCheckpoint(eager=False)
+    mixed = sms(
+        surv4, weights={"src0": 3, "src1": 2, "src2": 1}, key="doc_id"
+    )
+    return mixed
+
+
+@register(
+    "pipeline_pretrain_full",
+    _PIPE_FULL_MIX_SQL + r"""
+    ), pe AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS pos, w[i] AS tok
+      FROM mixed, unnest(generate_series(1, len(w))) AS t(i)
+    ), tf AS (
+      SELECT tok, count(*) AS tf FROM pe GROUP BY tok
+    ), vocab AS (
+      SELECT tok, CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) AS INTEGER) AS tid
+      FROM tf ORDER BY tf DESC, tok ASC LIMIT 500
+    ), enc AS (
+      SELECT pe.doc_id, pe.pos, coalesce(vocab.tid, 0) AS tid
+      FROM pe LEFT JOIN vocab USING (tok)
+    ), encagg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_unk,
+             CAST(sum((pos + 1) * tid) AS BIGINT) AS ids_checksum
+      FROM enc GROUP BY doc_id
+    ), pk0 AS (
+      SELECT doc_id, source, CAST(len(w) AS INT) AS n_tokens,
+             (('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 32)::BIGINT AS bucket
+      FROM mixed
+    ), pk AS (
+      SELECT doc_id, source, bucket,
+             sum(n_tokens) OVER (PARTITION BY bucket
+                                 ORDER BY n_tokens DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS strt
+      FROM pk0
+    )
+    SELECT e.doc_id, p.source, e.n_tokens, e.n_unk, e.ids_checksum, p.bucket,
+           CAST(p.strt // 200 AS BIGINT) AS pack_id,
+           CAST(p.strt % 200 AS BIGINT) AS pack_off
+    FROM encagg e JOIN pk p USING (doc_id)
+    """,
+)
+def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pretraining-data build as one composed plan — round-6
+    verdict item 2, extending pipeline_pretrain_corpus with the remaining
+    proven stages on both ends: PII scrub → encoding QC → Gopher quality →
+    exact dedup → duplicated-span filter → 13-gram benchmark
+    decontamination → deterministic source mixing (3/2/1 over
+    src0/src1/src2) → corpus vocab encoding (V=500) → sequence packing
+    (b=200). Deterministic PII (every 7th/11th/13th doc) and mojibake
+    noise (every 31st) are INJECTED from doc_id on both sides so scrub
+    and QC make real decisions; the eval set is the doc_id%97 sample of
+    the RAW corpus, so surviving eval twins are really dropped. One row
+    per mixed-sample document: source + encoded-sequence checksum + pack
+    placement — the oracle replays all nine stages in SQL, so the hash
+    compare certifies the full composition (wrong survivor set at ANY
+    stage, wrong mix counts, shifted id sequence, or different pack
+    layout all flip it).
+
+    Scale: each stage keeps its operator's proven plan (scrub/QC are
+    map-side codegen; dedup/spans/vocab/pack shuffles are keyed; the
+    decontamination eval side is a broadcast; the exact-mix window is
+    per-source — the documented boundedness trade of
+    operators/sampling.py:source_mixed_sample). Scan sharing: scrub → QC
+    feed one repartitioned injected subtree, and every tokenizing stage
+    downstream reads the one (doc_id, source, text, __toks) relation
+    through its ``tokens_col`` seam."""
+    from arrowhouse_spark.operators.packing import pack_sequences
+    from arrowhouse_spark.operators.text import vocab_encode
+
+    mixed = _pipeline_full_mixed(spark, sf_dir)
+    enc = vocab_encode(
+        mixed, vocab_size=500, tokens_col="__toks", with_ids=False
+    )
+    packed = pack_sequences(mixed, budget=200, tokens_col="__toks").select(
+        "doc_id", "bucket", "pack_id", "pack_off"
+    )
+    return (
+        mixed.select("doc_id", "source")
+        .join(enc.select("doc_id", "n_tokens", "n_unk", "ids_checksum"), "doc_id")
+        .join(packed, "doc_id")
+    )
+
+
+def _bpe_full_tail_sql(n_merges: int, batch_size: int) -> str:
+    """The batched-BPE train/encode + pack tail appended to
+    _PIPE_FULL_MIX_SQL for pipeline_pretrain_full_bpe: BPE-trains on the
+    mixed sample with the same ranking/independence rule as
+    _bpe_batched_oracle_sql (per-pass top-``batch_size`` non-interfering
+    pairs, nested greedy replaces), then packs on the POST-MERGE token
+    counts. Starts with the close of the `mixed` CTE."""
+    s = "chr(31)"
+    n_passes = -(-n_merges // batch_size)
+    parts = [
+        f"""
+    ), bd0 AS MATERIALIZED (
+      SELECT doc_id, source,
+             {s} || array_to_string(w, {s}||{s}) || {s} AS s
+      FROM mixed WHERE len(w) > 0
+    )"""
+    ]
+    for i in range(1, n_passes + 1):
+        k = min(batch_size, n_merges - batch_size * (i - 1))
+        prev = f"bd{i - 1}"
+        parts.append(
+            f""", brk{i} AS MATERIALIZED (
+      SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+      FROM (
+        SELECT pair, count(*) AS cnt FROM (
+          SELECT a[ix] || {s} || a[ix + 1] AS pair FROM (
+            SELECT unnest(range(1, len(a))) AS ix, a FROM (
+              SELECT string_split(substr(s, 2, length(s) - 2), {s}||{s}) AS a
+              FROM {prev}
+            )
+          )
+        ) GROUP BY pair
+      )
+    ), btb{i} AS MATERIALIZED (
+      SELECT tok, min(rk) AS mrk FROM (
+        SELECT split_part(pair, {s}, 1) AS tok, rk FROM brk{i}
+        UNION ALL
+        SELECT split_part(pair, {s}, 2) AS tok, rk FROM brk{i}
+      ) GROUP BY tok
+    ), bsel{i} AS MATERIALIZED (
+      SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS j
+      FROM brk{i} r
+      JOIN btb{i} t1
+        ON t1.tok = split_part(r.pair, {s}, 1) AND t1.mrk = r.rk
+      JOIN btb{i} t2
+        ON t2.tok = split_part(r.pair, {s}, 2) AND t2.mrk = r.rk
+      QUALIFY j <= {k}
+    )"""
+        )
+        expr = "s"
+        for j in range(1, k + 1):
+            pat = (
+                f"coalesce((SELECT {s} || replace(pair, {s}, {s}||{s})"
+                f" || {s} FROM bsel{i} WHERE j = {j}),"
+                f" repeat(chr(31), 4))"
+            )
+            mrg = (
+                f"coalesce((SELECT {s} || replace(pair, {s}, '+')"
+                f" || {s} FROM bsel{i} WHERE j = {j}), '')"
+            )
+            expr = f"replace({expr},\n        {pat},\n        {mrg})"
+        parts.append(
+            f""", bd{i} AS MATERIALIZED (
+      SELECT doc_id, source, {expr} AS s
+      FROM {prev}
+    )"""
+        )
+    parts.append(
+        f""", benc AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(substr(s, 2, length(s) - 2),
+               {s}||{s})) AS INTEGER) AS n_bpe_tokens,
+             substr(md5(array_to_string(string_split(
+               substr(s, 2, length(s) - 2), {s}||{s}), ' ')), 1, 16)
+               AS bpe_checksum
+      FROM bd{n_passes}
+    ), bpk0 AS (
+      SELECT doc_id, source, n_bpe_tokens AS n_tokens,
+             (('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 32)::BIGINT AS bucket
+      FROM benc
+    ), bpk AS (
+      SELECT doc_id, bucket,
+             sum(n_tokens) OVER (PARTITION BY bucket
+                                 ORDER BY n_tokens DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS strt
+      FROM bpk0
+    )
+    SELECT e.doc_id, e.source, e.n_bpe_tokens, e.bpe_checksum, p.bucket,
+           CAST(p.strt // 200 AS BIGINT) AS pack_id,
+           CAST(p.strt % 200 AS BIGINT) AS pack_off
+    FROM benc e JOIN bpk p USING (doc_id)"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "pipeline_pretrain_full_bpe",
+    _PIPE_FULL_MIX_SQL + _bpe_full_tail_sql(16, 8),
+)
+def pipeline_pretrain_full_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-faithful flagship build (round-6 verdict #2): the
+    same nine-stage pipeline as pipeline_pretrain_full, but the
+    whitespace-vocab encode stage is replaced by TRAINED batched BPE —
+    bpe_train_merges_batched (16 merges in 2 passes of top-8
+    non-interfering pairs) learns on the mixed sample through the shared
+    ``__toks`` seam, every merge is applied, and packing runs on the
+    POST-MERGE token counts. One row per mixed document: source,
+    post-BPE token count, a 16-hex checksum of the full merged token
+    sequence, and its pack placement. The oracle replays stages 1-8 via
+    the shared _PIPE_FULL_MIX_SQL prefix and the BPE train/encode/pack
+    tail as unrolled SQL, so the hash pins the survivor set, every
+    learned merge, every document's merged sequence, and the pack layout
+    in ONE compare.
+
+    Scale: stages 1-8 as pipeline_pretrain_full; the BPE stage adds 2
+    corpus passes (keyed pair counts + token-best aggregations, 1-row
+    broadcast merge arrays, lineage-cut between passes) — the pass count
+    is n_merges/batch_size by construction, the round-6 capability fix."""
+    from arrowhouse_spark.operators.bpe import bpe_train_merges_batched
+    from arrowhouse_spark.operators.packing import pack_sequences
+
+    mixed = _pipeline_full_mixed(spark, sf_dir)
+    _merges, enc = bpe_train_merges_batched(
+        mixed,
+        n_merges=16,
+        batch_size=8,
+        tokens_col="__toks",
+        return_encoded=True,
+    )
+    with_bpe = (
+        mixed.select("doc_id", "source")
+        .join(enc, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    packed = pack_sequences(
+        with_bpe, budget=200, tokens_col="bpe_tokens"
+    ).select("doc_id", "bucket", "pack_id", "pack_off")
+    return with_bpe.select(
+        "doc_id",
+        "source",
+        F.size("bpe_tokens").cast("int").alias("n_bpe_tokens"),
+        F.substring(F.md5(F.concat_ws(" ", "bpe_tokens")), 1, 16).alias(
+            "bpe_checksum"
+        ),
+    ).join(packed, "doc_id")
+
+
+@register(
+    "pipeline_daily_ingest",
+    r"""
+    WITH day1 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ), batch AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, text
+      FROM day1 WHERE doc_id % 21 = 0
+      UNION ALL
+      SELECT doc_id + 600000 AS doc_id, text FROM documents
+      WHERE doc_id % 3 != 0 AND doc_id % 33 = 1
+    ), store AS (
+      SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        AS fp
+      FROM day1
+    ), fps AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM batch WHERE text IS NOT NULL
+    ), surv AS (
+      SELECT min(doc_id) AS doc_id FROM fps
+      WHERE fp NOT IN (SELECT fp FROM store)
+      GROUP BY fp
+    )
+    SELECT b.doc_id,
+           CAST(len(list_filter(string_split(b.text, ' '), x -> x != ''))
+             AS INTEGER) AS n_tokens,
+           b.doc_id IN (SELECT doc_id FROM surv) AS kept_dedup,
+           b.doc_id IN (SELECT doc_id FROM surv)
+             AND len(list_filter(string_split(b.text, ' '), x -> x != ''))
+                 >= 30 AS kept
+    FROM batch b
+    """,
+)
+def pipeline_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-increment ops composition (the shape the incremental
+    operators exist FOR): day-1 corpus = doc_id%3=0; the day-2 raw batch is
+    everything else PLUS injected re-ingestions — every 21st day-1 doc
+    re-arrives under a new id (must drop vs the store) and every 33rd batch
+    doc arrives twice (must lose the within-batch min-id race) — then
+    dedup_incremental (within-batch winners anti-joined against the day-1
+    fingerprint store) and a token-count quality gate. One row per RAW
+    batch doc with its full verdict chain: (doc_id, n_tokens, kept_dedup,
+    kept) — the hash pins every per-doc decision at both stages, including
+    the injected dups actually dropping.
+
+    Scale: fingerprint store anti-join and the winners groupBy carry
+    (fp, id) only (dedup_incremental's documented shape — store bucketed
+    by fp at rest); the quality gate and verdict labeling are map-side
+    over the batch; the only other shuffle is the survivors join back."""
+    from arrowhouse_spark.operators.dedup import dedup_incremental
+    from arrowhouse_spark.operators.text import fingerprint, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    day1 = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select("doc_id", "text")
+        .unionByName(
+            day1.filter(F.col("doc_id") % 21 == 0).select(
+                (F.col("doc_id") + 500000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 33 == 1)
+            ).select((F.col("doc_id") + 600000).alias("doc_id"), "text")
+        )
+    )
+    store = fingerprint(day1).select("fp").distinct()
+    surv = dedup_incremental(batch, store).select(
+        "doc_id", F.lit(True).alias("__kept_dedup")
+    )
+    return (
+        token_count(batch)
+        .join(surv, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("__kept_dedup", F.lit(False)).alias("kept_dedup"),
+            (
+                F.coalesce("__kept_dedup", F.lit(False))
+                & (F.col("n_tokens") >= 30)
+            ).alias("kept"),
+        )
+    )
+
+
+def _binaryfile_oracle_sql() -> str:
+    """DuckDB oracle for the binaryFile ingestion source (round-6 verdict
+    #3): read_blob() over the SAME deterministic media directory the Spark
+    query scans — materialized at suite import via ensure_media_fixture()
+    so it exists whichever engine the gate runs first. The per-type
+    payload_md5 chains every file's full content hash in path order, so a
+    single flipped byte, missing file, or wrong type mapping flips the
+    compare."""
+    from arrowhouse_spark.sources.binaryfile import (
+        EXT_MEDIA_TYPE,
+        ensure_media_fixture,
+    )
+
+    d = ensure_media_fixture()
+    whens = "\n             ".join(
+        f"WHEN '{ext}' THEN '{mt}'"
+        for ext, mt in sorted(EXT_MEDIA_TYPE.items())
+    )
+    return rf"""
+    WITH typed AS (
+      SELECT CASE lower(regexp_extract(filename, '\.([A-Za-z0-9]+)$', 1))
+             {whens}
+             ELSE 'binary' END AS media_type,
+             filename, content, size
+      FROM read_blob('{d}/*')
+    )
+    SELECT media_type,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(size) AS BIGINT) AS total_bytes,
+           md5(string_agg(md5(upper(hex(content))), ''
+                          ORDER BY filename)) AS payload_md5
+    FROM typed GROUP BY media_type
+    """
+
+
+@register("binaryfile_ingest_stats", _binaryfile_oracle_sql())
+def binaryfile_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile media ingestion, oracle-proven end to end
+    (sources/binaryfile.py:read_binary_dir): scan the deterministic media
+    directory as a media table and roll up per media_type — file count,
+    total bytes, and a payload checksum chaining each file's full content
+    hash in path order. The oracle reads the same directory with DuckDB's
+    read_blob, so the hash compare certifies the source delivers
+    bit-identical payloads, correct file sizes, and the extension→type
+    mapping — not just row counts.
+
+    Scale: binaryFile reads content lazily per task and splits by file
+    across tasks (spark.sql.files.maxPartitionBytes), so a 100 TB media
+    lake scans like any other source; the rollup shuffles one
+    (media_type, path, md5) row per file, never payloads."""
+    from arrowhouse_spark.sources.binaryfile import (
+        ensure_media_fixture,
+        read_binary_dir,
+    )
+
+    d = ensure_media_fixture()
+    media = read_binary_dir(spark, d)
+    per = media.select(
+        "media_type",
+        "path",
+        "length",
+        F.md5(F.upper(F.hex("payload"))).alias("__h"),
+    )
+    return per.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("length").alias("total_bytes"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("path", "__h"))
+                    ),
+                    lambda s: s["__h"],
+                ),
+            )
+        ).alias("payload_md5"),
+    )
+
+
+def _media_dedup_oracle_sql() -> str:
+    from arrowhouse_spark.sources.binaryfile import ensure_media_fixture
+
+    d = ensure_media_fixture()
+    return rf"""
+    WITH f AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+             md5(upper(hex(content))) AS content_md5, size
+      FROM read_blob('{d}/*')
+    )
+    SELECT content_md5,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(fname) AS kept_file,
+           CAST(sum(size) - min(size) AS BIGINT) AS shed_bytes
+    FROM f GROUP BY content_md5
+    """
+
+
+@register("media_dedup_stats", _media_dedup_oracle_sql())
+def media_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload exact dedup over the media lake — the content-hash
+    image/audio dedup step of a multimodal pipeline, extension-blind (the
+    fixture plants bit-identical payloads under .png AND .jpg names, plus
+    exact re-uploads): per content group the copy count, the deterministic
+    keeper (min filename), and the bytes shed by dropping the rest. The
+    shuffle carries (16-byte content hash, name, length) rows — payloads
+    are hashed where they are read and never moved. Oracle = DuckDB
+    read_blob over the same directory."""
+    from arrowhouse_spark.sources.binaryfile import (
+        ensure_media_fixture,
+        read_binary_dir,
+    )
+
+    d = ensure_media_fixture()
+    media = read_binary_dir(spark, d)
+    per = media.select(
+        F.regexp_extract("path", "([^/]+)$", 1).alias("fname"),
+        F.md5(F.upper(F.hex("payload"))).alias("content_md5"),
+        F.col("length"),
+    )
+    return per.groupBy("content_md5").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("fname").alias("kept_file"),
+        (F.sum("length") - F.min("length")).alias("shed_bytes"),
+    )
+
+
+@register(
+    "shard_manifest",
+    """
+    WITH sharded AS (
+      SELECT (('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 8)::BIGINT AS shard,
+             doc_id, coalesce(text, '') AS text
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(string_split(text, ' '), x -> x != '')))
+             AS BIGINT) AS n_tokens,
+           CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+           CAST(bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+             1, 15))::UBIGINT) AS BIGINT) AS xor_checksum
+    FROM sharded GROUP BY shard
+    """,
+)
+def shard_manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export, proven end to end
+    (sources/shards.py): write documents as 8 md5-bucketed, id-sorted
+    parquet shards to a scratch directory, then RE-READ the files and roll
+    up the manifest a training loader consumes — per-shard doc count,
+    whitespace-token count, byte count, and an order-insensitive 60-bit XOR
+    content checksum over md5(doc_id ':' text). The oracle recomputes the
+    same assignment and rollup from the source table, so the hash compare
+    certifies the files on disk hold exactly the right rows, bit-identical
+    text, and nothing misrouted. The manifest is localCheckpointed (8 rows,
+    bounded by construction) before the scratch directory is removed."""
+    import shutil
+    import tempfile
+
+    from arrowhouse_spark.sources.shards import (
+        shard_manifest,
+        write_training_shards,
+    )
+
+    d = tempfile.mkdtemp(prefix="arrowhouse_shards_")
+    try:
+        write_training_shards(
+            _t(spark, sf_dir, "documents"), d, n_shards=8, id_col="doc_id"
+        )
+        return shard_manifest(spark, d).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "corpus_stats",
+    r"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(string_split(text, ' '), x -> x != '')))
+             AS BIGINT) AS n_tokens,
+           round(avg(len(list_filter(string_split(text, ' '), x -> x != ''))), 3)
+             AS avg_tokens,
+           CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)),
+             '\s+', ' ', 'g'))) AS BIGINT) AS n_distinct_contents,
+           round(1.0 - count(DISTINCT md5(regexp_replace(lower(trim(text)),
+             '\s+', ' ', 'g'))) / count(*), 6) AS dup_frac,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    """,
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card summary a training-data pipeline publishes with a
+    corpus snapshot: document/token counts, mean length, exact-duplicate
+    rate (via the dedup fingerprint), language and source cardinalities —
+    one aggregation pass over the corpus. Spark computes the three
+    count-distincts in one plan (EXPAND + two-phase aggregate — partial
+    maps combine map-side, so no key concentrates a reducer); at 100 TB
+    the distinct-content count is the only wide part and carries 16-byte
+    fingerprints, not text."""
+    from arrowhouse_spark.operators.text import fingerprint, tokens
+
+    docs = fingerprint(_t(spark, sf_dir, "documents"))
+    n_tok = F.size(tokens("text"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+        F.round(F.avg(n_tok), 3).alias("avg_tokens"),
+        F.count_distinct(F.col("fp")).alias("n_distinct_contents"),
+        F.round(
+            F.lit(1.0) - F.count_distinct(F.col("fp")) / F.count(F.lit(1)), 6
+        ).alias("dup_frac"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+    )
+
+
+@register(
+    "doc_normalize_nfc",
+    """
+    WITH inj AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 5 = 0
+                          THEN ' cafe' || chr(769) ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           nfc_normalize(text) AS text_norm,
+           CAST(length(text) - length(nfc_normalize(text)) AS INTEGER)
+             AS n_composed
+    FROM inj
+    """,
+)
+def doc_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (operators/text.py:normalize_text,
+    Arrow-batched unicodedata). Every 5th doc gets a combining acute
+    appended ('cafe' + U+0301 → NFC 'café', one codepoint shorter), so the
+    hash pins real composition on both sides; the untouched docs pin the
+    no-op path. n_composed counts the codepoints removed by composition."""
+    from arrowhouse_spark.operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    inj = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" cafe\u0301")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = normalize_text(inj)
+    return out.select(
+        "doc_id",
+        "text_norm",
+        (F.length("text") - F.length("text_norm")).cast("int").alias(
+            "n_composed"
+        ),
+    )
+
+
+@register(
+    "doc_remove_dup_spans",
+    """
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ), wins AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS win
+      FROM t, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS u(i)
+    ), own AS (
+      SELECT win, count(*) AS c, min(doc_id) AS odoc FROM wins GROUP BY win
+    ), own2 AS (
+      SELECT o.win, o.c, o.odoc, min(w.pos) AS opos
+      FROM own o JOIN wins w ON w.win = o.win AND w.doc_id = o.odoc
+      WHERE o.c >= 2
+      GROUP BY o.win, o.c, o.odoc
+    ), rm AS (
+      SELECT w.doc_id, w.pos
+      FROM wins w JOIN own2 ON w.win = own2.win
+      WHERE NOT (w.doc_id = own2.odoc AND w.pos = own2.opos)
+    ), covlist AS (
+      SELECT doc_id, list(DISTINCT tp) AS cov FROM (
+        SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tp FROM rm
+      ) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(array_to_string(
+             [t.w[i] FOR i IN range(1, len(t.w) + 1)
+              IF NOT list_contains(coalesce(c.cov, []), i - 1)], ' '), '')
+             AS text_clean,
+           CAST(len(t.w) AS INTEGER) AS n_tokens,
+           CAST(len(coalesce(c.cov, [])) AS INTEGER) AS n_removed
+    FROM t LEFT JOIN covlist c USING (doc_id)
+    """,
+)
+def doc_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (operators/dedup.py:remove_dup_spans): every
+    duplicated 8-token span keeps its first corpus occurrence
+    (lexicographic (doc_id, pos) owner) and is cut everywhere else; the
+    hash compare pins the REWRITTEN text of every document, so a wrong
+    owner, an off-by-one span boundary, or a miscounted overlap all flip
+    it. The flagging twin is doc_dup_spans."""
+    from arrowhouse_spark.operators.dedup import remove_dup_spans
+
+    out = remove_dup_spans(_t(spark, sf_dir, "documents"), window=8)
+    return out.select(
+        "doc_id",
+        "text_clean",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "n_removed",
+    )
+
+
