@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 
@@ -41,6 +43,7 @@ def test_components_random_graph(spark):
     assert got == _model(edges)
 
 
+@pytest.mark.slow
 def test_components_chain(spark):
     # a pure path graph has maximal diameter — worst case for propagation
     edges = [(i, i + 1) for i in range(20)]
@@ -70,6 +73,7 @@ def test_star_components_random_graph(spark):
     assert got == _model(edges)
 
 
+@pytest.mark.slow
 def test_star_components_long_chain(spark):
     # 150-vertex path: diameter far beyond the propagation round cap —
     # the star contraction must converge in O(log^2 n) rounds

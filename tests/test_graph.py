@@ -32,6 +32,7 @@ def _run(spark, edges, **kw):
     return {r["id"]: r["r"] for r in pagerank(df, **kw).collect()}
 
 
+@pytest.mark.slow
 def test_pagerank_matches_dense_model_on_cycle_with_dangling(spark):
     # A->B->C->A plus C->D where D dangles
     edges = [(1, 2), (2, 3), (3, 1), (3, 4)]
@@ -43,6 +44,7 @@ def test_pagerank_matches_dense_model_on_cycle_with_dangling(spark):
     assert sum(got.values()) == pytest.approx(1.0, rel=1e-12)
 
 
+@pytest.mark.slow
 def test_pagerank_parallel_edges_collapse_and_hub_wins(spark):
     # everything points at 9; duplicated edges must not double-count
     # at low even iteration counts the 1<->9 cycle oscillates (rank mass
@@ -56,6 +58,7 @@ def test_pagerank_parallel_edges_collapse_and_hub_wins(spark):
     assert got[9] == max(got.values())
 
 
+@pytest.mark.slow
 def test_pagerank_random_graph_differential(spark):
     rng = np.random.default_rng(7)
     edges = [
@@ -89,6 +92,7 @@ def _np_ppr(edges, seeds, iterations=5, d=0.85):
     return {nodes[i]: r[i] for i in range(n)}
 
 
+@pytest.mark.slow
 def test_personalized_pagerank_matches_dense_model(spark):
     from arrowhouse_spark.operators.graph import personalized_pagerank
 

@@ -202,6 +202,7 @@ def test_embedding_neardup_self_join_blocked(emb):
         assert r.id_a < r.id_b and r.cos_sim >= 0.99
 
 
+@pytest.mark.slow
 def test_ann_lsh_recall_improves_with_probe_radius(emb):
     """The probe_hamming dial buys recall monotonically, and hamming<=2
     recovers a usable fraction of the exact top-k even on these weakly
@@ -274,6 +275,7 @@ def test_embedding_neardup_autoblocks_without_group_col(spark):
     assert n_buckets > 1
 
 
+@pytest.mark.slow
 def test_ann_lsh_multi_recall_contract(emb):
     """The registered contract config (8 tables × 8 planes, radius 2) must
     find ≥9 of the true top-10 on the test fixture."""
@@ -283,6 +285,7 @@ def test_ann_lsh_multi_recall_contract(emb):
     assert len(exact & approx) >= 9
 
 
+@pytest.mark.slow
 def test_ann_ivf_kmeans_recall_contract(emb):
     """The registered contract config (16 k-means centroids, nprobe=8) must
     find ≥8 of the true top-10; nprobe=n_centroids degrades to brute force."""
@@ -508,6 +511,7 @@ def test_dedup_incremental_two_day_advance(spark):
     assert surv2 == [21]
 
 
+@pytest.mark.slow
 def test_ngram_jaccard_stop_shingle_filter(spark):
     """max_shingle_df: a permissive cap changes nothing; a tight cap drops
     boilerplate shingles so pairs sharing only boilerplate disappear."""
@@ -1475,6 +1479,7 @@ def test_quality_quantile_exact_vs_approx_bound(spark, sf_dir):
     assert len(flipped) <= 0.1 * n, (len(flipped), n)
 
 
+@pytest.mark.slow
 def test_minhash_hot_bucket_anchor_mode(spark):
     """Round-6 verdict #5: the max_bucket_size fallback bounds a
     boilerplate bucket's candidates to B-1 anchor pairs while leaving
@@ -1709,6 +1714,7 @@ def test_edit_distance_pairs_verifies_blocked_candidates(spark):
     assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2}  # (1,4) above bound
 
 
+@pytest.mark.slow
 def test_prefix_jaccard_matches_inverted_exactly(spark):
     """PPJoin-style prefix filtering is pure candidate pruning: the exact
     verify makes its output ROW-IDENTICAL to the inverted path at the

@@ -40,6 +40,9 @@ _ROWS = st.lists(
 )
 
 
+pytestmark = pytest.mark.slow  # full tier: streaming/property/e2e (see pytest.ini)
+
+
 @_SETTINGS
 @given(rows=_ROWS)
 def test_groupby_program_matches_duckdb(spark, rows):

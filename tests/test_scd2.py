@@ -5,6 +5,11 @@ import datetime as dt
 from arrowhouse_spark.operators.merge import scd2_from_log
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full tier: streaming/property/e2e (see pytest.ini)
+
+
 def _ts(h: int) -> dt.datetime:
     return dt.datetime(2024, 1, 1, h)
 

@@ -13,6 +13,11 @@ from arrowhouse_spark.sources.shards import shard_manifest, write_training_shard
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full tier: streaming/property/e2e (see pytest.ini)
+
+
 def _docs(spark):
     return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
 

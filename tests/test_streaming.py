@@ -30,6 +30,9 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
+pytestmark = pytest.mark.slow  # full tier: streaming/property/e2e (see pytest.ini)
+
+
 @pytest.fixture()
 def stream_dir(spark):
     d = tempfile.mkdtemp(prefix="ah_stream_")

@@ -14,6 +14,11 @@ SCHEMA = T.StructType(
 )
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full tier: streaming/property/e2e (see pytest.ini)
+
+
 def test_null_source(spark):
     df = null_source(spark, SCHEMA)
     assert df.count() == 0 and df.schema == SCHEMA

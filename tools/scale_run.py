@@ -1530,6 +1530,84 @@ def _gdpr(c: Ctx) -> dict:
     return {"sec": t, "rows": n}
 
 
+@op("trailing_range_window")
+def _trailing_range(c: Ctx) -> dict:
+    # round-9 addition (verdict item 7): time-based RANGE frame per user —
+    # frame state bounded by burst width (10 min), users scale with volume;
+    # expected flat-to-linear scan cost
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    t, n = timed(
+        lambda: c.events.select(
+            "user_id", F.count(F.lit(1)).over(w).alias("n10")
+        )
+        .groupBy("user_id")
+        .agg(F.max("n10"))
+        .count()
+    )
+    return {"sec": t, "users": n}
+
+
+@op("max_concurrency")
+def _max_concurrency(c: Ctx) -> dict:
+    # round-9 addition: sweep-line +1/-1 running sum — per-type partitioned
+    # window with O(1) integer state; expected linear in events
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = c.events
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("d"), "event_id"
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("t"),
+        F.lit(-1).alias("d"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = starts.unionAll(ends).withColumn("cur", F.sum("d").over(w))
+    t, n = timed(
+        lambda: run.groupBy("event_type").agg(F.max("cur")).count()
+    )
+    return {"sec": t, "types": n}
+
+
+@op("feature_hashing")
+def _feature_hashing(c: Ctx) -> dict:
+    # round-9 addition: hashing-trick vectorizer — map-side explode+bucket,
+    # one (doc,bucket) keyed count; expected linear in tokens
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.sampling import hash_bucket
+
+    toks = c.docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    vec = (
+        toks.select(
+            "doc_id", hash_bucket(F.col("tok"), 1024, salt="fh").alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t, n = timed(vec.count)
+    return {"sec": t, "cells": n}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
