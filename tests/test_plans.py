@@ -54,6 +54,18 @@ def test_groupby_limit_has_no_global_window(spark, sf_dir, qs):
     check_plan(df)  # forbids unpartitioned windows and cartesian products
 
 
+def test_groupby_limit_arrival_takeordered_and_broadcast(spark, sf_dir, qs):
+    """Arrival-order ANY: the kept-key election must be a TakeOrdered (never
+    a global sort) and the ≤max_rows key set must broadcast into semi/anti
+    joins — no sort-merge join of the fact table against itself."""
+    df = qs["groupby_limited_any_arrival"](spark, sf_dir)
+    r = check_plan(df, forbid_sortmerge_join=True)
+    assert r.has_take_ordered
+    t = plan_text(df).lower()
+    assert "rangepartitioning" not in t
+    assert "broadcasthashjoin" in t
+
+
 def test_replace_merge_window_is_partitioned(spark, sf_dir, qs):
     df = qs["replace_merge_latest"](spark, sf_dir)
     check_plan(df)
