@@ -1501,3 +1501,318 @@ def regression_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
         F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
     )
+
+
+@register(
+    "retention_cohorts_weekly",
+    """
+    WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+    c AS (SELECT user_id, date_trunc('week', first_ts) AS cw FROM f),
+    a AS (
+      SELECT e.user_id, date_trunc('week', e.ts) AS w, c.cw
+      FROM events e JOIN c USING (user_id)
+    )
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', CAST(cw AS DATE), CAST(w AS DATE)) / 7
+                AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM a GROUP BY 1, 2
+    """,
+)
+def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — THE product-analytics rollup (users
+    cohorted by first-activity week, counted in every later week they
+    return). Week buckets are Monday-floored on both engines
+    (date_trunc('week')), so the offset is an exact multiple of 7 days
+    and integer-exact cross-engine. Plan: one keyed min (first touch),
+    one broadcast join of the 1-row-per-user cohort relation back onto
+    events, one distinct-count rollup — at 100 TB the cohort relation is
+    user-dimension-sized (broadcast or shuffle join both fine), and no
+    window appears anywhere."""
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort = first.select(
+        "user_id", F.date_trunc("week", "first_ts").alias("cw")
+    )
+    a = ev.join(F.broadcast(cohort), "user_id").select(
+        "user_id", "cw", F.date_trunc("week", "ts").alias("w")
+    )
+    return a.groupBy(
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff(F.to_date("w"), F.to_date("cw")) / 7)
+        .cast("long")
+        .alias("week_offset"),
+    ).agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+
+
+@register(
+    "activity_streaks_islands",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS seq
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, seq,
+             seq - row_number() OVER (PARTITION BY user_id ORDER BY seq)
+               AS g
+      FROM d
+    ),
+    i AS (SELECT user_id, g, count(*) AS len FROM r GROUP BY 1, 2)
+    SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak
+    FROM i GROUP BY 1
+    """,
+)
+def activity_streaks_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (operators/intervals.py:gaps_islands): per user,
+    maximal streaks of CONSECUTIVE active days — the daily-streak /
+    uptime-run pattern the session family (time-gap based) cannot
+    express, because the grouping key is a VALUE run, not a time gap.
+    The rn-difference trick keeps it one partitioned window + keyed aggs;
+    day numbers are integer-exact on both engines. Plan: distinct
+    (user, day) first — the window's input is bounded by users x days,
+    not event volume — then O(1)-state window, two keyed rollups, all on
+    the same user partitioning."""
+    from arrowhouse_spark.operators.intervals import gaps_islands
+
+    ev = _events(spark, sf_dir)
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "seq"
+        ),
+    ).distinct()
+    isl = gaps_islands(days, ["user_id"], "seq", out_prefix="st")
+    return isl.groupBy("user_id").agg(
+        F.sum("st_len").cast("long").alias("active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("st_len").cast("long").alias("longest_streak"),
+    )
+
+
+@register(
+    "activity_coverage_union",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR s > max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS nw
+      FROM iv
+    ),
+    g AS (
+      SELECT user_id, s, e,
+             sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS grp
+      FROM f
+    ),
+    m AS (
+      SELECT user_id, grp, min(s) AS ms, max(e) AS me FROM g GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(sum(me - ms) AS BIGINT) AS covered_us,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM m GROUP BY 1
+    """,
+)
+def activity_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage (operators/intervals.py:
+    interval_union_length): total time covered by the UNION of each
+    user's overlapping 5-minute activity windows — total-active-time /
+    on-air-time, the question naive sum-of-durations OVERCOUNTS whenever
+    windows overlap. The linear sweep (running max-end flags merged-run
+    starts) replaces the naive range self-join; all arithmetic is exact
+    microsecond integers. Plan: one shuffle on user, two O(1)-state
+    windows over the same partitioning, two keyed rollups — no
+    self-join, no global window, volume-linear."""
+    from arrowhouse_spark.operators.intervals import interval_union_length
+
+    ev = _events(spark, sf_dir)
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(300_000_000)).alias("e"),
+    )
+    return interval_union_length(
+        iv, ["user_id"], "s", "e", out="covered_us"
+    ).select(
+        "user_id",
+        F.col("covered_us").cast("long").alias("covered_us"),
+        F.col("n_intervals").cast("long").alias("n_intervals"),
+    )
+
+
+@register(
+    "kanon_release_daily",
+    """
+    WITH d AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, user_id, value
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, day, count(DISTINCT user_id) AS nu
+      FROM d GROUP BY 1, 2
+    ),
+    small AS (SELECT event_type, day FROM g WHERE nu < 50)
+    SELECT d.event_type, d.day,
+           CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_individuals,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(d.value), 2) AS sum_value,
+           false AS suppressed
+    FROM d LEFT JOIN small s
+      ON d.event_type = s.event_type AND d.day = s.day
+    WHERE s.event_type IS NULL
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT '__suppressed__' AS event_type, '__suppressed__' AS day,
+           CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_individuals,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(d.value), 2) AS sum_value,
+           true AS suppressed
+    FROM d JOIN small s
+      ON d.event_type = s.event_type AND d.day = s.day
+    HAVING count(*) > 0
+    """,
+)
+def kanon_release_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate (operators/privacy.py:kanon_release):
+    the (event_type, day) rollup may only leave the platform where >= 50
+    distinct users back the cell; all smaller cells fold into ONE
+    reconciling '__suppressed__' remainder row (so released totals still
+    sum to the unsuppressed totals — the privacy companion to
+    gdpr_purge_audit). k=50 splits the sf0.01 fixture (42..67 users per
+    cell) so BOTH branches are exercised at the oracle gate; at sf0.001
+    everything suppresses and at sf0.1 nothing does — both degenerate
+    cases remain correct. Plan: one keyed distinct-count to find small
+    cells, broadcast semi/anti split (small-cell relation is
+    group-count-bounded), two aggregates — the dominant cost stays the
+    one groupBy the plain rollup pays."""
+    from arrowhouse_spark.operators.privacy import kanon_release
+
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+        "value",
+    )
+    return kanon_release(
+        d,
+        ["event_type", "day"],
+        "user_id",
+        {
+            "n_rows": F.count(F.lit(1)).cast("long"),
+            "sum_value": F.round(F.sum("value"), 2),
+        },
+        k=50,
+    )
+
+
+@register(
+    "trailing_refetch_dedup",
+    """
+    WITH d AS (
+      SELECT event_type, user_id, epoch_us(ts) AS tu, event_id FROM events
+    ),
+    l AS (
+      SELECT event_type,
+             tu - lag(tu) OVER (PARTITION BY user_id, event_type
+                                ORDER BY tu, event_id) AS gap
+      FROM d
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           CAST(count(*) - sum(CASE WHEN gap IS NOT NULL
+                                    AND gap <= 600000000
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM l GROUP BY 1
+    """,
+)
+def trailing_refetch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed dedup — a row is a duplicate iff the SAME
+    fingerprint (user, event_type) re-occurred within the previous 10
+    minutes; later re-occurrences count as fresh (the web-corpus
+    re-crawl rule: a page fetched again months later is a new snapshot,
+    the same page fetched twice in one crawl burst is a dup). Exact
+    dedup (dedup_exact) has no time axis; this is its windowed sibling,
+    one lag over the fingerprint partitioning in exact microsecond
+    integers. Plan: one shuffle on the fingerprint, O(1) window state,
+    one keyed rollup."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.unix_micros("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = ev.select(
+        "event_type",
+        (gap.isNotNull() & (gap <= F.lit(600_000_000)))
+        .cast("int")
+        .alias("is_dup"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+        (F.count(F.lit(1)) - F.sum("is_dup")).cast("long").alias("n_kept"),
+    )
+
+
+@register(
+    "cube_type_dow_totals",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow, value
+      FROM events
+    )
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(dow, -1) AS dow,
+           CAST(GROUPING(event_type, dow) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM d GROUP BY CUBE (event_type, dow)
+    """,
+)
+def cube_type_dow_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE / GROUPING SETS with grouping_id — the multi-dimensional
+    rollup surface next to the plain ROLLUP query
+    (rollup_status_priority): all four aggregation levels of
+    (event_type, ISO day-of-week) in one pass, each row tagged with the
+    engine's grouping bitmask (first CUBE column = most significant bit
+    on BOTH engines — pinned by the oracle). ISO weekday (Mon=1..Sun=7)
+    is the cross-engine-stable day key (Spark weekday()+1 == DuckDB
+    isodow). Plan: Spark expands the cube map-side and aggregates all
+    grouping sets in ONE partial→final pass — no N-pass union of
+    separate rollups."""
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        "event_type",
+        (F.weekday("ts") + F.lit(1)).cast("long").alias("dow"),
+        "value",
+    )
+    return (
+        d.cube("event_type", "dow")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("dow", F.lit(-1)).alias("dow"),
+            "gid",
+            "n",
+            "sum_value",
+        )
+    )

@@ -438,3 +438,31 @@ def test_abc_prefix_sum_no_global_window(spark, sf_dir, qs):
     # single-task the whole parts relation
     df = qs["abc_classification_parts"](spark, sf_dir)
     check_plan(df)
+
+
+def test_interval_union_windows_partitioned_no_selfjoin(spark, sf_dir, qs):
+    """The sweep form must never fall back to the naive range self-join:
+    no join at all in the plan, both windows user-partitioned."""
+    df = qs["activity_coverage_union"](spark, sf_dir)
+    check_plan(df)  # forbids unpartitioned windows / cartesian
+    t = plan_text(df).lower()
+    assert "join" not in t
+
+
+def test_kanon_release_broadcast_split(spark, sf_dir, qs):
+    """The small-cell relation is group-count-bounded and must broadcast
+    into the semi/anti split — never a sort-merge of events vs events."""
+    df = qs["kanon_release_daily"](spark, sf_dir)
+    check_plan(df, forbid_sortmerge_join=True)
+    assert "broadcasthashjoin" in plan_text(df).lower()
+
+
+def test_cube_is_single_pass_expand(spark, sf_dir, qs):
+    """CUBE must compile to one Expand + partial->final aggregate, not a
+    union of per-grouping-set scans."""
+    df = qs["cube_type_dow_totals"](spark, sf_dir)
+    r = check_plan(df)
+    t = plan_text(df).lower()
+    assert "expand" in t
+    assert r.partial_final_agg
+    assert r.exchanges == 1  # one shuffle for ALL four grouping sets
