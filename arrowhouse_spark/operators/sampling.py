@@ -401,3 +401,82 @@ def contrastive_negatives(
         .filter(F.col("neg_rank") <= k)
         .select("anchor_id", "neg_id", "neg_label", "neg_rank")
     )
+
+
+def waterfill_allocation(
+    avail: DataFrame,
+    key_col: str,
+    avail_col: str,
+    budget_frac: float | None = None,
+    budget: float | None = None,
+) -> DataFrame:
+    """Equal-share WATERFILLING of a token budget across sources with
+    availability caps — the mixture-design step of a training-data build
+    (each source should contribute equally, but a small source can't
+    supply its equal share, so its shortfall redistributes among the
+    uncapped sources; DoReMi-style mixture tuning reduces to this with
+    non-uniform weights). Returns one row per key: ``avail``, ``alloc``
+    (4 dp), ``rate`` = alloc/avail (6 dp), ``capped``.
+
+    Math: alloc_i = min(a_i, θ*) where the waterline θ* solves
+    Σ min(a_j, θ*) = B. θ* is found declaratively, with NO iteration and
+    NO window: every a_i is a candidate waterline; a key-pair join
+    computes alloc(a_i) = Σ_j min(a_j, a_i) (monotone in θ), the largest
+    candidate with alloc ≤ B anchors the closed-form
+    θ* = θ_lo + (B − alloc(θ_lo)) / |{j : a_j > θ_lo}|.
+
+    Determinism doctrine: availabilities are integers, so every
+    comparison and the anchor election are integer-exact; the single
+    double division producing θ* has identical operands on any engine —
+    bit-identical results without quantization tricks.
+
+    Scale: the join is |sources|², a DIMENSION-sized relation (sources,
+    not rows — never the corpus); everything below the one keyed agg
+    producing ``avail`` is broadcast-sized. With B ≥ Σ avail the
+    uncapped set is empty and θ* degenerates to max(a) — all sources
+    fully taken (guarded, no division by zero)."""
+    if (budget_frac is None) == (budget is None):
+        raise ValueError("pass exactly one of budget_frac / budget")
+    a = avail.select(
+        F.col(key_col).alias("__k"), F.col(avail_col).cast("double").alias("__a")
+    )
+    if budget is not None:
+        b = a.sparkSession.range(1).select(F.lit(float(budget)).alias("__b"))
+    else:
+        b = a.agg((F.lit(budget_frac) * F.sum("__a")).alias("__b"))
+    alloc_cand = (
+        a.select(F.col("__a").alias("__theta"))
+        .crossJoin(a.select(F.col("__a").alias("__o")))
+        .groupBy("__theta")
+        .agg(F.sum(F.least(F.col("__o"), F.col("__theta"))).alias("__al"))
+    )
+    lo = (
+        alloc_cand.crossJoin(F.broadcast(b))
+        .filter(F.col("__al") <= F.col("__b"))
+        .agg(F.coalesce(F.max("__theta"), F.lit(0.0)).alias("__theta_lo"))
+    )
+    alloc_lo = (
+        a.crossJoin(F.broadcast(lo))
+        .agg(
+            F.sum(F.least(F.col("__a"), F.col("__theta_lo"))).alias("__alloc_lo"),
+            F.sum((F.col("__a") > F.col("__theta_lo")).cast("long")).alias("__nu"),
+            F.first("__theta_lo").alias("__theta_lo"),
+        )
+    )
+    star = alloc_lo.crossJoin(F.broadcast(b)).select(
+        F.when(F.col("__nu") == 0, F.col("__theta_lo"))
+        .otherwise(
+            F.col("__theta_lo")
+            + (F.col("__b") - F.col("__alloc_lo")) / F.col("__nu")
+        )
+        .alias("__theta")
+    )
+    out = a.crossJoin(F.broadcast(star))
+    al = F.least(F.col("__a"), F.col("__theta"))
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__a").cast("long").alias("avail"),
+        F.round(al, 4).alias("alloc"),
+        F.round(al / F.col("__a"), 6).alias("rate"),
+        (F.col("__a") <= F.col("__theta")).alias("capped"),
+    )

@@ -638,3 +638,97 @@ def label_centroid_cosine(
             ).alias("centroid_cos")
         )
     )
+
+
+def quantize_vec(col: Column, scale: int = 1000) -> Column:
+    """Fixed-point vector quantization: floor(x*scale + 0.5) per component,
+    as longs. floor over identical IEEE doubles is bit-identical on ANY
+    engine (unlike round(), whose half-even vs half-away choice differs),
+    so every dot product downstream is an exact integer both engines
+    agree on — the determinism doctrine's integer-exactness trick applied
+    to embeddings."""
+    return F.transform(col, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized (long) vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def mmr_topk(
+    vectors: DataFrame,
+    query_vec: DataFrame,
+    k: int = 5,
+    pool_n: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998),
+    the diversity-aware final stage every retrieval pipeline puts after
+    its ANN stage: greedily pick k items maximizing
+    ``relevance − max-similarity-to-already-picked`` (λ=1/2 MMR, scores
+    kept integer by dropping the common ½ factor). Relevance and the
+    diversity penalty are EXACT integer inner products of fixed-point
+    quantized vectors (see quantize_vec) — the greedy argmax is therefore
+    deterministic with (score DESC, id ASC) tie-break and replayable
+    bit-for-bit by a SQL oracle, which float cosines cannot guarantee.
+
+    Returns (rank, id, s, penalty, score) for the k picks.
+
+    Scale: the ANN stage (cosine_topk_* / IVF / LSH here) bounds the pool
+    to ``pool_n`` rows FIRST — MMR is quadratic in what it re-ranks, so
+    it must only ever see a bounded candidate relation. The k driver
+    rounds each collect exactly ONE argmax row (TakeOrdered over the
+    pool; model-sized driver state, the kmeans-centroid precedent), and
+    the ≤k selected vectors broadcast into the penalty join."""
+    qv = quantize_vec(F.col(vec_col), scale)
+    pool = (
+        vectors.select(F.col(id_col).alias("__id"), qv.alias("__q"))
+        .crossJoin(
+            F.broadcast(
+                query_vec.select(quantize_vec(F.col(vec_col), scale).alias("__qq"))
+            )
+        )
+        .select("__id", "__q", int_dot(F.col("__q"), F.col("__qq")).alias("__s"))
+        .orderBy(F.col("__s").desc(), F.col("__id").asc())
+        .limit(pool_n)
+        .localCheckpoint(eager=False)  # the k rounds re-scan the pool
+    )
+    spark = vectors.sparkSession
+    selected: list = []  # rows: (rank, id, s, penalty)
+    sel_rows: list = []  # (id, qvec) for the penalty join
+    for rank in range(1, k + 1):
+        cand = pool
+        if sel_rows:
+            sel_df = F.broadcast(
+                spark.createDataFrame(sel_rows, "__sid long, __sq array<long>")
+            )
+            cand = (
+                pool.join(sel_df, pool["__id"] == F.col("__sid"), "left_anti")
+                .crossJoin(sel_df.select("__sq"))
+                .groupBy("__id", "__q", "__s")
+                .agg(F.max(int_dot(F.col("__q"), F.col("__sq"))).alias("__pen"))
+            )
+        else:
+            cand = pool.withColumn("__pen", F.lit(0).cast("long"))
+        top = (
+            cand.orderBy(
+                (F.col("__s") - F.col("__pen")).desc(), F.col("__id").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        selected.append((rank, r["__id"], r["__s"], r["__pen"]))
+        sel_rows.append((r["__id"], list(r["__q"])))
+    return spark.createDataFrame(
+        [(rk, i, s, p, s - p) for rk, i, s, p in selected],
+        "rank long, vec_id long, s long, penalty long, score long",
+    )

@@ -1816,3 +1816,147 @@ def cube_type_dow_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "waterfill_source_budget",
+    """
+    WITH a AS (
+      SELECT source,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))) AS DOUBLE) AS av
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT 0.5 * sum(av) AS b FROM a),
+    cand AS (
+      SELECT t.av AS theta, sum(least(o.av, t.av)) AS al
+      FROM a t, a o GROUP BY 1
+    ),
+    lo AS (
+      SELECT coalesce(max(theta), 0) AS theta_lo
+      FROM cand, tot WHERE al <= b
+    ),
+    lo2 AS (
+      SELECT theta_lo,
+             (SELECT sum(least(av, theta_lo)) FROM a) AS alloc_lo,
+             (SELECT count(*) FROM a WHERE av > theta_lo) AS nu
+      FROM lo
+    ),
+    star AS (
+      SELECT CASE WHEN nu = 0 THEN theta_lo
+                  ELSE theta_lo + (b - alloc_lo) / nu END AS theta
+      FROM lo2, tot
+    )
+    SELECT source, CAST(av AS BIGINT) AS avail,
+           round(least(av, theta), 4) AS alloc,
+           round(least(av, theta) / av, 6) AS rate,
+           av <= theta AS capped
+    FROM a, star
+    """,
+)
+def waterfill_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture design by waterfilling (operators/sampling.py:
+    waterfill_allocation): spread a 50%-of-corpus token budget equally
+    across the 20 sources, capped by each source's actual token
+    availability — small sources contribute everything they have and
+    their shortfall redistributes among the rest (the step that turns a
+    target mixture into executable per-source sampling rates before
+    source_mixed_sample draws the rows). Closed-form waterline via a
+    sources² candidate join — NO iteration, NO window; availabilities
+    are integer-exact so the anchor election is deterministic and the
+    one double division has identical operands on both engines. Plan:
+    one keyed agg over the doc scan, then dimension-sized joins only."""
+    from arrowhouse_spark.operators.sampling import waterfill_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    av = docs.select(
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n"),
+    ).groupBy("source").agg(F.sum("n").alias("av"))
+    return waterfill_allocation(av, "source", "av", budget_frac=0.5)
+
+
+@register(
+    "mmr_diversified_topk",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    qv AS (SELECT q AS qq FROM v WHERE vec_id = 0),
+    pool AS (
+      SELECT vec_id, CAST(list_dot_product(v.q, qv.qq) AS BIGINT) AS s, v.q
+      FROM v, qv WHERE vec_id <> 0
+      ORDER BY s DESC, vec_id ASC LIMIT 50
+    ),
+    r1 AS (SELECT vec_id, s, q, CAST(0 AS BIGINT) AS pen FROM pool
+           ORDER BY s DESC, vec_id ASC LIMIT 1),
+    c2 AS (
+      SELECT p.vec_id, p.s, p.q,
+             CAST(list_dot_product(p.q, r1.q) AS BIGINT) AS pen
+      FROM pool p, r1 WHERE p.vec_id <> r1.vec_id
+    ),
+    r2 AS (SELECT vec_id, s, q, pen FROM c2
+           ORDER BY s - pen DESC, vec_id ASC LIMIT 1),
+    s2 AS (SELECT vec_id, q FROM r1 UNION ALL SELECT vec_id, q FROM r2),
+    c3 AS (
+      SELECT p.vec_id, p.s, p.q,
+             max(CAST(list_dot_product(p.q, s2.q) AS BIGINT)) AS pen
+      FROM pool p, s2
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM s2)
+      GROUP BY 1, 2, 3
+    ),
+    r3 AS (SELECT vec_id, s, q, pen FROM c3
+           ORDER BY s - pen DESC, vec_id ASC LIMIT 1),
+    s3 AS (SELECT vec_id, q FROM s2 UNION ALL SELECT vec_id, q FROM r3),
+    c4 AS (
+      SELECT p.vec_id, p.s, p.q,
+             max(CAST(list_dot_product(p.q, s3.q) AS BIGINT)) AS pen
+      FROM pool p, s3
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM s3)
+      GROUP BY 1, 2, 3
+    ),
+    r4 AS (SELECT vec_id, s, q, pen FROM c4
+           ORDER BY s - pen DESC, vec_id ASC LIMIT 1),
+    s4 AS (SELECT vec_id, q FROM s3 UNION ALL SELECT vec_id, q FROM r4),
+    c5 AS (
+      SELECT p.vec_id, p.s, p.q,
+             max(CAST(list_dot_product(p.q, s4.q) AS BIGINT)) AS pen
+      FROM pool p, s4
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM s4)
+      GROUP BY 1, 2, 3
+    ),
+    r5 AS (SELECT vec_id, s, q, pen FROM c5
+           ORDER BY s - pen DESC, vec_id ASC LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS rank, vec_id, s, pen AS penalty,
+           s - pen AS score FROM r1
+    UNION ALL SELECT 2, vec_id, s, pen, s - pen FROM r2
+    UNION ALL SELECT 3, vec_id, s, pen, s - pen FROM r3
+    UNION ALL SELECT 4, vec_id, s, pen, s - pen FROM r4
+    UNION ALL SELECT 5, vec_id, s, pen, s - pen FROM r5
+    """,
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (operators/similarity.py:mmr_topk) — the
+    post-ANN stage that keeps the final k results from being five copies
+    of the same cluster: greedy argmax of relevance minus max-similarity-
+    to-already-picked over a top-50 candidate pool for query vector 0.
+    Integer-exact by fixed-point quantization (floor(x*1000+0.5) — floor
+    of identical doubles is bit-identical cross-engine, round() is not),
+    so the greedy trace is deterministic and the oracle replays all five
+    rounds hand-unrolled (the pq_adc_topk unrolled-oracle precedent).
+    Plan: ANN bounds the pool FIRST (MMR is quadratic in its input, so
+    it must only see a bounded relation); each round is one TakeOrdered
+    argmax with the ≤5 picked vectors broadcast into the penalty join —
+    driver state is k rows, the kmeans-centroid precedent."""
+    from arrowhouse_spark.operators.similarity import mmr_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_topk(
+        emb.filter(F.col("vec_id") != 0),
+        emb.filter(F.col("vec_id") == 0),
+        k=5,
+        pool_n=50,
+    )

@@ -109,3 +109,34 @@ def test_ancestor_rollup_cur_substring_identifiers_untouched(spark):
         root_pred="cur = 0",
     ).collect()
     assert len(got) == len(out)
+
+
+def test_mmr_topk_hand_checked_diversity_beats_plain_topk(spark):
+    """Two near-identical high-relevance vectors: plain top-2 takes both,
+    MMR must take one of them plus the diverse lower-relevance vector."""
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.similarity import mmr_topk
+
+    # query (1, 0.5); a & b nearly identical high relevance; c orthogonal
+    # to them but relevant via the y-axis -> wins round 2 on diversity
+    rows = [
+        (1, [1.0, 0.0]),      # a: s = 1000*1000 = 1e6 (quantized)
+        (2, [0.999, 0.0]),    # b: s = 999000, pen vs a = 999000 -> score 0
+        (3, [0.0, 0.9]),      # c: s = 900*500 = 450000, pen vs a = 0
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.5])], "vec_id long, embedding array<double>"
+    )
+    out = {r.rank: (r.vec_id, r.s, r.penalty, r.score)
+           for r in mmr_topk(vecs, q, k=3, pool_n=10).collect()}
+    assert out[1] == (1, 1000000, 0, 1000000)
+    # round 2: c (450000 - 0) beats b (999000 - 999000 = 0)
+    assert out[2] == (3, 450000, 0, 450000)
+    # round 3: b remains; penalty = max(dot(b,a)=999000, dot(b,c)=0)
+    assert out[3] == (2, 999000, 999000, 0)
+
+    # plain top-2 by relevance would have been {1, 2}: MMR diverges
+    picks = [r.vec_id for r in mmr_topk(vecs, q, k=2, pool_n=10).collect()]
+    assert set(picks) == {1, 3}

@@ -300,3 +300,47 @@ def test_contrastive_negatives_excludes_same_label_and_self(spark):
 
     with pytest.raises(ValueError):
         contrastive_negatives(anchors, pool, "vid", "lab", k=0)
+
+
+def test_waterfill_allocation_hand_checked(spark):
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from arrowhouse_spark.operators.sampling import waterfill_allocation
+
+    av = spark.createDataFrame(
+        [("a", 10), ("b", 40), ("c", 100)], "src string, n long"
+    )
+
+    def run(**kw):
+        return {
+            r.src: (r.avail, r.alloc, r.rate, r.capped)
+            for r in waterfill_allocation(av, "src", "n", **kw).collect()
+        }
+
+    # B=90: waterline exactly at 40 -> a,b capped, c gets its equal share
+    got = run(budget=90.0)
+    assert got == {
+        "a": (10, 10.0, 1.0, True),
+        "b": (40, 40.0, 1.0, True),
+        "c": (100, 40.0, 0.4, False),
+    }
+    # B=120: shortfall of a,b redistributes entirely to c (waterline 70)
+    got = run(budget=120.0)
+    assert got["c"] == (100, 70.0, 0.7, False)
+    assert sum(v[1] for v in got.values()) == 120.0
+    # B >= total availability: everything capped, no division by zero
+    got = run(budget=500.0)
+    assert all(v[3] for v in got.values())
+    assert sum(v[1] for v in got.values()) == 150.0
+    # budget_frac form: 0.5 * 150 = 75 -> waterline between 10 and 40:
+    # theta = 10 + (75 - alloc(10)=30... alloc(10)=10+10+10=30) / 2 = 32.5
+    got = run(budget_frac=0.5)
+    assert got["a"] == (10, 10.0, 1.0, True)
+    assert got["b"] == (40, 32.5, 0.8125, False)
+    assert got["c"] == (100, 32.5, 0.325, False)
+
+    with pytest.raises(ValueError):
+        waterfill_allocation(av, "src", "n")
+    with pytest.raises(ValueError):
+        waterfill_allocation(av, "src", "n", budget=1.0, budget_frac=0.5)
