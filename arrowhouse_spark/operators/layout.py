@@ -140,3 +140,99 @@ def layout_manifest(
             )
         ],
     )
+
+
+def hilbert_value(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    bits: int = 8,
+    out_col: str = "hvalue",
+) -> DataFrame:
+    """Append the 2-D HILBERT curve index of (col_x, col_y) as ``out_col``
+    — the space-filling curve with strictly better locality than Morton
+    (Z-order's diagonal jumps split clusters across files; Hilbert's
+    unit-step curve keeps every quantized neighborhood contiguous, the
+    reason Iceberg/Delta expose it next to ZORDER).
+
+    Both integer columns quantize to ``bits`` bits over their observed
+    [min, max] with exact BIGINT DIV (the zorder_value discipline), then
+    the canonical xy2d loop (public-domain form, e.g. Wikipedia
+    "Hilbert curve", after Hamilton 2006's compact algorithm) unrolls to
+    ``bits`` static expression steps:
+
+        for s in 2^(bits-1) .. 1:            # one unrolled step each
+            rx, ry = (x & s) > 0, (y & s) > 0
+            d += s*s * ((3*rx) XOR ry)
+            if ry == 0:                      # quadrant rotation
+                if rx == 1: x, y = N-1-x, N-1-y
+                x, y = y, x
+
+    Every operation is integer shift/mask/add on identical inputs, so the
+    key is bit-exact on any engine — the oracle replays the same unroll.
+
+    Scale: one 1-row min/max aggregate broadcast into a pure-codegen
+    map-side expression (the unroll is ~bits*10 integer ops per row, no
+    UDF, no shuffle); pair with repartitionByRange(hvalue) +
+    layout_manifest exactly like zorder_value."""
+    if bits < 1 or bits > 31:
+        raise ValueError(f"need 1 <= bits <= 31, got {bits}")
+    for c in (col_x, col_y):
+        t = df.schema[c].dataType.typeName()
+        if t in ("double", "float") or t.startswith("decimal"):
+            raise TypeError(
+                f"hilbert_value needs integer columns; {c} is {t} — "
+                "pre-bucket it (e.g. cast(v * 100 as long)) first"
+            )
+    bounds = df.agg(
+        F.min(F.col(col_x).cast("long")).alias("__mn_x"),
+        F.max(F.col(col_x).cast("long")).alias("__mx_x"),
+        F.min(F.col(col_y).cast("long")).alias("__mn_y"),
+        F.max(F.col(col_y).cast("long")).alias("__mx_y"),
+    )
+    qmax = (1 << bits) - 1
+    wb = df.crossJoin(F.broadcast(bounds))
+
+    def quant(c: str, mn: str, mx: str) -> Column:
+        return F.when(
+            F.col(mx) == F.col(mn), F.lit(0).cast("long")
+        ).otherwise(
+            F.expr(
+                f"((CAST({c} AS BIGINT) - {mn}) * {qmax}) DIV ({mx} - {mn})"
+            )
+        )
+
+    n1 = F.lit((1 << bits) - 1)  # N-1 for the reflection
+    # Each unrolled step binds (x, y, d) to NAMED columns: inlining them as
+    # nested expressions instead grows the tree ~5x per step (x' and y'
+    # each reference both predecessors several times) and Catalyst analysis
+    # on the 5^bits-node tree never returns. withColumns evaluates every
+    # expression against the PRE-update row — the simultaneous assignment
+    # the algorithm needs — and CollapseProject keeps the steps separate
+    # because merging would duplicate non-cheap expressions.
+    cur = wb.withColumns(
+        {
+            "__hx": quant(col_x, "__mn_x", "__mx_x"),
+            "__hy": quant(col_y, "__mn_y", "__mx_y"),
+            "__hd": F.lit(0).cast("long"),
+        }
+    )
+    hx, hy, hd = F.col("__hx"), F.col("__hy"), F.col("__hd")
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.shiftright(hx, i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(hy, i).bitwiseAND(F.lit(1))
+        refl_x = F.when(rx == 1, n1 - hx).otherwise(hx)
+        refl_y = F.when(rx == 1, n1 - hy).otherwise(hy)
+        cur = cur.withColumns(
+            {
+                "__hd": hd
+                + F.lit(s * s).cast("long")
+                * (F.lit(3) * rx).bitwiseXOR(ry).cast("long"),
+                "__hx": F.when(ry == 0, refl_y).otherwise(hx),
+                "__hy": F.when(ry == 0, refl_x).otherwise(hy),
+            }
+        )
+    return cur.withColumn(out_col, hd).drop(
+        "__hx", "__hy", "__hd", "__mn_x", "__mx_x", "__mn_y", "__mx_y"
+    )

@@ -1960,3 +1960,84 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         pool_n=50,
     )
+
+
+def _hilbert_oracle_sql(bits: int = 8) -> str:
+    """Unrolled xy2d replay for the hilbert_layout_manifest oracle: two
+    CTEs per curve step (rx/ry election, then the simultaneous (x,y,d)
+    update — SQL has no multiple-assignment, so each step is its own
+    relation). All integer shift/mask/CASE arithmetic, bit-exact vs
+    operators/layout.py:hilbert_value."""
+    n1 = (1 << bits) - 1
+    parts = [f"""
+    WITH b AS (
+      SELECT min(user_id) AS mnx, max(user_id) AS mxx,
+             min(epoch_us(ts)) AS mny, max(epoch_us(ts)) AS mxy
+      FROM events
+    ),
+    q AS (
+      SELECT user_id AS raw_x, epoch_us(ts) AS raw_y,
+        CASE WHEN mxx = mnx THEN 0
+             ELSE ((user_id - mnx) * {n1}) // (mxx - mnx) END AS x,
+        CASE WHEN mxy = mny THEN 0
+             ELSE ((epoch_us(ts) - mny) * {n1}) // (mxy - mny) END AS y,
+        CAST(0 AS BIGINT) AS d
+      FROM events, b
+    )"""]
+    prev = "q"
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        parts.append(f""",
+    r{i} AS (
+      SELECT raw_x, raw_y, x, y, d,
+             (x >> {i}) & 1 AS rx, (y >> {i}) & 1 AS ry
+      FROM {prev}
+    ),
+    s{i} AS (
+      SELECT raw_x, raw_y,
+        CASE WHEN ry = 0
+             THEN CASE WHEN rx = 1 THEN {n1} - y ELSE y END
+             ELSE x END AS x,
+        CASE WHEN ry = 0
+             THEN CASE WHEN rx = 1 THEN {n1} - x ELSE x END
+             ELSE y END AS y,
+        d + {s * s} * xor(3 * rx, ry) AS d
+      FROM r{i}
+    )""")
+        prev = f"s{i}"
+    parts.append(f"""
+    SELECT d >> 10 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(raw_x) AS BIGINT) AS min_x,
+           CAST(max(raw_x) AS BIGINT) AS max_x,
+           CAST(min(raw_y) AS BIGINT) AS min_y,
+           CAST(max(raw_y) AS BIGINT) AS max_y
+    FROM {prev} GROUP BY 1""")
+    return "".join(parts)
+
+
+@register("hilbert_layout_manifest", _hilbert_oracle_sql(8))
+def hilbert_layout_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout manifest (operators/layout.py:hilbert_value)
+    — the space-filling-curve sibling of zorder_key_layout with strictly
+    better locality (no Morton diagonal jumps), over (user_id, event
+    time) quantized to an 8-bit grid. The per-bucket min/max manifest is
+    exactly what a lakehouse writes per data file after an OPTIMIZE
+    rewrite: both dimensions' spans tighten simultaneously, which is the
+    measurable point of the curve. Exact integer quantization (BIGINT
+    DIV) + an unrolled integer xy2d — bit-exact on any engine, oracle
+    replays the full unroll. Plan: 1-row bounds aggregate broadcast into
+    a pure-codegen map-side expression chain (no UDF, no HOF), one keyed
+    rollup; the layout rewrite itself is repartitionByRange(hvalue)."""
+    from arrowhouse_spark.operators.layout import hilbert_value
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("x"), F.unix_micros("ts").alias("y")
+    )
+    hv = hilbert_value(ev, "x", "y", bits=8)
+    return hv.groupBy(F.shiftright("hvalue", 10).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("x").cast("long").alias("min_x"),
+        F.max("x").cast("long").alias("max_x"),
+        F.min("y").cast("long").alias("min_y"),
+        F.max("y").cast("long").alias("max_y"),
+    )

@@ -196,3 +196,48 @@ def test_zorder_repartition_write_produces_tight_file_stats(spark, tmp_path):
     # half the unclustered area, and at least one file must be tight
     assert sum(areas) < 0.5 * unclustered
     assert min(areas) <= 32 * 16
+
+
+def test_hilbert_value_matches_xy2d_model_and_is_bijective(spark):
+    """hilbert_value vs the canonical public-domain xy2d loop, on a grid
+    sample whose min/max pin quantization to the identity."""
+    import random
+
+    import pytest
+    from arrowhouse_spark.operators.layout import hilbert_value
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rng = random.Random(7)
+    pts = list({(rng.randrange(256), rng.randrange(256)) for _ in range(200)})
+    pts += [(0, 0), (255, 255), (0, 255), (255, 0)]
+    pts = list(dict.fromkeys(pts))
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.hvalue
+        for r in hilbert_value(df, "x", "y", bits=8).collect()
+    }
+    assert all(got[(x, y)] == xy2d(256, x, y) for x, y in pts)
+    assert len(set(got.values())) == len(pts)  # injective on the sample
+    assert all(0 <= v < 256 * 256 for v in got.values())
+
+    # Hilbert locality: the four corners of one quantized quadrant stay
+    # within that quadrant's d-range (Morton would too, but the unit-step
+    # property is what the manifest query measures end-to-end)
+    with pytest.raises(TypeError):
+        hilbert_value(
+            spark.createDataFrame([(1.0, 2)], "x double, y long"), "x", "y"
+        )
+    with pytest.raises(ValueError):
+        hilbert_value(df, "x", "y", bits=0)
