@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _STATE_OPS = ("count", "sum", "min", "max", "avg")
@@ -606,3 +606,143 @@ def cms_inner_product(
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
     )
     return per_row.agg(F.min("__ip").cast("long").alias(out))
+
+
+_TWO64 = "18446744073709551616"  # 2^64, exactly representable in decimal(20,0)
+
+
+def _kmv_u(hash_col: Column) -> Column:
+    """Spark xxhash64 as its UNSIGNED value in DECIMAL(20,0) — exact
+    two's-complement reinterpretation (h<0 → h + 2^64). The KMV order
+    statistic needs the unsigned ordering; decimals keep it exact where a
+    double would collapse nearby hashes."""
+    d = hash_col.cast("decimal(20,0)")
+    return (
+        F.when(hash_col < 0, d + F.lit(_TWO64).cast("decimal(21,0)"))
+        .otherwise(d)
+        .cast("decimal(20,0)")
+    )
+
+
+def kmv_state(
+    df: DataFrame, keys: Sequence[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """KMV (k-minimum-values, a.k.a. bottom-k / theta-sketch family)
+    distinct-count state: per key group, the k smallest DISTINCT unsigned
+    xxhash64 values of ``value_col`` (hashed via Spark's JVM xxhash64
+    seed-42 over the string form — the repo's DuckDB replay model makes
+    the whole sketch oracle-replayable bit-for-bit). Unlike HLL, KMV
+    states support SET ALGEBRA: union = merge-and-truncate, and the
+    Jaccard/intersection estimators below. Bacon et al. / Beyer et al.
+    (K-Minimum Values synopses) are the public references.
+
+    State relation: (keys..., r in 1..k, u DECIMAL(20,0)) — plain columns,
+    mergeable, idempotent under re-insertion (MIN-set of a set).
+
+    Scale: distinct (keys, u) first (the shuffle carries 8-byte hashes),
+    then ONE key-partitioned window truncates to k rows per key — state
+    size k x groups forever."""
+    if k < 2:
+        raise ValueError(f"need k >= 2, got {k}")
+    keys = list(keys)
+    u = _kmv_u(F.xxhash64(F.col(value_col).cast("string")))
+    dist = df.select(*keys, u.alias("u")).distinct()
+    w = Window.partitionBy(*keys).orderBy(F.col("u").asc())
+    return (
+        dist.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select(*keys, "r", "u")
+    )
+
+
+def kmv_merge(
+    states: DataFrame, keys: Sequence[str], k: int = 64
+) -> DataFrame:
+    """Fold KMV states by the surviving ``keys``: distinct union of the
+    hash sets, re-truncated to the k smallest — associative, commutative,
+    idempotent (any fold order gives the same sketch)."""
+    keys = list(keys)
+    dist = states.select(*keys, "u").distinct()
+    w = Window.partitionBy(*keys).orderBy(F.col("u").asc())
+    return (
+        dist.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select(*keys, "r", "u")
+    )
+
+
+def kmv_estimate(
+    state: DataFrame, keys: Sequence[str], k: int = 64, out: str = "est"
+) -> DataFrame:
+    """Distinct-count estimate per key: exact |state| when the sketch
+    never filled (n < k), else the order-statistic estimator
+    (k-1) * 2^64 / u_k (u_k = the k-th smallest = max of the state).
+    Deterministic cross-engine: u_k is an exact decimal both engines cast
+    to the SAME double, and (k-1)*2^64 is exactly representable."""
+    keys = list(keys)
+    two64 = float(int(_TWO64))
+    return state.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_state"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) < k,
+                F.count(F.lit(1)).cast("double"),
+            ).otherwise(
+                F.lit(float(k - 1) * two64) / F.max("u").cast("double")
+            ),
+            2,
+        ).alias(out),
+    )
+
+
+def kmv_union_intersect(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    k: int = 64,
+) -> DataFrame:
+    """Set-algebra estimates from two KEYLESS KMV states (fold keys away
+    with kmv_merge(st, keys=[]) first): the union sketch is the k
+    smallest of the combined hash sets; Jaccard = |hashes of the union
+    sketch present in BOTH inputs| / |union sketch| (the standard KMV
+    resemblance estimator); intersection = jaccard * union_est. One row
+    out: (n_union_state, union_est, jaccard, intersect_est). Everything
+    up to the two final double ops is exact integer/decimal arithmetic.
+
+    Scale: states are k rows each — every join here is broadcast-trivial;
+    the operator composes with daily kmv_state shards exactly like the
+    HLL/CMS merge families."""
+    a = state_a.select(F.col("u").alias("u")).distinct()
+    b = state_b.select(F.col("u").alias("u")).distinct()
+    uni = a.unionByName(b).distinct()
+    # k smallest of a <=2k-row relation: TakeOrderedAndProject, no window
+    union_state = uni.orderBy(F.col("u").asc()).limit(k)
+    marked = (
+        union_state.join(
+            a.withColumn("__ina", F.lit(1)), "u", "left"
+        ).join(b.withColumn("__inb", F.lit(1)), "u", "left")
+    )
+    two64 = float(int(_TWO64))
+    agg = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_state"),
+        F.max("u").alias("__umax"),
+        F.sum(
+            (F.col("__ina").isNotNull() & F.col("__inb").isNotNull()).cast(
+                "long"
+            )
+        ).alias("__both"),
+    )
+    union_est = F.when(
+        F.col("n_union_state") < k, F.col("n_union_state").cast("double")
+    ).otherwise(F.lit(float(k - 1) * two64) / F.col("__umax").cast("double"))
+    return agg.select(
+        "n_union_state",
+        F.round(union_est, 2).alias("union_est"),
+        F.round(
+            F.col("__both").cast("double") / F.col("n_union_state"), 6
+        ).alias("jaccard"),
+        F.round(
+            (F.col("__both").cast("double") / F.col("n_union_state"))
+            * union_est,
+            2,
+        ).alias("intersect_est"),
+    )

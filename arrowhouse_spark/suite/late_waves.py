@@ -2041,3 +2041,164 @@ def hilbert_layout_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").cast("long").alias("min_y"),
         F.max("y").cast("long").alias("max_y"),
     )
+
+
+def _kmv_hashed_cte() -> str:
+    """Hashed (event_type, user) relation for the KMV oracles: Spark's JVM
+    xxhash64 (seed 42) replayed over the user_id string via the proven
+    arithmetic model (dedup_core._dd_spark_xxh64_str_stages)."""
+    from arrowhouse_spark.suite.dedup_core import _dd_spark_xxh64_str_stages
+    from arrowhouse_spark.suite.text_hash import _dd_chain
+
+    inner = _dd_chain(
+        "SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS t "
+        "FROM events",
+        _dd_spark_xxh64_str_stages("t", "H"),
+        "event_type, H",
+        base_cols=["event_type", "t"],
+    )
+    return f"hashed AS (SELECT event_type, H AS u FROM ({inner}))"
+
+
+_KMV_EST = (
+    "CASE WHEN {n} < 64 THEN CAST({n} AS DOUBLE) "
+    "ELSE {big} / CAST({umax} AS DOUBLE) END"
+).format
+
+
+def _kmv_by_type_oracle() -> str:
+    big = repr(63.0 * 18446744073709551616.0)
+    return f"""
+    WITH {_kmv_hashed_cte()},
+    ranked AS (
+      SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u) AS r
+      FROM (SELECT DISTINCT event_type, u FROM hashed)
+    ),
+    state AS (SELECT event_type, u FROM ranked WHERE r <= 64),
+    perk AS (
+      SELECT event_type, count(*) AS ns, max(u) AS umax
+      FROM state GROUP BY 1
+    ),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS exd
+      FROM events GROUP BY 1
+    )
+    SELECT p.event_type AS event_type, CAST(ns AS BIGINT) AS n_state,
+           round({_KMV_EST(n='ns', umax='umax', big=big)}, 2) AS est,
+           CAST(exd AS BIGINT) AS exact_distinct
+    FROM perk p JOIN ex USING (event_type)
+    """
+
+
+@register("kmv_distinct_users_by_type", _kmv_by_type_oracle())
+def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct sketch (operators/aggstate.py:kmv_state) —
+    the theta-family member of the mergeable-state set: unlike the HLL
+    blob it is a PLAIN relation of the k smallest hash values, so it is
+    partitionable at rest, byte-replayable by any engine with the same
+    hash (the suite's bit-exact xxhash64 model), and — the reason to add
+    it next to HLL — supports SET ALGEBRA (see
+    kmv_union_intersect_types). Per event type: state occupancy, the
+    (k-1)*2^64/u_k order-statistic estimate, and the exact distinct for
+    context. Plan: distinct shuffle carries 8-byte hashes, one keyed
+    window bounded to k rows per key, keyed rollups."""
+    from arrowhouse_spark.operators.aggstate import kmv_estimate, kmv_state
+
+    ev = _events(spark, sf_dir)
+    st = kmv_state(ev, ["event_type"], "user_id", k=64)
+    est = kmv_estimate(st, ["event_type"], k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_state", "est", "exact_distinct"
+    )
+
+
+def _kmv_union_oracle() -> str:
+    big = repr(63.0 * 18446744073709551616.0)
+    return f"""
+    WITH {_kmv_hashed_cte()},
+    ranked AS (
+      SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u) AS r
+      FROM (SELECT DISTINCT event_type, u FROM hashed)
+    ),
+    sa AS (SELECT u FROM ranked WHERE event_type = 'click' AND r <= 64),
+    sb AS (SELECT u FROM ranked WHERE event_type = 'view' AND r <= 64),
+    uni AS (
+      SELECT u FROM (SELECT u FROM sa UNION SELECT u FROM sb)
+      ORDER BY u LIMIT 64
+    ),
+    marked AS (
+      SELECT uni.u,
+             CASE WHEN sa.u IS NOT NULL AND sb.u IS NOT NULL THEN 1
+                  ELSE 0 END AS in_both
+      FROM uni LEFT JOIN sa ON uni.u = sa.u LEFT JOIN sb ON uni.u = sb.u
+    ),
+    agg AS (
+      SELECT count(*) AS nu, max(u) AS umax, sum(in_both) AS nb FROM marked
+    ),
+    ex AS (
+      SELECT count(DISTINCT user_id) FILTER (
+               WHERE event_type IN ('click', 'view')) AS ex_union,
+             count(DISTINCT CASE WHEN c > 0 AND v > 0
+                                 THEN user_id END) AS ex_inter
+      FROM (
+        SELECT user_id, event_type,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id) AS c,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id) AS v
+        FROM events WHERE event_type IN ('click', 'view')
+      )
+    )
+    SELECT CAST(nu AS BIGINT) AS n_union_state,
+           round({_KMV_EST(n='nu', umax='umax', big=big)}, 2) AS union_est,
+           round(CAST(nb AS DOUBLE) / nu, 6) AS jaccard,
+           round((CAST(nb AS DOUBLE) / nu)
+                 * ({_KMV_EST(n='nu', umax='umax', big=big)}), 2)
+             AS intersect_est,
+           CAST(ex_union AS BIGINT) AS exact_union,
+           CAST(ex_inter AS BIGINT) AS exact_intersect
+    FROM agg, ex
+    """
+
+
+@register("kmv_union_intersect_types", _kmv_union_oracle())
+def kmv_union_intersect_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra (operators/aggstate.py:kmv_union_intersect) — the
+    estimates HLL cannot give: union cardinality from the merged sketch,
+    Jaccard resemblance as the fraction of the union sketch's k minima
+    present in BOTH inputs (Beyer et al.'s KMV estimator), and the
+    intersection as jaccard x union. Inputs are the stored per-type
+    sketches of kmv_distinct_users_by_type — set algebra over states at
+    rest, never over the raw corpus. Exact union/intersection included
+    for context. Plan: every relation after the state build is <= k rows
+    — TakeOrdered + broadcast-trivial joins."""
+    from arrowhouse_spark.operators.aggstate import (
+        kmv_state,
+        kmv_union_intersect,
+    )
+
+    ev = _events(spark, sf_dir)
+    st = kmv_state(ev, ["event_type"], "user_id", k=64)
+    sa = st.filter(F.col("event_type") == "click").select("r", "u")
+    sb = st.filter(F.col("event_type") == "view").select("r", "u")
+    est = kmv_union_intersect(sa, sb, k=64)
+    both = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+            F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+        )
+    )
+    exact = both.agg(
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.sum(((F.col("c") == 1) & (F.col("v") == 1)).cast("long"))
+        .cast("long")
+        .alias("exact_intersect"),
+    )
+    return est.crossJoin(F.broadcast(exact))

@@ -354,3 +354,52 @@ def test_cms_inner_product_never_underestimates(spark):
     keyed = cms_state(a.withColumn("day", a.k % 2), ["day"], "k")
     with pytest.raises(ValueError, match="keyless"):
         cms_inner_product(keyed, cms_state(b, [], "k"))
+
+
+def test_kmv_state_merge_estimate_and_set_algebra(spark):
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.aggstate import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_state,
+        kmv_union_intersect,
+    )
+
+    # groups: g1 = 0..99, g2 = 50..149 -> |union|=150, |inter|=50, J=1/3
+    rows = [("g1", v) for v in range(100)] + [("g2", v) for v in range(50, 150)]
+    df = spark.createDataFrame(rows, "g string, v long")
+
+    st = kmv_state(df, ["g"], "v", k=32)
+    # duplicates cannot change a min-set sketch
+    st_dup = kmv_state(df.union(df), ["g"], "v", k=32)
+    assert sorted(map(tuple, st.collect())) == sorted(map(tuple, st_dup.collect()))
+
+    # split-build then merge == direct build (associative/idempotent)
+    halves = df.withColumn("h", F.col("v") % 2)
+    merged = kmv_merge(kmv_state(halves, ["g", "h"], "v", k=32), ["g"], k=32)
+    assert sorted(map(tuple, st.collect())) == sorted(map(tuple, merged.collect()))
+
+    # under-filled sketch is EXACT: only 10 distinct values
+    small = kmv_state(df.filter(F.col("v") < 10), ["g"], "v", k=32)
+    est_small = {r.g: r.est for r in kmv_estimate(small, ["g"], k=32).collect()}
+    assert est_small == {"g1": 10.0}
+
+    # filled sketch: order-statistic estimate within ~4/sqrt(k) of truth
+    est = {r.g: r.est for r in kmv_estimate(st, ["g"], k=32).collect()}
+    for g in ("g1", "g2"):
+        assert abs(est[g] - 100) / 100 < 0.75  # 32-min sketch, loose bound
+
+    # set algebra from the two keyless states
+    sa = st.filter(F.col("g") == "g1").select("r", "u")
+    sb = st.filter(F.col("g") == "g2").select("r", "u")
+    [row] = kmv_union_intersect(sa, sb, k=32).collect()
+    assert row.n_union_state == 32
+    assert abs(row.union_est - 150) / 150 < 0.75
+    assert 0.0 <= row.jaccard <= 1.0
+    assert abs(row.intersect_est - row.jaccard * row.union_est) < 0.02
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        kmv_state(df, ["g"], "v", k=1)
