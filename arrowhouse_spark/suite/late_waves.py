@@ -2202,3 +2202,56 @@ def kmv_union_intersect_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("exact_intersect"),
     )
     return est.crossJoin(F.broadcast(exact))
+
+
+@register(
+    "grid_radius_pairs_events",
+    """
+    WITH p AS (
+      SELECT event_id AS id,
+             (event_id * 2654435761) % 1000 AS x,
+             (event_id * 40503) % 1000 AS y
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS BIGINT)
+             AS min_d2,
+           CAST(max((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS BIGINT)
+             AS max_d2,
+           CAST(min(a.id) AS BIGINT) AS min_id_a,
+           CAST(sum(a.id + b.id) AS BIGINT) AS id_checksum
+    FROM p a, p b
+    WHERE a.id < b.id
+      AND b.x BETWEEN a.x - 8 AND a.x + 8
+      AND b.y BETWEEN a.y - 8 AND a.y + 8
+      AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 64
+    """,
+)
+def grid_radius_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join (operators/spatial.py:grid_radius_pairs)
+    — all point pairs within Euclidean distance 8 on a synthesized
+    1000x1000 integer grid (deterministic Knuth-multiplier scatter of
+    event_id, identical on both engines). The Spark plan is the
+    NEIGHBOR-CELL form — explode to 3x3 r-sized cells + one hash
+    equi-join, the only shape that survives at scale — while the ORACLE
+    is the O(n²) brute-force with the raw distance predicate: the
+    comparison certifies candidate-generation COMPLETENESS (every true
+    pair found), not just precision, which same-algorithm replay could
+    never prove. Rolled up to a count/extremes/checksum row so the
+    surface is volume-independent."""
+    from arrowhouse_spark.operators.spatial import grid_radius_pairs
+
+    ev = _events(spark, sf_dir)
+    p = ev.select(
+        F.col("event_id").alias("id"),
+        ((F.col("event_id") * F.lit(2654435761)) % 1000).alias("x"),
+        ((F.col("event_id") * F.lit(40503)) % 1000).alias("y"),
+    )
+    pairs = grid_radius_pairs(p, "id", "x", "y", radius=8)
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("dist2").cast("long").alias("min_d2"),
+        F.max("dist2").cast("long").alias("max_d2"),
+        F.min("id_a").cast("long").alias("min_id_a"),
+        F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("id_checksum"),
+    )

@@ -466,3 +466,13 @@ def test_cube_is_single_pass_expand(spark, sf_dir, qs):
     assert "expand" in t
     assert r.partial_final_agg
     assert r.exchanges == 1  # one shuffle for ALL four grouping sets
+
+
+def test_grid_radius_join_is_hash_equijoin_not_cartesian(spark, sf_dir, qs):
+    """The neighbor-cell form must compile to a cell-keyed hash join —
+    never a cartesian/broadcast-nested-loop theta join."""
+    df = qs["grid_radius_pairs_events"](spark, sf_dir)
+    check_plan(df)  # forbids cartesian products
+    t = plan_text(df).lower()
+    assert "broadcastnestedloop" not in t
+    assert "hashjoin" in t
