@@ -6,6 +6,7 @@ from arrowhouse_spark.streaming.replace import (
     read_parquet_stream,
     stream_bitmap_distinct,
     stream_cms,
+    stream_kmv,
     stream_dedup_exact,
     stream_dedup_first_seen,
     stream_hist,
@@ -27,6 +28,7 @@ __all__ = [
     "read_parquet_stream",
     "stream_bitmap_distinct",
     "stream_cms",
+    "stream_kmv",
     "stream_dedup_exact",
     "stream_dedup_first_seen",
     "stream_hist",

@@ -1113,3 +1113,60 @@ def stream_pareto(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_kmv(
+    sdf: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Continuously-maintained KMV distinct sketch — the streaming form of
+    operators/aggstate.py:kmv_state/kmv_estimate. The state per key is
+    the k smallest distinct unsigned xxhash64 values, a MIN-set: fold-in
+    is idempotent (re-delivered rows re-insert already-present minima and
+    change nothing) and order-free, so the estimate equals the batch
+    operator over all delivered rows after EVERY micro-batch — pinned in
+    tests. No declarative keyed aggregate can hold a truncated ordered
+    set, hence applyInPandasWithState (the stream_ewma pattern); state is
+    <= k longs per key forever. Emits (key, n_state, est) for touched
+    keys each batch.
+
+    Hashes are computed Spark-side (JVM xxhash64 over the string form —
+    identical to the batch sketch); the python state stores the SIGNED
+    long and orders by its unsigned reinterpretation."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if k < 2:
+        raise ValueError(f"need k >= 2, got {k}")
+    hashed = sdf.select(
+        F.col(key_col), F.xxhash64(F.col(value_col).cast("string")).alias("__h")
+    )
+    mask = (1 << 64) - 1
+    two64 = float(1 << 64)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        vs = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            vs.update(int(h) for h in pdf["__h"])
+        kept = sorted(vs, key=lambda h: h & mask)[:k]
+        state.update((kept,))
+        n = len(kept)
+        if n < k:
+            est = float(n)
+        else:
+            est = float(k - 1) * two64 / float(kept[-1] & mask)
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_state": [n], "est": [round(est, 2)]}
+        )
+
+    key_t = dict(sdf.dtypes)[key_col]
+    return hashed.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} {key_t}, n_state long, est double",
+        stateStructType="vs array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

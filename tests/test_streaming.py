@@ -1458,3 +1458,64 @@ def test_stream_pareto_frontier_folds_and_ledger_skips_replay(spark, tmp_path):
         (r["x"], r["y"]): (r["n_rows"], r["min_id"])
         for r in spark.read.parquet(store).collect()
     } == got
+
+
+def test_stream_kmv_matches_batch_estimate(spark, tmp_path):
+    """stream_kmv after all batches == kmv_estimate over the union (the
+    MIN-set state is order-free and idempotent; batch 2 re-delivers some
+    batch-1 values to prove it)."""
+    from arrowhouse_spark.operators.aggstate import kmv_estimate, kmv_state
+    from arrowhouse_spark.streaming import stream_kmv
+
+    PT = "g string, v long"
+    b1 = [("g1", v) for v in range(40)] + [("g2", v) for v in range(10)]
+    b2 = (
+        [("g1", v) for v in range(30, 70)]  # 30..39 re-delivered
+        + [("g2", v) for v in range(10)]    # all re-delivered
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    import time as _t
+
+    now = _t.time()
+    for i, rows in enumerate([b1, b2], start=1):
+        tmpd = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, PT).coalesce(1).write.parquet(tmpd)
+        [pf] = [f_ for f_ in os.listdir(tmpd) if f_.endswith(".parquet")]
+        dst = f"{src}/b{i}.parquet"
+        shutil.copy(f"{tmpd}/{pf}", dst)
+        os.utime(dst, (now - 600 + i * 60, now - 600 + i * 60))
+
+    sdf = (
+        spark.readStream.schema(PT).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_kmv(sdf, "g", "v", k=16)
+        .writeStream.format("memory")
+        .queryName("kmv_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # the final state per key: n_state is non-decreasing and u_k (the k-th
+    # minimum) only shrinks as the set grows, so est is monotone — the
+    # latest update is the (n_state, est) maximum
+    rows = spark.sql(
+        "SELECT * FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY g ORDER BY n_state DESC, est DESC) AS rn "
+        "FROM kmv_sink) WHERE rn = 1"
+    ).collect()
+    got = {r.g: (r.n_state, r.est) for r in rows}
+
+    union = spark.createDataFrame(b1 + b2, PT)
+    batch = {
+        r.g: (r.n_state, r.est)
+        for r in kmv_estimate(
+            kmv_state(union, ["g"], "v", k=16), ["g"], k=16
+        ).collect()
+    }
+    assert got == batch
+    # g2 never filled (10 distinct): exact count
+    assert got["g2"] == (10, 10.0)
