@@ -1608,6 +1608,99 @@ def _feature_hashing(c: Ctx) -> dict:
     return {"sec": t, "cells": n}
 
 
+@op("kmv_sketch")
+def _kmv(c: Ctx) -> dict:
+    # round-9 newcomer: distinct shuffle of 8-byte hashes + keyed window
+    # truncated to k rows — expected scan-linear, state k x groups
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.aggstate import kmv_estimate, kmv_state
+
+    ev = c.events.select(F.col("event_type"), F.col("user_id"))
+    st = kmv_state(ev, ["event_type"], "user_id", k=64)
+    t, n = timed(lambda: kmv_estimate(st, ["event_type"], k=64).count())
+    return {"sec": t, "groups": n}
+
+
+@op("interval_union")
+def _interval_union(c: Ctx) -> dict:
+    # round-9 newcomer: one user shuffle + two O(1)-state windows —
+    # expected flat (users scale with volume)
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.intervals import interval_union_length
+
+    iv = c.events.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(300_000_000)).alias("e"),
+    )
+    t, n = timed(lambda: interval_union_length(iv, ["user_id"], "s", "e").count())
+    return {"sec": t, "users": n}
+
+
+@op("grid_radius")
+def _grid_radius(c: Ctx) -> dict:
+    # round-9 newcomer: 3x3 cell explode + cell-keyed hash join — cost is
+    # sigma cell_density²; grid fixed so density (and pairs) grow with
+    # volume — expected superlinear ON THIS FIXTURE (density-driven), the
+    # real deployment scales the grid with the data
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.spatial import grid_radius_pairs
+
+    p = c.events.select(
+        F.col("event_id").alias("id"),
+        ((F.col("event_id") * F.lit(2654435761)) % 100000).alias("x"),
+        ((F.col("event_id") * F.lit(40503)) % 100000).alias("y"),
+    )
+    t, n = timed(lambda: grid_radius_pairs(p, "id", "x", "y", radius=50).count())
+    return {"sec": t, "pairs": n}
+
+
+@op("hilbert_key")
+def _hilbert(c: Ctx) -> dict:
+    # round-9 newcomer: 1-row bounds broadcast + pure-codegen map chain —
+    # expected scan-linear/flat
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.layout import hilbert_value
+
+    ev = c.events.select(
+        F.col("user_id").alias("x"), F.unix_micros("ts").alias("y")
+    )
+    t, n = timed(
+        lambda: hilbert_value(ev, "x", "y", bits=8)
+        .groupBy(F.shiftright("hvalue", 10))
+        .count()
+        .count()
+    )
+    return {"sec": t, "buckets": n}
+
+
+@op("kanon_release")
+def _kanon(c: Ctx) -> dict:
+    # round-9 newcomer: one distinct-count agg + broadcast semi/anti split
+    # — expected the cost of the plain rollup
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.privacy import kanon_release
+
+    d = c.events.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+        "value",
+    )
+    t, n = timed(
+        lambda: kanon_release(
+            d, ["event_type", "day"], "user_id",
+            {"n_rows": F.count(F.lit(1))}, k=50,
+        ).count()
+    )
+    return {"sec": t, "released_rows": n}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
