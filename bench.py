@@ -192,6 +192,20 @@ HEADLINE = [
     "basket_pair_lift",
     "cms_join_size_estimate",
     "abc_classification_parts",
+    # round 9 additions (no prior-round delta basis)
+    "groupby_limited_any_arrival",
+    "retention_cohorts_weekly",
+    "activity_streaks_islands",
+    "activity_coverage_union",
+    "kanon_release_daily",
+    "trailing_refetch_dedup",
+    "cube_type_dow_totals",
+    "waterfill_source_budget",
+    "mmr_diversified_topk",
+    "hilbert_layout_manifest",
+    "kmv_distinct_users_by_type",
+    "kmv_union_intersect_types",
+    "grid_radius_pairs_events",
 ]
 
 
