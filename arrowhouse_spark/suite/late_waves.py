@@ -2255,3 +2255,146 @@ def grid_radius_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id_a").cast("long").alias("min_id_a"),
         F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("id_checksum"),
     )
+
+
+@register(
+    "attribution_position_based",
+    """
+    WITH tagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+             CASE WHEN event_type = 'click' THEN
+               ['email', 'search', 'social', 'direct']
+                 [CAST(json_extract(props, '$.k') AS BIGINT) % 4 + 1]
+             END AS ch
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    j AS (
+      SELECT *, coalesce(sum(side) OVER (
+               PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jny
+      FROM tagged
+    ),
+    clicks AS (
+      SELECT user_id, jny, ch,
+             row_number() OVER (PARTITION BY user_id, jny ORDER BY ts,
+                                event_id) AS p,
+             count(*) OVER (PARTITION BY user_id, jny) AS n
+      FROM j WHERE side = 0
+    ),
+    purchases AS (
+      SELECT user_id, jny,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM j WHERE side = 1
+    ),
+    credited AS (
+      SELECT c.ch, p.cents,
+             CASE WHEN c.n = 1 THEN 1000000
+                  WHEN c.n = 2 THEN 500000
+                  WHEN c.p = 1 OR c.p = c.n THEN 400000
+                  WHEN c.p = 2 THEN 200000 // (c.n - 2)
+                                   + 200000 % (c.n - 2)
+                  ELSE 200000 // (c.n - 2) END AS credit
+      FROM clicks c JOIN purchases p
+        ON c.user_id = p.user_id AND c.jny = p.jny
+    ),
+    unattr AS (
+      SELECT 'unattributed' AS ch, p.cents, 1000000 AS credit
+      FROM purchases p LEFT JOIN (
+        SELECT DISTINCT user_id, jny FROM clicks
+      ) c ON p.user_id = c.user_id AND p.jny = c.jny
+      WHERE c.user_id IS NULL
+    ),
+    allc AS (SELECT * FROM credited UNION ALL SELECT * FROM unattr)
+    SELECT ch AS channel, CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(sum(credit) AS BIGINT) AS credit_millionths,
+           CAST(sum(cents * credit) AS BIGINT) AS revenue_micro
+    FROM allc GROUP BY 1
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) MULTI-touch attribution — completes the
+    attribution family next to first/last touch: each purchase's credit
+    splits over its journey's clicks (journey = clicks since the user's
+    previous purchase, so every click belongs to exactly ONE journey and
+    the plan stays linear — never the all-preceding-clicks quadratic
+    form): 40% first, 40% last, 20% shared by the middles. Credits are
+    INTEGER MILLIONTHS with the divisor remainder assigned to the
+    earliest middle touch, and revenue is cents x credit — the whole
+    query is exact integer arithmetic, no float ever (total credit
+    reconciles to 1e6 x purchases by construction). Plan: one exclusive-
+    frame running sum assigns journeys, two more windows on the SAME
+    (user, journey) partitioning rank the clicks, one keyed join
+    attaches purchase value, one rollup."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    channels = F.array(
+        F.lit("email"), F.lit("search"), F.lit("social"), F.lit("direct")
+    )
+    ch = F.element_at(
+        channels,
+        (F.get_json_object("props", "$.k").cast("long") % 4 + 1).cast("int"),
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("side"),
+        F.when(F.col("event_type") == "click", ch).alias("ch"),
+    )
+    w_excl = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = tagged.withColumn(
+        "jny", F.coalesce(F.sum("side").over(w_excl), F.lit(0))
+    )
+    wj = Window.partitionBy("user_id", "jny")
+    clicks = (
+        j.filter(F.col("side") == 0)
+        .withColumn("p", F.row_number().over(wj.orderBy("ts", "event_id")))
+        .withColumn("n", F.count(F.lit(1)).over(wj))
+        .select("user_id", "jny", "ch", "p", "n")
+    )
+    purchases = j.filter(F.col("side") == 1).select(
+        "user_id",
+        "jny",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    n, p = F.col("n"), F.col("p")
+    mid = F.expr("200000 DIV (n - 2)")
+    credit = (
+        F.when(n == 1, F.lit(1_000_000))
+        .when(n == 2, F.lit(500_000))
+        .when((p == 1) | (p == n), F.lit(400_000))
+        .when(p == 2, mid + F.expr("200000 % (n - 2)"))
+        .otherwise(mid)
+    )
+    credited = clicks.join(purchases, ["user_id", "jny"]).select(
+        "ch", "cents", credit.cast("long").alias("credit")
+    )
+    unattr = (
+        purchases.join(
+            clicks.select("user_id", "jny").distinct(),
+            ["user_id", "jny"],
+            "left_anti",
+        )
+        .select(
+            F.lit("unattributed").alias("ch"),
+            "cents",
+            F.lit(1_000_000).cast("long").alias("credit"),
+        )
+    )
+    allc = credited.unionByName(unattr)
+    return allc.groupBy(F.col("ch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
+        F.sum("credit").cast("long").alias("credit_millionths"),
+        F.sum(F.col("cents") * F.col("credit"))
+        .cast("long")
+        .alias("revenue_micro"),
+    )

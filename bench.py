@@ -206,6 +206,7 @@ HEADLINE = [
     "kmv_distinct_users_by_type",
     "kmv_union_intersect_types",
     "grid_radius_pairs_events",
+    "attribution_position_based",
 ]
 
 

@@ -116,3 +116,23 @@ def test_kanon_release_hand_checked(spark):
 
     with pytest.raises(ValueError):
         kanon_release(df, ["g"], "uid", {}, k=0)
+
+
+def test_attribution_position_based_reconciles(spark, sf_dir):
+    """U-shaped credits must reconcile exactly: every purchase hands out
+    exactly 1,000,000 millionths (incl. the unattributed bucket), so the
+    integer total equals 1e6 x purchase count."""
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark import suite
+
+    out = suite._QUERIES["attribution_position_based"](spark, sf_dir)
+    total_credit = out.agg(F.sum("credit_millionths")).first()[0]
+    ev = suite._events(spark, sf_dir)
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert total_credit == 1_000_000 * n_purch
+    rows = out.collect()
+    assert all(r.credit_millionths > 0 and r.revenue_micro >= 0 for r in rows)
+    assert {r.channel for r in rows} <= {
+        "email", "search", "social", "direct", "unattributed"
+    }
