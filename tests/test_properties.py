@@ -835,3 +835,72 @@ def test_hist_merge_split_invariant_and_quantile_error_bound(spark, rows):
         max(0, math.ceil(0.5 * len(vals)) - 1)
     ]
     assert abs(est[0.5] - order_stat) <= 20.0 + 1e-9  # one bin width
+
+
+@given(
+    avails=st.lists(st.integers(1, 500), min_size=1, max_size=8),
+    frac=st.sampled_from([0.25, 0.5, 0.9, 1.5]),
+)
+@_SETTINGS
+def test_waterfill_conservation_and_caps(spark, avails, frac):
+    """Waterfilling invariants for any availability profile: (1) total
+    allocation equals min(budget, total availability) exactly (budget
+    conservation / full-take), (2) 0 < rate <= 1, (3) alloc never exceeds
+    avail, (4) every uncapped source gets the SAME allocation (the
+    waterline), which is >= every capped source's availability."""
+    from arrowhouse_spark.operators.sampling import waterfill_allocation
+
+    av = spark.createDataFrame(
+        [(f"s{i}", a) for i, a in enumerate(avails)], "src string, n long"
+    )
+    budget = frac * sum(avails)
+    rows = waterfill_allocation(av, "src", "n", budget=budget).collect()
+    total_alloc = sum(r.alloc for r in rows)
+    # each alloc is rounded to 4dp in the output: the sum may drift by up
+    # to 5e-5 per source from the exactly-conserved pre-rounding total
+    assert abs(total_alloc - min(budget, sum(avails))) <= (
+        5e-5 * len(avails) + 1e-9
+    )
+    for r in rows:
+        assert 0.0 < r.rate <= 1.0 + 1e-12
+        assert r.alloc <= r.avail + 1e-9
+        assert r.capped == (r.alloc >= r.avail - 1e-9)
+    unc = {r.alloc for r in rows if not r.capped}
+    assert len(unc) <= 1  # all uncapped sources share the waterline
+    if unc:
+        line = next(iter(unc))
+        assert all(r.avail <= line + 1e-9 for r in rows if r.capped)
+
+
+@given(
+    seqs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60)),
+        min_size=1, max_size=80, unique=True,
+    )
+)
+@_SETTINGS
+def test_gaps_islands_matches_python_model(spark, seqs):
+    from arrowhouse_spark.operators.intervals import gaps_islands
+
+    df = spark.createDataFrame(list(seqs), "k int, seq long")
+    got = {
+        (r.k, r.st_start, r.st_end, r.st_len)
+        for r in gaps_islands(df, ["k"], "seq", out_prefix="st").collect()
+    }
+    want = set()
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for k, s in seqs:
+        by[k].append(s)
+    for k, vals in by.items():
+        vals.sort()
+        start = prev = vals[0]
+        for v in vals[1:]:
+            if v == prev + 1:
+                prev = v
+                continue
+            want.add((k, start, prev, prev - start + 1))
+            start = prev = v
+        want.add((k, start, prev, prev - start + 1))
+    assert got == want
