@@ -102,3 +102,54 @@ def dq_check(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
             (F.col("r.violations") == 0).alias("passed"),
         )
     )
+
+
+def linear_classifier_score(
+    docs: DataFrame,
+    text_col: str,
+    weights: DataFrame,
+    id_cols: Sequence[str],
+    n_buckets: int = 1024,
+    bias: int = 0,
+    out: str = "logit",
+) -> DataFrame:
+    """Score documents with a PRETRAINED linear bag-of-words classifier —
+    the inference half of the fastText/logistic quality-filter pattern
+    every pretraining pipeline runs (CCNet/Gopher-style: train a small
+    classifier offline, score the whole corpus with it, keep
+    logit > threshold). Features are hashing-trick token counts
+    (operators/sampling.py:hash_bucket, no vocabulary table, no OOV);
+    ``weights`` is a (bucket, w) relation with INTEGER weights — model
+    weights quantize to integers at inference time, so the per-doc logit
+    ``Σ_b count_b·w_b + bias`` is exact integer arithmetic and the score
+    (and every keep/drop decision) is bit-identical on any engine — no
+    sigmoid is needed for thresholding (sigmoid is monotone; the exp
+    would differ in the last ulp across libms).
+
+    Plan: map-side explode+bucket → ONE broadcast join against the
+    n_buckets-row weight table (the model is dimension-sized by
+    definition) → one keyed sum per doc. At 100 TB the classifier costs
+    one shuffle on the doc id — the same shape as token counting."""
+    ids = list(id_cols)
+    toks = docs.select(
+        *ids,
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("__tok"),
+    )
+    from arrowhouse_spark.operators.sampling import hash_bucket
+
+    bucketed = toks.select(
+        *ids, hash_bucket(F.col("__tok"), n_buckets, salt="clf").alias("bucket")
+    )
+    w = weights.select("bucket", F.col("w").cast("long").alias("__w"))
+    return (
+        bucketed.join(F.broadcast(w), "bucket", "left")
+        .groupBy(*ids)
+        .agg(
+            (F.sum(F.coalesce("__w", F.lit(0))) + F.lit(int(bias)))
+            .cast("long")
+            .alias(out),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )

@@ -498,3 +498,66 @@ def gapfill_lerp(
         .withColumn("filled", F.col("v_obs").isNull())
         .select(key_col, "bucket_ts", "v_lerp", "filled")
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    key_cols,
+    ts_col: str,
+    value_col: str,
+    period_expr: Column | None = None,
+    out_prefix: str = "seasonal",
+) -> DataFrame:
+    """Additive seasonal decomposition by period-bucket averaging — the
+    classical-decomposition baseline (value = level + seasonal + residual
+    with seasonal = per-bucket mean deviation from the key's level):
+    anomaly detectors subtract it before thresholding so "every evening
+    is busy" stops tripping the alarm, and capacity models read the
+    profile directly. ``period_expr`` buckets the timestamp (default:
+    hour-of-day 0..23).
+
+    Exactness doctrine: means are exact-decimal ratios — sums accumulate
+    as DECIMAL(38,2) (inputs cast to (18,2)) and each mean is ONE double
+    division of engine-identical operands, so any engine reproduces every
+    output bit-for-bit (no float summation anywhere). The 6-dp rounding
+    adds the +1e-9 NUDGE (decimal-quantization doctrine): a mean
+    cents/n lands EXACTLY on a 6-dp midpoint whenever v2(n) = 5 (e.g.
+    n = 32 rows in a bucket), and engines round midpoints in different
+    directions; the nudge moves every such value off the boundary
+    identically on both sides.
+
+    Returns one row per (keys, bucket): n, bucket mean, the key's overall
+    level, and the seasonal deviation (bucket mean − level), all rounded
+    at 6 dp AFTER the exact division.
+
+    Plan: two keyed aggregates (per-bucket partials → final; the level by
+    re-aggregating the bucket sums, so the scan is read ONCE) + a
+    broadcast join of the keys-sized level relation. No window."""
+    keys = list(key_cols)
+    per = period_expr if period_expr is not None else F.hour(F.col(ts_col))
+    v = F.col(value_col).cast("decimal(18,2)")
+    bucket = (
+        df.select(*keys, per.alias("bucket"), v.alias("__v"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__v").alias("__s"))
+    )
+    level = bucket.groupBy(*keys).agg(
+        (F.sum("__s").cast("double") / F.sum("__n").cast("double")).alias(
+            "__lvl"
+        )
+    )
+    mean = F.col("__s").cast("double") / F.col("__n").cast("double")
+    nudge = F.lit(1e-9)
+    return (
+        bucket.join(F.broadcast(level), keys)
+        .select(
+            *keys,
+            "bucket",
+            F.col("__n").cast("long").alias("n"),
+            F.round(mean + nudge, 6).alias(f"{out_prefix}_mean"),
+            F.round(F.col("__lvl") + nudge, 6).alias("level"),
+            F.round(mean - F.col("__lvl") + nudge, 6).alias(
+                f"{out_prefix}_dev"
+            ),
+        )
+    )

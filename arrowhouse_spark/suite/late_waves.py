@@ -2398,3 +2398,120 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_micro"),
     )
+
+
+@register(
+    "seasonal_profile_hourly",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(hour(ts) AS INTEGER) AS bucket,
+             count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS s
+      FROM events GROUP BY 1, 2
+    ),
+    lvl AS (
+      SELECT event_type,
+             CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS lvl
+      FROM b GROUP BY 1
+    )
+    SELECT b.event_type, b.bucket, CAST(b.n AS BIGINT) AS n,
+           round(CAST(s AS DOUBLE) / CAST(b.n AS DOUBLE) + 1e-9, 6)
+             AS seasonal_mean,
+           round(lvl + 1e-9, 6) AS level,
+           round(CAST(s AS DOUBLE) / CAST(b.n AS DOUBLE) - lvl + 1e-9, 6)
+             AS seasonal_dev
+    FROM b JOIN lvl USING (event_type)
+    """,
+)
+def seasonal_profile_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (operators/timeseries.py:
+    seasonal_profile): per event type, the hour-of-day profile — bucket
+    mean, overall level, and the seasonal deviation anomaly detectors
+    subtract before thresholding (zscore/MAD outliers upstream of this
+    operator fire on "every evening is busy"; after it they fire on
+    actually-unusual evenings). Exact DECIMAL(38,2) sums, one double
+    division per ratio with engine-identical operands, +1e-9 nudge at
+    the 6-dp rounding (cents/n hits an exact midpoint whenever
+    v2(n)=5). Plan: ONE scan — two keyed aggregates (the level
+    re-aggregates the bucket sums) + a broadcast of the type-sized level
+    relation; no window."""
+    from arrowhouse_spark.operators.timeseries import seasonal_profile
+
+    ev = _events(spark, sf_dir)
+    return seasonal_profile(
+        ev,
+        ["event_type"],
+        "ts",
+        "value",
+        period_expr=F.hour("ts").cast("int"),
+    )
+
+
+@register(
+    "classifier_quality_filter",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, source,
+             (('0x' || substr(md5('clf' || tok), 1, 8))::UBIGINT
+              % 1024)::BIGINT AS bucket
+      FROM toks
+    ),
+    w AS (
+      SELECT range AS bucket,
+             (range * 2654435761) % 2001 - 1000 AS w
+      FROM range(1024)
+    ),
+    scored AS (
+      SELECT b.doc_id, b.source,
+             CAST(sum(coalesce(w.w, 0)) - 1000 AS BIGINT) AS logit,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM bucketed b LEFT JOIN w ON b.bucket = w.bucket
+      GROUP BY 1, 2
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(logit) AS BIGINT) AS sum_logit,
+           CAST(max(logit) AS BIGINT) AS max_logit,
+           CAST(min(logit) AS BIGINT) AS min_logit
+    FROM scored GROUP BY 1
+    """,
+)
+def classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretrained linear quality-classifier inference (operators/
+    quality.py:linear_classifier_score) — the CCNet/fastText pattern:
+    score every document with an offline-trained bag-of-words model and
+    keep logit > 0. The weight table here is a DETERMINISTIC SYNTHETIC
+    stand-in (Knuth-multiplier integers in [-1000,1000] per bucket — the
+    weights a real training run would store; the Spark-side plumbing —
+    hashing-trick features, broadcast model join, thresholding — is the
+    real product surface, per the stub doctrine for unavailable
+    artifacts). Integer weights make every logit and keep/drop decision
+    exact on any engine (sigmoid is monotone — thresholding never needs
+    the exp). Plan: explode+bucket map-side, ONE broadcast join against
+    the 1024-row model, one keyed sum per doc, one rollup per source."""
+    from arrowhouse_spark.operators.quality import linear_classifier_score
+
+    docs = _t(spark, sf_dir, "documents")
+    spark_w = (
+        docs.sparkSession.range(1024)
+        .select(
+            F.col("id").cast("long").alias("bucket"),
+            ((F.col("id") * F.lit(2654435761)) % 2001 - 1000).alias("w"),
+        )
+    )
+    scored = linear_classifier_score(
+        docs, "text", spark_w, ["doc_id", "source"], n_buckets=1024,
+        bias=-1000,
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("logit") > 0).cast("long")).cast("long").alias("n_kept"),
+        F.sum("logit").cast("long").alias("sum_logit"),
+        F.max("logit").cast("long").alias("max_logit"),
+        F.min("logit").cast("long").alias("min_logit"),
+    )

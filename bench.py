@@ -207,6 +207,8 @@ HEADLINE = [
     "kmv_union_intersect_types",
     "grid_radius_pairs_events",
     "attribution_position_based",
+    "seasonal_profile_hourly",
+    "classifier_quality_filter",
 ]
 
 

@@ -63,3 +63,38 @@ def test_dq_unknown_rule_rejected(spark):
     df = spark.range(1)
     with pytest.raises(ValueError, match="unknown dq rule"):
         dq_check(df, [("median_drift", "id")]).collect()
+
+
+def test_linear_classifier_score_hand_checked(spark):
+    """Logit = sum of bucket weights over tokens (+bias), exact integers;
+    unknown buckets contribute 0 (the hashing-trick has no OOV)."""
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.quality import linear_classifier_score
+    from arrowhouse_spark.operators.sampling import hash_bucket
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "cc"), (3, "")],
+        "doc_id long, text string",
+    )
+    # derive each token's true bucket with the same function, then give
+    # aa weight 5, bb weight -2, cc weight 0 (absent from the table)
+    toks = spark.createDataFrame([("aa",), ("bb",), ("cc",)], "t string")
+    bmap = {
+        r.t: r.bucket
+        for r in toks.select(
+            "t", hash_bucket(F.col("t"), 1024, salt="clf").alias("bucket")
+        ).collect()
+    }
+    weights = spark.createDataFrame(
+        [(bmap["aa"], 5), (bmap["bb"], -2)], "bucket long, w long"
+    )
+    out = {
+        r.doc_id: (r.logit, r.n_tokens)
+        for r in linear_classifier_score(
+            docs, "text", weights, ["doc_id"], bias=-1
+        ).collect()
+    }
+    assert out[1] == (5 + 5 - 2 - 1, 3)  # two aa, one bb, bias
+    assert out[2] == (-1, 1)             # cc unweighted -> bias only
+    assert 3 not in out                  # empty text: no tokens, no row

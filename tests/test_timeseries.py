@@ -193,3 +193,33 @@ def test_gapfill_lerp_interpolates_and_carries_tail(spark):
     assert out[("a", 4)] == (40.0, True)
     assert out[("a", 5)] == (40.0, False)
     assert out[("b", 2)] == (7.0, False)
+
+
+def test_seasonal_profile_hand_checked(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.timeseries import seasonal_profile
+
+    base = dt.datetime(2024, 1, 1)
+    # key a: hour 0 -> values 10, 20 (mean 15); hour 1 -> 30 (mean 30);
+    # level = 60/3 = 20 -> devs -5 and +10
+    rows = [
+        ("a", base.replace(hour=0, minute=5), 10.0),
+        ("a", base.replace(hour=0, minute=50), 20.0),
+        ("a", base.replace(hour=1), 30.0),
+        ("b", base.replace(hour=3), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r.k, r.bucket): (r.n, r.seasonal_mean, r.level, r.seasonal_dev)
+        for r in seasonal_profile(df, ["k"], "ts", "v").collect()
+    }
+    assert out[("a", 0)] == (2, 15.0, 20.0, -5.0)
+    assert out[("a", 1)] == (1, 30.0, 20.0, 10.0)
+    assert out[("b", 3)] == (1, 7.0, 7.0, 0.0)
+    # seasonal devs weighted by n must sum to ~0 per key (decomposition
+    # identity: sum n_b * (mean_b - level) = 0)
+    tot = sum(n * dev for (k, _), (n, _, _, dev) in out.items() if k == "a")
+    assert abs(tot) < 1e-5
