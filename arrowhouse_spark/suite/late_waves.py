@@ -2515,3 +2515,77 @@ def classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("logit").cast("long").alias("max_logit"),
         F.min("logit").cast("long").alias("min_logit"),
     )
+
+
+@register(
+    "seasonal_anomaly_counts",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(hour(ts) AS INTEGER) AS bucket, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type, bucket, count(*) AS n, sum(cents) AS s,
+             sum(cents * cents) AS ssq
+      FROM d GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT d.event_type, d.event_id,
+             CASE WHEN stats.n >= 2
+                   AND (d.cents * stats.n - stats.s)
+                     * (d.cents * stats.n - stats.s)
+                     > 9 * (stats.n * stats.ssq - stats.s * stats.s)
+                  THEN 1 ELSE 0 END AS anom
+      FROM d JOIN stats USING (event_type, bucket)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(anom) AS BIGINT) AS n_anomalies,
+           CAST(min(CASE WHEN anom = 1 THEN event_id END) AS BIGINT)
+             AS first_anom_id
+    FROM flagged GROUP BY 1
+    """,
+)
+def seasonal_anomaly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection — the composition
+    seasonal_profile exists FOR: an event is anomalous iff it sits more
+    than 3 sigma from its OWN (type, hour-of-day) bucket's mean, so
+    "every evening is busy" never trips (the plain zscore_outliers
+    upstream fires on daily rhythm; this fires on unusual-for-the-hour).
+    Entirely INTEGER arithmetic: with cents c, bucket count n, sum s and
+    sum-of-squares ssq, the 3-sigma test (c − s/n)² > 9·var rearranges to
+    (c·n − s)² > 9·(n·ssq − s²) — no division, no sqrt, no float — so
+    every flag decision is bit-identical on any engine (the
+    boundary-free form of the zscore doctrine). Plan: one keyed
+    stats aggregate joined back map-side (the stats relation is
+    type×24 rows, broadcast), one rollup; two scans of the same
+    pushdown-pruned columns."""
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("bucket"),
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    stats = d.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ssq"),
+    )
+    j = d.join(F.broadcast(stats), ["event_type", "bucket"])
+    dev = F.col("cents") * F.col("n") - F.col("s")
+    var9 = F.lit(9) * (F.col("n") * F.col("ssq") - F.col("s") * F.col("s"))
+    anom = ((F.col("n") >= 2) & (dev * dev > var9)).cast("int")
+    return (
+        j.withColumn("anom", anom)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("anom").cast("long").alias("n_anomalies"),
+            F.min(F.when(F.col("anom") == 1, F.col("event_id")))
+            .cast("long")
+            .alias("first_anom_id"),
+        )
+    )

@@ -209,6 +209,7 @@ HEADLINE = [
     "attribution_position_based",
     "seasonal_profile_hourly",
     "classifier_quality_filter",
+    "seasonal_anomaly_counts",
 ]
 
 
