@@ -20,8 +20,12 @@ from arrowhouse_spark import suite
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary as an SSA program) on
-    /root/testdata/sf0.001; driver checks rows>0."""
-    return suite.q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    /root/testdata/sf0.001; driver checks rows>0. Looked up through the
+    registry (the function moved into the suite package's foundation
+    chunk in round 9 — registry access is the stable address)."""
+    return suite._QUERIES["q1_pricing_summary"](
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
