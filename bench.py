@@ -210,6 +210,8 @@ HEADLINE = [
     "seasonal_profile_hourly",
     "classifier_quality_filter",
     "seasonal_anomaly_counts",
+    "ingest_gap_audit",
+    "hilbert_vs_zorder_locality",
 ]
 
 
