@@ -2794,3 +2794,86 @@ def hilbert_vs_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sx").cast("long").alias("max_span_x"),
         F.max("sy").cast("long").alias("max_span_y"),
     )
+
+
+def _kmv_weekly_oracle() -> str:
+    """Oracle for kmv_state_merge_weekly: hash the distinct users once
+    (the proven xxhash64 replay), attach each user's hash to every day it
+    appeared, build per-day bottom-64 states, merge to weeks, estimate."""
+    from arrowhouse_spark.suite.dedup_core import _dd_spark_xxh64_str_stages
+    from arrowhouse_spark.suite.text_hash import _dd_chain
+
+    inner = _dd_chain(
+        "SELECT DISTINCT CAST(user_id AS VARCHAR) AS t FROM events",
+        _dd_spark_xxh64_str_stages("t", "H"),
+        "t, H",
+        base_cols=["t"],
+    )
+    big = repr(63.0 * 18446744073709551616.0)
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT
+             CAST(epoch_us(CAST(e.ts AS TIMESTAMP)) // 86400000000
+                  AS BIGINT) AS day,
+             h.u
+      FROM events e JOIN (SELECT t, H AS u FROM ({inner})) h
+        ON CAST(e.user_id AS VARCHAR) = h.t
+    ),
+    daily AS (
+      SELECT day, u, row_number() OVER (PARTITION BY day ORDER BY u) AS r
+      FROM hashed
+    ),
+    stored AS (SELECT day, u FROM daily WHERE r <= 64),
+    weekly AS (
+      SELECT wk, u, row_number() OVER (PARTITION BY wk ORDER BY u) AS r
+      FROM (SELECT DISTINCT day // 7 AS wk, u FROM stored)
+    ),
+    wstate AS (SELECT wk, u FROM weekly WHERE r <= 64),
+    perwk AS (
+      SELECT wk, count(*) AS ns, max(u) AS umax FROM wstate GROUP BY 1
+    ),
+    ex AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+               // 7 AS wk,
+             count(DISTINCT user_id) AS exd
+      FROM events GROUP BY 1
+    )
+    SELECT p.wk AS week, CAST(ns AS BIGINT) AS n_state,
+           round(CASE WHEN ns < 64 THEN CAST(ns AS DOUBLE)
+                 ELSE {big} / CAST(umax AS DOUBLE) END, 2) AS est,
+           CAST(exd AS BIGINT) AS exact_distinct
+    FROM perwk p JOIN ex USING (wk)
+    """
+
+
+@register("kmv_state_merge_weekly", _kmv_weekly_oracle())
+def kmv_state_merge_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KMV rollup — the -State/-Merge workflow for the new
+    sketch, mirroring hll_state_merge_daily: per-DAY KMV states are what
+    a pipeline stores (k rows per day, computed from that day's scan
+    only); the weekly distinct-count needs only kmv_merge over the
+    stored states + kmv_estimate — history-scan-free, idempotent under
+    replayed days. Exact distinct included for context. Plan: the daily
+    state build is the only volume-touching pass; the merge runs on
+    k x days rows."""
+    from arrowhouse_spark.operators.aggstate import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_state,
+    )
+
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day"), "user_id"
+    )
+    daily = kmv_state(d, ["day"], "user_id", k=64)
+    weekly = kmv_merge(
+        daily.withColumn("wk", F.expr("day DIV 7")).drop("day"), ["wk"], k=64
+    )
+    est = kmv_estimate(weekly, ["wk"], k=64)
+    exact = d.groupBy(F.expr("day DIV 7").alias("wk")).agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "wk").select(
+        F.col("wk").alias("week"), "n_state", "est", "exact_distinct"
+    )

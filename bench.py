@@ -212,6 +212,7 @@ HEADLINE = [
     "seasonal_anomaly_counts",
     "ingest_gap_audit",
     "hilbert_vs_zorder_locality",
+    "kmv_state_merge_weekly",
 ]
 
 
