@@ -660,7 +660,13 @@ def kmv_merge(
 ) -> DataFrame:
     """Fold KMV states by the surviving ``keys``: distinct union of the
     hash sets, re-truncated to the k smallest — associative, commutative,
-    idempotent (any fold order gives the same sketch)."""
+    idempotent (any fold order gives the same sketch).
+
+    k coupling: merging with a k SMALLER than the states were built with
+    is sound set algebra (the bottom-k of bottom-K sets, K >= k, is the
+    true bottom-k); merging with a LARGER k is NOT (two bottom-64 sets do
+    not contain the true bottom-128) and is undetectable here — never
+    grow k after states exist."""
     keys = list(keys)
     dist = states.select(*keys, "u").distinct()
     w = Window.partitionBy(*keys).orderBy(F.col("u").asc())
@@ -678,16 +684,37 @@ def kmv_estimate(
     never filled (n < k), else the order-statistic estimator
     (k-1) * 2^64 / u_k (u_k = the k-th smallest = max of the state).
     Deterministic cross-engine: u_k is an exact decimal both engines cast
-    to the SAME double, and (k-1)*2^64 is exactly representable."""
+    to the SAME double, and (k-1)*2^64 is exactly representable.
+
+    ``k`` MUST be the k the state was built with (kmv_state/kmv_merge's
+    default is also 64): the estimator's filled-vs-underfilled test and
+    denominator both hang off it. A state built with a LARGER k is
+    detected and raises (its r ranks exceed k); a state built with a
+    SMALLER k is indistinguishable from an underfilled one and silently
+    undercounts — keep k consistent across the state's whole lifecycle."""
     keys = list(keys)
     two64 = float(int(_TWO64))
     return state.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n_state"),
         F.round(
             F.when(
+                F.max("r") > k,
+                F.raise_error(
+                    F.concat(
+                        F.lit("kmv_estimate: state holds rank r="),
+                        F.max("r").cast("string"),
+                        F.lit(
+                            f" > k={k}; it was built with a larger k —"
+                            " pass the k the state was built with"
+                        ),
+                    )
+                ).cast("double"),
+            )
+            .when(
                 F.count(F.lit(1)) < k,
                 F.count(F.lit(1)).cast("double"),
-            ).otherwise(
+            )
+            .otherwise(
                 F.lit(float(k - 1) * two64) / F.max("u").cast("double")
             ),
             2,

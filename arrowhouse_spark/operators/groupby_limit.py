@@ -155,8 +155,17 @@ def group_by_limited(
     # re-aggregate the dropped groups' aggregates into one row. sum/count fold
     # by sum; min/max fold by min/max — the caller's agg exprs are re-applied
     # to the partial columns where that is sound (sum,count,min,max,any).
-    merged = dropped.agg(
-        *[_refold(n, c).alias(n) for n, c in aggs.items()]
+    # The __n_dropped filter removes the all-null row a global agg emits
+    # over an EMPTY anti-join (<= max_rows distinct keys: nothing
+    # overflowed, so no overflow row — the kanon_release n_individuals
+    # discipline).
+    merged = (
+        dropped.agg(
+            F.count(F.lit(1)).alias("__n_dropped"),
+            *[_refold(n, c).alias(n) for n, c in aggs.items()],
+        )
+        .filter(F.col("__n_dropped") > 0)
+        .drop("__n_dropped")
     )
     for k in keys:
         merged = merged.withColumn(k, F.lit(None).cast(dict(df.dtypes)[k] if k in dict(df.dtypes) else "string"))
@@ -204,8 +213,14 @@ def _group_by_any_arrival(
         return kept
     kept = kept.withColumn("__overflow", F.lit(False))
     dtypes = dict(df.dtypes)
+    # __n_dropped filter: with <= max_rows distinct keys the anti-join is
+    # empty and a global agg would still emit one all-null row — no
+    # overflow means no overflow row (same guard as the heaviest-keys path)
     merged = (
-        df.join(F.broadcast(kept_keys), cond, "left_anti").agg(*agg_cols)
+        df.join(F.broadcast(kept_keys), cond, "left_anti")
+        .agg(F.count(F.lit(1)).alias("__n_dropped"), *agg_cols)
+        .filter(F.col("__n_dropped") > 0)
+        .drop("__n_dropped")
     )
     for k in keys:
         merged = merged.withColumn(

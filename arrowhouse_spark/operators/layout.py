@@ -80,11 +80,16 @@ def zorder_value(
     for c in cols:
         span = F.col(f"__mx_{c}") - F.col(f"__mn_{c}")
         # DIV (not /): long / long is DOUBLE in Spark and the float quotient
-        # differs from other engines in the last ulp at bucket boundaries
+        # differs from other engines in the last ulp at bucket boundaries.
+        # DECIMAL(38,0) operands: (x - mn) * qmax overflows BIGINT whenever
+        # span * qmax > 2^63 (epoch-micros inputs do at bits >= 13) and
+        # (mx - mn) itself can overflow for signed full-range columns; the
+        # 38-digit intermediate is exact for any long inputs (<= 29 digits)
+        # and DIV still returns BIGINT.
         q = F.when(span == F.lit(0), F.lit(0).cast("long")).otherwise(
             F.expr(
-                f"((CAST({c} AS BIGINT) - __mn_{c}) * {qmax}) DIV "
-                f"(__mx_{c} - __mn_{c})"
+                f"((CAST({c} AS DECIMAL(38,0)) - __mn_{c}) * {qmax}) DIV "
+                f"(CAST(__mx_{c} AS DECIMAL(38,0)) - __mn_{c})"
             )
         )
         quantized.append(q)
@@ -194,11 +199,16 @@ def hilbert_value(
     wb = df.crossJoin(F.broadcast(bounds))
 
     def quant(c: str, mn: str, mx: str) -> Column:
+        # DECIMAL(38,0) intermediates: see zorder_value — BIGINT overflows
+        # at span * qmax > 2^63 (hilbert allows bits up to 31, so even
+        # epoch-millis spans trip it); the decimal form is exact and DIV
+        # still returns BIGINT for the curve unroll below.
         return F.when(
             F.col(mx) == F.col(mn), F.lit(0).cast("long")
         ).otherwise(
             F.expr(
-                f"((CAST({c} AS BIGINT) - {mn}) * {qmax}) DIV ({mx} - {mn})"
+                f"((CAST({c} AS DECIMAL(38,0)) - {mn}) * {qmax}) "
+                f"DIV (CAST({mx} AS DECIMAL(38,0)) - {mn})"
             )
         )
 

@@ -131,25 +131,40 @@ def linear_classifier_score(
     definition) → one keyed sum per doc. At 100 TB the classifier costs
     one shuffle on the doc id — the same shape as token counting."""
     ids = list(id_cols)
+    # explode_outer, not explode: a doc whose text is null/empty/whitespace
+    # has an empty token array, and plain explode would DROP its row — the
+    # doc would get no logit at all (not even bias) and silently bypass any
+    # downstream keep/drop threshold. The outer null-token row contributes
+    # logit = bias, n_tokens = 0 (count/sum below are null-token-aware).
     toks = docs.select(
         *ids,
-        F.explode(
+        F.explode_outer(
             F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
         ).alias("__tok"),
     )
     from arrowhouse_spark.operators.sampling import hash_bucket
 
     bucketed = toks.select(
-        *ids, hash_bucket(F.col("__tok"), n_buckets, salt="clf").alias("bucket")
+        *ids,
+        "__tok",
+        hash_bucket(F.col("__tok"), n_buckets, salt="clf").alias("bucket"),
     )
     w = weights.select("bucket", F.col("w").cast("long").alias("__w"))
     return (
         bucketed.join(F.broadcast(w), "bucket", "left")
         .groupBy(*ids)
         .agg(
-            (F.sum(F.coalesce("__w", F.lit(0))) + F.lit(int(bias)))
+            (
+                F.sum(
+                    F.when(
+                        F.col("__tok").isNotNull(),
+                        F.coalesce("__w", F.lit(0)),
+                    ).otherwise(F.lit(0))
+                )
+                + F.lit(int(bias))
+            )
             .cast("long")
             .alias(out),
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count(F.col("__tok")).cast("long").alias("n_tokens"),
         )
     )

@@ -1012,9 +1012,11 @@ def _pareto_process_batch(
         with open(ledger) as fh:
             raw = fh.read().strip()
         try:
+            # AttributeError: a legacy ledger is a bare int ('7'), which IS
+            # valid JSON — json.loads returns an int and .get would crash
             rec = json.loads(raw)
             led_key, led_last = rec.get("run_key"), int(rec.get("last_batch"))
-        except (json.JSONDecodeError, TypeError, ValueError):
+        except (json.JSONDecodeError, TypeError, ValueError, AttributeError):
             led_key, led_last = None, int(raw or -1)  # legacy keyless ledger
         if led_key is not None and led_key != run_key:
             raise ValueError(

@@ -1978,9 +1978,11 @@ def _hilbert_oracle_sql(bits: int = 8) -> str:
     q AS (
       SELECT user_id AS raw_x, epoch_us(ts) AS raw_y,
         CASE WHEN mxx = mnx THEN 0
-             ELSE ((user_id - mnx) * {n1}) // (mxx - mnx) END AS x,
+             ELSE CAST(((CAST(user_id AS HUGEINT) - mnx) * {n1})
+                       // (CAST(mxx AS HUGEINT) - mnx) AS BIGINT) END AS x,
         CASE WHEN mxy = mny THEN 0
-             ELSE ((epoch_us(ts) - mny) * {n1}) // (mxy - mny) END AS y,
+             ELSE CAST(((CAST(epoch_us(ts) AS HUGEINT) - mny) * {n1})
+                       // (CAST(mxy AS HUGEINT) - mny) AS BIGINT) END AS y,
         CAST(0 AS BIGINT) AS d
       FROM events, b
     )"""]
@@ -2465,12 +2467,22 @@ def seasonal_profile_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
              (range * 2654435761) % 2001 - 1000 AS w
       FROM range(1024)
     ),
-    scored AS (
+    tok_scored AS (
       SELECT b.doc_id, b.source,
-             CAST(sum(coalesce(w.w, 0)) - 1000 AS BIGINT) AS logit,
+             CAST(sum(coalesce(w.w, 0)) AS BIGINT) AS s,
              CAST(count(*) AS BIGINT) AS n_tokens
       FROM bucketed b LEFT JOIN w ON b.bucket = w.bucket
       GROUP BY 1, 2
+    ),
+    scored AS (
+      -- left join back onto documents: an all-whitespace/empty doc has no
+      -- token rows but still gets a bias-only logit (engine-side
+      -- explode_outer semantics)
+      SELECT d.doc_id, d.source,
+             CAST(coalesce(t.s, 0) - 1000 AS BIGINT) AS logit,
+             CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens
+      FROM documents d
+      LEFT JOIN tok_scored t ON d.doc_id = t.doc_id AND d.source = t.source
     )
     SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -2666,9 +2678,11 @@ def _curve_locality_oracle_sql(bits: int = 8) -> str:
     q AS (
       SELECT
         CASE WHEN mxx = mnx THEN 0
-             ELSE ((user_id - mnx) * {n1}) // (mxx - mnx) END AS qx,
+             ELSE CAST(((CAST(user_id AS HUGEINT) - mnx) * {n1})
+                       // (CAST(mxx AS HUGEINT) - mnx) AS BIGINT) END AS qx,
         CASE WHEN mxy = mny THEN 0
-             ELSE ((epoch_us(ts) - mny) * {n1}) // (mxy - mny) END AS qy
+             ELSE CAST(((CAST(epoch_us(ts) AS HUGEINT) - mny) * {n1})
+                       // (CAST(mxy AS HUGEINT) - mny) AS BIGINT) END AS qy
       FROM events, b
     ),
     h0 AS (SELECT qx, qy, qx AS x, qy AS y, CAST(0 AS BIGINT) AS d FROM q)"""]
@@ -2745,12 +2759,18 @@ def hilbert_vs_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = ev.crossJoin(F.broadcast(bounds)).select(
         F.when(F.col("mxx") == F.col("mnx"), F.lit(0).cast("long"))
         .otherwise(
-            F.expr(f"((user_id - mnx) * {n1}) DIV (mxx - mnx)")
+            F.expr(
+                f"((CAST(user_id AS DECIMAL(38,0)) - mnx) * {n1}) "
+                f"DIV (CAST(mxx AS DECIMAL(38,0)) - mnx)"
+            )
         )
         .alias("qx"),
         F.when(F.col("mxy") == F.col("mny"), F.lit(0).cast("long"))
         .otherwise(
-            F.expr(f"((unix_micros(ts) - mny) * {n1}) DIV (mxy - mny)")
+            F.expr(
+                f"((CAST(unix_micros(ts) AS DECIMAL(38,0)) - mny) * {n1}) "
+                f"DIV (CAST(mxy AS DECIMAL(38,0)) - mny)"
+            )
         )
         .alias("qy"),
     )

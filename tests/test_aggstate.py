@@ -403,3 +403,24 @@ def test_kmv_state_merge_estimate_and_set_algebra(spark):
 
     with pytest.raises(ValueError):
         kmv_state(df, ["g"], "v", k=1)
+
+
+def test_kmv_estimate_rejects_state_built_with_larger_k(spark):
+    """kmv_estimate's k is coupled to the k the state was built with: a
+    state holding ranks beyond k (built with a larger k) would be misread
+    as overfull and must raise instead of silently corrupting the
+    estimate."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.aggstate import kmv_estimate, kmv_state
+
+    df = spark.range(200).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    st = kmv_state(df, ["g"], "v", k=64)
+    with pytest.raises(Exception, match="kmv_estimate"):
+        kmv_estimate(st, ["g"], k=32).collect()
+    # matching k still estimates
+    [row] = kmv_estimate(st, ["g"], k=64).collect()
+    assert row.n_state == 64 and row.est > 0

@@ -164,3 +164,25 @@ def test_any_arrival_first_seen_keys_win(spark):
         mode=OverflowMode.ANY, order_col="ord",
     )
     assert {r.k: r.n for r in out3.collect()} == {"A": 3, "B": 2, "D": 4, "C": 1}
+
+
+def test_overflow_row_absent_when_nothing_overflows(spark):
+    """overflow_row=True with <= max_rows distinct keys: the anti-join is
+    empty, and the global re-aggregate over it must NOT surface as a
+    spurious all-null overflow row (count 0 / null sums) — in either the
+    heaviest-keys path or the arrival-order path."""
+    df = spark.createDataFrame(
+        [(k, float(k), k) for k in range(3)], "k: long, v: double, ord: long"
+    )
+    aggs = {"n": F.count(F.lit(1)), "s": F.sum("v")}
+    heaviest = group_by_limited(
+        df, ["k"], aggs, max_rows=5, overflow_row=True
+    ).collect()
+    assert len(heaviest) == 3
+    assert not any(r["__overflow"] for r in heaviest)
+    arrival = group_by_limited(
+        df, ["k"], aggs, max_rows=5, mode=OverflowMode.ANY,
+        order_col="ord", overflow_row=True,
+    ).collect()
+    assert len(arrival) == 3
+    assert not any(r["__overflow"] for r in arrival)

@@ -241,3 +241,43 @@ def test_hilbert_value_matches_xy2d_model_and_is_bijective(spark):
         )
     with pytest.raises(ValueError):
         hilbert_value(df, "x", "y", bits=0)
+
+
+def test_layout_quantization_survives_wide_spans(spark):
+    """(x - mn) * qmax on BIGINT overflows when span * qmax > 2^63
+    (epoch-micros coordinates at bits >= 13); the DECIMAL(38,0)
+    intermediates keep the exact mul-then-div value at any long span.
+    Scale invariance pins exactness: x and x*C quantize identically when
+    both spans are exact multiples, so the curve keys must match
+    row-for-row against the small-span (pre-fix-safe) dataset."""
+    import random
+
+    from arrowhouse_spark.operators.layout import hilbert_value, zorder_value
+
+    rng = random.Random(11)
+    q = 255  # bits=8 grid corners 0..255
+    pts = list({(rng.randrange(q + 1), rng.randrange(q + 1)) for _ in range(120)})
+    pts += [(0, 0), (q, q), (0, q), (q, 0)]
+    pts = list(dict.fromkeys(pts))
+    C = 10**14  # span q*C ~ 2.6e16; * qmax(65535 at bits=16) >> 2^63
+    small = spark.createDataFrame(pts, "x long, y long")
+    big = spark.createDataFrame([(x * C, y * C) for x, y in pts], "x long, y long")
+
+    hs = {(r.x, r.y): r.hvalue for r in hilbert_value(small, "x", "y", bits=8).collect()}
+    hb = {(r.x // C, r.y // C): r.hvalue for r in hilbert_value(big, "x", "y", bits=8).collect()}
+    assert hs == hb
+
+    zs = {(r.x, r.y): r.zvalue for r in zorder_value(small, ["x", "y"], bits=8).collect()}
+    zb = {(r.x // C, r.y // C): r.zvalue for r in zorder_value(big, ["x", "y"], bits=8).collect()}
+    assert zs == zb
+
+    # bits=16 over an epoch-micros-scale span (the ADVICE repro shape):
+    # must run without ARITHMETIC_OVERFLOW and stay within the grid
+    ev = spark.createDataFrame(
+        [(1_700_000_000_000_000 + i * 37_000_000_000, i) for i in range(64)],
+        "ts_us long, k long",
+    )
+    hv = hilbert_value(ev, "ts_us", "k", bits=16).collect()
+    assert all(0 <= r.hvalue < (1 << 32) for r in hv)
+    zv = zorder_value(ev, ["ts_us", "k"], bits=16).collect()
+    assert all(0 <= r.zvalue < (1 << 32) for r in zv)

@@ -74,7 +74,7 @@ def test_linear_classifier_score_hand_checked(spark):
     from arrowhouse_spark.operators.sampling import hash_bucket
 
     docs = spark.createDataFrame(
-        [(1, "aa bb aa"), (2, "cc"), (3, "")],
+        [(1, "aa bb aa"), (2, "cc"), (3, ""), (4, "   "), (5, None)],
         "doc_id long, text string",
     )
     # derive each token's true bucket with the same function, then give
@@ -97,4 +97,9 @@ def test_linear_classifier_score_hand_checked(spark):
     }
     assert out[1] == (5 + 5 - 2 - 1, 3)  # two aa, one bb, bias
     assert out[2] == (-1, 1)             # cc unweighted -> bias only
-    assert 3 not in out                  # empty text: no tokens, no row
+    # empty / whitespace / null text: a bias-only row, NOT a dropped doc
+    # (a silent drop would bypass any downstream keep/drop threshold)
+    assert out[3] == (-1, 0)
+    assert out[4] == (-1, 0)
+    assert out[5] == (-1, 0)
+    assert len(out) == 5

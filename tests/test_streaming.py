@@ -1519,3 +1519,48 @@ def test_stream_kmv_matches_batch_estimate(spark, tmp_path):
     assert got == batch
     # g2 never filled (10 distinct): exact count
     assert got["g2"] == (10, 10.0)
+
+
+def test_stream_pareto_adopts_legacy_int_ledger(spark, tmp_path):
+    """A pre-run_key ledger is a bare int ('7') — which is VALID JSON, so
+    json.loads returns an int and the dict path must fall through to the
+    legacy branch (AttributeError in the except tuple), adopting the
+    recorded last_batch instead of crashing the first keyed fold."""
+    from arrowhouse_spark.streaming.replace import _pareto_process_batch
+
+    PT = "x double, y long, pid long"
+    store = str(tmp_path / "front")
+    run_key = str(tmp_path / "ck")
+    _pareto_process_batch(
+        spark.createDataFrame([(10.0, 5, 1), (25.0, 1, 3)], PT),
+        7, store, "x", "y", "pid", run_key=run_key,
+    )
+    # rewrite the ledger in the legacy str(batch_id) format
+    with open(store + "__last_batch", "w") as fh:
+        fh.write("7")
+
+    def snap():
+        return {
+            (r["x"], r["y"]): (r["n_rows"], r["min_id"])
+            for r in spark.read.parquet(store).collect()
+        }
+
+    before = snap()
+    # replayed batch (id <= legacy last_batch): adopted ledger skips it
+    _pareto_process_batch(
+        spark.createDataFrame([(1.0, 99, 9)], PT),
+        7, store, "x", "y", "pid", run_key=run_key,
+    )
+    assert snap() == before
+    # a NEW batch id folds normally after adoption
+    _pareto_process_batch(
+        spark.createDataFrame([(9.0, 6, 4)], PT),
+        8, store, "x", "y", "pid", run_key=run_key,
+    )
+    after = snap()
+    assert (9.0, 6) in after and (10.0, 5) not in after  # dominated
+    # and the ledger is upgraded to the keyed format
+    import json as _json
+
+    rec = _json.loads(open(store + "__last_batch").read())
+    assert rec["run_key"] == run_key and rec["last_batch"] == 8
