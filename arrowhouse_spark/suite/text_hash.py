@@ -508,9 +508,11 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_components",
-    """
+# Recursive-CTE connected-components oracle over exact 2-shingle Jaccard
+# pairs (>= 0.2) — shared by the batch CC query AND the incremental fold
+# (replay-equivalence: folding daily pair batches through the label store
+# must land on the SAME labeling as one batch CC over the union).
+_CC_JACCARD_ORACLE = """
     WITH RECURSIVE toks AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
       FROM documents
@@ -540,8 +542,10 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.id
     )
     SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id
-    """,
-)
+"""
+
+
+@register("dedup_components", _CC_JACCARD_ORACLE)
 def dedup_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: exact Jaccard pairs (≥0.2) as edges,
     min-label-propagation connected components (operators/components.py);
@@ -554,6 +558,48 @@ def dedup_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, src="id_a", dst="id_b").select(
         F.col("id").alias("doc_id"), "component"
     )
+
+
+@register("components_incremental_daily", _CC_JACCARD_ORACLE)
+def components_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components (operators/components.py:
+    components_incremental) — the daily-ingest closing step the dedup
+    stack was missing: minhash/jaccard folds produce cross-batch dup
+    PAIRS; this folds them into persistent CLUSTER ids without re-running
+    CC over the full historical edge set. The same exact-Jaccard pairs as
+    dedup_components are split into two deterministic "days" by
+    (id_a + id_b) % 2 and folded through an on-disk label store
+    (id-bucketed, dynamic-partition-overwrite of touched buckets only);
+    day-2 edges MERGE day-1 clusters, and the final store must equal one
+    batch CC over the union — exactly what the shared recursive-CTE
+    oracle recomputes. Plan per fold: two broadcast semi-joins against
+    the store (map-side), star-contraction over the affected sub-graph
+    only, bucket-pruned rewrite."""
+    import shutil
+    import tempfile
+
+    from arrowhouse_spark.operators.components import components_incremental
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=2, threshold=0.2
+    ).localCheckpoint()
+    d = tempfile.mkdtemp(prefix="arrowhouse_cc_store_")
+    store = d + "/labels"
+    try:
+        for day in (0, 1):
+            components_incremental(
+                pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == day),
+                store,
+                src="id_a",
+                dst="id_b",
+            )
+        return (
+            spark.read.parquet(store)
+            .select(F.col("id").alias("doc_id"), "component")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @register(

@@ -102,3 +102,76 @@ def test_dedup_keep_best_elects_max_score_min_id(spark):
     # singletons are their own component and always kept
     assert rows[3] == (3, 1) and rows[6] == (6, 1)
     assert len(rows) == 7
+
+
+def test_components_incremental_matches_full_recompute(spark, tmp_path):
+    """Folding daily edge batches through the persistent label store gives
+    the SAME labeling as one batch CC over the union — including a
+    component MERGE across days (day-2 edge 3-10 joins day-1's {1,2,3}
+    and {10,11} clusters under the global min label 1)."""
+    from arrowhouse_spark.operators.components import (
+        components_incremental,
+        connected_components,
+    )
+
+    store = str(tmp_path / "cc_store")
+    ET = "src long, dst long"
+    day1 = [(1, 2), (2, 3), (10, 11), (30, 31)]
+    day2 = [(3, 10), (20, 21)]  # merges 1-3 with 10-11; new cluster 20-21
+    day3 = [(31, 32), (11, 1)]  # extends 30s; a redundant intra-comp edge
+
+    def store_labels():
+        return {
+            r.id: r.component
+            for r in spark.read.parquet(store).select("id", "component").collect()
+        }
+
+    for rows in (day1, day2, day3):
+        components_incremental(spark.createDataFrame(rows, ET), store)
+        # invariant after every fold: store == batch CC over edges so far
+
+    full = {
+        r.id: r.component
+        for r in connected_components(
+            spark.createDataFrame(day1 + day2 + day3, ET)
+        ).collect()
+    }
+    assert store_labels() == full
+    assert full[11] == 1 and full[10] == 1 and full[2] == 1  # merged
+    assert full[21] == 20 and full[32] == 30
+
+    # idempotent: re-folding an already-applied batch returns an empty
+    # delta and leaves every store file untouched
+    import os
+
+    def snap_files():
+        out = {}
+        for root, _, files in os.walk(store):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    before = snap_files()
+    delta = components_incremental(spark.createDataFrame(day2, ET), store)
+    assert delta.count() == 0
+    assert snap_files() == before
+    assert store_labels() == full
+
+    # a fold touching one cluster must not rewrite other clusters' buckets:
+    # every parquet file in an untouched bucket keeps its mtime
+    delta = components_incremental(
+        spark.createDataFrame([(21, 22)], ET), store
+    )
+    assert {r.id: r.component for r in delta.collect()} == {22: 20}
+    after = snap_files()
+    untouched_before = {
+        p: t for p, t in before.items() if "cb=" in p
+    }
+    # only the bucket holding id 22 may change; ids {1..32} span several
+    # buckets, so SOME files must survive byte-for-byte untouched
+    survivors = {
+        p for p, t in untouched_before.items()
+        if p in after and after[p] == t
+    }
+    assert survivors, "dynamic overwrite rewrote every bucket"
