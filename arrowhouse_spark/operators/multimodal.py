@@ -2,11 +2,13 @@
 
 Media are opaque ``binary`` payload columns + typed metadata (BASELINE.json
 north star). The Spark-side contract is what this module makes real and
-tested: schema, Arrow-batched UDF signatures, partition sizing. The actual
-codec work is STUBBED — the image/audio libraries are not in this container —
-behind ``_decode_image_real`` which raises NotImplementedError; the default
-path uses a deterministic fake decoder over a tiny self-describing header so
-tests exercise the full distributed plumbing with verifiable outputs.
+tested: schema, Arrow-batched UDF signatures, partition sizing. The codec
+seam ``_decode_image_real`` decodes REAL PNG bytes even without image
+libraries (a pure-stdlib W3C-spec decoder: zlib inflate + scanline
+unfiltering) and upgrades to pillow for every other format when installed;
+the default path uses a deterministic fake decoder over a tiny
+self-describing header so tests exercise the full distributed plumbing
+with verifiable outputs either way.
 
 Scale notes: payload columns dominate row size, so
   - media tables should be written with small ``maxRecordsPerFile`` /
@@ -92,25 +94,134 @@ def make_fake_payloads(
     )
 
 
-#: stable error surface for the stubbed codec path — pinned by
+#: stable error surface for formats with no available codec — pinned by
 #: tests/test_multimodal.py so the seam cannot rot silently
 IMAGE_CODEC_UNAVAILABLE_MSG = (
     "image codec libraries not installed (pip install pillow); "
-    "decode_images(use_real_codec=True) needs a real decoder"
+    "decode_images(use_real_codec=True) decodes PNG via the built-in "
+    "pure-Python decoder but needs pillow for other formats"
 )
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def make_png_payload(
+    width: int, height: int, seed: int = 0, color_type: int = 0
+) -> bytes:
+    """REAL spec-conformant PNG bytes (W3C PNG / RFC 2083; stdlib zlib
+    only) with deterministic pseudo-pixels — the fixture builder for the
+    real-codec path: 8-bit grayscale (color_type=0), RGB (2), or RGBA
+    (6); filter 0 on every scanline."""
+    import zlib
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type None
+        for x in range(width * channels):
+            raw.append((x * 31 + y * 57 + seed) % 251)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png_pure(payload: bytes) -> tuple[int, int, float]:
+    """Pure-stdlib PNG decode (zlib inflate + per-scanline unfiltering,
+    all five filter types, 8-bit gray/RGB/RGBA/gray+alpha) →
+    (width, height, mean_gray). Gray uses PIL's ITU-R 601-2 'L' integer
+    convention (L = (R*299 + G*587 + B*114) // 1000) so the value is
+    bit-identical whether this or pillow decodes. Implemented from the
+    public W3C spec; no interlace, no palette, no 16-bit — those raise
+    the stable unavailable-codec message and need pillow."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if depth != 8 or interlace != 0 or ctype not in (0, 2, 4, 6):
+                raise NotImplementedError(IMAGE_CODEC_UNAVAILABLE_MSG)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    prev = bytearray(stride)
+    total = 0
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0  # left
+            b = prev[i]  # up
+            c = prev[i - channels] if i >= channels else 0  # up-left
+            if ftype == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif ftype == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif ftype == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"bad PNG filter {ftype}")
+        if ctype == 0:
+            total += sum(line)
+        elif ctype == 4:  # gray+alpha: gray is channel 0
+            total += sum(line[0::2])
+        else:  # RGB / RGBA → ITU-R 601-2 integer luma, PIL 'L' semantics
+            for i in range(0, stride, channels):
+                total += (
+                    line[i] * 299 + line[i + 1] * 587 + line[i + 2] * 114
+                ) // 1000
+        prev = line
+    return width, height, total / max(width * height, 1)
 
 
 def _decode_image_real(payload: bytes) -> tuple[int, int, float]:
-    """Real decoder seam: decodes any PIL-readable payload (PNG/JPEG/…) to
-    (width, height, mean_gray_pixel) when pillow is installed — the same
+    """Real decoder seam: (width, height, mean_gray_pixel) with the same
     contract as the fake decoder, so the two are interchangeable inside
-    decode_images. Raises NotImplementedError with a STABLE message when no
-    codec library is present (this container); libvips/ffmpeg swap in here."""
+    decode_images. PNG decodes via pillow when installed, else via the
+    built-in pure-Python spec decoder (bit-identical gray convention) —
+    so the real path WORKS in codec-less containers for PNG. Other
+    formats (JPEG/WebP/…) need pillow and raise the STABLE
+    unavailable-codec message without it; libvips/ffmpeg swap in here."""
     try:
         from io import BytesIO
 
         from PIL import Image
     except ImportError as e:
+        if payload[:8] == _PNG_MAGIC:
+            return _decode_png_pure(payload)
         raise NotImplementedError(IMAGE_CODEC_UNAVAILABLE_MSG) from e
     with Image.open(BytesIO(payload)) as im:
         gray = im.convert("L")

@@ -1259,6 +1259,92 @@ def media_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "png_decode_real",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 5 AS w, 4 + doc_id % 7 AS h,
+             doc_id % 97 AS seed,
+             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+      FROM documents
+    ), px AS (
+      SELECT media_id, w, h,
+        CASE WHEN ch = 1 THEN ((x * 31 + y * 57 + seed) % 251)
+             ELSE ( (((x * ch) * 31 + y * 57 + seed) % 251) * 299
+                  + (((x * ch + 1) * 31 + y * 57 + seed) % 251) * 587
+                  + (((x * ch + 2) * 31 + y * 57 + seed) % 251) * 114
+                  ) // 1000
+        END AS l
+      FROM m, range(10) t_y(y), range(9) t_x(x)
+      WHERE y < h AND x < w
+    )
+    SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(sum(l) AS BIGINT) AS gray_total
+    FROM px GROUP BY media_id, w, h
+    """,
+)
+def png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, driver-proven end to end: every document id
+    becomes a spec-conformant PNG (gray / RGB / RGBA by id%3, pseudo-pixel
+    bytes a pure function of id) built in one Arrow-batched mapInPandas,
+    then decoded by the REAL codec seam (operators/multimodal.py:
+    _decode_image_real — pillow when installed, the built-in pure
+    W3C-spec PNG decoder otherwise). Output pins (width, height,
+    integer gray total = mean*w*h, exact) per media — so the oracle
+    recomputes the expected ITU-R 601-2 luma sums from the pixel formula
+    alone and certifies actual DEFLATE round-trip + unfiltering, not a
+    fake header parse.
+
+    Scale: payload build and decode are both mapInPandas over the id
+    relation — map-side only, no shuffle until the final exact-integer
+    rollup; real media would arrive via the binaryFile source instead of
+    the builder (same decode stage)."""
+    from collections.abc import Iterator
+
+    from arrowhouse_spark.operators.multimodal import (
+        decode_images,
+        make_png_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        make_png_payload(
+                            4 + i % 5,
+                            4 + i % 7,
+                            seed=i % 97,
+                            color_type={0: 0, 1: 2, 2: 6}[i % 3],
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(
+        _build, "media_id long, payload binary"
+    )
+    dec = decode_images(media, use_real_codec=True)
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("mean_pixel") * F.col("width") * F.col("height"))
+        .cast("long")
+        .alias("gray_total"),
+    )
+
+
+@register(
     "shard_manifest",
     """
     WITH sharded AS (
