@@ -98,3 +98,21 @@ def test_spark_entry_driver_contract(spark):
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 239
+
+
+def test_readme_query_counts_match_registry():
+    """Every hand-written registry count in README.md must equal the live
+    registry size — the round-9 verdict flagged silent drift, so the
+    counts are now pinned here instead of trusted."""
+    import re
+
+    import __spark_entry__ as e
+
+    n = len(e.queries())
+    text = open("README.md").read()
+    for m in re.finditer(r"(\d+) registered queries|Registry: (\d+) queries", text):
+        claimed = int(m.group(1) or m.group(2))
+        assert claimed == n, (
+            f"README claims {claimed} queries; registry has {n} — "
+            "update the README paragraph"
+        )
