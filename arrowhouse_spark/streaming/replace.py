@@ -1172,3 +1172,43 @@ def stream_kmv(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_components(
+    sdf: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int = 16,
+):
+    """Continuously-maintained connected components — the streaming form
+    of operators/components.py:components_incremental, closing the
+    streaming dedup chain end to end: stream_minhash_neardup maintains
+    the band store and emits surviving docs; the PAIR stream those
+    verdicts imply lands here and folds into persistent CLUSTER ids.
+
+    foreachBatch + the batch operator over the id-bucketed label store,
+    NOT applyInPandasWithState: a merge triggered by one edge can relabel
+    a whole historical component, so per-key state transitions would need
+    cross-key writes — the store IS the state (the stream_scd2 doctrine).
+    Replay safety needs NO batch ledger: folding already-known edges
+    converges to the identical labeling, the delta comes out empty, and
+    the store write is skipped entirely — idempotence by construction.
+    After every micro-batch the store equals one batch CC over all edges
+    ever delivered (pinned in tests/test_streaming.py).
+
+    Returns the StreamingQuery (caller awaits/stops it)."""
+    from arrowhouse_spark.operators.components import components_incremental
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        components_incremental(
+            batch_df, store_path, src=src, dst=dst, n_buckets=n_buckets
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -429,6 +429,16 @@ def main() -> None:
                 json.dump(payload, f, indent=1)
         except Exception as e:  # noqa: BLE001 — persistence is best-effort
             print(f"bench: could not self-persist: {e}", file=sys.stderr)
+    # restricted / off-scale runs (sf1 checkpoints, --only subsets) never
+    # become the delta basis, but their per-query detail is still wanted:
+    # opt in with an explicit output path
+    detail_out = os.environ.get("SPARK_GRAFT_BENCH_DETAIL_OUT", "")
+    if detail_out:
+        try:
+            with open(detail_out, "w") as f:
+                json.dump(payload, f, indent=1)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: could not write detail: {e}", file=sys.stderr)
 
     # deterministic teardown of BOTH cache registries (round-6 verdict #6)
     try:

@@ -1564,3 +1564,65 @@ def test_stream_pareto_adopts_legacy_int_ledger(spark, tmp_path):
 
     rec = _json.loads(open(store + "__last_batch").read())
     assert rec["run_key"] == run_key and rec["last_batch"] == 8
+
+
+def test_stream_components_matches_batch_cc(spark, tmp_path):
+    """After every micro-batch the label store equals one batch CC over
+    all edges delivered so far — including a cross-batch component merge —
+    and replaying the stream over the same files is a no-op (empty deltas,
+    no store write)."""
+    from arrowhouse_spark.operators.components import connected_components
+    from arrowhouse_spark.streaming.replace import stream_components
+
+    ET = "src long, dst long"
+    srcdir = str(tmp_path / "edges")
+    os.makedirs(srcdir)
+    b1 = [(1, 2), (2, 3), (10, 11)]
+    b2 = [(3, 10), (20, 21)]  # merges the two day-1 clusters
+    import time as _t
+
+    now = _t.time()
+    for i, rows in enumerate([b1, b2], start=1):
+        tmpd = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, ET).coalesce(1).write.parquet(tmpd)
+        [pf] = [f for f in os.listdir(tmpd) if f.endswith(".parquet")]
+        dstp = f"{srcdir}/b{i}.parquet"
+        shutil.copy(f"{tmpd}/{pf}", dstp)
+        os.utime(dstp, (now - 600 + i * 60, now - 600 + i * 60))
+
+    store = str(tmp_path / "labels")
+    q = stream_components(
+        spark.readStream.schema(ET).option("maxFilesPerTrigger", 1).parquet(srcdir),
+        store,
+        checkpoint_path=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.id: r.component
+        for r in spark.read.parquet(store).select("id", "component").collect()
+    }
+    full = {
+        r.id: r.component
+        for r in connected_components(spark.createDataFrame(b1 + b2, ET)).collect()
+    }
+    assert got == full and full[11] == 1 and full[21] == 20
+
+    # replay: a fresh stream over the SAME files converges to the same
+    # store without any write (empty deltas — no ledger needed)
+    def snap():
+        out = {}
+        for root, _, files in os.walk(store):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    before = snap()
+    q2 = stream_components(
+        spark.readStream.schema(ET).option("maxFilesPerTrigger", 1).parquet(srcdir),
+        store,
+        checkpoint_path=str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(120)
+    assert snap() == before
