@@ -476,3 +476,13 @@ def test_grid_radius_join_is_hash_equijoin_not_cartesian(spark, sf_dir, qs):
     t = plan_text(df).lower()
     assert "broadcastnestedloop" not in t
     assert "hashjoin" in t
+
+
+def test_png_decode_real_is_map_only(spark, sf_dir, qs):
+    """Real-codec decode must stay entirely map-side: payload build and
+    decode are chained mapInPandas stages over the id scan — any exchange
+    here would mean payloads moving through a shuffle, the one thing the
+    multimodal scale notes forbid."""
+    df = qs["png_decode_real"](spark, sf_dir)
+    r = check_plan(df)
+    assert r.exchanges == 0, "payloads must not cross a shuffle"
