@@ -696,3 +696,49 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.groupBy("width", "height").agg(F.count(F.lit(1)).alias("n"))
 
 
+
+
+@register(
+    "ivf_store_topk_exact",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 6) AS cos_sim
+    FROM embeddings e, q
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 20
+    """,
+)
+def ivf_store_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent IVF index, driver-proven end to end (operators/
+    similarity.py:ivf_store_*): init the at-rest cell-partitioned index
+    on vec_id%3=0, APPEND the rest against the frozen centroids (the
+    daily-ingest maintenance path), then probe with nprobe=n_centroids —
+    exact brute force over the store, so the oracle is the plain top-20
+    over ALL embeddings: the hash certifies that init+append lost,
+    duplicated, and misrouted nothing. The pruned-probe behavior
+    (PartitionFilters on the cell column) is gated in
+    tests/test_clustering.py; the exact form is what SQL can oracle."""
+    import shutil
+    import tempfile
+
+    from arrowhouse_spark.operators.similarity import (
+        ivf_store_append,
+        ivf_store_init,
+        ivf_store_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    d = tempfile.mkdtemp(prefix="arrowhouse_ivf_")
+    store = d + "/ivf"
+    try:
+        ivf_store_init(emb.filter(F.col("vec_id") % 3 == 0), store, n_centroids=8)
+        ivf_store_append(emb.filter(F.col("vec_id") % 3 != 0), store)
+        return ivf_store_topk(
+            spark, store, qvec, k=20, nprobe=8
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -100,3 +100,75 @@ def test_pq_adc_rejects_bad_params(spark):
     df = spark.createDataFrame([(1, [1.0])], "vec_id long, vec array<float>")
     with pytest.raises(ValueError):
         pq_adc_topk(df, "vec_id", "vec", subdim=0)
+
+
+def test_ivf_store_init_append_query_drift(spark, tmp_path):
+    """Persistent IVF index lifecycle: init on batch 1, append batch 2
+    (frozen centroids), idempotent re-append, exact parity at
+    nprobe=n_centroids, partition-pruned probes, drift report."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.similarity import (
+        cosine_topk_query,
+        ivf_store_append,
+        ivf_store_drift,
+        ivf_store_init,
+        ivf_store_topk,
+    )
+
+    n, dim = 300, 8
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                (F.pmod(F.xxhash64("id", j), F.lit(2001)) - F.lit(1000))
+                / F.lit(1000.0)
+            ).cast("double"),
+        ).alias("embedding"),
+    ).localCheckpoint()
+    b1 = base.filter(F.col("vec_id") % 3 == 0)
+    b2 = base.filter(F.col("vec_id") % 3 != 0)
+
+    store = str(tmp_path / "ivf")
+    ivf_store_init(b1, store, n_centroids=4)
+    appended = ivf_store_append(b2, store)
+    assert appended.count() == b2.count()
+
+    # idempotent: the same batch again appends nothing, files unchanged
+    def files():
+        out = {}
+        for root, _, fs in os.walk(store + "/postings"):
+            for f in fs:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    before = files()
+    again = ivf_store_append(b2, store)
+    assert again.count() == 0 and files() == before
+
+    # nprobe = n_centroids is exact brute force over the union
+    qv = [float(j % 3 - 1) for j in range(dim)]
+    got = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_store_topk(spark, store, qv, k=15, nprobe=4).collect()
+    ]
+    exp = [
+        (r.vec_id, r.cos_sim)
+        for r in cosine_topk_query(base, qv, k=15).collect()
+    ]
+    assert got == exp
+
+    # pruned probe: only the probed cells' partitions are scanned
+    cand = ivf_store_topk(spark, store, qv, k=5, nprobe=1)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan
+
+    # drift: global row present, per-cell rows cover the batch
+    d = {r.centroid: (r.n, r.mean_best_cos) for r in
+         ivf_store_drift(spark, store, b2).collect()}
+    assert -1 in d and d[-1][0] == b2.count()
+    assert sum(v[0] for c, v in d.items() if c >= 0) == b2.count()
