@@ -221,6 +221,7 @@ def components_incremental(
     src: str = "src",
     dst: str = "dst",
     n_buckets: int = 16,
+    comp_index: bool = False,
 ) -> DataFrame:
     """Incremental connected components over a persistent label store —
     the missing incremental twin of the dedup stack: minhash_incremental
@@ -238,10 +239,13 @@ def components_incremental(
     Per fold (all joins keyed; nothing global):
       1. affected components = labels of the batch's vertices (broadcast
          semi-join of the batch vertex set against the store);
-      2. affected members = store rows of those components — this is the
-         one full-store MAP-SIDE scan per fold (a broadcast semi-join;
-         a component-bucketed twin index would make it partition-pruned,
-         the documented seam);
+      2. affected members = store rows of those components — with
+         ``comp_index=False`` this is the one full-store MAP-SIDE scan
+         per fold (a broadcast semi-join); with ``comp_index=True`` a
+         component-bucketed TWIN of the labels is maintained next to the
+         store (``<store>__bycomp``, partitioned by ccb =
+         hash_bucket(component)) and the lookup reads ONLY the affected
+         components' ccb partitions — no full scan anywhere in the fold;
       3. large-star/small-star CC over (member stars ∪ new edges) — the
          sub-graph is affected-components-sized, and stars are depth 1,
          so rounds stay O(log² longest NEW chain);
@@ -262,6 +266,7 @@ def components_incremental(
     from arrowhouse_spark.operators.sampling import hash_bucket
 
     spark = new_edges.sparkSession
+    twin_path = store_path + "__bycomp"
     e = (
         new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -277,15 +282,61 @@ def components_incremental(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        .localCheckpoint()
     )
     if store is not None:
+        # prune the id-bucketed store to the batch vertices' buckets before
+        # the semi-join (<= n_buckets values, known driver-side)
+        vbuckets = [
+            r.cb
+            for r in verts.select(
+                hash_bucket("id", n_buckets, salt="cc").alias("cb")
+            )
+            .distinct()
+            .collect()
+        ]
         acomps = (
-            store.join(F.broadcast(verts), "id", "semi")
+            store.filter(F.col("cb").isin(vbuckets))
+            .join(F.broadcast(verts), "id", "semi")
             .select("component")
             .distinct()
+            .localCheckpoint()
         )
+        members_src = store
+        twin_ok = False
+        if not comp_index:
+            # a twin left behind by comp_index=True folds would go silently
+            # STALE here and corrupt a later comp_index=True fold — refuse
+            # (best-effort check; object stores without os.path visibility
+            # rely on the documented keep-comp_index-consistent contract)
+            import os as _os
+
+            if _os.path.isdir(twin_path):
+                raise ValueError(
+                    f"store {store_path!r} has a component index twin; "
+                    "keep passing comp_index=True for its whole lifecycle "
+                    "(or delete the twin directory to drop the index)"
+                )
+        if comp_index:
+            try:
+                twin = spark.read.parquet(twin_path)
+                twin.head(1)
+                twin_ok = True
+                cbuckets = [
+                    r.ccb
+                    for r in acomps.select(
+                        hash_bucket(
+                            "component", n_buckets, salt="ccb"
+                        ).alias("ccb")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                members_src = twin.filter(F.col("ccb").isin(cbuckets))
+            except Exception:  # noqa: BLE001 — adopting a twin-less store:
+                pass  # full-scan this fold; the write below builds the twin
         members = (
-            store.join(F.broadcast(acomps), "component", "semi")
+            members_src.join(F.broadcast(acomps), "component", "semi")
             .select("id", "component")
             .localCheckpoint()
         )
@@ -337,4 +388,59 @@ def components_incremental(
         .partitionBy("cb")
         .parquet(store_path)
     )
+    if comp_index:
+        ccb = hash_bucket("component", n_buckets, salt="ccb").alias("ccb")
+        if store is not None and twin_ok:
+            # touched ccb partitions = new positions of the delta rows ∪
+            # OLD positions of every affected component (rows that merged
+            # away must leave their old bucket when it is rewritten)
+            tccb = (
+                delta.select(ccb)
+                .unionByName(acomps.select(ccb))
+                .distinct()
+            )
+            tvals = [r.ccb for r in tccb.collect()]
+            tcarry = (
+                spark.read.parquet(twin_path)
+                .filter(F.col("ccb").isin(tvals))
+                .join(delta.select("id"), "id", "left_anti")
+                .select("id", "component", "ccb")
+            )
+            tout = delta.select("id", "component", ccb).unionByName(
+                tcarry
+            ).localCheckpoint()
+            (
+                tout.repartition("ccb")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ccb")
+                .parquet(twin_path)
+            )
+            # dynamic overwrite only rewrites partitions PRESENT in tout; a
+            # ccb bucket whose every row merged away receives no rows and
+            # would keep its stale files — drop drained partitions directly
+            # (Hadoop FS API: portable across local/HDFS/S3A)
+            kept_ccb = {r.ccb for r in tout.select("ccb").distinct().collect()}
+            drained = [v for v in tvals if v not in kept_ccb]
+            if drained:
+                jvm = spark.sparkContext._jvm
+                conf = spark.sparkContext._jsc.hadoopConfiguration()
+                for v in drained:
+                    p = jvm.org.apache.hadoop.fs.Path(
+                        f"{twin_path}/ccb={v}"
+                    )
+                    fs = p.getFileSystem(conf)
+                    if fs.exists(p):
+                        fs.delete(p, True)
+        else:
+            # first fold, or adopting a twin-less store: build the twin
+            # from the full labeling just committed
+            (
+                spark.read.parquet(store_path)
+                .select("id", "component", ccb)
+                .repartition("ccb")
+                .write.mode("overwrite")
+                .partitionBy("ccb")
+                .parquet(twin_path)
+            )
     return delta.select("id", "component")

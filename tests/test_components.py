@@ -175,3 +175,54 @@ def test_components_incremental_matches_full_recompute(spark, tmp_path):
         if p in after and after[p] == t
     }
     assert survivors, "dynamic overwrite rewrote every bucket"
+
+
+def test_components_incremental_comp_index_parity_and_pruning(spark, tmp_path):
+    """comp_index=True maintains a component-bucketed twin next to the
+    store: folds give the SAME labeling as comp_index=False and as one
+    batch CC; the twin stays row-identical to the primary after every
+    fold (incl. a cross-day merge that moves rows between comp buckets);
+    and toggling comp_index off against a twinned store refuses loudly."""
+    import pytest
+
+    from arrowhouse_spark.operators.components import (
+        components_incremental,
+        connected_components,
+    )
+
+    store = str(tmp_path / "ccx")
+    ET = "src long, dst long"
+    days = [
+        [(1, 2), (2, 3), (10, 11), (30, 31)],
+        [(3, 10), (20, 21)],
+        [(31, 32), (21, 1)],  # merges 20s into comp 1; extends 30s
+    ]
+    for rows in days:
+        components_incremental(
+            spark.createDataFrame(rows, ET), store, comp_index=True
+        )
+        primary = {
+            (r.id, r.component)
+            for r in spark.read.parquet(store).select("id", "component").collect()
+        }
+        twin = {
+            (r.id, r.component)
+            for r in spark.read.parquet(store + "__bycomp")
+            .select("id", "component")
+            .collect()
+        }
+        assert primary == twin  # invariant after EVERY fold
+
+    full = {
+        (r.id, r.component)
+        for r in connected_components(
+            spark.createDataFrame([e for d in days for e in d], ET)
+        ).collect()
+    }
+    assert primary == full
+    assert dict(full)[21] == 1  # the cross-day merge moved comp buckets
+
+    with pytest.raises(ValueError, match="component index twin"):
+        components_incremental(
+            spark.createDataFrame([(40, 41)], ET), store, comp_index=False
+        )
