@@ -169,40 +169,54 @@ def _decode_png_pure(payload: bytes) -> tuple[int, int, float]:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
+    import numpy as np
+
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
     stride = width * channels
     raw = zlib.decompress(bytes(idat))
-    prev = bytearray(stride)
+    prev = np.zeros(stride, dtype=np.uint8)
     total = 0
     for y in range(height):
         ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        for i in range(stride):
-            a = line[i - channels] if i >= channels else 0  # left
-            b = prev[i]  # up
-            c = prev[i - channels] if i >= channels else 0  # up-left
-            if ftype == 1:
-                line[i] = (line[i] + a) & 0xFF
-            elif ftype == 2:
-                line[i] = (line[i] + b) & 0xFF
-            elif ftype == 3:
-                line[i] = (line[i] + (a + b) // 2) & 0xFF
-            elif ftype == 4:  # Paeth
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                line[i] = (line[i] + pr) & 0xFF
-            elif ftype != 0:
-                raise ValueError(f"bad PNG filter {ftype}")
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        # filters 0 (None) and 2 (Up) vectorize — the common encoder
+        # outputs; 1/3/4 have a left-to-right data dependency, per-byte
+        if ftype == 2:
+            line += prev  # uint8 wraps mod 256, the spec's arithmetic
+        elif ftype in (1, 3, 4):
+            for i in range(stride):
+                a = int(line[i - channels]) if i >= channels else 0  # left
+                b = int(prev[i])  # up
+                c = int(prev[i - channels]) if i >= channels else 0  # up-left
+                if ftype == 1:
+                    line[i] = (int(line[i]) + a) & 0xFF
+                elif ftype == 3:
+                    line[i] = (int(line[i]) + (a + b) // 2) & 0xFF
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    line[i] = (int(line[i]) + pr) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter {ftype}")
+        wide = line.astype(np.int64)
         if ctype == 0:
-            total += sum(line)
+            total += int(wide.sum())
         elif ctype == 4:  # gray+alpha: gray is channel 0
-            total += sum(line[0::2])
+            total += int(wide[0::2].sum())
         else:  # RGB / RGBA → ITU-R 601-2 integer luma, PIL 'L' semantics
-            for i in range(0, stride, channels):
-                total += (
-                    line[i] * 299 + line[i + 1] * 587 + line[i + 2] * 114
-                ) // 1000
+            total += int(
+                (
+                    (
+                        wide[0::channels] * 299
+                        + wide[1::channels] * 587
+                        + wide[2::channels] * 114
+                    )
+                    // 1000
+                ).sum()
+            )
         prev = line
     return width, height, total / max(width * height, 1)
 

@@ -1306,6 +1306,11 @@ def png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_png_payload,
     )
 
+    # map-only on purpose: at fixture scale a repartition's 2-stage task
+    # overhead exceeds the codec work it would spread (measured: trivial
+    # 2-stage mapInPandas 0.7 s warm vs 2.3 s with a 32-way repartition),
+    # and at production scale maxPartitionBytes splits the scan anyway —
+    # payloads never cross a shuffle (gated in tests/test_plans.py)
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("media_id")
     )

@@ -213,6 +213,9 @@ HEADLINE = [
     "ingest_gap_audit",
     "hilbert_vs_zorder_locality",
     "kmv_state_merge_weekly",
+    # round 10 additions (no prior-round delta basis)
+    "png_decode_real",
+    "ivf_store_topk_exact",
 ]
 
 

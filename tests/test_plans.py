@@ -482,7 +482,8 @@ def test_png_decode_real_is_map_only(spark, sf_dir, qs):
     """Real-codec decode must stay entirely map-side: payload build and
     decode are chained mapInPandas stages over the id scan — any exchange
     here would mean payloads moving through a shuffle, the one thing the
-    multimodal scale notes forbid."""
+    multimodal scale notes forbid (parallelism comes from scan splitting,
+    not a repartition)."""
     df = qs["png_decode_real"](spark, sf_dir)
     r = check_plan(df)
     assert r.exchanges == 0, "payloads must not cross a shuffle"
