@@ -138,11 +138,11 @@ def make_png_payload(
     )
 
 
-def _decode_png_pure(payload: bytes) -> tuple[int, int, float]:
-    """Pure-stdlib PNG decode (zlib inflate + per-scanline unfiltering,
-    all five filter types, 8-bit gray/RGB/RGBA/gray+alpha) →
-    (width, height, mean_gray). Gray uses PIL's ITU-R 601-2 'L' integer
-    convention (L = (R*299 + G*587 + B*114) // 1000) so the value is
+def _decode_png_gray(payload: bytes) -> "np.ndarray":  # noqa: F821
+    """Pure-stdlib PNG decode to the full GRAY PIXEL GRID (h×w uint8 —
+    zlib inflate + per-scanline unfiltering, all five filter types, 8-bit
+    gray/RGB/RGBA/gray+alpha). Gray uses PIL's ITU-R 601-2 'L' integer
+    convention (L = (R*299 + G*587 + B*114) // 1000) so values are
     bit-identical whether this or pillow decodes. Implemented from the
     public W3C spec; no interlace, no palette, no 16-bit — those raise
     the stable unavailable-codec message and need pillow."""
@@ -175,7 +175,7 @@ def _decode_png_pure(payload: bytes) -> tuple[int, int, float]:
     stride = width * channels
     raw = zlib.decompress(bytes(idat))
     prev = np.zeros(stride, dtype=np.uint8)
-    total = 0
+    gray = np.empty((height, width), dtype=np.uint8)
     for y in range(height):
         ftype = raw[y * (stride + 1)]
         line = np.frombuffer(
@@ -203,22 +203,28 @@ def _decode_png_pure(payload: bytes) -> tuple[int, int, float]:
             raise ValueError(f"bad PNG filter {ftype}")
         wide = line.astype(np.int64)
         if ctype == 0:
-            total += int(wide.sum())
+            gray[y] = line
         elif ctype == 4:  # gray+alpha: gray is channel 0
-            total += int(wide[0::2].sum())
+            gray[y] = line[0::2]
         else:  # RGB / RGBA → ITU-R 601-2 integer luma, PIL 'L' semantics
-            total += int(
+            gray[y] = (
                 (
-                    (
-                        wide[0::channels] * 299
-                        + wide[1::channels] * 587
-                        + wide[2::channels] * 114
-                    )
-                    // 1000
-                ).sum()
-            )
+                    wide[0::channels] * 299
+                    + wide[1::channels] * 587
+                    + wide[2::channels] * 114
+                )
+                // 1000
+            ).astype(np.uint8)
         prev = line
-    return width, height, total / max(width * height, 1)
+    return gray
+
+
+def _decode_png_pure(payload: bytes) -> tuple[int, int, float]:
+    """(width, height, mean_gray) via :func:`_decode_png_gray` — the
+    feature-extraction contract decode_images consumes."""
+    g = _decode_png_gray(payload)
+    h, w = g.shape
+    return w, h, int(g.astype("int64").sum()) / max(w * h, 1)
 
 
 def _decode_image_real(payload: bytes) -> tuple[int, int, float]:
@@ -359,3 +365,160 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "payload").mapInPandas(_run, out_schema)
+
+
+def encode_png_gray(arr) -> bytes:
+    """Spec-conformant grayscale PNG from an explicit h×w uint8 array
+    (filter 0 scanlines, stdlib zlib) — the fixture encoder for pipelines
+    that need CONTROLLED pixel content (e.g. planted perceptual
+    near-dups), where make_png_payload's formula pixels don't suffice."""
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += a[y].tobytes()
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def dhash64(gray) -> int:
+    """Perceptual difference hash (dHash, public spec — Krawetz
+    "Kind of Like That"): 8×9 block-mean downsample of the gray grid,
+    bit k = by*8+bx set iff mean[by][bx] > mean[by][bx+1], packed
+    two's-complement into a signed 64-bit int. EVERY step is integer
+    (block index = (y*8) DIV h / (x*9) DIV w; block mean = sum DIV
+    count), so the hash is bit-identical on any engine — the SQL oracle
+    replays the whole pipeline. Requires h >= 8 and w >= 9 (every block
+    must be non-empty)."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.int64)
+    h, w = g.shape
+    if h < 8 or w < 9:
+        raise ValueError(f"dhash64 needs h >= 8 and w >= 9, got {h}x{w}")
+    by = (np.arange(h) * 8) // h
+    bx = (np.arange(w) * 9) // w
+    sums = np.zeros((8, 9), dtype=np.int64)
+    cnts = np.zeros((8, 9), dtype=np.int64)
+    np.add.at(sums, (by[:, None], bx[None, :]), g)
+    np.add.at(cnts, (by[:, None], bx[None, :]), 1)
+    m = sums // cnts
+    bits = m[:, :8] > m[:, 1:]
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            if bits[r, c]:
+                k = r * 8 + c
+                v += (1 << k) if k < 63 else -(1 << 63)
+    return v
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def image_dhash(df: DataFrame, use_real_codec: bool = True) -> DataFrame:
+    """Per-image perceptual hash via the real codec: decode payload →
+    gray grid → :func:`dhash64`. Same Arrow-batched mapInPandas shape as
+    decode_images — payloads never leave their task; the 8-byte hash is
+    all that flows downstream (the media-dedup shuffle discipline)."""
+    if not use_real_codec:
+        raise ValueError("image_dhash hashes decoded pixels — real codec only")
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "dhash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                g = _decode_png_gray(bytes(payload))
+                out["media_id"].append(mid)
+                out["height"].append(g.shape[0])
+                out["width"].append(g.shape[1])
+                out["dhash"].append(dhash64(g))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(_run, DHASH_SCHEMA)
+
+
+def dhash_neardup_pairs(
+    hashed: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    band_bits: int = 16,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Perceptual near-dup candidates by hash banding (images sharing any
+    band of the 64-bit dHash), exact hamming verify on candidates —
+    the simhash_dedup scheme applied to pixels instead of tokens. A pair
+    within hamming d is missed only if every band differs, so banding is
+    a recall/cost dial exactly as in LSH. Arithmetic shift + mask keeps
+    band keys engine-identical for negative hashes."""
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = hashed.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(hash_col), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, hash_col, "bb.band", "bb.key")
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.key") == F.col("r.key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{hash_col}").alias("__ha"),
+            F.col(f"r.{hash_col}").alias("__hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

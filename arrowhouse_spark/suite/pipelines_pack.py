@@ -1350,6 +1350,117 @@ def png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_dhash_neardup",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             doc_id - CASE WHEN doc_id % 5 = 4 THEN 4 ELSE 0 END AS anchor,
+             CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS isv
+      FROM documents
+    ), dims AS (
+      SELECT doc_id, isv,
+             9 + anchor % 7 AS w, 8 + anchor % 5 AS h, anchor % 97 AS seed
+      FROM m
+    ), px AS (
+      SELECT doc_id, w, h, x, y,
+             ((x * (31 + seed) + y * (57 + seed * 3) + seed) % 251)
+             + CASE WHEN isv = 1 AND (x + y) % 13 = 0 THEN 1 ELSE 0 END AS v
+      FROM dims, range(16) tx(x), range(13) ty(y)
+      WHERE x < w AND y < h
+    ), blocks AS (
+      SELECT doc_id, (y * 8) // h AS by, (x * 9) // w AS bx,
+             CAST(sum(v) AS BIGINT) // count(*) AS bm
+      FROM px GROUP BY 1, 2, 3
+    ), bits AS (
+      SELECT l.doc_id, l.by * 8 + l.bx AS k,
+             CASE WHEN l.bm > r.bm THEN 1 ELSE 0 END AS b
+      FROM blocks l
+      JOIN blocks r ON l.doc_id = r.doc_id AND l.by = r.by
+                   AND r.bx = l.bx + 1
+      WHERE l.bx < 8
+    ), hashes AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN k < 63
+                           THEN b * (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+                           ELSE 0 END) AS BIGINT)
+             + CAST(sum(CASE WHEN k = 63 THEN b ELSE 0 END) AS BIGINT)
+               * (-9223372036854775807 - 1) AS dhash
+      FROM bits GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, dhash, band, (dhash >> (band * 16)) & 65535 AS key
+      FROM hashes, (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.dhash AS ha, r.dhash AS hb
+      FROM banded l
+      JOIN banded r ON l.band = r.band AND l.key = r.key
+                   AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+    """,
+)
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup dedup, driver-proven end to end
+    (operators/multimodal.py:image_dhash/dhash_neardup_pairs — the dHash
+    public spec): every 5th document id carries a PLANTED near-variant of
+    its anchor image (same pixels +1 on a sparse (x+y)%13 lattice; base gradient is
+    seed-DEPENDENT in both axes so unrelated images do not share block
+    orderings), real
+    grayscale PNGs are built and REALLY decoded per task, block-mean
+    dHashed (all-integer: block = (y*8) DIV h x (x*9) DIV w, mean = sum
+    DIV count, 64 comparison bits packed two's-complement), banded 4x16
+    for candidates, exact hamming <= 6 verdicts. The oracle replays
+    pixels -> blocks -> bits -> hash -> bands -> hamming entirely in SQL,
+    so the hash certifies the real PNG round-trip AND the perceptual
+    pipeline bit-for-bit.
+
+    Scale: payloads never shuffle (hashing is map-side with the decode);
+    the banding join carries (8-byte hash, id) rows only — the simhash
+    discipline applied to pixels. Plan-gated: no payload in any
+    exchange."""
+    from collections.abc import Iterator
+
+    from arrowhouse_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+        encode_png_gray,
+        image_dhash,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        def payload(i: int) -> bytes:
+            isv = i % 5 == 4
+            a = i - 4 if isv else i
+            w, h, seed = 9 + a % 7, 8 + a % 5, a % 97
+            xs, ys = np.arange(w), np.arange(h)
+            base = (
+                xs[None, :] * (31 + seed)
+                + ys[:, None] * (57 + seed * 3)
+                + seed
+            ) % 251
+            if isv:
+                base = base + (((xs[None, :] + ys[:, None]) % 13) == 0)
+            return encode_png_gray(base.astype(np.uint8))
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [payload(i) for i in ids]}
+            )
+
+    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    hashed = image_dhash(media)
+    return dhash_neardup_pairs(hashed, band_bits=16, max_hamming=6)
+
+
+@register(
     "shard_manifest",
     """
     WITH sharded AS (

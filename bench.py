@@ -216,6 +216,7 @@ HEADLINE = [
     # round 10 additions (no prior-round delta basis)
     "png_decode_real",
     "ivf_store_topk_exact",
+    "image_dhash_neardup",
 ]
 
 

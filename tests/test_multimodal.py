@@ -262,3 +262,65 @@ def test_binaryfile_source_to_media_table(spark, tmp_path):
     # max_bytes: status-level filter, glob: name filter
     assert read_binary_files(spark, str(d), max_bytes=100).count() == 3
     assert read_binary_files(spark, str(d), glob="*.png").count() == 1
+
+
+def test_dhash64_matches_brute_model_and_flags_neardups(spark):
+    """dhash64 vs an independent per-pixel model (explicit block loops,
+    no numpy indexing tricks); a sparsely-perturbed image stays within a
+    small hamming of its anchor while an unrelated image does not; the
+    banded pair join surfaces exactly the near pair."""
+    import numpy as np
+
+    from arrowhouse_spark.operators.multimodal import (
+        dhash64,
+        dhash_neardup_pairs,
+        encode_png_gray,
+        image_dhash,
+    )
+
+    def model(g):
+        h, w = g.shape
+        sums = [[0] * 9 for _ in range(8)]
+        cnts = [[0] * 9 for _ in range(8)]
+        for y in range(h):
+            for x in range(w):
+                sums[y * 8 // h][x * 9 // w] += int(g[y, x])
+                cnts[y * 8 // h][x * 9 // w] += 1
+        m = [[sums[r][c] // cnts[r][c] for c in range(9)] for r in range(8)]
+        v = 0
+        for r in range(8):
+            for c in range(8):
+                if m[r][c] > m[r][c + 1]:
+                    k = r * 8 + c
+                    v += (1 << k) if k < 63 else -(1 << 63)
+        return v
+
+    rng = np.random.RandomState(7)
+    for w, h in [(9, 8), (12, 10), (15, 12), (64, 48)]:
+        g = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        assert dhash64(g) == model(g)
+
+    base = rng.randint(0, 256, size=(24, 36)).astype(np.uint8)
+    near = base.copy()
+    near[::5, ::7] = np.minimum(near[::5, ::7].astype(int) + 2, 255).astype(np.uint8)
+    other = rng.randint(0, 256, size=(24, 36)).astype(np.uint8)
+    hb, hn, ho = dhash64(base), dhash64(near), dhash64(other)
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(hb, hn) <= 6 < ham(hb, ho)
+
+    rows = [
+        (1, "image", encode_png_gray(base), (36, 24, None, None)),
+        (2, "image", encode_png_gray(near), (36, 24, None, None)),
+        (3, "image", encode_png_gray(other), (36, 24, None, None)),
+    ]
+    from arrowhouse_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashed = image_dhash(df)
+    got = {r.media_id: r.dhash for r in hashed.collect()}
+    assert got == {1: hb, 2: hn, 3: ho}  # real PNG round-trip preserved
+    pairs = dhash_neardup_pairs(hashed, max_hamming=6).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+    with pytest.raises(ValueError, match="h >= 8"):
+        dhash64(np.zeros((4, 20), dtype=np.uint8))
