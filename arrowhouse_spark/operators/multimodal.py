@@ -522,3 +522,79 @@ def dhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def make_wav_payload(
+    n_samples: int, sample_rate: int = 16000, seed: int = 0
+) -> bytes:
+    """REAL RIFF/WAVE bytes (PCM16 mono, stdlib ``wave``) with
+    deterministic integer samples s[i] = ((i*i*7 + i*13 + seed*101)
+    mod 65536) − 32768 — the audio fixture builder for the real-codec
+    path, mirroring make_png_payload."""
+    import io
+    import wave
+
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    s = ((i * i * 7 + i * 13 + seed * 101) % 65536) - 32768
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(s.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """REAL audio decode — stdlib ``wave`` parses the RIFF container, so
+    PCM16 WAV needs no third-party codec at all (the audio counterpart
+    of the pure PNG decoder; ffmpeg/soundfile would swap in here for
+    compressed formats). Per payload: sample rate, sample count,
+    integer duration_ms (n*1000 DIV sr), EXACT integer energy Σs² and
+    peak |s| — all engine-replayable, no floats anywhere. Same
+    mapInPandas shape as decode_images: payloads never leave their task."""
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                        raise NotImplementedError(
+                            "decode_audio handles PCM16 mono WAV; other "
+                            "widths/channels need an external codec"
+                        )
+                    sr = w.getframerate()
+                    n = w.getnframes()
+                    s = np.frombuffer(
+                        w.readframes(n), dtype="<i2"
+                    ).astype(np.int64)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // sr)
+                out["sum_sq"].append(int((s * s).sum()))
+                out["peak"].append(int(np.abs(s).max()) if n else 0)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(_run, AUDIO_SCHEMA)

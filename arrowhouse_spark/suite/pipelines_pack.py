@@ -1461,6 +1461,72 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wav_decode_real",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             800 + (doc_id % 5) * 100 AS n,
+             CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS sr,
+             doc_id % 89 AS seed
+      FROM documents
+    ), smp AS (
+      SELECT media_id, n, sr,
+             ((i * i * 7 + i * 13 + seed * 101) % 65536) - 32768 AS s
+      FROM m, range(1300) t(i)
+      WHERE i < n
+    )
+    SELECT media_id, CAST(sr AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq,
+           CAST(max(abs(s)) AS INTEGER) AS peak
+    FROM smp GROUP BY media_id, n, sr
+    """,
+)
+def wav_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, driver-proven end to end (operators/
+    multimodal.py:decode_audio): every document id becomes an actual
+    RIFF/WAVE PCM16 payload (stdlib wave both ways — the audio seam needs
+    no third-party codec at all), decoded distributed to exact integer
+    features (duration DIV, energy sum-of-squares, peak). The oracle
+    recomputes the features from the sample formula alone, so the hash
+    certifies the real RIFF container round-trip. Map-side only —
+    payloads never shuffle (same discipline as png_decode_real)."""
+    from collections.abc import Iterator
+
+    from arrowhouse_spark.operators.multimodal import (
+        decode_audio,
+        make_wav_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        make_wav_payload(
+                            800 + (i % 5) * 100,
+                            8000 if i % 2 == 0 else 16000,
+                            seed=i % 89,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    return decode_audio(media)
+
+
+@register(
     "shard_manifest",
     """
     WITH sharded AS (

@@ -217,6 +217,7 @@ HEADLINE = [
     "png_decode_real",
     "ivf_store_topk_exact",
     "image_dhash_neardup",
+    "wav_decode_real",
 ]
 
 

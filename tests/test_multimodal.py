@@ -324,3 +324,42 @@ def test_dhash64_matches_brute_model_and_flags_neardups(spark):
 
     with pytest.raises(ValueError, match="h >= 8"):
         dhash64(np.zeros((4, 20), dtype=np.uint8))
+
+
+def test_decode_audio_real_wav_roundtrip(spark):
+    """Stdlib RIFF/WAVE round-trip: known PCM16 samples encode, decode
+    distributed, and the exact integer features (duration DIV, energy,
+    peak) match a driver-side model; non-PCM16 payloads raise."""
+    import numpy as np
+
+    from arrowhouse_spark.operators.multimodal import (
+        decode_audio,
+        make_wav_payload,
+    )
+
+    rows = []
+    exp = {}
+    for mid, (n, sr, seed) in {1: (800, 8000, 3), 2: (1200, 16000, 7)}.items():
+        rows.append((mid, make_wav_payload(n, sr, seed=seed)))
+        i = np.arange(n, dtype=np.int64)
+        s = ((i * i * 7 + i * 13 + seed * 101) % 65536) - 32768
+        exp[mid] = (sr, n, n * 1000 // sr, int((s * s).sum()), int(np.abs(s).max()))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.sample_rate, r.n_samples, r.duration_ms, r.sum_sq, r.peak)
+        for r in decode_audio(df).collect()
+    }
+    assert got == exp
+
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)  # stereo: outside the PCM16-mono contract
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 8)
+    bad = spark.createDataFrame([(9, buf.getvalue())], "media_id long, payload binary")
+    with pytest.raises(Exception, match="PCM16 mono"):
+        decode_audio(bad).collect()
