@@ -263,10 +263,14 @@ def components_incremental(
     component making every fold touch it) is inherent to the problem,
     not the increment. The reference engine has no graph operators —
     extension surface, same doctrine as operators/graph.py."""
+    import json
+    import os
+
     from arrowhouse_spark.operators.sampling import hash_bucket
 
     spark = new_edges.sparkSession
     twin_path = store_path + "__bycomp"
+    meta_path = store_path + "__meta"
     e = (
         new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -275,8 +279,30 @@ def components_incremental(
     try:
         store = spark.read.parquet(store_path)
         store.head(1)
-    except Exception:  # noqa: BLE001 — first fold: no store yet
+    except Exception as exc:
+        # ONLY a missing path means "first fold": any other read failure
+        # (corrupt footer, transient FS error, permissions) must NOT be
+        # treated as an empty history — that would silently relabel the
+        # batch without its components and dynamic-overwrite good buckets
+        # with history-blind labels
+        if "PATH_NOT_FOUND" not in str(exc) and not isinstance(
+            exc, FileNotFoundError
+        ):
+            raise
         store = None
+    # n_buckets is baked into the store's partition layout; a fold with a
+    # different value would prune the wrong cb partitions (missed merges)
+    # and scatter rewrites across mismatched buckets — pin it in a meta
+    # file and refuse mismatches (legacy stores without meta are adopted)
+    if store is not None and os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            stored_n = json.load(fh).get("n_buckets")
+        if stored_n != n_buckets:
+            raise ValueError(
+                f"store {store_path!r} was built with n_buckets="
+                f"{stored_n}; this fold passed {n_buckets} — keep it "
+                "constant for the store's whole lifecycle"
+            )
 
     verts = (
         e.select(F.col("src").alias("id"))
@@ -388,6 +414,12 @@ def components_incremental(
         .partitionBy("cb")
         .parquet(store_path)
     )
+    if not os.path.exists(meta_path):
+        try:
+            with open(meta_path, "w") as fh:
+                json.dump({"n_buckets": n_buckets}, fh)
+        except OSError:
+            pass  # object stores without local-path meta rely on the doc
     if comp_index:
         ccb = hash_bucket("component", n_buckets, salt="ccb").alias("ccb")
         if store is not None and twin_ok:

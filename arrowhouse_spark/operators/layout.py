@@ -78,15 +78,18 @@ def zorder_value(
     with_bounds = df.crossJoin(F.broadcast(bounds))
     quantized: list[Column] = []
     for c in cols:
-        span = F.col(f"__mx_{c}") - F.col(f"__mn_{c}")
         # DIV (not /): long / long is DOUBLE in Spark and the float quotient
         # differs from other engines in the last ulp at bucket boundaries.
         # DECIMAL(38,0) operands: (x - mn) * qmax overflows BIGINT whenever
         # span * qmax > 2^63 (epoch-micros inputs do at bits >= 13) and
         # (mx - mn) itself can overflow for signed full-range columns; the
         # 38-digit intermediate is exact for any long inputs (<= 29 digits)
-        # and DIV still returns BIGINT.
-        q = F.when(span == F.lit(0), F.lit(0).cast("long")).otherwise(
+        # and DIV still returns BIGINT. The degenerate-span guard compares
+        # mx == mn (NOT mx - mn == 0: that subtraction itself overflows
+        # under ANSI for full-range signed columns).
+        q = F.when(
+            F.col(f"__mx_{c}") == F.col(f"__mn_{c}"), F.lit(0).cast("long")
+        ).otherwise(
             F.expr(
                 f"((CAST({c} AS DECIMAL(38,0)) - __mn_{c}) * {qmax}) DIV "
                 f"(CAST(__mx_{c} AS DECIMAL(38,0)) - __mn_{c})"

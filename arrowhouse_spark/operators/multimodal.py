@@ -141,9 +141,12 @@ def make_png_payload(
 def _decode_png_gray(payload: bytes) -> "np.ndarray":  # noqa: F821
     """Pure-stdlib PNG decode to the full GRAY PIXEL GRID (h×w uint8 —
     zlib inflate + per-scanline unfiltering, all five filter types, 8-bit
-    gray/RGB/RGBA/gray+alpha). Gray uses PIL's ITU-R 601-2 'L' integer
-    convention (L = (R*299 + G*587 + B*114) // 1000) so values are
-    bit-identical whether this or pillow decodes. Implemented from the
+    gray/RGB/RGBA/gray+alpha). Gray from color uses the CLASSIC integer
+    ITU-R 601-2 form L = (R*299 + G*587 + B*114) // 1000 — close to but
+    NOT bit-identical to pillow's fixed-point convert('L')
+    ((R*19595 + G*38470 + B*7471 + 0x8000) >> 16, which also rounds), so
+    PNG payloads are ALWAYS decoded here, never via pillow, keeping
+    results engine- and environment-deterministic. Implemented from the
     public W3C spec; no interlace, no palette, no 16-bit — those raise
     the stable unavailable-codec message and need pillow."""
     import zlib
@@ -227,27 +230,39 @@ def _decode_png_pure(payload: bytes) -> tuple[int, int, float]:
     return w, h, int(g.astype("int64").sum()) / max(w * h, 1)
 
 
-def _decode_image_real(payload: bytes) -> tuple[int, int, float]:
-    """Real decoder seam: (width, height, mean_gray_pixel) with the same
-    contract as the fake decoder, so the two are interchangeable inside
-    decode_images. PNG decodes via pillow when installed, else via the
-    built-in pure-Python spec decoder (bit-identical gray convention) —
-    so the real path WORKS in codec-less containers for PNG. Other
-    formats (JPEG/WebP/…) need pillow and raise the STABLE
-    unavailable-codec message without it; libvips/ffmpeg swap in here."""
+def _decode_image_gray_real(payload: bytes) -> "np.ndarray":  # noqa: F821
+    """Real-codec routing to a gray pixel grid: PNG ALWAYS decodes via
+    the built-in pure decoder — pillow's convert('L') uses a different
+    (rounded fixed-point) luma, so routing PNG through it would make
+    results depend on which libraries happen to be installed, breaking
+    the determinism contract AND the SQL oracles. Non-PNG formats
+    (JPEG/WebP/…) decode via pillow when installed (their output is
+    codec-defined, documented as pillow-convention) and raise the STABLE
+    unavailable-codec message otherwise; libvips/ffmpeg swap in here."""
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png_gray(payload)
     try:
         from io import BytesIO
 
         from PIL import Image
     except ImportError as e:
-        if payload[:8] == _PNG_MAGIC:
-            return _decode_png_pure(payload)
         raise NotImplementedError(IMAGE_CODEC_UNAVAILABLE_MSG) from e
+    import numpy as np
+
     with Image.open(BytesIO(payload)) as im:
         gray = im.convert("L")
         w, h = gray.size
-        data = gray.tobytes()
-        return w, h, sum(data) / max(len(data), 1)
+        return np.frombuffer(gray.tobytes(), dtype=np.uint8).reshape(h, w)
+
+
+def _decode_image_real(payload: bytes) -> tuple[int, int, float]:
+    """Real decoder seam: (width, height, mean_gray_pixel) with the same
+    contract as the fake decoder, so the two are interchangeable inside
+    decode_images — see _decode_image_gray_real for the codec routing
+    (PNG: built-in pure decoder always; other formats: pillow)."""
+    g = _decode_image_gray_real(payload)
+    h, w = g.shape
+    return w, h, int(g.astype("int64").sum()) / max(w * h, 1)
 
 
 def _decode_image_fake(payload: bytes) -> tuple[int, int, float]:
@@ -443,7 +458,9 @@ DHASH_SCHEMA = T.StructType(
 
 
 def image_dhash(df: DataFrame, use_real_codec: bool = True) -> DataFrame:
-    """Per-image perceptual hash via the real codec: decode payload →
+    """Per-image perceptual hash via the real codec seam
+    (:func:`_decode_image_gray_real`: PNG through the built-in decoder,
+    other formats through pillow when installed): decode payload →
     gray grid → :func:`dhash64`. Same Arrow-batched mapInPandas shape as
     decode_images — payloads never leave their task; the 8-byte hash is
     all that flows downstream (the media-dedup shuffle discipline)."""
@@ -456,7 +473,7 @@ def image_dhash(df: DataFrame, use_real_codec: bool = True) -> DataFrame:
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "dhash": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                g = _decode_png_gray(bytes(payload))
+                g = _decode_image_gray_real(bytes(payload))
                 out["media_id"].append(mid)
                 out["height"].append(g.shape[0])
                 out["width"].append(g.shape[1])

@@ -808,6 +808,15 @@ def ivf_store_append(
     APPEND postings — parquet append under partitionBy only creates files
     in the touched cells. Returns the rows actually appended.
 
+    CONTRACT — append, not upsert: re-delivering an id with its ORIGINAL
+    vector is a no-op (same vector ⇒ same cell ⇒ caught by the
+    touched-cell id check), but re-delivering an id with a CHANGED vector
+    is an UPDATE this operator cannot express — the new vector may assign
+    to a different cell, where the old posting is invisible to the
+    pruned check, and the id would then exist in two cells. Vector
+    updates need delete-then-append (or a rebuild); detecting them here
+    would require a full-store id scan, defeating the pruning design.
+
     Scale: the store is read only at the touched cells (partition pruning
     on the cell filter) and only its id column; the batch is map-side
     assigned against a broadcast k×dim matrix. Centroid drift is the

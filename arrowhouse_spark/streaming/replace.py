@@ -1017,7 +1017,18 @@ def _pareto_process_batch(
             rec = json.loads(raw)
             led_key, led_last = rec.get("run_key"), int(rec.get("last_batch"))
         except (json.JSONDecodeError, TypeError, ValueError, AttributeError):
-            led_key, led_last = None, int(raw or -1)  # legacy keyless ledger
+            try:
+                led_key, led_last = None, int(raw or -1)  # legacy keyless
+            except ValueError:
+                # neither the keyed format nor a bare int: a partially
+                # written or foreign file — refuse loudly rather than
+                # silently adopting last_batch=-1 and double-counting
+                # every already-folded batch on replay
+                raise ValueError(
+                    f"stream_pareto ledger {ledger!r} is unreadable "
+                    f"(contents {raw[:80]!r}); restore it or delete BOTH "
+                    "the ledger and the store to restart the lineage"
+                ) from None
         if led_key is not None and led_key != run_key:
             raise ValueError(
                 f"stream_pareto store {store_path!r} belongs to checkpoint "

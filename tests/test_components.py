@@ -226,3 +226,24 @@ def test_components_incremental_comp_index_parity_and_pruning(spark, tmp_path):
         components_incremental(
             spark.createDataFrame([(40, 41)], ET), store, comp_index=False
         )
+
+
+def test_components_incremental_n_buckets_pinned(spark, tmp_path):
+    """A fold with a different n_buckets than the store was built with
+    would prune the wrong partitions and silently mislabel — the meta
+    file refuses it."""
+    import pytest
+
+    from arrowhouse_spark.operators.components import components_incremental
+
+    store = str(tmp_path / "nb")
+    ET = "src long, dst long"
+    components_incremental(spark.createDataFrame([(1, 2)], ET), store, n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets"):
+        components_incremental(
+            spark.createDataFrame([(2, 3)], ET), store, n_buckets=32
+        )
+    # matching value still folds
+    components_incremental(spark.createDataFrame([(2, 3)], ET), store, n_buckets=16)
+    got = {r.id: r.component for r in spark.read.parquet(store).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}

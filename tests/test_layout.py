@@ -281,3 +281,21 @@ def test_layout_quantization_survives_wide_spans(spark):
     assert all(0 <= r.hvalue < (1 << 32) for r in hv)
     zv = zorder_value(ev, ["ts_us", "k"], bits=16).collect()
     assert all(0 <= r.zvalue < (1 << 32) for r in zv)
+
+
+def test_zorder_full_range_signed_span_no_overflow(spark):
+    """The degenerate-span guard and quantization must survive a signed
+    full-range column (mx - mn > 2^63, e.g. z-ordering by a raw xxhash64
+    value) under ANSI mode — both the guard comparison and the decimal
+    arithmetic."""
+    from arrowhouse_spark.operators.layout import hilbert_value, zorder_value
+
+    df = spark.createDataFrame(
+        [(-5_000_000_000_000_000_000, 1), (5_000_000_000_000_000_000, 2),
+         (0, 3), (123456789, 4)],
+        "x long, k long",
+    )
+    zv = {r.k: r.zvalue for r in zorder_value(df, ["x", "k"], bits=8).collect()}
+    assert len(zv) == 4 and all(0 <= v < (1 << 16) for v in zv.values())
+    hv = {r.k: r.hvalue for r in hilbert_value(df, "x", "k", bits=8).collect()}
+    assert len(hv) == 4 and all(0 <= v < (1 << 16) for v in hv.values())

@@ -112,8 +112,9 @@ def test_real_codec_error_surface_pinned():
 def test_real_codec_decodes_png_pure_stdlib(spark):
     """The real-codec path decodes ACTUAL spec-conformant PNG bytes in this
     container — gray, RGB, and RGBA — through the same distributed
-    mapInPandas plumbing, with the exact ITU-R 601-2 integer-luma means
-    (bit-identical to pillow's 'L' convert when pillow takes over)."""
+    mapInPandas plumbing, with the exact classic ITU-R 601-2 integer-luma
+    means (PNG always uses this decoder — never pillow, whose rounded
+    fixed-point luma differs — so results are environment-independent)."""
     from arrowhouse_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         make_png_payload,
@@ -212,8 +213,10 @@ def test_png_pure_decoder_all_filter_types():
 
 @pytest.mark.skipif(not _pil_available(), reason="pillow not installed")
 def test_real_codec_decodes_png(spark):
-    """With pillow present, the real seam must decode an actual PNG through
-    the SAME distributed plumbing as the fake codec."""
+    """With pillow present, PNG must STILL decode via the built-in pure
+    decoder (pillow's convert('L') luma differs bit-wise; PNG never
+    routes through it) — a grayscale PNG authored BY pillow decodes to
+    the same values either way, pinning the routing."""
     from io import BytesIO
 
     from PIL import Image
@@ -363,3 +366,18 @@ def test_decode_audio_real_wav_roundtrip(spark):
     bad = spark.createDataFrame([(9, buf.getvalue())], "media_id long, payload binary")
     with pytest.raises(Exception, match="PCM16 mono"):
         decode_audio(bad).collect()
+
+
+@pytest.mark.skipif(_pil_available(), reason="codec present")
+def test_image_dhash_non_png_hits_codec_seam():
+    """image_dhash routes through the real-codec seam: non-PNG payloads
+    without pillow raise the stable unavailable-codec message (not a
+    bare 'not a PNG' error), and PNG always uses the built-in decoder."""
+    from arrowhouse_spark.operators.multimodal import (
+        IMAGE_CODEC_UNAVAILABLE_MSG,
+        _decode_image_gray_real,
+    )
+
+    with pytest.raises(NotImplementedError) as ei:
+        _decode_image_gray_real(b"\xff\xd8\xff\xe0\x00\x10JFIF")
+    assert str(ei.value) == IMAGE_CODEC_UNAVAILABLE_MSG

@@ -1626,3 +1626,26 @@ def test_stream_components_matches_batch_cc(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert snap() == before
+
+
+def test_stream_pareto_unreadable_ledger_refuses(spark, tmp_path):
+    """A ledger that is neither the keyed JSON nor a bare int (e.g. a
+    partially-written '{"run_key": "k"}') must refuse loudly instead of
+    adopting last_batch=-1 and double-counting replays."""
+    from arrowhouse_spark.streaming.replace import _pareto_process_batch
+
+    PT = "x double, y long, pid long"
+    store = str(tmp_path / "front")
+    _pareto_process_batch(
+        spark.createDataFrame([(10.0, 5, 1)], PT), 0, store, "x", "y", "pid",
+        run_key="k",
+    )
+    with open(store + "__last_batch", "w") as fh:
+        fh.write('{"run_key": "k"}')  # missing last_batch
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unreadable"):
+        _pareto_process_batch(
+            spark.createDataFrame([(9.0, 6, 2)], PT), 1, store, "x", "y",
+            "pid", run_key="k",
+        )

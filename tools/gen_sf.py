@@ -66,7 +66,10 @@ KEY_OWNER = {
     "event_id": ("events", "event_id"),
     "user_id": ("events", "user_id"),
     "doc_id": ("documents", "doc_id"),
-    "vec_id": ("embeddings", "vec_id"),
+    # vec_id shifts by the DOCUMENTS stride: suite queries (hybrid_rrf_topk)
+    # fuse vec_id and doc_id as ONE id space, so replica k's vectors must
+    # align with replica k's documents, not alias replica 0's
+    "vec_id": ("documents", "doc_id"),
 }
 
 
@@ -145,7 +148,7 @@ def main() -> None:
                         - F.lit(1000)
                     ).cast("float")
                     / F.lit(2000.0)
-                ),
+                ).cast("float"),  # keep array<float>: when() would promote
             )
             df = df.withColumn("embedding", jit)
         df.drop("__rep").repartition(32).write.mode("overwrite").parquet(
