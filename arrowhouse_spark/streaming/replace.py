@@ -1223,3 +1223,38 @@ def stream_components(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ivf_append(
+    sdf: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Continuously-maintained IVF index — the streaming form of
+    operators/similarity.py:ivf_store_append, completing the streaming
+    ingest set for the ANN store: each micro-batch assigns against the
+    FROZEN stored centroids and appends postings only to the touched
+    cells. Replay safety needs no ledger: a re-delivered batch carries
+    the same vectors, each assigns to the same cell, and the
+    touched-cell id check drops every row — idempotent by construction
+    (the stream_components doctrine). The append-not-upsert contract is
+    inherited verbatim: a CHANGED vector for a known id is an update the
+    store cannot express; route updates through a rebuild.
+
+    The store must exist (ivf_store_init) before the stream starts —
+    the quantizer is fit offline, never from a micro-batch.
+
+    Returns the StreamingQuery (caller awaits/stops it)."""
+    from arrowhouse_spark.operators.similarity import ivf_store_append
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_store_append(batch_df, store_path, vec_col=vec_col, id_col=id_col)
+
+    return (
+        sdf.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

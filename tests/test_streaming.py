@@ -1649,3 +1649,86 @@ def test_stream_pareto_unreadable_ledger_refuses(spark, tmp_path):
             spark.createDataFrame([(9.0, 6, 2)], PT), 1, store, "x", "y",
             "pid", run_key="k",
         )
+
+
+def test_stream_ivf_append_matches_batch_store(spark, tmp_path):
+    """Streaming IVF maintenance: after the stream drains, the store
+    equals ivf_store_init + batch appends over the same vectors, a
+    replayed stream appends nothing, and probing all cells is exact."""
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.similarity import (
+        cosine_topk_query,
+        ivf_store_init,
+        ivf_store_topk,
+    )
+    from arrowhouse_spark.streaming.replace import stream_ivf_append
+
+    dim = 8
+    base = spark.range(120).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                (F.pmod(F.xxhash64("id", j), F.lit(2001)) - F.lit(1000))
+                / F.lit(1000.0)
+            ).cast("double"),
+        ).alias("embedding"),
+    ).localCheckpoint()
+    init = base.filter(F.col("vec_id") < 40)
+    b1 = base.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 80))
+    b2 = base.filter(F.col("vec_id") >= 80)
+
+    store = str(tmp_path / "ivfs")
+    ivf_store_init(init, store, n_centroids=4)
+
+    srcdir = str(tmp_path / "vecs")
+    os.makedirs(srcdir)
+    import time as _t
+
+    now = _t.time()
+    for i, part in enumerate([b1, b2], start=1):
+        tmpd = str(tmp_path / f"vb{i}")
+        part.coalesce(1).write.parquet(tmpd)
+        [pf] = [f for f in os.listdir(tmpd) if f.endswith(".parquet")]
+        dstp = f"{srcdir}/b{i}.parquet"
+        shutil.copy(f"{tmpd}/{pf}", dstp)
+        os.utime(dstp, (now - 600 + i * 60, now - 600 + i * 60))
+
+    schema = "vec_id long, embedding array<double>"
+    q = stream_ivf_append(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(srcdir),
+        store,
+        checkpoint_path=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+
+    got_ids = sorted(
+        r.vec_id for r in spark.read.parquet(store + "/postings").collect()
+    )
+    assert got_ids == list(range(120))  # no loss, no duplicates
+
+    qv = [0.3] * dim
+    got = [(r.vec_id, r.cos_sim) for r in ivf_store_topk(spark, store, qv, k=10, nprobe=4).collect()]
+    exp = [(r.vec_id, r.cos_sim) for r in cosine_topk_query(base, qv, k=10).collect()]
+    assert got == exp
+
+    # replayed stream: fresh checkpoint, same files — appends nothing
+    import os as _os
+
+    def files():
+        out = {}
+        for root, _, fs in _os.walk(store + "/postings"):
+            for f in fs:
+                p = _os.path.join(root, f)
+                out[p] = _os.path.getmtime(p)
+        return out
+
+    before = files()
+    q2 = stream_ivf_append(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(srcdir),
+        store,
+        checkpoint_path=str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(120)
+    assert files() == before
