@@ -195,9 +195,14 @@ def main() -> int:
         c = duckdb.connect()
         # explicit cap + spill dir: DuckDB otherwise sizes its limit from
         # memory FREE at connect time, so a concurrent JVM makes the oracle
-        # die with bad_alloc on queries that would happily spill
+        # die with bad_alloc on queries that would happily spill. The cap
+        # is env-tunable: the ~0.6 MB generated minhash SQL models
+        # intermittently fragment a 6GB pool into a bad_alloc cascade (and
+        # a duckdb.so segfault on unwind) — solo runs on this box should
+        # use 24GB+ via AH_DUCKDB_MEM.
         try:
-            c.execute("SET memory_limit='6GB'")
+            mem = os.environ.get("AH_DUCKDB_MEM", "6GB")
+            c.execute(f"SET memory_limit='{mem}'")
             c.execute("SET temp_directory='/tmp/duckdb_spill'")
         except Exception:  # noqa: BLE001 — older duckdb: keep defaults
             pass
