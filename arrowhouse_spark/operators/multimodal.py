@@ -615,3 +615,92 @@ def decode_audio(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("media_id", "payload").mapInPandas(_run, AUDIO_SCHEMA)
+
+
+def dhash_band_index(
+    hashed: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    band_bits: int = 16,
+) -> DataFrame:
+    """(id, dhash, band, key) banding relation for a dHash column — the
+    perceptual analogue of dedup.py:minhash_band_index, and the at-rest
+    shape of the persistent media near-dup store (write it bucketed by
+    (band, key) and a day's batch co-locates against years of history)."""
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    return hashed.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(hash_col), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, hash_col, "bb.band", "bb.key")
+
+
+def dhash_incremental(
+    new_hashed: DataFrame,
+    store_index: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    band_bits: int = 16,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Incremental perceptual media dedup — the daily-ingest companion of
+    dedup.py:minhash_incremental for images: a new media item is dropped
+    when its dHash is within ``max_hamming`` of (a) any HISTORICAL item
+    sharing a band key in ``store_index`` (a :func:`dhash_band_index`
+    relation, same band config) or (b) any LOWER-ID batch-mate sharing a
+    band key (the greedy keep-first rule). Returns the surviving items'
+    index rows — exactly what the caller appends to advance the store.
+
+    Scale: the store joins keyed on (band, key) — with the store bucketed
+    by those columns the day's batch co-locates against history without
+    moving it; shuffles carry (8-byte hash, id) rows, never payloads.
+    Greedy note: as in minhash_incremental, a batch item losing to a
+    batch-mate that itself lost to the store still drops — transitive
+    clustering is components_incremental's job."""
+    idx = dhash_band_index(new_hashed, id_col, hash_col, band_bits)
+    ham = lambda a, b: F.bit_count(a.bitwiseXOR(b))  # noqa: E731
+    cross_losers = (
+        idx.alias("l")
+        .join(
+            store_index.select(
+                F.col("band"), F.col("key"), F.col(hash_col).alias("__hs")
+            ),
+            ["band", "key"],
+        )
+        .filter(ham(F.col(hash_col), F.col("__hs")) <= max_hamming)
+        .select(F.col(id_col))
+        .distinct()
+    )
+    l, r = idx.alias("l"), idx.alias("r")
+    within_losers = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.key") == F.col("r.key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .filter(
+            ham(F.col(f"l.{hash_col}"), F.col(f"r.{hash_col}")) <= max_hamming
+        )
+        .select(F.col(f"r.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        idx.join(cross_losers, id_col, "left_anti")
+        .join(within_losers, id_col, "left_anti")
+    )

@@ -1349,9 +1349,13 @@ def png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "image_dhash_neardup",
-    """
+def _dhash_model_sql() -> str:
+    """Shared DuckDB model of the planted-variant image corpus and its
+    dHash pipeline (pixels -> blocks -> bits -> two's-complement hash) —
+    the prefix both image_dhash_neardup and image_dhash_incremental
+    oracles build on, kept in ONE place so the pixel formula cannot
+    drift between them."""
+    return """
     WITH m AS (
       SELECT doc_id,
              doc_id - CASE WHEN doc_id % 5 = 4 THEN 4 ELSE 0 END AS anchor,
@@ -1386,7 +1390,13 @@ def png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
              + CAST(sum(CASE WHEN k = 63 THEN b ELSE 0 END) AS BIGINT)
                * (-9223372036854775807 - 1) AS dhash
       FROM bits GROUP BY doc_id
-    ), banded AS (
+    )"""
+
+
+@register(
+    "image_dhash_neardup",
+    _dhash_model_sql()
+    + """, banded AS (
       SELECT doc_id, dhash, band, (dhash >> (band * 16)) & 65535 AS key
       FROM hashes, (SELECT unnest([0, 1, 2, 3]) AS band) b
     ), cand AS (
@@ -1458,6 +1468,92 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(_build, "media_id long, payload binary")
     hashed = image_dhash(media)
     return dhash_neardup_pairs(hashed, band_bits=16, max_hamming=6)
+
+
+@register(
+    "image_dhash_incremental",
+    _dhash_model_sql()
+    + """, store AS (
+      SELECT doc_id, dhash FROM hashes WHERE doc_id % 3 = 0
+    ), batch AS (
+      SELECT doc_id, dhash FROM hashes WHERE doc_id % 3 != 0
+    ), sb AS (
+      SELECT doc_id, dhash, band, (dhash >> (band * 16)) & 65535 AS key
+      FROM store, (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ), bb AS (
+      SELECT doc_id, dhash, band, (dhash >> (band * 16)) & 65535 AS key
+      FROM batch, (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ), cross_losers AS (
+      SELECT DISTINCT l.doc_id FROM bb l JOIN sb r
+        ON l.band = r.band AND l.key = r.key
+      WHERE bit_count(xor(l.dhash, r.dhash)) <= 6
+    ), within_losers AS (
+      SELECT DISTINCT r.doc_id FROM bb l JOIN bb r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+      WHERE bit_count(xor(l.dhash, r.dhash)) <= 6
+    )
+    SELECT DISTINCT doc_id AS media_id FROM batch
+    WHERE doc_id NOT IN (SELECT doc_id FROM cross_losers)
+      AND doc_id NOT IN (SELECT doc_id FROM within_losers)
+    """,
+)
+def image_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PERCEPTUAL media dedup (operators/multimodal.py:
+    dhash_incremental) — the daily-ingest companion of
+    image_dhash_neardup and the perceptual twin of
+    minhash_incremental_docs: historical store = the dHash band index of
+    media with id%3=0, batch = the rest; a batch image survives unless
+    its hash is within hamming 6 of a store image sharing a band key or
+    of a lower-id batch-mate (greedy keep-first). Survivor ids pin the
+    whole decision chain; the oracle replays the pixel->hash model plus
+    BOTH loser rules. Planted variants (id%5=4) whose anchor sits in the
+    store (anchor%3=0, id%3!=0) must drop — the cross-batch case the
+    store join exists for."""
+    from collections.abc import Iterator
+
+    from arrowhouse_spark.operators.multimodal import (
+        dhash_band_index,
+        dhash_incremental,
+        encode_png_gray,
+        image_dhash,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        def payload(i: int) -> bytes:
+            isv = i % 5 == 4
+            a = i - 4 if isv else i
+            w, h, seed = 9 + a % 7, 8 + a % 5, a % 97
+            xs, ys = np.arange(w), np.arange(h)
+            base = (
+                xs[None, :] * (31 + seed)
+                + ys[:, None] * (57 + seed * 3)
+                + seed
+            ) % 251
+            if isv:
+                base = base + (((xs[None, :] + ys[:, None]) % 13) == 0)
+            return encode_png_gray(base.astype(np.uint8))
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [payload(i) for i in ids]}
+            )
+
+    hashed = image_dhash(
+        docs.mapInPandas(_build, "media_id long, payload binary")
+    ).localCheckpoint()
+    store_idx = dhash_band_index(hashed.filter(F.col("media_id") % 3 == 0))
+    surv = dhash_incremental(
+        hashed.filter(F.col("media_id") % 3 != 0), store_idx, max_hamming=6
+    )
+    return surv.select("media_id").distinct()
 
 
 @register(

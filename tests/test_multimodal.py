@@ -381,3 +381,44 @@ def test_image_dhash_non_png_hits_codec_seam():
     with pytest.raises(NotImplementedError) as ei:
         _decode_image_gray_real(b"\xff\xd8\xff\xe0\x00\x10JFIF")
     assert str(ei.value) == IMAGE_CODEC_UNAVAILABLE_MSG
+
+
+def test_dhash_incremental_store_and_batch_rules(spark):
+    """Cross-store drop (near the historical anchor), within-batch greedy
+    keep-first (lower id wins), unrelated survivor passes; surviving
+    index rows appended to the store drop a replayed batch entirely."""
+    import numpy as np
+
+    from arrowhouse_spark.operators.multimodal import (
+        dhash64,
+        dhash_band_index,
+        dhash_incremental,
+    )
+
+    rng = np.random.RandomState(3)
+    anchor = rng.randint(0, 256, size=(16, 24)).astype(np.uint8)
+    near = anchor.copy()
+    near[::6, ::8] = np.minimum(near[::6, ::8].astype(int) + 2, 255).astype(np.uint8)
+    twin_a = rng.randint(0, 256, size=(16, 24)).astype(np.uint8)
+    other = rng.randint(0, 256, size=(16, 24)).astype(np.uint8)
+
+    store_hashes = spark.createDataFrame(
+        [(1, dhash64(anchor))], "media_id long, dhash long"
+    )
+    store_idx = dhash_band_index(store_hashes)
+    batch = spark.createDataFrame(
+        [
+            (10, dhash64(near)),     # drops vs store anchor
+            (11, dhash64(twin_a)),   # survives (lower id of the twin pair)
+            (12, dhash64(twin_a)),   # drops vs batch-mate 11
+            (13, dhash64(other)),    # survives
+        ],
+        "media_id long, dhash long",
+    )
+    surv = dhash_incremental(batch, store_idx, max_hamming=6)
+    assert sorted({r.media_id for r in surv.collect()}) == [11, 13]
+
+    # advance the store with the survivors: a replayed batch fully drops
+    new_store = store_idx.unionByName(surv)
+    again = dhash_incremental(batch, new_store, max_hamming=6)
+    assert again.count() == 0
