@@ -218,6 +218,7 @@ HEADLINE = [
     "ivf_store_topk_exact",
     "image_dhash_neardup",
     "wav_decode_real",
+    "image_dhash_incremental",
 ]
 
 
