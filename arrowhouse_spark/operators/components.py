@@ -20,8 +20,61 @@ convergence probe is a LIMIT 1 anti-equality join, not a full count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FS API — the portable
+    way to touch store-side files: ``os.path`` silently sees nothing on
+    HDFS/S3A stores, so driver-local checks guarding correctness (meta
+    pins, twin staleness) would never fire exactly where they matter."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    try:
+        # local file:// is a ChecksumFileSystem whose .crc sidecars go
+        # stale if anything else (legacy code, an operator, a human)
+        # touches the file with plain open() — use the raw FS for these
+        # metadata files, matching plain-file behavior; HDFS/S3A have no
+        # getRawFileSystem and keep their native integrity checks
+        fs = fs.getRawFileSystem()
+    except Exception:  # noqa: BLE001 — not a ChecksumFileSystem
+        pass
+    return fs, p
+
+
+def _fs_dir_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def _fs_read_small(spark: SparkSession, path: str) -> bytes | None:
+    """Read a small (metadata-sized) file through the Hadoop FS API;
+    None if absent. Byte-at-a-time over py4j — fine for tens of bytes."""
+    fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytearray()
+        c = stream.read()
+        while c != -1:
+            data.append(c)
+            c = stream.read()
+        return bytes(data)
+    finally:
+        stream.close()
+
+
+def _fs_write_small(spark: SparkSession, path: str, payload: bytes) -> None:
+    fs, p = _hadoop_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
 
 
 def connected_components(
@@ -264,7 +317,6 @@ def components_incremental(
     not the increment. The reference engine has no graph operators —
     extension surface, same doctrine as operators/graph.py."""
     import json
-    import os
 
     from arrowhouse_spark.operators.sampling import hash_bucket
 
@@ -293,10 +345,12 @@ def components_incremental(
     # n_buckets is baked into the store's partition layout; a fold with a
     # different value would prune the wrong cb partitions (missed merges)
     # and scatter rewrites across mismatched buckets — pin it in a meta
-    # file and refuse mismatches (legacy stores without meta are adopted)
-    if store is not None and os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            stored_n = json.load(fh).get("n_buckets")
+    # file and refuse mismatches (legacy stores without meta are adopted).
+    # Hadoop FS API, not os.path: on HDFS/S3A stores a local-path check
+    # never fires and the guard would be silently skipped.
+    meta_raw = _fs_read_small(spark, meta_path) if store is not None else None
+    if meta_raw is not None:
+        stored_n = json.loads(meta_raw.decode("utf-8")).get("n_buckets")
         if stored_n != n_buckets:
             raise ValueError(
                 f"store {store_path!r} was built with n_buckets="
@@ -332,12 +386,10 @@ def components_incremental(
         twin_ok = False
         if not comp_index:
             # a twin left behind by comp_index=True folds would go silently
-            # STALE here and corrupt a later comp_index=True fold — refuse
-            # (best-effort check; object stores without os.path visibility
-            # rely on the documented keep-comp_index-consistent contract)
-            import os as _os
-
-            if _os.path.isdir(twin_path):
+            # STALE here and corrupt a later comp_index=True fold — refuse.
+            # Hadoop FS existence check, so the refusal fires on object
+            # stores too, exactly where a silent skip would corrupt.
+            if _fs_dir_exists(spark, twin_path):
                 raise ValueError(
                     f"store {store_path!r} has a component index twin; "
                     "keep passing comp_index=True for its whole lifecycle "
@@ -405,6 +457,11 @@ def components_incremental(
             store.join(F.broadcast(touched), "cb", "semi")
             .join(delta.select("id"), "id", "left_anti")
             .select("id", "component", "cb")
+            # pin the carried rows BEFORE the write: `carry` lazily scans
+            # store_path while the write dynamic-overwrites the same path —
+            # self-read-overwrite is fragile without materialization (the
+            # twin path below already checkpoints `tout` for this reason)
+            .localCheckpoint()
         )
         out = delta.unionByName(carry)
     (
@@ -414,12 +471,10 @@ def components_incremental(
         .partitionBy("cb")
         .parquet(store_path)
     )
-    if not os.path.exists(meta_path):
-        try:
-            with open(meta_path, "w") as fh:
-                json.dump({"n_buckets": n_buckets}, fh)
-        except OSError:
-            pass  # object stores without local-path meta rely on the doc
+    if meta_raw is None:
+        _fs_write_small(
+            spark, meta_path, json.dumps({"n_buckets": n_buckets}).encode()
+        )
     if comp_index:
         ccb = hash_bucket("component", n_buckets, salt="ccb").alias("ccb")
         if store is not None and twin_ok:
@@ -454,16 +509,10 @@ def components_incremental(
             # (Hadoop FS API: portable across local/HDFS/S3A)
             kept_ccb = {r.ccb for r in tout.select("ccb").distinct().collect()}
             drained = [v for v in tvals if v not in kept_ccb]
-            if drained:
-                jvm = spark.sparkContext._jvm
-                conf = spark.sparkContext._jsc.hadoopConfiguration()
-                for v in drained:
-                    p = jvm.org.apache.hadoop.fs.Path(
-                        f"{twin_path}/ccb={v}"
-                    )
-                    fs = p.getFileSystem(conf)
-                    if fs.exists(p):
-                        fs.delete(p, True)
+            for v in drained:
+                fs, p = _hadoop_fs(spark, f"{twin_path}/ccb={v}")
+                if fs.exists(p):
+                    fs.delete(p, True)
         else:
             # first fold, or adopting a twin-less store: build the twin
             # from the full labeling just committed
@@ -476,3 +525,213 @@ def components_incremental(
                 .parquet(twin_path)
             )
     return delta.select("id", "component")
+
+
+def components_store_retract(
+    spark: SparkSession,
+    store_path: str,
+    ids,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Retract vertex ids from the persistent label store — the
+    GDPR/forget-this-document primitive components_incremental lacks
+    (round-10 verdict #1, CC half): remove each id's row, and when a
+    retracted id WAS its component's label (the minimum id), relabel the
+    surviving members to their new minimum — so the store stays a valid
+    converged labeling and later folds keep merging correctly.
+
+    SEMANTICS — cluster retraction, not graph vertex deletion: the store
+    keeps the star forest, not the original edges, so whether removing a
+    cut vertex would SPLIT a component is unknowable here. The surviving
+    members stay one component (the near-dup reading: their pairwise
+    verdicts routed through the retracted item are forgotten but the
+    cluster identity persists); callers needing exact split semantics
+    must re-run CC over the retained edge relation.
+
+    Per retract (all pruned, nothing global): locate = cb-bucket-pruned
+    semi-join of the id set; members of affected components come from the
+    ``__bycomp`` twin's ccb partitions when present (else one map-side
+    full scan, as in components_incremental); the rewrite
+    dynamic-overwrites ONLY buckets holding a removed or relabeled row,
+    with fully-drained partitions dropped via the Hadoop FS API. The twin
+    is kept consistent, including label moves across ccb buckets.
+    Returns the RELABELED survivors (id, component) — empty when no
+    retracted id was a component label. Single-writer contract, as for
+    every store in this module."""
+    import json
+
+    from arrowhouse_spark.operators.sampling import hash_bucket
+
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids], "id long")
+    ids = ids.select("id").distinct().localCheckpoint()
+    meta_raw = _fs_read_small(spark, store_path + "__meta")
+    if meta_raw is not None:
+        stored_n = json.loads(meta_raw.decode("utf-8")).get("n_buckets")
+        if n_buckets is not None and n_buckets != stored_n:
+            raise ValueError(
+                f"store {store_path!r} was built with n_buckets="
+                f"{stored_n}; retract passed {n_buckets}"
+            )
+        n_buckets = stored_n
+    if n_buckets is None:
+        raise ValueError(
+            "n_buckets unknown: the store has no meta file — pass the "
+            "value the store was built with"
+        )
+    store = spark.read.parquet(store_path)
+    twin_path = store_path + "__bycomp"
+    empty = ids.limit(0).withColumn("component", F.col("id"))
+
+    vbuckets = [
+        r.cb
+        for r in ids.select(hash_bucket("id", n_buckets, salt="cc").alias("cb"))
+        .distinct()
+        .collect()
+    ]
+    acomps = (
+        store.filter(F.col("cb").isin(vbuckets))
+        .join(F.broadcast(ids), "id", "semi")
+        .select("component")
+        .distinct()
+        .localCheckpoint()
+    )
+    if acomps.isEmpty():
+        return empty  # none of the ids are in the store
+
+    has_twin = _fs_dir_exists(spark, twin_path)
+    if has_twin:
+        cbuckets = [
+            r.ccb
+            for r in acomps.select(
+                hash_bucket("component", n_buckets, salt="ccb").alias("ccb")
+            )
+            .distinct()
+            .collect()
+        ]
+        members_src = spark.read.parquet(twin_path).filter(
+            F.col("ccb").isin(cbuckets)
+        )
+    else:
+        members_src = store
+    members = (
+        members_src.join(F.broadcast(acomps), "component", "semi")
+        .select("id", "component")
+        .localCheckpoint()
+    )
+    remaining = members.join(F.broadcast(ids), "id", "left_anti")
+    newlab = remaining.groupBy("component").agg(
+        F.min("id").alias("__new")
+    )
+    delta = (
+        remaining.join(newlab, "component")
+        .filter(F.col("component") != F.col("__new"))
+        .select("id", F.col("__new").alias("component"))
+        .localCheckpoint()
+    )
+
+    # primary rewrite: buckets holding a removed id or a relabeled row
+    gone = ids.join(members.select("id"), "id", "semi")  # ids actually stored
+    touch_ids = gone.unionByName(delta.select("id")).distinct()
+    tb = (
+        touch_ids.select(hash_bucket("id", n_buckets, salt="cc").alias("cb"))
+        .distinct()
+        .localCheckpoint()
+    )
+    tvals = [r.cb for r in tb.collect()]
+    carry = (
+        store.filter(F.col("cb").isin(tvals))
+        .join(F.broadcast(touch_ids), "id", "left_anti")
+        .select("id", "component", "cb")
+        .localCheckpoint()  # self-read-overwrite discipline
+    )
+    out = delta.withColumn(
+        "cb", hash_bucket("id", n_buckets, salt="cc")
+    ).unionByName(carry)
+    (
+        out.repartition("cb")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cb")
+        .parquet(store_path)
+    )
+    kept_cb = {r.cb for r in out.select("cb").distinct().collect()}
+    for v in tvals:
+        if v not in kept_cb:
+            fs, p = _hadoop_fs(spark, f"{store_path}/cb={v}")
+            if fs.exists(p):
+                fs.delete(p, True)
+
+    if has_twin:
+        ccb = hash_bucket("component", n_buckets, salt="ccb").alias("ccb")
+        # touched ccb = every affected component's OLD bucket ∪ the delta
+        # rows' NEW buckets (labels move buckets when the root retires)
+        tccb = (
+            acomps.select(ccb).unionByName(delta.select(ccb)).distinct()
+        )
+        tcvals = [r.ccb for r in tccb.collect()]
+        tcarry = (
+            spark.read.parquet(twin_path)
+            .filter(F.col("ccb").isin(tcvals))
+            .join(F.broadcast(touch_ids), "id", "left_anti")
+            .select("id", "component", "ccb")
+        )
+        tout = (
+            delta.select("id", "component", ccb)
+            .unionByName(tcarry)
+            .localCheckpoint()
+        )
+        (
+            tout.repartition("ccb")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ccb")
+            .parquet(twin_path)
+        )
+        kept_ccb = {r.ccb for r in tout.select("ccb").distinct().collect()}
+        for v in tcvals:
+            if v not in kept_ccb:
+                fs, p = _hadoop_fs(spark, f"{twin_path}/ccb={v}")
+                if fs.exists(p):
+                    fs.delete(p, True)
+    return delta.select("id", "component")
+
+
+def compact_components_store(
+    spark: SparkSession,
+    store_path: str,
+) -> dict:
+    """Compact the CC label store (and its ``__bycomp`` twin when
+    present): every components_incremental fold dynamic-overwrites only
+    touched buckets, but an overwritten bucket is written by however many
+    tasks carried its rows, so a long-lived store accumulates small files
+    whose open/footer cost comes to dominate the per-fold pruned reads —
+    the compact_band_store problem on the label layout. Rewrite = one
+    hash repartition on the partition column, so each bucket lands in
+    exactly one task → one file per bucket directory; labels are carried
+    BIT-IDENTICAL (pinned in tests). Same stop-the-writer contract as
+    compact_band_store. Returns {"rows", "files_before", "files_after"}."""
+
+    def _compact(path: str, part_col: str) -> tuple[int, int, int]:
+        df = spark.read.parquet(path)
+        fb = df.select(F.input_file_name()).distinct().count()
+        out = df.localCheckpoint()  # self-read-overwrite discipline
+        (
+            out.repartition(part_col)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(part_col)
+            .parquet(path)
+        )
+        after = spark.read.parquet(path)
+        return out.count(), fb, after.select(F.input_file_name()).distinct().count()
+
+    rows, fb, fa = _compact(store_path, "cb")
+    res = {"rows": rows, "files_before": fb, "files_after": fa}
+    twin_path = store_path + "__bycomp"
+    if _fs_dir_exists(spark, twin_path):
+        trows, tfb, tfa = _compact(twin_path, "ccb")
+        res["twin_rows"] = trows
+        res["files_before"] += tfb
+        res["files_after"] += tfa
+    return res

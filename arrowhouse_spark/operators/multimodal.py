@@ -204,12 +204,12 @@ def _decode_png_gray(payload: bytes) -> "np.ndarray":  # noqa: F821
                     line[i] = (int(line[i]) + pr) & 0xFF
         elif ftype != 0:
             raise ValueError(f"bad PNG filter {ftype}")
-        wide = line.astype(np.int64)
         if ctype == 0:
             gray[y] = line
         elif ctype == 4:  # gray+alpha: gray is channel 0
             gray[y] = line[0::2]
         else:  # RGB / RGBA → ITU-R 601-2 integer luma, PIL 'L' semantics
+            wide = line.astype(np.int64)
             gray[y] = (
                 (
                     wide[0::channels] * 299
@@ -494,27 +494,10 @@ def dhash_neardup_pairs(
     band of the 64-bit dHash), exact hamming verify on candidates —
     the simhash_dedup scheme applied to pixels instead of tokens. A pair
     within hamming d is missed only if every band differs, so banding is
-    a recall/cost dial exactly as in LSH. Arithmetic shift + mask keeps
-    band keys engine-identical for negative hashes."""
-    bands = 64 // band_bits
-    mask = (1 << band_bits) - 1
-    banded = hashed.select(
-        id_col,
-        hash_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col(hash_col), b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, hash_col, "bb.band", "bb.key")
+    a recall/cost dial exactly as in LSH. Banding arithmetic lives in ONE
+    place — :func:`dhash_band_index` — so the pairs query and the
+    persistent-store index can never drift apart."""
+    banded = dhash_band_index(hashed, id_col, hash_col, band_bits)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(

@@ -814,8 +814,10 @@ def ivf_store_append(
     is an UPDATE this operator cannot express — the new vector may assign
     to a different cell, where the old posting is invisible to the
     pruned check, and the id would then exist in two cells. Vector
-    updates need delete-then-append (or a rebuild); detecting them here
-    would require a full-store id scan, defeating the pruning design.
+    updates need delete-then-append — :func:`ivf_store_upsert` composes
+    exactly that (and :func:`ivf_store_delete` alone is the retraction
+    primitive); detecting them here would require a full-store id scan,
+    defeating the pruning design.
 
     Scale: the store is read only at the touched cells (partition pruning
     on the cell filter) and only its id column; the batch is map-side
@@ -823,9 +825,32 @@ def ivf_store_append(
     caller's re-fit trigger — measure it with ivf_store_drift."""
     spark = new_df.sparkSession
     c = _ivf_store_centroids(spark, store_path)
-    assigned = _assign_to_centroids(
-        new_df.select(id_col, vec_col), c, vec_col, round_dp=6
-    ).localCheckpoint()
+    assigned = (
+        _assign_to_centroids(
+            new_df.select(id_col, vec_col), c, vec_col, round_dp=6
+        )
+        # in-batch dedup: the left_anti below only guards against the STORE;
+        # a micro-batch re-delivering the same (id, vector) twice would
+        # otherwise append duplicate postings, and the same id with TWO
+        # DIFFERENT vectors would land in two cells — the exact double
+        # residency the append-not-upsert contract declares inexpressible
+        .dropDuplicates([id_col, vec_col])
+        .localCheckpoint()
+    )
+    conflicted = (
+        assigned.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if conflicted:
+        ids = sorted(r[id_col] for r in conflicted)
+        raise ValueError(
+            f"ivf_store_append batch carries conflicting vectors for ids "
+            f"{ids}: same id, different embedding — an in-batch update. "
+            "Resolve upstream or use ivf_store_upsert."
+        )
     touched = [r.centroid for r in assigned.select("centroid").distinct().collect()]
     existing = (
         spark.read.parquet(store_path + "/postings")
@@ -841,6 +866,98 @@ def ivf_store_append(
             .parquet(store_path + "/postings")
         )
     return fresh
+
+
+def ivf_store_delete(
+    spark: SparkSession,
+    store_path: str,
+    ids,
+    id_col: str = "vec_id",
+) -> int:
+    """Delete postings by id — the retraction/GDPR primitive the
+    append-not-upsert contract of :func:`ivf_store_append` leaves
+    inexpressible (round-10 verdict #1). ``ids`` is a DataFrame carrying
+    ``id_col`` or a plain Python sequence of ids.
+
+    The store is partitioned by cell, not id, so locating an id costs one
+    COLUMN-PRUNED scan of (id, centroid) over the postings — unavoidable
+    without an id→cell sidecar, and the honest price of pruned probes.
+    The rewrite itself touches ONLY the cells that carry a deleted id:
+    dynamic partition overwrite of those cells minus the tombstoned rows
+    (the components_incremental store-rewrite pattern), with cells whose
+    every row died dropped via the Hadoop FS API (dynamic overwrite never
+    rewrites a partition it receives no rows for). Deleting an id that
+    (erroneously) resides in two cells removes BOTH postings — so delete
+    is also the repair tool for a double residency. Returns the number
+    of postings removed.
+
+    Run with no concurrent appender — same single-writer contract as the
+    band stores (compact_band_store docstring)."""
+    from arrowhouse_spark.operators.components import _hadoop_fs
+
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    ids = ids.select(id_col).distinct().localCheckpoint()
+    store = spark.read.parquet(store_path + "/postings")
+    hit = (
+        store.join(F.broadcast(ids), id_col, "semi")
+        .groupBy("centroid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    if not hit:
+        return 0
+    touched = [r.centroid for r in hit]
+    removed = int(sum(r["__n"] for r in hit))
+    keep = (
+        store.filter(F.col("centroid").isin(touched))
+        .join(F.broadcast(ids), id_col, "left_anti")
+        # pin survivors BEFORE the overwrite: `keep` lazily scans the
+        # same path the write replaces (self-read-overwrite discipline)
+        .localCheckpoint()
+    )
+    (
+        keep.repartition("centroid")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid")
+        .parquet(store_path + "/postings")
+    )
+    kept_cells = {r.centroid for r in keep.select("centroid").distinct().collect()}
+    for cell in touched:
+        if cell not in kept_cells:
+            fs, p = _hadoop_fs(
+                spark, f"{store_path}/postings/centroid={cell}"
+            )
+            if fs.exists(p):
+                fs.delete(p, True)
+    return removed
+
+
+def ivf_store_upsert(
+    new_df: DataFrame,
+    store_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Upsert = delete-then-append, composed from the two primitives: the
+    batch's ids are first tombstoned out of whatever cells they occupy
+    (no-op for genuinely new ids), then appended under the frozen
+    quantizer — so a CHANGED vector moves cleanly to its new cell instead
+    of becoming the dangling two-cell resident the append contract warns
+    about, and re-upserting an unchanged vector lands it back in its old
+    cell. Returns the appended rows. Cost over plain append: the one
+    column-pruned id-locate scan of ivf_store_delete — callers that KNOW
+    their ids are new should keep calling ivf_store_append."""
+    spark = new_df.sparkSession
+    ivf_store_delete(
+        spark, store_path, new_df.select(id_col), id_col=id_col
+    )
+    return ivf_store_append(
+        new_df, store_path, vec_col=vec_col, id_col=id_col
+    )
 
 
 def ivf_store_topk(

@@ -1000,17 +1000,23 @@ def _pareto_process_batch(
     frontier membership itself stays correct); same stop-the-stream
     caveat as compact_band_store under concurrent readers."""
     import json
-    import os
 
     from pyspark.sql import functions as F
 
+    from arrowhouse_spark.operators.components import (
+        _fs_read_small,
+        _fs_write_small,
+        _hadoop_fs,
+    )
     from arrowhouse_spark.operators.skyline import pareto_frontier
 
     spark = batch_df.sparkSession
     ledger = store_path + "__last_batch"
-    if os.path.exists(ledger):
-        with open(ledger) as fh:
-            raw = fh.read().strip()
+    # Hadoop FS API (not os.path): on HDFS/S3A stores a local-path ledger
+    # check silently never fires, and every replayed batch double-counts
+    raw_b = _fs_read_small(spark, ledger)
+    if raw_b is not None:
+        raw = raw_b.decode("utf-8").strip()
         try:
             # AttributeError: a legacy ledger is a bare int ('7'), which IS
             # valid JSON — json.loads returns an int and .get would crash
@@ -1039,9 +1045,11 @@ def _pareto_process_batch(
             )
         if batch_id <= led_last:
             return  # replayed batch: already folded
-    have_store = os.path.isdir(store_path) and any(
-        f.endswith(".parquet") or f.startswith("part-")
-        for f in os.listdir(store_path)
+    _fs, _sp = _hadoop_fs(spark, store_path)
+    have_store = _fs.exists(_sp) and any(
+        st.getPath().getName().endswith(".parquet")
+        or st.getPath().getName().startswith("part-")
+        for st in _fs.listStatus(_sp)
     )
     pts = batch_df.select(
         F.col(min_col), F.col(max_col), F.col(id_col).cast("long").alias("__w")
@@ -1071,8 +1079,12 @@ def _pareto_process_batch(
     out.coalesce(1).write.mode("overwrite").parquet(tmp)
     final = spark.read.parquet(tmp)
     final.write.mode("overwrite").parquet(store_path)
-    with open(ledger, "w") as fh:  # fold recorded AFTER the store write
-        json.dump({"run_key": run_key, "last_batch": batch_id}, fh)
+    # fold recorded AFTER the store write
+    _fs_write_small(
+        spark,
+        ledger,
+        json.dumps({"run_key": run_key, "last_batch": batch_id}).encode(),
+    )
 
 
 def stream_pareto(

@@ -172,3 +172,120 @@ def test_ivf_store_init_append_query_drift(spark, tmp_path):
          ivf_store_drift(spark, store, b2).collect()}
     assert -1 in d and d[-1][0] == b2.count()
     assert sum(v[0] for c, v in d.items() if c >= 0) == b2.count()
+
+
+def test_ivf_store_delete_upsert_lifecycle(spark, tmp_path):
+    """Store lifecycle beyond append: delete removes an id's postings
+    wherever they live (touched-cell rewrite only; untouched cells keep
+    files byte-for-byte), upserting a CHANGED vector moves it cleanly to
+    its new cell — store contents equal a from-scratch rebuild over the
+    updated relation — and appends with in-batch duplicates either
+    collapse (same vector) or refuse (conflicting vectors)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.similarity import (
+        ivf_store_append,
+        ivf_store_delete,
+        ivf_store_init,
+        ivf_store_upsert,
+    )
+
+    n, dim = 200, 8
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                (F.pmod(F.xxhash64("id", j), F.lit(2001)) - F.lit(1000))
+                / F.lit(1000.0)
+            ).cast("double"),
+        ).alias("embedding"),
+    ).localCheckpoint()
+    store = str(tmp_path / "ivf")
+    ivf_store_init(base, store, n_centroids=4)
+
+    def postings():
+        return {
+            r.vec_id: (r.centroid, tuple(r.embedding))
+            for r in spark.read.parquet(store + "/postings").collect()
+        }
+
+    def snap_files():
+        out = {}
+        for root, _, files in os.walk(store + "/postings"):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    full = postings()
+    assert len(full) == n
+
+    # --- delete: ids vanish, untouched cells keep their files
+    victims = [5, 17, 100]
+    before = snap_files()
+    removed = ivf_store_delete(spark, store, victims)
+    assert removed == 3
+    after_del = postings()
+    assert set(after_del) == set(full) - set(victims)
+    assert all(after_del[k] == full[k] for k in after_del)
+    after = snap_files()
+    victim_cells = {full[v][0] for v in victims}
+    for p, t in before.items():
+        cell = next(
+            (c for c in range(4) if f"centroid={c}" in p), None
+        )
+        if cell is not None and cell not in victim_cells:
+            assert after.get(p) == t, f"untouched cell file rewritten: {p}"
+    # deleting nothing is a no-op returning 0
+    assert ivf_store_delete(spark, store, [9999]) == 0
+
+    # --- upsert a MOVED vector: flip the sign so it assigns elsewhere
+    moved = base.filter(F.col("vec_id") == 7).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    appended = ivf_store_upsert(moved, store)
+    assert appended.count() == 1
+    after_up = postings()
+    assert after_up[7][1] == tuple(-x for x in full[7][1])
+    # exactly ONE residency for id 7 (the dangling-two-cell hazard)
+    cnt = (
+        spark.read.parquet(store + "/postings")
+        .filter(F.col("vec_id") == 7)
+        .count()
+    )
+    assert cnt == 1
+    # upsert ≡ rebuild: init a fresh store over the updated relation
+    updated = base.filter(~F.col("vec_id").isin([5, 17, 100, 7])).unionByName(
+        moved
+    )
+    store2 = str(tmp_path / "ivf_rebuild")
+    ivf_store_init(updated, store2, n_centroids=4)
+    rebuilt = {
+        r.vec_id: (r.centroid, tuple(r.embedding))
+        for r in spark.read.parquet(store2 + "/postings").collect()
+    }
+    assert after_up == rebuilt
+
+    # --- re-upserting an UNCHANGED vector lands back identically
+    again = ivf_store_upsert(base.filter(F.col("vec_id") == 3), store)
+    assert again.count() == 1
+    assert postings()[3] == full[3]
+
+    # --- in-batch duplicates: exact dupes collapse to one posting
+    dup = base.filter(F.col("vec_id") == 5)
+    appended = ivf_store_append(dup.unionByName(dup), store)
+    assert appended.count() == 1
+    assert postings()[5] == full[5]
+
+    # --- conflicting in-batch vectors refuse loudly
+    conflict = dup.unionByName(
+        dup.select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="conflicting vectors"):
+        ivf_store_append(conflict, store)

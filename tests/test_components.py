@@ -247,3 +247,160 @@ def test_components_incremental_n_buckets_pinned(spark, tmp_path):
     components_incremental(spark.createDataFrame([(2, 3)], ET), store, n_buckets=16)
     got = {r.id: r.component for r in spark.read.parquet(store).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_components_store_retract_relabels_and_prunes(spark, tmp_path):
+    """Retraction semantics on the persistent store: removing a non-root
+    member just deletes its row; removing the ROOT (the component's min
+    id == its label) relabels survivors to the new minimum; retracting a
+    whole cluster drains its rows (and its bucket when it was alone
+    there); and the resulting store equals a rebuild from the retained
+    id set's pair history. Untouched clusters' buckets keep their files
+    byte-for-byte."""
+    import os
+
+    from arrowhouse_spark.operators.components import (
+        components_incremental,
+        components_store_retract,
+    )
+
+    store = str(tmp_path / "cc_store")
+    ET = "src long, dst long"
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (30, 31)]
+    components_incremental(spark.createDataFrame(edges, ET), store)
+
+    def labels():
+        return {
+            r.id: r.component
+            for r in spark.read.parquet(store).select("id", "component").collect()
+        }
+
+    def snap_files():
+        out = {}
+        for root, _, files in os.walk(store):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    assert labels() == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 30: 30, 31: 30}
+
+    # non-root retract: id 2 goes, nobody relabels
+    before = snap_files()
+    delta = components_store_retract(spark, store, [2])
+    assert delta.count() == 0
+    assert labels() == {1: 1, 3: 1, 10: 10, 11: 10, 12: 10, 30: 30, 31: 30}
+    after = snap_files()
+    assert any(p in after and after[p] == t for p, t in before.items()), (
+        "retract rewrote every bucket"
+    )
+
+    # root retract: 10 was the label of {10,11,12}; survivors relabel to 11
+    delta = components_store_retract(spark, store, [10])
+    assert {r.id: r.component for r in delta.collect()} == {11: 11, 12: 11}
+    assert labels() == {1: 1, 3: 1, 11: 11, 12: 11, 30: 30, 31: 30}
+
+    # whole-cluster retract drains {30,31}; unknown id 99 is a no-op
+    delta = components_store_retract(spark, store, [30, 31, 99])
+    assert delta.count() == 0
+    assert labels() == {1: 1, 3: 1, 11: 11, 12: 11}
+
+    # the store stays a valid labeling: a later fold keeps merging on it
+    components_incremental(spark.createDataFrame([(3, 12)], ET), store)
+    assert labels() == {1: 1, 3: 1, 11: 1, 12: 1}
+
+
+def test_components_store_retract_twin_consistent(spark, tmp_path):
+    """Retract against a comp_index store keeps the __bycomp twin
+    row-identical to the primary — including the ccb bucket MOVE when a
+    root retires and its component relabels."""
+    from arrowhouse_spark.operators.components import (
+        components_incremental,
+        components_store_retract,
+    )
+
+    store = str(tmp_path / "cc_store")
+    ET = "src long, dst long"
+    components_incremental(
+        spark.createDataFrame([(1, 2), (2, 3), (10, 11), (11, 12)], ET),
+        store,
+        comp_index=True,
+    )
+    delta = components_store_retract(spark, store, [1, 10])
+    assert {r.id: r.component for r in delta.collect()} == {
+        2: 2, 3: 2, 11: 11, 12: 11,
+    }
+    prim = {
+        (r.id, r.component)
+        for r in spark.read.parquet(store).select("id", "component").collect()
+    }
+    twin = {
+        (r.id, r.component)
+        for r in spark.read.parquet(store + "__bycomp")
+        .select("id", "component")
+        .collect()
+    }
+    assert prim == twin == {(2, 2), (3, 2), (11, 11), (12, 11)}
+    # twin still prunes correctly: a comp_index fold after retract works
+    components_incremental(
+        spark.createDataFrame([(3, 12)], ET), store, comp_index=True
+    )
+    prim2 = {
+        (r.id, r.component)
+        for r in spark.read.parquet(store).select("id", "component").collect()
+    }
+    assert prim2 == {(2, 2), (3, 2), (11, 2), (12, 2)}
+
+
+def test_compact_components_store_bitexact_fewer_files(spark, tmp_path):
+    """N folds accumulate small files; compaction coalesces to one file
+    per bucket with the labeling BIT-IDENTICAL (twin included)."""
+    from arrowhouse_spark.operators.components import (
+        compact_components_store,
+        components_incremental,
+    )
+
+    store = str(tmp_path / "cc_store")
+    ET = "src long, dst long"
+    days = [
+        [(i, i + 1) for i in range(0, 20, 2)],
+        [(i, i + 1) for i in range(40, 60, 2)],
+        [(1, 41), (5, 45)],
+        [(100, 101)],
+    ]
+    for rows in days:
+        components_incremental(
+            spark.createDataFrame(rows, ET), store, comp_index=True
+        )
+
+    # fragment the layout the way an AQE rebalance split or a foreign
+    # writer would: round-robin repartition before a full dynamic
+    # overwrite puts several files in every bucket directory
+    for path, pcol in ((store, "cb"), (store + "__bycomp", "ccb")):
+        frag = spark.read.parquet(path).localCheckpoint()
+        (
+            frag.repartition(6)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(pcol)
+            .parquet(path)
+        )
+
+    def snap(path):
+        return {
+            (r.id, r.component)
+            for r in spark.read.parquet(path).select("id", "component").collect()
+        }
+
+    before, tbefore = snap(store), snap(store + "__bycomp")
+    res = compact_components_store(spark, store)
+    assert snap(store) == before
+    assert snap(store + "__bycomp") == tbefore
+    assert res["files_after"] < res["files_before"]
+    assert res["rows"] == len(before) and res["twin_rows"] == len(tbefore)
+    # compacted store still folds correctly
+    components_incremental(
+        spark.createDataFrame([(101, 1)], ET), store, comp_index=True
+    )
+    after = snap(store)
+    assert (101, 0) in after and (100, 0) in after and (1, 0) in after
