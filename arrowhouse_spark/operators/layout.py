@@ -17,9 +17,12 @@ out of any engine (the float form differs in the last ulp between
 engines/SIMD paths and would flip bucket boundaries). Float dimensions
 should be pre-bucketed to ints by the caller (e.g. cast(price * 100)).
 
-Scale notes: the min/max bounds are ONE 1-row aggregate broadcast to a
-map-side bit-interleave expression (pure codegen — 2 x bits shift/or
-terms, no UDF); the rewrite itself is repartitionByRange(zvalue) + write,
+Scale notes: the min/max bounds are ONE 1-row aggregate collected
+driver-side (model-sized) and inlined as literals into a map-side
+bit-interleave expression (pure codegen — 2 x bits shift/or terms, no
+UDF, no join); the observed span picks the quantization arithmetic
+(BIGINT when provably overflow-free, DECIMAL(38,0) otherwise — see
+_quant_expr); the rewrite itself is repartitionByRange(zvalue) + write,
 Spark's native range shuffle. Nothing global anywhere.
 """
 
@@ -30,6 +33,33 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _quant_expr(c: str, mn, mx, qmax: int) -> Column:
+    """Exact integer quantization (x - mn) * qmax DIV (mx - mn) with the
+    bounds inlined as DRIVER-SIDE literals (the 1-row min/max agg is
+    model-sized — collecting it lets the span decide the arithmetic):
+
+    - DIV, never /: long / long is DOUBLE in Spark and the float quotient
+      differs from other engines in the last ulp at bucket boundaries.
+    - span * qmax <= 2^63 - 1 (checked EXACTLY in Python, no overflow):
+      plain BIGINT shift/mask-speed arithmetic — the common case, and the
+      round-10 decimal tax removed (hilbert_vs_zorder_locality regression).
+    - wider spans (epoch-micros at bits >= 13, full-range signed columns
+      where mx - mn itself overflows BIGINT): DECIMAL(38,0) intermediates,
+      exact for any long inputs (<= 29 digits), DIV still returns BIGINT.
+    - degenerate/empty span quantizes to 0."""
+    if mn is None or mx is None or mx == mn:
+        return F.lit(0).cast("long")
+    span = int(mx) - int(mn)  # Python ints: exact for any long bounds
+    if span * qmax <= (1 << 63) - 1:
+        return F.expr(
+            f"((CAST({c} AS BIGINT) - ({mn})) * {qmax}) DIV {span}"
+        )
+    return F.expr(
+        f"((CAST({c} AS DECIMAL(38,0)) - ({mn})) * {qmax}) DIV "
+        f"(CAST({mx} AS DECIMAL(38,0)) - ({mn}))"
+    )
 
 
 def zorder_value(
@@ -64,7 +94,7 @@ def zorder_value(
                 "disagree on float boundaries. Pre-bucket them "
                 "(e.g. cast(price * 100 as long)) first."
             )
-    bounds = df.agg(
+    brow = df.agg(
         *[
             a
             for c in cols
@@ -73,29 +103,12 @@ def zorder_value(
                 F.max(F.col(c).cast("long")).alias(f"__mx_{c}"),
             )
         ]
-    )
+    ).collect()[0]
     qmax = (1 << bits) - 1
-    with_bounds = df.crossJoin(F.broadcast(bounds))
-    quantized: list[Column] = []
-    for c in cols:
-        # DIV (not /): long / long is DOUBLE in Spark and the float quotient
-        # differs from other engines in the last ulp at bucket boundaries.
-        # DECIMAL(38,0) operands: (x - mn) * qmax overflows BIGINT whenever
-        # span * qmax > 2^63 (epoch-micros inputs do at bits >= 13) and
-        # (mx - mn) itself can overflow for signed full-range columns; the
-        # 38-digit intermediate is exact for any long inputs (<= 29 digits)
-        # and DIV still returns BIGINT. The degenerate-span guard compares
-        # mx == mn (NOT mx - mn == 0: that subtraction itself overflows
-        # under ANSI for full-range signed columns).
-        q = F.when(
-            F.col(f"__mx_{c}") == F.col(f"__mn_{c}"), F.lit(0).cast("long")
-        ).otherwise(
-            F.expr(
-                f"((CAST({c} AS DECIMAL(38,0)) - __mn_{c}) * {qmax}) DIV "
-                f"(CAST(__mx_{c} AS DECIMAL(38,0)) - __mn_{c})"
-            )
-        )
-        quantized.append(q)
+    quantized: list[Column] = [
+        _quant_expr(c, brow[f"__mn_{c}"], brow[f"__mx_{c}"], qmax)
+        for c in cols
+    ]
     terms: list[Column] = []
     for b in range(bits):
         for i, q in enumerate(quantized):
@@ -104,9 +117,7 @@ def zorder_value(
                 F.shiftleft(F.shiftright(q, b).bitwiseAND(F.lit(1)), pos)
             )
     z = reduce(lambda a, t: a.bitwiseOR(t), terms)
-    return with_bounds.withColumn(out_col, z).drop(
-        *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols]
-    )
+    return df.withColumn(out_col, z)
 
 
 def zorder_repartition(
@@ -192,28 +203,21 @@ def hilbert_value(
                 f"hilbert_value needs integer columns; {c} is {t} — "
                 "pre-bucket it (e.g. cast(v * 100 as long)) first"
             )
-    bounds = df.agg(
+    brow = df.agg(
         F.min(F.col(col_x).cast("long")).alias("__mn_x"),
         F.max(F.col(col_x).cast("long")).alias("__mx_x"),
         F.min(F.col(col_y).cast("long")).alias("__mn_y"),
         F.max(F.col(col_y).cast("long")).alias("__mx_y"),
-    )
+    ).collect()[0]
     qmax = (1 << bits) - 1
-    wb = df.crossJoin(F.broadcast(bounds))
+    wb = df
 
-    def quant(c: str, mn: str, mx: str) -> Column:
-        # DECIMAL(38,0) intermediates: see zorder_value — BIGINT overflows
-        # at span * qmax > 2^63 (hilbert allows bits up to 31, so even
-        # epoch-millis spans trip it); the decimal form is exact and DIV
-        # still returns BIGINT for the curve unroll below.
-        return F.when(
-            F.col(mx) == F.col(mn), F.lit(0).cast("long")
-        ).otherwise(
-            F.expr(
-                f"((CAST({c} AS DECIMAL(38,0)) - {mn}) * {qmax}) "
-                f"DIV (CAST({mx} AS DECIMAL(38,0)) - {mn})"
-            )
-        )
+    def quant(c: str, mn_key: str, mx_key: str) -> Column:
+        # span-conditional arithmetic (see _quant_expr): BIGINT when the
+        # observed span proves it safe, DECIMAL(38,0) only for spans where
+        # span * qmax > 2^63 (hilbert allows bits up to 31, so epoch-millis
+        # spans still trip it)
+        return _quant_expr(c, brow[mn_key], brow[mx_key], qmax)
 
     n1 = F.lit((1 << bits) - 1)  # N-1 for the reflection
     # Each unrolled step binds (x, y, d) to NAMED columns: inlining them as
@@ -246,6 +250,4 @@ def hilbert_value(
                 "__hy": F.when(ry == 0, refl_x).otherwise(hy),
             }
         )
-    return cur.withColumn(out_col, hd).drop(
-        "__hx", "__hy", "__hd", "__mn_x", "__mx_x", "__mn_y", "__mx_y"
-    )
+    return cur.withColumn(out_col, hd).drop("__hx", "__hy", "__hd")
