@@ -481,3 +481,82 @@ def test_png_sub_filter_accumulate_matches_pure_loop():
         lanes = got.reshape(width, channels)
         np.add.accumulate(lanes, axis=0, out=lanes)
         assert np.array_equal(got, expect), channels
+
+
+def test_avi_container_roundtrip_and_frame_sample_real(spark):
+    """REAL AVI parsing end-to-end: distributed fixture build →
+    frame_sample_real → per-frame integer luma features replayed in
+    Python from the pixel formula; DIB bottom-up order is certified by
+    row0_sum (the top row differs from the bottom row), padded row
+    strides are exercised (w=5 ⇒ 15-byte rows padded to 16), and the
+    stable unavailable-codec / not-an-AVI errors are pinned."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.multimodal import (
+        VIDEO_CODEC_UNAVAILABLE_MSG,
+        _decode_avi_gray_frames,
+        frame_sample_real,
+        make_avi_payload,
+    )
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        make_avi_payload(4 + i % 3, 5 + i % 4, 6 + i % 7, seed=i)
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = (
+        spark.range(12)
+        .select(F.col("id").alias("media_id"))
+        .mapInPandas(_build, "media_id long, payload binary")
+    )
+    rows = {
+        (r.media_id, r.frame_idx): r
+        for r in frame_sample_real(media, every_ms=200).collect()
+    }
+
+    def luma(i, f, w, h):
+        g = np.zeros((h, w), dtype=np.int64)
+        for y in range(h):
+            for x in range(w):
+                b = ((x * 3 + 0) * 31 + y * 57 + f * 11 + i) % 251
+                gg = ((x * 3 + 1) * 31 + y * 57 + f * 11 + i) % 251
+                r = ((x * 3 + 2) * 31 + y * 57 + f * 11 + i) % 251
+                g[y, x] = (r * 299 + gg * 587 + b * 114) // 1000
+        return g
+
+    n_expected = 0
+    for i in range(12):
+        w, h, nf = 4 + i % 3, 5 + i % 4, 6 + i % 7
+        for f in range(0, nf, 5):  # step = 200ms * 1000 / 40000us = 5
+            n_expected += 1
+            r = rows[(i, f)]
+            g = luma(i, f, w, h)
+            assert (r.width, r.height) == (w, h)
+            assert r.ts_ms == f * 40
+            assert r.gray_total == int(g.sum())
+            assert r.row0_sum == int(g[0].sum())  # flip-sensitive
+    assert len(rows) == n_expected
+
+    # compressed / non-24-bit streams refuse with the stable message
+    p = bytearray(make_avi_payload(4, 4, 1))
+    at = p.find(b"strf") + 8
+    p[at + 16 : at + 20] = (1).to_bytes(4, "little")  # biCompression = RLE
+    with pytest.raises(NotImplementedError, match="video codec unavailable"):
+        _decode_avi_gray_frames(bytes(p))
+    assert "AVI" in VIDEO_CODEC_UNAVAILABLE_MSG
+    with pytest.raises(ValueError, match="not an AVI"):
+        _decode_avi_gray_frames(b"RIFFxxxxWAVE")
