@@ -1020,3 +1020,94 @@ def frame_sample_real(df: DataFrame, every_ms: int = 200) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         _run, FRAME_SAMPLE_REAL_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio perceptual near-dup — the dHash analogue for PCM clips (round-11):
+# the audio seam decodes exactly (decode_audio) but had no perceptual twin,
+# so an audio corpus could only exact-dedup. Energy-difference hashing over
+# equal time chunks gives the same all-integer, SQL-replayable contract as
+# dhash64, and reuses the SAME banding machinery (dhash_band_index /
+# dhash_neardup_pairs are hash-column-generic).
+# ---------------------------------------------------------------------------
+
+
+def audio_fingerprint64(samples) -> int:
+    """Perceptual audio fingerprint (energy-difference hash, the dHash
+    scheme on the time axis): split the clip into 65 equal time chunks
+    (chunk of sample i = (i*65) DIV n — the dhash64 block rule), take
+    each chunk's mean ABSOLUTE amplitude (integer: sum DIV count), set
+    bit k iff mean[k] > mean[k+1], pack two's-complement into a signed
+    64-bit int. Every step is integer arithmetic on the decoded PCM, so
+    the hash is engine-replayable exactly like dhash64. Amplitude-scale
+    changes that preserve the ordering of chunk energies keep the hash;
+    small time shifts perturb each chunk mean by the shifted fraction,
+    flipping only bits whose adjacent means are close — hamming distance
+    degrades smoothly with shift (the recall dial is the banded join's
+    max_hamming). Requires n >= 65 (every chunk non-empty)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    n = len(s)
+    if n < 65:
+        raise ValueError(f"audio_fingerprint64 needs >= 65 samples, got {n}")
+    idx = (np.arange(n) * 65) // n
+    a = np.abs(s)
+    sums = np.zeros(65, dtype=np.int64)
+    cnts = np.zeros(65, dtype=np.int64)
+    np.add.at(sums, idx, a)
+    np.add.at(cnts, idx, 1)
+    m = sums // cnts
+    bits = m[:64] > m[1:]
+    v = 0
+    for k in range(64):
+        if bits[k]:
+            v += (1 << k) if k < 63 else -(1 << 63)
+    return v
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("afp", T.LongType()),
+    ]
+)
+
+
+def audio_fingerprint(df: DataFrame) -> DataFrame:
+    """Per-clip perceptual hash via the real audio seam (stdlib ``wave``
+    PCM16 decode, as decode_audio) → :func:`audio_fingerprint64`. Same
+    map-only mapInPandas shape as image_dhash: payloads never leave
+    their task, only the 8-byte fingerprint flows downstream. Pair with
+    dhash_neardup_pairs(hashed, "media_id", "afp") for in-corpus pairs
+    and dhash_band_index / dhash_incremental for the persistent-store
+    incremental form — the banding operators are hash-column-generic."""
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FP_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                        raise NotImplementedError(
+                            "audio_fingerprint handles PCM16 mono WAV; "
+                            "other widths/channels need an external codec"
+                        )
+                    sr = w.getframerate()
+                    n = w.getnframes()
+                    s = np.frombuffer(w.readframes(n), dtype="<i2")
+                out["media_id"].append(mid)
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["afp"].append(audio_fingerprint64(s))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(_run, AUDIO_FP_SCHEMA)

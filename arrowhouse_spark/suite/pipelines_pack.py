@@ -1886,3 +1886,120 @@ def video_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(_build, "media_id long, payload binary")
     return frame_sample_real(media, every_ms=200)
+
+
+@register(
+    "audio_fingerprint_neardup",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             doc_id - CASE WHEN doc_id % 5 = 4 THEN 4 ELSE 0 END AS anchor,
+             CASE WHEN doc_id % 5 = 4 THEN 5 ELSE 0 END AS off
+      FROM documents
+    ), dims AS (
+      SELECT doc_id, off,
+             24 + (anchor % 5) * 8 AS run, anchor % 97 AS seed
+      FROM m
+    ), chunks AS (
+      -- closed-form chunk mean: the clip is piecewise-constant over runs
+      -- of `run` samples and n = 65*run, so chunk c holds (run - off)
+      -- samples of run c and `off` samples of run c+1
+      SELECT doc_id, c,
+             ((run - off) * abs(((c * (11 + seed % 83) + seed * 7) % 501) - 250)
+              + off * abs((((c + 1) * (11 + seed % 83) + seed * 7) % 501) - 250)
+             ) // run AS bm
+      FROM dims, range(65) tc(c)
+    ), bits AS (
+      SELECT l.doc_id, l.c AS k,
+             CASE WHEN l.bm > r.bm THEN 1 ELSE 0 END AS b
+      FROM chunks l
+      JOIN chunks r ON l.doc_id = r.doc_id AND r.c = l.c + 1
+      WHERE l.c < 64
+    ), hashes AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN k < 63
+                           THEN b * (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+                           ELSE 0 END) AS BIGINT)
+             + CAST(sum(CASE WHEN k = 63 THEN b ELSE 0 END) AS BIGINT)
+               * (-9223372036854775807 - 1) AS afp
+      FROM bits GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, afp, band, (afp >> (band * 16)) & 65535 AS key
+      FROM hashes, (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.afp AS ha, r.afp AS hb
+      FROM banded l
+      JOIN banded r ON l.band = r.band AND l.key = r.key
+                   AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+    """,
+)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup dedup, driver-proven end to end
+    (operators/multimodal.py:audio_fingerprint64 — energy-difference
+    hashing, the dHash scheme on the time axis): every 5th document id
+    carries a PLANTED TIME-SHIFTED variant of its anchor clip (the same
+    piecewise-constant PCM signal delayed by 5 samples — run length
+    24..56, so the shift is a sub-run delay), real PCM16 WAVs are built
+    and REALLY decoded per task (stdlib wave), chunk-energy hashed
+    (all-integer: chunk = (i*65) DIV n, mean = sum DIV count, 64
+    comparison bits packed two's-complement), banded 4x16 for
+    candidates, exact hamming <= 8 verdicts — recovering every planted
+    pair (measured planted max hamming 8 vs cross-noise mean ~32). The
+    oracle replays samples → chunk means (closed form over the run
+    structure) → bits → hash → bands → hamming entirely in SQL, so the
+    hash certifies the RIFF/PCM round-trip AND the perceptual pipeline
+    bit-for-bit. Unrelated clips that genuinely collide under the
+    fixture's 97-seed space are reported by BOTH engines identically.
+
+    Scale: payloads never shuffle (fingerprinting is map-side with the
+    decode); the banding join carries (8-byte hash, id) rows only — the
+    image-dHash shuffle discipline; the incremental/persistent-store
+    form reuses dhash_band_index/dhash_incremental unchanged on the
+    afp column."""
+    import io
+    import wave
+    from collections.abc import Iterator
+
+    from arrowhouse_spark.operators.multimodal import (
+        audio_fingerprint,
+        dhash_neardup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        def payload(i: int) -> bytes:
+            isv = i % 5 == 4
+            a = i - 4 if isv else i
+            run, seed = 24 + (a % 5) * 8, a % 97
+            n = 65 * run
+            idx = (np.arange(n) + (5 if isv else 0)) // run
+            s = ((idx * (11 + seed % 83) + seed * 7) % 501) - 250
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(s.astype("<i2").tobytes())
+            return buf.getvalue()
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [payload(i) for i in ids]}
+            )
+
+    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    hashed = audio_fingerprint(media)
+    return dhash_neardup_pairs(
+        hashed, id_col="media_id", hash_col="afp", band_bits=16, max_hamming=8
+    )

@@ -560,3 +560,71 @@ def test_avi_container_roundtrip_and_frame_sample_real(spark):
     assert "AVI" in VIDEO_CODEC_UNAVAILABLE_MSG
     with pytest.raises(ValueError, match="not an AVI"):
         _decode_avi_gray_frames(b"RIFFxxxxWAVE")
+
+
+def test_audio_fingerprint_planted_shift_recall(spark):
+    """audio_fingerprint64 + the generic banding operators recover every
+    planted time-shifted clip: 20 anchors, each with a 5-sample-delayed
+    variant, all pairs found at hamming <= 8 while the fingerprint space
+    stays discriminative (anchor hashes differ). Also pins the < 65
+    sample refusal and the PCM16-only guard."""
+    import io
+    import wave
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_fingerprint64,
+        dhash_neardup_pairs,
+    )
+
+    def clip(a: int, off: int) -> bytes:
+        run, seed = 24 + (a % 5) * 8, a * 13 % 97
+        n = 65 * run
+        idx = (np.arange(n) + off) // run
+        s = ((idx * (11 + seed % 83) + seed * 7) % 501) - 250
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(s.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        clip(i // 2, 5 if i % 2 else 0) for i in ids
+                    ],
+                }
+            )
+
+    media = (
+        spark.range(40)
+        .select(F.col("id").alias("media_id"))
+        .mapInPandas(_build, "media_id long, payload binary")
+    )
+    hashed = audio_fingerprint(media).localCheckpoint()
+    fps = {r.media_id: r.afp for r in hashed.collect()}
+    assert len(set(fps[i] for i in range(0, 40, 2))) > 15  # discriminative
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_neardup_pairs(
+            hashed, id_col="media_id", hash_col="afp", max_hamming=8
+        ).collect()
+    }
+    for a in range(0, 40, 2):  # every planted (anchor, variant) pair found
+        assert (a, a + 1) in pairs, f"missed planted pair {a}"
+
+    with pytest.raises(ValueError, match=">= 65 samples"):
+        audio_fingerprint64(np.zeros(64, dtype=np.int64))
