@@ -487,3 +487,32 @@ def test_png_decode_real_is_map_only(spark, sf_dir, qs):
     df = qs["png_decode_real"](spark, sf_dir)
     r = check_plan(df)
     assert r.exchanges == 0, "payloads must not cross a shuffle"
+
+
+def test_video_frame_sample_real_is_map_only(spark, sf_dir, qs):
+    """The AVI build + parse + frame sampling must stay entirely
+    map-side (the png_decode_real discipline): container payloads never
+    cross a shuffle — only the small per-frame feature rows do, and this
+    query has no aggregation at all, so ZERO exchanges."""
+    df = qs["video_frame_sample_real"](spark, sf_dir)
+    r = check_plan(df)
+    assert r.exchanges == 0, "video payloads must not cross a shuffle"
+
+
+def test_audio_fingerprint_hashing_is_map_side(spark, sf_dir, qs):
+    """Fingerprinting runs map-side with the decode; the ONLY shuffles in
+    the near-dup query belong to the banding join/dedup over (8-byte
+    hash, id) rows — no exchange may carry the payload column."""
+    import re
+
+    df = qs["audio_fingerprint_neardup"](spark, sf_dir)
+    t = plan_text(df)
+    assert "payload" in t.lower(), "expected the payload column in the plan"
+    # formatted-explain node blocks: "(N) NodeName" header + detail lines
+    blocks = re.split(r"\n(?=\(\d+\) )", t)
+    exchange_blocks = [b for b in blocks if b.split("\n", 1)[0].strip().endswith(("Exchange", "Exchange [SinglePartition]")) or "Exchange" in b.split("\n", 1)[0]]
+    assert exchange_blocks, "expected the banding join's exchanges"
+    for b in exchange_blocks:
+        assert "payload" not in b.lower(), (
+            f"payload column flows through an exchange:\n{b[:400]}"
+        )
