@@ -1040,3 +1040,36 @@ def ivf_store_drift(
         F.round(F.avg("best_cos"), 6).alias("mean_best_cos"),
     )
     return per.unionByName(tot)
+
+
+def compact_ivf_store(spark: SparkSession, store_path: str) -> dict:
+    """Compact the IVF postings layout: every ivf_store_append/upsert
+    writes its own file-set into each touched cell (parquet append under
+    partitionBy), so a daily-ingest store accumulates small files whose
+    open/footer cost comes to dominate the pruned probes — the
+    compact_band_store problem on the cell layout. Rewrite = one hash
+    repartition on the cell column, so each cell lands in exactly one
+    task → one file per cell directory; postings are carried BIT-IDENTICAL
+    (pinned in tests) and the centroids relation is untouched (the frozen
+    quantizer never fragments — it is one coalesced file from init).
+    Same stop-the-writer contract as every store compaction in this
+    engine. Returns {"rows", "files_before", "files_after"}."""
+    from arrowhouse_spark.operators.components import _hadoop_fs  # noqa: PLC0415
+
+    path = store_path + "/postings"
+    df = spark.read.parquet(path)
+    files_before = df.select(F.input_file_name()).distinct().count()
+    out = df.localCheckpoint()  # self-read-overwrite discipline
+    (
+        out.repartition("centroid")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid")
+        .parquet(path)
+    )
+    after = spark.read.parquet(path)
+    return {
+        "rows": out.count(),
+        "files_before": files_before,
+        "files_after": after.select(F.input_file_name()).distinct().count(),
+    }

@@ -289,3 +289,61 @@ def test_ivf_store_delete_upsert_lifecycle(spark, tmp_path):
 
     with pytest.raises(ValueError, match="conflicting vectors"):
         ivf_store_append(conflict, store)
+
+
+def test_compact_ivf_store_bitexact_fewer_files(spark, tmp_path):
+    """Daily appends fragment the postings cells (parquet append writes a
+    file-set per touched cell); compaction coalesces to one file per cell
+    with postings BIT-IDENTICAL and the store still probe- and
+    append-able."""
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.similarity import (
+        compact_ivf_store,
+        ivf_store_append,
+        ivf_store_init,
+        ivf_store_topk,
+    )
+
+    n, dim = 240, 8
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                (F.pmod(F.xxhash64("id", j), F.lit(2001)) - F.lit(1000))
+                / F.lit(1000.0)
+            ).cast("double"),
+        ).alias("embedding"),
+    ).localCheckpoint()
+    store = str(tmp_path / "ivf")
+    ivf_store_init(base.filter(F.col("vec_id") % 4 == 0), store, n_centroids=4)
+    for r in (1, 2, 3):  # three daily appends fragment every cell
+        ivf_store_append(base.filter(F.col("vec_id") % 4 == r), store)
+
+    def postings():
+        return {
+            (r.vec_id, r.centroid, tuple(r.embedding))
+            for r in spark.read.parquet(store + "/postings").collect()
+        }
+
+    before = postings()
+    res = compact_ivf_store(spark, store)
+    assert postings() == before
+    assert res["rows"] == n
+    assert res["files_after"] < res["files_before"]
+    assert res["files_after"] <= 4  # one file per cell
+    # compacted store still appends and probes correctly
+    extra = spark.range(n, n + 5).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                (F.pmod(F.xxhash64("id", j), F.lit(2001)) - F.lit(1000))
+                / F.lit(1000.0)
+            ).cast("double"),
+        ).alias("embedding"),
+    )
+    assert ivf_store_append(extra, store).count() == 5
+    qv = base.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    assert ivf_store_topk(spark, store, qv, k=5, nprobe=4).count() == 5
