@@ -1252,8 +1252,9 @@ def stream_ivf_append(
     the same vectors, each assigns to the same cell, and the
     touched-cell id check drops every row — idempotent by construction
     (the stream_components doctrine). The append-not-upsert contract is
-    inherited verbatim: a CHANGED vector for a known id is an update the
-    store cannot express; route updates through a rebuild.
+    inherited verbatim: a CHANGED vector for a known id is an update
+    this form cannot express; route update streams through
+    :func:`stream_ivf_upsert` instead.
 
     The store must exist (ivf_store_init) before the stream starts —
     the quantizer is fit offline, never from a micro-batch.
@@ -1263,6 +1264,44 @@ def stream_ivf_append(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         ivf_store_append(batch_df, store_path, vec_col=vec_col, id_col=id_col)
+
+    return (
+        sdf.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_ivf_upsert(
+    sdf: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Streaming UPSERT maintenance of the IVF store — the foreachBatch
+    twin of operators/similarity.py:ivf_store_upsert for feeds that
+    re-deliver ids with CHANGED vectors (embedding refreshes, model
+    upgrades): each micro-batch first tombstones its ids out of whatever
+    cells they occupy, then appends under the frozen quantizer, so a
+    moved vector relocates cleanly instead of double-residing.
+
+    Replay safety needs no ledger, one step weaker than append's: a
+    re-delivered batch re-runs delete+append with identical vectors, so
+    the store is CONTENT-identical after the replay (row-for-row equal
+    postings) though the touched cells' files are rewritten — the
+    byte-identical no-op guarantee of stream_ivf_append costs exactly
+    the locate scan upsert exists to pay. In-batch duplicate ids: exact
+    duplicates collapse; conflicting vectors fail the batch loudly (the
+    ivf_store_append refusal) — resolve upstream with replace_merge.
+
+    Same single-writer contract as every store stream here; the store
+    must exist (ivf_store_init) before the stream starts."""
+    from arrowhouse_spark.operators.similarity import ivf_store_upsert
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_store_upsert(batch_df, store_path, vec_col=vec_col, id_col=id_col)
 
     return (
         sdf.writeStream.foreachBatch(_process)

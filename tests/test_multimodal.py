@@ -628,3 +628,26 @@ def test_audio_fingerprint_planted_shift_recall(spark):
 
     with pytest.raises(ValueError, match=">= 65 samples"):
         audio_fingerprint64(np.zeros(64, dtype=np.int64))
+
+
+def test_video_frames_compose_with_image_dhash_seam():
+    """Sampled AVI frames are plain gray grids sharing the PNG seam's
+    luma, so the image perceptual pipeline applies to them unchanged:
+    dhash64 over a decoded frame equals dhash64 over a PNG of the same
+    pixels — the cross-modality composition the seam design promises."""
+    import numpy as np
+
+    from arrowhouse_spark.operators.multimodal import (
+        _decode_avi_gray_frames,
+        _decode_png_gray,
+        dhash64,
+        encode_png_gray,
+        make_avi_payload,
+    )
+
+    p = make_avi_payload(12, 9, 3, seed=5)
+    _, _, _, grays = _decode_avi_gray_frames(p)
+    for g in grays:
+        png = encode_png_gray(g)
+        assert np.array_equal(_decode_png_gray(png), g)
+        assert dhash64(_decode_png_gray(png)) == dhash64(g)

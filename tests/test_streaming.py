@@ -1732,3 +1732,111 @@ def test_stream_ivf_append_matches_batch_store(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert files() == before
+
+
+def test_stream_ivf_upsert_moves_vectors(spark, tmp_path):
+    """Streaming upsert maintenance: a micro-batch stream that re-delivers
+    known ids with CHANGED vectors leaves the store content-equal to a
+    from-scratch rebuild over the final vectors (single residency per id),
+    and a replayed stream is content-idempotent."""
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.similarity import ivf_store_init
+    from arrowhouse_spark.streaming.replace import stream_ivf_upsert
+
+    dim = 8
+    base = spark.range(90).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                (F.pmod(F.xxhash64("id", j), F.lit(2001)) - F.lit(1000))
+                / F.lit(1000.0)
+            ).cast("double"),
+        ).alias("embedding"),
+    ).localCheckpoint()
+    store = str(tmp_path / "ivfs")
+    ivf_store_init(base, store, n_centroids=4)
+
+    # batch 1: new ids 90..99; batch 2: ids 0..29 with FLIPPED vectors
+    fresh = spark.range(90, 100).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                (F.pmod(F.xxhash64("id", j), F.lit(2001)) - F.lit(1000))
+                / F.lit(1000.0)
+            ).cast("double"),
+        ).alias("embedding"),
+    )
+    moved = base.filter(F.col("vec_id") < 30).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+
+    srcdir = str(tmp_path / "vecs")
+    os.makedirs(srcdir)
+    import time as _t
+
+    now = _t.time()
+    for i, part in enumerate([fresh, moved], start=1):
+        tmpd = str(tmp_path / f"vb{i}")
+        part.coalesce(1).write.parquet(tmpd)
+        [pf] = [f for f in os.listdir(tmpd) if f.endswith(".parquet")]
+        dstp = f"{srcdir}/b{i}.parquet"
+        shutil.copy(f"{tmpd}/{pf}", dstp)
+        os.utime(dstp, (now - 600 + i * 60, now - 600 + i * 60))
+
+    schema = "vec_id long, embedding array<double>"
+    q = stream_ivf_upsert(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir),
+        store,
+        checkpoint_path=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+
+    def postings():
+        return {
+            (r.vec_id, r.centroid, tuple(r.embedding))
+            for r in spark.read.parquet(store + "/postings").collect()
+        }
+
+    got = postings()
+    # single residency for every id; moved ids carry the flipped vector
+    ids = sorted(p[0] for p in got)
+    assert ids == list(range(100))
+    # batch-twin oracle: same init, batch upserts of the same batches
+    # (a from-scratch init over the final vectors would sample DIFFERENT
+    # centroids — the quantizer is frozen at init, so parity is against
+    # the batch operator under the same quantizer)
+    from arrowhouse_spark.operators.similarity import ivf_store_upsert
+
+    store2 = str(tmp_path / "batch_twin")
+    ivf_store_init(base, store2, n_centroids=4)
+    ivf_store_upsert(fresh, store2)
+    ivf_store_upsert(moved, store2)
+    twin = {
+        (r.vec_id, r.centroid, tuple(r.embedding))
+        for r in spark.read.parquet(store2 + "/postings").collect()
+    }
+    assert got == twin
+    moved_set = {r.vec_id for r in moved.select("vec_id").collect()}
+    for vid, _c, emb in got:
+        if vid in moved_set:
+            base_emb = tuple(
+                base.filter(F.col("vec_id") == vid).collect()[0]["embedding"]
+            )
+            assert emb == tuple(-x for x in base_emb)
+            break  # one spot-check is enough; full parity is the twin
+
+    # replay with a fresh checkpoint: content-idempotent
+    q2 = stream_ivf_upsert(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir),
+        store,
+        checkpoint_path=str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(120)
+    assert postings() == got
