@@ -651,3 +651,76 @@ def test_video_frames_compose_with_image_dhash_seam():
         png = encode_png_gray(g)
         assert np.array_equal(_decode_png_gray(png), g)
         assert dhash64(_decode_png_gray(png)) == dhash64(g)
+
+
+def test_audio_fingerprint_incremental_band_store(spark):
+    """The afp column drives dhash_band_index/dhash_incremental unchanged
+    (hash-column-generic banding): a new batch drops clips whose
+    fingerprint is within max_hamming of the persistent store OR of a
+    lower-id batch-mate, and survivors' index rows advance the store —
+    the daily-ingest form for audio corpora."""
+    import io
+    import wave
+    from collections.abc import Iterator
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.multimodal import (
+        audio_fingerprint,
+        dhash_band_index,
+        dhash_incremental,
+    )
+
+    def clip(a: int, off: int) -> bytes:
+        run, seed = 24 + (a % 5) * 8, a * 13 % 97
+        n = 65 * run
+        idx = (np.arange(n) + off) // run
+        s = ((idx * (11 + seed % 83) + seed * 7) % 501) - 250
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(s.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    def media(rows):  # [(media_id, anchor, off)]
+        def _b(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+            import pandas as pd
+
+            m = {mid: (a, off) for mid, a, off in rows}
+            for pdf in batches:
+                ids = [int(i) for i in pdf["media_id"]]
+                yield pd.DataFrame(
+                    {"media_id": ids, "payload": [clip(*m[i]) for i in ids]}
+                )
+
+        return (
+            spark.createDataFrame([(r[0],) for r in rows], "media_id long")
+            .mapInPandas(_b, "media_id long, payload binary")
+        )
+
+    # day 1: anchors 0..9 → store index
+    day1 = audio_fingerprint(media([(i, i, 0) for i in range(10)]))
+    store = dhash_band_index(day1, "media_id", "afp").localCheckpoint()
+    # day 2: 100..104 shifted twins of anchors 0..4 (must drop vs store),
+    # 110/111 a fresh anchor and ITS shifted twin (within-batch greedy),
+    # 120 a fresh singleton far from every stored hash (survives)
+    day2 = audio_fingerprint(
+        media(
+            [(100 + i, i, 5) for i in range(5)]
+            + [(110, 40, 0), (111, 40, 5), (120, 41, 0)]
+        )
+    )
+    surv = dhash_incremental(
+        day2, store, id_col="media_id", hash_col="afp", max_hamming=8
+    )
+    kept = {r.media_id for r in surv.select("media_id").distinct().collect()}
+    assert kept == {110, 120}
+    # survivors advance the store; replaying day 2 now drops everything
+    store2 = store.unionByName(surv).localCheckpoint()
+    again = dhash_incremental(
+        day2, store2, id_col="media_id", hash_col="afp", max_hamming=8
+    )
+    assert again.select("media_id").distinct().count() == 0
