@@ -565,7 +565,8 @@ def components_store_retract(
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame([(int(i),) for i in ids], "id long")
     ids = ids.select("id").distinct().localCheckpoint()
-    meta_raw = _fs_read_small(spark, store_path + "__meta")
+    meta_path = store_path + "__meta"
+    meta_raw = _fs_read_small(spark, meta_path)
     if meta_raw is not None:
         stored_n = json.loads(meta_raw.decode("utf-8")).get("n_buckets")
         if n_buckets is not None and n_buckets != stored_n:
@@ -661,6 +662,23 @@ def components_store_retract(
             fs, p = _hadoop_fs(spark, f"{store_path}/cb={v}")
             if fs.exists(p):
                 fs.delete(p, True)
+    # retract-ALL leaves a bucket-less directory no reader can infer a
+    # schema from — a bricked store. Remove the store (and its meta/twin)
+    # entirely: components_incremental treats the missing path as a first
+    # fold, which IS the correct forget-everything state.
+    fs, sdir = _hadoop_fs(spark, store_path)
+    if fs.exists(sdir) and not any(
+        st.getPath().getName().startswith("cb=")
+        for st in fs.listStatus(sdir)
+    ):
+        fs.delete(sdir, True)
+        mfs, mp = _hadoop_fs(spark, meta_path)
+        if mfs.exists(mp):
+            mfs.delete(mp, False)
+        tfs, tp = _hadoop_fs(spark, twin_path)
+        if tfs.exists(tp):
+            tfs.delete(tp, True)
+        return delta.select("id", "component")
 
     if has_twin:
         ccb = hash_bucket("component", n_buckets, salt="ccb").alias("ccb")

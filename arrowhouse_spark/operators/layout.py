@@ -42,6 +42,13 @@ def _quant_expr(c: str, mn, mx, qmax: int) -> Column:
 
     - DIV, never /: long / long is DOUBLE in Spark and the float quotient
       differs from other engines in the last ulp at bucket boundaries.
+    Collecting the bounds makes zorder_value/hilbert_value EAGER at call
+    time (one min/max scan job even if the returned DataFrame is never
+    executed) and freezes the bounds at call — acceptable here because
+    every caller executes the plan it builds and layout rewrites run over
+    immutable snapshots; callers composing throwaway plans should pass a
+    LIMIT 0 frame or build the expression themselves.
+
     - span * qmax <= 2^63 - 1 (checked EXACTLY in Python, no overflow):
       plain BIGINT shift/mask-speed arithmetic — the common case, and the
       round-10 decimal tax removed (hilbert_vs_zorder_locality regression).

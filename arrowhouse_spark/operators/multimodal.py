@@ -200,7 +200,21 @@ def _get_unfilter_lib():
         if cc is None:
             return None
         h = hashlib.md5(_PNG_UNFILTER_C.encode()).hexdigest()[:16]
-        d = tempfile.gettempdir()
+        # NEVER dlopen from the world-writable shared temp dir — the .so
+        # name is predictable from public source, so another local user
+        # could pre-plant a malicious library (tmp-hijack). Cache under a
+        # per-user 0700 directory and verify we own it; fall back to a
+        # fresh private mkdtemp (per-process, loses reuse, stays safe).
+        d = os.path.join(
+            os.path.expanduser("~"), ".cache", "arrowhouse_spark"
+        )
+        try:
+            os.makedirs(d, mode=0o700, exist_ok=True)
+            st = os.stat(d)
+            if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+                raise OSError("cache dir not private")
+        except OSError:
+            d = tempfile.mkdtemp(prefix="arrowhouse_png_")
         so = os.path.join(d, f"arrowhouse_png_unfilter_{h}.so")
         if not os.path.exists(so):
             cpath = os.path.join(d, f"arrowhouse_png_unfilter_{h}.c")
@@ -924,10 +938,11 @@ def _decode_avi_gray_frames(payload: bytes):
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     us_per_frame = width = height = None
+    cur_stream = None  # fccType of the strl being walked (strh precedes strf)
     frames_raw: list[bytes] = []
 
     def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal us_per_frame, width, height
+        nonlocal us_per_frame, width, height, cur_stream
         while pos + 8 <= end:
             tag = buf[pos : pos + 4]
             (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
@@ -938,7 +953,12 @@ def _decode_avi_gray_frames(payload: bytes):
                 us_per_frame = struct.unpack(
                     "<I", buf[body_start : body_start + 4]
                 )[0]
-            elif tag == b"strf":
+            elif tag == b"strh":
+                cur_stream = buf[body_start : body_start + 4]
+            elif tag == b"strf" and cur_stream == b"vids" and width is None:
+                # FIRST video stream's BITMAPINFOHEADER only: an audio
+                # strl's strf is a WAVEFORMATEX whose bytes would clobber
+                # width/height/bitcount and refuse a decodable file
                 (_sz, width, height, _pl, bitcount, compression) = (
                     struct.unpack(
                         "<IiiHHI", buf[body_start : body_start + 20]

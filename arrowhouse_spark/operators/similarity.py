@@ -795,6 +795,53 @@ def _ivf_store_centroids(spark: SparkSession, store_path: str):
     return np.array([r.cvec for r in rows], dtype=np.float64)
 
 
+def _dedupe_ivf_batch(
+    new_df: DataFrame, id_col: str, vec_col: str, op: str
+) -> DataFrame:
+    """In-batch hygiene shared by append and upsert, and deliberately run
+    BEFORE any store mutation: exact (id, vector) duplicates collapse
+    (re-delivery), but the same id with TWO different vectors is an
+    ambiguity no deterministic rule should resolve silently — refuse.
+    Upsert validates with this FIRST so a refused batch leaves the store
+    untouched (a delete-then-raise would destructively drop the batch's
+    existing postings)."""
+    d = (
+        new_df.select(id_col, vec_col)
+        .dropDuplicates([id_col, vec_col])
+        .localCheckpoint()
+    )
+    conflicted = (
+        d.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if conflicted:
+        ids = sorted(r[id_col] for r in conflicted)
+        raise ValueError(
+            f"{op} batch carries conflicting vectors for ids "
+            f"{ids}: same id, different embedding — an in-batch update. "
+            "Resolve upstream (e.g. replace_merge to the latest version)."
+        )
+    return d
+
+
+def _read_postings(spark: SparkSession, store_path: str) -> DataFrame | None:
+    """Postings relation, or None for a store whose postings were fully
+    drained (delete-all removes the directory so readers cannot crash on
+    an unreadable empty layout) or never written."""
+    try:
+        df = spark.read.parquet(store_path + "/postings")
+        df.schema  # force analysis so inference failures surface HERE
+        return df
+    except Exception as exc:  # noqa: BLE001 — classify, re-raise the rest
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return None
+        raise
+
+
 def ivf_store_append(
     new_df: DataFrame,
     store_path: str,
@@ -825,39 +872,17 @@ def ivf_store_append(
     caller's re-fit trigger — measure it with ivf_store_drift."""
     spark = new_df.sparkSession
     c = _ivf_store_centroids(spark, store_path)
-    assigned = (
-        _assign_to_centroids(
-            new_df.select(id_col, vec_col), c, vec_col, round_dp=6
-        )
-        # in-batch dedup: the left_anti below only guards against the STORE;
-        # a micro-batch re-delivering the same (id, vector) twice would
-        # otherwise append duplicate postings, and the same id with TWO
-        # DIFFERENT vectors would land in two cells — the exact double
-        # residency the append-not-upsert contract declares inexpressible
-        .dropDuplicates([id_col, vec_col])
-        .localCheckpoint()
-    )
-    conflicted = (
-        assigned.groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1)
-        .limit(5)
-        .collect()
-    )
-    if conflicted:
-        ids = sorted(r[id_col] for r in conflicted)
-        raise ValueError(
-            f"ivf_store_append batch carries conflicting vectors for ids "
-            f"{ids}: same id, different embedding — an in-batch update. "
-            "Resolve upstream or use ivf_store_upsert."
-        )
+    deduped = _dedupe_ivf_batch(new_df, id_col, vec_col, "ivf_store_append")
+    assigned = _assign_to_centroids(
+        deduped, c, vec_col, round_dp=6
+    ).localCheckpoint()
     touched = [r.centroid for r in assigned.select("centroid").distinct().collect()]
-    existing = (
-        spark.read.parquet(store_path + "/postings")
-        .filter(F.col("centroid").isin(touched))
-        .select(id_col)
-    )
-    fresh = assigned.join(existing, id_col, "left_anti").localCheckpoint()
+    store = _read_postings(spark, store_path)
+    if store is not None:
+        existing = store.filter(F.col("centroid").isin(touched)).select(id_col)
+        fresh = assigned.join(existing, id_col, "left_anti").localCheckpoint()
+    else:  # fully-drained store (delete-all) — every batch row is fresh
+        fresh = assigned
     if not fresh.isEmpty():
         (
             fresh.repartition("centroid")
@@ -900,7 +925,9 @@ def ivf_store_delete(
             [(int(i),) for i in ids], f"{id_col} long"
         )
     ids = ids.select(id_col).distinct().localCheckpoint()
-    store = spark.read.parquet(store_path + "/postings")
+    store = _read_postings(spark, store_path)
+    if store is None:
+        return 0  # already fully drained (or never written)
     hit = (
         store.join(F.broadcast(ids), id_col, "semi")
         .groupBy("centroid")
@@ -933,6 +960,17 @@ def ivf_store_delete(
             )
             if fs.exists(p):
                 fs.delete(p, True)
+    # delete-ALL leaves a directory with no parquet files — unreadable
+    # (UNABLE_TO_INFER_SCHEMA) and thus a bricked store. Remove the
+    # postings dir entirely: readers treat the missing dir as an empty
+    # store (the documented GDPR forget-everything state; the frozen
+    # centroids remain, so the next append rebuilds postings cleanly).
+    fs, pdir = _hadoop_fs(spark, store_path + "/postings")
+    if fs.exists(pdir) and not any(
+        st.getPath().getName().startswith("centroid=")
+        for st in fs.listStatus(pdir)
+    ):
+        fs.delete(pdir, True)
     return removed
 
 
@@ -950,13 +988,19 @@ def ivf_store_upsert(
     about, and re-upserting an unchanged vector lands it back in its old
     cell. Returns the appended rows. Cost over plain append: the one
     column-pruned id-locate scan of ivf_store_delete — callers that KNOW
-    their ids are new should keep calling ivf_store_append."""
+    their ids are new should keep calling ivf_store_append.
+
+    Batch hygiene runs BEFORE the delete: a batch with conflicting
+    in-batch vectors is refused while the store is still untouched — a
+    delete-then-raise would have destructively dropped the batch ids'
+    existing postings on a refused batch."""
     spark = new_df.sparkSession
+    deduped = _dedupe_ivf_batch(new_df, id_col, vec_col, "ivf_store_upsert")
     ivf_store_delete(
-        spark, store_path, new_df.select(id_col), id_col=id_col
+        spark, store_path, deduped.select(id_col), id_col=id_col
     )
     return ivf_store_append(
-        new_df, store_path, vec_col=vec_col, id_col=id_col
+        deduped, store_path, vec_col=vec_col, id_col=id_col
     )
 
 
@@ -981,9 +1025,12 @@ def ivf_store_topk(
     q = np.asarray(list(query), dtype=np.float64)
     q /= max(np.linalg.norm(q), 1e-12)
     probes = [int(i) for i in np.argsort(-np.round(c @ q, 6), kind="stable")[:nprobe]]
-    cand = spark.read.parquet(store_path + "/postings").filter(
-        F.col("centroid").isin(probes)
-    )
+    store = _read_postings(spark, store_path)
+    if store is None:  # fully-drained store: empty result, stable schema
+        return spark.createDataFrame(
+            [], f"{id_col} long, cos_sim double"
+        )
+    cand = store.filter(F.col("centroid").isin(probes))
     return cosine_topk_query(cand, query, vec_col, id_col, k)
 
 
@@ -1054,10 +1101,10 @@ def compact_ivf_store(spark: SparkSession, store_path: str) -> dict:
     quantizer never fragments — it is one coalesced file from init).
     Same stop-the-writer contract as every store compaction in this
     engine. Returns {"rows", "files_before", "files_after"}."""
-    from arrowhouse_spark.operators.components import _hadoop_fs  # noqa: PLC0415
-
     path = store_path + "/postings"
-    df = spark.read.parquet(path)
+    df = _read_postings(spark, store_path)
+    if df is None:  # fully-drained store: nothing to compact
+        return {"rows": 0, "files_before": 0, "files_after": 0}
     files_before = df.select(F.input_file_name()).distinct().count()
     out = df.localCheckpoint()  # self-read-overwrite discipline
     (

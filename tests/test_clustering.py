@@ -347,3 +347,69 @@ def test_compact_ivf_store_bitexact_fewer_files(spark, tmp_path):
     assert ivf_store_append(extra, store).count() == 5
     qv = base.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     assert ivf_store_topk(spark, store, qv, k=5, nprobe=4).count() == 5
+
+
+def test_ivf_store_upsert_refusal_is_nondestructive_and_drain_all(spark, tmp_path):
+    """Review fixes, pinned: (1) an upsert batch refused for in-batch
+    conflicting vectors leaves the store UNTOUCHED (validation runs
+    before the delete — the old order destructively dropped the batch
+    ids' postings, then raised); (2) deleting EVERY posting leaves a
+    readable empty-store state: topk returns 0 rows with the stable
+    schema, delete is a no-op, compaction reports zeros, and the next
+    append rebuilds postings under the still-frozen centroids."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.similarity import (
+        compact_ivf_store,
+        ivf_store_append,
+        ivf_store_delete,
+        ivf_store_init,
+        ivf_store_topk,
+        ivf_store_upsert,
+    )
+
+    dim = 8
+    base = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                (F.pmod(F.xxhash64("id", j), F.lit(2001)) - F.lit(1000))
+                / F.lit(1000.0)
+            ).cast("double"),
+        ).alias("embedding"),
+    ).localCheckpoint()
+    store = str(tmp_path / "ivf")
+    ivf_store_init(base, store, n_centroids=4)
+
+    def postings():
+        return {
+            (r.vec_id, tuple(r.embedding))
+            for r in spark.read.parquet(store + "/postings").collect()
+        }
+
+    before = postings()
+    one = base.filter(F.col("vec_id") == 5)
+    conflict = one.unionByName(
+        one.select(
+            "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+        )
+    )
+    with pytest.raises(ValueError, match="conflicting vectors"):
+        ivf_store_upsert(conflict, store)
+    assert postings() == before, "refused upsert mutated the store"
+
+    # drain everything
+    removed = ivf_store_delete(spark, store, base.select("vec_id"))
+    assert removed == 60
+    qv = [0.25] * dim
+    assert ivf_store_topk(spark, store, qv, k=5, nprobe=4).count() == 0
+    assert ivf_store_delete(spark, store, [1, 2]) == 0
+    assert compact_ivf_store(spark, store) == {
+        "rows": 0, "files_before": 0, "files_after": 0,
+    }
+    # append rebuilds against the surviving frozen quantizer
+    appended = ivf_store_append(base.filter(F.col("vec_id") < 10), store)
+    assert appended.count() == 10
+    assert ivf_store_topk(spark, store, qv, k=5, nprobe=4).count() == 5

@@ -404,3 +404,33 @@ def test_compact_components_store_bitexact_fewer_files(spark, tmp_path):
     )
     after = snap(store)
     assert (101, 0) in after and (100, 0) in after and (1, 0) in after
+
+
+def test_components_store_retract_all_resets_to_first_fold(spark, tmp_path):
+    """Review fix, pinned: retracting EVERY id removes the store (plus
+    meta and twin) instead of leaving an unreadable bucket-less
+    directory — the next fold is a clean first fold."""
+    import os
+
+    from arrowhouse_spark.operators.components import (
+        components_incremental,
+        components_store_retract,
+    )
+
+    store = str(tmp_path / "cc_store")
+    ET = "src long, dst long"
+    components_incremental(
+        spark.createDataFrame([(1, 2), (10, 11)], ET), store, comp_index=True
+    )
+    delta = components_store_retract(spark, store, [1, 2, 10, 11])
+    assert delta.count() == 0
+    assert not os.path.exists(store)
+    assert not os.path.exists(store + "__meta")
+    assert not os.path.exists(store + "__bycomp")
+    # clean first fold afterwards
+    components_incremental(spark.createDataFrame([(5, 6)], ET), store)
+    labels = {
+        (r.id, r.component)
+        for r in spark.read.parquet(store).select("id", "component").collect()
+    }
+    assert labels == {(5, 5), (6, 5)}

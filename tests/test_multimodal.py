@@ -724,3 +724,54 @@ def test_audio_fingerprint_incremental_band_store(spark):
         day2, store2, id_col="media_id", hash_col="afp", max_hamming=8
     )
     assert again.select("media_id").distinct().count() == 0
+
+
+def test_avi_parser_skips_audio_stream_strf():
+    """Review fix, pinned: a standard AVI carries a SECOND strl for the
+    audio stream whose strf is a WAVEFORMATEX — the parser must take the
+    BITMAPINFOHEADER from the 'vids' strl only, not clobber it with
+    audio bytes (which refused a perfectly decodable file)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from arrowhouse_spark.operators.multimodal import (
+        _decode_avi_gray_frames,
+        make_avi_payload,
+    )
+
+    base = make_avi_payload(5, 4, 2, seed=9)
+    # splice an audio strl (strh 'auds' + strf WAVEFORMATEX) after the
+    # video strl, inside the hdrl LIST
+    def chunk(tag, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + _struct.pack("<I", len(body)) + body + pad
+
+    wfx = _struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    strh_a = b"auds" + b"\x00" * 52
+    auds = chunk(
+        b"LIST", b"strl" + chunk(b"strh", strh_a) + chunk(b"strf", wfx)
+    )
+    movi_at = base.find(b"LIST", 12)
+    # find the movi LIST (the hdrl LIST comes first at offset 12)
+    pos = 12
+    hdrl_start = None
+    while pos + 8 <= len(base):
+        tag = base[pos : pos + 4]
+        (ln,) = _struct.unpack("<I", base[pos + 4 : pos + 8])
+        if tag == b"LIST" and base[pos + 8 : pos + 12] == b"hdrl":
+            hdrl_start, hdrl_len = pos, ln
+            break
+        pos += 8 + ln + (ln & 1)
+    assert hdrl_start is not None
+    hdrl_end = hdrl_start + 8 + hdrl_len
+    spliced = bytearray(base[:hdrl_end] + auds + base[hdrl_end:])
+    # grow the hdrl LIST and RIFF sizes to cover the splice
+    new_hdrl_len = hdrl_len + len(auds)
+    spliced[hdrl_start + 4 : hdrl_start + 8] = _struct.pack("<I", new_hdrl_len)
+    spliced[4:8] = _struct.pack("<I", len(spliced) - 8)
+
+    uspf, w, h, grays = _decode_avi_gray_frames(bytes(spliced))
+    _, w0, h0, grays0 = _decode_avi_gray_frames(base)
+    assert (w, h) == (w0, h0) == (5, 4)
+    assert all(np.array_equal(a, b) for a, b in zip(grays, grays0))
