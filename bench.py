@@ -219,6 +219,10 @@ HEADLINE = [
     "image_dhash_neardup",
     "wav_decode_real",
     "image_dhash_incremental",
+    # round 11 additions (no prior-round delta basis)
+    "ivf_store_upsert_topk",
+    "video_frame_sample_real",
+    "audio_fingerprint_neardup",
 ]
 
 
