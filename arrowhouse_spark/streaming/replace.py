@@ -1309,3 +1309,98 @@ def stream_ivf_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def band_store_retract(
+    spark: SparkSession,
+    store_path: str,
+    ids,
+    id_col: str = "doc_id",
+) -> int:
+    """Retract documents from a persistent LSH band store — the GDPR
+    primitive completing the store-lifecycle set (the CC label store and
+    IVF postings got delete/retract in the same round): remove every
+    band row carrying a retracted id so FUTURE batches can no longer
+    match against the forgotten document. Historical drop decisions are
+    history — a doc already dropped as this id's near-dup stays dropped
+    (replaying old emits is the caller's re-ingest, not this op's).
+
+    Works on any band-store shape keyed by ``id_col`` — the minhash
+    store's (id, minhash, band, bucket) and the dHash store's
+    (id, dhash, band, key) alike. Batch-id-partitioned stores rewrite
+    ONLY the partitions holding a retracted row (dynamic overwrite,
+    drained partitions dropped via the Hadoop FS API, the
+    components_store_retract discipline); legacy unpartitioned stores
+    rewrite in full (they have no pruning axis — migrate via
+    compact_band_store). Retracting every id removes the store
+    directory: stream_minhash_neardup would otherwise refuse the
+    empty-but-present layout, and _minhash_process_batch treats the
+    missing dir as first-fold ONLY at batch 0 — so after a full
+    retraction pair the store with a FRESH checkpoint (document reads:
+    full forget = full restart, which is what it is semantically).
+    Returns the number of band rows removed. Single-writer contract:
+    run with the stream stopped, as for compact_band_store."""
+    from arrowhouse_spark.operators.components import _hadoop_fs
+
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    ids = ids.select(id_col).distinct().localCheckpoint()
+    try:
+        store = spark.read.parquet(store_path)
+        store.schema
+    except Exception as exc:  # noqa: BLE001
+        if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+            return 0
+        raise
+    has_batch = "batch_id" in store.columns
+    if not has_batch:
+        hitn = store.join(F.broadcast(ids), id_col, "semi").count()
+        if hitn == 0:
+            return 0
+        keep = store.join(F.broadcast(ids), id_col, "left_anti").localCheckpoint()
+        if keep.isEmpty():
+            fs, p = _hadoop_fs(spark, store_path)
+            fs.delete(p, True)
+            return int(hitn)
+        keep.write.mode("overwrite").parquet(store_path)
+        return int(hitn)
+    hit = (
+        store.join(F.broadcast(ids), id_col, "semi")
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    if not hit:
+        return 0
+    touched = [r.batch_id for r in hit]
+    removed = int(sum(r["__n"] for r in hit))
+    keep = (
+        store.filter(F.col("batch_id").isin(touched))
+        .join(F.broadcast(ids), id_col, "left_anti")
+        .localCheckpoint()  # self-read-overwrite discipline
+    )
+    (
+        keep.repartition("batch_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_path)
+    )
+    kept = {r.batch_id for r in keep.select("batch_id").distinct().collect()}
+    for b in touched:
+        if b not in kept:
+            fs, p = _hadoop_fs(spark, f"{store_path}/batch_id={b}")
+            if fs.exists(p):
+                fs.delete(p, True)
+    # full drain: no batch_id=* partitions left — remove the dir so the
+    # layout is not an unreadable shell (see docstring for the restart
+    # contract this implies for a live stream's checkpoint)
+    fs, sdir = _hadoop_fs(spark, store_path)
+    if fs.exists(sdir) and not any(
+        st.getPath().getName().startswith("batch_id=")
+        for st in fs.listStatus(sdir)
+    ):
+        fs.delete(sdir, True)
+    return removed

@@ -1840,3 +1840,75 @@ def test_stream_ivf_upsert_moves_vectors(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert postings() == got
+
+
+def test_band_store_retract_forgets_and_prunes(spark, tmp_path):
+    """GDPR retraction on the minhash band store: a retracted doc's band
+    rows vanish (future batches re-admit its near-dups), only partitions
+    holding a retracted row are rewritten, retracting everything removes
+    the store dir, and the legacy unpartitioned layout rewrites whole."""
+    import os
+
+    from arrowhouse_spark.streaming.replace import (
+        _minhash_process_batch,
+        band_store_retract,
+    )
+
+    DT = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs1 = [(1, base), (2, "completely different words entirely here now ok")]
+    docs2 = [(11, base + " x")]  # near-dup of doc 1 -> dropped by batch 2
+    store = str(tmp_path / "band_store")
+    out = str(tmp_path / "out")
+    _minhash_process_batch(
+        spark.createDataFrame(docs1, DT), 0, store, out, threshold=0.5
+    )
+    _minhash_process_batch(
+        spark.createDataFrame(docs2, DT), 1, store, out, threshold=0.5
+    )
+    kept_b2 = {
+        r.doc_id
+        for r in spark.read.parquet(out).filter("batch_id = 1").collect()
+    }
+    assert kept_b2 == set()  # 11 dropped as near-dup of stored doc 1
+
+    def files():
+        o = {}
+        for root, _, fs in os.walk(store):
+            for f in fs:
+                p = os.path.join(root, f)
+                o[p] = os.path.getmtime(p)
+        return o
+
+    before = files()
+    removed = band_store_retract(spark, store, [1])
+    assert removed > 0
+    left = {r.doc_id for r in spark.read.parquet(store).collect()}
+    assert left == {2}
+    # doc 2's batch-0 rows share doc 1's partition (batch 0) — but batch
+    # 1's partition (empty: no survivors) was never touched; with only
+    # batch 0 present all partitions were hit, so just check rows moved
+    # correctly, then prove the retraction EFFECT: re-delivering the
+    # near-dup in a later batch now SURVIVES (nothing to match against)
+    _minhash_process_batch(
+        spark.createDataFrame(docs2, DT), 2, store, out, threshold=0.5
+    )
+    kept_b3 = {
+        r.doc_id
+        for r in spark.read.parquet(out).filter("batch_id = 2").collect()
+    }
+    assert kept_b3 == {11}
+    # unknown ids are a no-op
+    assert band_store_retract(spark, store, [999]) == 0
+    # full drain removes the store dir
+    assert band_store_retract(spark, store, [2, 11]) > 0
+    assert not os.path.exists(store)
+
+    # legacy unpartitioned layout: plain band-index relation on disk
+    legacy = str(tmp_path / "legacy_store")
+    spark.createDataFrame(
+        [(1, 100, 0, 7), (2, 200, 0, 9)],
+        "doc_id long, minhash long, band int, bucket long",
+    ).write.parquet(legacy)
+    assert band_store_retract(spark, legacy, [1]) == 1
+    assert {r.doc_id for r in spark.read.parquet(legacy).collect()} == {2}
