@@ -564,13 +564,22 @@ def dhash64(gray) -> int:
     np.add.at(cnts, (by[:, None], bx[None, :]), 1)
     m = sums // cnts
     bits = m[:, :8] > m[:, 1:]
-    v = 0
-    for r in range(8):
-        for c in range(8):
-            if bits[r, c]:
-                k = r * 8 + c
-                v += (1 << k) if k < 63 else -(1 << 63)
-    return v
+    return _pack_bits_64(bits.reshape(-1))
+
+
+def _pack_bits_64(bits_flat) -> int:
+    """Pack 64 bools (bit k at weight 2^k, two's-complement signed) into
+    a Python int — np.packbits replaces the former 64-iteration Python
+    loop (the per-item cost that dominates hash throughput once decode is
+    vectorized); pinned bit-exact by the dhash/audio SQL oracles."""
+    import numpy as np
+
+    u = int(
+        np.packbits(
+            np.asarray(bits_flat, dtype=np.uint8), bitorder="little"
+        ).view("<u8")[0]
+    )
+    return u - (1 << 64) if u >= (1 << 63) else u
 
 
 DHASH_SCHEMA = T.StructType(
@@ -1079,11 +1088,7 @@ def audio_fingerprint64(samples) -> int:
     np.add.at(cnts, idx, 1)
     m = sums // cnts
     bits = m[:64] > m[1:]
-    v = 0
-    for k in range(64):
-        if bits[k]:
-            v += (1 << k) if k < 63 else -(1 << 63)
-    return v
+    return _pack_bits_64(bits)
 
 
 AUDIO_FP_SCHEMA = T.StructType(
