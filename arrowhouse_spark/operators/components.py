@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from arrowhouse_spark.operators.idgate import gate_broadcast
+
 
 def _hadoop_fs(spark: SparkSession, path: str):
     """(FileSystem, Path) for ``path`` via the Hadoop FS API — the portable
@@ -51,19 +53,30 @@ def _fs_dir_exists(spark: SparkSession, path: str) -> bool:
 
 
 def _fs_read_small(spark: SparkSession, path: str) -> bytes | None:
-    """Read a small (metadata-sized) file through the Hadoop FS API;
-    None if absent. Byte-at-a-time over py4j — fine for tens of bytes."""
+    """Read a small (metadata-sized) file through the Hadoop FS API; None
+    if absent. The payload crosses py4j ONCE (a byte[] returned from a
+    Java method is converted to Python bytes by py4j), not once per byte —
+    this sits on the pareto ledger's per-micro-batch hot path
+    (streaming/replace.py), where a per-byte loop costs a JVM round-trip
+    per byte."""
     fs, p = _hadoop_fs(spark, path)
     if not fs.exists(p):
         return None
+    jvm = spark.sparkContext._jvm
     stream = fs.open(p)
     try:
-        data = bytearray()
-        c = stream.read()
-        while c != -1:
-            data.append(c)
-            c = stream.read()
-        return bytes(data)
+        try:
+            # commons-io ships on every Hadoop classpath; toByteArray
+            # returns byte[] → one py4j call for the whole payload
+            return bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        except Exception:  # noqa: BLE001 — exotic classpath: 3-call path
+            n = int(fs.getFileStatus(p).getLen())
+            arr = spark.sparkContext._gateway.new_array(jvm.byte, n)
+            stream.readFully(0, arr)  # position-form: start-independent
+            # Arrays.copyOf RETURNS byte[] → py4j converts it to bytes
+            return bytes(jvm.java.util.Arrays.copyOf(arr, n))
     finally:
         stream.close()
 
@@ -565,6 +578,11 @@ def components_store_retract(
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame([(int(i),) for i in ids], "id long")
     ids = ids.select("id").distinct().localCheckpoint()
+    # count-gate every id-set hint in this op: batch-sized forgets
+    # broadcast, retention-sweep-sized sets (≥ idgate.BROADCAST_ID_LIMIT)
+    # fall back to shuffle joins — the store side is cb/ccb-pruned at
+    # every site, so the shuffles stay delta-sized (round-11 verdict #1)
+    ids_j = gate_broadcast(ids)
     meta_path = store_path + "__meta"
     meta_raw = _fs_read_small(spark, meta_path)
     if meta_raw is not None:
@@ -592,13 +610,15 @@ def components_store_retract(
     ]
     acomps = (
         store.filter(F.col("cb").isin(vbuckets))
-        .join(F.broadcast(ids), "id", "semi")
+        .join(ids_j, "id", "semi")
         .select("component")
         .distinct()
         .localCheckpoint()
     )
-    if acomps.isEmpty():
+    n_acomps = acomps.count()
+    if n_acomps == 0:
         return empty  # none of the ids are in the store
+    acomps_j = gate_broadcast(acomps, n_rows=n_acomps)
 
     has_twin = _fs_dir_exists(spark, twin_path)
     if has_twin:
@@ -616,11 +636,11 @@ def components_store_retract(
     else:
         members_src = store
     members = (
-        members_src.join(F.broadcast(acomps), "component", "semi")
+        members_src.join(acomps_j, "component", "semi")
         .select("id", "component")
         .localCheckpoint()
     )
-    remaining = members.join(F.broadcast(ids), "id", "left_anti")
+    remaining = members.join(ids_j, "id", "left_anti")
     newlab = remaining.groupBy("component").agg(
         F.min("id").alias("__new")
     )
@@ -633,7 +653,10 @@ def components_store_retract(
 
     # primary rewrite: buckets holding a removed id or a relabeled row
     gone = ids.join(members.select("id"), "id", "semi")  # ids actually stored
-    touch_ids = gone.unionByName(delta.select("id")).distinct()
+    touch_ids = (
+        gone.unionByName(delta.select("id")).distinct().localCheckpoint()
+    )
+    touch_ids_j = gate_broadcast(touch_ids)
     tb = (
         touch_ids.select(hash_bucket("id", n_buckets, salt="cc").alias("cb"))
         .distinct()
@@ -642,7 +665,7 @@ def components_store_retract(
     tvals = [r.cb for r in tb.collect()]
     carry = (
         store.filter(F.col("cb").isin(tvals))
-        .join(F.broadcast(touch_ids), "id", "left_anti")
+        .join(touch_ids_j, "id", "left_anti")
         .select("id", "component", "cb")
         .localCheckpoint()  # self-read-overwrite discipline
     )
@@ -691,7 +714,7 @@ def components_store_retract(
         tcarry = (
             spark.read.parquet(twin_path)
             .filter(F.col("ccb").isin(tcvals))
-            .join(F.broadcast(touch_ids), "id", "left_anti")
+            .join(touch_ids_j, "id", "left_anti")
             .select("id", "component", "ccb")
         )
         tout = (

@@ -634,6 +634,37 @@ def dedup_incremental(
     return fresh.select(id_col, "fp")
 
 
+def fingerprint_store_retract(
+    spark: "SparkSession",  # noqa: F821
+    store_path: str,
+    ids,
+    id_col: str = "doc_id",
+) -> int:
+    """Retract documents from a persistent exact-dedup fingerprint store
+    — the forget op the :func:`dedup_incremental` store lacked after the
+    round-11 lifecycle sweep (it was the ONE persistent store without
+    one; round-11 verdict #3). The store is the accumulated
+    (id_col, fp[, batch_id]) relation callers persist between
+    dedup_incremental runs; removing a retracted document's row means its
+    fingerprint no longer suppresses future ingests — a re-delivery of
+    the forgotten content SURVIVES exact dedup (pinned in
+    tests/test_pipeline_ops.py), which is the correct GDPR semantics:
+    forget the document, don't blacklist its content forever.
+
+    Mechanics delegate to the hash-generic store retraction
+    (streaming/replace.py:band_store_retract — deliberately shape-generic
+    per its docstring): id-keyed row removal with the count-gated
+    broadcast (idgate), batch_id-partition-pruned rewrite when the store
+    carries that column, full rewrite for legacy unpartitioned layouts,
+    and full-drain directory removal so a forget-everything store reads
+    back as first-fold. Unknown ids are a no-op; the op is idempotent
+    across retries. Returns the number of store rows removed.
+    Single-writer contract: run with no concurrent dedup fold."""
+    from arrowhouse_spark.streaming.replace import band_store_retract
+
+    return band_store_retract(spark, store_path, ids, id_col=id_col)
+
+
 def line_dedup_lines(
     lines: DataFrame,
     id_col: str = "doc_id",

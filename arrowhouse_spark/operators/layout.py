@@ -55,16 +55,27 @@ def _quant_expr(c: str, mn, mx, qmax: int) -> Column:
     - wider spans (epoch-micros at bits >= 13, full-range signed columns
       where mx - mn itself overflows BIGINT): DECIMAL(38,0) intermediates,
       exact for any long inputs (<= 29 digits), DIV still returns BIGINT.
-    - degenerate/empty span quantizes to 0."""
+    - degenerate/empty span quantizes to 0.
+
+    The input is CLAMPED to [mn, mx] in the expression itself
+    (least(greatest(x, mn), mx)), so if the frozen bounds go stale — the
+    plan is executed after the underlying data changed, or reused across a
+    rewrite — an out-of-range value lands in the edge bucket (0 or qmax)
+    instead of wrapping under non-ANSI BIGINT arithmetic into a corrupt
+    key. The clamp also PROVES the BIGINT branch overflow-free: after it,
+    (x - mn) * qmax <= span * qmax, which the Python check bounded."""
     if mn is None or mx is None or mx == mn:
         return F.lit(0).cast("long")
     span = int(mx) - int(mn)  # Python ints: exact for any long bounds
     if span * qmax <= (1 << 63) - 1:
-        return F.expr(
-            f"((CAST({c} AS BIGINT) - ({mn})) * {qmax}) DIV {span}"
-        )
+        cl = f"least(greatest(CAST({c} AS BIGINT), {mn}), {mx})"
+        return F.expr(f"(({cl} - ({mn})) * {qmax}) DIV {span}")
+    cl = (
+        f"least(greatest(CAST({c} AS DECIMAL(38,0)), "
+        f"CAST({mn} AS DECIMAL(38,0))), CAST({mx} AS DECIMAL(38,0)))"
+    )
     return F.expr(
-        f"((CAST({c} AS DECIMAL(38,0)) - ({mn})) * {qmax}) DIV "
+        f"(({cl} - ({mn})) * {qmax}) DIV "
         f"(CAST({mx} AS DECIMAL(38,0)) - ({mn}))"
     )
 

@@ -18,6 +18,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from arrowhouse_spark.operators.idgate import gate_broadcast
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢbᵢ as double (accumulate in double regardless of input width)."""
@@ -836,10 +838,27 @@ def _read_postings(spark: SparkSession, store_path: str) -> DataFrame | None:
         df.schema  # force analysis so inference failures surface HERE
         return df
     except Exception as exc:  # noqa: BLE001 — classify, re-raise the rest
-        msg = str(exc)
-        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+        if _is_missing_store_error(exc):
             return None
         raise
+
+
+def _is_missing_store_error(exc: Exception) -> bool:
+    """True when ``exc`` is Spark's missing-path / empty-layout read
+    failure — in EITHER vocabulary: Spark 3.4+ raises error classes
+    (``PATH_NOT_FOUND`` / ``UNABLE_TO_INFER_SCHEMA``), older builds raise
+    plain AnalysisException messages (``Path does not exist`` / ``Unable
+    to infer schema``). Matching only the new classes crashed
+    delete/topk/compact on legacy Spark against a drained or
+    never-written store instead of returning the documented empty-store
+    result (round-11 ADVICE)."""
+    msg = str(exc)
+    return (
+        "PATH_NOT_FOUND" in msg
+        or "UNABLE_TO_INFER_SCHEMA" in msg
+        or "Path does not exist" in msg
+        or "Unable to infer schema" in msg
+    )
 
 
 def ivf_store_append(
@@ -928,8 +947,13 @@ def ivf_store_delete(
     store = _read_postings(spark, store_path)
     if store is None:
         return 0  # already fully drained (or never written)
+    # count-gate the hint: batch-sized forgets broadcast; a retention
+    # sweep (1e8+ ids) drops to a shuffle join — the store side is
+    # column-pruned here and cell-pruned below, so the shuffle is
+    # delta-sized (idgate.BROADCAST_ID_LIMIT; round-11 verdict #1)
+    ids_j = gate_broadcast(ids)
     hit = (
-        store.join(F.broadcast(ids), id_col, "semi")
+        store.join(ids_j, id_col, "semi")
         .groupBy("centroid")
         .agg(F.count(F.lit(1)).alias("__n"))
         .collect()
@@ -940,7 +964,7 @@ def ivf_store_delete(
     removed = int(sum(r["__n"] for r in hit))
     keep = (
         store.filter(F.col("centroid").isin(touched))
-        .join(F.broadcast(ids), id_col, "left_anti")
+        .join(ids_j, id_col, "left_anti")
         # pin survivors BEFORE the overwrite: `keep` lazily scans the
         # same path the write replaces (self-read-overwrite discipline)
         .localCheckpoint()
@@ -993,7 +1017,22 @@ def ivf_store_upsert(
     Batch hygiene runs BEFORE the delete: a batch with conflicting
     in-batch vectors is refused while the store is still untouched — a
     delete-then-raise would have destructively dropped the batch ids'
-    existing postings on a refused batch."""
+    existing postings on a refused batch.
+
+    PARTIAL-FAILURE WINDOW: delete and append are two separate commit
+    points. A crash between them (executor loss, OOM, SIGKILL) leaves
+    the batch ids' old postings removed with no replacement — the store
+    is still VALID (no dangling or duplicate postings; probes simply
+    miss the batch ids), just behind. Recovery is to RE-RUN the upsert
+    with the same batch: the delete leg no-ops on the already-removed
+    ids and the append leg lands the vectors — the operator is
+    idempotent across retries, which is exactly how the streaming twin
+    (stream_ivf_upsert) self-heals via foreachBatch replay. The batch
+    API leaves retry to the caller rather than staging the append first:
+    an append-before-delete would transiently double-resident every
+    changed id (probes could return the STALE vector ranked by the new
+    one's score), trading a visible-behind window for a silently-wrong
+    one."""
     spark = new_df.sparkSession
     deduped = _dedupe_ivf_batch(new_df, id_col, vec_col, "ivf_store_upsert")
     ivf_store_delete(

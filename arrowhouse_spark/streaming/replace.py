@@ -1341,6 +1341,10 @@ def band_store_retract(
     Returns the number of band rows removed. Single-writer contract:
     run with the stream stopped, as for compact_band_store."""
     from arrowhouse_spark.operators.components import _hadoop_fs
+    from arrowhouse_spark.operators.idgate import gate_broadcast
+    from arrowhouse_spark.operators.similarity import (
+        _is_missing_store_error,
+    )
 
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame(
@@ -1351,15 +1355,19 @@ def band_store_retract(
         store = spark.read.parquet(store_path)
         store.schema
     except Exception as exc:  # noqa: BLE001
-        if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+        if _is_missing_store_error(exc):
             return 0
         raise
+    # count-gate the hint: batch-sized forgets broadcast; retention-sweep
+    # sets (≥ idgate.BROADCAST_ID_LIMIT) use a shuffle join — the store
+    # side is batch_id-pruned below, so the shuffle is delta-sized
+    ids_j = gate_broadcast(ids)
     has_batch = "batch_id" in store.columns
     if not has_batch:
-        hitn = store.join(F.broadcast(ids), id_col, "semi").count()
+        hitn = store.join(ids_j, id_col, "semi").count()
         if hitn == 0:
             return 0
-        keep = store.join(F.broadcast(ids), id_col, "left_anti").localCheckpoint()
+        keep = store.join(ids_j, id_col, "left_anti").localCheckpoint()
         if keep.isEmpty():
             fs, p = _hadoop_fs(spark, store_path)
             fs.delete(p, True)
@@ -1367,7 +1375,7 @@ def band_store_retract(
         keep.write.mode("overwrite").parquet(store_path)
         return int(hitn)
     hit = (
-        store.join(F.broadcast(ids), id_col, "semi")
+        store.join(ids_j, id_col, "semi")
         .groupBy("batch_id")
         .agg(F.count(F.lit(1)).alias("__n"))
         .collect()
@@ -1378,7 +1386,7 @@ def band_store_retract(
     removed = int(sum(r["__n"] for r in hit))
     keep = (
         store.filter(F.col("batch_id").isin(touched))
-        .join(F.broadcast(ids), id_col, "left_anti")
+        .join(ids_j, id_col, "left_anti")
         .localCheckpoint()  # self-read-overwrite discipline
     )
     (

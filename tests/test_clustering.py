@@ -413,3 +413,47 @@ def test_ivf_store_upsert_refusal_is_nondestructive_and_drain_all(spark, tmp_pat
     appended = ivf_store_append(base.filter(F.col("vec_id") < 10), store)
     assert appended.count() == 10
     assert ivf_store_topk(spark, store, qv, k=5, nprobe=4).count() == 5
+
+
+def test_ivf_store_delete_shuffle_regime_matches_broadcast(
+    spark, tmp_path, monkeypatch
+):
+    """ivf_store_delete's id-set joins are count-gated (idgate, round-11
+    verdict #1): identical surviving postings whether the id set rides a
+    broadcast hint or a plain shuffle join (limit forced to 0)."""
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators import idgate
+    from arrowhouse_spark.operators.similarity import (
+        ivf_store_delete,
+        ivf_store_init,
+    )
+
+    n, dim = 80, 6
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                (F.pmod(F.xxhash64("id", j), F.lit(2001)) - F.lit(1000))
+                / F.lit(1000.0)
+            ).cast("double"),
+        ).alias("embedding"),
+    ).localCheckpoint()
+    victims = [3, 19, 42, 77]
+
+    def build_and_delete(store: str):
+        ivf_store_init(base, store, n_centroids=3)
+        removed = ivf_store_delete(spark, store, victims)
+        rows = {
+            r.vec_id: (r.centroid, tuple(r.embedding))
+            for r in spark.read.parquet(store + "/postings").collect()
+        }
+        return removed, rows
+
+    rem_b, rows_b = build_and_delete(str(tmp_path / "bcast"))
+    monkeypatch.setattr(idgate, "BROADCAST_ID_LIMIT", 0)
+    rem_s, rows_s = build_and_delete(str(tmp_path / "shuffle"))
+    assert rem_b == rem_s == len(victims)
+    assert rows_b == rows_s
+    assert set(rows_b) == set(range(n)) - set(victims)

@@ -434,3 +434,41 @@ def test_components_store_retract_all_resets_to_first_fold(spark, tmp_path):
         for r in spark.read.parquet(store).select("id", "component").collect()
     }
     assert labels == {(5, 5), (6, 5)}
+
+
+def test_components_store_retract_shuffle_regime_matches_broadcast(
+    spark, tmp_path, monkeypatch
+):
+    """The retraction id-set joins are count-gated (idgate): batch-sized
+    forgets keep the broadcast hint, retention-sweep-sized sets (above
+    BROADCAST_ID_LIMIT, default 1e6) drop to shuffle semi/anti joins so
+    a 1e8-id sweep cannot OOM driver or executors (round-11 verdict #1).
+    The hint never changes semantics: the same retract through BOTH
+    regimes (limit forced to 0) must leave an identical store and emit
+    an identical relabel delta."""
+    from arrowhouse_spark.operators import idgate
+    from arrowhouse_spark.operators.components import (
+        components_incremental,
+        components_store_retract,
+    )
+
+    ET = "src long, dst long"
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (30, 31), (40, 41)]
+
+    def build_and_retract(store: str):
+        components_incremental(spark.createDataFrame(edges, ET), store)
+        delta = components_store_retract(spark, store, [1, 10, 30])
+        labels = {
+            r.id: r.component
+            for r in spark.read.parquet(store)
+            .select("id", "component")
+            .collect()
+        }
+        return {r.id: r.component for r in delta.collect()}, labels
+
+    d_bcast, l_bcast = build_and_retract(str(tmp_path / "bcast"))
+    monkeypatch.setattr(idgate, "BROADCAST_ID_LIMIT", 0)
+    d_shuf, l_shuf = build_and_retract(str(tmp_path / "shuffle"))
+    assert d_bcast == d_shuf
+    assert l_bcast == l_shuf
+    assert l_bcast == {2: 2, 3: 2, 11: 11, 12: 11, 31: 31, 40: 40, 41: 40}

@@ -299,3 +299,39 @@ def test_zorder_full_range_signed_span_no_overflow(spark):
     assert len(zv) == 4 and all(0 <= v < (1 << 16) for v in zv.values())
     hv = {r.k: r.hvalue for r in hilbert_value(df, "x", "k", bits=8).collect()}
     assert len(hv) == 4 and all(0 <= v < (1 << 16) for v in hv.values())
+
+
+def test_quant_expr_clamps_stale_bounds(spark):
+    """zorder/hilbert freeze min/max as literals at call time; if the plan
+    executes after the data changed, out-of-range inputs must degrade to
+    the EDGE bucket (0 or qmax), never wrap under non-ANSI BIGINT
+    arithmetic into corrupt curve keys (round-11 ADVICE). Pin both
+    arithmetic branches."""
+    from arrowhouse_spark.operators.layout import _quant_expr
+
+    # BIGINT branch (span * qmax fits a long): bounds [0, 100], qmax 15
+    df = spark.createDataFrame(
+        [(-50,), (0,), (50,), (100,), (175,)], "x long"
+    )
+    got = [
+        r.q
+        for r in df.select("x", _quant_expr("x", 0, 100, 15).alias("q"))
+        .orderBy("x")
+        .collect()
+    ]
+    assert got == [0, 0, 7, 15, 15]  # -50 → 0, 175 → 15 (edge buckets)
+
+    # DECIMAL branch (span * qmax > 2^63): bounds [0, 1e18], qmax 65535
+    big = spark.createDataFrame(
+        [(-7,), (0,), (500_000_000_000_000_000,), (2_000_000_000_000_000_000,)],
+        "x long",
+    )
+    gotd = [
+        r.q
+        for r in big.select(
+            "x", _quant_expr("x", 0, 10**18, 65535).alias("q")
+        )
+        .orderBy("x")
+        .collect()
+    ]
+    assert gotd == [0, 0, 32767, 65535]

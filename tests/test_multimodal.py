@@ -775,3 +775,71 @@ def test_avi_parser_skips_audio_stream_strf():
     _, w0, h0, grays0 = _decode_avi_gray_frames(base)
     assert (w, h) == (w0, h0) == (5, 4)
     assert all(np.array_equal(a, b) for a, b in zip(grays, grays0))
+
+
+def test_avi_parser_rejects_corrupt_containers_with_stable_errors():
+    """Corrupt AVI containers fail LOUDLY with the module's stable decode
+    errors (round-11 ADVICE): an oversized declared chunk length raises
+    'truncated AVI chunk' (Python slicing would otherwise clamp and
+    silently drop frames), and a frame chunk whose byte count disagrees
+    with row_stride x height raises 'AVI frame size mismatch' instead of
+    an opaque numpy error."""
+    import struct
+
+    import pytest
+
+    from arrowhouse_spark.operators.multimodal import (
+        _decode_avi_gray_frames,
+        make_avi_payload,
+    )
+
+    good = make_avi_payload(4, 3, 2, seed=1)
+    assert len(_decode_avi_gray_frames(good)[3]) == 2
+
+    # oversized declared length on the first frame chunk: the body would
+    # run past the enclosing movi LIST
+    p = bytearray(good)
+    at = p.find(b"00db")
+    (ln,) = struct.unpack("<I", p[at + 4 : at + 8])
+    p[at + 4 : at + 8] = struct.pack("<I", ln + 10_000)
+    with pytest.raises(ValueError, match="truncated AVI chunk"):
+        _decode_avi_gray_frames(bytes(p))
+
+    # header/payload disagreement: biHeight claims one more row than the
+    # frame chunks carry — the frame-size check must name it, not let an
+    # opaque numpy reshape error (or a silent short decode) through
+    p2 = bytearray(good)
+    at2 = p2.find(b"strf") + 8  # BITMAPINFOHEADER start
+    p2[at2 + 8 : at2 + 12] = struct.pack("<i", 4)  # biHeight 3 → 4
+    with pytest.raises(ValueError, match="AVI frame size mismatch"):
+        _decode_avi_gray_frames(bytes(p2))
+
+    # truncated header chunk: avih shorter than its struct
+    p3 = bytearray(good)
+    at3 = p3.find(b"avih")
+    p3[at3 + 4 : at3 + 8] = struct.pack("<I", 2)
+    with pytest.raises(ValueError, match="truncated AVI chunk"):
+        _decode_avi_gray_frames(bytes(p3))
+
+
+def test_png_unfilter_fallback_warns_once_without_compiler(monkeypatch):
+    """A compiler-less executor decodes Paeth rows ~20x slower; that
+    cliff must be OBSERVABLE (round-11 verdict #6): the first
+    _get_unfilter_lib() miss emits one RuntimeWarning naming the reason,
+    later calls stay silent (per-process latch)."""
+    import shutil
+    import warnings
+
+    import pytest
+
+    from arrowhouse_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "_UNFILTER_LIB", None)
+    monkeypatch.setattr(mm, "_UNFILTER_TRIED", False)
+    monkeypatch.setattr(shutil, "which", lambda *_a, **_k: None)
+    with pytest.warns(RuntimeWarning, match="C unfilter kernel unavailable"):
+        assert mm._get_unfilter_lib() is None
+    # latched: the second call neither warns nor retries the compile
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert mm._get_unfilter_lib() is None

@@ -1831,3 +1831,116 @@ def test_url_canonicalize_hand_checked(spark):
     }
     for raw, want in cases:
         assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_forget_ids_cross_store_sweep_and_idempotence(spark, tmp_path):
+    """One deletion request hits EVERY persistent store (round-11 verdict
+    #2): after forget_ids, no store matches a retracted id; the summary
+    counts agree with each store's actual loss; a partial re-run (the
+    recovery path for the documented non-atomicity window) is a no-op;
+    and — fingerprint semantics — re-ingesting the forgotten document
+    SURVIVES exact dedup (forget the doc, not its content forever)."""
+    from arrowhouse_spark.operators.components import components_incremental
+    from arrowhouse_spark.operators.dedup import dedup_incremental
+    from arrowhouse_spark.operators.forget import forget_ids
+    from arrowhouse_spark.operators.similarity import ivf_store_init
+
+    victims = [3, 10]
+
+    # fingerprint store: accumulated (doc_id, fp) of a first batch
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text") for i in range(12)],
+        "doc_id long, text string",
+    )
+    fp_store = str(tmp_path / "fp_store")
+    seen0 = spark.createDataFrame([], "fp string")
+    dedup_incremental(docs, seen0).write.parquet(fp_store)
+
+    # band store: 4 band rows per doc, batch_id-partitioned
+    band_store = str(tmp_path / "band_store")
+    spark.createDataFrame(
+        [(d, d * 31 + b, b, (d + b) % 5, d % 2) for d in range(12) for b in range(4)],
+        "doc_id long, minhash long, band int, bucket long, batch_id int",
+    ).write.partitionBy("batch_id").parquet(band_store)
+
+    # IVF store over matching vec ids
+    emb = spark.range(12).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(5)),
+            lambda j: (
+                (F.pmod(F.xxhash64("id", j), F.lit(1001)) - F.lit(500))
+                / F.lit(500.0)
+            ).cast("double"),
+        ).alias("embedding"),
+    )
+    ivf_store = str(tmp_path / "ivf_store")
+    ivf_store_init(emb, ivf_store, n_centroids=3)
+
+    # CC label store: chains {0..2}, {3,4}, {10,11}
+    cc_store = str(tmp_path / "cc_store")
+    components_incremental(
+        spark.createDataFrame(
+            [(0, 1), (1, 2), (3, 4), (10, 11)], "src long, dst long"
+        ),
+        cc_store,
+    )
+
+    manifest = [
+        {"path": band_store, "kind": "band"},
+        {"path": fp_store, "kind": "fingerprint"},
+        {"path": ivf_store + "", "kind": "ivf"},
+        {"path": cc_store, "kind": "components"},
+    ]
+    summary = {
+        (r.kind): r.rows_removed
+        for r in forget_ids(spark, manifest, victims).collect()
+    }
+    assert summary == {
+        "band": 8,  # 2 docs x 4 bands
+        "fingerprint": 2,  # both victims were dedup winners
+        "ivf": 2,
+        "components": 2,  # ids 3 and 10 each had one label row
+    }
+
+    # no store still matches a retracted id
+    assert (
+        spark.read.parquet(band_store)
+        .filter(F.col("doc_id").isin(victims))
+        .count()
+        == 0
+    )
+    assert (
+        spark.read.parquet(fp_store)
+        .filter(F.col("doc_id").isin(victims))
+        .count()
+        == 0
+    )
+    assert (
+        spark.read.parquet(ivf_store + "/postings")
+        .filter(F.col("vec_id").isin(victims))
+        .count()
+        == 0
+    )
+    labels = {
+        r.id: r.component
+        for r in spark.read.parquet(cc_store).collect()
+    }
+    assert set(labels) == {0, 1, 2, 4, 11}
+    assert labels[4] == 4 and labels[11] == 11  # roots retired → relabel
+
+    # idempotent partial re-run: everything is already forgotten
+    again = {
+        r.kind: r.rows_removed
+        for r in forget_ids(spark, manifest, victims).collect()
+    }
+    assert again == {"band": 0, "fingerprint": 0, "ivf": 0, "components": 0}
+
+    # fingerprint semantics: the forgotten document's content re-ingests
+    redelivery = docs.filter(F.col("doc_id") == 3)
+    seen = spark.read.parquet(fp_store).select("fp")
+    assert dedup_incremental(redelivery, seen).count() == 1
+
+    # unknown kind refuses loudly
+    with pytest.raises(ValueError, match="unknown store kind"):
+        forget_ids(spark, [{"path": fp_store, "kind": "nope"}], victims)

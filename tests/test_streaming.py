@@ -1912,3 +1912,45 @@ def test_band_store_retract_forgets_and_prunes(spark, tmp_path):
     ).write.parquet(legacy)
     assert band_store_retract(spark, legacy, [1]) == 1
     assert {r.doc_id for r in spark.read.parquet(legacy).collect()} == {2}
+
+
+def test_band_store_retract_shuffle_regime_matches_broadcast(
+    spark, tmp_path, monkeypatch
+):
+    """band_store_retract's id-set joins are count-gated (idgate,
+    round-11 verdict #1): identical surviving band rows whether the id
+    set rides a broadcast hint or a plain shuffle join (limit forced to
+    0), on both the batch_id-partitioned and legacy layouts."""
+    from arrowhouse_spark.operators import idgate
+    from arrowhouse_spark.streaming.replace import band_store_retract
+
+    rows = [
+        (d, d * 100 + b, b, (d * 7 + b) % 5, d % 3)
+        for d in range(1, 21)
+        for b in range(4)
+    ]
+    SCHEMA = "doc_id long, minhash long, band int, bucket long, batch_id int"
+    victims = [2, 5, 13, 19]
+
+    def build_and_retract(path: str, partitioned: bool):
+        df = spark.createDataFrame(rows, SCHEMA)
+        if partitioned:
+            df.write.partitionBy("batch_id").parquet(path)
+        else:
+            df.drop("batch_id").write.parquet(path)
+        removed = band_store_retract(spark, path, victims)
+        left = sorted(
+            (r.doc_id, r.minhash, r.band, r.bucket)
+            for r in spark.read.parquet(path).collect()
+        )
+        return removed, left
+
+    rem_b, left_b = build_and_retract(str(tmp_path / "p_bcast"), True)
+    lrem_b, lleft_b = build_and_retract(str(tmp_path / "l_bcast"), False)
+    monkeypatch.setattr(idgate, "BROADCAST_ID_LIMIT", 0)
+    rem_s, left_s = build_and_retract(str(tmp_path / "p_shuf"), True)
+    lrem_s, lleft_s = build_and_retract(str(tmp_path / "l_shuf"), False)
+    assert rem_b == rem_s == len(victims) * 4
+    assert left_b == left_s
+    assert lrem_b == lrem_s and lleft_b == lleft_s
+    assert not any(t[0] in victims for t in left_b)
