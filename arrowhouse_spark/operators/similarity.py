@@ -743,6 +743,54 @@ def mmr_topk(
 # ---------------------------------------------------------------------------
 
 
+def _store_base(spark: SparkSession, store_path: str) -> str:
+    """Resolve the CURRENT layout root of a (possibly versioned) IVF
+    store. A refit (:func:`ivf_store_refit`) re-fits the coarse
+    quantizer and rewrites every posting under ``store_path/v{n}`` with
+    a one-line JSON pointer at ``store_path/META`` naming the live
+    version; absent META = the legacy root layout every pre-refit store
+    uses. All readers and writers resolve through this, so a version
+    swap is invisible to probes, appends, deletes, and compactions —
+    and a HALF-BUILT v{n+1} directory from a crashed refit is ignored
+    until the META flip commits it.
+
+    MISSING-META fallback: the swap is delete-old-pointer → rename-new
+    (Hadoop rename-over-existing is not portable), so a crash inside
+    that microscopic window leaves v* directories with no META. Root
+    centroids present → legacy layout (the normal pre-refit store,
+    where META never existed). Otherwise the HIGHEST v{n} wins: the
+    refit fully builds v{n+1} BEFORE touching the pointer, so the
+    newest versioned layout is always complete at that point."""
+    import json
+
+    from arrowhouse_spark.operators.components import (
+        _fs_read_small,
+        _hadoop_fs,
+    )
+
+    raw = _fs_read_small(spark, store_path + "/META")
+    if raw is not None:
+        v = int(json.loads(raw.decode("utf-8"))["version"])
+        return f"{store_path}/v{v}"
+    fs, cp = _hadoop_fs(spark, store_path + "/centroids")
+    if fs.exists(cp):
+        return store_path  # legacy root layout (never refit)
+    fs, sp = _hadoop_fs(spark, store_path)
+    best = 0
+    if fs.exists(sp):
+        for st in fs.listStatus(sp):
+            nm = st.getPath().getName()
+            if nm.startswith("v") and nm[1:].isdigit():
+                best = max(best, int(nm[1:]))
+    return f"{store_path}/v{best}" if best else store_path
+
+
+def _store_version(spark: SparkSession, store_path: str) -> int:
+    """Live version number: 0 = legacy root layout (no META)."""
+    base = _store_base(spark, store_path)
+    return 0 if base == store_path else int(base.rsplit("/v", 1)[1])
+
+
 def ivf_store_init(
     df: DataFrame,
     store_path: str,
@@ -756,8 +804,26 @@ def ivf_store_init(
     quantizer) plus ``postings`` partitioned BY CELL on disk — so a probe
     is parquet partition pruning, never a scan. The at-rest layout is the
     100 TB design the batch ann_cosine_ivf docstring promises ("assignment
-    runs once at ingest, probe = partition pruning"); this materializes it."""
+    runs once at ingest, probe = partition pruning"); this materializes it.
+
+    Init RESETS the store to generation zero: any META version pointer
+    and v* layout directories from a previous refit lineage are removed
+    first, so a re-init cannot leave readers resolving into a stale
+    versioned layout."""
     import numpy as np
+
+    from arrowhouse_spark.operators.components import _hadoop_fs
+
+    spark0 = df.sparkSession
+    fs, mp = _hadoop_fs(spark0, store_path + "/META")
+    if fs.exists(mp):
+        fs.delete(mp, False)
+    fs, sp = _hadoop_fs(spark0, store_path)
+    if fs.exists(sp):
+        for st in fs.listStatus(sp):
+            nm = st.getPath().getName()
+            if nm.startswith("v") and nm[1:].isdigit():
+                fs.delete(st.getPath(), True)
 
     cent_rows = (
         df.select(id_col, vec_col)
@@ -790,7 +856,7 @@ def _ivf_store_centroids(spark: SparkSession, store_path: str):
     import numpy as np
 
     rows = (
-        spark.read.parquet(store_path + "/centroids")
+        spark.read.parquet(_store_base(spark, store_path) + "/centroids")
         .orderBy("centroid")
         .collect()
     )
@@ -830,11 +896,12 @@ def _dedupe_ivf_batch(
 
 
 def _read_postings(spark: SparkSession, store_path: str) -> DataFrame | None:
-    """Postings relation, or None for a store whose postings were fully
-    drained (delete-all removes the directory so readers cannot crash on
-    an unreadable empty layout) or never written."""
+    """Postings relation of the LIVE layout version (see _store_base), or
+    None for a store whose postings were fully drained (delete-all
+    removes the directory so readers cannot crash on an unreadable empty
+    layout) or never written."""
     try:
-        df = spark.read.parquet(store_path + "/postings")
+        df = spark.read.parquet(_store_base(spark, store_path) + "/postings")
         df.schema  # force analysis so inference failures surface HERE
         return df
     except Exception as exc:  # noqa: BLE001 — classify, re-raise the rest
@@ -907,7 +974,7 @@ def ivf_store_append(
             fresh.repartition("centroid")
             .write.mode("append")
             .partitionBy("centroid")
-            .parquet(store_path + "/postings")
+            .parquet(_store_base(spark, store_path) + "/postings")
         )
     return fresh
 
@@ -944,6 +1011,7 @@ def ivf_store_delete(
             [(int(i),) for i in ids], f"{id_col} long"
         )
     ids = ids.select(id_col).distinct().localCheckpoint()
+    base = _store_base(spark, store_path)
     store = _read_postings(spark, store_path)
     if store is None:
         return 0  # already fully drained (or never written)
@@ -974,13 +1042,13 @@ def ivf_store_delete(
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("centroid")
-        .parquet(store_path + "/postings")
+        .parquet(base + "/postings")
     )
     kept_cells = {r.centroid for r in keep.select("centroid").distinct().collect()}
     for cell in touched:
         if cell not in kept_cells:
             fs, p = _hadoop_fs(
-                spark, f"{store_path}/postings/centroid={cell}"
+                spark, f"{base}/postings/centroid={cell}"
             )
             if fs.exists(p):
                 fs.delete(p, True)
@@ -989,7 +1057,7 @@ def ivf_store_delete(
     # postings dir entirely: readers treat the missing dir as an empty
     # store (the documented GDPR forget-everything state; the frozen
     # centroids remain, so the next append rebuilds postings cleanly).
-    fs, pdir = _hadoop_fs(spark, store_path + "/postings")
+    fs, pdir = _hadoop_fs(spark, base + "/postings")
     if fs.exists(pdir) and not any(
         st.getPath().getName().startswith("centroid=")
         for st in fs.listStatus(pdir)
@@ -1140,7 +1208,7 @@ def compact_ivf_store(spark: SparkSession, store_path: str) -> dict:
     quantizer never fragments — it is one coalesced file from init).
     Same stop-the-writer contract as every store compaction in this
     engine. Returns {"rows", "files_before", "files_after"}."""
-    path = store_path + "/postings"
+    path = _store_base(spark, store_path) + "/postings"
     df = _read_postings(spark, store_path)
     if df is None:  # fully-drained store: nothing to compact
         return {"rows": 0, "files_before": 0, "files_after": 0}
@@ -1158,4 +1226,143 @@ def compact_ivf_store(spark: SparkSession, store_path: str) -> dict:
         "rows": out.count(),
         "files_before": files_before,
         "files_after": after.select(F.input_file_name()).distinct().count(),
+    }
+
+
+def ivf_store_refit(
+    spark: SparkSession,
+    store_path: str,
+    n_centroids: int | None = None,
+    sample_cap: int = 4096,
+    iters: int = 5,
+    seed: int = 43,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Close the drift loop (round-11 verdict #5): ivf_store_drift
+    SIGNALS that the frozen coarse quantizer no longer matches the
+    ingest distribution; this op performs the rebuild —
+
+      1. FIT: spherical k-means (Lloyd, ``iters`` rounds) over a
+         deterministic hash-ordered sample of the CURRENT postings
+         (``sample_cap`` vectors collected driver-side — model-sized
+         whatever the store size, the ivf_store_init discipline; seeds
+         are the sample's first ``n_centroids`` rows, empty clusters
+         keep their previous centroid). Defaults to the current cell
+         count; pass ``n_centroids`` to grow/shrink the index.
+      2. REBUILD: re-assign EVERY posting against the new centroids in
+         one map-side pass (broadcast k×dim matrix, no shuffle except
+         the cell-partitioned write) into the NEXT version directory
+         ``store_path/v{n+1}/{centroids,postings}`` — the live layout
+         keeps serving probes throughout.
+      3. SWAP: atomically flip the ``store_path/META`` version pointer
+         (write META.tmp, Hadoop rename — atomic on HDFS and local FS),
+         then remove the old layout. Every reader/writer resolves
+         through _store_base, so the swap is invisible to callers.
+
+    CRASH RECOVERY (pinned in tests/test_clustering.py): a failure
+    before the META flip leaves a stale half-built v{n+1} directory
+    that readers IGNORE (META still names the old layout) and a re-run
+    deletes and rebuilds; a failure after the flip but before cleanup
+    leaves dead old-layout directories that the next refit (or this
+    one re-run) sweeps. Either way re-running the refit heals the
+    store. Single-writer contract, as for every store mutation here.
+
+    Returns {"old_version", "new_version", "n_centroids", "rows"}."""
+    import json
+
+    import numpy as np
+
+    from arrowhouse_spark.operators.components import _hadoop_fs
+
+    store = _read_postings(spark, store_path)
+    if store is None:
+        raise ValueError(
+            f"ivf_store_refit needs a non-empty store at {store_path!r} "
+            "(fully-drained or never-written postings have nothing to "
+            "fit; use ivf_store_init)"
+        )
+    old_v = _store_version(spark, store_path)
+    new_v = old_v + 1
+    if n_centroids is None:
+        n_centroids = int(
+            spark.read.parquet(
+                _store_base(spark, store_path) + "/centroids"
+            ).count()
+        )
+
+    # ---- 1. fit on a deterministic sample (driver-side numpy Lloyd)
+    sample_rows = (
+        store.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(sample_cap)
+        .collect()
+    )
+    m = np.array([r[1] for r in sample_rows], dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    if len(m) < n_centroids:
+        raise ValueError(
+            f"sample of {len(m)} vectors cannot seed {n_centroids} "
+            "centroids; lower n_centroids or raise sample_cap"
+        )
+    c = m[:n_centroids].copy()
+    for _ in range(iters):
+        # spherical Lloyd: cosine assignment (rows are unit), mean, renorm
+        assign = np.argmax(np.round(m @ c.T, 6), axis=1)
+        for j in range(n_centroids):
+            mask = assign == j
+            if mask.any():  # empty cluster keeps its previous centroid
+                c[j] = m[mask].mean(axis=0)
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+    # ---- 2. rebuild the full postings under the next version dir
+    new_base = f"{store_path}/v{new_v}"
+    fs, nb = _hadoop_fs(spark, new_base)
+    if fs.exists(nb):  # stale half-built dir from a crashed attempt
+        fs.delete(nb, True)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(c)],
+        "centroid int, cvec array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(
+        new_base + "/centroids"
+    )
+    reassigned = _assign_to_centroids(
+        store.select(id_col, vec_col), c, vec_col, round_dp=6
+    ).localCheckpoint()  # pin BEFORE the old layout goes away
+    (
+        reassigned.repartition("centroid")
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(new_base + "/postings")
+    )
+    n_rows = reassigned.count()
+
+    # ---- 3. atomic pointer swap, then old-layout cleanup
+    payload = json.dumps({"version": new_v}).encode("utf-8")
+    fs, tmp = _hadoop_fs(spark, store_path + "/META.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+    _fs2, meta = _hadoop_fs(spark, store_path + "/META")
+    if fs.exists(meta):
+        fs.delete(meta, False)  # rename-over-existing is FS-dependent
+    if not fs.rename(tmp, meta):
+        raise OSError(f"META pointer rename failed for {store_path!r}")
+    if old_v == 0:
+        for leg in ("/centroids", "/postings"):
+            lfs, lp = _hadoop_fs(spark, store_path + leg)
+            if lfs.exists(lp):
+                lfs.delete(lp, True)
+    else:
+        ofs, op = _hadoop_fs(spark, f"{store_path}/v{old_v}")
+        if ofs.exists(op):
+            ofs.delete(op, True)
+    return {
+        "old_version": old_v,
+        "new_version": new_v,
+        "n_centroids": int(n_centroids),
+        "rows": int(n_rows),
     }

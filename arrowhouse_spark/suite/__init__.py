@@ -390,6 +390,7 @@ from arrowhouse_spark.suite import events_graph as _events_graph  # noqa: E402,F
 from arrowhouse_spark.suite import stats_ext as _stats_ext  # noqa: E402,F401
 from arrowhouse_spark.suite import tpch_completion as _tpch_completion  # noqa: E402,F401
 from arrowhouse_spark.suite import late_waves as _late_waves  # noqa: E402,F401
+from arrowhouse_spark.suite import round12 as _round12  # noqa: E402,F401
 
 # compatibility re-exports (tests import these from the package)
 _WYHASH_LENS_HASHES = _text_hash._WYHASH_LENS_HASHES

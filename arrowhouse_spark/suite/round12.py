@@ -1,0 +1,360 @@
+"""Query suite chunk — round-12 wave: cross-store GDPR sweep, widened
+stdlib media coverage (palette PNG, stereo WAV), IVF refit. Registration
+order is load-bearing for the driver rotation — append only."""
+
+# ruff: noqa: F401  (shared header imports; unused ones kept for uniformity)
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrowhouse_spark.suite import (
+    _events,
+    _t,
+    register,
+)
+
+
+@register(
+    "gdpr_forget_sweep",
+    """
+    WITH r AS (SELECT doc_id FROM documents WHERE doc_id % 37 = 1),
+    w AS (SELECT min(doc_id) AS doc_id
+          FROM documents WHERE text IS NOT NULL
+          GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+    SELECT * FROM (
+      SELECT 'band' AS kind,
+             CAST(4 * (SELECT count(*) FROM r) AS BIGINT) AS rows_removed,
+             CAST(0 AS BIGINT) AS rows_left
+      UNION ALL
+      SELECT 'components',
+             CAST((SELECT count(*) FROM r
+                   WHERE r.doc_id % 5 = 0
+                      OR ((r.doc_id - 1) % 5 = 0
+                          AND EXISTS (SELECT 1 FROM documents d
+                                      WHERE d.doc_id = r.doc_id - 1)))
+                  AS BIGINT),
+             CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT 'fingerprint',
+             CAST((SELECT count(*) FROM r
+                   WHERE r.doc_id IN (SELECT doc_id FROM w)) AS BIGINT),
+             CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT 'ivf',
+             CAST((SELECT count(*) FROM embeddings WHERE vec_id % 37 = 1)
+                  AS BIGINT),
+             CAST(0 AS BIGINT)
+    ) ORDER BY kind
+    """,
+)
+def gdpr_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-store deletion request, driver-proven end to end (round-11
+    verdict #2; operators/forget.py:forget_ids): build all four
+    persistent-store kinds from the corpus — the exact-dedup fingerprint
+    store (dedup_incremental over documents), a band store (4
+    SQL-replayable formula band rows per doc, batch_id-partitioned — the
+    REAL minhash store's retraction is pytest-pinned in
+    tests/test_streaming.py; here the cross-store composition is what's
+    certified), the CC label store (edges doc→doc+1 for doc%5==0), and
+    the IVF postings (init over all embeddings) — then forget one
+    planted id set (doc_id%37==1) EVERYWHERE in one sweep. Returns
+    (kind, rows_removed, rows_left): the oracle replays every removal
+    count closed-form (band = 4/doc; components = ids that are edge
+    vertices; fingerprint = ids that were dedup winners; ivf = matching
+    vec ids) and rows_left pins that NO store still matches a retracted
+    id. A store skipped by the sweep, a miscounted removal, or a
+    surviving row each flips the hash."""
+    import shutil
+    import tempfile
+
+    from arrowhouse_spark.operators.components import (
+        components_incremental,
+    )
+    from arrowhouse_spark.operators.dedup import dedup_incremental
+    from arrowhouse_spark.operators.forget import forget_ids
+    from arrowhouse_spark.operators.similarity import _read_postings
+
+    from arrowhouse_spark.operators.similarity import ivf_store_init
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    victims = (
+        docs.filter(F.col("doc_id") % 37 == 1)
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    d = tempfile.mkdtemp(prefix="arrowhouse_forget_")
+    fp_store, band_store = d + "/fp", d + "/band"
+    cc_store, ivf_store = d + "/cc", d + "/ivf"
+    try:
+        dedup_incremental(
+            docs, spark.createDataFrame([], "fp string")
+        ).write.parquet(fp_store)
+        (
+            docs.select(
+                "doc_id",
+                F.explode(F.array(*[F.lit(b) for b in range(4)])).alias(
+                    "band"
+                ),
+            )
+            .select(
+                "doc_id",
+                (F.col("doc_id") * 31 + F.col("band")).alias("minhash"),
+                "band",
+                F.pmod(F.col("doc_id") + F.col("band"), F.lit(5)).alias(
+                    "bucket"
+                ),
+                F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias(
+                    "batch_id"
+                ),
+            )
+            .write.partitionBy("batch_id")
+            .parquet(band_store)
+        )
+        components_incremental(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                F.col("doc_id").alias("src"),
+                (F.col("doc_id") + 1).alias("dst"),
+            ),
+            cc_store,
+        )
+        ivf_store_init(emb, ivf_store, n_centroids=4)
+
+        summary = forget_ids(
+            spark,
+            [
+                {"path": band_store, "kind": "band"},
+                {"path": fp_store, "kind": "fingerprint"},
+                {"path": ivf_store, "kind": "ivf"},
+                {"path": cc_store, "kind": "components"},
+            ],
+            victims,
+        )
+
+        def _left(df: DataFrame | None, col: str) -> int:
+            if df is None:
+                return 0
+            return df.join(
+                victims.select(F.col("doc_id").alias(col)), col, "semi"
+            ).count()
+
+        left = {
+            "band": _left(spark.read.parquet(band_store), "doc_id"),
+            "fingerprint": _left(spark.read.parquet(fp_store), "doc_id"),
+            "ivf": _left(_read_postings(spark, ivf_store), "vec_id"),
+            "components": _left(spark.read.parquet(cc_store), "id"),
+        }
+        rows = sorted(
+            (r.kind, int(r.rows_removed), int(left[r.kind]))
+            for r in summary.collect()
+        )
+        return spark.createDataFrame(
+            rows, "kind string, rows_removed long, rows_left long"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "png_palette_decode_real",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 6 AS w, 4 + doc_id % 5 AS h,
+             doc_id % 83 AS seed
+      FROM documents
+    ), px AS (
+      SELECT media_id, w, h,
+             ((x * 31 + y * 57 + seed) % 251) AS idx
+      FROM m, range(8) t_y(y), range(9) t_x(x)
+      WHERE y < h AND x < w
+    ), lum AS (
+      SELECT media_id, w, h,
+             ( ((idx * 7) % 256) * 299
+             + ((idx * 11) % 256) * 587
+             + ((idx * 13) % 256) * 114 ) // 1000 AS l
+      FROM px
+    )
+    SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(sum(l) AS BIGINT) AS gray_total
+    FROM lum GROUP BY media_id, w, h
+    """,
+)
+def png_palette_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palette-PNG decode, driver-proven end to end (round-11 verdict
+    #4 — real image lakes are heavy with PLTE PNGs): every document id
+    becomes a spec-conformant color-type-3 PNG (one index byte per
+    pixel, the deterministic 256-entry PLTE of operators/multimodal.py:
+    _png_palette_rgb), decoded by the built-in pure decoder through the
+    PLTE → shared-ITU-R-601-2-luma lookup. The oracle replays
+    index → palette RGB → luma closed-form, so the hash certifies the
+    actual PLTE chunk parse + lookup, not a fallthrough into the gray
+    path (index bytes read AS gray would flip every sum). Map-side only —
+    payloads never shuffle (png_decode_real discipline)."""
+    from collections.abc import Iterator
+
+    from arrowhouse_spark.operators.multimodal import (
+        decode_images,
+        make_png_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        make_png_payload(
+                            4 + i % 6, 4 + i % 5, seed=i % 83, color_type=3
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    dec = decode_images(media, use_real_codec=True)
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("mean_pixel") * F.col("width") * F.col("height"))
+        .cast("long")
+        .alias("gray_total"),
+    )
+
+
+@register(
+    "wav_stereo_decode_real",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             600 + (doc_id % 4) * 100 AS n,
+             CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS sr,
+             doc_id % 71 AS seed
+      FROM documents
+    ), smp AS (
+      SELECT media_id, n, sr,
+             ((i * i * 7 + i * 13 + seed * 101) % 65536) - 32768 AS s0,
+             ((i * i * 7 + i * 13 + 29 + seed * 101) % 65536) - 32768 AS s1
+      FROM m, range(900) t(i)
+      WHERE i < n
+    ), mono AS (
+      SELECT media_id, n, sr,
+             CAST(floor((s0 + s1) / 2.0) AS BIGINT) AS s
+      FROM smp
+    )
+    SELECT media_id, CAST(sr AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq,
+           CAST(max(abs(s)) AS INTEGER) AS peak
+    FROM mono GROUP BY media_id, n, sr
+    """,
+)
+def wav_stereo_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stereo WAV decode, driver-proven end to end (round-11 verdict #4
+    — 2-channel audio is everywhere in real lakes): every document id
+    becomes an interleaved 2-channel PCM16 RIFF/WAVE payload (channel c
+    adds c*29 to the mono sample formula), decoded by
+    operators/multimodal.py:decode_audio under its documented channel
+    policy — per-frame floor-div downmix floor((ch0+ch1)/2), exact
+    integers on every engine. The oracle replays both channels and the
+    floor downmix closed-form, so a channel-0-only read, a mean-with-
+    rounding, or de-interleave drift each flips sum_sq/peak. Map-side
+    only — payloads never shuffle (wav_decode_real discipline)."""
+    from collections.abc import Iterator
+
+    from arrowhouse_spark.operators.multimodal import (
+        decode_audio,
+        make_wav_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        make_wav_payload(
+                            600 + (i % 4) * 100,
+                            8000 if i % 2 == 0 else 16000,
+                            seed=i % 71,
+                            n_channels=2,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    return decode_audio(media)
+
+
+@register(
+    "ivf_store_refit_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 6) AS cos_sim
+    FROM embeddings e, q
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 20
+    """,
+)
+def ivf_store_refit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF drift-loop REBUILD, driver-proven end to end (round-11
+    verdict #5; operators/similarity.py:ivf_store_refit): init + append
+    build the store, then refit re-fits the coarse quantizer from a
+    sample (spherical k-means), re-assigns EVERY posting into the next
+    version directory, atomically swaps the META pointer, and removes
+    the old layout. The probe then runs exact (nprobe = new cell count)
+    THROUGH the version indirection, so the oracle is plain brute-force
+    top-20 over all embeddings: a posting lost or duplicated by the
+    re-assign, a probe resolving the dead layout, or a half-swapped
+    pointer each flips the hash. Recall restoration under drift and the
+    crash seams are pinned in tests/test_clustering.py (non-SQL
+    semantics)."""
+    import shutil
+    import tempfile
+
+    from arrowhouse_spark.operators.similarity import (
+        ivf_store_append,
+        ivf_store_init,
+        ivf_store_refit,
+        ivf_store_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    d = tempfile.mkdtemp(prefix="arrowhouse_ivf_rf_")
+    store = d + "/ivf"
+    try:
+        ivf_store_init(
+            emb.filter(F.col("vec_id") % 3 == 0), store, n_centroids=8
+        )
+        ivf_store_append(emb.filter(F.col("vec_id") % 3 != 0), store)
+        res = ivf_store_refit(spark, store, n_centroids=6, seed=7)
+        assert res["new_version"] == 1
+        return ivf_store_topk(
+            spark, store, qvec, k=20, nprobe=6
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -457,3 +457,122 @@ def test_ivf_store_delete_shuffle_regime_matches_broadcast(
     assert rem_b == rem_s == len(victims)
     assert rows_b == rows_s
     assert set(rows_b) == set(range(n)) - set(victims)
+
+
+def test_ivf_store_refit_versioned_swap_and_recovery(spark, tmp_path):
+    """Close the drift loop (round-11 verdict #5): a store whose coarse
+    quantizer was fit before a distribution shift probes badly at low
+    nprobe; ivf_store_refit re-fits from a sample, re-assigns every
+    posting into a NEW version directory, and atomically swaps the META
+    pointer — after which nprobe=1 recall is restored, the old layout is
+    gone, and every reader/writer transparently resolves the new
+    version. Crash seams pinned: a stale half-built v-dir is ignored by
+    readers and swept by a re-run; a mid-swap META loss still resolves
+    the newest complete layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.similarity import (
+        _store_base,
+        _store_version,
+        ivf_store_append,
+        ivf_store_delete,
+        ivf_store_init,
+        ivf_store_refit,
+        ivf_store_topk,
+    )
+
+    dim = 8
+
+    def vec(i: int, salt: int, sign: float):
+        v = [((i * salt + d * 13) % 21 - 10) / 100.0 for d in range(dim)]
+        v[0] += sign
+        return [float(x) for x in v]
+
+    # A ~ +e0; the drifted ingest B ~ -e0 — against the A-only quantizer
+    # every B vector is a near-tie between the two A-ish cells, so the
+    # jitter SPLITS B across both cells (the recall hazard)
+    a = [(i, vec(i, 7, 1.0)) for i in range(40)]
+    b = [(100 + i, vec(i, 11, -1.0)) for i in range(40)]
+    SCHEMA = "vec_id long, embedding array<double>"
+    store = str(tmp_path / "ivf")
+    # quantizer fit on A ONLY (2 centroids, both ~e0), then B drifts in
+    ivf_store_init(spark.createDataFrame(a, SCHEMA), store, n_centroids=2)
+    ivf_store_append(spark.createDataFrame(b, SCHEMA), store)
+
+    # pick (driver-side, deterministically) a B-ish query whose true
+    # top-10 straddles both cells under the drifted assignment — the
+    # query the recall hazard actually bites
+    import numpy as np
+
+    from arrowhouse_spark.operators.similarity import _ivf_store_centroids
+
+    post = spark.read.parquet(store + "/postings").collect()
+    vids = np.array([r.vec_id for r in post])
+    mat = np.array([r.embedding for r in post], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cells = np.array([r.centroid for r in post])
+    cents = _ivf_store_centroids(spark, store)
+    q = None
+    for i in range(40):
+        cand = np.array(vec(i, 11, -1.0))
+        cand = cand / np.linalg.norm(cand)
+        probe_cell = int(np.argmax(np.round(cents @ cand, 6)))
+        top10 = np.argsort(-np.round(mat @ cand, 6), kind="stable")[:10]
+        if any(cells[t] != probe_cell for t in top10):
+            q = vec(i, 11, -1.0)
+            break
+    assert q is not None, "drift fixture must show a recall gap"
+
+    def ids(nprobe):
+        return {
+            r.vec_id
+            for r in ivf_store_topk(spark, store, q, k=10, nprobe=nprobe).collect()
+        }
+
+    exact_before = ids(2)
+    assert ids(1) != exact_before, "drift fixture must show a recall gap"
+
+    # stale half-built version dir (crash BEFORE the META flip): readers
+    # ignore it — probes unchanged
+    os.makedirs(store + "/v1/postings", exist_ok=True)
+    with open(store + "/v1/postings/garbage", "w") as fh:
+        fh.write("not parquet")
+    assert _store_base(spark, store) == store
+    assert ids(2) == exact_before
+
+    # refit: sweeps the stale dir, re-fits, re-assigns, swaps, cleans up
+    res = ivf_store_refit(spark, store, n_centroids=2, seed=5)
+    assert (res["old_version"], res["new_version"]) == (0, 1)
+    assert res["rows"] == 80
+    assert _store_version(spark, store) == 1
+    assert not os.path.exists(store + "/postings")  # old layout removed
+    assert not os.path.exists(store + "/centroids")
+    assert os.path.exists(store + "/META")
+    # content preserved: exact probe identical to the pre-refit exact set
+    assert ids(2) == exact_before
+    # recall restored: the re-fit quantizer separates A from B, so ONE
+    # probed cell now carries the whole B cluster
+    assert ids(1) == exact_before
+
+    # mid-swap crash (META lost after old-layout removal): the fallback
+    # resolves the newest complete layout and probes keep working
+    os.remove(store + "/META")
+    assert _store_base(spark, store).endswith("/v1")
+    assert ids(1) == exact_before
+    res2 = ivf_store_refit(spark, store, n_centroids=2, seed=5)
+    assert (res2["old_version"], res2["new_version"]) == (1, 2)
+    assert ids(1) == exact_before
+
+    # the versioned store keeps its full lifecycle: append, delete
+    extra = [(500, vec(3, 13, -1.0))]
+    assert ivf_store_append(spark.createDataFrame(extra, SCHEMA), store).count() == 1
+    assert 500 in ids(2)
+    assert ivf_store_delete(spark, store, [500]) == 1
+    assert 500 not in ids(2)
+
+    # re-init resets to generation zero (META + v* swept)
+    ivf_store_init(spark.createDataFrame(a, SCHEMA), store, n_centroids=2)
+    assert _store_version(spark, store) == 0
+    assert not os.path.exists(store + "/v2")

@@ -354,17 +354,40 @@ def test_decode_audio_real_wav_roundtrip(spark):
     }
     assert got == exp
 
+    # stereo decodes via the documented floor-div downmix (round-11
+    # verdict #4): features equal the driver-side model over
+    # floor((ch0 + ch1) / 2), negatives rounding toward -inf
+    n2, sr2, seed2 = 600, 8000, 5
+    st = spark.createDataFrame(
+        [(3, make_wav_payload(n2, sr2, seed=seed2, n_channels=2))],
+        "media_id long, payload binary",
+    )
+    i = np.arange(n2, dtype=np.int64)
+    chans = [
+        ((i * i * 7 + i * 13 + c * 29 + seed2 * 101) % 65536) - 32768
+        for c in (0, 1)
+    ]
+    mono = (chans[0] + chans[1]) // 2
+    r = decode_audio(st).collect()[0]
+    assert (r.sample_rate, r.n_samples, r.duration_ms) == (
+        sr2,
+        n2,
+        n2 * 1000 // sr2,
+    )
+    assert r.sum_sq == int((mono * mono).sum())
+    assert r.peak == int(np.abs(mono).max())
+
     import io
     import wave
 
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
-        w.setnchannels(2)  # stereo: outside the PCM16-mono contract
-        w.setsampwidth(2)
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit: outside the PCM16 contract
         w.setframerate(8000)
-        w.writeframes(b"\x00\x00" * 8)
+        w.writeframes(b"\x00" * 8)
     bad = spark.createDataFrame([(9, buf.getvalue())], "media_id long, payload binary")
-    with pytest.raises(Exception, match="PCM16 mono"):
+    with pytest.raises(Exception, match="PCM16"):
         decode_audio(bad).collect()
 
 
@@ -843,3 +866,56 @@ def test_png_unfilter_fallback_warns_once_without_compiler(monkeypatch):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         assert mm._get_unfilter_lib() is None
+
+
+def test_png_palette_decode_matches_model():
+    """Palette PNGs (color type 3 — round-11 verdict #4) decode via the
+    PLTE → shared-ITU-R-601-2-luma lookup: the pixel grid equals the
+    closed-form index→RGB→luma model, and a palette image missing its
+    PLTE (or indexing past it) refuses with a stable error."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from arrowhouse_spark.operators.multimodal import (
+        _decode_png_gray,
+        _png_palette_rgb,
+        make_png_payload,
+    )
+
+    w, h, seed = 7, 5, 11
+    g = _decode_png_gray(make_png_payload(w, h, seed=seed, color_type=3))
+    exp = np.empty((h, w), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            idx = (x * 31 + y * 57 + seed) % 251
+            r, gg, b = _png_palette_rgb(idx)
+            exp[y, x] = (r * 299 + gg * 587 + b * 114) // 1000
+    assert (g == exp).all()
+
+    # strip the PLTE chunk: the decoder must refuse, not crash opaquely
+    payload = make_png_payload(4, 4, color_type=3)
+    at = payload.find(b"PLTE") - 4  # chunk length precedes the tag
+    (ln,) = struct.unpack(">I", payload[at : at + 4])
+    no_plte = payload[:at] + payload[at + 12 + ln :]
+    with pytest.raises(ValueError, match="PNG missing PLTE"):
+        _decode_png_gray(no_plte)
+
+    # index past a SHORT palette refuses with the stable message
+    short = bytearray(make_png_payload(4, 4, seed=200, color_type=3))
+    at = short.find(b"PLTE") - 4
+    # shrink the palette to 2 entries (6 bytes), fixing length + crc span
+    import zlib
+
+    body = bytes(short[at + 8 : at + 8 + 6])
+    new_chunk = (
+        struct.pack(">I", 6)
+        + b"PLTE"
+        + body
+        + struct.pack(">I", zlib.crc32(b"PLTE" + body) & 0xFFFFFFFF)
+    )
+    (old_ln,) = struct.unpack(">I", bytes(short[at : at + 4]))
+    trimmed = bytes(short[:at]) + new_chunk + bytes(short[at + 12 + old_ln :])
+    with pytest.raises(ValueError, match="palette index out of range"):
+        _decode_png_gray(trimmed)
