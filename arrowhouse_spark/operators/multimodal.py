@@ -113,24 +113,53 @@ def _png_palette_rgb(j: int) -> tuple[int, int, int]:
 
 
 def make_png_payload(
-    width: int, height: int, seed: int = 0, color_type: int = 0
+    width: int,
+    height: int,
+    seed: int = 0,
+    color_type: int = 0,
+    depth: int = 8,
+    interlace: int = 0,
 ) -> bytes:
     """REAL spec-conformant PNG bytes (W3C PNG / RFC 2083; stdlib zlib
     only) with deterministic pseudo-pixels — the fixture builder for the
-    real-codec path: 8-bit grayscale (color_type=0), RGB (2),
-    palette-indexed (3, with the :func:`_png_palette_rgb` PLTE), or RGBA
-    (6); filter 0 on every scanline. Palette images store one index byte
-    per pixel ((x*31 + y*57 + seed) % 251, the gray formula), so the
-    decoded luma is palette[idx] pushed through the shared ITU-R 601-2
-    integer form."""
+    real-codec path: grayscale (color_type=0), RGB (2), palette-indexed
+    (3, with the :func:`_png_palette_rgb` PLTE, 8-bit only per spec), or
+    RGBA (6); filter 0 on every scanline; ``depth`` 8 or 16 and
+    ``interlace`` 0 (sequential) or 1 (Adam7). Sample formulas are in
+    FINAL-image coordinates so interlaced storage carries identical
+    pixel values: 8-bit sample (x, channel c, y) is
+    ((x*ch + c)*31 + y*57 + seed) % 251 (palette images store that as
+    the index byte); 16-bit is ((x*ch + c)*523 + y*771 + seed*13) %
+    65536 big-endian, whose decoded 8-bit reduction is the high byte
+    v DIV 256."""
     import zlib
 
-    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+    if color_type == 3 and depth != 8:
+        raise ValueError("palette PNGs are 8-bit only")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+
+    def sample_bytes(x: int, c: int, y: int) -> bytes:
+        s = x * channels + c
+        if depth == 8:
+            return bytes([(s * 31 + y * 57 + seed) % 251])
+        v = (s * 523 + y * 771 + seed * 13) % 65536
+        return v.to_bytes(2, "big")
+
     raw = bytearray()
-    for y in range(height):
-        raw.append(0)  # filter type None
-        for x in range(width * channels):
-            raw.append((x * 31 + y * 57 + seed) % 251)
+    if interlace == 0:
+        passes = [(0, 0, 1, 1)]
+    else:
+        passes = list(_ADAM7)
+    for x0, y0, dx, dy in passes:
+        xs = list(range(x0, width, dx))
+        ys = list(range(y0, height, dy))
+        if not xs or not ys:
+            continue  # empty pass stores nothing
+        for y in ys:
+            raw.append(0)  # filter type None
+            for x in xs:
+                for c in range(channels):
+                    raw += sample_bytes(x, c, y)
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -140,7 +169,9 @@ def make_png_payload(
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, interlace
+    )
     plte = b""
     if color_type == 3:
         body = bytes(
@@ -298,21 +329,114 @@ def _unfilter_py(line, prev, ftype: int, bpp: int) -> None:
             line[i] = (int(line[i]) + pr) & 0xFF
 
 
+#: Adam7 pass geometry: (x0, y0, dx, dy) per the W3C PNG spec §8.2.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter_image(raw, offset, width, height, channels, depth):
+    """Unfilter one (sub-)image's scanlines starting at ``offset`` in the
+    inflated stream → (next_offset, uint8 sample grid of shape
+    (height, width*channels)). Filtering operates on RAW BYTES with
+    bpp = channels * depth//8 per the spec; 16-bit samples reduce to
+    8-bit by their HIGH byte (v >> 8 — exact integer, the documented
+    reduction policy, SQL-replayable as v // 256). Filters 0/1/2
+    vectorize (Sub = per-bpp-lane uint8 cumsum); 3/4 run in the ctypes
+    C kernel with the pure loop as fallback."""
+    import numpy as np
+
+    bpp = channels * (depth // 8)
+    stride = width * bpp
+    prev = np.zeros(stride, dtype=np.uint8)
+    out = np.empty((height, width * channels), dtype=np.uint8)
+    pos = offset
+    for y in range(height):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("truncated PNG pixel stream")
+        ftype = raw[pos]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos + 1
+        ).copy()
+        pos += 1 + stride
+        if ftype == 2:
+            line += prev  # uint8 wraps mod 256, the spec's arithmetic
+        elif ftype == 1:
+            lanes = line.reshape(width, bpp)
+            np.add.accumulate(lanes, axis=0, out=lanes)
+        elif ftype in (3, 4):
+            lib = _get_unfilter_lib()
+            if lib is not None:
+                import ctypes
+
+                u8p = ctypes.POINTER(ctypes.c_ubyte)
+                fn = lib.unfilter_avg if ftype == 3 else lib.unfilter_paeth
+                fn(
+                    line.ctypes.data_as(u8p),
+                    prev.ctypes.data_as(u8p),
+                    stride,
+                    bpp,
+                )
+            else:
+                _unfilter_py(line, prev, ftype, bpp)
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = line if depth == 8 else line[0::2]  # 16-bit: high byte
+        prev = line
+    return pos, out
+
+
+def _png_samples_to_gray(sam, ctype, channels, luma_tab):
+    """8-bit sample grid (h, w*channels) → gray grid (h, w) under the
+    shared integer ITU-R 601-2 luma / palette-lookup / alpha-drop
+    rules."""
+    import numpy as np
+
+    if ctype == 0:
+        return sam
+    if ctype == 3:  # palette: index → PLTE RGB → shared luma form
+        if sam.size and int(sam.max()) >= luma_tab.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return luma_tab[sam]
+    if ctype == 4:  # gray+alpha: gray is channel 0
+        return sam[:, 0::2]
+    wide = sam.astype(np.int64)
+    return (
+        (
+            wide[:, 0::channels] * 299
+            + wide[:, 1::channels] * 587
+            + wide[:, 2::channels] * 114
+        )
+        // 1000
+    ).astype(np.uint8)
+
+
 def _decode_png_gray(payload: bytes) -> "np.ndarray":  # noqa: F821
     """Pure-stdlib PNG decode to the full GRAY PIXEL GRID (h×w uint8 —
-    zlib inflate + per-scanline unfiltering, all five filter types, 8-bit
-    gray/RGB/RGBA/gray+alpha/palette). Gray from color uses the CLASSIC
-    integer ITU-R 601-2 form L = (R*299 + G*587 + B*114) // 1000 — close
-    to but NOT bit-identical to pillow's fixed-point convert('L')
-    ((R*19595 + G*38470 + B*7471 + 0x8000) >> 16, which also rounds), so
-    PNG payloads are ALWAYS decoded here, never via pillow, keeping
-    results engine- and environment-deterministic. Palette images
-    (color type 3 — heavy in real image lakes, round-11 verdict #4)
-    resolve each index through the PLTE chunk into the SAME luma form
-    via one 256-entry lookup table (tRNS alpha is ignored: luma-only
-    contract). Implemented from the public W3C spec; no interlace, no
-    16-bit — those raise the stable unavailable-codec message and need
-    pillow."""
+    zlib inflate + per-scanline unfiltering, all five filter types,
+    8- and 16-bit gray/RGB/RGBA/gray+alpha plus 8-bit palette, both
+    sequential and Adam7-interlaced storage). Gray from color uses the
+    CLASSIC integer ITU-R 601-2 form L = (R*299 + G*587 + B*114) // 1000
+    — close to but NOT bit-identical to pillow's fixed-point
+    convert('L') ((R*19595 + G*38470 + B*7471 + 0x8000) >> 16, which
+    also rounds), so PNG payloads are ALWAYS decoded here, never via
+    pillow, keeping results engine- and environment-deterministic.
+    Palette images (color type 3 — heavy in real image lakes, round-11
+    verdict #4) resolve each index through the PLTE chunk into the SAME
+    luma form via one 256-entry lookup table (tRNS alpha is ignored:
+    luma-only contract). 16-bit samples reduce to 8-bit by their high
+    byte (v >> 8, the documented policy); Adam7 de-interlacing decodes
+    each of the seven passes as its own filtered sub-image and scatters
+    it into the final grid — pixel VALUES are storage-order-invariant,
+    so the same SQL oracles replay interlaced files unchanged.
+    Implemented from the public W3C spec; sub-byte depths (1/2/4) raise
+    the stable unavailable-codec message and need pillow."""
     import zlib
 
     if payload[:8] != _PNG_MAGIC:
@@ -329,8 +453,14 @@ def _decode_png_gray(payload: bytes) -> "np.ndarray":  # noqa: F821
             width, height, depth, ctype, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if depth != 8 or interlace != 0 or ctype not in (0, 2, 3, 4, 6):
+            if (
+                depth not in (8, 16)
+                or interlace not in (0, 1)
+                or ctype not in (0, 2, 3, 4, 6)
+            ):
                 raise NotImplementedError(IMAGE_CODEC_UNAVAILABLE_MSG)
+            if depth == 16 and ctype == 3:
+                raise ValueError("bad PNG: 16-bit palette is spec-invalid")
         elif tag == b"PLTE":
             if ln % 3:
                 raise ValueError("bad PNG PLTE length")
@@ -355,61 +485,21 @@ def _decode_png_gray(payload: bytes) -> "np.ndarray":  # noqa: F821
             pal[:, 0] * 299 + pal[:, 1] * 587 + pal[:, 2] * 114
         ) // 1000
         luma_tab = tab.astype(np.uint8)
-    stride = width * channels
     raw = zlib.decompress(bytes(idat))
-    prev = np.zeros(stride, dtype=np.uint8)
+    if interlace == 0:
+        _, sam = _png_unfilter_image(raw, 0, width, height, channels, depth)
+        return _png_samples_to_gray(sam, ctype, channels, luma_tab)
     gray = np.empty((height, width), dtype=np.uint8)
-    for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).copy()
-        # filters 0 (None), 2 (Up) AND 1 (Sub) vectorize — Sub is a
-        # per-channel-lane running sum, i.e. uint8 cumsum (mod-256 wrap
-        # is the spec's arithmetic) down a (width, channels) view; only
-        # 3 (Average) and 4 (Paeth) keep a true left-to-right dependency,
-        # served by the ctypes C kernel with the pure loop as fallback
-        if ftype == 2:
-            line += prev  # uint8 wraps mod 256, the spec's arithmetic
-        elif ftype == 1:
-            lanes = line.reshape(width, channels)
-            np.add.accumulate(lanes, axis=0, out=lanes)
-        elif ftype in (3, 4):
-            lib = _get_unfilter_lib()
-            if lib is not None:
-                import ctypes
-
-                u8p = ctypes.POINTER(ctypes.c_ubyte)
-                fn = lib.unfilter_avg if ftype == 3 else lib.unfilter_paeth
-                fn(
-                    line.ctypes.data_as(u8p),
-                    prev.ctypes.data_as(u8p),
-                    stride,
-                    channels,
-                )
-            else:
-                _unfilter_py(line, prev, ftype, channels)
-        elif ftype != 0:
-            raise ValueError(f"bad PNG filter {ftype}")
-        if ctype == 0:
-            gray[y] = line
-        elif ctype == 3:  # palette: index → PLTE RGB → shared luma form
-            if int(line.max(initial=0)) >= luma_tab.shape[0]:
-                raise ValueError("PNG palette index out of range")
-            gray[y] = luma_tab[line]
-        elif ctype == 4:  # gray+alpha: gray is channel 0
-            gray[y] = line[0::2]
-        else:  # RGB / RGBA → ITU-R 601-2 integer luma, PIL 'L' semantics
-            wide = line.astype(np.int64)
-            gray[y] = (
-                (
-                    wide[0::channels] * 299
-                    + wide[1::channels] * 587
-                    + wide[2::channels] * 114
-                )
-                // 1000
-            ).astype(np.uint8)
-        prev = line
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue  # empty pass stores nothing, per spec
+        off, sam = _png_unfilter_image(raw, off, wp, hp, channels, depth)
+        gray[y0::dy, x0::dx] = _png_samples_to_gray(
+            sam, ctype, channels, luma_tab
+        )
     return gray
 
 
@@ -1216,7 +1306,12 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
     their task, only the 8-byte fingerprint flows downstream. Pair with
     dhash_neardup_pairs(hashed, "media_id", "afp") for in-corpus pairs
     and dhash_band_index / dhash_incremental for the persistent-store
-    incremental form — the banding operators are hash-column-generic."""
+    incremental form — the banding operators are hash-column-generic.
+
+    Multi-channel clips downmix under decode_audio's documented channel
+    policy (per-frame floor-div mean) BEFORE fingerprinting, so a
+    stereo master and its mono bounce land within banding distance; the
+    fingerprint itself stays all-integer."""
 
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import io
@@ -1229,14 +1324,17 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
             out = {k.name: [] for k in AUDIO_FP_SCHEMA.fields}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                    if w.getsampwidth() != 2:
                         raise NotImplementedError(
-                            "audio_fingerprint handles PCM16 mono WAV; "
-                            "other widths/channels need an external codec"
+                            "audio_fingerprint handles PCM16 WAV; "
+                            "other sample widths need an external codec"
                         )
                     sr = w.getframerate()
                     n = w.getnframes()
+                    ch = w.getnchannels()
                     s = np.frombuffer(w.readframes(n), dtype="<i2")
+                if ch > 1:
+                    s = s.astype(np.int64).reshape(n, ch).sum(axis=1) // ch
                 out["media_id"].append(mid)
                 out["sample_rate"].append(sr)
                 out["n_samples"].append(n)

@@ -358,3 +358,86 @@ def ivf_store_refit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "png_interlaced16_decode_real",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             3 + doc_id % 11 AS w, 3 + doc_id % 9 AS h,
+             doc_id % 79 AS seed,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+      FROM documents
+    ), px AS (
+      SELECT media_id, w, h,
+        CASE WHEN ch = 1
+             THEN ((x * 523 + y * 771 + seed * 13) % 65536) // 256
+             ELSE ( (((x * 3 + 0) * 523 + y * 771 + seed * 13) % 65536) // 256 * 299
+                  + (((x * 3 + 1) * 523 + y * 771 + seed * 13) % 65536) // 256 * 587
+                  + (((x * 3 + 2) * 523 + y * 771 + seed * 13) % 65536) // 256 * 114
+                  ) // 1000
+        END AS l
+      FROM m, range(12) t_y(y), range(14) t_x(x)
+      WHERE y < h AND x < w
+    )
+    SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(sum(l) AS BIGINT) AS gray_total
+    FROM px GROUP BY media_id, w, h
+    """,
+)
+def png_interlaced16_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-interlaced 16-bit PNG decode, driver-proven end to end —
+    the LAST stdlib-reachable PNG gaps from round-11's superset note:
+    every document id becomes a spec-conformant interlaced PNG (16-bit
+    gray or 16-bit RGB by id parity; widths/heights 3–13 exercise empty
+    and partial Adam7 passes), decoded by the built-in pure decoder's
+    seven-pass de-interlace with high-byte (v DIV 256) sample
+    reduction. The oracle replays sample → high byte → luma closed-form
+    over FINAL-image coordinates, so a pass misplaced by one pixel, a
+    wrong pass geometry, or a low-byte reduction each flips the sums.
+    Map-side only — payloads never shuffle (png_decode_real
+    discipline)."""
+    from collections.abc import Iterator
+
+    from arrowhouse_spark.operators.multimodal import (
+        decode_images,
+        make_png_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        make_png_payload(
+                            3 + i % 11,
+                            3 + i % 9,
+                            seed=i % 79,
+                            color_type=0 if i % 2 == 0 else 2,
+                            depth=16,
+                            interlace=1,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    dec = decode_images(media, use_real_codec=True)
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("mean_pixel") * F.col("width") * F.col("height"))
+        .cast("long")
+        .alias("gray_total"),
+    )

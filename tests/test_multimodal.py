@@ -919,3 +919,179 @@ def test_png_palette_decode_matches_model():
     trimmed = bytes(short[:at]) + new_chunk + bytes(short[at + 12 + old_ln :])
     with pytest.raises(ValueError, match="palette index out of range"):
         _decode_png_gray(trimmed)
+
+
+def test_png_16bit_and_adam7_decode_match_model():
+    """16-bit and Adam7-interlaced PNGs (the remaining stdlib-reachable
+    codec gaps from round-11's superset note): for every color type and
+    depth the interlaced grid equals the sequential grid (pixel values
+    are storage-order-invariant) and both equal the closed-form sample
+    model (16-bit reduces to its high byte)."""
+    import numpy as np
+
+    from arrowhouse_spark.operators.multimodal import (
+        _decode_png_gray,
+        _png_palette_rgb,
+        make_png_payload,
+    )
+
+    def model(w, h, seed, ctype, depth):
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+
+        def sample(x, c, y):
+            s = x * ch + c
+            if depth == 8:
+                return (s * 31 + y * 57 + seed) % 251
+            return ((s * 523 + y * 771 + seed * 13) % 65536) >> 8
+
+        g = np.empty((h, w), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                if ctype == 0:
+                    g[y, x] = sample(x, 0, y)
+                elif ctype == 3:
+                    r, gg, b = _png_palette_rgb(sample(x, 0, y))
+                    g[y, x] = (r * 299 + gg * 587 + b * 114) // 1000
+                elif ctype == 4:
+                    g[y, x] = sample(x, 0, y)
+                else:
+                    g[y, x] = (
+                        sample(x, 0, y) * 299
+                        + sample(x, 1, y) * 587
+                        + sample(x, 2, y) * 114
+                    ) // 1000
+        return g
+
+    # w/h below, at, and above 8 exercise empty and partial Adam7 passes
+    cases = [
+        (0, 8), (0, 16), (2, 8), (2, 16), (6, 8), (6, 16), (4, 16), (3, 8),
+    ]
+    for ctype, depth in cases:
+        for w, h in [(3, 5), (8, 8), (13, 9)]:
+            seq = _decode_png_gray(
+                make_png_payload(w, h, seed=9, color_type=ctype, depth=depth)
+            )
+            lace = _decode_png_gray(
+                make_png_payload(
+                    w, h, seed=9, color_type=ctype, depth=depth, interlace=1
+                )
+            )
+            exp = model(w, h, 9, ctype, depth)
+            assert (seq == exp).all(), (ctype, depth, w, h, "sequential")
+            assert (lace == exp).all(), (ctype, depth, w, h, "adam7")
+
+
+def test_png_16bit_all_filter_types_roundtrip():
+    """16-bit scanline unfiltering uses bpp = 2 bytes per pixel unit:
+    FORWARD-filter known 16-bit gray samples per the spec (byte
+    arithmetic with a 2-byte left offset) across all five filter types
+    and require the decoder to recover the exact high-byte grid."""
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    from arrowhouse_spark.operators.multimodal import _decode_png_gray
+
+    w, h = 6, 5
+    val = [[(x * 4099 + y * 257 + 77) % 65536 for x in range(w)] for y in range(h)]
+    rows = [
+        b"".join(val[y][x].to_bytes(2, "big") for x in range(w))
+        for y in range(h)
+    ]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    bpp = 2
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        raw.append(ftype)
+        cur = rows[y]
+        prev = rows[y - 1] if y > 0 else bytes(len(cur))
+        for i in range(len(cur)):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                f = cur[i]
+            elif ftype == 1:
+                f = cur[i] - a
+            elif ftype == 2:
+                f = cur[i] - b
+            elif ftype == 3:
+                f = cur[i] - (a + b) // 2
+            else:
+                f = cur[i] - paeth(a, b, c)
+            raw.append(f & 0xFF)
+
+    def chunk(tag, body):
+        return (
+            _struct.pack(">I", len(body)) + tag + body
+            + _struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    got = _decode_png_gray(png)
+    exp = np.array([[v >> 8 for v in row] for row in val], dtype=np.uint8)
+    assert (got == exp).all()
+
+
+def test_audio_fingerprint_stereo_downmix(spark):
+    """audio_fingerprint accepts multi-channel PCM16 by reusing
+    decode_audio's documented floor-div downmix before hashing — the
+    fingerprint equals audio_fingerprint64 over the downmixed model
+    signal, and a dual-mono clip (both channels identical) hashes
+    exactly like its mono master."""
+    import numpy as np
+
+    from arrowhouse_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_fingerprint64,
+        make_wav_payload,
+    )
+
+    n, sr, seed = 800, 8000, 9
+    df = spark.createDataFrame(
+        [(1, make_wav_payload(n, sr, seed=seed, n_channels=2))],
+        "media_id long, payload binary",
+    )
+    i = np.arange(n, dtype=np.int64)
+    ch = [
+        ((i * i * 7 + i * 13 + c * 29 + seed * 101) % 65536) - 32768
+        for c in (0, 1)
+    ]
+    mono = (ch[0] + ch[1]) // 2
+    r = audio_fingerprint(df).collect()[0]
+    assert r.afp == audio_fingerprint64(mono)
+
+    # dual-mono == mono master: identical channels downmix to themselves
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    s = ch[0].astype("<i2")
+    inter = np.empty(2 * n, dtype="<i2")
+    inter[0::2] = s
+    inter[1::2] = s
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(inter.tobytes())
+    both = spark.createDataFrame(
+        [
+            (1, buf.getvalue()),
+            (2, make_wav_payload(n, sr, seed=seed, n_channels=1)),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r.afp for r in audio_fingerprint(both).collect()}
+    assert got[1] == got[2]
