@@ -223,6 +223,12 @@ HEADLINE = [
     "ivf_store_upsert_topk",
     "video_frame_sample_real",
     "audio_fingerprint_neardup",
+    # round 12 additions (no prior-round delta basis)
+    "gdpr_forget_sweep",
+    "png_palette_decode_real",
+    "wav_stereo_decode_real",
+    "ivf_store_refit_topk",
+    "png_interlaced16_decode_real",
 ]
 
 

@@ -202,10 +202,11 @@ def test_png_pure_decoder_all_filter_types():
     dw, dh, mean = _decode_png_pure(png)
     exp = sum(sum(r) for r in pix) / (w * h)
     assert (dw, dh) == (w, h) and abs(mean - exp) < 1e-9
-    # unsupported depth/palette fall to the stable codec-unavailable seam
+    # unsupported sub-byte depths fall to the stable codec-unavailable
+    # seam (16-bit and Adam7 decode natively as of round 12)
     bad = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
     )
     with pytest.raises(NotImplementedError):
         _decode_png_pure(bad)
