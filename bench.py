@@ -229,6 +229,7 @@ HEADLINE = [
     "wav_stereo_decode_real",
     "ivf_store_refit_topk",
     "png_interlaced16_decode_real",
+    "sip_hash_parity",
 ]
 
 
