@@ -572,6 +572,31 @@ def test_ivf_store_refit_versioned_swap_and_recovery(spark, tmp_path):
     assert ivf_store_delete(spark, store, [500]) == 1
     assert 500 not in ids(2)
 
+    # the probe through the VERSIONED layout stays partition-pruned —
+    # the version indirection must not cost the store its scale property
+    cand = ivf_store_topk(spark, store, q, k=5, nprobe=1)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan
+
+    # compaction resolves the live version too: bit-exact postings
+    from arrowhouse_spark.operators.similarity import compact_ivf_store
+
+    before_rows = sorted(
+        (r.vec_id, tuple(r.embedding), r.centroid)
+        for r in spark.read.parquet(
+            _store_base(spark, store) + "/postings"
+        ).collect()
+    )
+    res3 = compact_ivf_store(spark, store)
+    assert res3["rows"] == len(before_rows)
+    after_rows = sorted(
+        (r.vec_id, tuple(r.embedding), r.centroid)
+        for r in spark.read.parquet(
+            _store_base(spark, store) + "/postings"
+        ).collect()
+    )
+    assert after_rows == before_rows
+
     # re-init resets to generation zero (META + v* swept)
     ivf_store_init(spark.createDataFrame(a, SCHEMA), store, n_centroids=2)
     assert _store_version(spark, store) == 0
