@@ -90,6 +90,69 @@ def _fs_write_small(spark: SparkSession, path: str, payload: bytes) -> None:
         out.close()
 
 
+def _resolve_n_buckets(
+    spark: SparkSession, store_path: str, n_buckets: int | None
+) -> int:
+    """n_buckets from the store's meta file, cross-checked against a
+    caller-passed value (a mismatch is a correctness error: pruning
+    would consult the wrong buckets); meta-less stores require the
+    caller's value."""
+    import json
+
+    meta_raw = _fs_read_small(spark, store_path + "__meta")
+    if meta_raw is not None:
+        stored_n = json.loads(meta_raw.decode("utf-8")).get("n_buckets")
+        if n_buckets is not None and n_buckets != stored_n:
+            raise ValueError(
+                f"store {store_path!r} was built with n_buckets="
+                f"{stored_n}; caller passed {n_buckets}"
+            )
+        return stored_n
+    if n_buckets is None:
+        raise ValueError(
+            "n_buckets unknown: the store has no meta file — pass the "
+            "value the store was built with"
+        )
+    return n_buckets
+
+
+def components_store_presence_count(
+    spark: SparkSession,
+    store_path: str,
+    ids,
+    n_buckets: int | None = None,
+) -> int:
+    """cb-bucket-pruned count of label-store rows whose id is in ``ids``
+    — exactly the rows a :func:`components_store_retract` of the same
+    set removes (relabeling preserves row counts; only removals change
+    them), at DELTA cost: the store is read only at the id set's hash
+    buckets, never scanned whole. Missing store → 0. This is how
+    operators/forget.py reports ``rows_removed`` for components stores
+    without paying two full-store counts per sweep."""
+    from arrowhouse_spark.operators.sampling import hash_bucket
+
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids], "id long")
+    ids = ids.select("id").distinct().localCheckpoint()
+    if not _fs_dir_exists(spark, store_path):
+        return 0
+    n_buckets = _resolve_n_buckets(spark, store_path, n_buckets)
+    vbuckets = [
+        r.cb
+        for r in ids.select(
+            hash_bucket("id", n_buckets, salt="cc").alias("cb")
+        )
+        .distinct()
+        .collect()
+    ]
+    return int(
+        spark.read.parquet(store_path)
+        .filter(F.col("cb").isin(vbuckets))
+        .join(gate_broadcast(ids), "id", "semi")
+        .count()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -569,35 +632,28 @@ def components_store_retract(
     with fully-drained partitions dropped via the Hadoop FS API. The twin
     is kept consistent, including label moves across ccb buckets.
     Returns the RELABELED survivors (id, component) — empty when no
-    retracted id was a component label. Single-writer contract, as for
-    every store in this module."""
-    import json
-
+    retracted id was a component label. A MISSING store (never written,
+    or removed by a previous retract-everything) is an empty store: the
+    retract no-ops and returns the empty delta, whatever ``n_buckets``
+    says — this is what makes a cross-store forget sweep
+    (operators/forget.py) idempotently RE-RUNNABLE after a mid-sweep
+    failure even when an earlier attempt fully drained this store (and
+    took the meta file with it). Single-writer contract, as for every
+    store in this module."""
     from arrowhouse_spark.operators.sampling import hash_bucket
 
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame([(int(i),) for i in ids], "id long")
     ids = ids.select("id").distinct().localCheckpoint()
+    if not _fs_dir_exists(spark, store_path):
+        return ids.limit(0).withColumn("component", F.col("id"))
     # count-gate every id-set hint in this op: batch-sized forgets
     # broadcast, retention-sweep-sized sets (≥ idgate.BROADCAST_ID_LIMIT)
     # fall back to shuffle joins — the store side is cb/ccb-pruned at
     # every site, so the shuffles stay delta-sized (round-11 verdict #1)
     ids_j = gate_broadcast(ids)
+    n_buckets = _resolve_n_buckets(spark, store_path, n_buckets)
     meta_path = store_path + "__meta"
-    meta_raw = _fs_read_small(spark, meta_path)
-    if meta_raw is not None:
-        stored_n = json.loads(meta_raw.decode("utf-8")).get("n_buckets")
-        if n_buckets is not None and n_buckets != stored_n:
-            raise ValueError(
-                f"store {store_path!r} was built with n_buckets="
-                f"{stored_n}; retract passed {n_buckets}"
-            )
-        n_buckets = stored_n
-    if n_buckets is None:
-        raise ValueError(
-            "n_buckets unknown: the store has no meta file — pass the "
-            "value the store was built with"
-        )
     store = spark.read.parquet(store_path)
     twin_path = store_path + "__bycomp"
     empty = ids.limit(0).withColumn("component", F.col("id"))

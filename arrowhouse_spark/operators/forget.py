@@ -38,28 +38,16 @@ STORE_KINDS = ("band", "fingerprint", "ivf", "components")
 SUMMARY_SCHEMA = "store string, kind string, rows_removed long"
 
 
-def _ids_df(spark: SparkSession, ids, col: str) -> DataFrame:
-    """Normalize ``ids`` (sequence or single-column DataFrame) to a
-    one-column DataFrame named ``col`` — each store kind has its own id
-    column convention."""
+def _checkpoint_ids(spark: SparkSession, ids) -> DataFrame:
+    """Normalize ``ids`` (sequence or single-column DataFrame) to ONE
+    distinct, localCheckpoint()ed single-column relation shared by every
+    manifest entry — a caller passing an expensive derivation (a
+    filtered join, say) pays for it once, not once per store."""
     if isinstance(ids, DataFrame):
-        return ids.select(F.col(ids.columns[0]).alias(col))
-    return spark.createDataFrame([(int(i),) for i in ids], f"{col} long")
-
-
-def _store_rows(spark: SparkSession, path: str) -> int:
-    """Row count of a store relation; 0 when the path is missing or
-    unreadable-empty (a fully-drained store removes its directory)."""
-    from arrowhouse_spark.operators.similarity import (
-        _is_missing_store_error,
-    )
-
-    try:
-        return spark.read.parquet(path).count()
-    except Exception as exc:  # noqa: BLE001 — classify, re-raise the rest
-        if _is_missing_store_error(exc):
-            return 0
-        raise
+        df = ids.select(F.col(ids.columns[0]).alias("__fid"))
+    else:
+        df = spark.createDataFrame([(int(i),) for i in ids], "__fid long")
+    return df.distinct().localCheckpoint()
 
 
 def forget_ids(
@@ -86,19 +74,27 @@ def forget_ids(
 
     ``ids`` is one logical deletion request (sequence or single-column
     DataFrame) applied to EVERY store; per-store id-column naming is
-    handled here. ``rows_removed`` counts store rows, so one document can
-    legitimately remove many rows (one per band) from a band store and
-    one from the fingerprint store. For ``components`` the retraction
-    returns a relabel delta, not a count — removed is measured as the
-    store's row-count delta (relabeling preserves counts, only removals
-    change them). See the module docstring for the non-atomicity window
-    and the re-run recovery contract."""
+    handled here and the set is checkpointed ONCE and shared.
+    ``rows_removed`` counts store rows, so one document can legitimately
+    remove many rows (one per band) from a band store and one from the
+    fingerprint store. For ``components`` the retraction returns a
+    relabel delta, not a count — removed is measured with the
+    cb-bucket-pruned presence count (the rows the retract removes;
+    relabeling preserves counts), at delta cost rather than full-store
+    scans. See the module docstring for the non-atomicity window and the
+    re-run recovery contract."""
     from arrowhouse_spark.operators.components import (
+        components_store_presence_count,
         components_store_retract,
     )
     from arrowhouse_spark.operators.dedup import fingerprint_store_retract
     from arrowhouse_spark.operators.similarity import ivf_store_delete
     from arrowhouse_spark.streaming.replace import band_store_retract
+
+    ids_ck = _checkpoint_ids(spark, ids)
+
+    def _named(col: str) -> DataFrame:
+        return ids_ck.select(F.col("__fid").alias(col))
 
     out: list[tuple[str, str, int]] = []
     for entry in stores:
@@ -111,26 +107,24 @@ def forget_ids(
         if kind == "band":
             col = entry.get("id_col", "doc_id")
             removed = band_store_retract(
-                spark, path, _ids_df(spark, ids, col), id_col=col
+                spark, path, _named(col), id_col=col
             )
         elif kind == "fingerprint":
             col = entry.get("id_col", "doc_id")
             removed = fingerprint_store_retract(
-                spark, path, _ids_df(spark, ids, col), id_col=col
+                spark, path, _named(col), id_col=col
             )
         elif kind == "ivf":
             col = entry.get("id_col", "vec_id")
             removed = ivf_store_delete(
-                spark, path, _ids_df(spark, ids, col), id_col=col
+                spark, path, _named(col), id_col=col
             )
         else:  # components
-            before = _store_rows(spark, path)
-            components_store_retract(
-                spark,
-                path,
-                _ids_df(spark, ids, "id"),
-                n_buckets=entry.get("n_buckets"),
+            removed = components_store_presence_count(
+                spark, path, _named("id"), n_buckets=entry.get("n_buckets")
             )
-            removed = before - _store_rows(spark, path)
+            components_store_retract(
+                spark, path, _named("id"), n_buckets=entry.get("n_buckets")
+            )
         out.append((path, kind, int(removed)))
     return spark.createDataFrame(out, SUMMARY_SCHEMA)

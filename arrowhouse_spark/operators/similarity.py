@@ -754,13 +754,16 @@ def _store_base(spark: SparkSession, store_path: str) -> str:
     and a HALF-BUILT v{n+1} directory from a crashed refit is ignored
     until the META flip commits it.
 
-    MISSING-META fallback: the swap is delete-old-pointer → rename-new
-    (Hadoop rename-over-existing is not portable), so a crash inside
-    that microscopic window leaves v* directories with no META. Root
-    centroids present → legacy layout (the normal pre-refit store,
-    where META never existed). Otherwise the HIGHEST v{n} wins: the
-    refit fully builds v{n+1} BEFORE touching the pointer, so the
-    newest versioned layout is always complete at that point."""
+    MISSING-META fallback: the swap uses FileContext rename-with-
+    OVERWRITE (atomic on HDFS and local), so normally META is never
+    absent mid-swap; on filesystems without FileContext the fallback is
+    delete-pointer → rename, whose microscopic no-META window only
+    arises for v≥1 stores (the first flip creates META fresh) — by then
+    the legacy root is swept, so resolution falls through to the
+    HIGHEST v{n}, which is always complete (the refit fully builds
+    v{n+1} BEFORE touching the pointer). Root centroids present →
+    legacy layout (the normal pre-refit store, where META never
+    existed)."""
     import json
 
     from arrowhouse_spark.operators.components import (
@@ -852,11 +855,19 @@ def ivf_store_init(
     )
 
 
-def _ivf_store_centroids(spark: SparkSession, store_path: str):
+def _ivf_store_centroids(
+    spark: SparkSession, store_path: str, base: str | None = None
+):
+    """Centroid matrix of the live layout. ``base`` lets callers that
+    already resolved the version pointer (one _fs_read_small round-trip
+    against remote storage) reuse it instead of re-reading META — the
+    single-writer contract keeps the pointer stable within an op."""
     import numpy as np
 
     rows = (
-        spark.read.parquet(_store_base(spark, store_path) + "/centroids")
+        spark.read.parquet(
+            (base or _store_base(spark, store_path)) + "/centroids"
+        )
         .orderBy("centroid")
         .collect()
     )
@@ -895,13 +906,18 @@ def _dedupe_ivf_batch(
     return d
 
 
-def _read_postings(spark: SparkSession, store_path: str) -> DataFrame | None:
+def _read_postings(
+    spark: SparkSession, store_path: str, base: str | None = None
+) -> DataFrame | None:
     """Postings relation of the LIVE layout version (see _store_base), or
     None for a store whose postings were fully drained (delete-all
     removes the directory so readers cannot crash on an unreadable empty
-    layout) or never written."""
+    layout) or never written. ``base``: pre-resolved layout root, same
+    reuse contract as _ivf_store_centroids."""
     try:
-        df = spark.read.parquet(_store_base(spark, store_path) + "/postings")
+        df = spark.read.parquet(
+            (base or _store_base(spark, store_path)) + "/postings"
+        )
         df.schema  # force analysis so inference failures surface HERE
         return df
     except Exception as exc:  # noqa: BLE001 — classify, re-raise the rest
@@ -957,13 +973,14 @@ def ivf_store_append(
     assigned against a broadcast k×dim matrix. Centroid drift is the
     caller's re-fit trigger — measure it with ivf_store_drift."""
     spark = new_df.sparkSession
-    c = _ivf_store_centroids(spark, store_path)
+    base = _store_base(spark, store_path)  # resolve the pointer ONCE
+    c = _ivf_store_centroids(spark, store_path, base=base)
     deduped = _dedupe_ivf_batch(new_df, id_col, vec_col, "ivf_store_append")
     assigned = _assign_to_centroids(
         deduped, c, vec_col, round_dp=6
     ).localCheckpoint()
     touched = [r.centroid for r in assigned.select("centroid").distinct().collect()]
-    store = _read_postings(spark, store_path)
+    store = _read_postings(spark, store_path, base=base)
     if store is not None:
         existing = store.filter(F.col("centroid").isin(touched)).select(id_col)
         fresh = assigned.join(existing, id_col, "left_anti").localCheckpoint()
@@ -974,7 +991,7 @@ def ivf_store_append(
             fresh.repartition("centroid")
             .write.mode("append")
             .partitionBy("centroid")
-            .parquet(_store_base(spark, store_path) + "/postings")
+            .parquet(base + "/postings")
         )
     return fresh
 
@@ -1011,8 +1028,8 @@ def ivf_store_delete(
             [(int(i),) for i in ids], f"{id_col} long"
         )
     ids = ids.select(id_col).distinct().localCheckpoint()
-    base = _store_base(spark, store_path)
-    store = _read_postings(spark, store_path)
+    base = _store_base(spark, store_path)  # resolve the pointer ONCE
+    store = _read_postings(spark, store_path, base=base)
     if store is None:
         return 0  # already fully drained (or never written)
     # count-gate the hint: batch-sized forgets broadcast; a retention
@@ -1128,11 +1145,12 @@ def ivf_store_topk(
     exact brute force over the whole store."""
     import numpy as np
 
-    c = _ivf_store_centroids(spark, store_path)
+    base = _store_base(spark, store_path)  # resolve the pointer ONCE
+    c = _ivf_store_centroids(spark, store_path, base=base)
     q = np.asarray(list(query), dtype=np.float64)
     q /= max(np.linalg.norm(q), 1e-12)
     probes = [int(i) for i in np.argsort(-np.round(c @ q, 6), kind="stable")[:nprobe]]
-    store = _read_postings(spark, store_path)
+    store = _read_postings(spark, store_path, base=base)
     if store is None:  # fully-drained store: empty result, stable schema
         return spark.createDataFrame(
             [], f"{id_col} long, cos_sim double"
@@ -1208,8 +1226,9 @@ def compact_ivf_store(spark: SparkSession, store_path: str) -> dict:
     quantizer never fragments — it is one coalesced file from init).
     Same stop-the-writer contract as every store compaction in this
     engine. Returns {"rows", "files_before", "files_after"}."""
-    path = _store_base(spark, store_path) + "/postings"
-    df = _read_postings(spark, store_path)
+    base = _store_base(spark, store_path)  # resolve the pointer ONCE
+    path = base + "/postings"
+    df = _read_postings(spark, store_path, base=base)
     if df is None:  # fully-drained store: nothing to compact
         return {"rows": 0, "files_before": 0, "files_after": 0}
     files_before = df.select(F.input_file_name()).distinct().count()
@@ -1275,20 +1294,19 @@ def ivf_store_refit(
 
     from arrowhouse_spark.operators.components import _hadoop_fs
 
-    store = _read_postings(spark, store_path)
+    base = _store_base(spark, store_path)  # resolve the pointer ONCE
+    store = _read_postings(spark, store_path, base=base)
     if store is None:
         raise ValueError(
             f"ivf_store_refit needs a non-empty store at {store_path!r} "
             "(fully-drained or never-written postings have nothing to "
             "fit; use ivf_store_init)"
         )
-    old_v = _store_version(spark, store_path)
+    old_v = 0 if base == store_path else int(base.rsplit("/v", 1)[1])
     new_v = old_v + 1
     if n_centroids is None:
         n_centroids = int(
-            spark.read.parquet(
-                _store_base(spark, store_path) + "/centroids"
-            ).count()
+            spark.read.parquet(base + "/centroids").count()
         )
 
     # ---- 1. fit on a deterministic sample (driver-side numpy Lloyd)
@@ -1338,7 +1356,7 @@ def ivf_store_refit(
     )
     n_rows = reassigned.count()
 
-    # ---- 3. atomic pointer swap, then old-layout cleanup
+    # ---- 3. atomic pointer swap, then non-current-layout cleanup
     payload = json.dumps({"version": new_v}).encode("utf-8")
     fs, tmp = _hadoop_fs(spark, store_path + "/META.tmp")
     out = fs.create(tmp, True)
@@ -1347,19 +1365,40 @@ def ivf_store_refit(
     finally:
         out.close()
     _fs2, meta = _hadoop_fs(spark, store_path + "/META")
-    if fs.exists(meta):
-        fs.delete(meta, False)  # rename-over-existing is FS-dependent
-    if not fs.rename(tmp, meta):
-        raise OSError(f"META pointer rename failed for {store_path!r}")
-    if old_v == 0:
-        for leg in ("/centroids", "/postings"):
-            lfs, lp = _hadoop_fs(spark, store_path + leg)
-            if lfs.exists(lp):
-                lfs.delete(lp, True)
-    else:
-        ofs, op = _hadoop_fs(spark, f"{store_path}/v{old_v}")
-        if ofs.exists(op):
-            ofs.delete(op, True)
+    try:
+        # FileContext rename-with-OVERWRITE is atomic on HDFS and a
+        # plain posix rename locally — NO window with META absent
+        jvm = spark.sparkContext._jvm
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        opt = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, meta, opt)
+    except Exception:  # noqa: BLE001 — FS without FileContext support:
+        # delete+rename leaves a microscopic no-META window; it only
+        # arises for old_v >= 1 (the first flip creates META fresh), and
+        # by then the legacy root is swept, so _store_base's fallback
+        # resolves the newest complete v-dir — still correct
+        if fs.exists(meta):
+            fs.delete(meta, False)
+        if not fs.rename(tmp, meta):
+            raise OSError(
+                f"META pointer rename failed for {store_path!r}"
+            ) from None
+    # sweep EVERY non-current layout, not just v{old_v}: a previous
+    # refit that crashed between its flip and its cleanup leaves dead
+    # layouts (the legacy root after a v0→v1 crash, or an older v-dir)
+    # that would otherwise leak forever — and a leaked legacy root is
+    # worse than disk waste, since the missing-META fallback prefers it
+    for leg in ("/centroids", "/postings"):
+        lfs, lp = _hadoop_fs(spark, store_path + leg)
+        if lfs.exists(lp):
+            lfs.delete(lp, True)
+    sfs, sp = _hadoop_fs(spark, store_path)
+    for st in sfs.listStatus(sp):
+        nm = st.getPath().getName()
+        if nm.startswith("v") and nm[1:].isdigit() and int(nm[1:]) != new_v:
+            sfs.delete(st.getPath(), True)
     return {
         "old_version": old_v,
         "new_version": new_v,

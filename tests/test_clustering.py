@@ -572,6 +572,20 @@ def test_ivf_store_refit_versioned_swap_and_recovery(spark, tmp_path):
     assert ivf_store_delete(spark, store, [500]) == 1
     assert 500 not in ids(2)
 
+    # leaked legacy root (crash after a v0->v1 flip but before cleanup):
+    # the next refit must SWEEP it — a resurrected stale root is worse
+    # than disk waste, the missing-META fallback would prefer it
+    os.makedirs(store + "/centroids", exist_ok=True)
+    os.makedirs(store + "/postings", exist_ok=True)
+    with open(store + "/centroids/stale", "w") as fh:
+        fh.write("dead layout")
+    res_sweep = ivf_store_refit(spark, store, n_centroids=2, seed=5)
+    assert res_sweep["new_version"] == 3
+    assert not os.path.exists(store + "/centroids")
+    assert not os.path.exists(store + "/postings")
+    assert not os.path.exists(store + "/v2")
+    assert ids(1) == exact_before
+
     # the probe through the VERSIONED layout stays partition-pruned —
     # the version indirection must not cost the store its scale property
     cand = ivf_store_topk(spark, store, q, k=5, nprobe=1)

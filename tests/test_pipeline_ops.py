@@ -1944,3 +1944,41 @@ def test_forget_ids_cross_store_sweep_and_idempotence(spark, tmp_path):
     # unknown kind refuses loudly
     with pytest.raises(ValueError, match="unknown store kind"):
         forget_ids(spark, [{"path": fp_store, "kind": "nope"}], victims)
+
+
+def test_forget_ids_rerun_survives_components_full_drain(spark, tmp_path):
+    """The documented non-atomicity recovery (re-run the sweep with the
+    same ids) must hold even when an earlier attempt FULLY DRAINED the
+    components store — which removes the store dir AND its meta file:
+    the retract treats the missing store as empty and no-ops instead of
+    raising 'n_buckets unknown' (round-12 review finding #1)."""
+    from arrowhouse_spark.operators.components import (
+        components_incremental,
+        components_store_retract,
+    )
+    from arrowhouse_spark.operators.forget import forget_ids
+
+    cc_store = str(tmp_path / "cc_store")
+    components_incremental(
+        spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long"),
+        cc_store,
+    )
+    manifest = [{"path": cc_store, "kind": "components"}]
+    ids = [1, 2, 3, 4]  # everything: full drain removes dir + meta
+
+    first = forget_ids(spark, manifest, ids).collect()[0]
+    assert first.rows_removed == 4
+    import os
+
+    assert not os.path.exists(cc_store)
+
+    # re-run (the recovery path): no-op, not a crash
+    again = forget_ids(spark, manifest, ids).collect()[0]
+    assert again.rows_removed == 0
+    # and the bare retract on a never-written path is also a no-op
+    assert (
+        components_store_retract(
+            spark, str(tmp_path / "never_written"), [7]
+        ).count()
+        == 0
+    )
