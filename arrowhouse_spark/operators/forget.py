@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: Manifest entry kinds → which per-store retraction runs.
-STORE_KINDS = ("band", "fingerprint", "ivf", "components")
+STORE_KINDS = ("band", "fingerprint", "ivf", "components", "scd2")
 
 SUMMARY_SCHEMA = "store string, kind string, rows_removed long"
 
@@ -66,9 +66,12 @@ def forget_ids(
         dHash, and audio band stores — any id-keyed band layout),
         ``fingerprint`` → operators/dedup.py:fingerprint_store_retract,
         ``ivf`` → operators/similarity.py:ivf_store_delete,
-        ``components`` → operators/components.py:components_store_retract;
+        ``components`` → operators/components.py:components_store_retract,
+        ``scd2`` → streaming/replace.py:scd2_store_retract (the key's
+        entire validity-interval history);
       - ``id_col``: the store's id column (default ``doc_id``; ``vec_id``
-        for ``ivf``; ``components`` stores always use ``id``);
+        for ``ivf``; ``user_id`` for ``scd2``; ``components`` stores
+        always use ``id``);
       - ``n_buckets``: components only — required when the store has no
         meta file (same rule as components_store_retract).
 
@@ -118,6 +121,15 @@ def forget_ids(
             col = entry.get("id_col", "vec_id")
             removed = ivf_store_delete(
                 spark, path, _named(col), id_col=col
+            )
+        elif kind == "scd2":
+            from arrowhouse_spark.streaming.replace import (
+                scd2_store_retract,
+            )
+
+            col = entry.get("id_col", "user_id")
+            removed = scd2_store_retract(
+                spark, path, _named(col), key_col=col
             )
         else:  # components
             removed = components_store_presence_count(

@@ -1412,3 +1412,87 @@ def band_store_retract(
     ):
         fs.delete(sdir, True)
     return removed
+
+
+def scd2_store_retract(
+    spark: SparkSession,
+    store_path: str,
+    keys,
+    key_col: str = "user_id",
+) -> int:
+    """Retract a dimension key's ENTIRE history from a persistent SCD2
+    store (the stream_scd2 / _scd2_process_batch layout) — the GDPR
+    primitive completing the store-lifecycle set: validity-interval
+    history is exactly the kind of per-person record a deletion request
+    names, and every other persistent store in the engine already has
+    its forget op. ``keys`` is a DataFrame carrying ``key_col`` or a
+    plain sequence of key values.
+
+    Locating the keys needs NO n_buckets parameter (the store's bucket
+    count lives only in the stream's config): one COLUMN-PRUNED scan of
+    (key, kb) collects the touched buckets — the ivf_store_delete locate
+    discipline — then the rewrite dynamic-overwrites ONLY those buckets
+    minus the retracted keys' rows, with fully-drained partitions
+    dropped via the Hadoop FS API and a full drain removing the store
+    directory (the stream's missing-store-at-batch>0 refusal then
+    applies: full forget = fresh checkpoint restart, as for the band
+    stores). The key set rides the count-gated broadcast
+    (operators/idgate.py), so retention-sweep-sized requests fall back
+    to shuffle joins against the bucket-pruned store side. Unknown keys
+    are a no-op; idempotent across retries. Returns the number of
+    history rows removed. Single-writer contract: run with the stream
+    stopped."""
+    from arrowhouse_spark.operators.components import _hadoop_fs
+    from arrowhouse_spark.operators.idgate import gate_broadcast
+    from arrowhouse_spark.operators.similarity import (
+        _is_missing_store_error,
+    )
+
+    if not isinstance(keys, DataFrame):
+        keys = spark.createDataFrame(
+            [(int(k),) for k in keys], f"{key_col} long"
+        )
+    keys = keys.select(key_col).distinct().localCheckpoint()
+    try:
+        store = spark.read.parquet(store_path)
+        store.schema
+    except Exception as exc:  # noqa: BLE001
+        if _is_missing_store_error(exc):
+            return 0
+        raise
+    keys_j = gate_broadcast(keys)
+    hit = (
+        store.join(keys_j, key_col, "semi")
+        .groupBy("kb")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    if not hit:
+        return 0
+    touched = [r.kb for r in hit]
+    removed = int(sum(r["__n"] for r in hit))
+    keep = (
+        store.filter(F.col("kb").isin(touched))
+        .join(keys_j, key_col, "left_anti")
+        .localCheckpoint()  # self-read-overwrite discipline
+    )
+    (
+        keep.repartition("kb")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("kb")
+        .parquet(store_path)
+    )
+    kept = {r.kb for r in keep.select("kb").distinct().collect()}
+    for b in touched:
+        if b not in kept:
+            fs, p = _hadoop_fs(spark, f"{store_path}/kb={b}")
+            if fs.exists(p):
+                fs.delete(p, True)
+    fs, sdir = _hadoop_fs(spark, store_path)
+    if fs.exists(sdir) and not any(
+        st.getPath().getName().startswith("kb=")
+        for st in fs.listStatus(sdir)
+    ):
+        fs.delete(sdir, True)
+    return removed

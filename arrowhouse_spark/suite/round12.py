@@ -45,26 +45,41 @@ from arrowhouse_spark.suite import (
              CAST((SELECT count(*) FROM embeddings WHERE vec_id % 37 = 1)
                   AS BIGINT),
              CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT 'scd2',
+             CAST((SELECT count(*) FROM (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events
+                WHERE user_id IN (SELECT doc_id FROM r)
+             ) runs
+             WHERE prev IS NULL OR prev <> event_type) AS BIGINT),
+             CAST(0 AS BIGINT)
     ) ORDER BY kind
     """,
 )
 def gdpr_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-store deletion request, driver-proven end to end (round-11
-    verdict #2; operators/forget.py:forget_ids): build all four
+    verdict #2; operators/forget.py:forget_ids): build all FIVE
     persistent-store kinds from the corpus — the exact-dedup fingerprint
     store (dedup_incremental over documents), a band store (4
     SQL-replayable formula band rows per doc, batch_id-partitioned — the
     REAL minhash store's retraction is pytest-pinned in
     tests/test_streaming.py; here the cross-store composition is what's
-    certified), the CC label store (edges doc→doc+1 for doc%5==0), and
-    the IVF postings (init over all embeddings) — then forget one
-    planted id set (doc_id%37==1) EVERYWHERE in one sweep. Returns
+    certified), the CC label store (edges doc→doc+1 for doc%5==0), the
+    IVF postings (init over all embeddings), and the SCD2 history store
+    (one stream_scd2 fold of the events log keyed by user) — then forget
+    one planted id set (doc_id%37==1) EVERYWHERE in one sweep. Returns
     (kind, rows_removed, rows_left): the oracle replays every removal
     count closed-form (band = 4/doc; components = ids that are edge
     vertices; fingerprint = ids that were dedup winners; ivf = matching
-    vec ids) and rows_left pins that NO store still matches a retracted
-    id. A store skipped by the sweep, a miscounted removal, or a
-    surviving row each flips the hash."""
+    vec ids; scd2 = the victims' attribute-run starts via a lag window —
+    exactly the history rows SCD2 materializes per key) and rows_left
+    pins that NO store still matches a retracted id. A store skipped by
+    the sweep, a miscounted removal, or a surviving row each flips the
+    hash."""
     import shutil
     import tempfile
 
@@ -76,9 +91,13 @@ def gdpr_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrowhouse_spark.operators.similarity import _read_postings
 
     from arrowhouse_spark.operators.similarity import ivf_store_init
+    from arrowhouse_spark.streaming.replace import _scd2_process_batch
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_type", "event_id"
+    )
     victims = (
         docs.filter(F.col("doc_id") % 37 == 1)
         .select("doc_id")
@@ -87,6 +106,7 @@ def gdpr_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="arrowhouse_forget_")
     fp_store, band_store = d + "/fp", d + "/band"
     cc_store, ivf_store = d + "/cc", d + "/ivf"
+    scd2_store = d + "/scd2"
     try:
         dedup_incremental(
             docs, spark.createDataFrame([], "fp string")
@@ -120,6 +140,10 @@ def gdpr_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             cc_store,
         )
         ivf_store_init(emb, ivf_store, n_centroids=4)
+        _scd2_process_batch(
+            ev, 0, scd2_store, ["user_id"], "ts", "event_type",
+            "event_id", n_buckets=8,
+        )
 
         summary = forget_ids(
             spark,
@@ -128,6 +152,7 @@ def gdpr_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"path": fp_store, "kind": "fingerprint"},
                 {"path": ivf_store, "kind": "ivf"},
                 {"path": cc_store, "kind": "components"},
+                {"path": scd2_store, "kind": "scd2"},
             ],
             victims,
         )
@@ -144,6 +169,7 @@ def gdpr_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint": _left(spark.read.parquet(fp_store), "doc_id"),
             "ivf": _left(_read_postings(spark, ivf_store), "vec_id"),
             "components": _left(spark.read.parquet(cc_store), "id"),
+            "scd2": _left(spark.read.parquet(scd2_store), "user_id"),
         }
         rows = sorted(
             (r.kind, int(r.rows_removed), int(left[r.kind]))

@@ -1954,3 +1954,85 @@ def test_band_store_retract_shuffle_regime_matches_broadcast(
     assert left_b == left_s
     assert lrem_b == lrem_s and lleft_b == lleft_s
     assert not any(t[0] in victims for t in left_b)
+
+
+def test_scd2_store_retract_forgets_history(spark, tmp_path):
+    """GDPR retraction on the persistent SCD2 store: a retracted key's
+    ENTIRE validity-interval history vanishes, other keys' histories are
+    untouched (and keep folding), the locate needs no n_buckets (kb read
+    off the store's own rows), unknown keys no-op, both broadcast-gate
+    regimes are identical, and a full drain removes the store dir."""
+    import os
+
+    from arrowhouse_spark.operators import idgate
+    from arrowhouse_spark.operators.forget import forget_ids
+    from arrowhouse_spark.streaming.replace import (
+        _scd2_process_batch,
+        scd2_store_retract,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(u, f"2024-01-0{t} 00:00:00", a, e) for u, t, a, e in rows],
+            "user_id long, ts string, plan string, event_id long",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def build(store):
+        kw = dict(
+            store_path=store, key_cols=["user_id"], ts_col="ts",
+            attr_col="plan", tie_col="event_id", n_buckets=4,
+        )
+        _scd2_process_batch(
+            mk([(1, 1, "free", 10), (1, 3, "pro", 11), (2, 1, "free", 12),
+                (3, 2, "team", 13), (4, 1, "free", 14)]),
+            0, **kw,
+        )
+        return kw
+
+    def users(store):
+        return sorted(
+            {r.user_id for r in spark.read.parquet(store).collect()}
+        )
+
+    store = str(tmp_path / "scd2_store")
+    kw = build(store)
+    assert users(store) == [1, 2, 3, 4]
+
+    removed = scd2_store_retract(spark, store, [1, 99])
+    assert removed == 2  # user 1 had two history rows; 99 unknown
+    assert users(store) == [2, 3, 4]
+    # the store still folds for surviving keys after the rewrite
+    _scd2_process_batch(mk([(2, 5, "pro", 20)]), 1, **kw)
+    rows2 = sorted(
+        (r.plan, str(r.valid_from))
+        for r in spark.read.parquet(store)
+        .filter(F.col("user_id") == 2)
+        .collect()
+    )
+    assert rows2 == [
+        ("free", "2024-01-01 00:00:00"),
+        ("pro", "2024-01-05 00:00:00"),
+    ]
+    assert scd2_store_retract(spark, store, [999]) == 0  # no-op
+
+    # shuffle regime (gate forced off) produces the identical store
+    store_s = str(tmp_path / "scd2_shuffle")
+    build(store_s)
+    import pytest
+
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(idgate, "BROADCAST_ID_LIMIT", 0)
+        assert scd2_store_retract(spark, store_s, [1, 99]) == 2
+    finally:
+        mp.undo()
+    assert users(store_s) == [2, 3, 4]
+
+    # forget_ids drives it as the 'scd2' manifest kind; full drain
+    # removes the dir and the re-run no-ops (recovery contract)
+    manifest = [{"path": store, "kind": "scd2"}]
+    got = forget_ids(spark, manifest, [2, 3, 4]).collect()[0]
+    assert (got.kind, got.rows_removed) == ("scd2", 4)
+    assert not os.path.exists(store)
+    again = forget_ids(spark, manifest, [2, 3, 4]).collect()[0]
+    assert again.rows_removed == 0
