@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: Manifest entry kinds → which per-store retraction runs.
-STORE_KINDS = ("band", "fingerprint", "ivf", "components", "scd2")
+STORE_KINDS = ("band", "fingerprint", "ivf", "components", "scd2", "shard")
 
 SUMMARY_SCHEMA = "store string, kind string, rows_removed long"
 
@@ -68,7 +68,10 @@ def forget_ids(
         ``ivf`` → operators/similarity.py:ivf_store_delete,
         ``components`` → operators/components.py:components_store_retract,
         ``scd2`` → streaming/replace.py:scd2_store_retract (the key's
-        entire validity-interval history);
+        entire validity-interval history),
+        ``shard`` → sources/shards.py:shard_store_retract (the document
+        rows inside the training-shard export itself — re-run
+        shard_manifest afterwards, it certifies what is on disk);
       - ``id_col``: the store's id column (default ``doc_id``; ``vec_id``
         for ``ivf``; ``user_id`` for ``scd2``; ``components`` stores
         always use ``id``);
@@ -130,6 +133,15 @@ def forget_ids(
             col = entry.get("id_col", "user_id")
             removed = scd2_store_retract(
                 spark, path, _named(col), key_col=col
+            )
+        elif kind == "shard":
+            from arrowhouse_spark.sources.shards import (
+                shard_store_retract,
+            )
+
+            col = entry.get("id_col", "doc_id")
+            removed = shard_store_retract(
+                spark, path, _named(col), id_col=col
             )
         else:  # components
             removed = components_store_presence_count(

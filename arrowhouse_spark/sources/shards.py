@@ -99,3 +99,90 @@ def shard_manifest(
         F.sum("__bytes").cast("long").alias("n_bytes"),
         F.bit_xor("__ck").alias("xor_checksum"),
     )
+
+
+def shard_store_retract(
+    spark: SparkSession,
+    path: str,
+    ids,
+    id_col: str = "doc_id",
+) -> int:
+    """Retract documents from a training-shard export — the GDPR
+    primitive for the one store whose rows ARE the training data: a
+    deletion request against a pretraining corpus must reach the shards
+    a loader actually opens, not just the dedup/index stores around
+    them. ``ids`` is a DataFrame carrying ``id_col`` or a plain sequence.
+
+    Locating needs no ``n_shards``/salt parameter: one COLUMN-PRUNED
+    scan of (id, shard) off the store itself collects the touched
+    shards and the removal count (the scd2_store_retract locate
+    discipline). The rewrite dynamic-overwrites ONLY the touched
+    ``shard=K`` partitions, repartitioned one-task-per-shard and sorted
+    by id — the surviving file keeps the writer's byte-stable layout —
+    with fully-drained partitions dropped via the Hadoop FS API and a
+    full drain removing the directory. The id set rides the
+    count-gated broadcast (operators/idgate.py).
+
+    The manifest needs NO separate repair: :func:`shard_manifest`
+    certifies what is ON DISK by re-reading, so re-running it after a
+    retraction yields the updated counts and checksums — a loader
+    holding the OLD manifest will refuse the rewritten shard, which is
+    exactly the tamper-evidence contract working as designed
+    (re-issue the manifest with the deletion request's audit record).
+    Unknown ids no-op; idempotent across retries. Returns the number of
+    documents removed. Single-writer contract, as for every store."""
+    from arrowhouse_spark.operators.components import _hadoop_fs
+    from arrowhouse_spark.operators.idgate import gate_broadcast
+    from arrowhouse_spark.operators.similarity import (
+        _is_missing_store_error,
+    )
+
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    ids = ids.select(id_col).distinct().localCheckpoint()
+    try:
+        store = spark.read.parquet(path)
+        store.schema
+    except Exception as exc:  # noqa: BLE001
+        if _is_missing_store_error(exc):
+            return 0
+        raise
+    ids_j = gate_broadcast(ids)
+    hit = (
+        store.join(ids_j, id_col, "semi")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    if not hit:
+        return 0
+    touched = [r.shard for r in hit]
+    removed = int(sum(r["__n"] for r in hit))
+    keep = (
+        store.filter(F.col("shard").isin(touched))
+        .join(ids_j, id_col, "left_anti")
+        .localCheckpoint()  # self-read-overwrite discipline
+    )
+    (
+        keep.repartition(len(touched), "shard")
+        .sortWithinPartitions(id_col)  # keep the byte-stable layout
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    kept = {r.shard for r in keep.select("shard").distinct().collect()}
+    for s in touched:
+        if s not in kept:
+            fs, p = _hadoop_fs(spark, f"{path}/shard={s}")
+            if fs.exists(p):
+                fs.delete(p, True)
+    fs, sdir = _hadoop_fs(spark, path)
+    if fs.exists(sdir) and not any(
+        st.getPath().getName().startswith("shard=")
+        for st in fs.listStatus(sdir)
+    ):
+        fs.delete(sdir, True)
+    return removed

@@ -46,6 +46,10 @@ from arrowhouse_spark.suite import (
                   AS BIGINT),
              CAST(0 AS BIGINT)
       UNION ALL
+      SELECT 'shard',
+             CAST((SELECT count(*) FROM r) AS BIGINT),
+             CAST(0 AS BIGINT)
+      UNION ALL
       SELECT 'scd2',
              CAST((SELECT count(*) FROM (
                 SELECT user_id, event_type,
@@ -62,21 +66,24 @@ from arrowhouse_spark.suite import (
 )
 def gdpr_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-store deletion request, driver-proven end to end (round-11
-    verdict #2; operators/forget.py:forget_ids): build all FIVE
+    verdict #2; operators/forget.py:forget_ids): build all SIX
     persistent-store kinds from the corpus — the exact-dedup fingerprint
     store (dedup_incremental over documents), a band store (4
     SQL-replayable formula band rows per doc, batch_id-partitioned — the
     REAL minhash store's retraction is pytest-pinned in
     tests/test_streaming.py; here the cross-store composition is what's
     certified), the CC label store (edges doc→doc+1 for doc%5==0), the
-    IVF postings (init over all embeddings), and the SCD2 history store
-    (one stream_scd2 fold of the events log keyed by user) — then forget
+    IVF postings (init over all embeddings), the SCD2 history store
+    (one stream_scd2 fold of the events log keyed by user), and the
+    training-shard export itself (write_training_shards over the docs —
+    the store whose rows ARE the training data) — then forget
     one planted id set (doc_id%37==1) EVERYWHERE in one sweep. Returns
     (kind, rows_removed, rows_left): the oracle replays every removal
     count closed-form (band = 4/doc; components = ids that are edge
     vertices; fingerprint = ids that were dedup winners; ivf = matching
-    vec ids; scd2 = the victims' attribute-run starts via a lag window —
-    exactly the history rows SCD2 materializes per key) and rows_left
+    vec ids; shard = one doc row per victim; scd2 = the victims'
+    attribute-run starts via a lag window — exactly the history rows
+    SCD2 materializes per key) and rows_left
     pins that NO store still matches a retracted id. A store skipped by
     the sweep, a miscounted removal, or a surviving row each flips the
     hash."""
@@ -91,6 +98,7 @@ def gdpr_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrowhouse_spark.operators.similarity import _read_postings
 
     from arrowhouse_spark.operators.similarity import ivf_store_init
+    from arrowhouse_spark.sources.shards import write_training_shards
     from arrowhouse_spark.streaming.replace import _scd2_process_batch
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -107,6 +115,7 @@ def gdpr_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp_store, band_store = d + "/fp", d + "/band"
     cc_store, ivf_store = d + "/cc", d + "/ivf"
     scd2_store = d + "/scd2"
+    shard_store = d + "/shards"
     try:
         dedup_incremental(
             docs, spark.createDataFrame([], "fp string")
@@ -144,6 +153,7 @@ def gdpr_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev, 0, scd2_store, ["user_id"], "ts", "event_type",
             "event_id", n_buckets=8,
         )
+        write_training_shards(docs, shard_store, n_shards=8)
 
         summary = forget_ids(
             spark,
@@ -153,6 +163,7 @@ def gdpr_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"path": ivf_store, "kind": "ivf"},
                 {"path": cc_store, "kind": "components"},
                 {"path": scd2_store, "kind": "scd2"},
+                {"path": shard_store, "kind": "shard"},
             ],
             victims,
         )
@@ -170,6 +181,7 @@ def gdpr_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ivf": _left(_read_postings(spark, ivf_store), "vec_id"),
             "components": _left(spark.read.parquet(cc_store), "id"),
             "scd2": _left(spark.read.parquet(scd2_store), "user_id"),
+            "shard": _left(spark.read.parquet(shard_store), "doc_id"),
         }
         rows = sorted(
             (r.kind, int(r.rows_removed), int(left[r.kind]))

@@ -92,3 +92,90 @@ def test_shards_append_equals_union(spark, tmp_path):
     assert _manifest_rows(spark, inc) == _manifest_rows(spark, oneshot)
     files = glob.glob(os.path.join(inc, "shard=0", "*.parquet"))
     assert len(files) == 2  # one file per ingest day
+
+
+def test_shard_store_retract_and_manifest_recertifies(spark, tmp_path):
+    """GDPR retraction on the training-shard export: a retracted doc's
+    row vanishes from its shard, untouched shards keep their files
+    byte-for-byte (mtime check), the rewritten shard stays one sorted
+    file, the re-read manifest re-certifies the post-forget state
+    (counts and checksum change for exactly the touched shards), unknown
+    ids no-op, both broadcast-gate regimes match, and a full drain
+    removes the directory."""
+    import os
+
+    from arrowhouse_spark.operators import idgate
+    from arrowhouse_spark.sources.shards import (
+        shard_manifest,
+        shard_store_retract,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body number {i} with words") for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=4)
+    before = {r.shard: r for r in shard_manifest(spark, path).collect()}
+    victims = [3, 17]
+    vshards = {
+        r.shard
+        for r in spark.read.parquet(path)
+        .filter(F.col("doc_id").isin(victims))
+        .select("shard")
+        .distinct()
+        .collect()
+    }
+
+    def files():
+        out = {}
+        for root, _, fs in os.walk(path):
+            for f in fs:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    snap = files()
+    assert shard_store_retract(spark, path, victims) == 2
+    after_files = files()
+    for p, t in snap.items():
+        shard = next((int(seg.split("=")[1]) for seg in p.split(os.sep)
+                      if seg.startswith("shard=")), None)
+        if shard is not None and shard not in vshards:
+            assert after_files.get(p) == t, f"untouched shard rewritten: {p}"
+    left = {r.doc_id for r in spark.read.parquet(path).collect()}
+    assert left == set(range(40)) - set(victims)
+    # one file per rewritten shard (byte-stable layout preserved)
+    for s in vshards:
+        n = len([f for f in os.listdir(f"{path}/shard={s}")
+                 if f.endswith(".parquet")])
+        assert n == 1
+    after = {r.shard: r for r in shard_manifest(spark, path).collect()}
+    for s, row in after.items():
+        if s in vshards:
+            assert row.n_docs < before[s].n_docs
+            assert row.xor_checksum != before[s].xor_checksum
+        else:
+            assert (row.n_docs, row.xor_checksum) == (
+                before[s].n_docs,
+                before[s].xor_checksum,
+            )
+    assert shard_store_retract(spark, path, [999]) == 0  # unknown no-op
+
+    # shuffle regime identical
+    path2 = str(tmp_path / "shards2")
+    write_training_shards(docs, path2, n_shards=4)
+    import pytest
+
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(idgate, "BROADCAST_ID_LIMIT", 0)
+        assert shard_store_retract(spark, path2, victims) == 2
+    finally:
+        mp.undo()
+    assert {r.doc_id for r in spark.read.parquet(path2).collect()} == left
+
+    # full drain removes the export directory
+    assert shard_store_retract(spark, path, sorted(left)) == len(left)
+    assert not os.path.exists(path)
