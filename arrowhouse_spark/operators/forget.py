@@ -23,6 +23,15 @@ op count-gates its broadcast (operators/idgate.py), so a retention-sweep
 sized set (1e8+ ids) rides shuffle joins against bucket/cell-pruned store
 sides. The sweep itself is a driver-side loop over the manifest — store
 COUNT is small (one manifest row per store, not per id).
+
+DELIBERATE EXCEPTION — the streaming Pareto-frontier store
+(streaming/replace.py:stream_pareto) has no retraction kind: the frontier
+is a LOSSY aggregate (dominated points were discarded at ingest), so
+removing a frontier point cannot resurrect the points it dominated —
+retraction there is information-theoretically undefined without the full
+point history. Forget requests touching a frontier rebuild it from the
+retained source relation instead (the store is cheap to rebuild by
+construction: it IS the compacted state).
 """
 
 from __future__ import annotations
