@@ -1405,3 +1405,48 @@ def ivf_store_refit(
         "n_centroids": int(n_centroids),
         "rows": int(n_rows),
     }
+
+
+def ivf_store_maintain(
+    spark: SparkSession,
+    store_path: str,
+    new_df: DataFrame,
+    min_mean_cos: float = 0.55,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int | None = None,
+    refit_seed: int = 43,
+) -> dict:
+    """The drift loop as ONE maintenance call: append the batch against
+    the frozen quantizer, measure how well the quantizer still fits it
+    (ivf_store_drift's global mean best-cosine), and when the fit falls
+    below ``min_mean_cos``, rebuild via :func:`ivf_store_refit` — the
+    ingest-path composition that keeps a long-lived index healthy
+    without a human watching the drift report. The threshold is the
+    caller's recall budget: the drift metric is the mean cosine between
+    new vectors and their NEAREST centroid, so a falling value means
+    probes need ever more cells for the same recall.
+
+    Refit inside maintain is safe under the same single-writer contract
+    every store op carries — the caller IS the only writer, exactly as
+    in a foreachBatch ingest loop. Returns {"appended", "mean_best_cos",
+    "refit": None | ivf_store_refit's result dict}."""
+    appended = ivf_store_append(
+        new_df, store_path, vec_col=vec_col, id_col=id_col
+    )
+    n_app = appended.count()
+    drift = ivf_store_drift(spark, store_path, new_df, vec_col=vec_col)
+    gmean = float(
+        [r.mean_best_cos for r in drift.collect() if r.centroid == -1][0]
+    )
+    refit = None
+    if gmean < min_mean_cos:
+        refit = ivf_store_refit(
+            spark,
+            store_path,
+            n_centroids=n_centroids,
+            seed=refit_seed,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+    return {"appended": n_app, "mean_best_cos": gmean, "refit": refit}

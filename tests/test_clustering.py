@@ -615,3 +615,54 @@ def test_ivf_store_refit_versioned_swap_and_recovery(spark, tmp_path):
     ivf_store_init(spark.createDataFrame(a, SCHEMA), store, n_centroids=2)
     assert _store_version(spark, store) == 0
     assert not os.path.exists(store + "/v2")
+
+
+def test_ivf_store_maintain_triggers_refit_on_drift(spark, tmp_path):
+    """The drift loop end to end in one call: an aligned batch appends
+    without touching the quantizer (store stays version 0); a DRIFTED
+    batch trips the mean-best-cos threshold and maintain rebuilds —
+    after which nprobe=1 recall over the drifted cluster is exact."""
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators.similarity import (
+        _store_version,
+        ivf_store_init,
+        ivf_store_maintain,
+        ivf_store_topk,
+    )
+
+    dim = 8
+
+    def vec(i, salt, sign):
+        v = [((i * salt + d * 13) % 21 - 10) / 100.0 for d in range(dim)]
+        v[0] += sign
+        return [float(x) for x in v]
+
+    SCHEMA = "vec_id long, embedding array<double>"
+    store = str(tmp_path / "ivf")
+    a = [(i, vec(i, 7, 1.0)) for i in range(40)]
+    ivf_store_init(spark.createDataFrame(a, SCHEMA), store, n_centroids=2)
+
+    # aligned batch: high mean-best-cos, NO refit
+    a2 = [(100 + i, vec(i, 9, 1.0)) for i in range(10)]
+    r1 = ivf_store_maintain(
+        spark, store, spark.createDataFrame(a2, SCHEMA), min_mean_cos=0.55
+    )
+    assert r1["appended"] == 10 and r1["refit"] is None
+    assert r1["mean_best_cos"] > 0.55
+    assert _store_version(spark, store) == 0
+
+    # drifted batch (opposite hemisphere): mean-best-cos collapses,
+    # maintain refits and the new quantizer separates the clusters
+    b = [(200 + i, vec(i, 11, -1.0)) for i in range(40)]
+    r2 = ivf_store_maintain(
+        spark, store, spark.createDataFrame(b, SCHEMA), min_mean_cos=0.55
+    )
+    assert r2["appended"] == 40
+    assert r2["mean_best_cos"] < 0.0  # opposite hemisphere
+    assert r2["refit"] is not None and r2["refit"]["new_version"] == 1
+    assert _store_version(spark, store) == 1
+    q = vec(5, 11, -1.0)
+    one = {r.vec_id for r in ivf_store_topk(spark, store, q, k=10, nprobe=1).collect()}
+    ex = {r.vec_id for r in ivf_store_topk(spark, store, q, k=10, nprobe=2).collect()}
+    assert one == ex  # post-refit: one probed cell carries the B cluster
