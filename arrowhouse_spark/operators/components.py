@@ -126,16 +126,18 @@ def components_store_presence_count(
     — exactly the rows a :func:`components_store_retract` of the same
     set removes (relabeling preserves row counts; only removals change
     them), at DELTA cost: the store is read only at the id set's hash
-    buckets, never scanned whole. Missing store → 0. This is how
-    operators/forget.py reports ``rows_removed`` for components stores
-    without paying two full-store counts per sweep."""
+    buckets, never scanned whole. Missing store → 0 (checked BEFORE the
+    id set is materialized, so the no-op path costs nothing). A forget
+    sweep does not need this — components_store_retract_counted reports
+    the removed rows in one pass — but standalone audits ("is this id
+    still anywhere?") do."""
     from arrowhouse_spark.operators.sampling import hash_bucket
 
+    if not _fs_dir_exists(spark, store_path):
+        return 0
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame([(int(i),) for i in ids], "id long")
     ids = ids.select("id").distinct().localCheckpoint()
-    if not _fs_dir_exists(spark, store_path):
-        return 0
     n_buckets = _resolve_n_buckets(spark, store_path, n_buckets)
     vbuckets = [
         r.cb
@@ -609,6 +611,19 @@ def components_store_retract(
     ids,
     n_buckets: int | None = None,
 ) -> DataFrame:
+    """See :func:`components_store_retract_counted` — this form returns
+    only the relabel delta (the original public surface)."""
+    return components_store_retract_counted(
+        spark, store_path, ids, n_buckets=n_buckets
+    )[0]
+
+
+def components_store_retract_counted(
+    spark: SparkSession,
+    store_path: str,
+    ids,
+    n_buckets: int | None = None,
+) -> tuple:
     """Retract vertex ids from the persistent label store — the
     GDPR/forget-this-document primitive components_incremental lacks
     (round-10 verdict #1, CC half): remove each id's row, and when a
@@ -631,8 +646,12 @@ def components_store_retract(
     dynamic-overwrites ONLY buckets holding a removed or relabeled row,
     with fully-drained partitions dropped via the Hadoop FS API. The twin
     is kept consistent, including label moves across ccb buckets.
-    Returns the RELABELED survivors (id, component) — empty when no
-    retracted id was a component label. A MISSING store (never written,
+    Returns (delta, removed): the RELABELED survivors (id, component) —
+    empty when no retracted id was a component label — and the number of
+    store rows removed (the stored-victim count, computed from the
+    already-located ``gone`` set so a forget sweep needs no second
+    bucket-pruned pass; round-12 review finding #5). A MISSING store
+    (never written,
     or removed by a previous retract-everything) is an empty store: the
     retract no-ops and returns the empty delta, whatever ``n_buckets``
     says — this is what makes a cross-store forget sweep
@@ -646,7 +665,7 @@ def components_store_retract(
         ids = spark.createDataFrame([(int(i),) for i in ids], "id long")
     ids = ids.select("id").distinct().localCheckpoint()
     if not _fs_dir_exists(spark, store_path):
-        return ids.limit(0).withColumn("component", F.col("id"))
+        return ids.limit(0).withColumn("component", F.col("id")), 0
     # count-gate every id-set hint in this op: batch-sized forgets
     # broadcast, retention-sweep-sized sets (≥ idgate.BROADCAST_ID_LIMIT)
     # fall back to shuffle joins — the store side is cb/ccb-pruned at
@@ -673,7 +692,7 @@ def components_store_retract(
     )
     n_acomps = acomps.count()
     if n_acomps == 0:
-        return empty  # none of the ids are in the store
+        return empty, 0  # none of the ids are in the store
     acomps_j = gate_broadcast(acomps, n_rows=n_acomps)
 
     has_twin = _fs_dir_exists(spark, twin_path)
@@ -709,6 +728,7 @@ def components_store_retract(
 
     # primary rewrite: buckets holding a removed id or a relabeled row
     gone = ids.join(members.select("id"), "id", "semi")  # ids actually stored
+    n_removed = gone.count()  # one job over two checkpointed relations
     touch_ids = (
         gone.unionByName(delta.select("id")).distinct().localCheckpoint()
     )
@@ -757,7 +777,7 @@ def components_store_retract(
         tfs, tp = _hadoop_fs(spark, twin_path)
         if tfs.exists(tp):
             tfs.delete(tp, True)
-        return delta.select("id", "component")
+        return delta.select("id", "component"), n_removed
 
     if has_twin:
         ccb = hash_bucket("component", n_buckets, salt="ccb").alias("ccb")
@@ -791,7 +811,7 @@ def components_store_retract(
                 fs, p = _hadoop_fs(spark, f"{twin_path}/ccb={v}")
                 if fs.exists(p):
                     fs.delete(p, True)
-    return delta.select("id", "component")
+    return delta.select("id", "component"), n_removed
 
 
 def compact_components_store(

@@ -92,15 +92,13 @@ def forget_ids(
     handled here and the set is checkpointed ONCE and shared.
     ``rows_removed`` counts store rows, so one document can legitimately
     remove many rows (one per band) from a band store and one from the
-    fingerprint store. For ``components`` the retraction returns a
-    relabel delta, not a count — removed is measured with the
-    cb-bucket-pruned presence count (the rows the retract removes;
-    relabeling preserves counts), at delta cost rather than full-store
-    scans. See the module docstring for the non-atomicity window and the
-    re-run recovery contract."""
+    fingerprint store. For ``components`` the counted retraction form
+    reports the removed rows from its own already-located ``gone`` set —
+    ONE bucket-pruned pass, no separate presence scan. See the module
+    docstring for the non-atomicity window and the re-run recovery
+    contract."""
     from arrowhouse_spark.operators.components import (
-        components_store_presence_count,
-        components_store_retract,
+        components_store_retract_counted,
     )
     from arrowhouse_spark.operators.dedup import fingerprint_store_retract
     from arrowhouse_spark.operators.similarity import ivf_store_delete
@@ -152,11 +150,8 @@ def forget_ids(
             removed = shard_store_retract(
                 spark, path, _named(col), id_col=col
             )
-        else:  # components
-            removed = components_store_presence_count(
-                spark, path, _named("id"), n_buckets=entry.get("n_buckets")
-            )
-            components_store_retract(
+        else:  # components — ONE pass: retract returns the removed count
+            _delta, removed = components_store_retract_counted(
                 spark, path, _named("id"), n_buckets=entry.get("n_buckets")
             )
         out.append((path, kind, int(removed)))

@@ -949,6 +949,7 @@ def ivf_store_append(
     store_path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    base: str | None = None,
 ) -> DataFrame:
     """Fold a new vector batch into the stored index: assign against the
     STORED centroids (no re-fit — the coarse quantizer must stay frozen or
@@ -971,9 +972,12 @@ def ivf_store_append(
     Scale: the store is read only at the touched cells (partition pruning
     on the cell filter) and only its id column; the batch is map-side
     assigned against a broadcast k×dim matrix. Centroid drift is the
-    caller's re-fit trigger — measure it with ivf_store_drift."""
+    caller's re-fit trigger — measure it with ivf_store_drift.
+    ``base``: pre-resolved layout root (the _ivf_store_centroids reuse
+    contract) for callers composing several ops per ingest batch."""
     spark = new_df.sparkSession
-    base = _store_base(spark, store_path)  # resolve the pointer ONCE
+    if base is None:
+        base = _store_base(spark, store_path)  # resolve the pointer ONCE
     c = _ivf_store_centroids(spark, store_path, base=base)
     deduped = _dedupe_ivf_batch(new_df, id_col, vec_col, "ivf_store_append")
     assigned = _assign_to_centroids(
@@ -1164,17 +1168,19 @@ def ivf_store_drift(
     store_path: str,
     new_df: DataFrame,
     vec_col: str = "embedding",
+    base: str | None = None,
 ) -> DataFrame:
     """Re-fit trigger: one row per centroid with the new batch's count and
     mean best-cosine against the FROZEN centroids, plus a global row
     (centroid = -1). A falling global mean is the drift signal that the
     coarse quantizer no longer matches the ingest distribution — time to
     re-fit and rebuild (an offline job; the store stays serving meanwhile).
-    Map-side assignment + one keyed aggregate; nothing global."""
+    Map-side assignment + one keyed aggregate; nothing global.
+    ``base``: pre-resolved layout root (the reuse contract)."""
     import numpy as np
     from pyspark.sql import types as T
 
-    c = _ivf_store_centroids(spark, store_path)
+    c = _ivf_store_centroids(spark, store_path, base=base)
     bc = spark.sparkContext.broadcast(c)
 
     def _score(batches):
@@ -1356,7 +1362,31 @@ def ivf_store_refit(
     )
     n_rows = reassigned.count()
 
-    # ---- 3. atomic pointer swap, then non-current-layout cleanup
+    # ---- 3a. PRE-swap dead-layout sweep: any layout that is neither
+    # the live old_v nor the just-built new_v is provably dead — a
+    # previous refit that crashed between its flip and its cleanup left
+    # it behind. Sweeping BEFORE the pointer flip matters: a leaked
+    # legacy root is worse than disk waste, because if THIS swap's
+    # non-atomic fallback path crashes mid-flip, _store_base's
+    # missing-META fallback prefers root centroids over the newest
+    # v-dir and readers would resurrect stale v0 data (round-12 review
+    # finding #2).
+    if old_v >= 1:  # META names v{old_v}, so the root layout is dead
+        for leg in ("/centroids", "/postings"):
+            lfs, lp = _hadoop_fs(spark, store_path + leg)
+            if lfs.exists(lp):
+                lfs.delete(lp, True)
+    sfs, sp = _hadoop_fs(spark, store_path)
+    for st in sfs.listStatus(sp):
+        nm = st.getPath().getName()
+        if (
+            nm.startswith("v")
+            and nm[1:].isdigit()
+            and int(nm[1:]) not in (old_v, new_v)
+        ):
+            sfs.delete(st.getPath(), True)
+
+    # ---- 3b. atomic pointer swap
     payload = json.dumps({"version": new_v}).encode("utf-8")
     fs, tmp = _hadoop_fs(spark, store_path + "/META.tmp")
     out = fs.create(tmp, True)
@@ -1365,40 +1395,61 @@ def ivf_store_refit(
     finally:
         out.close()
     _fs2, meta = _hadoop_fs(spark, store_path + "/META")
-    try:
-        # FileContext rename-with-OVERWRITE is atomic on HDFS and a
-        # plain posix rename locally — NO window with META absent
-        jvm = spark.sparkContext._jvm
-        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            spark.sparkContext._jsc.hadoopConfiguration()
-        )
-        opt = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-        fc.rename(tmp, meta, opt)
-    except Exception:  # noqa: BLE001 — FS without FileContext support:
+
+    def _fallback_rename() -> None:
         # delete+rename leaves a microscopic no-META window; it only
-        # arises for old_v >= 1 (the first flip creates META fresh), and
-        # by then the legacy root is swept, so _store_base's fallback
-        # resolves the newest complete v-dir — still correct
+        # arises for old_v >= 1 (the first flip creates META fresh),
+        # and the pre-swap sweep removed the legacy root, so
+        # _store_base's fallback resolves the newest complete v-dir
         if fs.exists(meta):
             fs.delete(meta, False)
         if not fs.rename(tmp, meta):
             raise OSError(
                 f"META pointer rename failed for {store_path!r}"
-            ) from None
-    # sweep EVERY non-current layout, not just v{old_v}: a previous
-    # refit that crashed between its flip and its cleanup leaves dead
-    # layouts (the legacy root after a v0→v1 crash, or an older v-dir)
-    # that would otherwise leak forever — and a leaked legacy root is
-    # worse than disk waste, since the missing-META fallback prefers it
-    for leg in ("/centroids", "/postings"):
-        lfs, lp = _hadoop_fs(spark, store_path + leg)
-        if lfs.exists(lp):
-            lfs.delete(lp, True)
-    sfs, sp = _hadoop_fs(spark, store_path)
-    for st in sfs.listStatus(sp):
-        nm = st.getPath().getName()
-        if nm.startswith("v") and nm[1:].isdigit() and int(nm[1:]) != new_v:
-            sfs.delete(st.getPath(), True)
+            )
+
+    try:
+        # FileContext rename-with-OVERWRITE is atomic on HDFS and a
+        # plain posix rename locally — NO window with META absent. The
+        # Java signature is varargs (Options.Rename...), which py4j
+        # accepts only as an explicit Java ARRAY of the component type —
+        # passing the bare enum raises a method-not-found Py4JError
+        # (round-12 review exposed that the bare call had been silently
+        # falling through to the non-atomic path all along)
+        jvm = spark.sparkContext._jvm
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        ren_cls = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = spark.sparkContext._gateway.new_array(ren_cls, 1)
+        opts[0] = ren_cls.OVERWRITE
+        fc.rename(tmp, meta, opts)
+    except (TypeError, AttributeError):
+        # FileContext absent from the classpath (py4j JavaPackage is
+        # not callable) — capability miss, take the fallback
+        _fallback_rename()
+    except Exception as exc:
+        # only a CAPABILITY error may downgrade to the non-atomic
+        # path; a real IO/permission failure from a supporting FS must
+        # surface, not silently reopen the no-META window (round-12
+        # review finding #3)
+        je = getattr(exc, "java_exception", None)
+        cls = je.getClass().getName() if je is not None else ""
+        if "UnsupportedFileSystem" in cls or "NoClassDefFound" in cls:
+            _fallback_rename()
+        else:
+            raise
+
+    # ---- 3c. POST-swap: remove the now-dead old layout
+    if old_v == 0:
+        for leg in ("/centroids", "/postings"):
+            lfs, lp = _hadoop_fs(spark, store_path + leg)
+            if lfs.exists(lp):
+                lfs.delete(lp, True)
+    else:
+        ofs, op = _hadoop_fs(spark, f"{store_path}/v{old_v}")
+        if ofs.exists(op):
+            ofs.delete(op, True)
     return {
         "old_version": old_v,
         "new_version": new_v,
@@ -1429,16 +1480,25 @@ def ivf_store_maintain(
 
     Refit inside maintain is safe under the same single-writer contract
     every store op carries — the caller IS the only writer, exactly as
-    in a foreachBatch ingest loop. Returns {"appended", "mean_best_cos",
-    "refit": None | ivf_store_refit's result dict}."""
+    in a foreachBatch ingest loop. Empty micro-batches (routine in a
+    foreachBatch loop) no-op: the drift aggregate's global mean is NULL
+    over zero rows, which is no evidence of drift — the refit decision
+    is skipped and mean_best_cos returns None. The version pointer
+    resolves ONCE and threads through append and drift. Returns
+    {"appended", "mean_best_cos", "refit": None | ivf_store_refit's
+    result dict}."""
+    base = _store_base(spark, store_path)
     appended = ivf_store_append(
-        new_df, store_path, vec_col=vec_col, id_col=id_col
+        new_df, store_path, vec_col=vec_col, id_col=id_col, base=base
     )
     n_app = appended.count()
-    drift = ivf_store_drift(spark, store_path, new_df, vec_col=vec_col)
-    gmean = float(
-        [r.mean_best_cos for r in drift.collect() if r.centroid == -1][0]
+    drift = ivf_store_drift(
+        spark, store_path, new_df, vec_col=vec_col, base=base
     )
+    raw = [r.mean_best_cos for r in drift.collect() if r.centroid == -1][0]
+    if raw is None:  # empty batch: no drift evidence, no refit
+        return {"appended": n_app, "mean_best_cos": None, "refit": None}
+    gmean = float(raw)
     refit = None
     if gmean < min_mean_cos:
         refit = ivf_store_refit(

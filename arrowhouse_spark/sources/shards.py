@@ -131,58 +131,16 @@ def shard_store_retract(
     (re-issue the manifest with the deletion request's audit record).
     Unknown ids no-op; idempotent across retries. Returns the number of
     documents removed. Single-writer contract, as for every store."""
-    from arrowhouse_spark.operators.components import _hadoop_fs
-    from arrowhouse_spark.operators.idgate import gate_broadcast
-    from arrowhouse_spark.operators.similarity import (
-        _is_missing_store_error,
+    from arrowhouse_spark.operators.retract import (
+        partitioned_store_retract,
     )
 
-    if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame(
-            [(int(i),) for i in ids], f"{id_col} long"
-        )
-    ids = ids.select(id_col).distinct().localCheckpoint()
-    try:
-        store = spark.read.parquet(path)
-        store.schema
-    except Exception as exc:  # noqa: BLE001
-        if _is_missing_store_error(exc):
-            return 0
-        raise
-    ids_j = gate_broadcast(ids)
-    hit = (
-        store.join(ids_j, id_col, "semi")
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .collect()
+    return partitioned_store_retract(
+        spark,
+        path,
+        ids,
+        id_col,
+        "shard",
+        repartition_by_count=True,  # one task -> one byte-stable file
+        sort_col=id_col,
     )
-    if not hit:
-        return 0
-    touched = [r.shard for r in hit]
-    removed = int(sum(r["__n"] for r in hit))
-    keep = (
-        store.filter(F.col("shard").isin(touched))
-        .join(ids_j, id_col, "left_anti")
-        .localCheckpoint()  # self-read-overwrite discipline
-    )
-    (
-        keep.repartition(len(touched), "shard")
-        .sortWithinPartitions(id_col)  # keep the byte-stable layout
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard")
-        .parquet(path)
-    )
-    kept = {r.shard for r in keep.select("shard").distinct().collect()}
-    for s in touched:
-        if s not in kept:
-            fs, p = _hadoop_fs(spark, f"{path}/shard={s}")
-            if fs.exists(p):
-                fs.delete(p, True)
-    fs, sdir = _hadoop_fs(spark, path)
-    if fs.exists(sdir) and not any(
-        st.getPath().getName().startswith("shard=")
-        for st in fs.listStatus(sdir)
-    ):
-        fs.delete(sdir, True)
-    return removed

@@ -1342,15 +1342,15 @@ def band_store_retract(
     run with the stream stopped, as for compact_band_store."""
     from arrowhouse_spark.operators.components import _hadoop_fs
     from arrowhouse_spark.operators.idgate import gate_broadcast
+    from arrowhouse_spark.operators.retract import (
+        normalize_ids,
+        partitioned_store_retract,
+    )
     from arrowhouse_spark.operators.similarity import (
         _is_missing_store_error,
     )
 
-    if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame(
-            [(int(i),) for i in ids], f"{id_col} long"
-        )
-    ids = ids.select(id_col).distinct().localCheckpoint()
+    ids = normalize_ids(spark, ids, id_col)
     try:
         store = spark.read.parquet(store_path)
         store.schema
@@ -1358,12 +1358,9 @@ def band_store_retract(
         if _is_missing_store_error(exc):
             return 0
         raise
-    # count-gate the hint: batch-sized forgets broadcast; retention-sweep
-    # sets (≥ idgate.BROADCAST_ID_LIMIT) use a shuffle join — the store
-    # side is batch_id-pruned below, so the shuffle is delta-sized
-    ids_j = gate_broadcast(ids)
-    has_batch = "batch_id" in store.columns
-    if not has_batch:
+    if "batch_id" not in store.columns:
+        # legacy unpartitioned layout: no pruning axis — rewrite whole
+        ids_j = gate_broadcast(ids)
         hitn = store.join(ids_j, id_col, "semi").count()
         if hitn == 0:
             return 0
@@ -1374,44 +1371,12 @@ def band_store_retract(
             return int(hitn)
         keep.write.mode("overwrite").parquet(store_path)
         return int(hitn)
-    hit = (
-        store.join(ids_j, id_col, "semi")
-        .groupBy("batch_id")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .collect()
+    # batch_id-partitioned layout: the shared pruned-retract sequence
+    # (operators/retract.py — count-gated broadcast, touched-partition
+    # dynamic overwrite, drained-dir and full-drain removal)
+    return partitioned_store_retract(
+        spark, store_path, ids, id_col, "batch_id"
     )
-    if not hit:
-        return 0
-    touched = [r.batch_id for r in hit]
-    removed = int(sum(r["__n"] for r in hit))
-    keep = (
-        store.filter(F.col("batch_id").isin(touched))
-        .join(ids_j, id_col, "left_anti")
-        .localCheckpoint()  # self-read-overwrite discipline
-    )
-    (
-        keep.repartition("batch_id")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(store_path)
-    )
-    kept = {r.batch_id for r in keep.select("batch_id").distinct().collect()}
-    for b in touched:
-        if b not in kept:
-            fs, p = _hadoop_fs(spark, f"{store_path}/batch_id={b}")
-            if fs.exists(p):
-                fs.delete(p, True)
-    # full drain: no batch_id=* partitions left — remove the dir so the
-    # layout is not an unreadable shell (see docstring for the restart
-    # contract this implies for a live stream's checkpoint)
-    fs, sdir = _hadoop_fs(spark, store_path)
-    if fs.exists(sdir) and not any(
-        st.getPath().getName().startswith("batch_id=")
-        for st in fs.listStatus(sdir)
-    ):
-        fs.delete(sdir, True)
-    return removed
 
 
 def scd2_store_retract(
@@ -1442,57 +1407,10 @@ def scd2_store_retract(
     are a no-op; idempotent across retries. Returns the number of
     history rows removed. Single-writer contract: run with the stream
     stopped."""
-    from arrowhouse_spark.operators.components import _hadoop_fs
-    from arrowhouse_spark.operators.idgate import gate_broadcast
-    from arrowhouse_spark.operators.similarity import (
-        _is_missing_store_error,
+    from arrowhouse_spark.operators.retract import (
+        partitioned_store_retract,
     )
 
-    if not isinstance(keys, DataFrame):
-        keys = spark.createDataFrame(
-            [(int(k),) for k in keys], f"{key_col} long"
-        )
-    keys = keys.select(key_col).distinct().localCheckpoint()
-    try:
-        store = spark.read.parquet(store_path)
-        store.schema
-    except Exception as exc:  # noqa: BLE001
-        if _is_missing_store_error(exc):
-            return 0
-        raise
-    keys_j = gate_broadcast(keys)
-    hit = (
-        store.join(keys_j, key_col, "semi")
-        .groupBy("kb")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .collect()
+    return partitioned_store_retract(
+        spark, store_path, keys, key_col, "kb"
     )
-    if not hit:
-        return 0
-    touched = [r.kb for r in hit]
-    removed = int(sum(r["__n"] for r in hit))
-    keep = (
-        store.filter(F.col("kb").isin(touched))
-        .join(keys_j, key_col, "left_anti")
-        .localCheckpoint()  # self-read-overwrite discipline
-    )
-    (
-        keep.repartition("kb")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("kb")
-        .parquet(store_path)
-    )
-    kept = {r.kb for r in keep.select("kb").distinct().collect()}
-    for b in touched:
-        if b not in kept:
-            fs, p = _hadoop_fs(spark, f"{store_path}/kb={b}")
-            if fs.exists(p):
-                fs.delete(p, True)
-    fs, sdir = _hadoop_fs(spark, store_path)
-    if fs.exists(sdir) and not any(
-        st.getPath().getName().startswith("kb=")
-        for st in fs.listStatus(sdir)
-    ):
-        fs.delete(sdir, True)
-    return removed
