@@ -666,3 +666,14 @@ def test_ivf_store_maintain_triggers_refit_on_drift(spark, tmp_path):
     one = {r.vec_id for r in ivf_store_topk(spark, store, q, k=10, nprobe=1).collect()}
     ex = {r.vec_id for r in ivf_store_topk(spark, store, q, k=10, nprobe=2).collect()}
     assert one == ex  # post-refit: one probed cell carries the B cluster
+
+    # empty micro-batch (routine in foreachBatch): no-op, not a crash —
+    # NULL drift mean is no evidence of drift, refit decision skipped
+    r3 = ivf_store_maintain(
+        spark,
+        store,
+        spark.createDataFrame([], SCHEMA),
+        min_mean_cos=0.99,
+    )
+    assert r3 == {"appended": 0, "mean_best_cos": None, "refit": None}
+    assert _store_version(spark, store) == 1  # untouched
