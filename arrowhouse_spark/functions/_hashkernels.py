@@ -497,6 +497,10 @@ def _siprounds_np(v0, v1, v2, v3, rounds: int):
 
 def siphash64_np(mat: np.ndarray, k0: int = 0, k1: int = 0) -> np.ndarray:
     rows, n = mat.shape
+    # mask to 64 bits so this kernel and siphash64_py agree for ANY
+    # Python-int key (U64() raises OverflowError above 2^64 otherwise)
+    k0 &= (1 << 64) - 1
+    k1 &= (1 << 64) - 1
     v0 = np.full(rows, U64(0x736F6D6570736575) ^ U64(k0), dtype=np.uint64)
     v1 = np.full(rows, U64(0x646F72616E646F6D) ^ U64(k1), dtype=np.uint64)
     v2 = np.full(rows, U64(0x6C7967656E657261) ^ U64(k0), dtype=np.uint64)

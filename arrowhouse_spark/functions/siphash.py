@@ -57,7 +57,14 @@ def _sipround(v0: int, v1: int, v2: int, v3: int):
 def siphash64_py(data: bytes, k0: int = 0, k1: int = 0) -> int:
     """SipHash-2-4 64-bit digest of ``data`` under key (k0, k1), the
     c=2/d=4 schedule of the public spec; (0, 0) is the reference's
-    default-constructed key (SipHash.h:80-90)."""
+    default-constructed key (SipHash.h:80-90). Keys are masked to 64
+    bits so both kernels (this scalar port and the numpy batch kernel)
+    agree for any Python int — without the mask, high bits of an
+    oversized key leak through _rotl's right shift here while the numpy
+    U64() cast raises, so the same call could crash or silently diverge
+    depending on batch length-grouping."""
+    k0 &= _M64
+    k1 &= _M64
     v0 = 0x736F6D6570736575 ^ k0
     v1 = 0x646F72616E646F6D ^ k1
     v2 = 0x6C7967656E657261 ^ k0

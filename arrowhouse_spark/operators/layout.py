@@ -63,20 +63,30 @@ def _quant_expr(c: str, mn, mx, qmax: int) -> Column:
     rewrite — an out-of-range value lands in the edge bucket (0 or qmax)
     instead of wrapping under non-ANSI BIGINT arithmetic into a corrupt
     key. The clamp also PROVES the BIGINT branch overflow-free: after it,
-    (x - mn) * qmax <= span * qmax, which the Python check bounded."""
+    (x - mn) * qmax <= span * qmax, which the Python check bounded.
+
+    NULL inputs stay NULL: Spark's least/greatest SKIP nulls (they would
+    quantize a NULL row to the min edge), so the clamp is guarded by an
+    explicit CASE WHEN {c} IS NULL — preserving the pre-clamp arithmetic's
+    NULL propagation so a NULL dimension yields a NULL layout key, exactly
+    as any engine replaying the unclamped expression computes it."""
     if mn is None or mx is None or mx == mn:
         return F.lit(0).cast("long")
     span = int(mx) - int(mn)  # Python ints: exact for any long bounds
     if span * qmax <= (1 << 63) - 1:
         cl = f"least(greatest(CAST({c} AS BIGINT), {mn}), {mx})"
-        return F.expr(f"(({cl} - ({mn})) * {qmax}) DIV {span}")
+        return F.expr(
+            f"CASE WHEN {c} IS NULL THEN NULL "
+            f"ELSE (({cl} - ({mn})) * {qmax}) DIV {span} END"
+        )
     cl = (
         f"least(greatest(CAST({c} AS DECIMAL(38,0)), "
         f"CAST({mn} AS DECIMAL(38,0))), CAST({mx} AS DECIMAL(38,0)))"
     )
     return F.expr(
-        f"(({cl} - ({mn})) * {qmax}) DIV "
-        f"(CAST({mx} AS DECIMAL(38,0)) - ({mn}))"
+        f"CASE WHEN {c} IS NULL THEN NULL "
+        f"ELSE (({cl} - ({mn})) * {qmax}) DIV "
+        f"(CAST({mx} AS DECIMAL(38,0)) - ({mn})) END"
     )
 
 

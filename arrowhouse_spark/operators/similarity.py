@@ -763,7 +763,10 @@ def _store_base(spark: SparkSession, store_path: str) -> str:
     HIGHEST v{n}, which is always complete (the refit fully builds
     v{n+1} BEFORE touching the pointer). Root centroids present →
     legacy layout (the normal pre-refit store, where META never
-    existed)."""
+    existed). A recovery refit entered in the no-META state REWRITES
+    META to the resolved live version before building the next one
+    (ivf_store_refit entry), so readers never depend on highest-v-dir
+    resolution while a rebuild is in progress."""
     import json
 
     from arrowhouse_spark.operators.components import (
@@ -786,6 +789,67 @@ def _store_base(spark: SparkSession, store_path: str) -> str:
             if nm.startswith("v") and nm[1:].isdigit():
                 best = max(best, int(nm[1:]))
     return f"{store_path}/v{best}" if best else store_path
+
+
+def _write_meta_pointer(
+    spark: SparkSession, store_path: str, version: int
+) -> None:
+    """Atomically (re)write the ``store_path/META`` version pointer to
+    ``version``: write META.tmp, then FileContext rename-with-OVERWRITE
+    (atomic on HDFS and a plain posix rename locally — NO window with
+    META absent). The Java signature is varargs (Options.Rename...),
+    which py4j accepts only as an explicit Java ARRAY of the component
+    type — passing the bare enum raises a method-not-found Py4JError
+    (round-12 review exposed that the bare call had been silently
+    falling through to the non-atomic path all along).
+
+    On filesystems without FileContext the fallback is delete-pointer →
+    rename, whose microscopic no-META window only arises for v>=1
+    stores; the refit's pre-swap sweep guarantees _store_base's
+    missing-META fallback then resolves the newest COMPLETE v-dir."""
+    import json
+
+    from arrowhouse_spark.operators.components import _hadoop_fs
+
+    payload = json.dumps({"version": int(version)}).encode("utf-8")
+    fs, tmp = _hadoop_fs(spark, store_path + "/META.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+    _fs2, meta = _hadoop_fs(spark, store_path + "/META")
+
+    def _fallback_rename() -> None:
+        if fs.exists(meta):
+            fs.delete(meta, False)
+        if not fs.rename(tmp, meta):
+            raise OSError(f"META pointer rename failed for {store_path!r}")
+
+    try:
+        jvm = spark.sparkContext._jvm
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        ren_cls = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = spark.sparkContext._gateway.new_array(ren_cls, 1)
+        opts[0] = ren_cls.OVERWRITE
+        fc.rename(tmp, meta, opts)
+    except (TypeError, AttributeError):
+        # FileContext absent from the classpath (py4j JavaPackage is
+        # not callable) — capability miss, take the fallback
+        _fallback_rename()
+    except Exception as exc:
+        # only a CAPABILITY error may downgrade to the non-atomic
+        # path; a real IO/permission failure from a supporting FS must
+        # surface, not silently reopen the no-META window (round-12
+        # review finding #3)
+        je = getattr(exc, "java_exception", None)
+        cls = je.getClass().getName() if je is not None else ""
+        if "UnsupportedFileSystem" in cls or "NoClassDefFound" in cls:
+            _fallback_rename()
+        else:
+            raise
 
 
 def _store_version(spark: SparkSession, store_path: str) -> int:
@@ -1310,6 +1374,18 @@ def ivf_store_refit(
         )
     old_v = 0 if base == store_path else int(base.rsplit("/v", 1)[1])
     new_v = old_v + 1
+    if old_v >= 1:
+        from arrowhouse_spark.operators.components import _fs_read_small
+
+        if _fs_read_small(spark, store_path + "/META") is None:
+            # RECOVERY: a crashed non-FileContext fallback flip died
+            # between META delete and rename, so readers are resolving
+            # through the highest-v-dir fallback. Pin the resolved live
+            # version back into META BEFORE building v{n+1} — otherwise
+            # concurrent readers would resolve the half-built v{n+1} as
+            # "highest v-dir" while this rebuild is in progress
+            # (round-12 ADVICE: the double-fault window).
+            _write_meta_pointer(spark, store_path, old_v)
     if n_centroids is None:
         n_centroids = int(
             spark.read.parquet(base + "/centroids").count()
@@ -1387,58 +1463,7 @@ def ivf_store_refit(
             sfs.delete(st.getPath(), True)
 
     # ---- 3b. atomic pointer swap
-    payload = json.dumps({"version": new_v}).encode("utf-8")
-    fs, tmp = _hadoop_fs(spark, store_path + "/META.tmp")
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(payload))
-    finally:
-        out.close()
-    _fs2, meta = _hadoop_fs(spark, store_path + "/META")
-
-    def _fallback_rename() -> None:
-        # delete+rename leaves a microscopic no-META window; it only
-        # arises for old_v >= 1 (the first flip creates META fresh),
-        # and the pre-swap sweep removed the legacy root, so
-        # _store_base's fallback resolves the newest complete v-dir
-        if fs.exists(meta):
-            fs.delete(meta, False)
-        if not fs.rename(tmp, meta):
-            raise OSError(
-                f"META pointer rename failed for {store_path!r}"
-            )
-
-    try:
-        # FileContext rename-with-OVERWRITE is atomic on HDFS and a
-        # plain posix rename locally — NO window with META absent. The
-        # Java signature is varargs (Options.Rename...), which py4j
-        # accepts only as an explicit Java ARRAY of the component type —
-        # passing the bare enum raises a method-not-found Py4JError
-        # (round-12 review exposed that the bare call had been silently
-        # falling through to the non-atomic path all along)
-        jvm = spark.sparkContext._jvm
-        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            spark.sparkContext._jsc.hadoopConfiguration()
-        )
-        ren_cls = jvm.org.apache.hadoop.fs.Options.Rename
-        opts = spark.sparkContext._gateway.new_array(ren_cls, 1)
-        opts[0] = ren_cls.OVERWRITE
-        fc.rename(tmp, meta, opts)
-    except (TypeError, AttributeError):
-        # FileContext absent from the classpath (py4j JavaPackage is
-        # not callable) — capability miss, take the fallback
-        _fallback_rename()
-    except Exception as exc:
-        # only a CAPABILITY error may downgrade to the non-atomic
-        # path; a real IO/permission failure from a supporting FS must
-        # surface, not silently reopen the no-META window (round-12
-        # review finding #3)
-        je = getattr(exc, "java_exception", None)
-        cls = je.getClass().getName() if je is not None else ""
-        if "UnsupportedFileSystem" in cls or "NoClassDefFound" in cls:
-            _fallback_rename()
-        else:
-            raise
+    _write_meta_pointer(spark, store_path, new_v)
 
     # ---- 3c. POST-swap: remove the now-dead old layout
     if old_v == 0:

@@ -617,6 +617,60 @@ def test_ivf_store_refit_versioned_swap_and_recovery(spark, tmp_path):
     assert not os.path.exists(store + "/v2")
 
 
+def test_ivf_store_refit_no_meta_recovery_pins_live_version(spark, tmp_path):
+    """Double-fault window (round-12 ADVICE): a crashed non-FileContext
+    fallback flip can leave a v>=1 store with NO META, so readers resolve
+    the HIGHEST v-dir. A recovery refit must rewrite META to the resolved
+    live version BEFORE building v{n+1} — otherwise a concurrent reader
+    during the rebuild would resolve the half-built v{n+1} as 'highest
+    v-dir'. Pin it with a fault injection that kills the refit right
+    after the fit: META must already be back, naming the OLD version."""
+    import json
+    import os
+
+    import pytest
+
+    from arrowhouse_spark.operators import similarity as sim
+
+    dim = 4
+    rows = [
+        (i, [float(((i * 7 + d) % 9) - 4) / 4.0 for d in range(dim)])
+        for i in range(24)
+    ]
+    SCHEMA = "vec_id long, embedding array<double>"
+    store = str(tmp_path / "ivf")
+    sim.ivf_store_init(spark.createDataFrame(rows, SCHEMA), store, n_centroids=2)
+    assert sim.ivf_store_refit(spark, store, n_centroids=2)["new_version"] == 1
+
+    # simulate the crashed fallback flip: META gone, v1 is the live layout
+    os.remove(store + "/META")
+    assert sim._store_base(spark, store).endswith("/v1")
+
+    real_assign = sim._assign_to_centroids
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected crash mid-rebuild")
+
+    sim._assign_to_centroids = _boom
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            sim.ivf_store_refit(spark, store, n_centroids=2)
+    finally:
+        sim._assign_to_centroids = real_assign
+
+    # the recovery write landed BEFORE the rebuild: META names v1, so no
+    # reader depended on highest-v-dir resolution during the (dead) build
+    with open(store + "/META", "rb") as fh:
+        assert json.loads(fh.read().decode("utf-8"))["version"] == 1
+    assert sim._store_base(spark, store).endswith("/v1")
+
+    # a clean re-run heals the store completely
+    res = sim.ivf_store_refit(spark, store, n_centroids=2)
+    assert (res["old_version"], res["new_version"]) == (1, 2)
+    assert res["rows"] == 24
+    assert sim._store_version(spark, store) == 2
+
+
 def test_ivf_store_maintain_triggers_refit_on_drift(spark, tmp_path):
     """The drift loop end to end in one call: an aligned batch appends
     without touching the quantizer (store stays version 0); a DRIFTED

@@ -318,3 +318,24 @@ def test_siphash24_official_vectors_and_kernels(spark):
     exp1 = siphash64_py(b"")
     assert got[2] == (exp1 - (1 << 64) if exp1 >= (1 << 63) else exp1)
     assert got[3] is None
+
+
+def test_siphash_oversized_key_masks_identically_in_both_kernels():
+    """Keys >= 2^64 must mask to 64 bits in BOTH kernels (round-12
+    ADVICE): pre-fix the scalar path silently leaked high key bits
+    through _rotl's right shift while the numpy U64() cast raised
+    OverflowError — so the same sip_hash64_str call could crash or
+    silently diverge depending on batch length-grouping."""
+    import numpy as np
+
+    from arrowhouse_spark.functions._hashkernels import siphash64_np
+    from arrowhouse_spark.functions.siphash import siphash64_py
+
+    msg = b"mask me"
+    big_k0 = (1 << 64) + 12345
+    big_k1 = (7 << 64) + 999
+    assert siphash64_py(msg, big_k0, big_k1) == siphash64_py(msg, 12345, 999)
+    mat = np.frombuffer(msg, dtype=np.uint8).reshape(1, len(msg))
+    assert siphash64_np(mat, big_k0, big_k1).tolist() == [
+        siphash64_py(msg, 12345, 999)
+    ]

@@ -335,3 +335,29 @@ def test_quant_expr_clamps_stale_bounds(spark):
         .collect()
     ]
     assert gotd == [0, 0, 32767, 65535]
+
+
+def test_quant_expr_null_propagates_not_edge_bucket(spark):
+    """Spark's least/greatest SKIP nulls, so an unguarded clamp would
+    quantize a NULL dimension to the min edge (bucket 0) — silently
+    relocating NULL rows and diverging from any engine replaying the
+    unclamped arithmetic (round-12 ADVICE). The CASE WHEN guard must
+    keep NULL → NULL in BOTH arithmetic branches."""
+    from arrowhouse_spark.operators.layout import _quant_expr
+
+    df = spark.createDataFrame([(None,), (0,), (100,)], "x long")
+    got = {
+        r.x: r.q
+        for r in df.select(
+            "x", _quant_expr("x", 0, 100, 15).alias("q")
+        ).collect()
+    }
+    assert got[None] is None and got[0] == 0 and got[100] == 15
+
+    gotd = {
+        r.x: r.q
+        for r in df.select(
+            "x", _quant_expr("x", 0, 10**18, 65535).alias("q")
+        ).collect()
+    }
+    assert gotd[None] is None and gotd[0] == 0
