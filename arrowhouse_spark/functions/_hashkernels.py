@@ -495,7 +495,9 @@ def _siprounds_np(v0, v1, v2, v3, rounds: int):
     return v0, v1, v2, v3
 
 
-def siphash64_np(mat: np.ndarray, k0: int = 0, k1: int = 0) -> np.ndarray:
+def _siphash_final_state_np(mat: np.ndarray, k0: int, k1: int):
+    """Post-finalization (v0, v1, v2, v3) lanes for a batch of equal-
+    length messages — shared by the 64-bit and 128-bit emissions."""
     rows, n = mat.shape
     # mask to 64 bits so this kernel and siphash64_py agree for ANY
     # Python-int key (U64() raises OverflowError above 2^64 otherwise)
@@ -522,4 +524,24 @@ def siphash64_np(mat: np.ndarray, k0: int = 0, k1: int = 0) -> np.ndarray:
     v0 = v0 ^ m
     v2 = v2 ^ U64(0xFF)
     v0, v1, v2, v3 = _siprounds_np(v0, v1, v2, v3, 4)
+    return v0, v1, v2, v3
+
+
+def siphash64_np(mat: np.ndarray, k0: int = 0, k1: int = 0) -> np.ndarray:
+    v0, v1, v2, v3 = _siphash_final_state_np(mat, k0, k1)
     return v0 ^ v1 ^ v2 ^ v3
+
+
+def siphash128_np(mat: np.ndarray, k0: int = 0, k1: int = 0) -> np.ndarray:
+    """Batch 128-bit emission (lowercase-hex strings of the 16-byte
+    digest: little-endian lo = v0^v1, then hi = v2^v3 — the reference's
+    get128 memory layout, SipHash.h:158-162). Hex keeps the column a
+    plain Spark string; the rounds stay fully vectorized, only the
+    final formatting is per-row."""
+    v0, v1, v2, v3 = _siphash_final_state_np(mat, k0, k1)
+    lo = (v0 ^ v1).astype("<u8")
+    hi = (v2 ^ v3).astype("<u8")
+    buf = np.empty((len(lo), 16), dtype=np.uint8)
+    buf[:, :8] = lo.view(np.uint8).reshape(-1, 8)
+    buf[:, 8:] = hi.view(np.uint8).reshape(-1, 8)
+    return np.array([row.tobytes().hex() for row in buf], dtype=object)

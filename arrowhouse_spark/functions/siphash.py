@@ -54,15 +54,19 @@ def _sipround(v0: int, v1: int, v2: int, v3: int):
     return v0, v1, v2, v3
 
 
-def siphash64_py(data: bytes, k0: int = 0, k1: int = 0) -> int:
-    """SipHash-2-4 64-bit digest of ``data`` under key (k0, k1), the
-    c=2/d=4 schedule of the public spec; (0, 0) is the reference's
-    default-constructed key (SipHash.h:80-90). Keys are masked to 64
-    bits so both kernels (this scalar port and the numpy batch kernel)
-    agree for any Python int — without the mask, high bits of an
-    oversized key leak through _rotl's right shift here while the numpy
-    U64() cast raises, so the same call could crash or silently diverge
-    depending on batch length-grouping."""
+def _sip_final_state(data: bytes, k0: int, k1: int):
+    """Advance the SipHash-2-4 state over ``data`` and finalize; returns
+    the post-finalization (v0, v1, v2, v3). Shared by the 64-bit
+    (xor-all emission) and 128-bit (v0^v1 / v2^v3 split emission)
+    digests — the reference computes both from this one state
+    (SipHash.h:61-76 finalize, :158-184 get128/get64).
+
+    Keys are masked to 64 bits so both kernels (this scalar port and
+    the numpy batch kernel) agree for any Python int — without the
+    mask, high bits of an oversized key leak through _rotl's right
+    shift here while the numpy U64() cast raises, so the same call
+    could crash or silently diverge depending on batch
+    length-grouping."""
     k0 &= _M64
     k1 &= _M64
     v0 = 0x736F6D6570736575 ^ k0
@@ -87,7 +91,29 @@ def siphash64_py(data: bytes, k0: int = 0, k1: int = 0) -> int:
     v2 ^= 0xFF
     for _ in range(4):
         v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+    return v0, v1, v2, v3
+
+
+def siphash64_py(data: bytes, k0: int = 0, k1: int = 0) -> int:
+    """SipHash-2-4 64-bit digest of ``data`` under key (k0, k1), the
+    c=2/d=4 schedule of the public spec; (0, 0) is the reference's
+    default-constructed key (SipHash.h:80-90)."""
+    v0, v1, v2, v3 = _sip_final_state(data, k0, k1)
     return v0 ^ v1 ^ v2 ^ v3
+
+
+def siphash128_py(data: bytes, k0: int = 0, k1: int = 0) -> bytes:
+    """The reference's 128-bit SipHash emission (SipHash.h:158-172
+    get128): the SAME SipHash-2-4 state advance and finalization as the
+    64-bit digest, emitted as two little-endian words lo = v0^v1,
+    hi = v2^v3 (16 bytes total, lo first) — ClickHouse's streaming
+    variant, NOT the official spec's 128-bit mode (which changes the
+    v1 init xor and finalization constant). Consequently
+    lo XOR hi == the 64-bit digest for every input, an invariant the
+    tests pin against the published 64-bit vectors."""
+    v0, v1, v2, v3 = _sip_final_state(data, k0, k1)
+    return ((v0 ^ v1).to_bytes(8, "little")
+            + (v2 ^ v3).to_bytes(8, "little"))
 
 
 def sip_hash64_str(
@@ -129,4 +155,46 @@ def sip_hash64_str(
 
     _hash.__annotations__ = {"vals": pd.Series, "return": pd.Series}
     udf = pandas_udf(_hash, "long")
+    return udf(F.col(col) if isinstance(col, str) else col)
+
+
+def sip_hash128_str(
+    col: Column | str, k0: int = 0, k1: int = 0
+) -> Column:
+    """The reference's 128-bit SipHash (SipHash.h:13-15 "returns also
+    128 bits", :158-172 get128) over a string/binary column: lowercase
+    hex of the 16-byte digest, little-endian lo = v0^v1 first then
+    hi = v2^v3 — the exact get128 output-buffer byte order. Same
+    SipHash-2-4 state as sip_hash64_str (ClickHouse's variant, not the
+    official spec's 128-bit mode), so fold(lo XOR hi) == the 64-bit
+    digest for every input — the invariant the tests pin against the
+    paper's published 64-bit vectors."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from arrowhouse_spark.functions._hashkernels import (
+        hash_batch,
+        siphash128_np,
+    )
+
+    def _hash(vals):
+        bs = [
+            None
+            if v is None
+            else (
+                bytes(v)
+                if isinstance(v, (bytes, bytearray))
+                else str(v).encode("utf-8")
+            )
+            for v in vals
+        ]
+        hs = hash_batch(
+            bs,
+            lambda mat: siphash128_np(mat, k0, k1),
+            lambda b: siphash128_py(b, k0, k1).hex(),
+        )
+        return pd.Series(hs, dtype="object")
+
+    _hash.__annotations__ = {"vals": pd.Series, "return": pd.Series}
+    udf = pandas_udf(_hash, "string")
     return udf(F.col(col) if isinstance(col, str) else col)

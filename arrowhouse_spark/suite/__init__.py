@@ -391,6 +391,7 @@ from arrowhouse_spark.suite import stats_ext as _stats_ext  # noqa: E402,F401
 from arrowhouse_spark.suite import tpch_completion as _tpch_completion  # noqa: E402,F401
 from arrowhouse_spark.suite import late_waves as _late_waves  # noqa: E402,F401
 from arrowhouse_spark.suite import round12 as _round12  # noqa: E402,F401
+from arrowhouse_spark.suite import round13 as _round13  # noqa: E402,F401
 
 # compatibility re-exports (tests import these from the package)
 _WYHASH_LENS_HASHES = _text_hash._WYHASH_LENS_HASHES

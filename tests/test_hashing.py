@@ -320,6 +320,63 @@ def test_siphash24_official_vectors_and_kernels(spark):
     assert got[3] is None
 
 
+def test_siphash128_emission_fold_invariant_and_kernels(spark):
+    """The reference's 128-bit SipHash (SipHash.h:158-172 get128) emits
+    lo = v0^v1, hi = v2^v3 from the SAME state as the 64-bit digest —
+    so lo XOR hi must equal the 64-bit digest for EVERY input, which
+    pins the split emission against the paper's PUBLISHED 64-bit
+    vectors (any state error flips the 64-bit side, any emission error
+    flips the fold). Scalar and numpy kernels must agree bit-exactly;
+    the column API hex-encodes the 16-byte get128 buffer order."""
+    import random
+
+    import numpy as np
+
+    from arrowhouse_spark.functions._hashkernels import siphash128_np
+    from arrowhouse_spark.functions.siphash import (
+        sip_hash128_str,
+        siphash64_py,
+        siphash128_py,
+    )
+
+    k0, k1 = 0x0706050403020100, 0x0F0E0D0C0B0A0908
+    # the paper's worked example: the full digest's fold must equal the
+    # published 64-bit vector
+    msg15 = bytes(range(15))
+    d = siphash128_py(msg15, k0, k1)
+    lo = int.from_bytes(d[:8], "little")
+    hi = int.from_bytes(d[8:], "little")
+    assert lo ^ hi == 0xA129CA6149BE45E5
+
+    rng = random.Random(3)
+    for n in list(range(0, 25)) + [63, 64, 65, 300]:
+        rows = [bytes(rng.randrange(256) for _ in range(n)) for _ in range(4)]
+        mat = (
+            np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(4, n)
+            if n
+            else np.zeros((4, 0), dtype=np.uint8)
+        )
+        for key in [(0, 0), (k0, k1)]:
+            hexes = siphash128_np(mat, *key).tolist()
+            for r, h in zip(rows, hexes):
+                dig = siphash128_py(r, *key)
+                assert dig.hex() == h
+                l = int.from_bytes(dig[:8], "little")
+                u = int.from_bytes(dig[8:], "little")
+                assert l ^ u == siphash64_py(r, *key)
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None)], "i int, s string"
+    )
+    got = {
+        r.i: r.h
+        for r in df.select("i", sip_hash128_str("s").alias("h")).collect()
+    }
+    assert got[1] == siphash128_py(b"hello world").hex()
+    assert got[2] == siphash128_py(b"").hex()
+    assert got[3] is None
+
+
 def test_siphash_oversized_key_masks_identically_in_both_kernels():
     """Keys >= 2^64 must mask to 64 bits in BOTH kernels (round-12
     ADVICE): pre-fix the scalar path silently leaked high key bits
