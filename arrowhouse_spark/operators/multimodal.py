@@ -819,29 +819,89 @@ def make_wav_payload(
     sample_rate: int = 16000,
     seed: int = 0,
     n_channels: int = 1,
+    sampwidth: int = 2,
 ) -> bytes:
-    """REAL RIFF/WAVE bytes (PCM16, stdlib ``wave``) with deterministic
-    integer samples — the audio fixture builder for the real-codec path,
-    mirroring make_png_payload. Channel c of frame i is
-    s[i,c] = ((i*i*7 + i*13 + c*29 + seed*101) mod 65536) − 32768
-    (the mono formula plus a per-channel term, so stereo oracles replay
-    each channel closed-form); frames are interleaved per the WAVE
-    spec."""
+    """REAL RIFF/WAVE bytes (integer PCM, stdlib ``wave``) with
+    deterministic integer samples — the audio fixture builder for the
+    real-codec path, mirroring make_png_payload. Channel c of frame i is
+    s[i,c] = ((i*i*7 + i*13 + c*29 + seed*101) mod 2^(8*w)) − 2^(8*w−1)
+    (w = ``sampwidth`` bytes; w=2 is the historical PCM16 formula, so
+    existing oracles replay unchanged), interleaved per the WAVE spec.
+    Width storage follows the spec: 8-bit is UNSIGNED (stored s+128),
+    16/24/32-bit signed little-endian (24-bit = 3-byte packed)."""
     import io
     import wave
 
     import numpy as np
 
+    if sampwidth not in (1, 2, 3, 4):
+        raise ValueError(f"sampwidth must be 1, 2, 3 or 4; got {sampwidth}")
+    full = 1 << (8 * sampwidth)
     i = np.arange(n_samples, dtype=np.int64)[:, None]
     c = np.arange(n_channels, dtype=np.int64)[None, :]
-    s = ((i * i * 7 + i * 13 + c * 29 + seed * 101) % 65536) - 32768
+    s = ((i * i * 7 + i * 13 + c * 29 + seed * 101) % full) - full // 2
+    if sampwidth == 1:
+        frames = (s + 128).astype(np.uint8).tobytes()
+    elif sampwidth == 2:
+        frames = s.astype("<i2").tobytes()  # row-major = interleaved
+    elif sampwidth == 3:
+        b4 = s.astype("<i4").reshape(-1).view(np.uint8).reshape(-1, 4)
+        frames = np.ascontiguousarray(b4[:, :3]).tobytes()
+    else:
+        frames = s.astype("<i4").tobytes()
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(n_channels)
-        w.setsampwidth(2)
+        w.setsampwidth(sampwidth)
         w.setframerate(sample_rate)
-        w.writeframes(s.astype("<i2").tobytes())  # row-major = interleaved
+        w.writeframes(frames)
     return buf.getvalue()
+
+
+def _wav_read_mono(payload: bytes):
+    """Shared stdlib WAV reader for the audio ops: parse the RIFF
+    container with ``wave``, decode ANY integer PCM width —
+    8-bit (UNSIGNED per the WAVE spec, recentred by −128),
+    16-bit, 24-bit (3-byte little-endian, sign-extended via numpy
+    stride reconstruction) and 32-bit — then apply the documented
+    channel policy (per-frame floor-div mean, numpy ``//``). Returns
+    (sample_rate, n_frames, mono int64 samples). ``wave`` itself
+    rejects non-PCM encodings (float, ADPCM, mu-law) with its stable
+    "unknown format" error — the remaining compressed-audio seam."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sw = w.getsampwidth()
+        sr = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        raw = w.readframes(n)
+    if sw == 1:
+        s = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+    elif sw == 2:
+        s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    elif sw == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        u = (
+            b[:, 0].astype(np.int64)
+            | (b[:, 1].astype(np.int64) << 8)
+            | (b[:, 2].astype(np.int64) << 16)
+        )
+        s = (u ^ 0x800000) - 0x800000  # sign-extend 24 → 64 bits
+    elif sw == 4:
+        s = np.frombuffer(raw, dtype="<i4").astype(np.int64)
+    else:
+        raise NotImplementedError(
+            f"unsupported PCM sample width {sw}; integer PCM widths "
+            "1/2/3/4 decode built-in, others need an external codec"
+        )
+    if ch > 1:
+        # floor-div downmix of interleaved frames (channel policy)
+        s = s.reshape(n, ch).sum(axis=1) // ch
+    return sr, n, s
 
 
 AUDIO_SCHEMA = T.StructType(
@@ -858,45 +918,35 @@ AUDIO_SCHEMA = T.StructType(
 
 def decode_audio(df: DataFrame) -> DataFrame:
     """REAL audio decode — stdlib ``wave`` parses the RIFF container, so
-    PCM16 WAV needs no third-party codec at all (the audio counterpart
-    of the pure PNG decoder; ffmpeg/soundfile would swap in here for
-    compressed formats). Per payload: sample rate, FRAME count,
+    integer PCM WAV needs no third-party codec at all (the audio
+    counterpart of the pure PNG decoder; ffmpeg/soundfile would swap in
+    here for compressed formats). Per payload: sample rate, FRAME count,
     integer duration_ms (n*1000 DIV sr), EXACT integer energy Σs² and
     peak |s| — all engine-replayable, no floats anywhere.
 
+    WIDTH POLICY (round-12 verdict #5 — 24-bit masters and 8-bit
+    telephony are common in found audio): all integer PCM widths decode
+    built-in via :func:`_wav_read_mono` — 8-bit (unsigned per the WAVE
+    spec, recentred −128), 16-bit, 24-bit (numpy 3-byte-stride
+    reconstruction, sign-extended) and 32-bit. Non-PCM encodings keep
+    ``wave``'s stable unknown-format error.
+
     CHANNEL POLICY (round-11 verdict #4 — real lakes are full of stereo):
-    multi-channel PCM16 decodes by downmixing each interleaved frame to
+    multi-channel PCM decodes by downmixing each interleaved frame to
     mono as floor(Σ_c s[i,c] / n_channels) — FLOOR (toward −∞, numpy
     ``//``), replayed in SQL as CAST(floor(x / ch) AS BIGINT), so the
     features stay exact integers on every engine. Mono is the identity
-    case. Non-16-bit widths still raise the stable codec message. Same
-    mapInPandas shape as decode_images: payloads never leave their task."""
+    case. Same mapInPandas shape as decode_images: payloads never leave
+    their task."""
 
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import io
-        import wave
-
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
             out = {k.name: [] for k in AUDIO_SCHEMA.fields}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-                    if w.getsampwidth() != 2:
-                        raise NotImplementedError(
-                            "decode_audio handles PCM16 WAV; other "
-                            "sample widths need an external codec"
-                        )
-                    sr = w.getframerate()
-                    n = w.getnframes()
-                    ch = w.getnchannels()
-                    s = np.frombuffer(
-                        w.readframes(n), dtype="<i2"
-                    ).astype(np.int64)
-                if ch > 1:
-                    # floor-div downmix of interleaved frames (docstring)
-                    s = s.reshape(n, ch).sum(axis=1) // ch
+                sr, n, s = _wav_read_mono(bytes(payload))
                 out["media_id"].append(mid)
                 out["sample_rate"].append(sr)
                 out["n_samples"].append(n)
@@ -1311,30 +1361,19 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
     Multi-channel clips downmix under decode_audio's documented channel
     policy (per-frame floor-div mean) BEFORE fingerprinting, so a
     stereo master and its mono bounce land within banding distance; the
-    fingerprint itself stays all-integer."""
+    fingerprint itself stays all-integer. All integer PCM widths decode
+    (shared :func:`_wav_read_mono` seam — 8/16/24/32-bit), so a 24-bit
+    master fingerprints without an external codec; note a width
+    RESAMPLE of the same signal scales amplitudes and is a different
+    signal to the fingerprint, as it should be."""
 
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import io
-        import wave
-
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             out = {k.name: [] for k in AUDIO_FP_SCHEMA.fields}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-                    if w.getsampwidth() != 2:
-                        raise NotImplementedError(
-                            "audio_fingerprint handles PCM16 WAV; "
-                            "other sample widths need an external codec"
-                        )
-                    sr = w.getframerate()
-                    n = w.getnframes()
-                    ch = w.getnchannels()
-                    s = np.frombuffer(w.readframes(n), dtype="<i2")
-                if ch > 1:
-                    s = s.astype(np.int64).reshape(n, ch).sum(axis=1) // ch
+                sr, n, s = _wav_read_mono(bytes(payload))
                 out["media_id"].append(mid)
                 out["sample_rate"].append(sr)
                 out["n_samples"].append(n)

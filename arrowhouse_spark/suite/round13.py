@@ -92,3 +92,85 @@ def sip_hash128_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "family string, n int, s string",
     ).select("family", "n", sip_hash128_str("s").alias("h128"))
     return official.unionByName(seed0).orderBy("family", "n")
+
+
+# --------------------------------------------------------------------------
+# PCM width coverage — round-12 verdict #5: 24-bit masters and 8-bit
+# telephony are common in found audio; both now decode built-in through
+# the shared _wav_read_mono seam (numpy 3-byte-stride sign-extension for
+# 24-bit, unsigned-recentre for 8-bit per the WAVE spec).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "wav_pcm24_decode_real",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             600 + (doc_id % 4) * 100 AS n,
+             CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS sr,
+             doc_id % 71 AS seed,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS w
+      FROM documents
+    ), smp AS (
+      SELECT media_id, n, sr,
+             ((i * i * 7 + i * 13 + seed * 101) % (1 << (8 * w)))
+               - (1 << (8 * w - 1)) AS s
+      FROM m, range(900) t(i)
+      WHERE i < n
+    )
+    SELECT media_id, CAST(sr AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq,
+           CAST(max(abs(s)) AS INTEGER) AS peak
+    FROM smp GROUP BY media_id, n, sr
+    """,
+)
+def wav_pcm24_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-bit (and 8-bit) PCM WAV decode, driver-proven end to end
+    (round-12 verdict #5): every document id becomes a REAL mono
+    RIFF/WAVE payload — 24-bit (3-byte little-endian packed) unless
+    doc_id % 3 == 0, which takes the 8-bit leg (UNSIGNED storage per the
+    WAVE spec, recentred -128 on decode) — built by
+    operators/multimodal.py:make_wav_payload and decoded distributed by
+    decode_audio via the shared _wav_read_mono width seam. The sample
+    formula is the historical PCM16 one evaluated mod 2^(8w) centred at
+    -2^(8w-1), so the oracle replays BOTH widths closed-form; a wrong
+    sign-extension of the packed 3-byte lane, a signed-8 misread, or an
+    endianness flip each changes sum_sq/peak at the first payload.
+    Map-side only — payloads never shuffle (wav_decode_real
+    discipline)."""
+    from collections.abc import Iterator
+
+    from arrowhouse_spark.operators.multimodal import (
+        decode_audio,
+        make_wav_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        make_wav_payload(
+                            600 + (i % 4) * 100,
+                            8000 if i % 2 == 0 else 16000,
+                            seed=i % 71,
+                            sampwidth=1 if i % 3 == 0 else 3,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    return decode_audio(media)

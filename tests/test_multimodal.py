@@ -378,18 +378,66 @@ def test_decode_audio_real_wav_roundtrip(spark):
     assert r.sum_sq == int((mono * mono).sum())
     assert r.peak == int(np.abs(mono).max())
 
+    # non-PCM encodings (here: WAVE_FORMAT_IEEE_FLOAT) keep wave's stable
+    # unknown-format rejection — the remaining compressed-audio seam
     import io
+    import struct
     import wave
 
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(1)  # 8-bit: outside the PCM16 contract
-        w.setframerate(8000)
-        w.writeframes(b"\x00" * 8)
-    bad = spark.createDataFrame([(9, buf.getvalue())], "media_id long, payload binary")
-    with pytest.raises(Exception, match="PCM16"):
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # format tag 3
+    data = b"\x00" * 32
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    bad = spark.createDataFrame([(9, payload)], "media_id long, payload binary")
+    with pytest.raises(Exception, match="(?i)unknown format|PCM"):
         decode_audio(bad).collect()
+
+
+def test_decode_audio_all_pcm_widths(spark):
+    """Round-12 verdict #5: 8-bit (unsigned, recentred), 24-bit (3-byte
+    packed, sign-extended) and 32-bit PCM all decode built-in, mono and
+    multi-channel, with features equal to the closed-form sample model at
+    each width's scale. A wrong sign-extension or an unsigned-8 misread
+    flips sum_sq/peak immediately (the formula spans both signs)."""
+    import numpy as np
+
+    from arrowhouse_spark.operators.multimodal import (
+        _wav_read_mono,
+        decode_audio,
+        make_wav_payload,
+    )
+
+    rows, exp = [], {}
+    mid = 0
+    for width in (1, 3, 4):
+        for ch in (1, 2):
+            mid += 1
+            n, sr, seed = 400 + 10 * mid, 8000, mid
+            rows.append(
+                (mid, make_wav_payload(n, sr, seed=seed, n_channels=ch, sampwidth=width))
+            )
+            full = 1 << (8 * width)
+            i = np.arange(n, dtype=np.int64)[:, None]
+            c = np.arange(ch, dtype=np.int64)[None, :]
+            s = ((i * i * 7 + i * 13 + c * 29 + seed * 101) % full) - full // 2
+            mono = s.sum(axis=1) // ch
+            exp[mid] = (
+                sr,
+                n,
+                n * 1000 // sr,
+                int((mono * mono).sum()),
+                int(np.abs(mono).max()),
+            )
+            # the shared reader agrees with the model directly too
+            _, _, got_s = _wav_read_mono(rows[-1][1])
+            assert np.array_equal(got_s, mono)
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.sample_rate, r.n_samples, r.duration_ms, r.sum_sq, r.peak)
+        for r in decode_audio(df).collect()
+    }
+    assert got == exp
 
 
 @pytest.mark.skipif(_pil_available(), reason="codec present")
@@ -591,7 +639,7 @@ def test_audio_fingerprint_planted_shift_recall(spark):
     planted time-shifted clip: 20 anchors, each with a 5-sample-delayed
     variant, all pairs found at hamming <= 8 while the fingerprint space
     stays discriminative (anchor hashes differ). Also pins the < 65
-    sample refusal and the PCM16-only guard."""
+    sample refusal."""
     import io
     import wave
     from collections.abc import Iterator
