@@ -1087,6 +1087,26 @@ def make_avi_payload(
                 ) % 251
             rows.append(line)
         frames.append(np.concatenate(rows).tobytes())
+    return _build_avi_container(
+        width, height, us_per_frame, frames,
+        handler=b"DIB ", bitcount=24, compression=0, frame_tag=b"00db",
+    )
+
+
+def _build_avi_container(
+    width: int,
+    height: int,
+    us_per_frame: int,
+    frames: list,
+    handler: bytes,
+    bitcount: int,
+    compression: int,
+    frame_tag: bytes,
+) -> bytes:
+    """Assemble the RIFF/'AVI ' container around pre-encoded frame
+    bodies — shared by the uncompressed (BI_RGB '00db') and MJPEG
+    ('MJPG' '00dc') fixture builders; same header layout as before."""
+    n_frames = len(frames)
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) % 2 else b""
@@ -1095,7 +1115,7 @@ def make_avi_payload(
     def lst(kind: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", kind + body)
 
-    frame_bytes = len(frames[0]) if frames else 0
+    frame_bytes = max((len(fb) for fb in frames), default=0)
     avih = struct.pack(
         "<14I",
         us_per_frame,  # dwMicroSecPerFrame
@@ -1112,7 +1132,7 @@ def make_avi_payload(
     )
     strh = (
         b"vids"
-        + b"DIB "
+        + handler
         + struct.pack(
             "<10I4h",
             0,  # dwFlags
@@ -1134,8 +1154,8 @@ def make_avi_payload(
         width,
         height,  # positive ⇒ bottom-up, the standard DIB orientation
         1,  # biPlanes
-        24,  # biBitCount
-        0,  # biCompression = BI_RGB (uncompressed)
+        bitcount,  # biBitCount
+        compression,  # biCompression: 0 = BI_RGB, 'MJPG' fourcc = MJPEG
         frame_bytes,  # biSizeImage
         0, 0, 0, 0,
     )
@@ -1143,15 +1163,89 @@ def make_avi_payload(
         b"hdrl",
         chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frames))
+    movi = lst(b"movi", b"".join(chunk(frame_tag, fb) for fb in frames))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def make_mjpeg_avi_payload(
+    width: int,
+    height: int,
+    n_frames: int,
+    seed: int = 0,
+    us_per_frame: int = 40000,
+) -> bytes:
+    """REAL MJPEG AVI bytes: the :func:`make_avi_payload` container with
+    biCompression='MJPG' and each '00dc' chunk a standalone baseline
+    GRAYSCALE JPEG (operators/jpeg.py encoder, all-ones quant table).
+    Width/height must be multiples of 8 and pixels are CONSTANT per 8x8
+    block — block (bx, by) of frame f has gray value
+    (bx*37 + by*53 + f*11 + seed) % 256 — because flat blocks are the
+    regime where baseline JPEG round-trips BIT-EXACTLY (lone DC
+    coefficient, no rounding error), which is what lets SQL oracles
+    replay per-frame luma sums closed-form through a LOSSY codec.
+    by=0 is the TOP block row (JPEG is top-down, unlike the DIB
+    bottom-up fixture), so row0_sum stays flip-sensitive."""
+    import numpy as np
+
+    from arrowhouse_spark.operators.jpeg import encode_jpeg_gray
+
+    if width % 8 or height % 8:
+        raise ValueError("make_mjpeg_avi_payload needs multiple-of-8 dims")
+    bx = np.arange(width // 8, dtype=np.int64)[None, :]
+    by = np.arange(height // 8, dtype=np.int64)[:, None]
+    frames = []
+    for f in range(n_frames):
+        vals = (bx * 37 + by * 53 + f * 11 + seed) % 256
+        gray = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        frames.append(encode_jpeg_gray(gray))
+    return _build_avi_container(
+        width, height, us_per_frame, frames,
+        handler=b"MJPG", bitcount=24, compression=_MJPG_FOURCC,
+        frame_tag=b"00dc",
+    )
+
+
 VIDEO_CODEC_UNAVAILABLE_MSG = (
-    "video codec unavailable: only uncompressed 24-bit BI_RGB AVI decodes "
-    "built-in; compressed codecs need ffmpeg/pyav"
+    "video codec unavailable: only uncompressed 24-bit BI_RGB AVI and "
+    "MJPEG AVI (baseline grayscale frames built-in; color frames via "
+    "pillow when installed) decode built-in; other codecs need "
+    "ffmpeg/pyav"
 )
+
+_MJPG_FOURCC = 0x47504A4D  # 'MJPG' as a little-endian BITMAPINFOHEADER dword
+
+
+def _decode_mjpeg_frame_gray(fb: bytes):
+    """One MJPEG '00dc' chunk -> h x w uint8 gray grid. Baseline
+    GRAYSCALE frames decode via the built-in pure codec
+    (operators/jpeg.py — deterministic, no external library, the video
+    analogue of the pure PNG path); color/progressive frames route to
+    the optional-pillow seam (pillow-convention luma, documented like
+    the non-PNG image path) and raise the STABLE unavailable-codec
+    message when pillow is absent. Corrupt JPEG bytes fail loudly with
+    the codec's ValueError — never a silently dropped frame."""
+    from arrowhouse_spark.operators.jpeg import (
+        JPEGUnsupportedError,
+        decode_jpeg_gray,
+    )
+
+    try:
+        return decode_jpeg_gray(fb)
+    except JPEGUnsupportedError:
+        pass  # outside the built-in baseline-gray scope: try pillow
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(VIDEO_CODEC_UNAVAILABLE_MSG) from e
+    import numpy as np
+
+    with Image.open(BytesIO(fb)) as im:
+        gray = im.convert("L")
+        w, h = gray.size
+        return np.frombuffer(gray.tobytes(), dtype=np.uint8).reshape(h, w)
 
 
 def _decode_avi_gray_frames(payload: bytes):
@@ -1163,8 +1257,15 @@ def _decode_avi_gray_frames(payload: bytes):
     under LIST movi; undoes the DIB bottom-up row order and 4-byte row
     padding; BGR → the SAME integer ITU-R 601-2 luma the PNG decoder
     uses (the shared image-seam arithmetic, so a video frame and a PNG
-    of the same pixels hash identically). Compressed or non-24-bit
-    streams raise the stable unavailable-codec message.
+    of the same pixels hash identically). MJPEG streams (biCompression
+    'MJPG' — the most common surviving AVI payload in real lakes,
+    round-12 verdict #2) decode per-frame through
+    :func:`_decode_mjpeg_frame_gray` (built-in baseline-gray JPEG codec;
+    optional-pillow seam for color frames); JPEG frames are stored
+    top-down, so no DIB flip applies, and each decoded frame must match
+    the header dimensions (``AVI frame size mismatch`` otherwise). Other
+    compressed or non-24-bit streams raise the stable unavailable-codec
+    message.
 
     Corrupt containers fail LOUDLY with the module's stable decode
     errors, never silently: a declared chunk length past its enclosing
@@ -1179,11 +1280,12 @@ def _decode_avi_gray_frames(payload: bytes):
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     us_per_frame = width = height = None
+    codec = None  # 'rgb' (BI_RGB 24-bit) or 'mjpg'
     cur_stream = None  # fccType of the strl being walked (strh precedes strf)
     frames_raw: list[bytes] = []
 
     def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal us_per_frame, width, height, cur_stream
+        nonlocal us_per_frame, width, height, cur_stream, codec
         while pos + 8 <= end:
             tag = buf[pos : pos + 4]
             (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
@@ -1215,7 +1317,11 @@ def _decode_avi_gray_frames(payload: bytes):
                         "<IiiHHI", buf[body_start : body_start + 20]
                     )
                 )
-                if bitcount != 24 or compression != 0:
+                if compression == _MJPG_FOURCC:
+                    codec = "mjpg"
+                elif bitcount == 24 and compression == 0:
+                    codec = "rgb"
+                else:
                     raise NotImplementedError(VIDEO_CODEC_UNAVAILABLE_MSG)
             elif tag in (b"00db", b"00dc"):
                 frames_raw.append(buf[body_start : body_start + ln])
@@ -1226,6 +1332,18 @@ def _decode_avi_gray_frames(payload: bytes):
         raise ValueError("AVI missing avih/strf headers")
     flip = height > 0  # positive biHeight ⇒ bottom-up storage
     height = abs(height)
+    if codec == "mjpg":
+        grays = []
+        for fb in frames_raw:
+            g = _decode_mjpeg_frame_gray(fb)
+            if g.shape != (height, width):
+                raise ValueError(
+                    f"AVI frame size mismatch: MJPEG frame decoded to "
+                    f"{g.shape[1]}x{g.shape[0]}, header says "
+                    f"{width}x{height}"
+                )
+            grays.append(g)  # JPEG frames are top-down: no DIB flip
+        return us_per_frame, width, height, grays
     row_stride = (width * 3 + 3) & ~3
     expected = row_stride * height
     grays = []
