@@ -1156,6 +1156,7 @@ def ivf_store_upsert(
     store_path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    atomic: bool = False,
 ) -> DataFrame:
     """Upsert = delete-then-append, composed from the two primitives: the
     batch's ids are first tombstoned out of whatever cells they occupy
@@ -1172,28 +1173,136 @@ def ivf_store_upsert(
     delete-then-raise would have destructively dropped the batch ids'
     existing postings on a refused batch.
 
-    PARTIAL-FAILURE WINDOW: delete and append are two separate commit
-    points. A crash between them (executor loss, OOM, SIGKILL) leaves
-    the batch ids' old postings removed with no replacement — the store
-    is still VALID (no dangling or duplicate postings; probes simply
-    miss the batch ids), just behind. Recovery is to RE-RUN the upsert
-    with the same batch: the delete leg no-ops on the already-removed
-    ids and the append leg lands the vectors — the operator is
-    idempotent across retries, which is exactly how the streaming twin
-    (stream_ivf_upsert) self-heals via foreachBatch replay. The batch
-    API leaves retry to the caller rather than staging the append first:
-    an append-before-delete would transiently double-resident every
-    changed id (probes could return the STALE vector ranked by the new
-    one's score), trading a visible-behind window for a silently-wrong
-    one."""
+    PARTIAL-FAILURE WINDOW (``atomic=False``, the default): delete and
+    append are two separate commit points. A crash between them
+    (executor loss, OOM, SIGKILL) leaves the batch ids' old postings
+    removed with no replacement — the store is still VALID (no dangling
+    or duplicate postings; probes simply miss the batch ids), just
+    behind. Recovery is to RE-RUN the upsert with the same batch: the
+    delete leg no-ops on the already-removed ids and the append leg
+    lands the vectors — the operator is idempotent across retries, which
+    is exactly how the streaming twin (stream_ivf_upsert) self-heals via
+    foreachBatch replay. The batch API leaves retry to the caller rather
+    than staging the append first: an append-before-delete would
+    transiently double-resident every changed id (probes could return
+    the STALE vector ranked by the new one's score), trading a
+    visible-behind window for a silently-wrong one.
+
+    ``atomic=True`` (round-12 verdict #3) removes the window entirely by
+    reusing the refit's version-pointer machinery: BOTH legs are staged
+    into ``store_path/v{n+1}`` (unchanged centroids copied, merged
+    postings written) while v{n} keeps serving probes, then the META
+    pointer flips atomically — a crash ANYWHERE before the flip leaves
+    the live store byte-identical (the half-built v{n+1} is ignored and
+    swept by the next attempt), and after the flip the store is fully
+    current; there is no observable behind state. The honest price: the
+    merge writes EVERY live posting into the new layout (one map-side
+    pass + a cell-partitioned write, the refit's rebuild cost class), so
+    per-batch cost is O(store), not O(delta) — right for batch callers
+    without retry discipline or for large batches; frequent small-batch
+    ingest should keep the default delta-cost path (or the streaming
+    twin, whose replay already provides exactly-once healing)."""
     spark = new_df.sparkSession
     deduped = _dedupe_ivf_batch(new_df, id_col, vec_col, "ivf_store_upsert")
+    if atomic:
+        return _ivf_store_upsert_atomic(
+            spark, deduped, store_path, vec_col, id_col
+        )
     ivf_store_delete(
         spark, store_path, deduped.select(id_col), id_col=id_col
     )
     return ivf_store_append(
         deduped, store_path, vec_col=vec_col, id_col=id_col
     )
+
+
+def _ivf_store_upsert_atomic(
+    spark: SparkSession,
+    deduped: DataFrame,
+    store_path: str,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The ``atomic=True`` leg of :func:`ivf_store_upsert`: stage
+    (survivors ∪ re-assigned batch) under the next version directory,
+    then flip the META pointer — single commit point, no behind state.
+    Shares the refit's crash-recovery discipline verbatim: the no-META
+    double-fault repair on entry, the stale half-built v{n+1} sweep, the
+    PRE-flip dead-layout sweep (a leaked legacy root would win
+    _store_base's missing-META fallback and resurrect stale data), and
+    the POST-flip removal of the old layout. Single-writer contract."""
+    from arrowhouse_spark.operators.components import (
+        _fs_read_small,
+        _hadoop_fs,
+    )
+
+    base = _store_base(spark, store_path)  # resolve the pointer ONCE
+    old_v = 0 if base == store_path else int(base.rsplit("/v", 1)[1])
+    new_v = old_v + 1
+    if old_v >= 1 and _fs_read_small(spark, store_path + "/META") is None:
+        # same recovery as ivf_store_refit: pin the resolved version back
+        # into META before building v{n+1}, so no concurrent reader ever
+        # resolves the half-built directory via the highest-v-dir
+        # fallback while this build is in progress
+        _write_meta_pointer(spark, store_path, old_v)
+    c = _ivf_store_centroids(spark, store_path, base=base)
+    assigned = _assign_to_centroids(
+        deduped, c, vec_col, round_dp=6
+    ).localCheckpoint()
+    store = _read_postings(spark, store_path, base=base)
+    if store is not None:
+        batch_ids = gate_broadcast(assigned.select(id_col))
+        merged = store.join(batch_ids, id_col, "left_anti").unionByName(
+            assigned
+        )
+    else:  # fully-drained store: the batch IS the new postings
+        merged = assigned
+
+    new_base = f"{store_path}/v{new_v}"
+    fs, nb = _hadoop_fs(spark, new_base)
+    if fs.exists(nb):  # stale half-built dir from a crashed attempt
+        fs.delete(nb, True)
+    spark.read.parquet(base + "/centroids").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(new_base + "/centroids")
+    (
+        merged.repartition("centroid")
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(new_base + "/postings")
+    )
+
+    # PRE-flip dead-layout sweep (refit step 3a): anything that is
+    # neither the live old_v nor the just-built new_v is provably dead
+    if old_v >= 1:
+        for leg in ("/centroids", "/postings"):
+            lfs, lp = _hadoop_fs(spark, store_path + leg)
+            if lfs.exists(lp):
+                lfs.delete(lp, True)
+    sfs, sp = _hadoop_fs(spark, store_path)
+    for st in sfs.listStatus(sp):
+        nm = st.getPath().getName()
+        if (
+            nm.startswith("v")
+            and nm[1:].isdigit()
+            and int(nm[1:]) not in (old_v, new_v)
+        ):
+            sfs.delete(st.getPath(), True)
+
+    _write_meta_pointer(spark, store_path, new_v)  # the ONE commit point
+
+    # POST-flip: remove the now-dead old layout (failure here leaves
+    # only garbage for the next attempt's sweep, never a wrong store)
+    if old_v == 0:
+        for leg in ("/centroids", "/postings"):
+            lfs, lp = _hadoop_fs(spark, store_path + leg)
+            if lfs.exists(lp):
+                lfs.delete(lp, True)
+    else:
+        ofs, op = _hadoop_fs(spark, f"{store_path}/v{old_v}")
+        if ofs.exists(op):
+            ofs.delete(op, True)
+    return assigned
 
 
 def ivf_store_topk(

@@ -262,3 +262,75 @@ def video_mjpeg_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(_build, "media_id long, payload binary")
     return frame_sample_real(media, every_ms=80)
+
+
+# --------------------------------------------------------------------------
+# Atomic upsert — round-12 verdict #3: the delete/append crash window
+# eliminated by staging both legs under v{n+1} and flipping the META
+# pointer (single commit point).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ivf_store_upsert_atomic_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    u AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 13 = 2
+                  THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+                  ELSE CAST(embedding AS DOUBLE[]) END AS emb
+      FROM embeddings
+    )
+    SELECT u.vec_id,
+           round(list_dot_product(u.emb, q.qv)
+                 / (sqrt(list_dot_product(u.emb, u.emb))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim,
+           CAST(1 AS INTEGER) AS store_version
+    FROM u, q
+    ORDER BY cos_sim DESC, u.vec_id ASC
+    LIMIT 20
+    """,
+)
+def ivf_store_upsert_atomic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ATOMIC upsert path driver-proven end to end (round-12 verdict
+    #3): init + append build the store at version 0, then
+    ivf_store_upsert(atomic=True) moves a slice (vec_id%13==2 negated —
+    changed embeddings reassign cells) by staging survivors ∪ batch
+    under v1 and flipping the META pointer — the single commit point
+    (fault-injection pinned in tests/test_clustering.py). The probe runs
+    exact (nprobe=n_centroids) over the post-flip layout and the emitted
+    store_version column pins that the pointer actually advanced to 1 —
+    a leg that silently fell back to the two-commit path (version stays
+    0) or double-resided a moved id would flip the hash."""
+    import shutil
+    import tempfile
+
+    from arrowhouse_spark.operators.similarity import (
+        _store_version,
+        ivf_store_append,
+        ivf_store_init,
+        ivf_store_topk,
+        ivf_store_upsert,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    moved = emb.filter(F.col("vec_id") % 13 == 2).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    d = tempfile.mkdtemp(prefix="arrowhouse_ivf_atom_")
+    store = d + "/ivf"
+    try:
+        ivf_store_init(emb.filter(F.col("vec_id") % 3 == 0), store, n_centroids=8)
+        ivf_store_append(emb.filter(F.col("vec_id") % 3 != 0), store)
+        ivf_store_upsert(moved, store, atomic=True)
+        v = _store_version(spark, store)
+        return (
+            ivf_store_topk(spark, store, qvec, k=20, nprobe=8)
+            .withColumn("store_version", F.lit(int(v)).cast("int"))
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -731,3 +731,100 @@ def test_ivf_store_maintain_triggers_refit_on_drift(spark, tmp_path):
     )
     assert r3 == {"appended": 0, "mean_best_cos": None, "refit": None}
     assert _store_version(spark, store) == 1  # untouched
+
+
+def test_ivf_store_upsert_atomic_single_commit_point(spark, tmp_path, monkeypatch):
+    """Round-12 verdict #3: ``ivf_store_upsert(atomic=True)`` stages both
+    legs under v{n+1} and flips the META pointer — ONE commit point. A
+    crash injected at the flip leaves probes seeing the ORIGINAL store
+    exactly (never the behind state the two-commit default can expose);
+    a re-run sweeps the half-built staging dir and lands the batch; a
+    second atomic upsert walks the version chain v1 -> v2."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators import similarity as sim
+
+    n, dim = 120, 8
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                (F.pmod(F.xxhash64("id", j), F.lit(2001)) - F.lit(1000))
+                / F.lit(1000.0)
+            ).cast("double"),
+        ).alias("embedding"),
+    ).localCheckpoint()
+    store = str(tmp_path / "ivf")
+    sim.ivf_store_init(base, store, n_centroids=4)
+
+    def postings():
+        return {
+            r.vec_id: (r.centroid, tuple(r.embedding))
+            for r in sim._read_postings(spark, store).collect()
+        }
+
+    before = postings()
+    q = [1.0] + [0.0] * (dim - 1)
+
+    def probe():
+        return [
+            r.vec_id
+            for r in sim.ivf_store_topk(spark, store, q, k=10, nprobe=4).collect()
+        ]
+
+    probe_before = probe()
+
+    # batch: id 0 gets a CHANGED vector, id 5000 is new
+    batch = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * (dim - 1)), (5000, [-1.0] + [0.0] * (dim - 1))],
+        "vec_id long, embedding array<double>",
+    )
+
+    # ---- fault injection: the job dies AT the commit point
+    real_flip = sim._write_meta_pointer
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash at META flip")
+
+    monkeypatch.setattr(sim, "_write_meta_pointer", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sim.ivf_store_upsert(batch, store, atomic=True)
+    # the live store is byte-identical: same version, same postings,
+    # same probe — NO behind state (the two-commit default would be
+    # missing id 0 here)
+    assert sim._store_version(spark, store) == 0
+    assert postings() == before
+    assert probe() == probe_before
+    assert os.path.exists(store + "/v1")  # half-built staging, ignored
+
+    # ---- re-run heals: sweeps the stale v1, stages again, flips
+    monkeypatch.setattr(sim, "_write_meta_pointer", real_flip)
+    appended = sim.ivf_store_upsert(batch, store, atomic=True)
+    assert appended.count() == 2
+    assert sim._store_version(spark, store) == 1
+    after = postings()
+    assert len(after) == n + 1  # no double residency anywhere
+    assert after[0][1][0] == 1.0  # the changed vector won
+    assert 5000 in after
+    assert not os.path.exists(store + "/postings")  # old layout removed
+    assert not os.path.exists(store + "/centroids")
+    # every untouched posting carried over exactly
+    assert {k: v[1] for k, v in after.items() if k not in (0, 5000)} == {
+        k: v[1] for k, v in before.items() if k != 0
+    }
+    assert probe()[0] == 0  # the new vector of id 0 is the best match
+
+    # ---- versioned-store entry: v1 -> v2 through the same path
+    batch2 = spark.createDataFrame(
+        [(5000, [0.0, 1.0] + [0.0] * (dim - 2))],
+        "vec_id long, embedding array<double>",
+    )
+    sim.ivf_store_upsert(batch2, store, atomic=True)
+    assert sim._store_version(spark, store) == 2
+    assert not os.path.exists(store + "/v1")
+    final = postings()
+    assert len(final) == n + 1
+    assert final[5000][1][1] == 1.0
