@@ -63,6 +63,7 @@ def forget_ids(
     spark: SparkSession,
     stores: Sequence[dict],
     ids,
+    parallelism: int = 4,
 ) -> DataFrame:
     """Apply the matching per-store retraction for every manifest entry
     and return the summary relation (store, kind, rows_removed).
@@ -96,7 +97,20 @@ def forget_ids(
     reports the removed rows from its own already-located ``gone`` set —
     ONE bucket-pruned pass, no separate presence scan. See the module
     docstring for the non-atomicity window and the re-run recovery
-    contract."""
+    contract.
+
+    ``parallelism`` (round-12 verdict #7): per-store legs are submitted
+    from a driver thread pool (Spark schedules concurrent jobs from one
+    session fine), so independent stores' job waves overlap instead of
+    paying additive latency — the summary relation stays in MANIFEST
+    order regardless. Legs are only parallelized when every manifest
+    path is distinct (two entries naming the same store would break the
+    per-store single-writer contract — such manifests run sequentially);
+    ``parallelism=1`` forces the sequential order. A failed leg
+    surfaces after all submitted legs finish (first failure in manifest
+    order) — the same partial-sweep state as a sequential failure, with
+    the same re-run recovery. Kinds are validated BEFORE any store is
+    touched, so a malformed manifest never half-runs."""
     from arrowhouse_spark.operators.components import (
         components_store_retract_counted,
     )
@@ -104,19 +118,21 @@ def forget_ids(
     from arrowhouse_spark.operators.similarity import ivf_store_delete
     from arrowhouse_spark.streaming.replace import band_store_retract
 
+    entries = list(stores)
+    for entry in entries:  # fail fast, BEFORE any store is mutated
+        if entry["kind"] not in STORE_KINDS:
+            raise ValueError(
+                f"unknown store kind {entry['kind']!r} for "
+                f"{entry['path']!r}; expected one of {STORE_KINDS}"
+            )
+
     ids_ck = _checkpoint_ids(spark, ids)
 
     def _named(col: str) -> DataFrame:
         return ids_ck.select(F.col("__fid").alias(col))
 
-    out: list[tuple[str, str, int]] = []
-    for entry in stores:
+    def _leg(entry: dict) -> tuple[str, str, int]:
         path, kind = entry["path"], entry["kind"]
-        if kind not in STORE_KINDS:
-            raise ValueError(
-                f"unknown store kind {kind!r} for {path!r}; "
-                f"expected one of {STORE_KINDS}"
-            )
         if kind == "band":
             col = entry.get("id_col", "doc_id")
             removed = band_store_retract(
@@ -154,5 +170,25 @@ def forget_ids(
             _delta, removed = components_store_retract_counted(
                 spark, path, _named("id"), n_buckets=entry.get("n_buckets")
             )
-        out.append((path, kind, int(removed)))
+        return (path, kind, int(removed))
+
+    distinct_paths = len({e["path"] for e in entries}) == len(entries)
+    if parallelism > 1 and len(entries) > 1 and distinct_paths:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(parallelism, len(entries))
+        ) as pool:
+            futures = [pool.submit(_leg, e) for e in entries]
+            out, first_exc = [], None
+            for fut in futures:  # manifest order: summary AND first error
+                try:
+                    out.append(fut.result())
+                except Exception as exc:  # noqa: BLE001 — re-raised below
+                    if first_exc is None:
+                        first_exc = exc
+            if first_exc is not None:
+                raise first_exc
+    else:
+        out = [_leg(e) for e in entries]
     return spark.createDataFrame(out, SUMMARY_SCHEMA)

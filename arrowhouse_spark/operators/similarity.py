@@ -1427,6 +1427,64 @@ def compact_ivf_store(spark: SparkSession, store_path: str) -> dict:
     }
 
 
+def _fit_centroids_distributed(
+    store: DataFrame,
+    n_centroids: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+):
+    """The distributed FIT leg of :func:`ivf_store_refit` (round-12
+    verdict #4): run the declarative broadcast-centroid Lloyd
+    (operators/clustering.py:kmeans_lloyd) over ALL postings —
+    unit-normalized first, so its Euclidean argmin coincides with the
+    store's cosine assignment — then reduce each final cluster to its
+    mean vector distributedly and collect ONLY the k × dim centroid
+    matrix (model-sized; nothing corpus-sized reaches the driver).
+    Cluster means are rounded to 9 dp (the kmeans_lloyd centroid-update
+    convention) before the numpy renormalization, keeping the collected
+    matrix engine-deterministic. Returns unit row-normalized float64
+    centroids; clusters that lost every member are absent (k-means--),
+    so the matrix may have fewer than ``n_centroids`` rows."""
+    import numpy as np
+
+    from arrowhouse_spark.operators.clustering import kmeans_lloyd
+
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda y: y * y),
+            F.lit(0.0),
+            lambda a, y: a + y,
+        )
+    )
+    pts = store.select(
+        F.col(id_col).alias(id_col),
+        F.transform(
+            F.col(vec_col), lambda x: x / F.greatest(nrm, F.lit(1e-12))
+        ).alias(vec_col),
+    ).localCheckpoint(eager=False)
+    assign = kmeans_lloyd(
+        pts, id_col, vec_col, k=n_centroids, iters=iters
+    ).select(id_col, "cluster_id")
+    cent_rows = (
+        pts.join(assign, id_col)
+        .select("cluster_id", F.posexplode(vec_col).alias("__dim", "__v"))
+        .groupBy("cluster_id", "__dim")
+        .agg(F.round(F.avg("__v"), 9).alias("__c"))
+        .collect()
+    )
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in cent_rows:  # index access: Row.__getattr__ rejects dunders
+        by_cluster.setdefault(r["cluster_id"], {})[r["__dim"]] = r["__c"]
+    mat = []
+    for cid in sorted(by_cluster):
+        dims = by_cluster[cid]
+        mat.append([dims[d] for d in range(len(dims))])
+    c = np.array(mat, dtype=np.float64)
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return c
+
+
 def ivf_store_refit(
     spark: SparkSession,
     store_path: str,
@@ -1448,6 +1506,21 @@ def ivf_store_refit(
          are the sample's first ``n_centroids`` rows, empty clusters
          keep their previous centroid). Defaults to the current cell
          count; pass ``n_centroids`` to grow/shrink the index.
+
+         SWITCH RULE (round-12 verdict #4): when ``n_centroids * 64 >
+         sample_cap`` — fewer than 64 sample vectors per centroid — the
+         driver-side sample under-determines the quantizer, so the FIT
+         leg runs DISTRIBUTED instead: the existing declarative Lloyd
+         (operators/clustering.py:kmeans_lloyd, broadcast-centroid,
+         nothing collected) fits over ALL postings (unit-normalized, so
+         the Euclidean argmin it minimizes matches the cosine
+         assignment the store probes with), and only the resulting
+         k × dim centroid matrix is collected (model-sized). Clusters
+         that lose every member drop out (kmeans_lloyd's documented
+         k-means-- behavior), so the rebuilt store may carry fewer
+         cells than requested — the returned ``n_centroids`` reports
+         the actual count. Below the threshold the cheaper sampled
+         driver path is used unchanged.
       2. REBUILD: re-assign EVERY posting against the new centroids in
          one map-side pass (broadcast k×dim matrix, no shuffle except
          the cell-partitioned write) into the NEXT version directory
@@ -1500,29 +1573,36 @@ def ivf_store_refit(
             spark.read.parquet(base + "/centroids").count()
         )
 
-    # ---- 1. fit on a deterministic sample (driver-side numpy Lloyd)
-    sample_rows = (
-        store.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
-        .limit(sample_cap)
-        .collect()
-    )
-    m = np.array([r[1] for r in sample_rows], dtype=np.float64)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-    if len(m) < n_centroids:
-        raise ValueError(
-            f"sample of {len(m)} vectors cannot seed {n_centroids} "
-            "centroids; lower n_centroids or raise sample_cap"
+    # ---- 1. fit: distributed Lloyd when the sample would be too thin
+    # (< 64 vectors per centroid), else driver-side numpy on a sample
+    if n_centroids * 64 > sample_cap:
+        c = _fit_centroids_distributed(
+            store, n_centroids, iters, vec_col, id_col
         )
-    c = m[:n_centroids].copy()
-    for _ in range(iters):
-        # spherical Lloyd: cosine assignment (rows are unit), mean, renorm
-        assign = np.argmax(np.round(m @ c.T, 6), axis=1)
-        for j in range(n_centroids):
-            mask = assign == j
-            if mask.any():  # empty cluster keeps its previous centroid
-                c[j] = m[mask].mean(axis=0)
-        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    else:
+        sample_rows = (
+            store.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+            .limit(sample_cap)
+            .collect()
+        )
+        m = np.array([r[1] for r in sample_rows], dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        if len(m) < n_centroids:
+            raise ValueError(
+                f"sample of {len(m)} vectors cannot seed {n_centroids} "
+                "centroids; lower n_centroids or raise sample_cap"
+            )
+        c = m[:n_centroids].copy()
+        for _ in range(iters):
+            # spherical Lloyd: cosine assignment (unit rows), mean, renorm
+            assign = np.argmax(np.round(m @ c.T, 6), axis=1)
+            for j in range(n_centroids):
+                mask = assign == j
+                if mask.any():  # empty cluster keeps its previous centroid
+                    c[j] = m[mask].mean(axis=0)
+            c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    n_centroids = len(c)  # k-means-- may shrink the distributed fit
 
     # ---- 2. rebuild the full postings under the next version dir
     new_base = f"{store_path}/v{new_v}"

@@ -828,3 +828,58 @@ def test_ivf_store_upsert_atomic_single_commit_point(spark, tmp_path, monkeypatc
     final = postings()
     assert len(final) == n + 1
     assert final[5000][1][1] == 1.0
+
+
+def test_ivf_store_refit_distributed_fit_above_threshold(spark, tmp_path):
+    """Round-12 verdict #4: when n_centroids * 64 > sample_cap the refit
+    FIT leg runs the distributed declarative Lloyd over ALL postings
+    instead of the driver-side sampled numpy loop. Both paths produce
+    valid stores over the same drifted fixture; the distributed path
+    restores nprobe=1 recall (the quantizer separates the drifted
+    cluster) and preserves every posting."""
+    from pyspark.sql import functions as F
+
+    from arrowhouse_spark.operators import similarity as sim
+
+    dim = 8
+
+    def vec(i: int, salt: int, sign: float):
+        v = [((i * salt + d * 13) % 21 - 10) / 100.0 for d in range(dim)]
+        v[0] += sign
+        return [float(x) for x in v]
+
+    SCHEMA = "vec_id long, embedding array<double>"
+    a = [(i, vec(i, 7, 1.0)) for i in range(40)]
+    b = [(100 + i, vec(i, 11, -1.0)) for i in range(40)]
+
+    def build(path):
+        sim.ivf_store_init(spark.createDataFrame(a, SCHEMA), path, n_centroids=2)
+        sim.ivf_store_append(spark.createDataFrame(b, SCHEMA), path)
+
+    def ids(path, q, nprobe):
+        return {
+            r.vec_id
+            for r in sim.ivf_store_topk(spark, path, q, k=10, nprobe=nprobe).collect()
+        }
+
+    q = vec(3, 11, -1.0)
+
+    # distributed path: 2 * 64 = 128 > sample_cap=100
+    st_d = str(tmp_path / "ivf_dist")
+    build(st_d)
+    res_d = sim.ivf_store_refit(spark, st_d, n_centroids=2, sample_cap=100)
+    assert res_d["rows"] == 80
+    assert sim._store_version(spark, st_d) == 1
+    assert 1 <= res_d["n_centroids"] <= 2
+    # every posting survived the rebuild
+    assert sim._read_postings(spark, st_d).count() == 80
+    # recall restored: the exact probe set is reachable at nprobe=1
+    exact = ids(st_d, q, res_d["n_centroids"])
+    assert ids(st_d, q, 1) == exact
+
+    # driver path on the same fixture: valid store, same exact probe set
+    st_s = str(tmp_path / "ivf_samp")
+    build(st_s)
+    res_s = sim.ivf_store_refit(spark, st_s, n_centroids=2, sample_cap=4096)
+    assert res_s["rows"] == 80
+    assert ids(st_s, q, 2) == exact

@@ -1982,3 +1982,81 @@ def test_forget_ids_rerun_survives_components_full_drain(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_forget_ids_parallel_matches_sequential(spark, tmp_path):
+    """Round-12 verdict #7: per-store legs run from a driver thread pool
+    by default; the summary relation is IDENTICAL to the sequential
+    order (manifest order, same counts), duplicate-path manifests fall
+    back to sequential (single-writer per store), and a failing leg
+    surfaces while the healthy legs still commit (the documented
+    partial-sweep state, healed by re-run)."""
+    from arrowhouse_spark.operators.dedup import dedup_incremental
+    from arrowhouse_spark.operators.forget import forget_ids
+    from arrowhouse_spark.operators.similarity import ivf_store_init
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(10)], "doc_id long, text string"
+    )
+
+    def build(tag):
+        fp = str(tmp_path / f"fp_{tag}")
+        dedup_incremental(docs, spark.createDataFrame([], "fp string")) \
+            .write.parquet(fp)
+        band = str(tmp_path / f"band_{tag}")
+        spark.createDataFrame(
+            [(d, d * 31 + b, b, (d + b) % 5, d % 2)
+             for d in range(10) for b in range(4)],
+            "doc_id long, minhash long, band int, bucket long, batch_id int",
+        ).write.partitionBy("batch_id").parquet(band)
+        ivf = str(tmp_path / f"ivf_{tag}")
+        emb = spark.range(10).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(5)),
+                lambda j: (
+                    (F.pmod(F.xxhash64("id", j), F.lit(1001)) - F.lit(500))
+                    / F.lit(500.0)
+                ).cast("double"),
+            ).alias("embedding"),
+        )
+        ivf_store_init(emb, ivf, n_centroids=3)
+        return [
+            {"path": band, "kind": "band"},
+            {"path": fp, "kind": "fingerprint"},
+            {"path": ivf, "kind": "ivf"},
+        ]
+
+    victims = [2, 7]
+    seq = forget_ids(spark, build("s"), victims, parallelism=1).collect()
+    par = forget_ids(spark, build("p"), victims).collect()
+    # identical summaries, manifest order, modulo the per-build paths
+    assert [(r.kind, r.rows_removed) for r in seq] == [
+        (r.kind, r.rows_removed) for r in par
+    ]
+    assert [r.kind for r in par] == ["band", "fingerprint", "ivf"]
+
+    # duplicate paths: still correct (sequential fallback) — the same
+    # store listed twice forgets once then no-ops
+    m = build("d")
+    dup = forget_ids(spark, [m[1], m[1]], victims).collect()
+    assert [r.rows_removed for r in dup] == [2, 0]
+
+    # a failing leg (missing required n_buckets meta on a never-written
+    # components store raises inside the leg) surfaces AND the healthy
+    # legs still committed
+    m2 = build("f")
+    bad = {"path": str(tmp_path / "cc_nometa"), "kind": "components"}
+    import os
+
+    os.makedirs(bad["path"])  # exists but no meta/bucket layout
+    with open(bad["path"] + "/junk", "w") as fh:
+        fh.write("x")
+    with pytest.raises(Exception):
+        forget_ids(spark, [m2[0], bad, m2[2]], victims)
+    assert (
+        spark.read.parquet(m2[0]["path"])
+        .filter(F.col("doc_id").isin(victims))
+        .count()
+        == 0
+    )
