@@ -516,12 +516,26 @@ def _decode_image_gray_real(payload: bytes) -> "np.ndarray":  # noqa: F821
     the built-in pure decoder — pillow's convert('L') uses a different
     (rounded fixed-point) luma, so routing PNG through it would make
     results depend on which libraries happen to be installed, breaking
-    the determinism contract AND the SQL oracles. Non-PNG formats
-    (JPEG/WebP/…) decode via pillow when installed (their output is
-    codec-defined, documented as pillow-convention) and raise the STABLE
-    unavailable-codec message otherwise; libvips/ffmpeg swap in here."""
+    the determinism contract AND the SQL oracles. Baseline GRAYSCALE
+    JPEG likewise decodes built-in (operators/jpeg.py — deterministic on
+    every cluster, same codec the MJPEG video path uses), with corrupt
+    JPEG bytes failing loudly via the codec's ValueError. Everything
+    else (color/progressive JPEG, WebP, …) decodes via pillow when
+    installed (output is codec-defined, documented as
+    pillow-convention) and raises the STABLE unavailable-codec message
+    otherwise; libvips/ffmpeg swap in here."""
     if payload[:8] == _PNG_MAGIC:
         return _decode_png_gray(payload)
+    if payload[:2] == b"\xff\xd8":
+        from arrowhouse_spark.operators.jpeg import (
+            JPEGUnsupportedError,
+            decode_jpeg_gray,
+        )
+
+        try:
+            return decode_jpeg_gray(payload)
+        except JPEGUnsupportedError:
+            pass  # outside baseline-gray scope: fall through to pillow
     try:
         from io import BytesIO
 

@@ -334,3 +334,75 @@ def ivf_store_upsert_atomic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "jpeg_image_decode_real",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             2 + doc_id % 4 AS wb, 1 + doc_id % 3 AS hb,
+             doc_id % 89 AS seed
+      FROM documents
+    ), blk AS (
+      SELECT media_id, wb, hb,
+             (bx * 37 + by * 53 + seed) % 256 AS v
+      FROM m, range(5) tx(bx), range(3) ty(by)
+      WHERE bx < wb AND by < hb
+    )
+    SELECT media_id,
+           CAST(wb * 8 AS INTEGER) AS width,
+           CAST(hb * 8 AS INTEGER) AS height,
+           CAST(sum(v) * 64 AS BIGINT) AS gray_total
+    FROM blk GROUP BY media_id, wb, hb
+    """,
+)
+def jpeg_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone baseline-gray JPEG images through the image seam with
+    NO external library (the codec operators/jpeg.py built for MJPEG,
+    round-12 verdict #2, now serving still images too): every document
+    id becomes a flat-8x8-block grayscale JPEG — the bit-exact regime —
+    decoded distributed by decode_images(use_real_codec=True) via
+    _decode_image_gray_real's JPEG routing. The oracle replays
+    width/height/gray_total from the block formula; a codec that
+    mis-dequantized, mis-ordered the zigzag, or dropped the EOB handling
+    flips gray_total at the first payload. Map-side only — payloads
+    never shuffle (png_decode_real discipline)."""
+    from collections.abc import Iterator
+
+    from arrowhouse_spark.operators.multimodal import decode_images
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from arrowhouse_spark.operators.jpeg import encode_jpeg_gray
+
+        def payload(i: int) -> bytes:
+            wb, hb, seed = 2 + i % 4, 1 + i % 3, i % 89
+            bx = np.arange(wb, dtype=np.int64)[None, :]
+            by = np.arange(hb, dtype=np.int64)[:, None]
+            vals = (bx * 37 + by * 53 + seed) % 256
+            img = np.kron(vals, np.ones((8, 8), dtype=np.int64))
+            return encode_jpeg_gray(img.astype(np.uint8))
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [payload(i) for i in ids]}
+            )
+
+    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    dec = decode_images(media, use_real_codec=True)
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("mean_pixel") * F.col("width") * F.col("height"))
+        .cast("long")
+        .alias("gray_total"),
+    )

@@ -93,20 +93,23 @@ def test_decode_schema_pinned():
 
 @pytest.mark.skipif(_pil_available(), reason="codec present: stub surface n/a")
 def test_real_codec_error_surface_pinned():
-    """Without pillow, NON-PNG formats must raise NotImplementedError with
-    the EXACT pinned message (PNG now decodes via the built-in pure
-    decoder); a PNG-magic payload with no chunks is a malformed PNG, not
-    a missing codec."""
+    """Without pillow, formats outside the built-in decoders (PNG and
+    baseline-gray JPEG) must raise NotImplementedError with the EXACT
+    pinned message; a PNG-magic payload with no chunks is a malformed
+    PNG and a truncated JPEG a malformed JPEG — loud codec errors, not
+    a missing-codec message."""
     from arrowhouse_spark.operators.multimodal import (
         IMAGE_CODEC_UNAVAILABLE_MSG,
         _decode_image_real,
     )
 
     with pytest.raises(NotImplementedError) as ei:
-        _decode_image_real(b"\xff\xd8\xff\xe0\x00\x10JFIF")  # JPEG magic
+        _decode_image_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # WebP magic
     assert str(ei.value) == IMAGE_CODEC_UNAVAILABLE_MSG
     with pytest.raises(ValueError, match="missing IHDR"):
         _decode_image_real(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_image_real(b"\xff\xd8\xff\xe0\x00\x10JFIF")  # JPEG magic
 
 
 def test_real_codec_decodes_png_pure_stdlib(spark):
@@ -442,17 +445,66 @@ def test_decode_audio_all_pcm_widths(spark):
 
 @pytest.mark.skipif(_pil_available(), reason="codec present")
 def test_image_dhash_non_png_hits_codec_seam():
-    """image_dhash routes through the real-codec seam: non-PNG payloads
-    without pillow raise the stable unavailable-codec message (not a
-    bare 'not a PNG' error), and PNG always uses the built-in decoder."""
+    """image_dhash routes through the real-codec seam: payloads outside
+    the built-in decoders (here: a COLOR JPEG; baseline-gray JPEG now
+    decodes built-in) without pillow raise the stable unavailable-codec
+    message, a WebP-ish unknown format likewise, and corrupt JPEG bytes
+    fail loudly through the codec's own error instead."""
+    import numpy as np
+
+    from arrowhouse_spark.operators.jpeg import encode_jpeg_gray
     from arrowhouse_spark.operators.multimodal import (
         IMAGE_CODEC_UNAVAILABLE_MSG,
         _decode_image_gray_real,
     )
 
+    p = encode_jpeg_gray(np.full((8, 8), 7, dtype=np.uint8))
+    i = p.find(b"\xff\xc0")
+    color = p[: i + 9] + b"\x03" + p[i + 10 :]
     with pytest.raises(NotImplementedError) as ei:
-        _decode_image_gray_real(b"\xff\xd8\xff\xe0\x00\x10JFIF")
+        _decode_image_gray_real(color)
     assert str(ei.value) == IMAGE_CODEC_UNAVAILABLE_MSG
+    with pytest.raises(NotImplementedError) as ei:
+        _decode_image_gray_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    assert str(ei.value) == IMAGE_CODEC_UNAVAILABLE_MSG
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_image_gray_real(b"\xff\xd8\xff\xe0\x00\x10JFIF")
+
+
+def test_image_seam_decodes_gray_jpeg_builtin(spark):
+    """Baseline-gray JPEG images decode through the image seam with NO
+    external library: decode_images(use_real_codec=True) features match
+    the flat-block formula exactly (the bit-exact regime), and the gray
+    grid composes with dhash64 like any PNG."""
+    import numpy as np
+
+    from arrowhouse_spark.operators.jpeg import encode_jpeg_gray
+    from arrowhouse_spark.operators.multimodal import (
+        _decode_image_gray_real,
+        decode_images,
+        dhash64,
+    )
+
+    rows, exp = [], {}
+    for mid in (1, 2, 3):
+        bw, bh = 2 + mid % 3, 1 + mid % 2
+        vals = (np.arange(bw)[None, :] * 37 + np.arange(bh)[:, None] * 53 + mid) % 256
+        img = np.kron(vals, np.ones((8, 8), dtype=int)).astype(np.uint8)
+        rows.append((mid, encode_jpeg_gray(img)))
+        exp[mid] = (bw * 8, bh * 8, int(vals.sum()) * 64)
+        # grid-level: seam output is the exact pixel grid
+        assert np.array_equal(_decode_image_gray_real(rows[-1][1]), img)
+        assert isinstance(dhash64(img), int)
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (
+            r.width,
+            r.height,
+            round(r.mean_pixel * r.width * r.height),
+        )
+        for r in decode_images(df, use_real_codec=True).collect()
+    }
+    assert got == exp
 
 
 def test_dhash_incremental_store_and_batch_rules(spark):
