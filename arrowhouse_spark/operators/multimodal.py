@@ -1188,31 +1188,46 @@ def make_mjpeg_avi_payload(
     n_frames: int,
     seed: int = 0,
     us_per_frame: int = 40000,
+    color: bool = False,
 ) -> bytes:
     """REAL MJPEG AVI bytes: the :func:`make_avi_payload` container with
     biCompression='MJPG' and each '00dc' chunk a standalone baseline
-    GRAYSCALE JPEG (operators/jpeg.py encoder, all-ones quant table).
-    Width/height must be multiples of 8 and pixels are CONSTANT per 8x8
+    JPEG (operators/jpeg.py encoder, all-ones quant tables) —
+    GRAYSCALE by default, or ``color=True`` for 3-component YCbCr 4:2:0
+    frames carrying the same gray content in all three RGB channels
+    (the common camera-MJPEG shape). Width/height must be multiples of
+    8 (16 for color — the 4:2:0 MCU) and pixels are CONSTANT per 8x8
     block — block (bx, by) of frame f has gray value
     (bx*37 + by*53 + f*11 + seed) % 256 — because flat blocks are the
     regime where baseline JPEG round-trips BIT-EXACTLY (lone DC
-    coefficient, no rounding error), which is what lets SQL oracles
-    replay per-frame luma sums closed-form through a LOSSY codec.
-    by=0 is the TOP block row (JPEG is top-down, unlike the DIB
-    bottom-up fixture), so row0_sum stays flip-sensitive."""
+    coefficient; for color, Y equals the channel value and chroma is
+    constant 128), which is what lets SQL oracles replay per-frame luma
+    sums closed-form through a LOSSY codec at ANY subsampling. by=0 is
+    the TOP block row (JPEG is top-down, unlike the DIB bottom-up
+    fixture), so row0_sum stays flip-sensitive."""
     import numpy as np
 
-    from arrowhouse_spark.operators.jpeg import encode_jpeg_gray
+    from arrowhouse_spark.operators.jpeg import (
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
 
-    if width % 8 or height % 8:
-        raise ValueError("make_mjpeg_avi_payload needs multiple-of-8 dims")
+    mod = 16 if color else 8
+    if width % mod or height % mod:
+        raise ValueError(
+            f"make_mjpeg_avi_payload needs multiple-of-{mod} dims"
+        )
     bx = np.arange(width // 8, dtype=np.int64)[None, :]
     by = np.arange(height // 8, dtype=np.int64)[:, None]
     frames = []
     for f in range(n_frames):
         vals = (bx * 37 + by * 53 + f * 11 + seed) % 256
         gray = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
-        frames.append(encode_jpeg_gray(gray))
+        if color:
+            rgb = np.stack([gray, gray, gray], axis=-1)
+            frames.append(encode_jpeg_color(rgb, sampling=(2, 2)))
+        else:
+            frames.append(encode_jpeg_gray(gray))
     return _build_avi_container(
         width, height, us_per_frame, frames,
         handler=b"MJPG", bitcount=24, compression=_MJPG_FOURCC,

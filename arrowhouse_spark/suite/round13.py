@@ -406,3 +406,82 @@ def jpeg_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gray_total"),
     )
+
+
+@register(
+    "video_mjpeg_color_sample_real",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             2 * (1 + doc_id % 2) AS wb, 2 AS hb,
+             3 + doc_id % 3 AS nf, doc_id % 97 AS seed
+      FROM documents WHERE doc_id < 400
+    ), fr AS (
+      SELECT media_id, wb, hb, seed, f
+      FROM m, range(5) tf(f) WHERE f < nf AND f % 2 = 0
+    ), blk AS (
+      SELECT media_id, wb, hb, f,
+             (bx * 37 + by * 53 + f * 11 + seed) % 256 AS v, by
+      FROM fr, range(4) tx(bx), range(2) ty(by)
+      WHERE bx < wb AND by < hb
+    )
+    SELECT media_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(f * 40 AS BIGINT) AS ts_ms,
+           CAST(wb * 8 AS INTEGER) AS width,
+           CAST(hb * 8 AS INTEGER) AS height,
+           CAST(sum(v) * 64 AS BIGINT) AS gray_total,
+           CAST(sum(CASE WHEN by = 0 THEN v ELSE 0 END) * 8 AS BIGINT)
+             AS row0_sum
+    FROM blk GROUP BY media_id, f, wb, hb
+    """,
+)
+def video_mjpeg_color_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR MJPEG (YCbCr 4:2:0 — the common camera shape) decoded
+    BUILT-IN, driver-proven end to end: every document id becomes an
+    MJPEG AVI whose '00dc' chunks are 3-component interleaved baseline
+    JPEGs (operators/jpeg.py:encode_jpeg_color); the decoder
+    entropy-decodes the interleaved chroma blocks to keep bitstream
+    position and returns the Y plane — exactly the engine's 601-luma
+    gray contract. Gray-content frames (R=G=B, flat 8x8 luma blocks)
+    make the lossy pipeline bit-exact (Y = channel value, chroma =
+    constant 128), so the SAME closed-form oracle as the grayscale
+    video_mjpeg_sample_real replays frame selection, gray totals and
+    the flip-sensitive top-row sum — now additionally certifying MCU
+    interleave order, chroma-block skipping, and the 4:2:0 sampling
+    geometry (a decoder that mis-ordered Y blocks inside the 2x2 MCU
+    flips row0_sum). Map-only: payloads never cross a shuffle."""
+    from collections.abc import Iterator
+
+    from arrowhouse_spark.operators.multimodal import (
+        frame_sample_real,
+        make_mjpeg_avi_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        make_mjpeg_avi_payload(
+                            16 * (1 + i % 2),
+                            16,
+                            3 + i % 3,
+                            seed=i % 97,
+                            color=True,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    return frame_sample_real(media, every_ms=80)

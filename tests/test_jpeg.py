@@ -92,17 +92,36 @@ def test_unsupported_and_corrupt_payloads_stable_errors():
     img = np.full((8, 8), 130, dtype=np.uint8)
     p = encode_jpeg_gray(img)
     i = p.find(b"\xff\xc0")
-    # color (3-component) SOF -> unsupported, routed to the codec seam
-    color = p[: i + 9] + b"\x03" + p[i + 10 :]
-    with pytest.raises(JPEGUnsupportedError, match="color"):
+    # 4-component (CMYK-ish) SOF -> unsupported, routed to the codec seam
+    cmyk = p[: i + 9] + b"\x04" + p[i + 10 :]
+    with pytest.raises(JPEGUnsupportedError, match="CMYK"):
+        decode_jpeg_gray(cmyk)
+    # merely PATCHING the count leaves the segment short of its three
+    # component specs -> malformed, loud
+    short = p[: i + 9] + b"\x03" + p[i + 10 :]
+    with pytest.raises(ValueError, match="truncated JPEG SOF"):
+        decode_jpeg_gray(short)
+    # a VALID 3-component SOF whose scan stays single-component: the
+    # non-interleaved multi-scan shape the built-in decoder refuses
+    import struct
+
+    sof3 = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 17, 8, 8, 8, 3)
+        + bytes((1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0))
+    )
+    j = p.find(b"\xff\xc0")
+    seglen = struct.unpack(">H", p[j + 2 : j + 4])[0]
+    color = p[:j] + sof3 + p[j + 2 + seglen :]
+    with pytest.raises(JPEGUnsupportedError, match="multi-scan"):
         decode_jpeg_gray(color)
     # progressive SOF2 -> unsupported
     prog = p[:i] + b"\xff\xc2" + p[i + 2 :]
     with pytest.raises(JPEGUnsupportedError, match="progressive"):
         decode_jpeg_gray(prog)
-    # subsampled component -> unsupported
-    sub = p[: i + 11] + b"\x22" + p[i + 12 :]
-    with pytest.raises(JPEGUnsupportedError, match="subsampled"):
+    # sampling factor 0 -> malformed, loud
+    sub = p[: i + 11] + b"\x08" + p[i + 12 :]
+    with pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg_gray(sub)
     # not a JPEG at all / truncated scan -> loud ValueError
     with pytest.raises(ValueError, match="not a JPEG"):
@@ -247,10 +266,11 @@ def _pil_available() -> bool:
 
 
 @pytest.mark.skipif(_pil_available(), reason="codec present")
-def test_mjpeg_color_frame_hits_codec_seam():
-    """A non-baseline-gray MJPEG frame (here: SOF patched to 3
-    components) routes to the optional-pillow seam and, without pillow,
-    raises the STABLE video-codec-unavailable message."""
+def test_mjpeg_unsupported_frame_hits_codec_seam():
+    """An MJPEG frame outside the built-in baseline scope (here: SOF
+    patched to 4 components, CMYK-ish) routes to the optional-pillow
+    seam and, without pillow, raises the STABLE video-codec-unavailable
+    message. Color YCbCr frames decode BUILT-IN and never hit the seam."""
     from arrowhouse_spark.operators.multimodal import (
         VIDEO_CODEC_UNAVAILABLE_MSG,
         _decode_mjpeg_frame_gray,
@@ -259,7 +279,76 @@ def test_mjpeg_color_frame_hits_codec_seam():
     img = np.full((8, 8), 99, dtype=np.uint8)
     p = encode_jpeg_gray(img)
     i = p.find(b"\xff\xc0")
-    color = p[: i + 9] + b"\x03" + p[i + 10 :]
+    cmyk = p[: i + 9] + b"\x04" + p[i + 10 :]
     with pytest.raises(NotImplementedError) as ei:
-        _decode_mjpeg_frame_gray(color)
+        _decode_mjpeg_frame_gray(cmyk)
     assert str(ei.value) == VIDEO_CODEC_UNAVAILABLE_MSG
+
+
+def test_color_jpeg_roundtrips():
+    """3-component YCbCr decode: gray-content color images (R==G==B,
+    flat 8x8 luma blocks) round-trip the Y plane BIT-EXACTLY at 4:4:4,
+    4:2:2 and 4:2:0; true-color content returns the JFIF luma within
+    coefficient-rounding error; stripping DHT decodes identically (the
+    Annex K by-table-id default pairing matches the encoder's tables)."""
+    from arrowhouse_spark.operators.jpeg import encode_jpeg_color
+
+    rng = np.random.RandomState(19)
+    vals = rng.randint(0, 256, (3, 5))
+    g = np.kron(vals, np.ones((8, 8), dtype=int)).astype(np.uint8)
+    rgb = np.stack([g, g, g], axis=-1)
+    for samp in [(1, 1), (2, 1), (2, 2)]:
+        p = encode_jpeg_color(rgb, sampling=samp)
+        out = decode_jpeg_gray(p)
+        assert out.shape == g.shape
+        assert np.array_equal(out, g), samp
+        # the MJPEG quirk on a COLOR file: defaults must pair by table id
+        assert np.array_equal(decode_jpeg_gray(_strip_dht(p)), g), samp
+
+    rgbc = rng.randint(0, 256, (24, 40, 3)).astype(np.uint8)
+    out = decode_jpeg_gray(encode_jpeg_color(rgbc, sampling=(2, 2)))
+    yref = np.rint(
+        0.299 * rgbc[..., 0] + 0.587 * rgbc[..., 1] + 0.114 * rgbc[..., 2]
+    )
+    assert np.abs(out.astype(float) - yref).max() <= 3
+    # non-multiple-of-MCU dims pad on encode and crop on decode
+    odd = rng.randint(0, 256, (19, 21, 3)).astype(np.uint8)
+    out = decode_jpeg_gray(encode_jpeg_color(odd, sampling=(2, 2)))
+    assert out.shape == (19, 21)
+
+
+def test_color_jpeg_through_image_seam_builtin():
+    """The image seam decodes COLOR JPEG with no external library: the
+    gray grid is the Y plane (the engine's 601-luma contract), identical
+    for a color encode and a gray encode of the same gray content."""
+    from arrowhouse_spark.operators.jpeg import encode_jpeg_color
+    from arrowhouse_spark.operators.multimodal import _decode_image_gray_real
+
+    vals = (np.arange(4)[None, :] * 41 + np.arange(2)[:, None] * 67 + 5) % 256
+    g = np.kron(vals, np.ones((8, 8), dtype=int)).astype(np.uint8)
+    rgb = np.stack([g, g, g], axis=-1)
+    a = _decode_image_gray_real(encode_jpeg_color(rgb, sampling=(2, 2)))
+    b = _decode_image_gray_real(encode_jpeg_gray(g))
+    assert np.array_equal(a, g) and np.array_equal(b, g)
+
+
+def test_mjpeg_color_avi_end_to_end():
+    """Color (YCbCr 4:2:0) MJPEG AVI decodes built-in: every frame's Y
+    plane equals the block formula bit-exactly — certifying interleaved
+    MCU walking and chroma-block skipping inside the container path."""
+    from arrowhouse_spark.operators.multimodal import (
+        _decode_avi_gray_frames,
+        make_mjpeg_avi_payload,
+    )
+
+    p = make_mjpeg_avi_payload(32, 16, 4, seed=21, color=True)
+    uspf, w, h, grays = _decode_avi_gray_frames(p)
+    assert (uspf, w, h, len(grays)) == (40000, 32, 16, 4)
+    bx = np.arange(4)[None, :]
+    by = np.arange(2)[:, None]
+    for f, g in enumerate(grays):
+        vals = (bx * 37 + by * 53 + f * 11 + 21) % 256
+        exp = np.kron(vals, np.ones((8, 8), dtype=int)).astype(np.uint8)
+        assert np.array_equal(g, exp)
+    with pytest.raises(ValueError, match="multiple-of-16"):
+        make_mjpeg_avi_payload(24, 16, 1, color=True)

@@ -446,10 +446,11 @@ def test_decode_audio_all_pcm_widths(spark):
 @pytest.mark.skipif(_pil_available(), reason="codec present")
 def test_image_dhash_non_png_hits_codec_seam():
     """image_dhash routes through the real-codec seam: payloads outside
-    the built-in decoders (here: a COLOR JPEG; baseline-gray JPEG now
-    decodes built-in) without pillow raise the stable unavailable-codec
-    message, a WebP-ish unknown format likewise, and corrupt JPEG bytes
-    fail loudly through the codec's own error instead."""
+    the built-in decoders (here: a CMYK-ish 4-component JPEG; gray AND
+    color YCbCr JPEG now decode built-in) without pillow raise the
+    stable unavailable-codec message, a WebP-ish unknown format
+    likewise, and corrupt JPEG bytes fail loudly through the codec's
+    own error instead."""
     import numpy as np
 
     from arrowhouse_spark.operators.jpeg import encode_jpeg_gray
@@ -460,9 +461,9 @@ def test_image_dhash_non_png_hits_codec_seam():
 
     p = encode_jpeg_gray(np.full((8, 8), 7, dtype=np.uint8))
     i = p.find(b"\xff\xc0")
-    color = p[: i + 9] + b"\x03" + p[i + 10 :]
+    cmyk = p[: i + 9] + b"\x04" + p[i + 10 :]
     with pytest.raises(NotImplementedError) as ei:
-        _decode_image_gray_real(color)
+        _decode_image_gray_real(cmyk)
     assert str(ei.value) == IMAGE_CODEC_UNAVAILABLE_MSG
     with pytest.raises(NotImplementedError) as ei:
         _decode_image_gray_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
