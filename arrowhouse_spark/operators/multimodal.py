@@ -872,6 +872,109 @@ def make_wav_payload(
     return buf.getvalue()
 
 
+def make_g711_wav_payload(
+    n_samples: int,
+    sample_rate: int = 8000,
+    seed: int = 0,
+    law: str = "mu",
+    n_channels: int = 1,
+) -> bytes:
+    """REAL G.711 RIFF/WAVE bytes (format tag 7 = µ-law, 6 = A-law —
+    the telephony encodings Python's ``wave`` cannot write): the CODED
+    byte of frame i, channel c is (i*i*5 + i*37 + c*29 + seed*11) % 256,
+    so SQL oracles replay coded-byte → CCITT expansion → features
+    closed-form. Built directly (8 bits per coded sample, cbSize=0 per
+    the non-PCM fmt-chunk spec)."""
+    import numpy as np
+
+    if law not in ("mu", "a"):
+        raise ValueError(f"law must be 'mu' or 'a', got {law!r}")
+    tag = 7 if law == "mu" else 6
+    i = np.arange(n_samples, dtype=np.int64)[:, None]
+    c = np.arange(n_channels, dtype=np.int64)[None, :]
+    coded = ((i * i * 5 + i * 37 + c * 29 + seed * 11) % 256).astype(
+        np.uint8
+    )
+    data = coded.tobytes()  # row-major = interleaved frames
+    fmt = struct.pack(
+        "<HHIIHHH",
+        tag,
+        n_channels,
+        sample_rate,
+        sample_rate * n_channels,  # byte rate: 1 byte per coded sample
+        n_channels,  # block align
+        8,  # bits per coded sample
+        0,  # cbSize
+    )
+    body = b"WAVE"
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _g711_expand(raw: bytes, fmt_tag: int):
+    """Vectorized ITU-T G.711 expansion of one coded byte stream to
+    linear 16-bit samples (int64) — fmt_tag 7 = µ-law, 6 = A-law. Both
+    formulas are the CCITT reference expansions, pinned BIT-EXACT
+    against stdlib ``audioop.ulaw2lin/alaw2lin`` over all 256 codes in
+    tests; pure integer arithmetic, so SQL oracles replay them
+    closed-form."""
+    import numpy as np
+
+    b = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    if fmt_tag == 7:  # µ-law
+        u = 255 - b
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+        return np.where(u >= 128, 0x84 - t, t - 0x84)
+    a = b ^ 0x55  # A-law
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 7
+    v = np.where(
+        seg == 0, t + 8, np.where(seg == 1, t + 0x108, 0)
+    ) + np.where(seg >= 2, (t + 0x108) << np.maximum(seg - 1, 0), 0)
+    return np.where(a >= 128, v, -v)
+
+
+def _wav_read_mono_g711(payload: bytes):
+    """RIFF fallback for the G.711 encodings Python's ``wave`` refuses
+    (format tags 7 = µ-law, 6 = A-law — the telephony classics): walk
+    the chunk list for ``fmt `` and ``data`` directly, expand the coded
+    bytes (:func:`_g711_expand`), then apply the same channel policy as
+    the PCM path. Returns (sample_rate, n_frames, mono int64 samples)
+    or None when the format tag is not G.711 (caller re-raises wave's
+    stable unknown-format error)."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated WAV chunk")
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    fmt_tag, ch, sr = struct.unpack("<HHI", fmt[:8])
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if fmt_tag not in (6, 7) or bits != 8 or ch < 1:
+        return None
+    s = _g711_expand(data, fmt_tag)
+    n = len(s) // ch
+    s = s[: n * ch]
+    if ch > 1:
+        s = s.reshape(n, ch).sum(axis=1) // ch
+    return sr, n, s
+
+
 def _wav_read_mono(payload: bytes):
     """Shared stdlib WAV reader for the audio ops: parse the RIFF
     container with ``wave``, decode ANY integer PCM width —
@@ -879,15 +982,25 @@ def _wav_read_mono(payload: bytes):
     16-bit, 24-bit (3-byte little-endian, sign-extended via numpy
     stride reconstruction) and 32-bit — then apply the documented
     channel policy (per-frame floor-div mean, numpy ``//``). Returns
-    (sample_rate, n_frames, mono int64 samples). ``wave`` itself
-    rejects non-PCM encodings (float, ADPCM, mu-law) with its stable
-    "unknown format" error — the remaining compressed-audio seam."""
+    (sample_rate, n_frames, mono int64 samples). G.711 µ-law/A-law
+    (format tags 7/6 — telephony), which ``wave`` refuses, fall back to
+    the direct RIFF walk + CCITT expansion
+    (:func:`_wav_read_mono_g711`); other non-PCM encodings (float,
+    ADPCM) keep ``wave``'s stable "unknown format" error — the
+    remaining compressed-audio seam."""
     import io
     import wave
 
     import numpy as np
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
+    try:
+        w = wave.open(io.BytesIO(payload), "rb")
+    except wave.Error:
+        got = _wav_read_mono_g711(payload)
+        if got is not None:
+            return got
+        raise
+    with w:
         sw = w.getsampwidth()
         sr = w.getframerate()
         n = w.getnframes()

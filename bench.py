@@ -230,6 +230,14 @@ HEADLINE = [
     "ivf_store_refit_topk",
     "png_interlaced16_decode_real",
     "sip_hash_parity",
+    # round 13 additions (no prior-round delta basis)
+    "sip_hash128_parity",
+    "wav_pcm24_decode_real",
+    "video_mjpeg_sample_real",
+    "video_mjpeg_color_sample_real",
+    "jpeg_image_decode_real",
+    "ivf_store_upsert_atomic_topk",
+    "wav_g711_decode_real",
 ]
 
 

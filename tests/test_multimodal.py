@@ -1197,3 +1197,60 @@ def test_audio_fingerprint_stereo_downmix(spark):
     )
     got = {r.media_id: r.afp for r in audio_fingerprint(both).collect()}
     assert got[1] == got[2]
+
+
+def test_g711_wav_decode(spark):
+    """G.711 µ-law / A-law WAV (the telephony encodings wave refuses)
+    decode through the RIFF fallback: expansion is BIT-EXACT against
+    stdlib audioop over all 256 codes, the container path applies the
+    shared channel policy, and decode_audio features match the
+    coded-byte model end to end. Float WAV keeps wave's stable
+    unknown-format rejection."""
+    import warnings
+
+    import numpy as np
+
+    from arrowhouse_spark.operators.multimodal import (
+        _g711_expand,
+        _wav_read_mono,
+        decode_audio,
+        make_g711_wav_payload,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    bs = bytes(range(256))
+    assert np.array_equal(
+        _g711_expand(bs, 7), np.frombuffer(audioop.ulaw2lin(bs, 2), "<i2")
+    )
+    assert np.array_equal(
+        _g711_expand(bs, 6), np.frombuffer(audioop.alaw2lin(bs, 2), "<i2")
+    )
+
+    rows, exp = [], {}
+    mid = 0
+    for law, tag in (("mu", 7), ("a", 6)):
+        for ch in (1, 2):
+            mid += 1
+            n, seed = 200 + mid * 10, mid
+            rows.append(
+                (mid, make_g711_wav_payload(n, 8000, seed=seed, law=law, n_channels=ch))
+            )
+            i = np.arange(n)[:, None]
+            c = np.arange(ch)[None, :]
+            coded = ((i * i * 5 + i * 37 + c * 29 + seed * 11) % 256).astype(np.uint8)
+            s = _g711_expand(coded.tobytes(), tag).reshape(n, ch).sum(axis=1) // ch
+            exp[mid] = (8000, n, n * 1000 // 8000, int((s * s).sum()), int(np.abs(s).max()))
+            _, _, got_s = _wav_read_mono(rows[-1][1])
+            assert np.array_equal(got_s, s)
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.sample_rate, r.n_samples, r.duration_ms, r.sum_sq, r.peak)
+        for r in decode_audio(df).collect()
+    }
+    assert got == exp
+
+    with pytest.raises(ValueError, match="law must be"):
+        make_g711_wav_payload(10, law="g729")
