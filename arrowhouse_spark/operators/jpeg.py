@@ -603,6 +603,16 @@ def decode_jpeg_gray(payload: bytes):
 
     if h is None or w is None:
         raise ValueError("JPEG scan before SOF header")
+    if len(comps) == 1:
+        # T.81 A.2.3: a single-component scan is NON-interleaved — the MCU
+        # is one data unit and sampling factors (meaningful only relative
+        # to other components) play no role. Normalize them so grayscale
+        # JPEGs that keep luma factors > 1 (e.g. jpegtran -grayscale
+        # output preserving the 2x2 color factors) decode like any gray
+        # JPEG instead of misparsing the scan as 4-blocks-per-MCU.
+        comps[0]["hf"] = comps[0]["vf"] = 1
+        for c in scan:
+            c["hf"] = c["vf"] = 1
     hmax = max(c["hf"] for c in comps)
     vmax = max(c["vf"] for c in comps)
     for i, c in enumerate(scan):

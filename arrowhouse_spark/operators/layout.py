@@ -55,7 +55,8 @@ def _quant_expr(c: str, mn, mx, qmax: int) -> Column:
     - wider spans (epoch-micros at bits >= 13, full-range signed columns
       where mx - mn itself overflows BIGINT): DECIMAL(38,0) intermediates,
       exact for any long inputs (<= 29 digits), DIV still returns BIGINT.
-    - degenerate/empty span quantizes to 0.
+    - degenerate/empty span quantizes every non-NULL value to 0
+      (NULL still propagates, as in the live-span branches).
 
     The input is CLAMPED to [mn, mx] in the expression itself
     (least(greatest(x, mn), mx)), so if the frozen bounds go stale — the
@@ -71,7 +72,13 @@ def _quant_expr(c: str, mn, mx, qmax: int) -> Column:
     NULL propagation so a NULL dimension yields a NULL layout key, exactly
     as any engine replaying the unclamped expression computes it."""
     if mn is None or mx is None or mx == mn:
-        return F.lit(0).cast("long")
+        # Degenerate/empty span: every non-NULL value quantizes to bucket 0,
+        # but NULL still propagates — the same contract as the live-span
+        # branches (a literal 0 here would give NULL rows a non-NULL key on
+        # constant-plus-NULL columns, diverging from any oracle replay).
+        return F.expr(
+            f"CASE WHEN {c} IS NULL THEN NULL ELSE CAST(0 AS BIGINT) END"
+        )
     span = int(mx) - int(mn)  # Python ints: exact for any long bounds
     if span * qmax <= (1 << 63) - 1:
         cl = f"least(greatest(CAST({c} AS BIGINT), {mn}), {mx})"

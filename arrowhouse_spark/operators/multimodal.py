@@ -98,8 +98,9 @@ def make_fake_payloads(
 #: tests/test_multimodal.py so the seam cannot rot silently
 IMAGE_CODEC_UNAVAILABLE_MSG = (
     "image codec libraries not installed (pip install pillow); "
-    "decode_images(use_real_codec=True) decodes PNG via the built-in "
-    "pure-Python decoder but needs pillow for other formats"
+    "decode_images(use_real_codec=True) decodes PNG and baseline JPEG "
+    "(grayscale and YCbCr color) via the built-in pure-Python decoders "
+    "but needs pillow for other formats"
 )
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -516,11 +517,15 @@ def _decode_image_gray_real(payload: bytes) -> "np.ndarray":  # noqa: F821
     the built-in pure decoder — pillow's convert('L') uses a different
     (rounded fixed-point) luma, so routing PNG through it would make
     results depend on which libraries happen to be installed, breaking
-    the determinism contract AND the SQL oracles. Baseline GRAYSCALE
-    JPEG likewise decodes built-in (operators/jpeg.py — deterministic on
-    every cluster, same codec the MJPEG video path uses), with corrupt
-    JPEG bytes failing loudly via the codec's ValueError. Everything
-    else (color/progressive JPEG, WebP, …) decodes via pillow when
+    the determinism contract AND the SQL oracles. Baseline JPEG —
+    grayscale AND 3-component YCbCr color (the stored Y channel, JFIF
+    convention; since round 13 color decodes built-in, which replaces
+    pillow's rounded fixed-point convert('L') luma for color stills — a
+    documented convention switch) — likewise decodes built-in
+    (operators/jpeg.py — deterministic on every cluster, same codec the
+    MJPEG video path uses), with corrupt JPEG bytes failing loudly via
+    the codec's ValueError. Everything
+    else (progressive/CMYK JPEG, WebP, …) decodes via pillow when
     installed (output is codec-defined, documented as
     pillow-convention) and raises the STABLE unavailable-codec message
     otherwise; libvips/ffmpeg swap in here."""
@@ -554,7 +559,8 @@ def _decode_image_real(payload: bytes) -> tuple[int, int, float]:
     """Real decoder seam: (width, height, mean_gray_pixel) with the same
     contract as the fake decoder, so the two are interchangeable inside
     decode_images — see _decode_image_gray_real for the codec routing
-    (PNG: built-in pure decoder always; other formats: pillow)."""
+    (PNG + baseline gray/color JPEG: built-in pure decoders always;
+    other formats: pillow)."""
     g = _decode_image_gray_real(payload)
     h, w = g.shape
     return w, h, int(g.astype("int64").sum()) / max(w * h, 1)
@@ -1037,8 +1043,13 @@ AUDIO_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.IntegerType()),
         T.StructField("n_samples", T.LongType()),
         T.StructField("duration_ms", T.LongType()),
-        T.StructField("sum_sq", T.LongType()),
-        T.StructField("peak", T.IntegerType()),
+        # sum_sq must hold Σs² for 32-bit PCM: squares reach 2^62, so even a
+        # handful of full-scale samples overflow int64. A RIFF data chunk is
+        # capped at 4 GiB ⇒ ≤ 2^30 samples ⇒ Σs² < 2^30·2^62 = 2^92 < 10^38,
+        # so DECIMAL(38,0) is exact for every valid WAV. peak is |INT32_MIN|
+        # = 2^31 in the worst case, one past int32 — hence BIGINT.
+        T.StructField("sum_sq", T.DecimalType(38, 0)),
+        T.StructField("peak", T.LongType()),
     ]
 )
 
@@ -1048,8 +1059,11 @@ def decode_audio(df: DataFrame) -> DataFrame:
     integer PCM WAV needs no third-party codec at all (the audio
     counterpart of the pure PNG decoder; ffmpeg/soundfile would swap in
     here for compressed formats). Per payload: sample rate, FRAME count,
-    integer duration_ms (n*1000 DIV sr), EXACT integer energy Σs² and
-    peak |s| — all engine-replayable, no floats anywhere.
+    integer duration_ms (n*1000 DIV sr), EXACT integer energy Σs²
+    (DECIMAL(38,0) — 32-bit PCM squares reach 2^62 so the sum escapes
+    int64 on realistic audio; computed wrap-free via a 32-bit hi/lo
+    split) and peak |s| (BIGINT — |INT32_MIN| = 2^31 is one past int32)
+    — all engine-replayable, no floats anywhere.
 
     WIDTH POLICY (round-12 verdict #5 — 24-bit masters and 8-bit
     telephony are common in found audio): all integer PCM widths decode
@@ -1067,6 +1081,8 @@ def decode_audio(df: DataFrame) -> DataFrame:
     their task."""
 
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import decimal
+
         import numpy as np
         import pandas as pd
 
@@ -1074,11 +1090,21 @@ def decode_audio(df: DataFrame) -> DataFrame:
             out = {k.name: [] for k in AUDIO_SCHEMA.fields}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 sr, n, s = _wav_read_mono(bytes(payload))
+                # Exact Σs² without int64 wrap: each square fits int64
+                # (|s| ≤ 2^31 ⇒ s² ≤ 2^62), but the SUM does not, so split
+                # every square into 32-bit halves and recombine in Python
+                # ints. Both partial sums stay below 2^63 for any payload a
+                # 4 GiB RIFF can carry (≤ 2^30 samples): hi < 2^30·2^30,
+                # lo < 2^30·2^32.
+                sq = s * s
+                energy = (int((sq >> 32).sum()) << 32) + int(
+                    (sq & 0xFFFFFFFF).sum()
+                )
                 out["media_id"].append(mid)
                 out["sample_rate"].append(sr)
                 out["n_samples"].append(n)
                 out["duration_ms"].append(n * 1000 // sr)
-                out["sum_sq"].append(int((s * s).sum()))
+                out["sum_sq"].append(decimal.Decimal(energy))
                 out["peak"].append(int(np.abs(s).max()) if n else 0)
             yield pd.DataFrame(out)
 
@@ -1350,23 +1376,24 @@ def make_mjpeg_avi_payload(
 
 VIDEO_CODEC_UNAVAILABLE_MSG = (
     "video codec unavailable: only uncompressed 24-bit BI_RGB AVI and "
-    "MJPEG AVI (baseline grayscale frames built-in; color frames via "
-    "pillow when installed) decode built-in; other codecs need "
-    "ffmpeg/pyav"
+    "MJPEG AVI (baseline frames, grayscale and YCbCr color, built-in; "
+    "other JPEG variants via pillow when installed) decode built-in; "
+    "other codecs need ffmpeg/pyav"
 )
 
 _MJPG_FOURCC = 0x47504A4D  # 'MJPG' as a little-endian BITMAPINFOHEADER dword
 
 
 def _decode_mjpeg_frame_gray(fb: bytes):
-    """One MJPEG '00dc' chunk -> h x w uint8 gray grid. Baseline
-    GRAYSCALE frames decode via the built-in pure codec
-    (operators/jpeg.py — deterministic, no external library, the video
-    analogue of the pure PNG path); color/progressive frames route to
-    the optional-pillow seam (pillow-convention luma, documented like
-    the non-PNG image path) and raise the STABLE unavailable-codec
-    message when pillow is absent. Corrupt JPEG bytes fail loudly with
-    the codec's ValueError — never a silently dropped frame."""
+    """One MJPEG '00dc' chunk -> h x w uint8 gray grid. Baseline frames
+    — grayscale AND 3-component YCbCr color (the stored Y channel) —
+    decode via the built-in pure codec (operators/jpeg.py —
+    deterministic, no external library, the video analogue of the pure
+    PNG path); progressive/CMYK frames route to the optional-pillow
+    seam (pillow-convention luma, documented like the non-PNG image
+    path) and raise the STABLE unavailable-codec message when pillow is
+    absent. Corrupt JPEG bytes fail loudly with the codec's ValueError
+    — never a silently dropped frame."""
     from arrowhouse_spark.operators.jpeg import (
         JPEGUnsupportedError,
         decode_jpeg_gray,
@@ -1402,8 +1429,9 @@ def _decode_avi_gray_frames(payload: bytes):
     of the same pixels hash identically). MJPEG streams (biCompression
     'MJPG' — the most common surviving AVI payload in real lakes,
     round-12 verdict #2) decode per-frame through
-    :func:`_decode_mjpeg_frame_gray` (built-in baseline-gray JPEG codec;
-    optional-pillow seam for color frames); JPEG frames are stored
+    :func:`_decode_mjpeg_frame_gray` (built-in baseline JPEG codec,
+    gray and YCbCr color; optional-pillow seam for other JPEG
+    variants); JPEG frames are stored
     top-down, so no DIB flip applies, and each decoded frame must match
     the header dimensions (``AVI frame size mismatch`` otherwise). Other
     compressed or non-24-bit streams raise the stable unavailable-codec

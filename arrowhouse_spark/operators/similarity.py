@@ -1520,7 +1520,12 @@ def ivf_store_refit(
          k-means-- behavior), so the rebuilt store may carry fewer
          cells than requested — the returned ``n_centroids`` reports
          the actual count. Below the threshold the cheaper sampled
-         driver path is used unchanged.
+         driver path is used unchanged. ``iters=0`` (seeds-only fit)
+         always takes the sampled path whatever the switch rule says:
+         the distributed Lloyd requires at least one round, and a
+         zero-round fit is exactly its seed vectors, so sample
+         thinness cannot under-determine it (needs ``sample_cap >=
+         n_centroids`` to seed, as ever).
       2. REBUILD: re-assign EVERY posting against the new centroids in
          one map-side pass (broadcast k×dim matrix, no shuffle except
          the cell-partitioned write) into the NEXT version directory
@@ -1574,8 +1579,13 @@ def ivf_store_refit(
         )
 
     # ---- 1. fit: distributed Lloyd when the sample would be too thin
-    # (< 64 vectors per centroid), else driver-side numpy on a sample
-    if n_centroids * 64 > sample_cap:
+    # (< 64 vectors per centroid), else driver-side numpy on a sample.
+    # iters=0 (seeds-only fit, a valid call since round 12) always takes
+    # the sampled path: kmeans_lloyd requires iters >= 1, and with zero
+    # refinement rounds the fit IS its seeds, so "the sample is too thin
+    # to determine the quantizer" does not apply — there is nothing to
+    # determine beyond k seed vectors.
+    if iters >= 1 and n_centroids * 64 > sample_cap:
         c = _fit_centroids_distributed(
             store, n_centroids, iters, vec_col, id_col
         )

@@ -122,8 +122,8 @@ def sip_hash128_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT media_id, CAST(sr AS INTEGER) AS sample_rate,
            CAST(n AS BIGINT) AS n_samples,
            CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
-           CAST(sum(s * s) AS BIGINT) AS sum_sq,
-           CAST(max(abs(s)) AS INTEGER) AS peak
+           CAST(sum(s * s) AS DECIMAL(38,0)) AS sum_sq,
+           CAST(max(abs(s)) AS BIGINT) AS peak
     FROM smp GROUP BY media_id, n, sr
     """,
 )
@@ -525,8 +525,8 @@ def video_mjpeg_color_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT media_id, CAST(8000 AS INTEGER) AS sample_rate,
            CAST(n AS BIGINT) AS n_samples,
            CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
-           CAST(sum(sv * sv) AS BIGINT) AS sum_sq,
-           CAST(max(abs(sv)) AS INTEGER) AS peak
+           CAST(sum(sv * sv) AS DECIMAL(38,0)) AS sum_sq,
+           CAST(max(abs(sv)) AS BIGINT) AS peak
     FROM s GROUP BY media_id, n
     """,
 )

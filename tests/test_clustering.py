@@ -883,3 +883,15 @@ def test_ivf_store_refit_distributed_fit_above_threshold(spark, tmp_path):
     res_s = sim.ivf_store_refit(spark, st_s, n_centroids=2, sample_cap=4096)
     assert res_s["rows"] == 80
     assert ids(st_s, q, 2) == exact
+
+    # review regression: iters=0 (seeds-only fit, valid pre-switch-rule)
+    # must NOT route to the distributed leg (kmeans_lloyd needs iters>=1)
+    # even when n_centroids * 64 > sample_cap — the fit IS its seeds, so
+    # it takes the sampled path and still yields a valid store
+    st_z = str(tmp_path / "ivf_zero")
+    build(st_z)
+    res_z = sim.ivf_store_refit(
+        spark, st_z, n_centroids=2, sample_cap=100, iters=0
+    )
+    assert res_z["rows"] == 80 and res_z["n_centroids"] == 2
+    assert sim._read_postings(spark, st_z).count() == 80

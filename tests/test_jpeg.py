@@ -48,6 +48,25 @@ def test_flat_blocks_roundtrip_bit_exact():
         assert np.array_equal(out, img)
 
 
+def test_gray_with_color_sampling_factors_decodes():
+    """Review regression (T.81 A.2.3): a single-component scan is
+    non-interleaved — the MCU is one data unit and sampling factors are
+    meaningless. jpegtran -grayscale output keeps the luma 2x2 factors,
+    so patching the SOF sampling byte 0x11 -> 0x22 (and 0x21) must
+    decode to the SAME pixels, not raise mid-scan."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    p = encode_jpeg_gray(img)
+    base = decode_jpeg_gray(p)
+    sof = p.index(b"\xff\xc0")
+    # SOF0: marker(2) len(2) prec(1) h(2) w(2) nf(1) comp_id(1) sampling(1)
+    samp_at = sof + 11
+    assert p[samp_at] == 0x11
+    for factors in (0x22, 0x21, 0x12, 0x44):
+        patched = p[:samp_at] + bytes([factors]) + p[samp_at + 1 :]
+        assert np.array_equal(decode_jpeg_gray(patched), base)
+
+
 def test_arbitrary_image_near_lossless_and_cropped():
     """Non-multiple-of-8 dims pad on encode and crop on decode; with the
     all-ones quant the only loss is coefficient rounding (max pixel

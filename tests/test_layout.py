@@ -361,3 +361,14 @@ def test_quant_expr_null_propagates_not_edge_bucket(spark):
         ).collect()
     }
     assert gotd[None] is None and gotd[0] == 0
+
+    # degenerate span (mx == mn) and unknown bounds (all-NULL column)
+    # must keep the same contract: non-NULL -> bucket 0, NULL -> NULL
+    for mn, mx in ((7, 7), (None, None)):
+        gdeg = {
+            r.x: r.q
+            for r in df.select(
+                "x", _quant_expr("x", mn, mx, 15).alias("q")
+            ).collect()
+        }
+        assert gdeg[None] is None and gdeg[0] == 0 and gdeg[100] == 0

@@ -429,7 +429,9 @@ def test_decode_audio_all_pcm_widths(spark):
                 sr,
                 n,
                 n * 1000 // sr,
-                int((mono * mono).sum()),
+                # arbitrary-precision model: numpy int64 wraps on the
+                # 32-bit width's Σs² — the engine's hi/lo split does not
+                sum(int(v) * int(v) for v in mono),
                 int(np.abs(mono).max()),
             )
             # the shared reader agrees with the model directly too
@@ -441,6 +443,33 @@ def test_decode_audio_all_pcm_widths(spark):
         for r in decode_audio(df).collect()
     }
     assert got == exp
+
+
+def test_decode_audio_32bit_energy_no_int64_wrap(spark):
+    """Review regression: Σs² for 32-bit PCM escapes int64 after a
+    handful of full-scale samples — four samples at 2^31−1 plus one at
+    INT32_MIN must yield the EXACT arbitrary-precision energy (emitted
+    as DECIMAL(38,0)) and peak 2^31 (one past int32, hence BIGINT), not
+    a silently wrapped negative int64 / overflowed int32."""
+    import io
+    import struct
+    import wave
+
+    from arrowhouse_spark.operators.multimodal import decode_audio
+
+    samples = [2**31 - 1] * 4 + [-(2**31)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<5i", *samples))
+    df = spark.createDataFrame([(1, buf.getvalue())], "media_id long, payload binary")
+    r = decode_audio(df).collect()[0]
+    true_energy = sum(s * s for s in samples)
+    assert true_energy > 2**63  # the case int64 cannot hold
+    assert int(r.sum_sq) == true_energy
+    assert r.peak == 2**31
 
 
 @pytest.mark.skipif(_pil_available(), reason="codec present")
