@@ -920,6 +920,116 @@ def make_g711_wav_payload(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _riff_wrap(fmt: bytes, data: bytes, fact_frames: int | None = None) -> bytes:
+    """Assemble a RIFF/WAVE payload from a raw fmt chunk + data chunk
+    (word-aligned), with an optional ``fact`` frame-count chunk — the
+    shared tail of every direct (non-``wave``) fixture builder."""
+    body = b"WAVE"
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if fact_frames is not None:
+        body += b"fact" + struct.pack("<II", 4, fact_frames)
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_float_wav_payload(
+    n_samples: int,
+    sample_rate: int = 16000,
+    seed: int = 0,
+    n_channels: int = 1,
+    bits: int = 32,
+    extensible: bool = False,
+) -> bytes:
+    """REAL IEEE-float RIFF/WAVE bytes (format tag 3, or tag 0xFFFE
+    WAVE_FORMAT_EXTENSIBLE wrapping the float SubFormat GUID when
+    ``extensible``). Channel c of frame i stores the float
+    f[i,c] = (((i*i*7 + i*13 + c*29 + seed*101) mod 512) − 256) / 256
+    — k/256 with |k| <= 256 is exactly representable in float32 and
+    f*32768 = k*128 is exact, so the PCM16-grid quantization the
+    decoder applies replays closed-form in SQL as k*128 (k = −256,
+    when the formula hits it, lands exactly on the −32768 edge; the
+    out-of-range clip itself is pinned separately in tests)."""
+    import numpy as np
+
+    if bits not in (32, 64):
+        raise ValueError(f"bits must be 32 or 64, got {bits}")
+    i = np.arange(n_samples, dtype=np.int64)[:, None]
+    c = np.arange(n_channels, dtype=np.int64)[None, :]
+    k = (i * i * 7 + i * 13 + c * 29 + seed * 101) % 512 - 256
+    f = k.astype(np.float64) / 256.0
+    data = f.astype("<f4" if bits == 32 else "<f8").tobytes()
+    bw = bits // 8
+    base = struct.pack(
+        "<HHIIHH",
+        0xFFFE if extensible else 3,
+        n_channels,
+        sample_rate,
+        sample_rate * n_channels * bw,
+        n_channels * bw,
+        bits,
+    )
+    if extensible:
+        fmt = base + struct.pack("<HHI", 22, bits, 0) + (
+            struct.pack("<H", 3) + _KS_GUID_TAIL
+        )
+    else:
+        fmt = base + struct.pack("<H", 0)  # cbSize=0 per non-PCM spec
+    return _riff_wrap(fmt, data, fact_frames=n_samples)
+
+
+def make_ima_adpcm_wav_payload(
+    n_samples: int,
+    sample_rate: int = 8000,
+    seed: int = 0,
+    block_align: int = 12,
+) -> bytes:
+    """REAL mono IMA ADPCM RIFF/WAVE bytes (format tag 0x11) with
+    closed-form block headers and codes, so a recursive SQL oracle can
+    replay the published DVI recursion end to end: block b's header
+    predictor is ((seed*101 + b*17) mod 65536) − 32768 (= sample
+    b*spb of the decode), its initial step index (seed + b*7) mod 89,
+    and the 4-bit code that PRODUCES global sample i (for i not at a
+    block start) is (i*i*3 + i*7 + seed*13) mod 16, packed LOW nibble
+    first. spb = (block_align − 4)*2 + 1 samples per block; the final
+    block zero-pads past ``n_samples`` and the ``fact`` chunk trims the
+    decode, exactly as real encoders do."""
+    import math
+
+    if block_align < 8 or block_align % 4:
+        raise ValueError(
+            f"block_align must be a multiple of 4 >= 8; got {block_align}"
+        )
+    spb = (block_align - 4) * 2 + 1
+    n_blocks = max(1, math.ceil(n_samples / spb))
+    data = bytearray()
+    for b in range(n_blocks):
+        pred = (seed * 101 + b * 17) % 65536 - 32768
+        idx = (seed + b * 7) % 89
+        data += struct.pack("<hBB", pred, idx, 0)
+        nibs = []
+        for j in range(1, spb):
+            i = b * spb + j
+            nibs.append(
+                (i * i * 3 + i * 7 + seed * 13) % 16 if i < n_samples else 0
+            )
+        for lo, hi in zip(nibs[0::2], nibs[1::2] + [0] * (len(nibs) % 2)):
+            data += bytes([lo | (hi << 4)])
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11,
+        1,
+        sample_rate,
+        (sample_rate * block_align + spb - 1) // spb,  # approx byte rate
+        block_align,
+        4,  # bits per coded sample
+        2,  # cbSize
+        spb,  # wSamplesPerBlock
+    )
+    return _riff_wrap(fmt, bytes(data), fact_frames=n_samples)
+
+
 def _g711_expand(raw: bytes, fmt_tag: int):
     """Vectorized ITU-T G.711 expansion of one coded byte stream to
     linear 16-bit samples (int64) — fmt_tag 7 = µ-law, 6 = A-law. Both
@@ -943,19 +1053,153 @@ def _g711_expand(raw: bytes, fmt_tag: int):
     return np.where(a >= 128, v, -v)
 
 
-def _wav_read_mono_g711(payload: bytes):
-    """RIFF fallback for the G.711 encodings Python's ``wave`` refuses
-    (format tags 7 = µ-law, 6 = A-law — the telephony classics): walk
-    the chunk list for ``fmt `` and ``data`` directly, expand the coded
-    bytes (:func:`_g711_expand`), then apply the same channel policy as
-    the PCM path. Returns (sample_rate, n_frames, mono int64 samples)
-    or None when the format tag is not G.711 (caller re-raises wave's
-    stable unknown-format error)."""
+def _pcm_expand(raw: bytes, sampwidth: int):
+    """Interleaved integer-PCM bytes -> int64 samples at ``sampwidth``
+    bytes per sample: 8-bit UNSIGNED recentred −128 per the WAVE spec,
+    16/32-bit little-endian signed, 24-bit 3-byte little-endian
+    sign-extended via numpy stride reconstruction. The single width
+    seam shared by the ``wave`` path and the raw-RIFF fallback."""
+    import numpy as np
+
+    if sampwidth == 1:
+        return np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+    if sampwidth == 2:
+        return np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    if sampwidth == 3:
+        # reshape raises on a misaligned byte count — corrupt data fails
+        # loudly rather than silently dropping a partial sample
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        u = (
+            b[:, 0].astype(np.int64)
+            | (b[:, 1].astype(np.int64) << 8)
+            | (b[:, 2].astype(np.int64) << 16)
+        )
+        return (u ^ 0x800000) - 0x800000  # sign-extend 24 -> 64 bits
+    if sampwidth == 4:
+        return np.frombuffer(raw, dtype="<i4").astype(np.int64)
+    raise NotImplementedError(
+        f"unsupported PCM sample width {sampwidth}; integer PCM widths "
+        "1/2/3/4 decode built-in, others need an external codec"
+    )
+
+
+def _float_quantize(raw: bytes, bits: int):
+    """IEEE-float WAV samples (format tag 3, 32- or 64-bit) -> the
+    engine's integer sample domain. CONVENTION (documented in
+    decode_audio): the float convention maps [-1.0, 1.0) onto the PCM16
+    grid as s = clip(rint(f * 32768), -32768, 32767) — numpy rint is
+    round-half-even, values outside [-1, 1] clip to full scale. This
+    keeps every downstream feature an exact integer (float Σf² would be
+    summation-order-dependent and engine-divergent); fixtures use
+    samples exactly representable in float32 so SQL oracles replay the
+    quantization closed-form."""
+    import numpy as np
+
+    f = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8").astype(
+        np.float64
+    )
+    q = np.rint(np.clip(f, -1.0, 1.0) * 32768.0)
+    return np.clip(q, -32768.0, 32767.0).astype(np.int64)
+
+
+#: IMA/DVI ADPCM tables (public IMA spec; same algorithm as stdlib
+#: audioop's Intel/DVI variant, pinned bit-exact in tests)
+_IMA_STEP = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_IDX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_adpcm_expand(data: bytes, block_align: int, spb: int):
+    """MONO IMA ADPCM (WAV format tag 0x11) block stream -> int64
+    samples. Each ``block_align``-byte block carries ``spb`` samples:
+    a 4-byte header (initial predictor int16 LE, initial step index
+    uint8, reserved) whose predictor IS sample 0, then ``spb - 1``
+    4-bit codes packed LOW nibble first. Per code: vpdiff =
+    (step>>3) + (step if b&4) + (step>>1 if b&2) + (step>>2 if b&1),
+    sign bit 8, predictor clamped to int16, index stepped by the IMA
+    table and clamped to [0, 88] — the published IMA/DVI recursion,
+    inherently sequential per block (the Python loop is the honest
+    cost of a recursive codec; blocks are independent, so the decode
+    is still map-side per payload — ffmpeg swaps in here for bulk
+    transcode). A data chunk that is not a whole number of blocks
+    fails LOUDLY."""
+    import numpy as np
+
+    if block_align < 5 or spb < 1 or spb > (block_align - 4) * 2 + 1:
+        raise ValueError(
+            f"invalid IMA ADPCM geometry: block_align={block_align}, "
+            f"samples_per_block={spb}"
+        )
+    if len(data) % block_align:
+        raise ValueError("IMA ADPCM data is not a whole number of blocks")
+    out = []
+    for off in range(0, len(data), block_align):
+        blk = data[off : off + block_align]
+        pred = struct.unpack("<h", blk[0:2])[0]
+        idx = min(blk[2], 88)
+        out.append(pred)
+        k = 0
+        for byte in blk[4:]:
+            for nib in (byte & 0x0F, byte >> 4):  # LOW nibble first
+                if k >= spb - 1:
+                    break
+                step = _IMA_STEP[idx]
+                diff = step >> 3
+                if nib & 4:
+                    diff += step
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 1:
+                    diff += step >> 2
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + _IMA_IDX[nib & 7]))
+                out.append(pred)
+                k += 1
+            if k >= spb - 1:
+                break
+    return np.asarray(out, dtype=np.int64)
+
+
+#: KSDATAFORMAT_SUBTYPE_* GUID tail — bytes 2..16 of every standard
+#: WAVE_FORMAT_EXTENSIBLE SubFormat; the leading 2 bytes are the tag
+_KS_GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
+def _wav_read_mono_riff(payload: bytes):
+    """Raw-RIFF fallback for every WAV encoding Python's ``wave`` module
+    refuses: walk the chunk list for ``fmt ``/``data``/``fact`` directly
+    and dispatch on the format tag —
+
+    - 0xFFFE WAVE_FORMAT_EXTENSIBLE (how modern writers wrap >2-channel
+      or >16-bit audio): validated against the KSDATAFORMAT GUID tail,
+      then unwrapped to the inner tag below;
+    - 1 integer PCM (only reachable EXTENSIBLE-wrapped — plain tag 1
+      goes through ``wave``): :func:`_pcm_expand`;
+    - 3 IEEE float 32/64-bit: :func:`_float_quantize` (PCM16-grid
+      quantization convention);
+    - 6/7 G.711 A-law/µ-law: :func:`_g711_expand`;
+    - 0x11 IMA ADPCM, mono: :func:`_ima_adpcm_expand`, trimmed to the
+      ``fact`` frame count (final-block padding); multi-channel ADPCM
+      (4-byte channel-word interleave) raises the stable
+      NotImplementedError seam.
+
+    Then the documented channel policy (per-frame floor-div mean).
+    Returns (sample_rate, n_frames, mono int64 samples) or None when
+    the tag is none of the above (caller re-raises wave's stable
+    unknown-format error)."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact = 12, None, None, None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -966,18 +1210,57 @@ def _wav_read_mono_g711(payload: bytes):
             fmt = body
         elif tag == b"data":
             data = body
+        elif tag == b"fact" and ln >= 4:
+            (fact,) = struct.unpack("<I", body[:4])
         pos += 8 + ln + (ln & 1)
     if fmt is None or data is None or len(fmt) < 16:
         return None
     fmt_tag, ch, sr = struct.unpack("<HHI", fmt[:8])
+    block_align = struct.unpack("<H", fmt[12:14])[0]
     bits = struct.unpack("<H", fmt[14:16])[0]
-    if fmt_tag not in (6, 7) or bits != 8 or ch < 1:
+    if ch < 1 or sr < 1:
         return None
-    s = _g711_expand(data, fmt_tag)
+    if fmt_tag == 0xFFFE:
+        if len(fmt) < 40 or fmt[26:40] != _KS_GUID_TAIL:
+            return None
+        fmt_tag = struct.unpack("<H", fmt[24:26])[0]
+    if fmt_tag == 1:
+        if bits % 8 or not 1 <= bits // 8 <= 4:
+            return None
+        s = _pcm_expand(data, bits // 8)
+    elif fmt_tag == 3:
+        if bits not in (32, 64):
+            raise ValueError(
+                f"IEEE-float WAV must be 32- or 64-bit, got {bits}"
+            )
+        s = _float_quantize(data, bits)
+    elif fmt_tag in (6, 7):
+        if bits != 8:
+            return None
+        s = _g711_expand(data, fmt_tag)
+    elif fmt_tag == 0x11:
+        if ch != 1:
+            raise NotImplementedError(
+                "multi-channel IMA ADPCM (4-byte channel-word "
+                "interleave) needs an external codec; mono decodes "
+                "built-in"
+            )
+        spb = (
+            struct.unpack("<H", fmt[18:20])[0]
+            if len(fmt) >= 20
+            else (block_align - 4) * 2 + 1
+        )
+        s = _ima_adpcm_expand(data, block_align, spb)
+    else:
+        return None
     n = len(s) // ch
     s = s[: n * ch]
     if ch > 1:
         s = s.reshape(n, ch).sum(axis=1) // ch
+    if fact is not None and fact < n:
+        # non-PCM codecs pad the final block; fact holds the true count
+        s = s[:fact]
+        n = fact
     return sr, n, s
 
 
@@ -988,21 +1271,23 @@ def _wav_read_mono(payload: bytes):
     16-bit, 24-bit (3-byte little-endian, sign-extended via numpy
     stride reconstruction) and 32-bit — then apply the documented
     channel policy (per-frame floor-div mean, numpy ``//``). Returns
-    (sample_rate, n_frames, mono int64 samples). G.711 µ-law/A-law
-    (format tags 7/6 — telephony), which ``wave`` refuses, fall back to
-    the direct RIFF walk + CCITT expansion
-    (:func:`_wav_read_mono_g711`); other non-PCM encodings (float,
-    ADPCM) keep ``wave``'s stable "unknown format" error — the
+    (sample_rate, n_frames, mono int64 samples). Every encoding
+    ``wave`` refuses falls back to the direct RIFF walk
+    (:func:`_wav_read_mono_riff`): G.711 µ-law/A-law (tags 7/6 —
+    telephony, CCITT expansion), IEEE float 32/64-bit (tag 3 —
+    PCM16-grid quantization convention), mono IMA ADPCM (tag 0x11 —
+    the published DVI recursion) and WAVE_FORMAT_EXTENSIBLE-wrapped
+    PCM/float/G.711 (tag 0xFFFE, the modern container for >16-bit or
+    multichannel masters). Encodings outside that set (MS ADPCM, MP3
+    in WAV, …) keep ``wave``'s stable "unknown format" error — the
     remaining compressed-audio seam."""
     import io
     import wave
 
-    import numpy as np
-
     try:
         w = wave.open(io.BytesIO(payload), "rb")
     except wave.Error:
-        got = _wav_read_mono_g711(payload)
+        got = _wav_read_mono_riff(payload)
         if got is not None:
             return got
         raise
@@ -1012,25 +1297,7 @@ def _wav_read_mono(payload: bytes):
         n = w.getnframes()
         ch = w.getnchannels()
         raw = w.readframes(n)
-    if sw == 1:
-        s = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
-    elif sw == 2:
-        s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
-    elif sw == 3:
-        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
-        u = (
-            b[:, 0].astype(np.int64)
-            | (b[:, 1].astype(np.int64) << 8)
-            | (b[:, 2].astype(np.int64) << 16)
-        )
-        s = (u ^ 0x800000) - 0x800000  # sign-extend 24 → 64 bits
-    elif sw == 4:
-        s = np.frombuffer(raw, dtype="<i4").astype(np.int64)
-    else:
-        raise NotImplementedError(
-            f"unsupported PCM sample width {sw}; integer PCM widths "
-            "1/2/3/4 decode built-in, others need an external codec"
-        )
+    s = _pcm_expand(raw, sw)
     if ch > 1:
         # floor-div downmix of interleaved frames (channel policy)
         s = s.reshape(n, ch).sum(axis=1) // ch
@@ -1069,8 +1336,17 @@ def decode_audio(df: DataFrame) -> DataFrame:
     telephony are common in found audio): all integer PCM widths decode
     built-in via :func:`_wav_read_mono` — 8-bit (unsigned per the WAVE
     spec, recentred −128), 16-bit, 24-bit (numpy 3-byte-stride
-    reconstruction, sign-extended) and 32-bit. Non-PCM encodings keep
-    ``wave``'s stable unknown-format error.
+    reconstruction, sign-extended) and 32-bit.
+
+    ENCODING POLICY (round 13): beyond integer PCM, the raw-RIFF
+    fallback decodes G.711 µ-law/A-law (CCITT expansion), IEEE float
+    32/64-bit — quantized onto the PCM16 grid as
+    clip(rint(f·32768), ±full-scale) (round-half-even; float features
+    would be summation-order-dependent, integers are exact on every
+    engine) — mono IMA ADPCM (the published DVI recursion, ``fact``
+    trim honored) and WAVE_FORMAT_EXTENSIBLE wrappers of any of these.
+    Remaining encodings (MS ADPCM, MP3-in-WAV) keep ``wave``'s stable
+    unknown-format error.
 
     CHANNEL POLICY (round-11 verdict #4 — real lakes are full of stereo):
     multi-channel PCM decodes by downmixing each interleaved frame to

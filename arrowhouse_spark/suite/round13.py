@@ -575,3 +575,196 @@ def wav_g711_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(_build, "media_id long, payload binary")
     return decode_audio(media)
+
+
+# --------------------------------------------------------------------------
+# Round-13 stretch: the remaining common found-audio encodings — IEEE float
+# (format tag 3, incl. WAVE_FORMAT_EXTENSIBLE wrapping) and mono IMA ADPCM
+# (tag 0x11), decoded through the same _wav_read_mono raw-RIFF fallback the
+# G.711 work added. ADPCM's oracle replays the published DVI recursion with
+# a recursive CTE — the first stateful-codec SQL oracle in the suite.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "wav_float_decode_real",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             300 + (doc_id % 5) * 40 AS n,
+             CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS sr,
+             doc_id % 67 AS seed,
+             1 + doc_id % 2 AS ch
+      FROM documents
+    ), q AS (
+      SELECT media_id, n, sr, ch, i,
+             ((i*i*7 + i*13 + c*29 + seed*101) % 512 - 256) * 128 AS qv
+      FROM m, range(500) t(i), range(2) u(c)
+      WHERE i < n AND c < ch
+    ), fr AS (
+      SELECT media_id, n, sr, CAST(floor(sum(qv) / ch) AS BIGINT) AS s
+      FROM q GROUP BY media_id, n, sr, ch, i
+    )
+    SELECT media_id, CAST(sr AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
+           CAST(sum(s * s) AS DECIMAL(38,0)) AS sum_sq,
+           CAST(max(abs(s)) AS BIGINT) AS peak
+    FROM fr GROUP BY media_id, n, sr
+    """,
+)
+def wav_float_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEEE-float WAV decode (format tag 3 — the studio-master float
+    family ``wave`` refuses), driver-proven end to end: every document
+    id becomes a REAL float RIFF payload rotating through the variant
+    matrix {float32, float64} x {plain tag 3, WAVE_FORMAT_EXTENSIBLE
+    wrapped} x {mono, stereo}, decoded distributed through the
+    _wav_read_mono raw-RIFF fallback (operators/multimodal.py:
+    _float_quantize — PCM16-grid quantization clip(rint(f*32768))).
+    Fixture floats are k/256 (exact in float32), so the oracle replays
+    the quantization closed-form as k*128 + the floor-div downmix; a
+    wrong scale, a truncating round, a swapped EXTENSIBLE GUID parse,
+    or a float64 stride error flips sum_sq/peak at the first payload.
+    Map-side only — payloads never shuffle."""
+    from collections.abc import Iterator
+
+    from arrowhouse_spark.operators.multimodal import (
+        decode_audio,
+        make_float_wav_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        make_float_wav_payload(
+                            300 + (i % 5) * 40,
+                            8000 if i % 2 == 0 else 16000,
+                            seed=i % 67,
+                            n_channels=1 + i % 2,
+                            bits=32 if i % 4 < 2 else 64,
+                            extensible=i % 4 in (1, 3),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    return decode_audio(media)
+
+
+@register(
+    "wav_adpcm_decode_real",
+    """
+    WITH RECURSIVE m AS (
+      SELECT doc_id AS media_id,
+             60 + (doc_id % 4) * 17 AS n,
+             doc_id % 53 AS seed
+      FROM documents
+    ), blk AS (
+      SELECT media_id, n, seed, CAST(b AS BIGINT) AS b
+      FROM m, range(7) t(b) WHERE b * 17 < n
+    ), dec AS (
+      SELECT media_id, n, seed, b, CAST(0 AS BIGINT) AS j,
+             CAST((seed*101 + b*17) % 65536 - 32768 AS BIGINT) AS pred,
+             CAST((seed + b*7) % 89 AS BIGINT) AS idx
+      FROM blk
+      UNION ALL
+      SELECT media_id, n, seed, b, j + 1,
+             GREATEST(-32768, LEAST(32767,
+               pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)),
+             GREATEST(0, LEAST(88, idx +
+               CASE WHEN nib % 8 < 4 THEN -1 ELSE (nib % 8 - 3) * 2 END))
+      FROM (
+        SELECT media_id, n, seed, b, j, pred, idx, nib, step,
+               (step // 8)
+               + CASE WHEN nib % 8 >= 4 THEN step ELSE 0 END
+               + CASE WHEN nib % 4 >= 2 THEN step // 2 ELSE 0 END
+               + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END AS diff
+        FROM (
+          SELECT *,
+                 [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,
+                  45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,
+                  209,230,253,279,307,337,371,408,449,494,544,598,658,724,
+                  796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,
+                  2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,
+                  7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,
+                  18500,20350,22385,24623,27086,29794,32767
+                 ][CAST(idx AS INT) + 1] AS step,
+                 CASE WHEN b*17 + j + 1 < n THEN
+                   ((b*17+j+1)*(b*17+j+1)*3 + (b*17+j+1)*7 + seed*13) % 16
+                 ELSE 0 END AS nib
+          FROM dec WHERE j + 1 < 17
+        ) y
+      ) x
+    ), s AS (
+      SELECT media_id, n, pred AS sv FROM dec WHERE b*17 + j < n
+    )
+    SELECT media_id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(sum(sv * sv) AS DECIMAL(38,0)) AS sum_sq,
+           CAST(max(abs(sv)) AS BIGINT) AS peak
+    FROM s GROUP BY media_id, n
+    """,
+)
+def wav_adpcm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mono IMA ADPCM WAV decode (format tag 0x11 — the classic 4-bit
+    telephony/game codec), driver-proven end to end: every document id
+    becomes a REAL multi-block ADPCM RIFF payload (block_align=12, 17
+    samples per block, closed-form block headers and nibble codes,
+    zero-padded final block trimmed by the fact chunk), decoded
+    distributed through _wav_read_mono's raw-RIFF fallback
+    (operators/multimodal.py:_ima_adpcm_expand — the published IMA/DVI
+    recursion, pinned bit-exact against stdlib audioop in pytest). The
+    oracle replays the ENTIRE stateful recursion with a recursive CTE:
+    per block, 16 predictor/step-index transitions through the 89-entry
+    step table (list literal), magnitude reconstruction (step>>3 plus
+    tap terms), sign bit, int16 clamp and index clamp — a wrong table
+    entry, a dropped clamp, a swapped nibble order, or an off-by-one in
+    the index step flips sum_sq/peak at the first block. The recursion
+    is inherently sequential per block but blocks are independent, so
+    the Spark decode stays map-side per payload. First stateful-codec
+    SQL oracle in the suite."""
+    from collections.abc import Iterator
+
+    from arrowhouse_spark.operators.multimodal import (
+        decode_audio,
+        make_ima_adpcm_wav_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        make_ima_adpcm_wav_payload(
+                            60 + (i % 4) * 17,
+                            8000,
+                            seed=i % 53,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    return decode_audio(media)

@@ -381,13 +381,14 @@ def test_decode_audio_real_wav_roundtrip(spark):
     assert r.sum_sq == int((mono * mono).sum())
     assert r.peak == int(np.abs(mono).max())
 
-    # non-PCM encodings (here: WAVE_FORMAT_IEEE_FLOAT) keep wave's stable
+    # encodings outside the decoded set (here: MS ADPCM, tag 2 — float
+    # and IMA ADPCM decode built-in since round 13) keep wave's stable
     # unknown-format rejection — the remaining compressed-audio seam
     import io
     import struct
     import wave
 
-    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # format tag 3
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 32000, 4, 4)  # MS ADPCM tag 2
     data = b"\x00" * 32
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
@@ -470,6 +471,166 @@ def test_decode_audio_32bit_energy_no_int64_wrap(spark):
     assert true_energy > 2**63  # the case int64 cannot hold
     assert int(r.sum_sq) == true_energy
     assert r.peak == 2**31
+
+
+def test_float_wav_decode_matches_quantization_model():
+    """IEEE-float WAV (tag 3, and EXTENSIBLE-wrapped) decodes by
+    quantizing onto the PCM16 grid: clip(rint(f*32768), ±full-scale).
+    The fixture stores k/256 floats, so the decode must equal k*128
+    exactly at both widths, wrapped or not, mono and stereo (floor-div
+    downmix AFTER per-channel quantization)."""
+    import numpy as np
+
+    from arrowhouse_spark.operators.multimodal import (
+        _wav_read_mono,
+        make_float_wav_payload,
+    )
+
+    for bits in (32, 64):
+        for ext in (False, True):
+            for ch in (1, 2):
+                n, seed = 123, 5
+                p = make_float_wav_payload(
+                    n, 16000, seed=seed, n_channels=ch, bits=bits,
+                    extensible=ext,
+                )
+                sr, nf, s = _wav_read_mono(p)
+                i = np.arange(n, dtype=np.int64)[:, None]
+                c = np.arange(ch, dtype=np.int64)[None, :]
+                k = (i * i * 7 + i * 13 + c * 29 + seed * 101) % 512 - 256
+                mono = (k * 128).sum(axis=1) // ch
+                assert (sr, nf) == (16000, n)
+                assert np.array_equal(s, mono), (bits, ext, ch)
+
+
+def test_float_wav_out_of_range_clips_to_full_scale():
+    """Floats outside [-1, 1] clip to full scale instead of wrapping —
+    real float masters carry inter-sample overs."""
+    import struct
+
+    import numpy as np
+
+    from arrowhouse_spark.operators.multimodal import (
+        _KS_GUID_TAIL,
+        _riff_wrap,
+        _wav_read_mono,
+    )
+
+    f = np.array([1.5, -2.0, 0.25, -1.0], dtype="<f4")
+    fmt = struct.pack("<HHIIHHH", 3, 1, 8000, 32000, 4, 32, 0)
+    sr, n, s = _wav_read_mono(_riff_wrap(fmt, f.tobytes(), 4))
+    assert list(s) == [32767, -32768, 8192, -32768]
+    assert _KS_GUID_TAIL[0:2] == b"\x00\x00"  # tail constant sanity
+
+
+def test_extensible_wrapped_pcm_unwraps_to_plain_decode():
+    """WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) wrapping integer PCM — the
+    modern container for >16-bit masters — must decode identically to
+    the plain tag-1 file with the same frames; a wrong GUID tail is
+    refused (wave's unknown-format error surfaces)."""
+    import struct
+
+    import numpy as np
+    import pytest
+    import wave as _wave
+
+    from arrowhouse_spark.operators.multimodal import (
+        _KS_GUID_TAIL,
+        _riff_wrap,
+        _wav_read_mono,
+        make_wav_payload,
+    )
+
+    n, seed, width, ch = 200, 9, 3, 2
+    plain = make_wav_payload(n, 16000, seed=seed, n_channels=ch, sampwidth=width)
+    _, _, want = _wav_read_mono(plain)
+    # re-wrap the same frames under an EXTENSIBLE fmt
+    import io
+
+    with _wave.open(io.BytesIO(plain), "rb") as w:
+        frames = w.readframes(n)
+    base = struct.pack(
+        "<HHIIHH", 0xFFFE, ch, 16000, 16000 * ch * width, ch * width,
+        8 * width,
+    )
+    fmt = base + struct.pack("<HHI", 22, 8 * width, 0) + (
+        struct.pack("<H", 1) + _KS_GUID_TAIL
+    )
+    sr, nf, got = _wav_read_mono(_riff_wrap(fmt, frames, n))
+    assert (sr, nf) == (16000, n)
+    assert np.array_equal(got, want)
+    # corrupt GUID tail -> not ours -> wave's stable error re-raised
+    bad = fmt[:28] + b"\xde\xad" + fmt[30:]
+    with pytest.raises(_wave.Error):
+        _wav_read_mono(_riff_wrap(bad, frames, n))
+
+
+def test_ima_adpcm_decode_bit_exact_vs_audioop_and_fact_trim():
+    """Mono IMA ADPCM (tag 0x11) decodes via the published DVI
+    recursion — pinned BIT-EXACT against stdlib audioop's Intel/DVI
+    implementation per block (audioop packs HIGH nibble first, WAV low
+    first, and audioop does not emit the header seed sample — the test
+    repacks and prepends accordingly). The fact chunk trims the
+    zero-padded final block, so n_samples NOT a multiple of
+    samples-per-block round-trips exactly."""
+    import math
+
+    import numpy as np
+
+    audioop = pytest.importorskip("audioop")
+
+    from arrowhouse_spark.operators.multimodal import (
+        _wav_read_mono,
+        make_ima_adpcm_wav_payload,
+    )
+
+    spb = 17
+    for seed, n in ((0, 100), (3, 85), (11, 170), (29, 35)):
+        p = make_ima_adpcm_wav_payload(n, seed=seed)
+        sr, nf, s = _wav_read_mono(p)
+        assert (sr, nf, len(s)) == (8000, n, n)
+        ref = []
+        for b in range(math.ceil(n / spb)):
+            pred = (seed * 101 + b * 17) % 65536 - 32768
+            idx = (seed + b * 7) % 89
+            nibs = [
+                ((i * i * 3 + i * 7 + seed * 13) % 16 if i < n else 0)
+                for i in (b * spb + j for j in range(1, spb))
+            ]
+            packed = bytes(
+                (first << 4) | second
+                for first, second in zip(nibs[0::2], nibs[1::2])
+            )
+            lin, _ = audioop.adpcm2lin(packed, 2, (pred, idx))
+            ref.append(pred)
+            ref.extend(np.frombuffer(lin, dtype="<i2").astype(np.int64))
+        assert np.array_equal(s, np.array(ref[:n]))
+
+
+def test_ima_adpcm_guards_are_loud():
+    """Multi-channel ADPCM raises the stable NotImplementedError seam;
+    a data chunk that is not a whole number of blocks and an
+    inconsistent geometry each fail loudly."""
+    import struct
+
+    import pytest as _pytest
+
+    from arrowhouse_spark.operators.multimodal import (
+        _ima_adpcm_expand,
+        _riff_wrap,
+        _wav_read_mono,
+        make_ima_adpcm_wav_payload,
+    )
+
+    p = make_ima_adpcm_wav_payload(50, seed=1)
+    # flip the channel count in the fmt chunk (offset: RIFF12+8 + 2)
+    stereo = p[:22] + struct.pack("<H", 2) + p[24:]
+    with _pytest.raises(NotImplementedError, match="multi-channel IMA"):
+        _wav_read_mono(stereo)
+    with _pytest.raises(ValueError, match="whole number of blocks"):
+        _ima_adpcm_expand(b"\x00" * 13, 12, 17)
+    with _pytest.raises(ValueError, match="geometry"):
+        _ima_adpcm_expand(b"\x00" * 12, 12, 99)
 
 
 @pytest.mark.skipif(_pil_available(), reason="codec present")
@@ -1233,8 +1394,7 @@ def test_g711_wav_decode(spark):
     decode through the RIFF fallback: expansion is BIT-EXACT against
     stdlib audioop over all 256 codes, the container path applies the
     shared channel policy, and decode_audio features match the
-    coded-byte model end to end. Float WAV keeps wave's stable
-    unknown-format rejection."""
+    coded-byte model end to end."""
     import warnings
 
     import numpy as np
