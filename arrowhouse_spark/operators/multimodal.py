@@ -1030,6 +1030,59 @@ def make_ima_adpcm_wav_payload(
     return _riff_wrap(fmt, bytes(data), fact_frames=n_samples)
 
 
+def make_ms_adpcm_wav_payload(
+    n_samples: int,
+    sample_rate: int = 8000,
+    seed: int = 0,
+    block_align: int = 16,
+) -> bytes:
+    """REAL mono MS ADPCM RIFF/WAVE bytes (format tag 2) with
+    closed-form block headers and codes, so a recursive SQL oracle can
+    replay the published Microsoft recursion end to end: block b uses
+    coefficient-pair index (seed + b) mod 7, initial delta
+    16 + (seed*7 + b*11) mod 240, seed samples
+    s1 = ((seed*101 + b*17) mod 65536) − 32768 (emitted SECOND) and
+    s2 = ((seed*59 + b*23) mod 65536) − 32768 (emitted FIRST), and the
+    4-bit code that produces global sample i (for i not among a
+    block's two seeds) is (i*i*3 + i*7 + seed*13) mod 16, packed HIGH
+    nibble first per the MS spec. spb = (block_align − 7)*2 + 2; the
+    final block zero-pads past ``n_samples`` and ``fact`` trims."""
+    import math
+
+    if block_align < 8:
+        raise ValueError(f"block_align must be >= 8; got {block_align}")
+    spb = (block_align - 7) * 2 + 2
+    n_blocks = max(1, math.ceil(n_samples / spb))
+    data = bytearray()
+    for b in range(n_blocks):
+        ci = (seed + b) % 7
+        delta = 16 + (seed * 7 + b * 11) % 240
+        s1 = (seed * 101 + b * 17) % 65536 - 32768
+        s2 = (seed * 59 + b * 23) % 65536 - 32768
+        data += struct.pack("<Bhhh", ci, delta, s1, s2)
+        nibs = []
+        for j in range(2, spb):
+            i = b * spb + j
+            nibs.append(
+                (i * i * 3 + i * 7 + seed * 13) % 16 if i < n_samples else 0
+            )
+        for first, second in zip(nibs[0::2], nibs[1::2] + [0] * (len(nibs) % 2)):
+            data += bytes([(first << 4) | second])
+    fmt = struct.pack(
+        "<HHIIHHHHH",
+        2,
+        1,
+        sample_rate,
+        (sample_rate * block_align + spb - 1) // spb,  # approx byte rate
+        block_align,
+        4,  # bits per coded sample
+        4 + 4 * len(_MS_COEF),  # cbSize: spb + nCoef + 7 pairs
+        spb,
+        len(_MS_COEF),
+    ) + b"".join(struct.pack("<hh", a, c) for a, c in _MS_COEF)
+    return _riff_wrap(fmt, bytes(data), fact_frames=n_samples)
+
+
 def _g711_expand(raw: bytes, fmt_tag: int):
     """Vectorized ITU-T G.711 expansion of one coded byte stream to
     linear 16-bit samples (int64) — fmt_tag 7 = µ-law, 6 = A-law. Both
@@ -1168,6 +1221,69 @@ def _ima_adpcm_expand(data: bytes, block_align: int, spb: int):
     return np.asarray(out, dtype=np.int64)
 
 
+#: MS ADPCM tables (public ADPCMWAVEFORMAT spec): 8.8 fixed-point
+#: predictor coefficient pairs and the 16-entry delta adaptation table
+_MS_COEF = ((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+            (460, -208), (392, -232))
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+
+
+def _ms_adpcm_expand(data: bytes, block_align: int, spb: int):
+    """MONO MS ADPCM (WAV format tag 2) block stream -> int64 samples.
+    Each block: 7-byte header — predictor-coefficient index (uint8,
+    0..6 into the published 8.8 fixed-point pair table), initial delta
+    (int16 LE), sample1 (int16 LE, the NEWER seed) and sample2 (the
+    older) — which emits sample2 then sample1 as the block's first two
+    outputs, then 4-bit codes packed HIGH nibble first. Per signed
+    code c (c-16 when c >= 8): predictor = trunc((s1*coef1 +
+    s2*coef2) / 256) + c*delta — C-style TRUNCATION toward zero, the
+    spec pseudocode's `/ 256` (ffmpeg's `/ 64` over 6-bit-scaled
+    tables agrees; an arithmetic shift would floor and diverge on
+    negative bases) — clamped to int16; delta = max(16,
+    (adapt[code]*delta) >> 8) (always positive, so shift == trunc
+    there). The published Microsoft
+    recursion — sequential per block, blocks independent (map-side
+    decode; ffmpeg swaps in for bulk transcode). Non-whole-block data
+    fails LOUDLY."""
+    import numpy as np
+
+    if block_align < 8 or spb < 2 or spb > (block_align - 7) * 2 + 2:
+        raise ValueError(
+            f"invalid MS ADPCM geometry: block_align={block_align}, "
+            f"samples_per_block={spb}"
+        )
+    if len(data) % block_align:
+        raise ValueError("MS ADPCM data is not a whole number of blocks")
+    out = []
+    for off in range(0, len(data), block_align):
+        blk = data[off : off + block_align]
+        ci = blk[0]
+        if ci > 6:
+            raise ValueError(f"MS ADPCM predictor index {ci} out of range")
+        c1, c2 = _MS_COEF[ci]
+        delta, s1, s2 = struct.unpack("<hhh", blk[1:7])
+        out.append(s2)
+        out.append(s1)
+        k = 0
+        for byte in blk[7:]:
+            for nib in (byte >> 4, byte & 0x0F):  # HIGH nibble first
+                if k >= spb - 2:
+                    break
+                signed = nib - 16 if nib >= 8 else nib
+                base = s1 * c1 + s2 * c2
+                base = base // 256 if base >= 0 else -((-base) // 256)
+                pred = base + signed * delta
+                pred = max(-32768, min(32767, pred))
+                s2, s1 = s1, pred
+                delta = max(16, (_MS_ADAPT[nib] * delta) >> 8)
+                out.append(pred)
+                k += 1
+            if k >= spb - 2:
+                break
+    return np.asarray(out, dtype=np.int64)
+
+
 #: KSDATAFORMAT_SUBTYPE_* GUID tail — bytes 2..16 of every standard
 #: WAVE_FORMAT_EXTENSIBLE SubFormat; the leading 2 bytes are the tag
 _KS_GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
@@ -1189,7 +1305,10 @@ def _wav_read_mono_riff(payload: bytes):
     - 0x11 IMA ADPCM, mono: :func:`_ima_adpcm_expand`, trimmed to the
       ``fact`` frame count (final-block padding); multi-channel ADPCM
       (4-byte channel-word interleave) raises the stable
-      NotImplementedError seam.
+      NotImplementedError seam;
+    - 2 MS ADPCM, mono: :func:`_ms_adpcm_expand` (the published
+      Microsoft recursion), same ``fact`` trim; multi-channel raises
+      the stable NotImplementedError seam.
 
     Then the documented channel policy (per-frame floor-div mean).
     Returns (sample_rate, n_frames, mono int64 samples) or None when
@@ -1251,6 +1370,19 @@ def _wav_read_mono_riff(payload: bytes):
             else (block_align - 4) * 2 + 1
         )
         s = _ima_adpcm_expand(data, block_align, spb)
+    elif fmt_tag == 2:
+        if ch != 1:
+            raise NotImplementedError(
+                "multi-channel MS ADPCM (per-channel interleaved "
+                "headers) needs an external codec; mono decodes "
+                "built-in"
+            )
+        spb = (
+            struct.unpack("<H", fmt[18:20])[0]
+            if len(fmt) >= 20
+            else (block_align - 7) * 2 + 2
+        )
+        s = _ms_adpcm_expand(data, block_align, spb)
     else:
         return None
     n = len(s) // ch

@@ -768,3 +768,112 @@ def wav_adpcm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(_build, "media_id long, payload binary")
     return decode_audio(media)
+
+
+@register(
+    "wav_ms_adpcm_decode_real",
+    """
+    WITH RECURSIVE m AS (
+      SELECT doc_id AS media_id,
+             60 + (doc_id % 4) * 20 AS n,
+             doc_id % 59 AS seed
+      FROM documents
+    ), blk AS (
+      SELECT media_id, n, seed, CAST(b AS BIGINT) AS b,
+             [256,512,0,192,240,460,392]
+               [CAST((seed + b) % 7 AS INT) + 1] AS c1,
+             [0,-256,0,64,0,-208,-232]
+               [CAST((seed + b) % 7 AS INT) + 1] AS c2,
+             16 + (seed*7 + b*11) % 240 AS delta0,
+             (seed*101 + b*17) % 65536 - 32768 AS s1i,
+             (seed*59 + b*23) % 65536 - 32768 AS s2i
+      FROM m, range(6) t(b) WHERE b * 20 < n
+    ), dec AS (
+      SELECT media_id, n, seed, b, c1, c2, CAST(1 AS BIGINT) AS j,
+             CAST(s1i AS BIGINT) AS sv,
+             CAST(s1i AS BIGINT) AS s1, CAST(s2i AS BIGINT) AS s2,
+             CAST(delta0 AS BIGINT) AS delta
+      FROM blk
+      UNION ALL
+      SELECT media_id, n, seed, b, c1, c2, j + 1,
+             pred, pred, s1,
+             GREATEST(16, ([230,230,230,230,307,409,512,614,768,614,512,
+                            409,307,230,230,230][CAST(nib AS INT) + 1]
+                           * delta) // 256)
+      FROM (
+        SELECT *,
+               GREATEST(-32768, LEAST(32767,
+                 CAST(trunc((s1 * c1 + s2 * c2) / 256.0) AS BIGINT)
+                 + CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END * delta
+               )) AS pred
+        FROM (
+          SELECT *,
+                 CASE WHEN b*20 + j + 1 < n THEN
+                   ((b*20+j+1)*(b*20+j+1)*3 + (b*20+j+1)*7 + seed*13)
+                     % 16
+                 ELSE 0 END AS nib
+          FROM dec WHERE j + 1 < 20
+        ) y
+      ) x
+    ), s AS (
+      SELECT media_id, n, sv FROM dec WHERE b*20 + j < n
+      UNION ALL
+      SELECT media_id, n, CAST(s2i AS BIGINT) AS sv
+      FROM blk WHERE b*20 < n
+    )
+    SELECT media_id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(sum(sv * sv) AS DECIMAL(38,0)) AS sum_sq,
+           CAST(max(abs(sv)) AS BIGINT) AS peak
+    FROM s GROUP BY media_id, n
+    """,
+)
+def wav_ms_adpcm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mono MS ADPCM WAV decode (format tag 2 — with IMA this closes
+    every WAV format tag that appears in real lakes: 1/2/3/6/7/0x11/
+    0xFFFE all decode built-in), driver-proven end to end: every
+    document id becomes a REAL multi-block tag-2 payload (block_align
+    16, 20 samples per block, closed-form coefficient index / delta /
+    seed samples per block, HIGH-nibble-first codes, fact trim), decoded
+    distributed through _wav_read_mono's raw-RIFF fallback
+    (operators/multimodal.py:_ms_adpcm_expand — the published Microsoft
+    recursion with C-style truncating predictor division). The oracle
+    replays the full stateful recursion as a recursive CTE: 8.8
+    fixed-point coefficient pairs, trunc(base/256), signed-nibble delta
+    taps, int16 clamp, and the 16-entry adaptation table with the
+    delta>=16 floor — a floored (instead of truncated) division, a
+    swapped seed-sample emit order, or a wrong adaptation entry flips
+    sum_sq/peak at the first negative base. Map-side only."""
+    from collections.abc import Iterator
+
+    from arrowhouse_spark.operators.multimodal import (
+        decode_audio,
+        make_ms_adpcm_wav_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        make_ms_adpcm_wav_payload(
+                            60 + (i % 4) * 20,
+                            8000,
+                            seed=i % 59,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    return decode_audio(media)

@@ -381,14 +381,14 @@ def test_decode_audio_real_wav_roundtrip(spark):
     assert r.sum_sq == int((mono * mono).sum())
     assert r.peak == int(np.abs(mono).max())
 
-    # encodings outside the decoded set (here: MS ADPCM, tag 2 — float
-    # and IMA ADPCM decode built-in since round 13) keep wave's stable
-    # unknown-format rejection — the remaining compressed-audio seam
+    # encodings outside the decoded set (here: MP3-in-WAV, tag 0x55 —
+    # float and IMA/MS ADPCM decode built-in since round 13) keep wave's
+    # stable unknown-format rejection — the remaining compressed seam
     import io
     import struct
     import wave
 
-    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 32000, 4, 4)  # MS ADPCM tag 2
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 32000, 4, 0)  # MP3 tag 0x55
     data = b"\x00" * 32
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
@@ -631,6 +631,64 @@ def test_ima_adpcm_guards_are_loud():
         _ima_adpcm_expand(b"\x00" * 13, 12, 17)
     with _pytest.raises(ValueError, match="geometry"):
         _ima_adpcm_expand(b"\x00" * 12, 12, 99)
+
+
+def test_ms_adpcm_decode_matches_spec_replay_and_guards():
+    """Mono MS ADPCM (tag 2) decodes via the published Microsoft
+    recursion — an INDEPENDENT sample-by-sample replay of the spec
+    pseudocode (trunc(base/256) C-division, signed-nibble delta taps,
+    int16 clamp, adaptation table with the delta>=16 floor, seed
+    samples emitted older-first) must match the engine bit-exactly,
+    including the fact-chunk trim of the padded final block. Stereo and
+    bad geometry fail loudly."""
+    import struct as _struct
+
+    import numpy as np
+
+    from arrowhouse_spark.operators.multimodal import (
+        _MS_ADAPT,
+        _MS_COEF,
+        _ms_adpcm_expand,
+        _wav_read_mono,
+        make_ms_adpcm_wav_payload,
+    )
+
+    def ref(n, seed, ba=16):
+        import math
+
+        spb = (ba - 7) * 2 + 2
+        out = []
+        for b in range(math.ceil(n / spb)):
+            c1, c2 = _MS_COEF[(seed + b) % 7]
+            delta = 16 + (seed * 7 + b * 11) % 240
+            s1 = (seed * 101 + b * 17) % 65536 - 32768
+            s2 = (seed * 59 + b * 23) % 65536 - 32768
+            out += [s2, s1]
+            for j in range(2, spb):
+                i = b * spb + j
+                nib = (i * i * 3 + i * 7 + seed * 13) % 16 if i < n else 0
+                signed = nib - 16 if nib >= 8 else nib
+                base = s1 * c1 + s2 * c2
+                base = -((-base) // 256) if base < 0 else base // 256
+                pred = max(-32768, min(32767, base + signed * delta))
+                s2, s1 = s1, pred
+                delta = max(16, (_MS_ADAPT[nib] * delta) >> 8)
+                out.append(pred)
+        return np.array(out[:n], dtype=np.int64)
+
+    for seed, n in ((0, 100), (3, 77), (11, 200), (29, 30)):
+        p = make_ms_adpcm_wav_payload(n, seed=seed)
+        sr, nf, s = _wav_read_mono(p)
+        assert (sr, nf, len(s)) == (8000, n, n)
+        assert np.array_equal(s, ref(n, seed)), seed
+
+    stereo = p[:22] + _struct.pack("<H", 2) + p[24:]
+    with pytest.raises(NotImplementedError, match="multi-channel MS"):
+        _wav_read_mono(stereo)
+    with pytest.raises(ValueError, match="whole number of blocks"):
+        _ms_adpcm_expand(b"\x00" * 17, 16, 20)
+    with pytest.raises(ValueError, match="predictor index"):
+        _ms_adpcm_expand(b"\x09" + b"\x00" * 15, 16, 20)
 
 
 @pytest.mark.skipif(_pil_available(), reason="codec present")
