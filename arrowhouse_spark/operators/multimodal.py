@@ -2046,8 +2046,9 @@ AUDIO_FP_SCHEMA = T.StructType(
 
 
 def audio_fingerprint(df: DataFrame) -> DataFrame:
-    """Per-clip perceptual hash via the real audio seam (stdlib ``wave``
-    PCM16 decode, as decode_audio) → :func:`audio_fingerprint64`. Same
+    """Per-clip perceptual hash via the real audio seam (the shared
+    :func:`_wav_read_mono` decode, as decode_audio) →
+    :func:`audio_fingerprint64`. Same
     map-only mapInPandas shape as image_dhash: payloads never leave
     their task, only the 8-byte fingerprint flows downstream. Pair with
     dhash_neardup_pairs(hashed, "media_id", "afp") for in-corpus pairs
@@ -2057,9 +2058,11 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
     Multi-channel clips downmix under decode_audio's documented channel
     policy (per-frame floor-div mean) BEFORE fingerprinting, so a
     stereo master and its mono bounce land within banding distance; the
-    fingerprint itself stays all-integer. All integer PCM widths decode
-    (shared :func:`_wav_read_mono` seam — 8/16/24/32-bit), so a 24-bit
-    master fingerprints without an external codec; note a width
+    fingerprint itself stays all-integer. Every built-in WAV encoding
+    decodes (shared :func:`_wav_read_mono` seam — 8/16/24/32-bit PCM,
+    IEEE float, G.711, mono IMA/MS ADPCM, EXTENSIBLE wrappers), so a
+    24-bit master or a µ-law call fingerprints without an external
+    codec; note a width
     RESAMPLE of the same signal scales amplitudes and is a different
     signal to the fingerprint, as it should be."""
 
