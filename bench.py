@@ -238,6 +238,9 @@ HEADLINE = [
     "jpeg_image_decode_real",
     "ivf_store_upsert_atomic_topk",
     "wav_g711_decode_real",
+    "wav_float_decode_real",
+    "wav_adpcm_decode_real",
+    "wav_ms_adpcm_decode_real",
 ]
 
 
