@@ -912,12 +912,7 @@ def make_g711_wav_payload(
         8,  # bits per coded sample
         0,  # cbSize
     )
-    body = b"WAVE"
-    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"data" + struct.pack("<I", len(data)) + data
-    if len(data) % 2:
-        body += b"\x00"
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return _riff_wrap(fmt, data)
 
 
 def _riff_wrap(fmt: bytes, data: bytes, fact_frames: int | None = None) -> bytes:
@@ -1151,6 +1146,12 @@ def _float_quantize(raw: bytes, bits: int):
     f = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8").astype(
         np.float64
     )
+    if not np.isfinite(f).all():
+        # NaN survives clip/rint and its int64 cast is platform-defined
+        # garbage (INT64_MIN on x86, 0 on ARM) — corrupt float masters
+        # must fail LOUDLY, not hash differently per cluster. ±Inf would
+        # clip, but a non-finite sample is corruption either way.
+        raise ValueError("IEEE-float WAV contains non-finite samples")
     q = np.rint(np.clip(f, -1.0, 1.0) * 32768.0)
     return np.clip(q, -32768.0, 32767.0).astype(np.int64)
 
@@ -1196,7 +1197,11 @@ def _ima_adpcm_expand(data: bytes, block_align: int, spb: int):
     for off in range(0, len(data), block_align):
         blk = data[off : off + block_align]
         pred = struct.unpack("<h", blk[0:2])[0]
-        idx = min(blk[2], 88)
+        idx = blk[2]
+        if idx > 88:
+            # corrupt header — fail LOUDLY like the MS path's predictor
+            # index, never silently clamp into plausible garbage
+            raise ValueError(f"IMA ADPCM step index {idx} out of range")
         out.append(pred)
         k = 0
         for byte in blk[4:]:
@@ -1314,8 +1319,6 @@ def _wav_read_mono_riff(payload: bytes):
     Returns (sample_rate, n_frames, mono int64 samples) or None when
     the tag is none of the above (caller re-raises wave's stable
     unknown-format error)."""
-    import numpy as np
-
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     pos, fmt, data, fact = 12, None, None, None
@@ -1408,11 +1411,12 @@ def _wav_read_mono(payload: bytes):
     (:func:`_wav_read_mono_riff`): G.711 µ-law/A-law (tags 7/6 —
     telephony, CCITT expansion), IEEE float 32/64-bit (tag 3 —
     PCM16-grid quantization convention), mono IMA ADPCM (tag 0x11 —
-    the published DVI recursion) and WAVE_FORMAT_EXTENSIBLE-wrapped
+    the published DVI recursion), mono MS ADPCM (tag 2 — the published
+    Microsoft recursion) and WAVE_FORMAT_EXTENSIBLE-wrapped
     PCM/float/G.711 (tag 0xFFFE, the modern container for >16-bit or
-    multichannel masters). Encodings outside that set (MS ADPCM, MP3
-    in WAV, …) keep ``wave``'s stable "unknown format" error — the
-    remaining compressed-audio seam."""
+    multichannel masters). Encodings outside that set (MP3 in WAV,
+    ALAC-in-CAF refugees, …) keep ``wave``'s stable "unknown format"
+    error — the remaining compressed-audio seam."""
     import io
     import wave
 
@@ -1475,10 +1479,10 @@ def decode_audio(df: DataFrame) -> DataFrame:
     32/64-bit — quantized onto the PCM16 grid as
     clip(rint(f·32768), ±full-scale) (round-half-even; float features
     would be summation-order-dependent, integers are exact on every
-    engine) — mono IMA ADPCM (the published DVI recursion, ``fact``
-    trim honored) and WAVE_FORMAT_EXTENSIBLE wrappers of any of these.
-    Remaining encodings (MS ADPCM, MP3-in-WAV) keep ``wave``'s stable
-    unknown-format error.
+    engine) — mono IMA and MS ADPCM (the published DVI and Microsoft
+    recursions, ``fact`` trim honored) and WAVE_FORMAT_EXTENSIBLE
+    wrappers of any of these. Remaining encodings (MP3-in-WAV, …) keep
+    ``wave``'s stable unknown-format error.
 
     CHANNEL POLICY (round-11 verdict #4 — real lakes are full of stereo):
     multi-channel PCM decodes by downmixing each interleaved frame to

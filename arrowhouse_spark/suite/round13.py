@@ -775,7 +775,7 @@ def wav_adpcm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE m AS (
       SELECT doc_id AS media_id,
-             60 + (doc_id % 4) * 20 AS n,
+             67 + (doc_id % 4) * 20 AS n,
              doc_id % 59 AS seed
       FROM documents
     ), blk AS (
@@ -787,7 +787,7 @@ def wav_adpcm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
              16 + (seed*7 + b*11) % 240 AS delta0,
              (seed*101 + b*17) % 65536 - 32768 AS s1i,
              (seed*59 + b*23) % 65536 - 32768 AS s2i
-      FROM m, range(6) t(b) WHERE b * 20 < n
+      FROM m, range(7) t(b) WHERE b * 20 < n
     ), dec AS (
       SELECT media_id, n, seed, b, c1, c2, CAST(1 AS BIGINT) AS j,
              CAST(s1i AS BIGINT) AS sv,
@@ -834,8 +834,10 @@ def wav_ms_adpcm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     every WAV format tag that appears in real lakes: 1/2/3/6/7/0x11/
     0xFFFE all decode built-in), driver-proven end to end: every
     document id becomes a REAL multi-block tag-2 payload (block_align
-    16, 20 samples per block, closed-form coefficient index / delta /
-    seed samples per block, HIGH-nibble-first codes, fact trim), decoded
+    16, 20 samples per block — n = 67 + 20k is NEVER a block multiple,
+    so every payload exercises the zero-padded-final-block fact trim —
+    closed-form coefficient index / delta / seed samples per block,
+    HIGH-nibble-first codes), decoded
     distributed through _wav_read_mono's raw-RIFF fallback
     (operators/multimodal.py:_ms_adpcm_expand — the published Microsoft
     recursion with C-style truncating predictor division). The oracle
@@ -866,7 +868,7 @@ def wav_ms_adpcm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "media_id": ids,
                     "payload": [
                         make_ms_adpcm_wav_payload(
-                            60 + (i % 4) * 20,
+                            67 + (i % 4) * 20,
                             8000,
                             seed=i % 59,
                         )

@@ -521,6 +521,11 @@ def test_float_wav_out_of_range_clips_to_full_scale():
     sr, n, s = _wav_read_mono(_riff_wrap(fmt, f.tobytes(), 4))
     assert list(s) == [32767, -32768, 8192, -32768]
     assert _KS_GUID_TAIL[0:2] == b"\x00\x00"  # tail constant sanity
+    # NaN is corruption, not clippable signal: its int64 cast is
+    # platform-defined (INT64_MIN on x86, 0 on ARM) — must fail loudly
+    bad = np.array([0.5, float("nan")], dtype="<f4")
+    with pytest.raises(ValueError, match="non-finite"):
+        _wav_read_mono(_riff_wrap(fmt, bad.tobytes(), 2))
 
 
 def test_extensible_wrapped_pcm_unwraps_to_plain_decode():
@@ -631,6 +636,10 @@ def test_ima_adpcm_guards_are_loud():
         _ima_adpcm_expand(b"\x00" * 13, 12, 17)
     with _pytest.raises(ValueError, match="geometry"):
         _ima_adpcm_expand(b"\x00" * 12, 12, 99)
+    # corrupt header step index (> 88) fails loudly, like the MS path's
+    # predictor index — never a silent clamp into plausible garbage
+    with _pytest.raises(ValueError, match="step index"):
+        _ima_adpcm_expand(b"\x00\x00\x59\x00" + b"\x00" * 8, 12, 17)
 
 
 def test_ms_adpcm_decode_matches_spec_replay_and_guards():
