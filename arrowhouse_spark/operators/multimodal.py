@@ -1667,10 +1667,14 @@ def _build_avi_container(
     bitcount: int,
     compression: int,
     frame_tag: bytes,
+    audio: "tuple[bytes, list[bytes], int] | None" = None,
 ) -> bytes:
     """Assemble the RIFF/'AVI ' container around pre-encoded frame
     bodies — shared by the uncompressed (BI_RGB '00db') and MJPEG
-    ('MJPG' '00dc') fixture builders; same header layout as before."""
+    ('MJPG' '00dc') fixture builders; same header layout as before.
+    ``audio`` = (WAVEFORMATEX strf bytes, '01wb' chunk bodies, stream
+    length in SAMPLES for the audio strh) adds a second ('auds')
+    stream whose chunks interleave after the video frames in movi."""
     n_frames = len(frames)
 
     def chunk(tag: bytes, body: bytes) -> bytes:
@@ -1689,7 +1693,7 @@ def _build_avi_container(
         0,  # dwFlags
         n_frames,  # dwTotalFrames
         0,  # dwInitialFrames
-        1,  # dwStreams
+        2 if audio else 1,  # dwStreams
         frame_bytes,  # dwSuggestedBufferSize
         width,
         height,
@@ -1724,11 +1728,34 @@ def _build_avi_container(
         frame_bytes,  # biSizeImage
         0, 0, 0, 0,
     )
-    hdrl = lst(
-        b"hdrl",
-        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
-    )
-    movi = lst(b"movi", b"".join(chunk(frame_tag, fb) for fb in frames))
+    strls = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    movi_chunks = [chunk(frame_tag, fb) for fb in frames]
+    if audio:
+        wavefmt, audio_chunks, n_samples = audio
+        strh_a = (
+            b"auds"
+            + b"\x00\x00\x00\x00"  # fccHandler
+            + struct.pack(
+                "<10I4h",
+                0,  # dwFlags
+                0,  # wPriority + wLanguage
+                0,  # dwInitialFrames
+                1,  # dwScale
+                struct.unpack("<I", wavefmt[4:8])[0],  # dwRate = nSamplesPerSec
+                0,  # dwStart
+                n_samples,  # dwLength (stream length in samples)
+                max((len(c) for c in audio_chunks), default=0),
+                0,  # dwQuality
+                0,  # dwSampleSize
+                0, 0, 0, 0,  # rcFrame (unused for audio)
+            )
+        )
+        strls += lst(
+            b"strl", chunk(b"strh", strh_a) + chunk(b"strf", wavefmt)
+        )
+        movi_chunks += [chunk(b"01wb", c) for c in audio_chunks]
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
+    movi = lst(b"movi", b"".join(movi_chunks))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -1945,6 +1972,160 @@ def _decode_avi_gray_frames(payload: bytes):
         ) // 1000
         grays.append(g.astype(np.uint8))
     return us_per_frame, width, height, grays
+
+
+def _extract_avi_audio(payload: bytes):
+    """Pull the FIRST audio ('auds') stream out of a RIFF/'AVI '
+    container and decode it through the complete WAV tag dispatch:
+    walk the chunk tree for the auds strl's strf (which IS a
+    WAVEFORMATEX — byte-identical to a WAV ``fmt `` chunk body) and
+    its strh dwLength (stream length in samples), concatenate every
+    '01wb' chunk body in file order (interleaved audio is split across
+    chunks at arbitrary byte offsets; concatenation restores the
+    stream, which is why a chunk boundary mid-ADPCM-block is fine),
+    then synthesize an in-memory WAV (:func:`_riff_wrap`, dwLength as
+    the ``fact`` frame count) and hand it to :func:`_wav_read_mono` —
+    so EVERY encoding the audio seam decodes (all PCM widths, IEEE
+    float, G.711, mono IMA/MS ADPCM, EXTENSIBLE wrappers) works
+    inside a video container with zero new codec code. Returns
+    (sample_rate, n_frames, mono int64 samples); an AVI without an
+    audio stream raises ValueError LOUDLY."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    cur_stream = None
+    wavefmt = None
+    n_samples = None
+    chunks: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal cur_stream, wavefmt, n_samples
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + ln > end:
+                raise ValueError("truncated AVI chunk")
+            if tag == b"LIST":
+                if ln < 4:
+                    raise ValueError("truncated AVI chunk")
+                walk(buf, body_start + 4, body_start + ln)
+            elif tag == b"strh":
+                if ln < 4:
+                    raise ValueError("truncated AVI chunk")
+                cur_stream = buf[body_start : body_start + 4]
+                if cur_stream == b"auds" and n_samples is None and ln >= 40:
+                    # dwLength at offset 32 of AVISTREAMHEADER
+                    n_samples = struct.unpack(
+                        "<I", buf[body_start + 32 : body_start + 36]
+                    )[0]
+            elif tag == b"strf" and cur_stream == b"auds" and wavefmt is None:
+                if ln < 16:
+                    raise ValueError("truncated AVI chunk")
+                wavefmt = buf[body_start : body_start + ln]
+            elif tag == b"01wb":
+                chunks.append(buf[body_start : body_start + ln])
+            pos = body_start + ln + (ln & 1)
+
+    walk(payload, 12, len(payload))
+    if wavefmt is None:
+        raise ValueError("AVI has no audio ('auds') stream")
+    return _wav_read_mono(
+        _riff_wrap(wavefmt, b"".join(chunks), fact_frames=n_samples)
+    )
+
+
+def decode_avi_audio(df: DataFrame) -> DataFrame:
+    """decode_audio's container twin: the same AUDIO_SCHEMA features
+    (duration DIV, DECIMAL(38,0) Σs² via the wrap-free hi/lo split,
+    BIGINT peak) computed from the audio STREAM of an AVI container —
+    :func:`_extract_avi_audio` composes the RIFF/'AVI ' walk with the
+    complete WAV tag dispatch, so a camera file's µ-law track or an
+    ADPCM game capture featurizes without an external codec. Same
+    mapInPandas shape: payloads never leave their task."""
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import decimal
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                sr, n, s = _extract_avi_audio(bytes(payload))
+                sq = s * s
+                energy = (int((sq >> 32).sum()) << 32) + int(
+                    (sq & 0xFFFFFFFF).sum()
+                )
+                out["media_id"].append(mid)
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // sr)
+                out["sum_sq"].append(decimal.Decimal(energy))
+                out["peak"].append(int(np.abs(s).max()) if n else 0)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(_run, AUDIO_SCHEMA)
+
+
+def make_avi_audio_payload(
+    n_samples: int,
+    sample_rate: int = 8000,
+    seed: int = 0,
+    codec: str = "pcm16",
+    n_video_frames: int = 2,
+    chunk_samples: int = 120,
+) -> bytes:
+    """REAL AVI with BOTH a video stream (8x8 uncompressed BI_RGB
+    frames, the make_avi_payload pixel formula) and an audio stream:
+    the audio strf is the WAVEFORMATEX of the chosen ``codec`` and the
+    sample data is the SAME closed-form fixture stream the standalone
+    WAV builders emit — ``pcm16`` (make_wav_payload formula, w=2),
+    ``mulaw`` (make_g711_wav_payload coded bytes) — split across
+    multiple '01wb' chunks every ``chunk_samples`` samples to exercise
+    the concatenation path. SQL oracles therefore replay AVI audio with
+    the exact same formulas as the WAV queries."""
+    import numpy as np
+
+    if codec == "pcm16":
+        i = np.arange(n_samples, dtype=np.int64)
+        s = (i * i * 7 + i * 13 + seed * 101) % 65536 - 32768
+        data = s.astype("<i2").tobytes()
+        bps = 2
+        fmt = struct.pack(
+            "<HHIIHHH", 1, 1, sample_rate, sample_rate * 2, 2, 16, 0
+        )
+    elif codec == "mulaw":
+        i = np.arange(n_samples, dtype=np.int64)
+        data = ((i * i * 5 + i * 37 + seed * 11) % 256).astype(
+            np.uint8
+        ).tobytes()
+        bps = 1
+        fmt = struct.pack(
+            "<HHIIHHH", 7, 1, sample_rate, sample_rate, 1, 8, 0
+        )
+    else:
+        raise ValueError(f"codec must be 'pcm16' or 'mulaw', got {codec!r}")
+    step = chunk_samples * bps
+    audio_chunks = [data[o : o + step] for o in range(0, len(data), step)]
+    # tiny deterministic 8x8 video leg (the make_avi_payload formula)
+    w = h = 8
+    row_stride = (w * 3 + 3) & ~3
+    x = np.arange(w)
+    frames = []
+    for f in range(n_video_frames):
+        rows = []
+        for y in range(h - 1, -1, -1):
+            line = np.zeros(row_stride, dtype=np.uint8)
+            for k in range(3):
+                line[k : w * 3 : 3] = ((x * 3 + k) * 31 + y * 57 + f * 11 + seed) % 251
+            rows.append(line)
+        frames.append(np.concatenate(rows).tobytes())
+    return _build_avi_container(
+        w, h, 40000, frames,
+        handler=b"DIB ", bitcount=24, compression=0, frame_tag=b"00db",
+        audio=(fmt, audio_chunks, n_samples),
+    )
 
 
 FRAME_SAMPLE_REAL_SCHEMA = T.StructType(

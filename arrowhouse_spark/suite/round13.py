@@ -879,3 +879,89 @@ def wav_ms_adpcm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(_build, "media_id long, payload binary")
     return decode_audio(media)
+
+
+@register(
+    "avi_audio_decode_real",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             400 + (doc_id % 4) * 60 AS n,
+             doc_id % 47 AS seed,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_pcm
+      FROM documents
+    ), raw AS (
+      SELECT media_id, n, is_pcm, seed, i
+      FROM m, range(640) t(i) WHERE i < n
+    ), ex AS (
+      SELECT media_id, n, is_pcm,
+             (i*i*7 + i*13 + seed*101) % 65536 - 32768 AS s_pcm,
+             255 - ((i*i*5 + i*37 + seed*11) % 256) AS u
+      FROM raw
+    ), ex2 AS (
+      SELECT media_id, n, is_pcm, s_pcm,
+             (((u % 16) * 8 + 132) << ((u // 16) % 8)) AS tu, u
+      FROM ex
+    ), s AS (
+      SELECT media_id, n,
+             CASE WHEN is_pcm = 1 THEN s_pcm
+                  WHEN u >= 128 THEN 132 - tu
+                  ELSE tu - 132 END AS sv
+      FROM ex2
+    )
+    SELECT media_id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(sum(sv * sv) AS DECIMAL(38,0)) AS sum_sq,
+           CAST(max(abs(sv)) AS BIGINT) AS peak
+    FROM s GROUP BY media_id, n
+    """,
+)
+def avi_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI audio-stream featurization, driver-proven end to end: every
+    document id becomes a REAL two-stream AVI (8x8 uncompressed video
+    leg + an 'auds' stream whose strf is a genuine WAVEFORMATEX —
+    PCM16 for even ids, G.711 µ-law for odd — split across multiple
+    '01wb' chunks), and decode_avi_audio extracts and decodes the
+    audio through the COMPLETE WAV tag dispatch
+    (operators/multimodal.py:_extract_avi_audio: RIFF walk → strf =
+    fmt chunk → '01wb' concatenation → _riff_wrap → _wav_read_mono).
+    The oracle replays both codecs' closed-form sample streams — the
+    same formulas the standalone wav_decode_real / wav_g711_decode_real
+    oracles pin — so a dropped chunk, a stream mix-up (video bytes in
+    the audio path), or a broken WAVEFORMATEX handoff flips
+    sum_sq/peak at the first payload. Map-side only; container bytes
+    never shuffle."""
+    from collections.abc import Iterator
+
+    from arrowhouse_spark.operators.multimodal import (
+        decode_avi_audio,
+        make_avi_audio_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        make_avi_audio_payload(
+                            400 + (i % 4) * 60,
+                            8000,
+                            seed=i % 47,
+                            codec="pcm16" if i % 2 == 0 else "mulaw",
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    return decode_avi_audio(media)

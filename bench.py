@@ -241,6 +241,7 @@ HEADLINE = [
     "wav_float_decode_real",
     "wav_adpcm_decode_real",
     "wav_ms_adpcm_decode_real",
+    "avi_audio_decode_real",
 ]
 
 

@@ -642,6 +642,70 @@ def test_ima_adpcm_guards_are_loud():
         _ima_adpcm_expand(b"\x00\x00\x59\x00" + b"\x00" * 8, 12, 17)
 
 
+def test_avi_audio_stream_decodes_via_wav_dispatch():
+    """The container seam composes with the complete WAV tag dispatch:
+    an AVI's 'auds' stream (strf IS a WAVEFORMATEX) extracted and
+    decoded must equal the standalone WAV decode of the same fixture
+    stream — for PCM16 and mu-law via the builder, and for IMA ADPCM by
+    splicing a real ADPCM WAV's fmt/data into the container (chunk
+    boundaries mid-block exercise the concatenation path; the fact trim
+    rides the strh dwLength). The video leg keeps decoding with a
+    second stream present; an AVI without audio fails loudly."""
+    import struct as _struct
+
+    import numpy as np
+
+    from arrowhouse_spark.operators.multimodal import (
+        _build_avi_container,
+        _decode_avi_gray_frames,
+        _extract_avi_audio,
+        _wav_read_mono,
+        make_avi_audio_payload,
+        make_avi_payload,
+        make_g711_wav_payload,
+        make_ima_adpcm_wav_payload,
+        make_wav_payload,
+    )
+
+    for codec, mk in (
+        ("pcm16", lambda n, sr, sd: make_wav_payload(n, sr, seed=sd)),
+        ("mulaw", lambda n, sr, sd: make_g711_wav_payload(n, sr, seed=sd, law="mu")),
+    ):
+        for n, seed in ((333, 4), (7, 9)):
+            p = make_avi_audio_payload(n, 8000, seed=seed, codec=codec)
+            assert _extract_avi_audio(p)[2].tolist() == _wav_read_mono(
+                mk(n, 8000, seed)
+            )[2].tolist(), (codec, n)
+            us, w, h, grays = _decode_avi_gray_frames(p)
+            assert (w, h, len(grays)) == (8, 8, 2)
+
+    # IMA ADPCM through the container: rip fmt/data from a real ADPCM
+    # WAV, split the block stream at a NON-block boundary, re-wrap as AVI
+    n, seed = 85, 3
+    wav = make_ima_adpcm_wav_payload(n, seed=seed)
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(wav):
+        tag = wav[pos : pos + 4]
+        (ln,) = _struct.unpack("<I", wav[pos + 4 : pos + 8])
+        if tag == b"fmt ":
+            fmt = wav[pos + 8 : pos + 8 + ln]
+        elif tag == b"data":
+            data = wav[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+    chunks = [data[:7], data[7:30], data[30:]]  # mid-block splits
+    avi = _build_avi_container(
+        8, 8, 40000, [b"\x00" * (28 * 8)], handler=b"DIB ", bitcount=24,
+        compression=0, frame_tag=b"00db", audio=(fmt, chunks, n),
+    )
+    got = _extract_avi_audio(avi)
+    want = _wav_read_mono(wav)
+    assert got[0] == want[0] and got[1] == want[1] == n
+    assert np.array_equal(got[2], want[2])
+
+    with pytest.raises(ValueError, match="no audio"):
+        _extract_avi_audio(make_avi_payload(8, 8, 2))
+
+
 def test_ms_adpcm_decode_matches_spec_replay_and_guards():
     """Mono MS ADPCM (tag 2) decodes via the published Microsoft
     recursion — an INDEPENDENT sample-by-sample replay of the spec
