@@ -398,6 +398,100 @@ def ewma(
     )
 
 
+def ewma_last(
+    df: DataFrame,
+    key_cols,
+    order_cols,
+    value_col: str,
+    alpha: float = 0.25,
+    lookback: int = 32,
+    out_col: str = "ewma",
+    round_dp: int = 6,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Per-key EWMA of the LAST row only — the aggregation form of
+    :func:`ewma` for callers that keep just each key's final smoothed
+    value (the events_ewma_last shape). Produces one row per key:
+    ``count_col`` (total rows, long) and ``out_col`` (the EWMA the
+    per-row form would assign to the key's last row in ``order_cols``
+    order).
+
+    Identical arithmetic to :func:`ewma` — the same exact-double weight
+    ladder, the same DECIMAL(37,15)/(22,15) quantized fold, the same
+    overflow guard applied to EVERY row (not only the folded tail), the
+    same newest-first fold over the last ``lookback`` rows' non-null
+    values — so the result is bit-identical to
+    ``ewma(df, ...)`` + "pick the last row per key" (pinned in
+    tests/test_timeseries.py). What changes is the COST: the per-row
+    form materializes a ``lookback``-element array and runs the decimal
+    fold for every input row only to discard all but one per key; this
+    form tags rows with one descending-order ``row_number`` (same keyed
+    window, same single shuffle) and folds ONCE per key inside the
+    keyed aggregation — work drops from O(rows × lookback) to
+    O(rows + keys × lookback) with the identical plan shape (one keyed
+    window + one keyed rollup sharing the partitioning; guide §1.2:
+    don't compute things you throw away).
+
+    Same domain contract as :func:`ewma`: ``|value| < 1e7`` enforced
+    per row, NULL values pass through without consuming a weight."""
+    if not 0 < alpha < 1:
+        raise ValueError(f"need 0 < alpha < 1, got {alpha}")
+    if lookback < 1 or (1 - alpha) ** (lookback - 1) == 0:
+        raise ValueError(f"bad lookback {lookback} for alpha {alpha}")
+    key_cols, order_cols = list(key_cols), list(order_cols)
+    v = F.col(value_col)
+    checked = F.when(v.isNull() | (F.abs(v.cast("double")) < 1e7), v).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"ewma: |{value_col}| >= 1e7 overflows the exact "
+                      "DECIMAL(22,15) term (value="),
+                v.cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
+    w_desc = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    tagged = df.select(
+        *key_cols,
+        checked.cast("double").alias("__v"),
+        F.row_number().over(w_desc).alias("__rn"),
+    )
+    # newest-first tail: rn 1..lookback ascending == the reverse() frame
+    # order of the per-row form; nulls are dropped BEFORE the fold (they
+    # never consume a weight), exactly as collect_list drops them there
+    tail = F.sort_array(
+        F.collect_list(
+            F.when(
+                (F.col("__rn") <= lookback) & F.col("__v").isNotNull(),
+                F.struct(F.col("__rn").alias("rn"), F.col("__v").alias("v")),
+            )
+        )
+    )
+    acc_t, term_t = "decimal(37,15)", "decimal(22,15)"
+    zero = F.struct(
+        F.lit(0).cast(acc_t).alias("s"),
+        F.lit(0).cast(acc_t).alias("ws"),
+        F.lit(1.0).alias("w"),
+    )
+    acc = F.aggregate(
+        tail,
+        zero,
+        lambda a, m: F.struct(
+            (a["s"] + (a["w"] * m["v"]).cast(term_t)).cast(acc_t).alias("s"),
+            (a["ws"] + a["w"].cast(term_t)).cast(acc_t).alias("ws"),
+            (a["w"] * F.lit(1.0 - alpha)).alias("w"),
+        ),
+    )
+    return tagged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias(count_col),
+        F.round(
+            acc["s"].cast("double") / acc["ws"].cast("double"), round_dp
+        ).alias(out_col),
+    )
+
+
 def gapfill_lerp(
     df: DataFrame,
     key_col: str,

@@ -1442,21 +1442,17 @@ def events_ewma_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed exactly (source_entropy_report doctrine ⇒ combine-order-free),
     one double division, round 6. The oracle builds the identical ladder
     with a recursive CTE and joins it on lag. Plan: one user-keyed
-    window (frame state <= 32 values) + one keyed rollup electing the
-    final row via the (ts, event_id) total-order struct max — no global
-    window, no Python."""
-    from arrowhouse_spark.operators.timeseries import ewma
+    row_number window + one keyed rollup folding the last-32 tail ONCE
+    per user (operators/timeseries.py:ewma_last — the per-row form ran
+    the 32-term decimal fold for every event only to keep one row per
+    user) — no global window, no Python."""
+    from arrowhouse_spark.operators.timeseries import ewma_last
 
     ev = _events(spark, sf_dir)
-    sm = ewma(
+    return ewma_last(
         ev, ["user_id"], ["ts", "event_id"], "value",
-        alpha=0.25, lookback=32, out_col="__ewma",
-    )
-    return sm.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.max(F.struct("ts", "event_id", "__ewma"))["__ewma"].alias(
-            "ewma_last"
-        ),
+        alpha=0.25, lookback=32,
+        out_col="ewma_last", count_col="n_events",
     )
 
 

@@ -223,3 +223,48 @@ def test_seasonal_profile_hand_checked(spark):
     # identity: sum n_b * (mean_b - level) = 0)
     tot = sum(n * dev for (k, _), (n, _, _, dev) in out.items() if k == "a")
     assert abs(tot) < 1e-5
+
+
+def test_ewma_last_matches_per_row_form(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+    from arrowhouse_spark.operators.timeseries import ewma, ewma_last
+
+    # 3 keys x up to 40 rows (beyond lookback=32), deterministic values,
+    # interleaved NULLs, so the tail fold, the truncation boundary, and
+    # the null-skip rule are all exercised
+    rows = []
+    for k in range(3):
+        n = (17, 40, 1)[k]
+        for i in range(n):
+            v = None if (k == 1 and i % 7 == 3) else float((i * 31 + k) % 90 - 40)
+            rows.append((f"k{k}", i, v))
+    df = spark.createDataFrame(rows, "k string, seq int, v double")
+
+    per_row = ewma(df, ["k"], ["seq"], "v", alpha=0.25, lookback=32,
+                   out_col="__e")
+    expected = {
+        (r["k"]): (r["n"], r["last_e"])
+        for r in per_row.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max(F.struct("seq", "__e"))["__e"].alias("last_e"),
+        ).collect()
+    }
+    got = {
+        r["k"]: (r["n_rows"], r["ewma"])
+        for r in ewma_last(df, ["k"], ["seq"], "v", alpha=0.25,
+                           lookback=32).collect()
+    }
+    assert got == expected
+
+    # same validation surface as the per-row form
+    with pytest.raises(ValueError):
+        ewma_last(df, ["k"], ["seq"], "v", alpha=1.5)
+    with pytest.raises(ValueError):
+        ewma_last(df, ["k"], ["seq"], "v", lookback=0)
+    big = spark.createDataFrame([("a", 1, 1e7), ("a", 2, 1.0)],
+                                "k string, seq int, v double")
+    # out-of-range guard fires for EVERY row, not only the folded tail
+    with pytest.raises(Exception, match="overflows the exact"):
+        ewma_last(big, ["k"], ["seq"], "v", lookback=1).collect()
