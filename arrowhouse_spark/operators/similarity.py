@@ -743,6 +743,26 @@ def mmr_topk(
 # ---------------------------------------------------------------------------
 
 
+def _write_centroids(spark: SparkSession, c, path: str) -> None:
+    """Write the k×dim centroid matrix as ONE parquet file in ONE
+    single-partition task. The previous form —
+    ``createDataFrame(rows).coalesce(1).write`` — was a measured 5-7 s
+    per call at any store size: a local-list DataFrame parallelizes into
+    ``defaultParallelism`` Python-RDD slices, and ``coalesce(1)`` makes
+    a single task evaluate all of them SERIALLY, paying one Python
+    worker round-trip per slice (32 × ~0.2 s on local[32]; worse, not
+    better, with more cores). Parallelizing to one slice up front keeps
+    the single-file layout for one ~0.35 s round-trip (guide §4: control
+    how often the Python boundary is crossed)."""
+    cent_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(i, [float(x) for x in row]) for i, row in enumerate(c)], 1
+        ),
+        "centroid int, cvec array<double>",
+    )
+    cent_df.write.mode("overwrite").parquet(path)
+
+
 def _store_base(spark: SparkSession, store_path: str) -> str:
     """Resolve the CURRENT layout root of a (possibly versioned) IVF
     store. A refit (:func:`ivf_store_refit`) re-fits the coarse
@@ -901,13 +921,7 @@ def ivf_store_init(
     c = np.array([r[1] for r in cent_rows], dtype=np.float64)
     c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
     spark = df.sparkSession
-    cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(c)],
-        "centroid int, cvec array<double>",
-    )
-    cent_df.coalesce(1).write.mode("overwrite").parquet(
-        store_path + "/centroids"
-    )
+    _write_centroids(spark, c, store_path + "/centroids")
     assigned = _assign_to_centroids(
         df.select(id_col, vec_col), c, vec_col, round_dp=6
     )
@@ -1619,13 +1633,7 @@ def ivf_store_refit(
     fs, nb = _hadoop_fs(spark, new_base)
     if fs.exists(nb):  # stale half-built dir from a crashed attempt
         fs.delete(nb, True)
-    cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(c)],
-        "centroid int, cvec array<double>",
-    )
-    cent_df.coalesce(1).write.mode("overwrite").parquet(
-        new_base + "/centroids"
-    )
+    _write_centroids(spark, c, new_base + "/centroids")
     reassigned = _assign_to_centroids(
         store.select(id_col, vec_col), c, vec_col, round_dp=6
     ).localCheckpoint()  # pin BEFORE the old layout goes away
