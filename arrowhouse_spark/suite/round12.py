@@ -117,43 +117,69 @@ def gdpr_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scd2_store = d + "/scd2"
     shard_store = d + "/shards"
     try:
-        dedup_incremental(
-            docs, spark.createDataFrame([], "fp string")
-        ).write.parquet(fp_store)
-        (
-            docs.select(
-                "doc_id",
-                F.explode(F.array(*[F.lit(b) for b in range(4)])).alias(
-                    "band"
-                ),
+        # the six stores build into six INDEPENDENT directories from
+        # independent scans — submit them from a driver thread pool so
+        # their job waves overlap (guide §2.6; the same overlap the
+        # sweep's own forget_ids legs already use). Builds are
+        # single-writer per path, so concurrency is safe by construction.
+        def _b_fp() -> None:
+            dedup_incremental(
+                docs, spark.createDataFrame([], "fp string")
+            ).write.parquet(fp_store)
+
+        def _b_band() -> None:
+            (
+                docs.select(
+                    "doc_id",
+                    F.explode(F.array(*[F.lit(b) for b in range(4)])).alias(
+                        "band"
+                    ),
+                )
+                .select(
+                    "doc_id",
+                    (F.col("doc_id") * 31 + F.col("band")).alias("minhash"),
+                    "band",
+                    F.pmod(F.col("doc_id") + F.col("band"), F.lit(5)).alias(
+                        "bucket"
+                    ),
+                    F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias(
+                        "batch_id"
+                    ),
+                )
+                .write.partitionBy("batch_id")
+                .parquet(band_store)
             )
-            .select(
-                "doc_id",
-                (F.col("doc_id") * 31 + F.col("band")).alias("minhash"),
-                "band",
-                F.pmod(F.col("doc_id") + F.col("band"), F.lit(5)).alias(
-                    "bucket"
+
+        def _b_cc() -> None:
+            components_incremental(
+                docs.filter(F.col("doc_id") % 5 == 0).select(
+                    F.col("doc_id").alias("src"),
+                    (F.col("doc_id") + 1).alias("dst"),
                 ),
-                F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias(
-                    "batch_id"
-                ),
+                cc_store,
             )
-            .write.partitionBy("batch_id")
-            .parquet(band_store)
-        )
-        components_incremental(
-            docs.filter(F.col("doc_id") % 5 == 0).select(
-                F.col("doc_id").alias("src"),
-                (F.col("doc_id") + 1).alias("dst"),
-            ),
-            cc_store,
-        )
-        ivf_store_init(emb, ivf_store, n_centroids=4)
-        _scd2_process_batch(
-            ev, 0, scd2_store, ["user_id"], "ts", "event_type",
-            "event_id", n_buckets=8,
-        )
-        write_training_shards(docs, shard_store, n_shards=8)
+
+        def _b_ivf() -> None:
+            ivf_store_init(emb, ivf_store, n_centroids=4)
+
+        def _b_scd2() -> None:
+            _scd2_process_batch(
+                ev, 0, scd2_store, ["user_id"], "ts", "event_type",
+                "event_id", n_buckets=8,
+            )
+
+        def _b_shard() -> None:
+            write_training_shards(docs, shard_store, n_shards=8)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [
+                pool.submit(b)
+                for b in (_b_fp, _b_band, _b_cc, _b_ivf, _b_scd2, _b_shard)
+            ]
+            for f in futs:
+                f.result()
 
         summary = forget_ids(
             spark,
@@ -175,14 +201,22 @@ def gdpr_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 victims.select(F.col("doc_id").alias(col)), col, "semi"
             ).count()
 
-        left = {
-            "band": _left(spark.read.parquet(band_store), "doc_id"),
-            "fingerprint": _left(spark.read.parquet(fp_store), "doc_id"),
-            "ivf": _left(_read_postings(spark, ivf_store), "vec_id"),
-            "components": _left(spark.read.parquet(cc_store), "id"),
-            "scd2": _left(spark.read.parquet(scd2_store), "user_id"),
-            "shard": _left(spark.read.parquet(shard_store), "doc_id"),
+        left_specs = {
+            "band": (lambda: spark.read.parquet(band_store), "doc_id"),
+            "fingerprint": (lambda: spark.read.parquet(fp_store), "doc_id"),
+            "ivf": (lambda: _read_postings(spark, ivf_store), "vec_id"),
+            "components": (lambda: spark.read.parquet(cc_store), "id"),
+            "scd2": (lambda: spark.read.parquet(scd2_store), "user_id"),
+            "shard": (lambda: spark.read.parquet(shard_store), "doc_id"),
         }
+        # the six audit counts are independent read-only jobs — overlap
+        # them the same way as the builds
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            left_futs = {
+                kind: pool.submit(lambda rd=rd, col=col: _left(rd(), col))
+                for kind, (rd, col) in left_specs.items()
+            }
+            left = {kind: f.result() for kind, f in left_futs.items()}
         rows = sorted(
             (r.kind, int(r.rows_removed), int(left[r.kind]))
             for r in summary.collect()
