@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from arrowhouse_spark.session import shuffle_parts
 from arrowhouse_spark.suite import (
     _events,
     _t,
@@ -292,7 +293,9 @@ def png_palette_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    media = docs.repartition(shuffle_parts(spark)).mapInPandas(
+        _build, "media_id long, payload binary"
+    )
     dec = decode_images(media, use_real_codec=True)
     return dec.select(
         "media_id",
@@ -374,7 +377,9 @@ def wav_stereo_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    media = docs.repartition(shuffle_parts(spark)).mapInPandas(
+        _build, "media_id long, payload binary"
+    )
     return decode_audio(media)
 
 
@@ -503,7 +508,9 @@ def png_interlaced16_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    media = docs.repartition(shuffle_parts(spark)).mapInPandas(
+        _build, "media_id long, payload binary"
+    )
     dec = decode_images(media, use_real_codec=True)
     return dec.select(
         "media_id",

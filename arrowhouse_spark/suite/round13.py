@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from arrowhouse_spark.session import shuffle_parts
 from arrowhouse_spark.suite import _t, register
 
 # --------------------------------------------------------------------------
@@ -172,7 +173,9 @@ def wav_pcm24_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    media = docs.repartition(shuffle_parts(spark)).mapInPandas(
+        _build, "media_id long, payload binary"
+    )
     return decode_audio(media)
 
 
@@ -260,7 +263,9 @@ def video_mjpeg_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    media = docs.repartition(shuffle_parts(spark)).mapInPandas(
+        _build, "media_id long, payload binary"
+    )
     return frame_sample_real(media, every_ms=80)
 
 
@@ -396,7 +401,9 @@ def jpeg_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": ids, "payload": [payload(i) for i in ids]}
             )
 
-    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    media = docs.repartition(shuffle_parts(spark)).mapInPandas(
+        _build, "media_id long, payload binary"
+    )
     dec = decode_images(media, use_real_codec=True)
     return dec.select(
         "media_id",
@@ -483,7 +490,9 @@ def video_mjpeg_color_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame
                 }
             )
 
-    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    media = docs.repartition(shuffle_parts(spark)).mapInPandas(
+        _build, "media_id long, payload binary"
+    )
     return frame_sample_real(media, every_ms=80)
 
 
@@ -573,7 +582,9 @@ def wav_g711_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    media = docs.repartition(shuffle_parts(spark)).mapInPandas(
+        _build, "media_id long, payload binary"
+    )
     return decode_audio(media)
 
 
@@ -659,7 +670,9 @@ def wav_float_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    media = docs.repartition(shuffle_parts(spark)).mapInPandas(
+        _build, "media_id long, payload binary"
+    )
     return decode_audio(media)
 
 
@@ -766,7 +779,9 @@ def wav_adpcm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    media = docs.repartition(shuffle_parts(spark)).mapInPandas(
+        _build, "media_id long, payload binary"
+    )
     return decode_audio(media)
 
 
@@ -877,7 +892,9 @@ def wav_ms_adpcm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    media = docs.repartition(shuffle_parts(spark)).mapInPandas(
+        _build, "media_id long, payload binary"
+    )
     return decode_audio(media)
 
 
@@ -963,5 +980,7 @@ def avi_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(_build, "media_id long, payload binary")
+    media = docs.repartition(shuffle_parts(spark)).mapInPandas(
+        _build, "media_id long, payload binary"
+    )
     return decode_avi_audio(media)
