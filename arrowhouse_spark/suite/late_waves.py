@@ -1944,9 +1944,9 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the greedy trace is deterministic and the oracle replays all five
     rounds hand-unrolled (the pq_adc_topk unrolled-oracle precedent).
     Plan: ANN bounds the pool FIRST (MMR is quadratic in its input, so
-    it must only see a bounded relation); each round is one TakeOrdered
-    argmax with the ≤5 picked vectors broadcast into the penalty join —
-    driver state is k rows, the kmeans-centroid precedent."""
+    it must only see a bounded relation); the ≤50-row pool is collected
+    once and the k greedy rounds run driver-side in exact int64 numpy —
+    driver state is pool_n rows, the kmeans-centroid precedent."""
     from arrowhouse_spark.operators.similarity import mmr_topk
 
     emb = _t(spark, sf_dir, "embeddings")
