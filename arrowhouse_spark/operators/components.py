@@ -136,7 +136,9 @@ def components_store_presence_count(
     if not _fs_dir_exists(spark, store_path):
         return 0
     if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame([(int(i),) for i in ids], "id long")
+        from arrowhouse_spark.sources.memory import one_block
+
+        ids = one_block(spark, [(int(i),) for i in ids], "id long")
     ids = ids.select("id").distinct().localCheckpoint()
     n_buckets = _resolve_n_buckets(spark, store_path, n_buckets)
     vbuckets = [
@@ -662,7 +664,9 @@ def components_store_retract_counted(
     from arrowhouse_spark.operators.sampling import hash_bucket
 
     if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame([(int(i),) for i in ids], "id long")
+        from arrowhouse_spark.sources.memory import one_block
+
+        ids = one_block(spark, [(int(i),) for i in ids], "id long")
     ids = ids.select("id").distinct().localCheckpoint()
     if not _fs_dir_exists(spark, store_path):
         return ids.limit(0).withColumn("component", F.col("id")), 0

@@ -55,7 +55,9 @@ def _checkpoint_ids(spark: SparkSession, ids) -> DataFrame:
     if isinstance(ids, DataFrame):
         df = ids.select(F.col(ids.columns[0]).alias("__fid"))
     else:
-        df = spark.createDataFrame([(int(i),) for i in ids], "__fid long")
+        from arrowhouse_spark.sources.memory import one_block
+
+        df = one_block(spark, [(int(i),) for i in ids], "__fid long")
     return df.distinct().localCheckpoint()
 
 
@@ -191,4 +193,6 @@ def forget_ids(
                 raise first_exc
     else:
         out = [_leg(e) for e in entries]
-    return spark.createDataFrame(out, SUMMARY_SCHEMA)
+    from arrowhouse_spark.sources.memory import one_block
+
+    return one_block(spark, out, SUMMARY_SCHEMA)

@@ -24,9 +24,9 @@ def normalize_ids(
     """``ids`` (sequence or single-column DataFrame) → distinct,
     localCheckpoint()ed one-column relation named ``id_col``."""
     if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame(
-            [(int(i),) for i in ids], f"{id_col} long"
-        )
+        from arrowhouse_spark.sources.memory import one_block
+
+        ids = one_block(spark, [(int(i),) for i in ids], f"{id_col} long")
     return ids.select(id_col).distinct().localCheckpoint()
 
 

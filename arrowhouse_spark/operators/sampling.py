@@ -111,8 +111,12 @@ def source_mixing_plan(
     if not weights or any(w <= 0 for w in weights.values()):
         raise ValueError("weights must be positive integers per source")
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        [(s, int(w)) for s, w in weights.items()], f"{source_col} string, w long"
+    from arrowhouse_spark.sources.memory import one_block
+
+    wdf = one_block(
+        spark,
+        [(s, int(w)) for s, w in weights.items()],
+        f"{source_col} string, w long",
     )
     counts = (
         df.groupBy(source_col)

@@ -735,7 +735,10 @@ def mmr_topk(
         # fold the new pick into every candidate's max-similarity penalty
         d = q @ q[j]
         pen = d if rank == 1 else np.maximum(pen, d)
-    return spark.createDataFrame(
+    from arrowhouse_spark.sources.memory import one_block
+
+    return one_block(
+        spark,
         [(rk, i, sv, p, sv - p) for rk, i, sv, p in selected],
         "rank long, vec_id long, s long, penalty long, score long",
     )
@@ -1111,9 +1114,9 @@ def ivf_store_delete(
     from arrowhouse_spark.operators.components import _hadoop_fs
 
     if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame(
-            [(int(i),) for i in ids], f"{id_col} long"
-        )
+        from arrowhouse_spark.sources.memory import one_block
+
+        ids = one_block(spark, [(int(i),) for i in ids], f"{id_col} long")
     ids = ids.select(id_col).distinct().localCheckpoint()
     base = _store_base(spark, store_path)  # resolve the pointer ONCE
     store = _read_postings(spark, store_path, base=base)

@@ -531,9 +531,12 @@ def vocab_encode(
         # preserve the TakeOrdered order, but re-sorting V rows is free and
         # removes the dependency on that plan detail
         ranked = sorted(top.collect(), key=lambda r: (-r["tf"], r["tok"]))
-        vocab = df.sparkSession.createDataFrame(
+        from arrowhouse_spark.sources.memory import one_block
+
+        vocab = one_block(
+            df.sparkSession,
             [(r["tok"], i + 1) for i, r in enumerate(ranked)],
-            schema="tok string, tid int",
+            "tok string, tid int",
         )
     enc = toks.join(vocab, "tok", "left").select(
         F.col(id_col),
@@ -739,8 +742,10 @@ def url_filter(
         # so mixed-case blocklist rows would never match (round-6 advice)
         bdf = blocked_domains.select(F.lower(F.col("domain")).alias("domain"))
     else:
-        bdf = spark.createDataFrame(
-            [(d.lower(),) for d in blocked_domains], "domain string"
+        from arrowhouse_spark.sources.memory import one_block
+
+        bdf = one_block(
+            spark, [(d.lower(),) for d in blocked_domains], "domain string"
         )
     host = F.lower(F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/:?#]+)", 1))
     out = df.withColumn("domain", host)

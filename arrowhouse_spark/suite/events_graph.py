@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from arrowhouse_spark.session import shuffle_parts
+from arrowhouse_spark.sources.memory import one_block
 
 from arrowhouse_spark.compile import apply_program
 from arrowhouse_spark.functions import hashing
@@ -1363,7 +1364,8 @@ def embedding_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for m in range(comps.shape[0])
     ]
-    return spark.createDataFrame(
+    return one_block(
+        spark,
         rows,
         "comp_idx int, total_variance double, orthonormal boolean, "
         "variance_decreasing boolean, ratio_in_unit boolean",

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from arrowhouse_spark.session import shuffle_parts
+from arrowhouse_spark.sources.memory import one_block
 
 from arrowhouse_spark.compile import apply_program
 from arrowhouse_spark.functions import hashing
@@ -292,8 +293,8 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = digits.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     pairs = [tuple(map(float, x.strip("() ").split(", "))) for x in _BENFORD_P.split("), (")]
-    expected = spark.createDataFrame(
-        [(int(d), p) for d, p in pairs], "d int, p double"
+    expected = one_block(
+        spark, [(int(d), p) for d, p in pairs], "d int, p double"
     )
     grid = (
         totals.crossJoin(F.broadcast(expected))

@@ -571,15 +571,18 @@ def sip_hash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     default (0, 0) key against self-pinned values (scalar ≡ numpy kernel
     cross-check in tests/test_hashing.py)."""
     from arrowhouse_spark.functions.siphash import sip_hash64_str
+    from arrowhouse_spark.sources.memory import one_block
 
     k0, k1 = 0x0706050403020100, 0x0F0E0D0C0B0A0908
-    official = spark.createDataFrame(
+    official = one_block(
+        spark,
         [("official", n, "".join(chr(j) for j in range(n)))
          for n, _ in _SIP_OFFICIAL],
         "family string, n int, s string",
     ).select("family", "n", sip_hash64_str("s", k0, k1).alias("h"))
     buf = "".join(chr(33 + ((i * 31 + 7) % 94)) for i in range(1024))
-    seed0 = spark.createDataFrame(
+    seed0 = one_block(
+        spark,
         [("seed0", n, buf[:n]) for n, _ in _SIP_SEED0],
         "family string, n int, s string",
     ).select("family", "n", sip_hash64_str("s").alias("h"))

@@ -78,9 +78,11 @@ def sip_hash128_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold invariant lo^hi == the PUBLISHED 64-bit vectors
     (tests/test_hashing.py)."""
     from arrowhouse_spark.functions.siphash import sip_hash128_str
+    from arrowhouse_spark.sources.memory import one_block
 
     k0, k1 = 0x0706050403020100, 0x0F0E0D0C0B0A0908
-    official = spark.createDataFrame(
+    official = one_block(
+        spark,
         [
             ("official", n, "".join(chr(j) for j in range(n)))
             for n, _ in _SIP128_OFFICIAL
@@ -88,7 +90,8 @@ def sip_hash128_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "family string, n int, s string",
     ).select("family", "n", sip_hash128_str("s", k0, k1).alias("h128"))
     buf = "".join(chr(33 + ((i * 31 + 7) % 94)) for i in range(1024))
-    seed0 = spark.createDataFrame(
+    seed0 = one_block(
+        spark,
         [("seed0", n, buf[:n]) for n, _ in _SIP128_SEED0],
         "family string, n int, s string",
     ).select("family", "n", sip_hash128_str("s").alias("h128"))

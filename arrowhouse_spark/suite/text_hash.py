@@ -1553,10 +1553,11 @@ def xxh3_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment). The Spark side recomputes each hash with functions/xxh3.py's
     pandas-UDF kernel over the same deterministic strings."""
     from arrowhouse_spark.functions.xxh3 import xxh3_64_str
+    from arrowhouse_spark.sources.memory import one_block
 
     buf = "".join(chr(33 + ((i * 31 + 7) % 94)) for i in range(2048))
-    df = spark.createDataFrame(
-        [(n, buf[:n]) for n, _ in _XXH3_LENS_HASHES], "n int, s string"
+    df = one_block(
+        spark, [(n, buf[:n]) for n, _ in _XXH3_LENS_HASHES], "n int, s string"
     )
     return df.select("n", xxh3_64_str("s").alias("h")).orderBy("n")
 
@@ -1596,10 +1597,11 @@ def wyhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     each hash with functions/wyhash.py's length-grouped numpy kernel over
     the same deterministic strings."""
     from arrowhouse_spark.functions.wyhash import wy_hash64_str
+    from arrowhouse_spark.sources.memory import one_block
 
     buf = "".join(chr(33 + ((i * 31 + 7) % 94)) for i in range(2048))
-    df = spark.createDataFrame(
-        [(n, buf[:n]) for n, _ in _WYHASH_LENS_HASHES], "n int, s string"
+    df = one_block(
+        spark, [(n, buf[:n]) for n, _ in _WYHASH_LENS_HASHES], "n int, s string"
     )
     return df.select("n", wy_hash64_str("s").alias("h")).orderBy("n")
 
