@@ -18,9 +18,13 @@ Scale notes (100 TB doctrine):
 - Each iteration is TWO keyed shuffles: edges⋈ranks on src (a co-located
   join when both sides are pre-partitioned by src — edges are static, so
   at scale they are shuffled ONCE and reused), and the per-dst
-  contribution aggregate. N and the dangling mass are 1-row relations
-  crossJoin(broadcast)-ed — never driver-side scalars, so the whole loop
-  is one declarative plan per iteration.
+  contribution aggregate. N and the per-iteration dangling mass are
+  MODEL-SIZED exact scalars (one count, one double) collected to the
+  driver and inlined as literals — the aggregation plans computing them
+  are unchanged, but the former 1-row crossJoin(broadcast) relations cost
+  one broadcast-build job per reference per iteration, which dominated
+  wall time at fixed-cost-per-job scales (and is pure overhead at any
+  scale: a literal ships with the task closure for free).
 - Ranks are lazily localCheckpoint()ed per iteration — the same
   lineage-cut discipline as components.py; without it, planning cost
   doubles per round.
@@ -61,11 +65,21 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n_rel = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
-    ranks = nodes.crossJoin(F.broadcast(n_rel)).select(
-        "id", (F.lit(1.0) / F.col("n")).alias("r")
+    # N is a model-sized exact integer: collect it ONCE as a double literal
+    # instead of crossJoin(broadcast(1-row relation)) twice per iteration —
+    # each broadcast build was its own Spark job (guide §1.2: job-count is
+    # the fixed-cost driver for iterative loops). Same IEEE value, same
+    # downstream arithmetic.
+    n = F.lit(float(nodes.count()))
+    # deg is iteration-invariant but was re-derived (a full keyed count
+    # over e) TWICE per iteration — contrib's join and the dangling
+    # anti-join; one lineage cut computes it once.
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+        .localCheckpoint(eager=False)
     )
+    ranks = nodes.select("id", (F.lit(1.0) / n).alias("r"))
     d = F.lit(damping)
     for _ in range(iterations):
         ranks = ranks.localCheckpoint(eager=False)  # referenced twice below
@@ -75,25 +89,21 @@ def pagerank(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("r") / F.col("outdeg")).alias("cr"))
         )
-        dangling = (
+        # the dangling mass is ONE double per iteration — the same keyed
+        # anti-join + sum as before, collected instead of broadcast (one
+        # job either way, but the crossJoin disappears from every
+        # downstream plan)
+        dm = F.lit(
             ranks.join(deg, ranks.id == deg.src, "left_anti")
             .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+            .first()[0]
         )
-        ranks = (
-            nodes.join(contrib, "id", "left")
-            .crossJoin(F.broadcast(dangling))
-            .crossJoin(F.broadcast(n_rel))
-            .select(
-                "id",
-                (
-                    (F.lit(1.0) - d) / F.col("n")
-                    + d
-                    * (
-                        F.coalesce(F.col("cr"), F.lit(0.0))
-                        + F.col("dm") / F.col("n")
-                    )
-                ).alias("r"),
-            )
+        ranks = nodes.join(contrib, "id", "left").select(
+            "id",
+            (
+                (F.lit(1.0) - d) / n
+                + d * (F.coalesce(F.col("cr"), F.lit(0.0)) + dm / n)
+            ).alias("r"),
         )
     return ranks
 
@@ -135,7 +145,12 @@ def bfs_levels(
             .withColumn("dist", F.lit(hop))
             .localCheckpoint(eager=False)
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        # every per-hop relation is already a checkpoint leaf, so the
+        # running union needs no cut of its own — checkpointing it too
+        # re-materialized the whole visited set every hop (one extra job
+        # and a second copy of the blocks, per hop) for a plan that is
+        # just a union of ≤max_hops leaf scans
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 
@@ -212,19 +227,25 @@ def personalized_pagerank(
         .localCheckpoint(eager=False)
     )
     seeds = sources.select(F.col(src).alias("id")).distinct()
-    ns_rel = seeds.agg(F.count(F.lit(1)).cast("double").alias("ns"))
+    # seed count: one exact-integer collect replaces the per-build 1-row
+    # broadcast (same job-count rationale as pagerank's N literal)
+    ns = F.lit(float(seeds.count()))
     p0 = (
         nodes.join(seeds.withColumn("__is_seed", F.lit(1)), "id", "left")
-        .crossJoin(F.broadcast(ns_rel))
         .select(
             "id",
-            F.when(F.col("__is_seed").isNotNull(), 1.0 / F.col("ns"))
+            F.when(F.col("__is_seed").isNotNull(), 1.0 / ns)
             .otherwise(0.0)
             .alias("p0"),
         )
         .localCheckpoint(eager=False)
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+    # iteration-invariant out-degree, cut once (see pagerank)
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+        .localCheckpoint(eager=False)
+    )
     ranks = p0.select("id", F.col("p0").alias("r"))
     d = F.lit(damping)
     for _ in range(iterations):
@@ -235,23 +256,21 @@ def personalized_pagerank(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("r") / F.col("outdeg")).alias("cr"))
         )
-        dangling = ranks.join(
-            deg, ranks.id == deg.src, "left_anti"
-        ).agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
-        ranks = (
-            p0.join(contrib, "id", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                (
-                    (F.lit(1.0) - d) * F.col("p0")
-                    + d
-                    * (
-                        F.coalesce(F.col("cr"), F.lit(0.0))
-                        + F.col("dm") * F.col("p0")
-                    )
-                ).alias("r"),
-            )
+        dm = F.lit(
+            ranks.join(deg, ranks.id == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+            .first()[0]
+        )
+        ranks = p0.join(contrib, "id", "left").select(
+            "id",
+            (
+                (F.lit(1.0) - d) * F.col("p0")
+                + d
+                * (
+                    F.coalesce(F.col("cr"), F.lit(0.0))
+                    + dm * F.col("p0")
+                )
+            ).alias("r"),
         )
     return ranks
 
@@ -367,39 +386,37 @@ def hits(
     h = hubs.select("id", F.lit(1.0).alias("h")).localCheckpoint(eager=False)
     a = None
     for _ in range(iterations):
+        # each half-step's raw-score relation is referenced twice (the
+        # global total + the normalized projection) — one lineage cut
+        # computes the keyed sum once; the total is ONE double per
+        # half-step, collected exactly as the old broadcast's
+        # cast("double") produced it (the DECIMAL sum is engine-exact, so
+        # the collected double is bit-identical to the crossJoin form)
         raw_a = (
             e.join(h.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("h").cast(dec)).alias("raw"))
-        )
-        tot_a = raw_a.agg(F.sum("raw").alias("tot"))
-        a = (
-            raw_a.crossJoin(F.broadcast(tot_a))
-            .select(
-                "id",
-                F.round(
-                    F.col("raw").cast("double") / F.col("tot").cast("double"),
-                    12,
-                ).alias("a"),
-            )
             .localCheckpoint(eager=False)
+        )
+        tot_a = F.lit(
+            raw_a.agg(F.sum("raw").cast("double").alias("tot")).first()[0]
+        )
+        a = raw_a.select(
+            "id",
+            F.round(F.col("raw").cast("double") / tot_a, 12).alias("a"),
         )
         raw_h = (
             e.join(a.withColumnRenamed("id", "dst"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum(F.col("a").cast(dec)).alias("raw"))
-        )
-        tot_h = raw_h.agg(F.sum("raw").alias("tot"))
-        h = (
-            raw_h.crossJoin(F.broadcast(tot_h))
-            .select(
-                "id",
-                F.round(
-                    F.col("raw").cast("double") / F.col("tot").cast("double"),
-                    12,
-                ).alias("h"),
-            )
             .localCheckpoint(eager=False)
+        )
+        tot_h = F.lit(
+            raw_h.agg(F.sum("raw").cast("double").alias("tot")).first()[0]
+        )
+        h = raw_h.select(
+            "id",
+            F.round(F.col("raw").cast("double") / tot_h, 12).alias("h"),
         )
     nodes = hubs.union(auths).distinct()
     return (
