@@ -22,9 +22,11 @@ boundary separator.
 
 Scale: each merge round is one map-side pair explode → keyed count (partial
 maps combine map-side; key count = live pair vocabulary, not corpus size) →
-TakeOrdered(1) → a 1-row broadcast applying the merge map-side. The working
-corpus is lineage-cut per round (lazy localCheckpoint) — the same persisted
-intermediate a production trainer keeps between merge steps. Production BPE
+TakeOrdered(1) collected to the driver (the merge table is the model-sized
+tokenizer artifact) → a literal-replace projection applying the merge
+map-side. The working corpus is lineage-cut per round (lazy localCheckpoint)
+— the same persisted intermediate a production trainer keeps between merge
+steps. Production BPE
 batches thousands of merges per count pass; this is the textbook
 1-merge-per-pass form, with n_merges bounding the rounds.
 """
@@ -32,7 +34,6 @@ batches thousands of merges per count pass; this is the textbook
 from __future__ import annotations
 
 import re
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -64,6 +65,8 @@ def bpe_train_merges(
     the train→encode composition a tokenizer build runs: the final
     corpus state the training loop already maintains, re-keyed by the
     document id (zero extra passes beyond the last merge application)."""
+    from arrowhouse_spark.sources.memory import one_block
+
     if n_merges < 1:
         raise ValueError(f"need n_merges >= 1, got {n_merges}")
     toks = tokens(text_col)
@@ -79,7 +82,13 @@ def bpe_train_merges(
         )
         .localCheckpoint(eager=False)
     )
-    results: list[DataFrame] = []
+    # the round winner is ONE row — collect it instead of checkpointing a
+    # 1-row relation and re-broadcasting it into the apply (each of those
+    # was its own Spark job per round; the counting aggregation that
+    # produces the winner is unchanged, so the selected pair and count are
+    # identical). The driver holds only the merge table — model-sized by
+    # definition (the tokenizer artifact).
+    result_rows: list[tuple[int, str, int]] = []
     for it in range(1, n_merges + 1):
         a = F.split(F.substring(F.col("s"), 2, F.length("s") - 2), SEP + SEP)
         base = cur.select(a.alias("a")).filter(F.size("a") >= 2)
@@ -100,44 +109,33 @@ def bpe_train_merges(
             .agg(F.count(F.lit(1)).alias("pair_count"))
             .orderBy(F.col("pair_count").desc(), F.col("pair"))
             .limit(1)
-            .select(F.lit(it).alias("it"), "pair", "pair_count")
-            # 1-row relation referenced twice (output union + next round's
-            # apply) — cut so the count subtree runs once
-            .localCheckpoint(eager=False)
+            .first()
         )
-        results.append(top)
+        if top is None:
+            # corpus exhausted (n_merges exceeds the learnable merges):
+            # no output row for this or any later round, corpus unchanged
+            # (the former empty-`top` left-join applied the identity)
+            break
+        result_rows.append((it, top["pair"], top["pair_count"]))
         if it < n_merges or return_encoded:
-            pattern = F.concat(
-                F.lit(SEP),
-                F.replace(F.col("pair"), F.lit(SEP), F.lit(SEP + SEP)),
-                F.lit(SEP),
-            )
-            merged = F.concat(
-                F.lit(SEP),
-                F.replace(F.col("pair"), F.lit(SEP), F.lit(join_str)),
-                F.lit(SEP),
-            )
-            # LEFT join on TRUE (not crossJoin): when the corpus has no
-            # adjacent pairs left (n_merges exceeds the learnable merges),
-            # `top` is EMPTY — a cross join would silently empty the working
-            # corpus; the left join keeps every row with pair=NULL and the
-            # coalesce leaves the text unchanged (round-6 advice).
+            pattern = SEP + top["pair"].replace(SEP, SEP + SEP) + SEP
+            merged = SEP + top["pair"].replace(SEP, join_str) + SEP
             cur = (
-                cur.join(F.broadcast(top.select("pair")), F.lit(True), "left")
-                .select(
+                cur.select(
                     *id_cols,
-                    F.coalesce(
-                        F.replace(F.col("s"), pattern, merged), F.col("s")
+                    F.replace(
+                        F.col("s"), F.lit(pattern), F.lit(merged)
                     ).alias("s"),
                 )
                 .localCheckpoint(eager=False)
             )
-    out = reduce(DataFrame.unionByName, results)
-    merges = out.select(
-        "it",
-        F.split_part(F.col("pair"), F.lit(SEP), F.lit(1)).alias("left_tok"),
-        F.split_part(F.col("pair"), F.lit(SEP), F.lit(2)).alias("right_tok"),
-        "pair_count",
+    merges = one_block(
+        df.sparkSession,
+        [
+            (it, pair.split(SEP)[0], pair.split(SEP)[1], cnt)
+            for it, pair, cnt in result_rows
+        ],
+        "it int, left_tok string, right_tok string, pair_count long",
     )
     if not return_encoded:
         return merges
@@ -202,9 +200,10 @@ def bpe_train_merges_batched(
     then selection by ONE re-aggregation of that token-best relation
     (a pair is selected iff the number of tokens whose best pair is p
     equals p's distinct-token count — zero joins anywhere);
-    TakeOrdered(batch_size); then ONE map-side pass applying all selected
-    merges via an F.aggregate fold over the 1-row broadcast merge array.
-    The working corpus is lineage-cut per pass. Returns one row per
+    TakeOrdered(batch_size) collected to the driver (≤ batch_size rows,
+    the merge-table delta); then ONE map-side pass applying all selected
+    merges as chained literal replaces in rank order. The working corpus
+    is lineage-cut per pass. Returns one row per
     learned merge: (pass, left_tok, right_tok, pair_count); with
     ``return_encoded=True`` also the fully-merged corpus as
     (id_col, bpe_tokens). Exhausted corpora (no pairs left) yield empty
@@ -228,7 +227,15 @@ def bpe_train_merges_batched(
         .localCheckpoint(eager=False)
     )
     n_passes = -(-n_merges // batch_size)
-    results: list[DataFrame] = []
+    # per-pass selection is ≤ batch_size rows — the merge-table delta, a
+    # model-sized tokenizer artifact. Collect it (the selection
+    # aggregation is unchanged, collect preserves the TakeOrdered order,
+    # which IS the former sort_array(struct(-cnt, pair)) fold order) and
+    # apply the batch as chained literal replaces instead of
+    # checkpointing the k-row relation, re-aggregating it into a packed
+    # array, and broadcasting that into a crossJoin — three Spark jobs
+    # per pass collapsed into the one collect.
+    result_rows: list[tuple[int, str, int]] = []
     for p in range(1, n_passes + 1):
         k = min(batch_size, n_merges - batch_size * (p - 1))
         a = F.split(F.substring(F.col("s"), 2, F.length("s") - 2), SEP + SEP)
@@ -272,7 +279,7 @@ def bpe_train_merges_batched(
         # relation (key count = live pair vocab), zero joins.
         bl = F.split_part(F.col("bk.pair"), F.lit(SEP), F.lit(1))
         br = F.split_part(F.col("bk.pair"), F.lit(SEP), F.lit(2))
-        sel = (
+        sel_rows = (
             best.groupBy("bk")
             .agg(F.count(F.lit(1)).alias("__nt"))
             .filter(
@@ -284,48 +291,35 @@ def bpe_train_merges_batched(
             )
             .orderBy(F.col("cnt").desc(), F.col("pair"))
             .limit(k)
-            .select(F.lit(p).alias("pass"), "pair", "cnt")
-            # referenced twice (output union + this pass's apply) — cut so
-            # the selection subtree runs once
-            .localCheckpoint(eager=False)
+            .collect()
         )
-        results.append(sel)
-        if p < n_passes or return_encoded:
-            # exactly ONE row always (global agg): empty selection packs an
-            # empty array and the fold is the identity — exhausted merges
-            # leave the corpus unchanged
-            packed = sel.agg(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("cnt")).alias("nc"),
-                            F.col("pair").alias("pair"),
-                        )
-                    )
-                ).alias("__ms")
-            )
-            cur = (
-                cur.crossJoin(F.broadcast(packed))
-                .select(
-                    *id_cols,
-                    F.aggregate(
-                        "__ms",
-                        F.col("s"),
-                        lambda acc, m: F.replace(
-                            acc,
-                            _wrap_pattern(m["pair"]),
-                            _wrap_merged(m["pair"], join_str),
-                        ),
-                    ).alias("s"),
+        result_rows.extend((p, r["pair"], r["cnt"]) for r in sel_rows)
+        if sel_rows and (p < n_passes or return_encoded):
+            # chained literal replaces in collected (rank) order ≡ the
+            # former F.aggregate fold over sort_array(struct(-cnt, pair));
+            # within a pass the pairs are token-disjoint, so the order is
+            # canonical anyway. An empty selection (exhausted corpus)
+            # formerly folded an empty array — the identity — so skipping
+            # the projection entirely leaves the corpus bit-identical.
+            expr = F.col("s")
+            for _, pair, _cnt in result_rows[-len(sel_rows):]:
+                expr = F.replace(
+                    expr,
+                    F.lit(SEP + pair.replace(SEP, SEP + SEP) + SEP),
+                    F.lit(SEP + pair.replace(SEP, join_str) + SEP),
                 )
-                .localCheckpoint(eager=False)
+            cur = cur.select(*id_cols, expr.alias("s")).localCheckpoint(
+                eager=False
             )
-    out = reduce(DataFrame.unionByName, results)
-    merges = out.select(
-        "pass",
-        F.split_part(F.col("pair"), F.lit(SEP), F.lit(1)).alias("left_tok"),
-        F.split_part(F.col("pair"), F.lit(SEP), F.lit(2)).alias("right_tok"),
-        F.col("cnt").alias("pair_count"),
+    from arrowhouse_spark.sources.memory import one_block
+
+    merges = one_block(
+        df.sparkSession,
+        [
+            (p, pair.split(SEP)[0], pair.split(SEP)[1], cnt)
+            for p, pair, cnt in result_rows
+        ],
+        "pass int, left_tok string, right_tok string, pair_count long",
     )
     if not return_encoded:
         return merges
