@@ -322,6 +322,9 @@ def hist_quantile(
     construction; pin it against the exact percentile where affordable."""
     width = (hi - lo) / bins
     kcols = list(keys)
+    # `states` is referenced three times below (broadcast side, join
+    # base, totals); callers pass merged-state subtrees, so cut once
+    states = states.localCheckpoint(eager=False)
     t = states.select(
         *[F.col(k).alias(f"__k_{k}") for k in kcols],
         F.col("bin").alias("__bin2"),

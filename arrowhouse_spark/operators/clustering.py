@@ -65,6 +65,10 @@ def _assign(pts: DataFrame, centroids: DataFrame) -> DataFrame:
         .select("__id", "__cid", (d * d).cast(_DIST_T).alias("__t"))
         .groupBy("__id", "__cid")
         .agg(F.sum("__t").alias("__dist"))
+        # referenced twice (the per-id min and the join-back) — without a
+        # cut the explode+broadcast-join+sum subtree executes twice per
+        # assignment (ReusedExchange does not always fire across the agg)
+        .localCheckpoint(eager=False)
     )
     mind = dists.groupBy("__id").agg(F.min("__dist").alias("__dist"))
     return (

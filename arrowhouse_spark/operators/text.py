@@ -514,7 +514,11 @@ def vocab_encode(
     # so the rank is total and deterministic
     if vocab_size <= _VOCAB_RANK_JOIN_MAX:
         # lazy path: 1 + number of strictly-higher-ranked vocab entries via
-        # a broadcast theta-join over the constant-sized top-V relation
+        # a broadcast theta-join over the constant-sized top-V relation.
+        # `top` is referenced twice (rank base + broadcast side) — without
+        # a cut the corpus-sized token-count + TakeOrdered subtree executes
+        # twice
+        top = top.localCheckpoint(eager=False)
         other = F.broadcast(
             top.select(F.col("tok").alias("tok2"), F.col("tf").alias("tf2"))
         )
@@ -1089,7 +1093,13 @@ def zipf_fit(
         ).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
-    classes = freq.groupBy("f").agg(F.count(F.lit(1)).alias("n"))
+    # referenced twice by the theta self-join below — cut so the corpus
+    # explode + two keyed aggregates execute once
+    classes = (
+        freq.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     other = F.broadcast(
         classes.select(F.col("f").alias("f2"), F.col("n").alias("n2"))
     )

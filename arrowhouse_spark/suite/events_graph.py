@@ -727,7 +727,14 @@ def vocab_growth_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(grams_arr).alias("g"),
     )
     first = grams.groupBy("g").agg(F.min("batch").alias("fb"))
-    new_per = first.groupBy("fb").agg(F.count(F.lit(1)).alias("n_new"))
+    # ≤10 rows but a corpus-sized subtree (bigram explode + two keyed
+    # aggregates); referenced twice by the cumulative theta-join — cut
+    # so it executes once
+    new_per = (
+        first.groupBy("fb")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+        .localCheckpoint(eager=False)
+    )
     other = F.broadcast(
         new_per.select(F.col("fb").alias("f2"), F.col("n_new").alias("n2"))
     )

@@ -916,6 +916,9 @@ def bpe_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .orderBy(F.col("tf").desc(), F.col("tok").asc())
         .limit(256)
+        # referenced twice (rank base + broadcast side) — cut so the
+        # encoded-corpus explode + count + TakeOrdered run once
+        .localCheckpoint(eager=False)
     )
     other = F.broadcast(
         top.select(F.col("tok").alias("tok2"), F.col("tf").alias("tf2"))
