@@ -108,7 +108,7 @@ def gapfill_locf(
     )
     observed = df.groupBy(k.alias(key_col), b.alias("bucket_ts")).agg(
         F.max(ordered).getField("v").alias("v_obs")
-    )
+    ).localCheckpoint(eager=False)  # referenced by spine AND the fill join
     spine = (
         observed.groupBy(key_col)
         .agg(
@@ -529,7 +529,7 @@ def gapfill_lerp(
     )
     observed = df.groupBy(k.alias(key_col), b.alias("bucket_ts")).agg(
         F.round(F.max(ordered).getField("v"), 2).alias("v_obs")
-    )
+    ).localCheckpoint(eager=False)  # referenced by spine AND the fill join
     spine = (
         observed.groupBy(key_col)
         .agg(F.min("bucket_ts").alias("mn"), F.max("bucket_ts").alias("mx"))
