@@ -973,7 +973,9 @@ def _dedupe_ivf_batch(
     d = (
         new_df.select(id_col, vec_col)
         .dropDuplicates([id_col, vec_col])
-        .localCheckpoint()
+        # lazy: the conflict probe below is the first action and
+        # materializes it — an eager cut here was one extra job per batch
+        .localCheckpoint(eager=False)
     )
     conflicted = (
         d.groupBy(id_col)
@@ -1068,7 +1070,7 @@ def ivf_store_append(
     deduped = _dedupe_ivf_batch(new_df, id_col, vec_col, "ivf_store_append")
     assigned = _assign_to_centroids(
         deduped, c, vec_col, round_dp=6
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # the touched-cell collect materializes it
     touched = [r.centroid for r in assigned.select("centroid").distinct().collect()]
     store = _read_postings(spark, store_path, base=base)
     if store is not None:
@@ -1117,7 +1119,7 @@ def ivf_store_delete(
         from arrowhouse_spark.sources.memory import one_block
 
         ids = one_block(spark, [(int(i),) for i in ids], f"{id_col} long")
-    ids = ids.select(id_col).distinct().localCheckpoint()
+    ids = ids.select(id_col).distinct().localCheckpoint(eager=False)
     base = _store_base(spark, store_path)  # resolve the pointer ONCE
     store = _read_postings(spark, store_path, base=base)
     if store is None:
@@ -1127,16 +1129,23 @@ def ivf_store_delete(
     # column-pruned here and cell-pruned below, so the shuffle is
     # delta-sized (idgate.BROADCAST_ID_LIMIT; round-11 verdict #1)
     ids_j = gate_broadcast(ids)
-    hit = (
-        store.join(ids_j, id_col, "semi")
+    # ONE pass over the column-pruned (id, centroid) scan yields both the
+    # per-cell hit counts (the former semi-join aggregate) and the
+    # per-cell totals that decide which touched cells die entirely — the
+    # latter previously cost a second collect over the survivors after
+    # the rewrite
+    stats = (
+        store.join(ids_j.withColumn("__hit", F.lit(1)), id_col, "left")
         .groupBy("centroid")
-        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.count(F.lit(1)).alias("__t"), F.count("__hit").alias("__n"))
+        .filter(F.col("__n") > 0)
         .collect()
     )
-    if not hit:
+    if not stats:
         return 0
-    touched = [r.centroid for r in hit]
-    removed = int(sum(r["__n"] for r in hit))
+    touched = [r.centroid for r in stats]
+    removed = int(sum(r["__n"] for r in stats))
+    kept_cells = {r.centroid for r in stats if r["__t"] > r["__n"]}
     keep = (
         store.filter(F.col("centroid").isin(touched))
         .join(ids_j, id_col, "left_anti")
@@ -1151,7 +1160,6 @@ def ivf_store_delete(
         .partitionBy("centroid")
         .parquet(base + "/postings")
     )
-    kept_cells = {r.centroid for r in keep.select("centroid").distinct().collect()}
     for cell in touched:
         if cell not in kept_cells:
             fs, p = _hadoop_fs(
@@ -1270,7 +1278,7 @@ def _ivf_store_upsert_atomic(
     c = _ivf_store_centroids(spark, store_path, base=base)
     assigned = _assign_to_centroids(
         deduped, c, vec_col, round_dp=6
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # the staged write materializes it
     store = _read_postings(spark, store_path, base=base)
     if store is not None:
         batch_ids = gate_broadcast(assigned.select(id_col))
@@ -1644,14 +1652,17 @@ def ivf_store_refit(
     _write_centroids(spark, c, new_base + "/centroids")
     reassigned = _assign_to_centroids(
         store.select(id_col, vec_col), c, vec_col, round_dp=6
-    ).localCheckpoint()  # pin BEFORE the old layout goes away
+    ).localCheckpoint(eager=False)
+    # the count materializes the lazy pin (still BEFORE the old layout
+    # goes away) and the write then reads the pinned blocks — one job
+    # fewer than eager-pin + write + count
+    n_rows = reassigned.count()
     (
         reassigned.repartition("centroid")
         .write.mode("overwrite")
         .partitionBy("centroid")
         .parquet(new_base + "/postings")
     )
-    n_rows = reassigned.count()
 
     # ---- 3a. PRE-swap dead-layout sweep: any layout that is neither
     # the live old_v nor the just-built new_v is provably dead — a
