@@ -901,31 +901,32 @@ def _jaccard_dense(
     from pyspark.sql import types as T
 
     spark = sh.sparkSession
-    rows = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("hs")).collect()
+    # One flat (id, shingle) Arrow transfer + vectorized np.unique indexing:
+    # the former groupBy(collect_list).collect() paid a keyed shuffle, a
+    # row-pickled driver transfer and a per-hash Python dict loop on EVERY
+    # call — measured as the query's dominant, GC-pressure-sensitive cost
+    # (driver-side data work, guide §5). Row/column order of the matrix is
+    # an internal layout choice: intersection counts and the emitted
+    # (min-id, max-id) pairs are permutation-invariant, so sorted-unique
+    # indexing yields identical results.
+    pairs = sh.select(id_col, "shingle").toPandas()
     empty_schema = (
         "id_a long, id_b long, jaccard double"
         if metric == "jaccard"
         else "id_a long, id_b long, cont_a_in_b double, cont_b_in_a double, jaccard double"
     )
-    if not rows:
+    if pairs.empty:
         return spark.createDataFrame([], empty_schema)
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    vocab: dict[int, int] = {}
-    doc_idxs = []
-    for r in rows:
-        doc_idxs.append(
-            np.array([vocab.setdefault(h, len(vocab)) for h in r[1]], dtype=np.int64)
-        )
-    n, v = len(ids), len(vocab)
+    ids, doc_inv = np.unique(pairs[id_col].to_numpy(np.int64), return_inverse=True)
+    vuniq, v_inv = np.unique(pairs["shingle"].to_numpy(np.int64), return_inverse=True)
+    n, v = len(ids), len(vuniq)
     if n * v > dense_cells_cap:
         return None
     # ship the binary matrix as uint8 (4× less broadcast IO than float32;
     # every worker re-fetches the broadcast each run) and convert to float32
     # once per worker at first use
     mat = np.zeros((n, v), dtype=np.uint8)
-    for i, idxs in enumerate(doc_idxs):
-        if idxs.size:
-            mat[i, idxs] = 1
+    mat[doc_inv, v_inv] = 1
     sizes = mat.sum(axis=1, dtype=np.float64)
     bc = spark.sparkContext.broadcast((ids, mat, sizes))
 
