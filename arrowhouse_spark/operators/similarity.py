@@ -1064,10 +1064,27 @@ def ivf_store_append(
     ``base``: pre-resolved layout root (the _ivf_store_centroids reuse
     contract) for callers composing several ops per ingest batch."""
     spark = new_df.sparkSession
+    deduped = _dedupe_ivf_batch(new_df, id_col, vec_col, "ivf_store_append")
+    return _ivf_store_append_validated(
+        spark, deduped, store_path, vec_col, id_col, base
+    )
+
+
+def _ivf_store_append_validated(
+    spark: SparkSession,
+    deduped: DataFrame,
+    store_path: str,
+    vec_col: str,
+    id_col: str,
+    base: str | None,
+) -> DataFrame:
+    """ivf_store_append's body AFTER batch validation — the seam lets
+    ivf_store_upsert reuse its already-validated (and lineage-cut) batch
+    instead of paying a second dropDuplicates + conflict-probe job on the
+    same rows."""
     if base is None:
         base = _store_base(spark, store_path)  # resolve the pointer ONCE
     c = _ivf_store_centroids(spark, store_path, base=base)
-    deduped = _dedupe_ivf_batch(new_df, id_col, vec_col, "ivf_store_append")
     assigned = _assign_to_centroids(
         deduped, c, vec_col, round_dp=6
     ).localCheckpoint(eager=False)  # the touched-cell collect materializes it
@@ -1075,7 +1092,12 @@ def ivf_store_append(
     store = _read_postings(spark, store_path, base=base)
     if store is not None:
         existing = store.filter(F.col("centroid").isin(touched)).select(id_col)
-        fresh = assigned.join(existing, id_col, "left_anti").localCheckpoint()
+        # lazy: the isEmpty probe below is the first action and
+        # materializes the anti-join blocks once; the write then reads
+        # them — an eager cut here was one extra job per batch
+        fresh = assigned.join(existing, id_col, "left_anti").localCheckpoint(
+            eager=False
+        )
     else:  # fully-drained store (delete-all) — every batch row is fresh
         fresh = assigned
     if not fresh.isEmpty():
@@ -1093,6 +1115,7 @@ def ivf_store_delete(
     store_path: str,
     ids,
     id_col: str = "vec_id",
+    base: str | None = None,
 ) -> int:
     """Delete postings by id — the retraction/GDPR primitive the
     append-not-upsert contract of :func:`ivf_store_append` leaves
@@ -1112,7 +1135,10 @@ def ivf_store_delete(
     of postings removed.
 
     Run with no concurrent appender — same single-writer contract as the
-    band stores (compact_band_store docstring)."""
+    band stores (compact_band_store docstring). ``base``: pre-resolved
+    layout root (the _ivf_store_centroids reuse contract) for callers
+    composing several ops per batch — delete rewrites in place and never
+    flips the pointer, so the composition stays on one layout."""
     from arrowhouse_spark.operators.components import _hadoop_fs
 
     if not isinstance(ids, DataFrame):
@@ -1120,7 +1146,8 @@ def ivf_store_delete(
 
         ids = one_block(spark, [(int(i),) for i in ids], f"{id_col} long")
     ids = ids.select(id_col).distinct().localCheckpoint(eager=False)
-    base = _store_base(spark, store_path)  # resolve the pointer ONCE
+    if base is None:
+        base = _store_base(spark, store_path)  # resolve the pointer ONCE
     store = _read_postings(spark, store_path, base=base)
     if store is None:
         return 0  # already fully drained (or never written)
@@ -1238,11 +1265,16 @@ def ivf_store_upsert(
         return _ivf_store_upsert_atomic(
             spark, deduped, store_path, vec_col, id_col
         )
+    # resolve the version pointer ONCE for both legs (delete rewrites in
+    # place, never flips it — single-writer contract), and hand the
+    # already-validated batch to the append seam so the composition pays
+    # one dropDuplicates + conflict probe, not two
+    base = _store_base(spark, store_path)
     ivf_store_delete(
-        spark, store_path, deduped.select(id_col), id_col=id_col
+        spark, store_path, deduped.select(id_col), id_col=id_col, base=base
     )
-    return ivf_store_append(
-        deduped, store_path, vec_col=vec_col, id_col=id_col
+    return _ivf_store_append_validated(
+        spark, deduped, store_path, vec_col, id_col, base
     )
 
 
