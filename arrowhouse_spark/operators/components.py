@@ -183,6 +183,11 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # carry the per-row changed flag THROUGH the checkpoint (label
+        # strictly drops, so changed ⇔ a strictly smaller neighbor label
+        # arrived): the convergence probe is then a filter over the
+        # checkpointed blocks instead of a second keyed join of new
+        # labels against old — one shuffle per round removed
         new_labels = (
             labels.join(nbr, on="src", how="left")
             .select(
@@ -190,17 +195,12 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
+                (F.col("nbr_comp") < F.col("comp")).alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="src")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             return labels.select(F.col("src").alias("id"), F.col("comp").alias("component"))
     raise RuntimeError(
@@ -261,9 +261,19 @@ def connected_components_star(
 
     for _ in range(max_iterations):
         nxt = _star(_star(sym, larger=True), larger=False)
+        # one full-outer probe instead of two anti-joins: each anti-join
+        # shuffled BOTH checkpointed edge sets, so the old probe paid the
+        # double shuffle twice per round; a row with either side null is
+        # an edge in exactly one set (both sets are (src,dst)-distinct)
         unchanged = (
-            nxt.join(sym, ["src", "dst"], "left_anti").limit(1).count() == 0
-            and sym.join(nxt, ["src", "dst"], "left_anti").limit(1).count() == 0
+            nxt.withColumn("__l", F.lit(1))
+            .join(
+                sym.withColumn("__r", F.lit(1)), ["src", "dst"], "full_outer"
+            )
+            .filter(F.col("__l").isNull() | F.col("__r").isNull())
+            .limit(1)
+            .count()
+            == 0
         )
         sym = nxt
         if unchanged:
