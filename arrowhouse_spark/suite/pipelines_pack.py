@@ -809,7 +809,11 @@ def _pipeline_full_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed = sms(
         surv4, weights={"src0": 3, "src1": 2, "src2": 1}, key="doc_id"
     )
-    return mixed
+    # the mixed sample is the seam BOTH tails reference 3× (id/source
+    # spine, encode, pack) — uncut, each reference re-ran the per-source
+    # ranking window over surv4's blocks; one cut runs it once (the same
+    # persisted-intermediate rationale as the surv seams above)
+    return mixed.localCheckpoint(eager=False)
 
 
 @register(
