@@ -168,10 +168,17 @@ def pq_adc_topk(
     query time, which is the entire point of PQ at 100 TB."""
     if subdim < 1 or k_cb < 1 or k < 1:
         raise ValueError(f"need subdim/k_cb/k >= 1, got {subdim}/{k_cb}/{k}")
+    from arrowhouse_spark.session import shuffle_parts
+
     sub = F.floor(F.col("__d") / subdim).cast("long")
     kk = F.pmod(F.col("__d"), F.lit(subdim)).cast("long")
+    # pre-explode repartition (the shingle_relation doctrine): the dim
+    # explode × broadcast-codebook join × DECIMAL(38,12) partial sums are
+    # the operator's CPU, and fused into the scan they run at input-split
+    # parallelism — one small file means ONE task does all of it, several
+    # times (pts has multiple consumers)
     pts = (
-        df.select(
+        df.repartition(shuffle_parts(df.sparkSession), id_col).select(
             F.col(id_col).cast("long").alias("__id"),
             F.posexplode(vec_col).alias("__d", "__v"),
         )
@@ -231,9 +238,20 @@ def pq_adc_topk(
     )
     codes = assign(c1)
     qid = df.agg(F.min(F.col(id_col).cast("long")).alias("__qid"))
-    q = pts.join(
-        F.broadcast(qid), pts["__id"] == F.col("__qid")
-    ).select("__sub", "__k", F.col("__v").alias("__qv"))
+    # explode ONLY the query row (same sub/kk mapping as pts): the former
+    # pts-side filter re-executed the whole corpus explode to slice out
+    # one vector's 64 rows
+    q = (
+        df.join(
+            F.broadcast(qid), F.col(id_col).cast("long") == F.col("__qid")
+        )
+        .select(F.posexplode(vec_col).alias("__d", "__v"))
+        .select(
+            sub.alias("__sub"),
+            kk.alias("__k"),
+            F.col("__v").cast("double").alias("__qv"),
+        )
+    )
     dq = F.col("__qv") - F.col("__c")
     dtable = (
         c1.join(F.broadcast(q), ["__sub", "__k"])

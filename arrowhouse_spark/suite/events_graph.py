@@ -722,7 +722,14 @@ def vocab_growth_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    grams = docs.select(
+    # pre-explode repartition (the decontaminate/shingle_relation pattern):
+    # the documents scan is as wide as its file splits — a single small
+    # file means ONE task would run the bigram explode + the partial min
+    # aggregate serially; an id-keyed repartition sized by shuffle_parts
+    # spreads that CPU across the session's width at any scale
+    from arrowhouse_spark.session import shuffle_parts
+
+    grams = docs.repartition(shuffle_parts(spark), "doc_id").select(
         F.pmod(F.col("doc_id"), F.lit(10)).alias("batch"),
         F.explode(grams_arr).alias("g"),
     )
