@@ -99,6 +99,9 @@ def gapfill_locf(
     carry-forward. Spine cardinality is keys x buckets — independent of
     event volume, so the explode cannot amplify a 100 TB input.
     """
+    from arrowhouse_spark.session import shuffle_parts
+
+    n_part = shuffle_parts(df.sparkSession)
     k = F.col(key_col)
     b = F.date_trunc(bucket, F.col(ts_col))
     ordered = F.struct(
@@ -106,9 +109,26 @@ def gapfill_locf(
         F.col(tie_col).alias("tie"),
         F.col(value_col).alias("v"),
     )
-    observed = df.groupBy(k.alias(key_col), b.alias("bucket_ts")).agg(
-        F.max(ordered).getField("v").alias("v_obs")
-    ).localCheckpoint(eager=False)  # referenced by spine AND the fill join
+    # Pin the post-aggregate partitioning on the series key, at session
+    # width (explicit count — AQE never coalesces a user-pinned one):
+    # the checkpoint scan reports UnknownPartitioning, so without the pin
+    # the spine bounds, the fill join and the LOCF window each inserted
+    # an ENSURE_REQUIREMENTS exchange carrying so few bytes that AQE
+    # coalesced them to ONE partition — every key's window serialized on
+    # one core. hashpartitioning(key) satisfies all three requirements,
+    # so ONE shared exchange (ReusedExchange) serves the whole tail. The
+    # pinned relation is bucket-sized (keys × buckets, volume-free) and
+    # the width is the session's configured shuffle_parts, not a local
+    # constant. (An additional pre-aggregate pin on the raw events was
+    # A/B-measured WORSE — it re-shuffles what map-side partials shrink.)
+    observed = (
+        df.groupBy(k.alias(key_col), b.alias("bucket_ts"))
+        .agg(F.max(ordered).getField("v").alias("v_obs"))
+        .localCheckpoint(eager=False)  # referenced by spine AND the fill join
+        # the checkpoint scan reports UnknownPartitioning, so re-pin on
+        # top of it; both consumers share this one exchange (ReusedExchange)
+        .repartition(n_part, key_col)
+    )
     spine = (
         observed.groupBy(key_col)
         .agg(
@@ -520,6 +540,9 @@ def gapfill_lerp(
     keyed left join, and two per-key ordered windows (backward last +
     forward first, both partitioned); spine cardinality is keys x
     buckets, volume-free."""
+    from arrowhouse_spark.session import shuffle_parts
+
+    n_part = shuffle_parts(df.sparkSession)
     k = F.col(key_col)
     b = F.date_trunc(bucket, F.col(ts_col))
     ordered = F.struct(
@@ -527,9 +550,13 @@ def gapfill_lerp(
         F.col(tie_col).alias("tie"),
         F.col(value_col).alias("v"),
     )
-    observed = df.groupBy(k.alias(key_col), b.alias("bucket_ts")).agg(
-        F.round(F.max(ordered).getField("v"), 2).alias("v_obs")
-    ).localCheckpoint(eager=False)  # referenced by spine AND the fill join
+    # same key-partitioning pin as gapfill_locf (see its comment)
+    observed = (
+        df.groupBy(k.alias(key_col), b.alias("bucket_ts"))
+        .agg(F.round(F.max(ordered).getField("v"), 2).alias("v_obs"))
+        .localCheckpoint(eager=False)  # referenced by spine AND the fill join
+        .repartition(n_part, key_col)
+    )
     spine = (
         observed.groupBy(key_col)
         .agg(F.min("bucket_ts").alias("mn"), F.max("bucket_ts").alias("mx"))
