@@ -1461,7 +1461,15 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     that is a global window, the single-task shape the plan audit
     forbids). Both engines round edges to 6 dp before assignment so
     boundary rows bin identically."""
-    o = _t(spark, sf_dir, "orders")
+    from arrowhouse_spark.session import shuffle_parts
+
+    # project to the one needed column and repartition ONCE, shared by
+    # both legs through ReusedExchange: exact percentile's per-row buffer
+    # insert is the query's CPU and ran fused into the single-split scan
+    # (one task built the whole 150k-value buffer serially), and the
+    # binning leg re-scanned the file
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    o = o.repartition(shuffle_parts(spark), "o_totalprice")
     edges = o.agg(
         F.array(
             *[
