@@ -50,11 +50,20 @@ def grid_radius_pairs(
     density/selectivity trade-off exactly like LSH band width."""
     if radius < 1:
         raise ValueError(f"need radius >= 1, got {radius}")
+    from arrowhouse_spark.session import shuffle_parts
+
+    # project to the three needed columns and repartition ONCE: the ×9
+    # neighbor-cell explode plus the join's shuffle write otherwise run
+    # fused into the scan at input-split parallelism (a single small file
+    # = one task does the whole map side), and without the explicit seam
+    # the left and right legs each re-scan the input. Both legs share
+    # this exchange (ReusedExchange); width is the session's
+    # shuffle_parts, and the shuffled rows are 3 longs per point.
     p = points.select(
         F.col(id_col).alias("__id"),
         F.col(x_col).cast("long").alias("__x"),
         F.col(y_col).cast("long").alias("__y"),
-    )
+    ).repartition(shuffle_parts(points.sparkSession), "__id")
     r = F.lit(int(radius))
     cx = F.expr(f"__x DIV {int(radius)}")
     cy = F.expr(f"__y DIV {int(radius)}")
