@@ -174,7 +174,7 @@ def gdpr_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=6) as pool:
             futs = [
                 pool.submit(b)
                 for b in (_b_fp, _b_band, _b_cc, _b_ivf, _b_scd2, _b_shard)
@@ -193,6 +193,7 @@ def gdpr_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"path": shard_store, "kind": "shard"},
             ],
             victims,
+            parallelism=6,
         )
 
         def _left(df: DataFrame | None, col: str) -> int:
