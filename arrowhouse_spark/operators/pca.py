@@ -93,7 +93,19 @@ def pca_fit(
     ndarray (sign-pinned), explained_variance: k, total_variance: float}.
     The covariance collect is d(d+1)/2 values — model-sized, documented
     bounded."""
-    rows = embedding_covariance(df, vec_col).collect()
+    # pre-explode repartition: the d(d+1)/2-pair explode and both partial
+    # averages are the covariance's CPU and otherwise run fused into the
+    # scan at input-split parallelism (one small file = one task, and the
+    # fit path executes the subtree more than once); the cross and means
+    # legs share the pinned exchange (ReusedExchange). Kept out of
+    # embedding_covariance itself: for a one-shot narrow-d covariance the
+    # exchange costs more than the serial explode (A/B-measured).
+    from arrowhouse_spark.session import shuffle_parts
+
+    spread = df.select(F.col(vec_col)).repartition(
+        shuffle_parts(df.sparkSession)
+    )
+    rows = embedding_covariance(spread, vec_col).collect()
     d = max(r["j"] for r in rows) + 1
     c = np.zeros((d, d))
     for r in rows:
