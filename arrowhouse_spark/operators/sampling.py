@@ -449,7 +449,15 @@ def waterfill_allocation(
     else:
         b = a.agg((F.lit(budget_frac) * F.sum("__a")).alias("__b"))
     alloc_cand = (
+        # DISTINCT candidate waterlines: two sources with the same
+        # availability a must contribute ONE candidate θ=a — without the
+        # dedup the groupBy below merges k·n cross-join rows for a
+        # k-duplicated value and inflates alloc(θ=a) by k×, wrongly
+        # excluding the candidate and breaking budget conservation
+        # (counterexample pinned in tests/test_properties.py: avails
+        # [2,2,3], budget 6.3 allocated only 6.1)
         a.select(F.col("__a").alias("__theta"))
+        .distinct()
         .crossJoin(a.select(F.col("__a").alias("__o")))
         .groupBy("__theta")
         .agg(F.sum(F.least(F.col("__o"), F.col("__theta"))).alias("__al"))

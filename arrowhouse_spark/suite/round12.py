@@ -331,7 +331,7 @@ def png_palette_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT media_id, CAST(sr AS INTEGER) AS sample_rate,
            CAST(n AS BIGINT) AS n_samples,
            CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
-           CAST(sum(s * s) AS DECIMAL(38,0)) AS sum_sq,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq,
            CAST(max(abs(s)) AS BIGINT) AS peak
     FROM mono GROUP BY media_id, n, sr
     """,

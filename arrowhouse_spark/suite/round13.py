@@ -126,7 +126,7 @@ def sip_hash128_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT media_id, CAST(sr AS INTEGER) AS sample_rate,
            CAST(n AS BIGINT) AS n_samples,
            CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
-           CAST(sum(s * s) AS DECIMAL(38,0)) AS sum_sq,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq,
            CAST(max(abs(s)) AS BIGINT) AS peak
     FROM smp GROUP BY media_id, n, sr
     """,
@@ -537,7 +537,7 @@ def video_mjpeg_color_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT media_id, CAST(8000 AS INTEGER) AS sample_rate,
            CAST(n AS BIGINT) AS n_samples,
            CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
-           CAST(sum(sv * sv) AS DECIMAL(38,0)) AS sum_sq,
+           CAST(sum(sv * sv) AS BIGINT) AS sum_sq,
            CAST(max(abs(sv)) AS BIGINT) AS peak
     FROM s GROUP BY media_id, n
     """,
@@ -622,7 +622,7 @@ def wav_g711_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT media_id, CAST(sr AS INTEGER) AS sample_rate,
            CAST(n AS BIGINT) AS n_samples,
            CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
-           CAST(sum(s * s) AS DECIMAL(38,0)) AS sum_sq,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq,
            CAST(max(abs(s)) AS BIGINT) AS peak
     FROM fr GROUP BY media_id, n, sr
     """,
@@ -729,7 +729,7 @@ def wav_float_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT media_id, CAST(8000 AS INTEGER) AS sample_rate,
            CAST(n AS BIGINT) AS n_samples,
            CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
-           CAST(sum(sv * sv) AS DECIMAL(38,0)) AS sum_sq,
+           CAST(sum(sv * sv) AS BIGINT) AS sum_sq,
            CAST(max(abs(sv)) AS BIGINT) AS peak
     FROM s GROUP BY media_id, n
     """,
@@ -842,7 +842,7 @@ def wav_adpcm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT media_id, CAST(8000 AS INTEGER) AS sample_rate,
            CAST(n AS BIGINT) AS n_samples,
            CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
-           CAST(sum(sv * sv) AS DECIMAL(38,0)) AS sum_sq,
+           CAST(sum(sv * sv) AS BIGINT) AS sum_sq,
            CAST(max(abs(sv)) AS BIGINT) AS peak
     FROM s GROUP BY media_id, n
     """,
@@ -932,7 +932,7 @@ def wav_ms_adpcm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT media_id, CAST(8000 AS INTEGER) AS sample_rate,
            CAST(n AS BIGINT) AS n_samples,
            CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
-           CAST(sum(sv * sv) AS DECIMAL(38,0)) AS sum_sq,
+           CAST(sum(sv * sv) AS BIGINT) AS sum_sq,
            CAST(max(abs(sv)) AS BIGINT) AS peak
     FROM s GROUP BY media_id, n
     """,

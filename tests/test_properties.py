@@ -872,6 +872,25 @@ def test_waterfill_conservation_and_caps(spark, avails, frac):
         assert all(r.avail <= line + 1e-9 for r in rows if r.capped)
 
 
+def test_waterfill_duplicate_availability_conserves_budget(spark):
+    """Regression (round-13 driver counterexample class): DUPLICATED
+    availability values must each contribute ONE candidate waterline.
+    Before the distinct() in waterfill_allocation, avails [2,2,3] with
+    budget 6.3 grouped the θ=2 candidate over both duplicate rows,
+    doubling alloc(2) to 12 > 6.3, excluding every candidate (θ_lo=0)
+    and allocating only 6.1 — a 0.2 conservation breach."""
+    from arrowhouse_spark.operators.sampling import waterfill_allocation
+
+    av = spark.createDataFrame(
+        [("s0", 2), ("s1", 2), ("s2", 3)], "src string, n long"
+    )
+    rows = waterfill_allocation(av, "src", "n", budget=6.3).collect()
+    total = sum(r.alloc for r in rows)
+    assert abs(total - 6.3) <= 5e-5 * 3 + 1e-9
+    got = {r.src: r.alloc for r in rows}
+    assert got == {"s0": 2.0, "s1": 2.0, "s2": 2.3}
+
+
 @given(
     seqs=st.lists(
         st.tuples(st.integers(0, 2), st.integers(0, 60)),

@@ -38,20 +38,38 @@ def _norm(v):
         return v
     if isinstance(v, bytes):
         return v.hex()
-    try:
-        import decimal
+    import decimal
 
-        if isinstance(v, decimal.Decimal):
-            return float(v)
-    except ImportError:  # pragma: no cover
-        pass
+    if isinstance(v, decimal.Decimal):
+        # canonical exact string for sorting/printing; comparison is exact
+        # in _rows_equal (the driver hashes values exactly — a float()
+        # collapse with relative tolerance hid integer discrepancies of up
+        # to ~1e10 on DECIMAL(38,0) energies in round 13)
+        if v.is_nan():
+            return "Decimal(NaN)"
+        return format(v.normalize(), "f")
     return v
 
 
 def _rows_equal(a, b) -> bool:
+    import decimal
+
     if len(a) != len(b):
         return False
     for x, y in zip(a, b):
+        if isinstance(x, decimal.Decimal) or isinstance(y, decimal.Decimal):
+            # Decimal vs Decimal/int: exact comparison (scale-insensitive:
+            # Decimal('1.0') == Decimal('1.00'), and Decimal(3) == 3).
+            # Decimal vs float keeps the float-tolerance path below — a
+            # genuinely float column on one side cannot be compared exactly.
+            if not isinstance(x, float) and not isinstance(y, float):
+                xn = x.is_nan() if isinstance(x, decimal.Decimal) else False
+                yn = y.is_nan() if isinstance(y, decimal.Decimal) else False
+                if xn and yn:
+                    continue
+                if xn != yn or x != y:
+                    return False
+                continue
         x, y = _norm(x), _norm(y)
         if x is None or y is None:
             if x is not y:
