@@ -418,20 +418,18 @@ def components_incremental(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    try:
-        store = spark.read.parquet(store_path)
-        store.head(1)
-    except Exception as exc:
-        # ONLY a missing path means "first fold": any other read failure
-        # (corrupt footer, transient FS error, permissions) must NOT be
-        # treated as an empty history — that would silently relabel the
-        # batch without its components and dynamic-overwrite good buckets
-        # with history-blind labels
-        if "PATH_NOT_FOUND" not in str(exc) and not isinstance(
-            exc, FileNotFoundError
-        ):
-            raise
-        store = None
+    # Hadoop FS existence check, not a probe read: a missing path
+    # previously surfaced as a caught read exception AFTER Spark logged a
+    # FileStreamSink WARN with a full stack trace (bench-stderr noise),
+    # and the head(1) probe cost one job per fold. ONLY a missing path
+    # means "first fold" — any other read failure (corrupt footer,
+    # transient FS error, permissions) still raises from read.parquet
+    # itself, so a broken history is never silently treated as empty.
+    store = (
+        spark.read.parquet(store_path)
+        if _fs_dir_exists(spark, store_path)
+        else None
+    )
     # n_buckets is baked into the store's partition layout; a fold with a
     # different value would prune the wrong cb partitions (missed merges)
     # and scatter rewrites across mismatched buckets — pin it in a meta
@@ -485,24 +483,24 @@ def components_incremental(
                     "keep passing comp_index=True for its whole lifecycle "
                     "(or delete the twin directory to drop the index)"
                 )
-        if comp_index:
-            try:
-                twin = spark.read.parquet(twin_path)
-                twin.head(1)
-                twin_ok = True
-                cbuckets = [
-                    r.ccb
-                    for r in acomps.select(
-                        hash_bucket(
-                            "component", n_buckets, salt="ccb"
-                        ).alias("ccb")
-                    )
-                    .distinct()
-                    .collect()
-                ]
-                members_src = twin.filter(F.col("ccb").isin(cbuckets))
-            except Exception:  # noqa: BLE001 — adopting a twin-less store:
-                pass  # full-scan this fold; the write below builds the twin
+        # FS existence gate instead of a probe read (same WARN-noise and
+        # per-fold head(1) job rationale as the store probe above);
+        # a missing twin = adopting a twin-less store — full-scan this
+        # fold and the write below builds the twin
+        if comp_index and _fs_dir_exists(spark, twin_path):
+            twin = spark.read.parquet(twin_path)
+            twin_ok = True
+            cbuckets = [
+                r.ccb
+                for r in acomps.select(
+                    hash_bucket(
+                        "component", n_buckets, salt="ccb"
+                    ).alias("ccb")
+                )
+                .distinct()
+                .collect()
+            ]
+            members_src = twin.filter(F.col("ccb").isin(cbuckets))
         members = (
             members_src.join(F.broadcast(acomps), "component", "semi")
             .select("id", "component")

@@ -1266,16 +1266,48 @@ def ivf_store_upsert(
             spark, deduped, store_path, vec_col, id_col
         )
     # resolve the version pointer ONCE for both legs (delete rewrites in
-    # place, never flips it — single-writer contract), and hand the
-    # already-validated batch to the append seam so the composition pays
-    # one dropDuplicates + conflict probe, not two
+    # place, never flips it — single-writer contract)
     base = _store_base(spark, store_path)
-    ivf_store_delete(
-        spark, store_path, deduped.select(id_col), id_col=id_col, base=base
-    )
-    return _ivf_store_append_validated(
-        spark, deduped, store_path, vec_col, id_col, base
-    )
+    # Assign the batch against the frozen centroids BEFORE the delete: the
+    # assignment reads only the validated batch + the broadcast centroid
+    # matrix, never the postings, so its materializing collect can run
+    # concurrently with the delete leg's id-locate scan from a driver
+    # thread (guide §2.6 overlap) — only the two WRITES stay ordered
+    # (the delete's dynamic overwrite would wipe postings appended into a
+    # touched cell before it).
+    from concurrent.futures import ThreadPoolExecutor
+
+    c = _ivf_store_centroids(spark, store_path, base=base)
+    assigned = _assign_to_centroids(
+        deduped, c, vec_col, round_dp=6
+    ).localCheckpoint(eager=False)  # the touched collect materializes it
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        touched_fut = pool.submit(
+            lambda: [
+                r.centroid
+                for r in assigned.select("centroid").distinct().collect()
+            ]
+        )
+        ivf_store_delete(
+            spark, store_path, deduped.select(id_col), id_col=id_col,
+            base=base,
+        )
+        touched = touched_fut.result()
+    # After the delete leg NO batch id remains anywhere in the store
+    # (delete tombstones exactly the batch's ids, and assigned's ids are
+    # a subset of them), so the append contract's touched-cell
+    # existing-id anti-join is provably empty — write the assigned batch
+    # directly. The former anti-join + isEmpty probe cost one extra job
+    # with a store-cell scan per upsert for a no-op filter; the touched
+    # list doubles as the emptiness gate.
+    if touched:
+        (
+            assigned.repartition("centroid")
+            .write.mode("append")
+            .partitionBy("centroid")
+            .parquet(base + "/postings")
+        )
+    return assigned
 
 
 def _ivf_store_upsert_atomic(
@@ -1324,15 +1356,26 @@ def _ivf_store_upsert_atomic(
     fs, nb = _hadoop_fs(spark, new_base)
     if fs.exists(nb):  # stale half-built dir from a crashed attempt
         fs.delete(nb, True)
-    spark.read.parquet(base + "/centroids").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(new_base + "/centroids")
-    (
-        merged.repartition("centroid")
-        .write.mode("overwrite")
-        .partitionBy("centroid")
-        .parquet(new_base + "/postings")
-    )
+    # the two staged writes land in DIFFERENT directories and both must
+    # simply complete before the pointer flip — submit the small
+    # centroids copy from a driver thread so it back-fills executors
+    # while the postings merge runs (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        cfut = pool.submit(
+            lambda: spark.read.parquet(base + "/centroids")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(new_base + "/centroids")
+        )
+        (
+            merged.repartition("centroid")
+            .write.mode("overwrite")
+            .partitionBy("centroid")
+            .parquet(new_base + "/postings")
+        )
+        cfut.result()
 
     # PRE-flip dead-layout sweep (refit step 3a): anything that is
     # neither the live old_v nor the just-built new_v is provably dead

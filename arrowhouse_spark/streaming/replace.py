@@ -776,10 +776,15 @@ def _scd2_process_batch(
     events = batch_df.select(*keys, ts_col, attr_col, tie_col).withColumn(
         "kb", hash_bucket(keys[0], n_buckets, salt="scd2")
     )
-    try:
+    # Hadoop FS existence check, not a probe read: the missing-path read
+    # made Spark log a FileStreamSink WARN with a full stack trace (bench
+    # stderr noise), and head(1) cost one job per batch; real read
+    # failures on an existing store still raise from read.parquet itself
+    from arrowhouse_spark.operators.components import _fs_dir_exists
+
+    if _fs_dir_exists(spark, store_path):
         store = spark.read.parquet(store_path)
-        store.head(1)
-    except Exception:  # noqa: BLE001 — first batch: no store yet
+    else:
         if batch_id > 0:
             raise RuntimeError(
                 f"scd2 store {store_path!r} is missing but batch_id="
