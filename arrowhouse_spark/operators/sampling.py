@@ -181,12 +181,23 @@ def _take_per_source(
         return joined.filter(
             u < F.col("take_n") / F.col("n_avail")
         ).drop("n_avail", "take_n")
+    # Rank on a lightweight (key, source, take_n) projection so the
+    # per-source window (one task per source by construction) shuffles
+    # bytes proportional to the KEY, not the row payload — text/token
+    # columns previously rode the hashpartitioning(source) exchange into
+    # ≤|sources| tasks and serialized the pipeline tail (~2 s single-task
+    # stages at sf0.1). The winners then attach back by key at normal
+    # join parallelism: decide with small rows, move big rows once
+    # (guide §8). Winner selection depends only on (source, md5, key),
+    # so the surviving set is unchanged.
     w = Window.partitionBy(source_col).orderBy(h, F.col(key))
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
+    winners = (
+        joined.select(key, source_col, "take_n")
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("take_n"))
-        .drop("__rn", "n_avail", "take_n")
+        .select(key)
     )
+    return joined.join(winners, key, "semi").drop("n_avail", "take_n")
 
 
 def temperature_mixing_plan(

@@ -243,8 +243,17 @@ def gopher_quality(
             6,
         ).alias("dup_word_frac"),
     )
+    # In tokens_col mode the caller's relation is typically a
+    # localCheckpoint leaf whose partitioning metadata is LOST, so the
+    # (id, bigram) count exchange below is AQE-coalesced to ONE partition
+    # on small inputs — the per-doc rollup then runs a ~2 s single task at
+    # sf0.1 (measured; guide §2.5). An explicit id-keyed repartition
+    # BEFORE the explode pins the width AND satisfies both groupBys'
+    # clustering (id ⊆ {id,bg}), so the exploded bigrams never shuffle at
+    # all. The non-tokens path already repartitions by id above.
+    bg_base = base.repartition(n_part, id_col) if tokens_col else base
     bigram_counts = (
-        base.select(
+        bg_base.select(
             F.col(id_col),
             F.explode(ngrams_from_tokens(toks, 2)).alias("bg"),
         )

@@ -543,9 +543,14 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gopher_pass"))
         .select("doc_id")
     )
-    surv1 = base.join(gpass, "doc_id")
+    # shuffle_hash hints on the id sides for the same reason as
+    # _pipeline_full_mixed: the planner otherwise broadcasts the PAYLOAD
+    # side (text + token arrays) of these survivor joins through the
+    # driver — a single-threaded collect per seam here, corpus-through-
+    # the-driver at scale
+    surv1 = base.join(gpass.hint("shuffle_hash"), "doc_id")
     keep = dedup_exact(surv1).select(F.col("keep_id").alias("doc_id"))
-    surv2 = surv1.join(keep, "doc_id")
+    surv2 = surv1.join(keep.hint("shuffle_hash"), "doc_id")
     spanok = (
         dup_spans(surv2, window=8, tokens_col="__toks")
         .filter(F.col("dup_token_frac") <= 0.2)
@@ -557,7 +562,9 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gopher→dedup→spans chain per reference (measured 4.3-5.8 s noop at
     # sf0.1; with the cut the survivors materialize once and the total is
     # ~1 s). Same doctrine as pipeline_pretrain_full's seams.
-    surv3 = surv2.join(spanok, "doc_id").localCheckpoint(eager=False)
+    surv3 = surv2.join(spanok.hint("shuffle_hash"), "doc_id").localCheckpoint(
+        eager=False
+    )
     # with_ids=False: the pipeline only audits the sequence, so the
     # checksum folds into the hash aggregate — no per-doc ids array build
     enc = vocab_encode(
@@ -765,10 +772,18 @@ def _pipeline_full_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scrub chain into ~36 scan legs (~100 CPU-s of repeated scrubbing at
     # sf0.1, and every AQE plan-description render walks the exponential
     # tree). With the cut no segment exceeds two reference levels.
+    # shuffle_hash hints on every id/derived side: left to its estimates
+    # the planner BROADCAST the payload side of these joins — collecting
+    # scrubbed text (and later text+__toks survivor rows) to the driver
+    # took a measured ~1.2 s single-threaded per seam at sf0.1, and at
+    # scale would ship the corpus through the driver. All three legs here
+    # descend from the ONE doc_id repartition above, so the shuffled hash
+    # join reuses that exchange outright (no sort, no broadcast); the
+    # survivor joins below shuffle the payload once at full width instead.
     sbase = (
         injected.select("doc_id", "source")
-        .join(scr, "doc_id")
-        .join(qc_ok, "doc_id")
+        .join(scr.hint("shuffle_hash"), "doc_id")
+        .join(qc_ok.hint("shuffle_hash"), "doc_id")
         .select("doc_id", "source", "text", tokens("text").alias("__toks"))
         .localCheckpoint(eager=False)
     )
@@ -777,7 +792,7 @@ def _pipeline_full_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gopher_pass"))
         .select("doc_id")
     )
-    surv1 = sbase.join(gpass, "doc_id")
+    surv1 = sbase.join(gpass.hint("shuffle_hash"), "doc_id")
     keep = dedup_exact(surv1).select(F.col("keep_id").alias("doc_id"))
     # Lineage CUTS at the stage seams (lazy localCheckpoint): each stage
     # family references its survivor input ~2× (the filter build and the
@@ -792,20 +807,24 @@ def _pipeline_full_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each mega-stage's memory released before the next begins. At 100 TB
     # this materialization is exactly the persisted intermediate a real
     # multi-day pipeline would write between stages anyway.
-    surv2 = surv1.join(keep, "doc_id").localCheckpoint(eager=False)
+    surv2 = surv1.join(keep.hint("shuffle_hash"), "doc_id").localCheckpoint(
+        eager=False
+    )
     spanok = (
         dup_spans(surv2, window=8, tokens_col="__toks")
         .filter(F.col("dup_token_frac") <= 0.2)
         .select("doc_id")
     )
-    surv3 = surv2.join(spanok, "doc_id")
+    surv3 = surv2.join(spanok.hint("shuffle_hash"), "doc_id")
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     decon_ok = (
         decontaminate(surv3, ev, ngram_n=13)
         .filter(~F.col("is_contaminated"))
         .select("doc_id")
     )
-    surv4 = surv3.join(decon_ok, "doc_id").localCheckpoint(eager=False)
+    surv4 = surv3.join(decon_ok.hint("shuffle_hash"), "doc_id").localCheckpoint(
+        eager=False
+    )
     mixed = sms(
         surv4, weights={"src0": 3, "src1": 2, "src2": 1}, key="doc_id"
     )
