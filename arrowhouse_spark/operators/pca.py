@@ -102,10 +102,17 @@ def pca_fit(
     # exchange costs more than the serial explode (A/B-measured).
     from arrowhouse_spark.session import shuffle_parts
 
+    # probe dims on the UN-repartitioned input: with dims=None the probe
+    # (select(size).limit(1)) would otherwise run the full round-robin
+    # shuffle map stage just to read one vector's length — an extra
+    # full-scan job per fit (round-13 ADVICE)
+    dims = int(
+        df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    )
     spread = df.select(F.col(vec_col)).repartition(
         shuffle_parts(df.sparkSession)
     )
-    rows = embedding_covariance(spread, vec_col).collect()
+    rows = embedding_covariance(spread, vec_col, dims=dims).collect()
     d = max(r["j"] for r in rows) + 1
     c = np.zeros((d, d))
     for r in rows:

@@ -54,7 +54,12 @@ def get_spark(
         # the cache sized to hold the suite). Scale-neutral: the cache
         # holds bytecode keyed on generated source, never data; 4096
         # entries is a few hundred MB of metaspace at worst. Override via
-        # SPARK_CODEGEN_CACHE for constrained drivers.
+        # SPARK_CODEGEN_CACHE for constrained drivers. CAVEAT (round-13
+        # ADVICE): this is a STATIC SQL conf — when getOrCreate() returns
+        # an already-running session (test suites, multi-caller
+        # processes) the builder setting is silently ignored and the
+        # 100-entry default persists; only the process's FIRST session
+        # creation applies it.
         .config(
             "spark.sql.codegen.cache.maxEntries",
             os.environ.get("SPARK_CODEGEN_CACHE", "4096"),

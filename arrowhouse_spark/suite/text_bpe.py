@@ -1469,7 +1469,13 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (one task built the whole 150k-value buffer serially), and the
     # binning leg re-scanned the file
     o = _t(spark, sf_dir, "orders").select("o_totalprice")
-    o = o.repartition(shuffle_parts(spark), "o_totalprice")
+    # KEYLESS repartition (round-13 ADVICE): neither consumer — the global
+    # percentile aggregate nor the map-side binning — needs key
+    # clustering, and hashing on the VALUE column sends duplicate-heavy
+    # prices to the same partition, re-creating the very skew the spread
+    # exists to remove. Round-robin gives an even spread regardless of
+    # value duplication; the shared exchange (ReusedExchange) is unchanged.
+    o = o.repartition(shuffle_parts(spark))
     edges = o.agg(
         F.array(
             *[
