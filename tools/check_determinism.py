@@ -55,14 +55,17 @@ def _key(v):
         return ("f", v.hex())
     if isinstance(v, bytes):
         return ("b", v.hex())
-    try:
-        import decimal
+    import decimal
 
-        if isinstance(v, decimal.Decimal):
-            f = float(v)
-            return ("f", f.hex()) if not math.isnan(f) else ("\x01nan",)
-    except ImportError:  # pragma: no cover
-        pass
+    if isinstance(v, decimal.Decimal):
+        # EXACT canonical encoding (round-13 verdict #8): the former
+        # float(v) collapse could not see integer discrepancies beyond
+        # 2^53 on DECIMAL(38,0) columns, so "oracle_exact" certified an
+        # exactness it could not observe. Scale-insensitive plain string
+        # ('1.0' and '1.00' both encode as '1').
+        if v.is_nan():
+            return ("\x01nan",)
+        return ("d", format(v.normalize(), "f"))
     return ("v", str(type(v).__name__), str(v))
 
 
@@ -84,8 +87,14 @@ def _max_rel_diff(a_rows, b_rows):
         for ka, kb in zip(ra, rb):
             if ka == kb:
                 continue
-            if ka[0] == "f" and kb[0] == "f":
-                fa, fb = float.fromhex(ka[1]), float.fromhex(kb[1])
+            # numeric kinds: float ("f", hex) and exact decimal ("d",
+            # plain string). Equal-kind decimals that differ are REAL
+            # value diffs; mixed decimal/float pairs (one engine types the
+            # column differently) compare as floats — both report the
+            # relative diff instead of collapsing to inf
+            if ka[0] in ("f", "d") and kb[0] in ("f", "d"):
+                fa = float.fromhex(ka[1]) if ka[0] == "f" else float(ka[1])
+                fb = float.fromhex(kb[1]) if kb[0] == "f" else float(kb[1])
                 worst = max(
                     worst, abs(fa - fb) / max(1.0, abs(fa), abs(fb))
                 )
